@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Deterministic (order-independent) aggregates over floating-point columns.
+  *
+  * Summing doubles is order-dependent: with N partitions the partial-sum
+  * combine order varies run to run, so `sum(double)` is not reproducible —
+  * a correctness hazard for any engine that retries/replans tasks (AQE,
+  * speculative execution) and a blocker for oracle comparison. The fix is
+  * the classic one: cast each addend to a fixed-scale decimal *before*
+  * summing. Decimal addition is exact and associative, so the result is
+  * bit-identical regardless of partitioning — on `local[32]` and on a
+  * 1000-executor cluster alike.
+  *
+  * Each helper has an exact ANSI-SQL twin (see [[sql]]) so DuckDB computes
+  * the identical value: the per-element double→decimal cast rounds to
+  * nearest (no double lands exactly on a decimal tie, so HALF_UP vs
+  * HALF_EVEN cannot diverge), decimal sums are exact, and the final
+  * decimal→double / double arithmetic is IEEE-identical when the
+  * expression shape matches.
+  *
+  * Cost: decimal aggregation is ~2-3× slower per value than double sum but
+  * stays inside whole-stage codegen and partial (map-side) aggregation —
+  * at scale the shuffle still carries one 16-byte value per group.
+  */
+object DetAgg {
+  /** 6 fractional digits; 32 integral digits — enough for sums of 1e12
+    * values of magnitude 1e12 without overflow. */
+  val Dec: DecimalType = DecimalType(38, 6)
+
+  /** Exact, order-independent sum; returns DECIMAL(38,6). */
+  def dsum(c: Column): Column = sum(c.cast(Dec))
+
+  /** Order-independent sum as double (single deterministic final cast). */
+  def dsumD(c: Column): Column = dsum(c).cast("double")
+
+  /** Order-independent average: exact decimal sum, one double division. */
+  def davg(c: Column): Column = dsum(c).cast("double") / count(c)
+
+  /** Order-independent sample stddev via exact decimal sums of x and x².
+    * Shape mirrored exactly in [[sqlStddev]] so the IEEE ops match. */
+  def dstddev(c: Column): Column = {
+    val n  = count(c).cast("double")
+    val s1 = dsum(c).cast("double")
+    val s2 = dsum(c * c).cast("double")
+    when(count(c) > 1, sqrt((s2 - s1 * s1 / n) / (n - lit(1.0d))))
+  }
+
+  /** Order-independent population variance, same technique. */
+  def dvarPop(c: Column): Column = {
+    val n  = count(c).cast("double")
+    val s1 = dsum(c).cast("double")
+    val s2 = dsum(c * c).cast("double")
+    when(count(c) > 0, (s2 - s1 * s1 / n) / n)
+  }
+
+  /** ANSI-SQL twins for DuckDB oracle queries. `e` is the SQL expression
+    * string for the aggregated value. */
+  object sql {
+    def dsum(e: String): String  = s"sum(CAST(($e) AS DECIMAL(38,6)))"
+    def dsumD(e: String): String = s"CAST(${dsum(e)} AS DOUBLE)"
+    def davg(e: String): String  = s"(${dsumD(e)} / count($e))"
+    def dstddev(e: String): String = {
+      val n  = s"CAST(count($e) AS DOUBLE)"
+      val s1 = dsumD(e)
+      val s2 = dsumD(s"($e) * ($e)")
+      s"CASE WHEN count($e) > 1 THEN sqrt(($s2 - $s1 * $s1 / $n) / ($n - 1.0)) END"
+    }
+  }
+}
