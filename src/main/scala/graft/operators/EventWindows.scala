@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.DetAgg._
+
+/** Event-time windowing over the `events` table.
+  *
+  * Each transform is a plain `DataFrame => DataFrame`, so the SAME code
+  * runs in batch (here, oracle-checked) and under Structured Streaming
+  * (graft.streaming wires watermarks around them — see
+  * [[graft.streaming.EventStreams]]). That one-definition-two-runtimes
+  * property is the core Spark idiom for a real-time pipeline: the
+  * streaming job cannot drift from the batch backfill.
+  *
+  * Scale posture: time-window groupBys shuffle on (window, key) — bounded
+  * cardinality, safe at any input size. The range-frame query shuffles on
+  * user_id only; per-user timelines are assumed executor-sized (true for
+  * clickstream-shaped data; a hot key would be salted upstream).
+  */
+object EventWindows {
+
+  /** Tumbling 1-hour windows per event_type. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Sliding 1-hour windows every 30 minutes (each event in 2 windows). */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), davg(col("value")).as("avg_value"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("avg_value"))
+
+  /** Gap-based session windows (5 min) per user. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
+  /** Per-user trailing 5-minute activity via a RANGE frame on event time. */
+  def trailingActivity(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-300000000L, 0L) // 300 s in microseconds
+    events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_recent"),
+        sum(col("value").cast(Dec)).over(w).as("recent_value"))
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    Q("q20_range_frame_window",
+      """SELECT user_id, event_id, n_recent, recent_value FROM (
+        |  SELECT user_id, event_id,
+        |    count(*) OVER w AS n_recent,
+        |    sum(CAST(value AS DECIMAL(38,6))) OVER w AS recent_value
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |               RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW))
+        |ORDER BY user_id, event_id""".stripMargin,
+      "Event-time RANGE frame: trailing 5-minute per-user count/sum without a self-join — one shuffle on user_id.") {
+      (s, d) =>
+        trailingActivity(Tables.events(s, d))
+          .orderBy(col("user_id"), col("event_id"))
+    },
+
+    Q("q21_tumbling_window",
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+         |  count(*) AS n_events,
+         |  ${sql.dsum("value")} AS total_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
+      "Tumbling 1 h event-time windows per type — the batch twin of the streaming aggregation in graft.streaming.") {
+      (s, d) =>
+        tumbling(Tables.events(s, d))
+          .orderBy(col("window_start"), col("event_type"))
+    },
+
+    Q("q22_sliding_window",
+      s"""SELECT window_start, count(*) AS n_events, ${sql.davg("value")} AS avg_value
+         |FROM (
+         |  SELECT unnest([b, b - INTERVAL 30 MINUTE]) AS window_start, value
+         |  FROM (SELECT CAST(time_bucket(INTERVAL 30 MINUTE, ts) AS TIMESTAMP) AS b, value
+         |        FROM events))
+         |GROUP BY window_start
+         |ORDER BY window_start""".stripMargin,
+      "Sliding 1 h / 30 min windows: Spark expands each event into its 2 covering windows before the shuffle.") {
+      (s, d) =>
+        sliding(Tables.events(s, d))
+          .orderBy(col("window_start"))
+    },
+
+    Q("q23_session_window",
+      """WITH marked AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM numbered
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+      "Gap-based session windows (5 min): Spark session_window vs the classic gaps-and-islands SQL formulation.") {
+      (s, d) =>
+        sessions(Tables.events(s, d))
+          .orderBy(col("user_id"), col("session_start"))
+    },
+  )
+}

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventWindows
+
+/** Structured-Streaming wiring for the event-time transforms.
+  *
+  * The aggregation logic lives ONCE in [[graft.operators.EventWindows]]
+  * (batch-tested against the DuckDB oracle); here we only add what
+  * streaming needs on top: a watermark bounding state, and (for dedup)
+  * state-expiring variants. This mirrors the reference's
+  * stream-vs-batch split (SURVEY.md §2.8) but fixes its unbounded-state
+  * defect (§4.3-2): every stateful operator below carries a watermark.
+  *
+  * Scale posture: state per key is bounded by the watermark horizon, so
+  * a 1000-executor job holds |active windows| × |keys| state, not the
+  * stream's history. Late events beyond the watermark are dropped —
+  * the documented, observable policy.
+  */
+object EventStreams {
+
+  /** Tumbling 1 h counts per event_type, late data bounded by `watermark`. */
+  def tumbling(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    EventWindows.tumbling(events.withWatermark("ts", watermark))
+
+  /** Sliding 1 h / 30 min windows with watermark. */
+  def sliding(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    EventWindows.sliding(events.withWatermark("ts", watermark))
+
+  /** Gap-based 5 min session windows per user with watermark. */
+  def sessions(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    EventWindows.sessions(events.withWatermark("ts", watermark))
+
+  /** Event dedup by id with state expiry — the fix for the reference's
+    * watermark-less dropDuplicates (code/Main.py:49, SURVEY.md §4.3-2):
+    * state for an id is dropped once the watermark passes its event time,
+    * so the dedup map cannot grow without bound. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Simple stateless enrichment usable in append mode at any rate:
+    * parses the JSON props and classifies the event. Stateless ops need
+    * no watermark and scale linearly. */
+  def enrich(events: DataFrame): DataFrame =
+    events
+      .withColumn("prop_k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("is_error", (col("event_type") === "error").cast("int"))
+}

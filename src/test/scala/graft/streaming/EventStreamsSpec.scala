@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{SparkSpec, Tables}
+import graft.operators.EventWindows
+
+/** Drives the streaming transforms with a real file source + memory sink
+  * and checks them against their batch twins (same code path, so the
+  * assertion is about streaming mechanics: watermarks, state, modes). */
+class EventStreamsSpec extends SparkSpec {
+
+  /** Copy sf0.001 events into a temp dir to act as a streaming source. */
+  private def stagedEvents(): (String, DataFrame) = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val batch = Tables.events(spark, sf0001)
+    batch.write.mode("overwrite").parquet(dir)
+    (dir, batch)
+  }
+
+  test("streaming tumbling windows equal the batch result (complete mode)") {
+    val (dir, batch) = stagedEvents()
+    val src = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = EventStreams.tumbling(src).writeStream
+      .format("memory").queryName("tumbling_out").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("tumbling_out")
+    val want = EventWindows.tumbling(batch)
+    assert(got.count() == want.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("session windows finalize in append mode once the watermark passes") {
+    val (dir, batch) = stagedEvents()
+    // The staged files are not time-ordered, so the watermark delay must
+    // cover the full data span (1 month) or mid-session events arriving in
+    // later micro-batches would be dropped as late. The marker then has to
+    // land beyond max_ts + delay to finalize every real session.
+    import org.apache.spark.sql.functions._
+    batch.limit(1).withColumn("ts", expr("ts + INTERVAL 365 DAYS"))
+      .write.mode("append").parquet(dir)
+    val src = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q2 = EventStreams.sessions(src, "40 days")
+      .writeStream.format("memory").queryName("session_out2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val got = spark.table("session_out2")
+    // all original sessions must be emitted (the marker's own session may
+    // still be open); compare against the batch twin restricted to them
+    val want = EventWindows.sessions(batch)
+    assert(got.count() >= want.count())
+    assert(want.except(got).isEmpty, "a finalized session diverged from batch")
+  }
+
+  test("dedupWithinWatermark drops re-delivered events, keeps state bounded") {
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    val batch = Tables.events(spark, sf0001).limit(200)
+    batch.write.mode("overwrite").parquet(dir)
+    batch.write.mode("append").parquet(dir) // duplicate delivery
+    val src = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = EventStreams.dedupWithinWatermark(src, "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("dedup_out").count() == 200)
+  }
+
+  test("stateless enrich runs in append mode without watermark") {
+    val (dir, batch) = stagedEvents()
+    val src = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = EventStreams.enrich(src).writeStream
+      .format("memory").queryName("enrich_out").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("enrich_out")
+    assert(got.count() == batch.count())
+    assert(got.filter("prop_k IS NULL").count() == 0)
+  }
+}
