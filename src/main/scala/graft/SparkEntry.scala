@@ -14,7 +14,8 @@ object SparkEntry {
   /** Every registered operation, in presentation order. */
   def all: Seq[Q] =
     operators.Relational.queries ++
-    operators.EventWindows.queries
+    operators.EventWindows.queries ++
+    operators.PipelineOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A star join + aggregate touching 5 tables — exercises broadcast dim

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.DetAgg.sql
+import graft.pipeline.{Cleaning, Metadata, StatsAggregation, Validation}
+
+/** The reference pipeline's transform surface (clean → validate → enrich
+  * → aggregate, SURVEY.md §2.3-2.7) exercised as oracle-checked queries
+  * over the driver testdata. The golden smart-farming fixtures are
+  * covered separately in PipelineSpec; these queries prove the SAME
+  * library functions against the DuckDB oracle.
+  */
+object PipelineOps {
+
+  /** Validation config used for the oracle query: key / numeric-parse /
+    * range rules over `events`, in reference rule order. */
+  val eventsValidation: Validation.Config = Validation.Config(
+    keyFields = Seq("user_id"),
+    numericFields = Seq("value"),
+    ranges = Seq(Validation.InRange("value", 0, 250)),
+    heavyNullThreshold = 0.5)
+
+  val queries: Seq[Q] = Seq(
+
+    Q("q24_validation_cascade",
+      """SELECT coalesce(error_reason, 'OK') AS error_reason, count(*) AS n_rows
+        |FROM (
+        |  SELECT CASE
+        |    WHEN user_id IS NULL THEN 'Missing key: user_id'
+        |    WHEN CAST(value AS DOUBLE) IS NULL OR isnan(CAST(value AS DOUBLE))
+        |      THEN 'Invalid numeric in value'
+        |    WHEN value < 0 OR value > 250 THEN 'value out of range [0,250]'
+        |    WHEN (CAST(event_id IS NULL AS INT) + CAST(ts IS NULL AS INT)
+        |        + CAST(user_id IS NULL AS INT) + CAST(event_type IS NULL AS INT)
+        |        + CAST(value IS NULL AS INT) + CAST(props IS NULL AS INT)) >= 3
+        |      THEN 'Too many nulls in row'
+        |    END AS error_reason
+        |  FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "Reference first-error-wins validation cascade (helpers.py:60-142) as one codegen'd Project — error distribution per reason.") {
+      (s, d) =>
+        Validation.withErrorReason(Tables.events(s, d), eventsValidation)
+          .groupBy(coalesce(col(Validation.ErrorCol), lit("OK")).as("error_reason"))
+          .agg(count(lit(1)).as("n_rows"))
+          .orderBy(col("error_reason"))
+    },
+
+    Q("q25_row_hash",
+      """SELECT doc_id,
+        |  sha256(concat_ws('||',
+        |    coalesce(CAST(doc_id AS VARCHAR), 'NULL'),
+        |    coalesce(CAST(text AS VARCHAR), 'NULL'),
+        |    coalesce(CAST(lang AS VARCHAR), 'NULL'),
+        |    coalesce(CAST(source AS VARCHAR), 'NULL'),
+        |    coalesce(CAST(n_chars AS VARCHAR), 'NULL'))) AS row_hash
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+      "Replay-stable SHA-256 row fingerprint (helpers.py:208-215) — the idempotence key for the upsert sink.") {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        docs.select(col("doc_id"),
+            Metadata.rowHash(docs.columns.toSeq).as("row_hash"))
+          .orderBy(col("doc_id"))
+    },
+
+    Q("q26_clean_trim",
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(length(trim(text))) AS total_chars,
+        |  min(length(trim(text))) AS min_chars
+        |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+      "Cleaning stage (trim-all-strings + drop-all-null, helpers.py:46-54) feeding per-language size stats.") {
+      (s, d) =>
+        Cleaning.clean(Tables.documents(s, d))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("total_chars"),
+            min(length(col("text"))).as("min_chars"))
+          .orderBy(col("lang"))
+    },
+
+    Q("q27_stats_aggregation",
+      s"""SELECT event_type,
+         |  min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+         |  ${sql.davg("event_id")} AS avg_event_id, ${sql.dstddev("event_id")} AS stddev_event_id,
+         |  min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+         |  ${sql.davg("user_id")} AS avg_user_id, ${sql.dstddev("user_id")} AS stddev_user_id,
+         |  min(value) AS min_value, max(value) AS max_value,
+         |  ${sql.davg("value")} AS avg_value, ${sql.dstddev("value")} AS stddev_value,
+         |  'oracle' AS data_source, 'events_agg' AS file_name
+         |FROM events
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "Reference apply_aggregations (helpers.py:148-204): min/max/avg/stddev per numeric column, dynamic column discovery, deterministic decimal forms.") {
+      (s, d) =>
+        StatsAggregation.aggregate(Tables.events(s, d), groupCol = "event_type",
+            dataSource = "oracle", fileName = "events_agg").get
+          .drop("ingestion_ts") // wall-clock, not oracle-comparable
+          .orderBy(col("event_type"))
+    },
+  )
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.pipeline.{IngestPipeline, SchemaRegistry, Sinks}
+
+/** Streaming shell: watch a directory for new CSV/JSON files and run the
+  * ingest pipeline per micro-batch, re-expressing
+  * /root/reference/code/Main.py:44-186.
+  *
+  * Differences from the reference (deliberate fixes, SURVEY.md §4.3):
+  *  - no `dropDuplicates` over all history: the file source's own
+  *    checkpointed log already guarantees exactly-once file delivery, so
+  *    the reference's unbounded dedup state is simply unnecessary;
+  *  - `maxFilesPerTrigger` bounds batch size so one trigger can't OOM on
+  *    a backlog (at 100 TB the watch dir can hold millions of files);
+  *  - per-batch work runs against a cached frame (see IngestPipeline).
+  */
+object FileWatch {
+
+  final case class Config(
+      dataDir: String,
+      schemaDir: String,
+      processedDir: String,
+      quarantineFileDir: String,
+      pipeline: IngestPipeline.Config,
+      triggerSeconds: Int = 10,
+      checkpointDir: String = "/tmp/graft-checkpoints",
+      maxFilesPerTrigger: Int = 1000)
+
+  /** One row per newly arrived file (content discarded — file arrival is
+    * the event, Main.py:44-49). */
+  def fileArrivals(spark: SparkSession, cfg: Config): DataFrame =
+    spark.readStream
+      .format("text")
+      .option("wholetext", "true")
+      .option("pathGlobFilter", "*.{csv,json}")
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .load(cfg.dataDir)
+      .select(input_file_name().as("file_path"))
+
+  /** `input_file_name()` yields percent-encoded URIs (a space becomes
+    * `%20`); decode through java.net.URI so downstream reads and file
+    * moves see the real path. Scheme-less strings pass through. */
+  private[streaming] def decodePath(p: String): String =
+    try {
+      val uri = new java.net.URI(p)
+      if (uri.getScheme == null) p
+      else new org.apache.hadoop.fs.Path(uri).toString
+    } catch { case _: java.net.URISyntaxException => p }
+
+  /** Process one micro-batch of file arrivals: group by extension, load
+    * each group with its registered schema, run the ingest pipeline, and
+    * move sources to processed/ or quarantine/. */
+  def processBatch(spark: SparkSession, cfg: Config)(batch: DataFrame, batchId: Long): Unit = {
+    val paths = batch.select("file_path").distinct()
+      .collect().map(r => decodePath(r.getString(0))).toSeq // bounded by maxFilesPerTrigger
+    if (paths.nonEmpty) {
+      IngestPipeline.groupByExtension(paths).foreach { case (fmt, groupPaths) =>
+        val label = groupPaths.map(_.split('/').last).sorted.mkString(",")
+        try {
+          val schema = SchemaRegistry.load(spark, cfg.schemaDir, groupPaths.head)
+          val raw = IngestPipeline.readBatchFiles(spark, groupPaths, fmt, schema)
+          IngestPipeline.processGroup(spark, raw, label, cfg.pipeline)
+          groupPaths.foreach(Sinks.moveFile(spark, _, cfg.processedDir))
+        } catch {
+          case e: Exception =>
+            // failure path (Main.py:160-170): audit FAILURE + quarantine files
+            Audit.failure(spark, cfg.pipeline.auditDir, label, e)
+            groupPaths.foreach(Sinks.moveFile(spark, _, cfg.quarantineFileDir))
+        }
+      }
+    }
+  }
+
+  /** Start the watcher (Main.py:178-181). `availableNow = true` drains the
+    * current backlog and stops — used by tests and catch-up runs; the
+    * default is the reference's fixed processing-time trigger. */
+  def start(spark: SparkSession, cfg: Config, availableNow: Boolean = false): StreamingQuery =
+    fileArrivals(spark, cfg).writeStream
+      .trigger(
+        if (availableNow) Trigger.AvailableNow()
+        else Trigger.ProcessingTime(s"${cfg.triggerSeconds} seconds"))
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch(processBatch(spark, cfg) _)
+      .start()
+
+  private object Audit {
+    def failure(spark: SparkSession, auditDir: String, label: String, e: Exception): Unit = {
+      import spark.implicits._
+      val df = Seq(graft.pipeline.AuditRecord(
+        "", label, 0L, 0L, 0L, s"FAILURE: ${e.getMessage}")).toDF()
+      Sinks.writeAudit(df, auditDir)
+    }
+  }
+}
