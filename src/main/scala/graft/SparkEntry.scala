@@ -15,7 +15,9 @@ object SparkEntry {
   def all: Seq[Q] =
     operators.Relational.queries ++
     operators.EventWindows.queries ++
-    operators.PipelineOps.queries
+    operators.PipelineOps.queries ++
+    operators.TextAnalysis.queries ++
+    operators.Dedup.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A star join + aggregate touching 5 tables — exercises broadcast dim

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-data-pipeline operators (dedup, quality,
+  * language-ID, fingerprinting). Everything is built-in `functions._` /
+  * higher-order expressions — codegen'd, no UDFs — so the hot path stays
+  * inside whole-stage codegen at any scale.
+  */
+object TextFunctions {
+
+  /** Lowercase, collapse non-alphanumerics to single spaces, trim — the
+    * canonical normalization used by every fingerprint/dedup operator. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Whitespace tokens of the trimmed text. */
+  def wsTokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** BPE-ish tokens: letter runs, digit runs, single other symbols. */
+  val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def regexTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit(TokenPattern), lit(0))
+
+  /** Distinct n-word shingles (default 3) over whitespace tokens; texts
+    * shorter than n tokens yield an empty array. */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val ws = wsTokens(c)
+    val grams = transform(sequence(lit(0), size(ws) - n), i =>
+      concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))
+    when(size(ws) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MD5 content fingerprint of the normalized text — engine-independent
+    * (oracle-comparable), the key for exact dedup. */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Rolling (Karp-Rabin-style polynomial) hash over whitespace tokens:
+    * acc = (acc * 31 + xxhash64(token)) mod p, with p = 1e9+7 so the
+    * intermediate never overflows a Long under ANSI arithmetic. Order-
+    * sensitive by design — equal only for equal token streams. */
+  def rollingHash(c: Column): Column = {
+    val p = lit(1000000007L)
+    aggregate(wsTokens(c), lit(0L),
+      (acc, w) => pmod(acc * lit(31L) + pmod(xxhash64(w), p), p))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
+    * xxhash64(token). Built from bit-arithmetic expressions only. */
+  def simhash64(c: Column): Column = {
+    val hashes = transform(wsTokens(c), w => xxhash64(w))
+    // for each bit b: +1 if set else -1, summed over tokens; bit in the
+    // signature iff the sum is positive
+    val bits = (0 until 64).map { b =>
+      val mask = lit(1L << b)
+      val vote = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0L, 1).otherwise(-1))
+      when(vote > 0, mask).otherwise(lit(0L))
+    }
+    bits.reduce((a, z) => a.bitwiseOR(z))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

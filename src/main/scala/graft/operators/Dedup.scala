@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+
+/** Deduplication family over `documents`: exact (fingerprint groupBy),
+  * n-gram Jaccard near-dup, and banded MinHash-LSH candidate generation.
+  *
+  * Scale posture — the part that matters at 100 TB:
+  *  - exact dedup is ONE shuffle on a 16-byte fingerprint (not the text);
+  *  - the naive all-pairs Jaccard is O(n²) and never materialized: pairs
+  *    are generated only for documents sharing a shingle (inverted-index
+  *    join), and at scale the MinHash band join replaces even that —
+  *    candidates are pairs agreeing on a 2-row band, a constant-size key,
+  *    so the shuffle is |docs|×|bands| rows regardless of text length;
+  *  - hot shingles (stopword trigrams) are the skew risk: the LSH path
+  *    buckets by (band, signature) whose cardinality concentrates far
+  *    less than raw shingles; AQE skew-join splits any residual hot key.
+  *
+  * MinHash here is built from md5 (engine-independent, hence
+  * oracle-checkable): h_i(doc) = lexicographic MIN of md5(i || "|" ||
+  * shingle) — a valid min-wise permutation family for dedup purposes.
+  */
+object Dedup {
+
+  /** doc_id + distinct shingles, exploded (the inverted index). */
+  private def explodedShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+
+  /** Exact dedup: keep the lowest doc_id per normalized-content
+    * fingerprint, count copies. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.select(fingerprint(col("text")).as("fp"), col("doc_id"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Near-duplicate pairs by n-gram Jaccard ≥ threshold, via the
+    * inverted-index join (only co-shingle pairs are scored). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val ex = explodedShingles(docs)
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jaccard",
+        col("inter") * lit(1.0d) / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** MinHash signature rows: (doc_id, seed, minhash) for seeds 0..k-1. */
+  def minhashRows(docs: DataFrame, k: Int): DataFrame =
+    explodedShingles(docs)
+      .crossJoin(broadcast(
+        docs.sparkSession.range(k).select(col("id").cast("int").as("seed"))))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sh")))).as("mh"))
+
+  /** LSH candidate pairs: documents agreeing on at least one band of
+    * `rowsPerBand` consecutive minhashes (k/rowsPerBand bands). */
+  def minhashCandidates(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bands = minhashRows(docs, k)
+      .withColumn("band", floor(col("seed") / rowsPerBand))
+      .groupBy(col("doc_id"), col("band"))
+      // seed order inside the band fixes the concat order deterministically
+      .agg(concat_ws(",", array_sort(collect_list(
+        concat(col("seed").cast("string"), lit(":"), col("mh"))))).as("sig"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    Q("q32_exact_dedup",
+      """SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM (
+        |  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp, doc_id
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp, doc_id + 1000000
+        |  FROM documents)
+        |GROUP BY fp ORDER BY keep_doc_id""".stripMargin,
+      "Exact dedup on the content fingerprint; the corpus is unioned with a shifted copy of itself so every group provably collapses 2→1.") {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val doubled = docs.select(col("doc_id"), col("text"))
+          .union(docs.select(col("doc_id") + 1000000, col("text")))
+        exactDedup(doubled).orderBy(col("keep_doc_id"))
+    },
+
+    Q("q33_ngram_jaccard",
+      """WITH ws AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
+        |  FROM ws),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, i * 1.0 / (s1.n + s2.n - i) AS jaccard
+        |FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.3
+        |ORDER BY d1, d2""".stripMargin,
+      "Near-dup pairs by 3-gram Jaccard >= 0.3 via inverted-index join — only co-shingle pairs are ever scored.") {
+      (s, d) =>
+        ngramJaccardPairs(Tables.documents(s, d), 0.3).orderBy(col("d1"), col("d2"))
+    },
+
+    Q("q34_minhash_lsh",
+      """WITH ws AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
+        |  FROM ws),
+        |mh AS (
+        |  SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
+        |  GROUP BY doc_id, seed),
+        |bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |    string_agg(seed || ':' || mh, ',' ORDER BY seed || ':' || mh) AS sig
+        |  FROM mh GROUP BY doc_id, band)
+        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |ORDER BY d1, d2""".stripMargin,
+      "MinHash-LSH candidate pairs (k=8 md5-derived minhashes, 4 bands x 2 rows): the scale path — shuffle is |docs|x|bands| fixed-size keys, never all pairs.") {
+      (s, d) =>
+        minhashCandidates(Tables.documents(s, d)).orderBy(col("d1"), col("d2"))
+    },
+  )
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.DetAgg.sql
+import graft.functions.TextFunctions._
+
+/** Text analysis over the `documents` table: token counting, quality
+  * scoring, heuristic language-ID, fingerprinting. All per-document work
+  * is a stateless Project (scales linearly, no shuffle); only the final
+  * summaries aggregate.
+  */
+object TextAnalysis {
+
+  /** Stopword profiles for the n-gram/stopword language heuristic. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "dans"))
+
+  private def hitCount(c: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(c), lit(s"\\b(${words.mkString("|")})\\b"), lit(0)))
+
+  /** Heuristic language-ID: CJK chars → zh, else the profile with the
+    * most stopword hits (fixed priority on ties). */
+  def langId(text: Column): Column = {
+    val scores = LangProfiles.map { case (l, ws) => l -> hitCount(text, ws) }
+    val best = scores.tail.foldLeft(lit(LangProfiles.head._1) -> scores.head._2) {
+      case ((bestLang, bestScore), (l, s)) =>
+        (when(s > bestScore, lit(l)).otherwise(bestLang),
+         when(s > bestScore, s).otherwise(bestScore))
+    }._1
+    when(size(regexp_extract_all(text, lit("[\\u4e00-\\u9fff]"), lit(0))) > 0, "zh")
+      .otherwise(best)
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    Q("q28_token_stats",
+      s"""SELECT doc_id,
+         |  len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+         |  len(regexp_extract_all(lower(text), '$TokenPattern')) AS re_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+      "Token counting: whitespace tokens + BPE-ish regex tokens per document — pure Project, no shuffle.") {
+      (s, d) =>
+        Tables.documents(s, d).select(col("doc_id"),
+            size(wsTokens(col("text"))).as("ws_tokens"),
+            size(regexTokens(col("text"))).as("re_tokens"))
+          .orderBy(col("doc_id"))
+    },
+
+    Q("q29_text_quality",
+      s"""SELECT source, count(*) AS n_docs,
+         |  ${sql.davg("len(regexp_extract_all(lower(text), '\\b(the|a|is|of|and|to|in)\\b'))" +
+             " * 1.0 / len(string_split_regex(trim(text), '\\s+'))")} AS avg_stop_ratio,
+         |  ${sql.davg("CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)" +
+             " / len(string_split_regex(trim(text), '\\s+'))")} AS avg_ttr,
+         |  ${sql.davg("CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)" +
+             " / len(string_split_regex(trim(text), '\\s+'))")} AS avg_tok_len
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+      "Quality scoring per source: stopword ratio, type-token ratio, mean token length — the reference signals for corpus filtering.") {
+      (s, d) =>
+        val ws = wsTokens(col("text"))
+        val stopRatio = hitCount(col("text"), LangProfiles.head._2) * lit(1.0d) / size(ws)
+        val ttr = size(array_distinct(ws)).cast("double") / size(ws)
+        val tokLen = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(ws)
+        Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            graft.functions.DetAgg.davg(stopRatio).as("avg_stop_ratio"),
+            graft.functions.DetAgg.davg(ttr).as("avg_ttr"),
+            graft.functions.DetAgg.davg(tokLen).as("avg_tok_len"))
+          .orderBy(col("source"))
+    },
+
+    Q("q30_lang_id",
+      """SELECT predicted_lang, count(*) AS n_docs FROM (
+        |  SELECT CASE
+        |    WHEN cjk > 0 THEN 'zh'
+        |    WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+        |    WHEN es >= de AND es >= fr THEN 'es'
+        |    WHEN de >= fr THEN 'de'
+        |    ELSE 'fr' END AS predicted_lang
+        |  FROM (SELECT
+        |    len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|is|of|and|to|in)\b')) AS en,
+        |    len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los)\b')) AS es,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b')) AS de,
+        |    len(regexp_extract_all(lower(text), '\b(le|les|des|et|une|dans)\b')) AS fr
+        |  FROM documents))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "Heuristic language-ID (stopword profiles + CJK detection), folded left with fixed tie priority en>es>de>fr.") {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(langId(col("text")).as("predicted_lang"))
+          .groupBy(col("predicted_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("predicted_lang"))
+    },
+
+    Q("q31_rolling_fingerprint",
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        |  doc_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      "Content fingerprint: MD5 of normalized text (engine-independent); the rolling xxhash64 variant is covered rows-only in q35.") {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(fingerprint(col("text")).as("fp"), col("doc_id"))
+          .orderBy(col("doc_id"))
+    },
+
+    Q.noOracle("q35_simhash_rolling",
+      "SimHash-64 signatures + Karp-Rabin rolling hash per document (Spark bit-arithmetic expressions; no portable SQL twin).") {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            simhash64(col("text")).as("simhash"),
+            rollingHash(col("text")).as("rolling_hash"))
+          .orderBy(col("doc_id"))
+    },
+  )
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.functions.TextFunctions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles produce n-grams in order, distinct") {
+    val got = Seq("a b c d", "x x x x").toDF("text")
+      .select(shingles(col("text")).as("s")).collect()
+    assert(got(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(got(1).getSeq[String](0) == Seq("x x x")) // distinct
+  }
+
+  test("shingles of short text yield empty array, not a crash") {
+    val got = Seq("one two").toDF("text")
+      .select(shingles(col("text")).as("s")).collect()
+    assert(got(0).getSeq[String](0).isEmpty)
+  }
+
+  test("exact dedup collapses a doubled corpus to one keeper per group") {
+    val docs = Tables.documents(spark, sf0001)
+    val doubled = docs.select($"doc_id", $"text")
+      .union(docs.select($"doc_id" + 1000000, $"text"))
+    val deduped = Dedup.exactDedup(doubled)
+    assert(deduped.count() == docs.count())
+    assert(deduped.filter($"n_copies" =!= 2).count() == 0)
+    // keeper is always the original, not the shifted copy
+    assert(deduped.filter($"keep_doc_id" >= 1000000).count() == 0)
+  }
+
+  test("minhash LSH candidates cover the high-jaccard pairs") {
+    val docs = Tables.documents(spark, sf0001)
+    val truePairs = Dedup.ngramJaccardPairs(docs, 0.3)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candidates = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.nonEmpty, "corpus should contain planted near-dups")
+    val recall = truePairs.count(candidates.contains).toDouble / truePairs.size
+    assert(recall >= 0.8, s"LSH recall $recall over ${truePairs.size} true pairs")
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val far = "completely different content about database engines and shuffles"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+      .select($"doc_id", simhash64($"text").as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+    assert(ham(m(1L), m(2L)) <= 16)
+  }
+
+  test("rolling hash is order-sensitive, fingerprint is not punctuation-sensitive") {
+    val df = Seq(("a b c", 1), ("c b a", 2), ("a, b... c!", 3)).toDF("text", "id")
+      .select($"id", rollingHash($"text").as("rh"), fingerprint($"text").as("fp"))
+    val rows = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    val byId = rows.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byId(1)._1 != byId(2)._1) // order matters for rolling hash
+    assert(byId(1)._2 == byId(3)._2) // normalization strips punctuation
+  }
+
+  test("langId flags CJK text as zh and prefers matching stopword profile") {
+    val df = Seq(
+      ("the cat is on the mat and it is happy", "en"),
+      ("el gato y la casa de los vecinos que", "es"),
+      ("der hund und die katze ist ein tier", "de"),
+      ("这是一段中文文本", "zh")).toDF("text", "expected")
+      .withColumn("got", TextAnalysis.langId($"text"))
+    assert(df.filter($"got" =!= $"expected").count() == 0)
+  }
+}
