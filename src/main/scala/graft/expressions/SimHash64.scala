@@ -1,0 +1,80 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Codegen'd 64-bit SimHash over an array of 64-bit token hashes: one
+  * pass accumulating the 64 per-bit majority votes, instead of the 64
+  * separate interpreted `aggregate` folds the composable formulation
+  * needs (measured 8 s for 5k docs at sf0.1 — this is a single tight
+  * loop per row).
+  *
+  * Semantics identical to [[graft.functions.TextFunctions.simhash64]]:
+  * bit b of the result is set iff strictly more input hashes have bit b
+  * set than clear. Null elements are skipped.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<bigint>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |int[] votes = new int[64];
+         |int n = $a.numElements();
+         |for (int i = 0; i < n; i++) {
+         |  if (!$a.isNullAt(i)) {
+         |    long h = $a.getLong(i);
+         |    for (int b = 0; b < 64; b++) {
+         |      if (((h >>> b) & 1L) != 0L) votes[b]++; else votes[b]--;
+         |    }
+         |  }
+         |}
+         |long sig = 0L;
+         |for (int b = 0; b < 64; b++) { if (votes[b] > 0) sig |= (1L << b); }
+         |${ev.value} = sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def apply(tokenHashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenHashes)))
+}

@@ -1,0 +1,86 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Codegen'd dot product over two numeric arrays (float or double).
+  *
+  * Why a custom Catalyst Expression: the composable form
+  * `aggregate(zip_with(a, b, _*_), 0d, _+_)` is CodegenFallback — each
+  * pair costs an interpreted 64-step fold, which measured ~217 s for the
+  * 2M-pair near-dup join at sf0.1. This expression compiles to a tight
+  * Java loop inside whole-stage codegen (same sequential fold order, so
+  * results are bit-identical to the interpreted version).
+  *
+  * Array elements are assumed non-null (embedding vectors); a null
+  * ARRAY input yields null via BinaryExpression's default null handling.
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  private def elemIsDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _)  => false
+    case t => throw new IllegalArgumentException(
+      s"vec_dot expects array<float|double>, got ${t.simpleString}")
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType | FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects array<float|double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val (ad, bd) = (elemIsDouble(left), elemIsDouble(right))
+    var s = 0.0d
+    var i = 0
+    while (i < n) {
+      val x = if (ad) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bd) b.getDouble(i) else b.getFloat(i).toDouble
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getA = if (elemIsDouble(left)) "getDouble" else "getFloat"
+    val getB = if (elemIsDouble(right)) "getDouble" else "getFloat"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double acc = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  acc += (double) $a.$getA(i) * (double) $b.$getB(i);
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDot {
+  /** Column-level entry point. */
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

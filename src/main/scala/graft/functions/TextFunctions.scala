@@ -48,11 +48,15 @@ object TextFunctions {
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
-    * xxhash64(token). Built from bit-arithmetic expressions only. */
-  def simhash64(c: Column): Column = {
+    * xxhash64(token), computed by the codegen'd
+    * [[graft.expressions.SimHash64]] single-pass expression. */
+  def simhash64(c: Column): Column =
+    graft.expressions.SimHash64(transform(wsTokens(c), w => xxhash64(w)))
+
+  /** Interpreted reference formulation (64 aggregate folds) — kept to pin
+    * the codegen expression's semantics in tests. */
+  def simhash64Hof(c: Column): Column = {
     val hashes = transform(wsTokens(c), w => xxhash64(w))
-    // for each bit b: +1 if set else -1, summed over tokens; bit in the
-    // signature iff the sum is positive
     val bits = (0 until 64).map { b =>
       val mask = lit(1L << b)
       val vote = aggregate(hashes, lit(0),

@@ -30,6 +30,16 @@ object Dedup {
   private def explodedShingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
 
+  /** Inverted index keyed by a 64-bit shingle hash (single-eval
+    * [[graft.expressions.ShingleHash64]]): the join/shuffle carries
+    * 8-byte longs instead of ~30-char strings, and the tokenize/window
+    * loop runs compiled, not per-element interpreted. Hash collisions
+    * would be needed to change a Jaccard count (~2⁻⁶⁴ per shingle pair)
+    * — the standard trade at scale. */
+  private def hashedShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.expressions.ShingleHash64(col("text"))).as("h"))
+
   /** Exact dedup: keep the lowest doc_id per normalized-content
     * fingerprint, count copies. */
   def exactDedup(docs: DataFrame): DataFrame =
@@ -38,12 +48,13 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
   /** Near-duplicate pairs by n-gram Jaccard ≥ threshold, via the
-    * inverted-index join (only co-shingle pairs are scored). */
+    * inverted-index join on hashed shingles (only co-shingle pairs are
+    * ever scored; the shuffle key is an 8-byte long). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val ex = explodedShingles(docs)
+    val ex = hashedShingles(docs)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = ex.as("a").join(ex.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -55,23 +66,26 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
-  /** MinHash signature rows: (doc_id, seed, minhash) for seeds 0..k-1. */
-  def minhashRows(docs: DataFrame, k: Int): DataFrame =
-    explodedShingles(docs)
-      .crossJoin(broadcast(
-        docs.sparkSession.range(k).select(col("id").cast("int").as("seed"))))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sh")))).as("mh"))
+  /** MinHash signatures, one row per doc with a k-element signature
+    * array — computed per-row by [[graft.expressions.MinHashSig]]: no
+    * explode, no shuffle; signature construction is embarrassingly
+    * parallel, exactly what you want at 100 TB. */
+  def minhashSignatures(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      graft.expressions.MinHashSig(col("text"), k).as("sig"))
 
   /** LSH candidate pairs: documents agreeing on at least one band of
-    * `rowsPerBand` consecutive minhashes (k/rowsPerBand bands). */
+    * `rowsPerBand` consecutive minhashes (k/rowsPerBand bands). The
+    * bucket join key is (band, concatenated band signature). */
   def minhashCandidates(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val bands = minhashRows(docs, k)
-      .withColumn("band", floor(col("seed") / rowsPerBand))
-      .groupBy(col("doc_id"), col("band"))
-      // seed order inside the band fixes the concat order deterministically
-      .agg(concat_ws(",", array_sort(collect_list(
-        concat(col("seed").cast("string"), lit(":"), col("mh"))))).as("sig"))
+    val nBands = k / rowsPerBand
+    val sigs = minhashSignatures(docs, k)
+    val bandStructs = (0 until nBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), concat_ws(",", cols: _*).as("sig"))
+    }
+    val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.DetAgg
+
+/** Multimodal column handling: image/audio/video payloads as opaque
+  * `binary` columns plus a typed metadata struct, with decode /
+  * feature-extraction / frame-sampling implemented over real Spark
+  * plumbing (Dataset + mapPartitions batching — the JVM analog of
+  * `mapInPandas`).
+  *
+  * The actual media DECODE is a deliberate, clearly-marked STUB
+  * ([[FakeDecoder]]): no image/audio codecs ship in this environment, so
+  * it computes deterministic byte-level features instead. Everything
+  * around it — schema, encoders, partition-wise batching, frame
+  * sampling, aggregation — is the real production shape: swap
+  * `FakeDecoder.decode` for a codec call and nothing else changes.
+  *
+  * Scale posture: payloads never leave their partition (no shuffle until
+  * the final small aggregate); mapPartitions amortizes any per-batch
+  * decoder setup across the partition, exactly like a Pandas-UDF batch.
+  */
+object Multimodal {
+
+  final case class Asset(
+      doc_id: Long,
+      blob: Array[Byte],
+      mime: String,
+      width: Int,
+      height: Int)
+
+  final case class Features(
+      doc_id: Long,
+      n_bytes: Int,
+      mean_byte: Double,
+      byte_entropy: Double,
+      n_frames: Int)
+
+  /** STUB decoder — stands in for a real image/audio codec. Deterministic
+    * byte-level features so tests and oracles are stable. */
+  object FakeDecoder {
+    def decode(blob: Array[Byte]): (Double, Double) = {
+      // real implementation would be e.g. ImageIO.read / ffmpeg here
+      if (blob.isEmpty) (0.0, 0.0)
+      else {
+        val counts = new Array[Long](256)
+        blob.foreach(b => counts(b & 0xff) += 1)
+        val n = blob.length.toDouble
+        val mean = blob.map(b => (b & 0xff).toLong).sum / n
+        val entropy = counts.filter(_ > 0).map { c =>
+          val p = c / n; -p * math.log(p) / math.log(2)
+        }.sum
+        (mean, entropy)
+      }
+    }
+  }
+
+  /** Build a synthetic asset table from `documents`: UTF-8 bytes as the
+    * opaque payload + deterministic metadata (real pipelines read the
+    * blob column straight from parquet the same way). */
+  def assets(docs: DataFrame): Dataset[Asset] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+        col("doc_id"),
+        to_binary(col("text"), lit("utf-8")).as("blob"),
+        lit("application/octet-stream").as("mime"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"))
+      .as[Asset]
+  }
+
+  /** Frame sampling: k fixed-size byte windows at evenly spaced offsets
+    * of the payload (the keyframe-sample pattern for video). Pure
+    * expressions — no decode, no shuffle. */
+  def sampleFrames(assetsDf: DataFrame, k: Int = 4, frameBytes: Int = 16): DataFrame =
+    assetsDf.select(col("doc_id"),
+      expr(s"""transform(sequence(0, ${k - 1}), i ->
+              |  substring(blob,
+              |    1 + i * greatest((length(blob) - $frameBytes)
+              |                     div greatest(${k - 1}, 1), 0),
+              |    $frameBytes))""".stripMargin).as("frames"))
+
+  /** Partition-wise decode + feature extraction (mapPartitions batching). */
+  def extractFeatures(assetsDs: Dataset[Asset], k: Int = 4): Dataset[Features] = {
+    import assetsDs.sparkSession.implicits._
+    assetsDs.mapPartitions { it =>
+      // per-partition decoder setup would happen here (once per batch)
+      it.map { a =>
+        val (mean, entropy) = FakeDecoder.decode(a.blob)
+        Features(a.doc_id, a.blob.length, mean, entropy, k)
+      }
+    }
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    Q("q40_multimodal_bytes",
+      s"""SELECT source, count(*) AS n_assets,
+         |  sum(octet_length(encode(text))) AS total_bytes,
+         |  max(octet_length(encode(text))) AS max_bytes,
+         |  ${DetAgg.sql.davg("CAST(octet_length(encode(text)) AS DOUBLE)")} AS avg_bytes
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+      "Binary payload stats per source: byte lengths computed on the opaque blob column, no decode needed — the cheap metadata pass a media pipeline runs first.") {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("source"), to_binary(col("text"), lit("utf-8")).as("blob"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_assets"),
+            sum(length(col("blob"))).as("total_bytes"),
+            max(length(col("blob"))).as("max_bytes"),
+            DetAgg.davg(length(col("blob")).cast("double")).as("avg_bytes"))
+          .orderBy(col("source"))
+    },
+
+    Q.noOracle("q41_multimodal_features",
+      "Stubbed decode + feature extraction via Dataset.mapPartitions (real batching shape; fake deterministic features).") {
+      (s, d) =>
+        extractFeatures(assets(Tables.documents(s, d)))
+          .toDF()
+          .orderBy(col("doc_id"))
+    },
+  )
+}

