@@ -15,6 +15,7 @@ object SparkEntry {
   def all: Seq[Q] =
     operators.Relational.queries ++
     operators.EventWindows.queries ++
+    operators.Temporal.queries ++
     operators.PipelineOps.queries ++
     operators.TextAnalysis.queries ++
     operators.Dedup.queries ++

@@ -26,10 +26,6 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
-  /** doc_id + distinct shingles, exploded (the inverted index). */
-  private def explodedShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-
   /** Inverted index keyed by a 64-bit shingle hash (single-eval
     * [[graft.expressions.ShingleHash64]]): the join/shuffle carries
     * 8-byte longs instead of ~30-char strings, and the tokenize/window

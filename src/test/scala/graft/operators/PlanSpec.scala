@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan audits: the properties that decide whether a query
+  * survives a 100× scale-up — filter pushdown into the scan, broadcast
+  * joins for dims, bounded shuffle counts. These are assertions on the
+  * PLAN, not the result, so a regression (e.g. a lost broadcast after a
+  * refactor) fails fast at test time. */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def planOf(name: String): SparkPlan =
+    executedPlan(SparkEntry.queries(name)(spark, sf001))
+
+  private def planString(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("q02: every predicate is pushed into the parquet scan") {
+    val s = planString("q02_revenue_filter")
+    // the rendered PushedFilters list is truncated, so match its prefix
+    assert(s.contains("PushedFilters: [IsNotNull"), "no pushdown section")
+    assert(s.contains("GreaterThanOrEqual(l_shipda"), s.take(1200))
+  }
+
+  test("q05 star join broadcasts every dimension") {
+    val bhj = planOf("q05_region_revenue").collect {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.size >= 3, s"expected >=3 broadcast joins, got ${bhj.size}")
+  }
+
+  test("q01 aggregates with map-side partial aggregation") {
+    val s = planString("q01_pricing_summary")
+    assert(s.contains("partial_"), "no partial aggregation phase")
+  }
+
+  test("q02 scan prunes to the referenced columns only") {
+    val s = planString("q02_revenue_filter")
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag") && !readSchema.contains("l_tax"),
+      readSchema)
+  }
+
+  test("shuffle counts stay bounded for the headline queries") {
+    val maxShuffles = Map(
+      "q01_pricing_summary" -> 2, // partial/final agg + sort
+      "q05_region_revenue" -> 4,  // fact join + agg + sort (dims broadcast)
+      "q08_window_topk" -> 3)     // window partition + output sort
+    maxShuffles.foreach { case (name, bound) =>
+      val n = planOf(name).collect { case s: ShuffleExchangeLike => s }.size
+      assert(n <= bound, s"$name has $n shuffles (bound $bound)")
+    }
+  }
+}
