@@ -53,20 +53,28 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      // all locals freshName'd — shared codegen functions otherwise
+      // collide on bare names (janino "Redefinition of local variable")
+      val votes = ctx.freshName("shVotes")
+      val n = ctx.freshName("shN")
+      val i = ctx.freshName("shI")
+      val h = ctx.freshName("shH")
+      val b = ctx.freshName("shB")
+      val sig = ctx.freshName("shSig")
       s"""
-         |int[] votes = new int[64];
-         |int n = $a.numElements();
-         |for (int i = 0; i < n; i++) {
-         |  if (!$a.isNullAt(i)) {
-         |    long h = $a.getLong(i);
-         |    for (int b = 0; b < 64; b++) {
-         |      if (((h >>> b) & 1L) != 0L) votes[b]++; else votes[b]--;
+         |int[] $votes = new int[64];
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    long $h = $a.getLong($i);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) != 0L) $votes[$b]++; else $votes[$b]--;
          |    }
          |  }
          |}
-         |long sig = 0L;
-         |for (int b = 0; b < 64; b++) { if (votes[b] > 0) sig |= (1L << b); }
-         |${ev.value} = sig;
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 64; $b++) { if ($votes[$b] > 0) $sig |= (1L << $b); }
+         |${ev.value} = $sig;
        """.stripMargin
     })
 

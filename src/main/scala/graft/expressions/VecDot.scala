@@ -62,13 +62,19 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     val getA = if (elemIsDouble(left)) "getDouble" else "getFloat"
     val getB = if (elemIsDouble(right)) "getDouble" else "getFloat"
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: this expression may share one codegen function with
+      // other expressions — bare locals would collide (janino
+      // "Redefinition of local variable")
+      val n = ctx.freshName("vdN")
+      val acc = ctx.freshName("vdAcc")
+      val i = ctx.freshName("vdI")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += (double) $a.$getA(i) * (double) $b.$getB(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.$getA($i) * (double) $b.$getB($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
   }

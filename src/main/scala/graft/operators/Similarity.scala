@@ -119,11 +119,19 @@ object Similarity {
          |ORDER BY d1, d2""".stripMargin,
       "Embedding-cosine near-dup pairs (threshold 0.3): the all-pairs oracle baseline that q39's LSH bucketing replaces at scale.") {
       (s, d) =>
+        // norms are precomputed per side, and the cosine threshold lives in
+        // the JOIN CONDITION: the nested-loop join evaluates it per pair
+        // and only materializes matches (~1e3 rows), never the 2M-row
+        // cross product with its two embedded vectors per row.
         val e = Tables.embeddings(s, d)
-        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
-            cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
-          .filter(col("cosine") >= 0.3)
+          .select(col("vec_id"), col("embedding"),
+            norm(col("embedding")).as("nrm"))
+        val a = e.select(col("vec_id").as("d1"), col("embedding").as("va"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("d2"), col("embedding").as("vb"), col("nrm").as("nb"))
+        a.join(b, col("d1") < col("d2") &&
+            round(graft.expressions.VecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.3)
+          .select(col("d1"), col("d2"),
+            round(graft.expressions.VecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
           .orderBy(col("d1"), col("d2"))
     },
 
