@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Relational.queries ++
     operators.EventWindows.queries ++
     operators.Temporal.queries ++
+    operators.Reshape.queries ++
     operators.PipelineOps.queries ++
     operators.TextAnalysis.queries ++
     operators.Dedup.queries ++

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.DetAgg._
+
+/** Reshaping operators: pivot, distribution windows (ntile/percent_rank),
+  * union-by-name with schema drift. */
+object Reshape {
+
+  val queries: Seq[Q] = Seq(
+
+    Q("q46_pivot",
+      s"""SELECT user_id,
+         |  ${sql.dsum("CASE WHEN event_type = 'click' THEN value END")} AS click,
+         |  ${sql.dsum("CASE WHEN event_type = 'error' THEN value END")} AS error,
+         |  ${sql.dsum("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase,
+         |  ${sql.dsum("CASE WHEN event_type = 'signup' THEN value END")} AS signup,
+         |  ${sql.dsum("CASE WHEN event_type = 'view' THEN value END")} AS view
+         |FROM events WHERE user_id <= 30
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "Pivot (long→wide): per-user value totals by event type. Explicit pivot values avoid the extra distinct-values job at scale.") {
+      (s, d) =>
+        Tables.events(s, d)
+          .filter(col("user_id") <= 30)
+          .groupBy(col("user_id"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(dsum(col("value")))
+          .orderBy(col("user_id"))
+    },
+
+    Q("q47_ntile_percent_rank",
+      """SELECT o_orderkey, o_totalprice,
+        |  ntile(4) OVER w AS price_quartile,
+        |  round(percent_rank() OVER w, 6) AS price_pct_rank
+        |FROM orders
+        |WHERE o_custkey <= 50
+        |WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+      "Distribution windows: quartile bucketing + percent rank over a deterministic total order.") {
+      (s, d) =>
+        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .filter(col("o_custkey") <= 50)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            ntile(4).over(w).as("price_quartile"),
+            round(percent_rank().over(w), 6).as("price_pct_rank"))
+          .orderBy(col("o_orderkey"))
+    },
+
+    Q("q48_union_by_name",
+      """SELECT entity_id, kind, label, count(*) AS n
+        |FROM (
+        |  SELECT c_custkey AS entity_id, 'customer' AS kind, c_mktsegment AS label
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey AS entity_id, 'supplier' AS kind, NULL AS label
+        |  FROM supplier)
+        |GROUP BY entity_id, kind, label
+        |ORDER BY kind, entity_id""".stripMargin,
+      "unionByName with schema drift (allowMissingColumns fills the supplier side's missing label with null).") {
+      (s, d) =>
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey").as("entity_id"), lit("customer").as("kind"),
+            col("c_mktsegment").as("label"))
+        val sup = Tables.supplier(s, d)
+          .select(col("s_suppkey").as("entity_id"), lit("supplier").as("kind"))
+        c.unionByName(sup, allowMissingColumns = true)
+          .groupBy(col("entity_id"), col("kind"), col("label"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("kind"), col("entity_id"))
+    },
+  )
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class ScaleSpec extends SparkSpec {
+
+  test("salted join equals the plain join") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val dim = ev.select(col("user_id")).distinct()
+      .withColumn("user_bucket", pmod(col("user_id"), lit(7)))
+    val plain = ev.join(dim, Seq("user_id"))
+    val salted = Scale.saltedJoin(ev, dim, "user_id", saltFactor = 4)
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("bucketed tables join without a shuffle on either side") {
+    val o = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
+    val l = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+    // clean both catalog entries AND stale warehouse dirs (a crashed run
+    // can leave the location behind without the table)
+    Seq("bucketed_orders", "bucketed_items").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
+    Scale.writeBucketed(o, "bucketed_orders", "o_orderkey", buckets = 8)
+    Scale.writeBucketed(l.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "bucketed_items", "o_orderkey", buckets = 8)
+    val joined = spark.table("bucketed_orders")
+      .join(spark.table("bucketed_items"), "o_orderkey")
+    val plan = joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => joined.count(); a.executedPlan
+      case p => p
+    }
+    val shuffles = plan.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.isEmpty, s"bucketed join shuffled: ${plan.toString.take(400)}")
+    // inner join keeps only orders that have lineitems — compare against
+    // the equivalent unbucketed join
+    val expected = o.join(l.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "o_orderkey").count()
+    assert(joined.count() == expected)
+  }
+}
