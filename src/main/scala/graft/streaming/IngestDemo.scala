@@ -53,6 +53,9 @@ object IngestDemo {
       spark.read.json(s"$root/audit").orderBy("file_name").show(10, truncate = false)
       println(s"[ingest-demo] processed/: " +
         Files.list(Paths.get(root, "processed")).count())
+      println(s"[ingest-demo] sink rows (approx, 5s budget): " +
+        graft.pipeline.Counts.approxCount(
+          spark.read.parquet(s"$root/sink/public_Smart_Farming_Crop_Yield_2024_transformed")))
     }
 
     drop("/root/reference/dataset/Smart_Farming_Crop_Yield_2024.csv",

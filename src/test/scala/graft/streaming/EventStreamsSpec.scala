@@ -70,6 +70,18 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == 200)
   }
 
+  test("streaming sliding windows equal the batch result (complete mode)") {
+    val (dir, batch) = stagedEvents()
+    val src = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = EventStreams.sliding(src).writeStream
+      .format("memory").queryName("sliding_out").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sliding_out")
+    val want = graft.operators.EventWindows.sliding(batch)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("stateless enrich runs in append mode without watermark") {
     val (dir, batch) = stagedEvents()
     val src = spark.readStream.schema(batch.schema).parquet(dir)
