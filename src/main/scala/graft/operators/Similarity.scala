@@ -70,6 +70,68 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** k-means-lite coarse quantizer for IVF: deterministic seeds (lowest
+    * vec_ids), a few Lloyd iterations as pure DataFrame ops. Returns
+    * (centroid_id, cvec). Centroid recompute is a posexplode → per-dim
+    * avg → re-assemble; everything per-iteration is one shuffle keyed by
+    * centroid, so the loop scales to any corpus size. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val dv = embeddings.select(col("vec_id"),
+      graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+    var centroids = dv.orderBy(col("vec_id")).limit(k)
+      .select((col("vec_id")).as("cid"), col("v").as("cvec"))
+      .withColumn("cid", row_number().over(Window.orderBy(col("cid"))) - 1)
+    (0 until iters).foreach { _ =>
+      val assigned = assign(dv, centroids)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), expr("transform(pm, s -> s.m)").as("cvec"))
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment via broadcast centroids + min-struct
+    * argmin (no window, no second shuffle). */
+  private def assign(dv: DataFrame, centroids: DataFrame): DataFrame =
+    dv.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"),
+        struct(
+          graft.expressions.VecDot(col("v"), col("cvec")).as("sim"),
+          col("cid")).as("sc"))
+      .groupBy(col("vec_id"), col("v"))
+      .agg(max(col("sc")).as("best")) // cosine: max similarity = argmin dist
+      .select(col("vec_id"), col("v"), col("best.cid").as("cid"))
+
+  /** IVF ANN: probe the `nprobe` most similar centroid lists, exact
+    * re-rank inside. Candidate set is nprobe/nlist of the corpus — the
+    * inverted-file shape that makes 100 TB ANN feasible. */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nlist: Int = 8, nprobe: Int = 3, iters: Int = 3): DataFrame = {
+    val centroids = kmeansCentroids(embeddings, nlist, iters)
+    val dv = embeddings.select(col("vec_id"),
+      graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+    val lists = assign(dv, centroids)
+    val queries = lists.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // per query: nprobe closest centroids
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("sim", graft.expressions.VecDot(col("qv"), col("cvec")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    val scored = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   private val QueryIds = Seq(0L, 100L, 200L)
 
   private def cosineSql(a: String, b: String) =
@@ -139,6 +201,13 @@ object Similarity {
       "Hyperplane-LSH ANN top-10 for the same 3 queries: deterministic hash-derived planes, bucket equi-join + exact re-rank (recall vs q36 asserted in SimilaritySpec).") {
       (s, d) =>
         annTopK(Tables.embeddings(s, d), QueryIds, 10)
+          .orderBy(col("query_id"), col("rn"))
+    },
+
+    Q.noOracle("q49_ann_ivf_topk",
+      "IVF ANN top-10: k-means-lite coarse quantizer (DataFrame Lloyd iterations), probe 3 of 8 inverted lists, exact re-rank (recall vs q36 asserted in SimilaritySpec).") {
+      (s, d) =>
+        ivfTopK(Tables.embeddings(s, d), QueryIds, 10)
           .orderBy(col("query_id"), col("rn"))
     },
   )

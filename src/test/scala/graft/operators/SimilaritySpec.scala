@@ -29,6 +29,24 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.size <= exact.size)
   }
 
+  test("IVF top-k recall vs brute force is usable and candidates shrink") {
+    val e = Tables.embeddings(spark, sf0001)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = asSet(Similarity.bruteForceTopK(e, queryIds, 10))
+    val ivf = asSet(Similarity.ivfTopK(e, queryIds, 10))
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
+  test("kmeans centroids: k lists, every vector assigned, dims preserved") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf0001)
+    val c = Similarity.kmeansCentroids(e, k = 8, iters = 2)
+    assert(c.count() == 8)
+    assert(c.select(size(col("cvec"))).distinct().head().getInt(0) == 64)
+  }
+
   test("hyperplane signature is deterministic across evaluations") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf0001).limit(50)
