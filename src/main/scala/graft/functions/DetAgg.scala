@@ -28,7 +28,14 @@ import org.apache.spark.sql.types.DecimalType
   */
 object DetAgg {
   /** 6 fractional digits; 32 integral digits — enough for sums of 1e12
-    * values of magnitude 1e12 without overflow. */
+    * values of magnitude 1e12 without overflow.
+    *
+    * Cross-engine caveat: keep per-element magnitudes below ~1e9. A
+    * double's shortest decimal representation carries ~17 significant
+    * digits, and Java's double→BigDecimal conversion rounds via that
+    * representation while DuckDB rounds the exact binary value — above
+    * ~1e11 the 6th fraction digit can differ between engines. Normalize
+    * large values (e.g. epoch micros → day fraction) before aggregating. */
   val Dec: DecimalType = DecimalType(38, 6)
 
   /** Exact, order-independent sum; returns DECIMAL(38,6). */

@@ -50,6 +50,41 @@ object Reshape {
           .orderBy(col("o_orderkey"))
     },
 
+    Q("q50_median_percentiles",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "Exact interpolated percentiles (Spark percentile == DuckDB quantile_cont, linear interpolation); the approx_percentile sketch is the 100 TB swap-in.") {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+            round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
+            round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))
+          .orderBy(col("l_returnflag"))
+    },
+
+    Q("q51_corr_covar",
+      s"""SELECT event_type, count(*) AS n,
+         |  round((${sql.dsumD("value * (CAST(epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS DOUBLE) / 86400000000.0)")}
+         |    - ${sql.dsumD("value")} * ${sql.dsumD("CAST(epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS DOUBLE) / 86400000000.0")} / count(*))
+         |    / (count(*) - 1), 6) AS covar_value_tod
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "Sample covariance of value vs time-of-day (as day-fraction), built from exact decimal sums — order-independent, unlike covar_samp on doubles. Day-fraction keeps magnitudes inside DetAgg's exact-cast range.") {
+      (s, d) =>
+        val tod = (unix_micros(col("ts")) % 86400000000L).cast("double") / lit(86400000000.0d)
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round((dsumD(col("value") * tod)
+              - dsumD(col("value")) * dsumD(tod) / count(lit(1)))
+              / (count(lit(1)) - 1), 6).as("covar_value_tod"))
+          .orderBy(col("event_type"))
+    },
+
     Q("q48_union_by_name",
       """SELECT entity_id, kind, label, count(*) AS n
         |FROM (
