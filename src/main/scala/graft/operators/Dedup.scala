@@ -47,6 +47,11 @@ object Dedup {
     * inverted-index join on hashed shingles (only co-shingle pairs are
     * ever scored; the shuffle key is an 8-byte long). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // `ex` appears in three plan branches (both join sides + sizes) that
+    // shuffle on different keys, so no exchange reuse applies and the
+    // shingle hashing runs 3×. That's deliberate: ShingleHash64 is a
+    // cheap compiled per-row pass, and recomputing beats caching the
+    // exploded index (which would be far larger than the input) at scale.
     val ex = hashedShingles(docs)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = ex.as("a").join(ex.as("b"),

@@ -103,13 +103,17 @@ object Sinks {
   }
 
   /** Move a source file to processed/ or quarantine/ (utils.py:48-78) via
-    * Hadoop FS — works for file:// and s3a:// alike. */
-  def moveFile(spark: SparkSession, src: String, destDir: String): Boolean =
-    Retry() {
-      val srcPath = new Path(src)
-      val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    * Hadoop FS — works for file:// and s3a:// alike. A missing source
+    * returns false immediately (already moved / vanished) instead of
+    * burning the retry budget. */
+  def moveFile(spark: SparkSession, src: String, destDir: String): Boolean = {
+    val srcPath = new Path(src)
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(srcPath)) false
+    else Retry() {
       val dest = new Path(destDir, srcPath.getName)
       fs.mkdirs(new Path(destDir))
       fs.rename(srcPath, dest)
     }
+  }
 }

@@ -67,9 +67,13 @@ object FileWatch {
           groupPaths.foreach(Sinks.moveFile(spark, _, cfg.processedDir))
         } catch {
           case e: Exception =>
-            // failure path (Main.py:160-170): audit FAILURE + quarantine files
-            Audit.failure(spark, cfg.pipeline.auditDir, label, e)
-            groupPaths.foreach(Sinks.moveFile(spark, _, cfg.quarantineFileDir))
+            // failure path (Main.py:160-170): audit FAILURE + quarantine
+            // files. Both are BEST-EFFORT — a failed move (e.g. the file
+            // vanished) must not kill the stream; the checkpointed source
+            // log already guarantees the batch won't be re-delivered.
+            scala.util.Try(Audit.failure(spark, cfg.pipeline.auditDir, label, e))
+            groupPaths.foreach(p =>
+              scala.util.Try(Sinks.moveFile(spark, p, cfg.quarantineFileDir)))
         }
       }
     }
