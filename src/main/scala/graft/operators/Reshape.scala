@@ -67,6 +67,16 @@ object Reshape {
           .orderBy(col("l_returnflag"))
     },
 
+    Q.noOracle("q52_approx_percentile",
+      "approx_percentile (KLL-style sketch) per returnflag — the mergeable, one-pass replacement for q50's exact percentiles at 100 TB (no oracle: sketch internals differ across engines).") {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 1000)")
+            .as("approx_price_quantiles"))
+          .orderBy(col("l_returnflag"))
+    },
+
     Q("q51_corr_covar",
       s"""SELECT event_type, count(*) AS n,
          |  round((${sql.dsumD("value * (CAST(epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS DOUBLE) / 86400000000.0)")}

@@ -53,6 +53,12 @@ class PlanSpec extends SparkSpec {
       readSchema)
   }
 
+  test("q42 range join executes as an equi-join on user_id, not a nested loop") {
+    val s = planString("q42_range_join")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s.take(600))
+  }
+
   test("shuffle counts stay bounded for the headline queries") {
     val maxShuffles = Map(
       "q01_pricing_summary" -> 2, // partial/final agg + sort
