@@ -83,6 +83,24 @@ object Multimodal {
               |                     div greatest(${k - 1}, 1), 0),
               |    $frameBytes))""".stripMargin).as("frames"))
 
+  /** Resize STUB: nearest-neighbor byte-level downsample to `targetBytes`
+    * (stands in for image resize — swap the sampling loop for a scaler
+    * and the plumbing is unchanged). Runs in mapPartitions like decode. */
+  def resize(assetsDs: Dataset[Asset], targetBytes: Int = 64): Dataset[Asset] = {
+    import assetsDs.sparkSession.implicits._
+    assetsDs.mapPartitions { it =>
+      it.map { a =>
+        val n = a.blob.length
+        val out =
+          if (n <= targetBytes) a.blob
+          else Array.tabulate(targetBytes)(i => a.blob((i.toLong * n / targetBytes).toInt))
+        a.copy(blob = out,
+          width = math.min(a.width, targetBytes),
+          height = math.min(a.height, targetBytes))
+      }
+    }
+  }
+
   /** Partition-wise decode + feature extraction (mapPartitions batching). */
   def extractFeatures(assetsDs: Dataset[Asset], k: Int = 4): Dataset[Features] = {
     import assetsDs.sparkSession.implicits._
@@ -116,9 +134,9 @@ object Multimodal {
     },
 
     Q.noOracle("q41_multimodal_features",
-      "Stubbed decode + feature extraction via Dataset.mapPartitions (real batching shape; fake deterministic features).") {
+      "Stubbed resize + decode + feature extraction via Dataset.mapPartitions (real batching shape; fake deterministic features over 128-byte thumbnails).") {
       (s, d) =>
-        extractFeatures(assets(Tables.documents(s, d)))
+        extractFeatures(resize(assets(Tables.documents(s, d)), targetBytes = 128))
           .toDF()
           .orderBy(col("doc_id"))
     },

@@ -32,6 +32,16 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize downsamples payloads to the target size, idempotent on small blobs") {
+    val a = Multimodal.assets(docs)
+    val resized = Multimodal.resize(a, targetBytes = 64).collect()
+    assert(resized.forall(_.blob.length <= 64))
+    // resizing an already-small blob is identity
+    val tiny = Multimodal.resize(Multimodal.resize(a, 64), 64).collect()
+      .map(x => x.doc_id -> x.blob.toSeq).toMap
+    resized.foreach(r => assert(tiny(r.doc_id) == r.blob.toSeq))
+  }
+
   test("frame sampling yields k slices of the requested size") {
     val frames = Multimodal.sampleFrames(
       Multimodal.assets(docs).toDF(), k = 4, frameBytes = 16)
