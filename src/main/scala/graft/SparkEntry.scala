@@ -17,6 +17,7 @@ object SparkEntry {
     operators.EventWindows.queries ++
     operators.Temporal.queries ++
     operators.Reshape.queries ++
+    operators.Collections.queries ++
     operators.PipelineOps.queries ++
     operators.TextAnalysis.queries ++
     operators.Dedup.queries ++
