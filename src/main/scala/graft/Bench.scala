@@ -10,11 +10,18 @@ import org.apache.spark.sql.SparkSession
   * under-measure). AQE is on — at bench scale it coalesces the fixed
   * shuffle-partition count down to what the data actually needs, which is
   * exactly what a 1000-executor deployment would rely on.
+  *
+  * Timing discipline: one untimed warmup run per query (codegen compile,
+  * JIT, parquet footer cache), then `SPARK_GRAFT_REPS` timed runs (default
+  * 3) of which the MEDIAN is reported. Single-shot timing on a shared JVM
+  * measures GC/JIT noise, not the engine — round-1 vs round-2 drivers saw
+  * 4-14× swings on byte-identical plans from exactly that.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,23 +30,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JVM/codegen/session initialization and the parquet
-    // footer reads happen once here instead of inside the first query
+    // session-level warmup: JVM/codegen/session initialization and the
+    // parquet footer reads happen once here instead of inside the first query
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     Tables.names.foreach(t => Tables.load(spark, sfDir, t).limit(1)
       .write.format("noop").mode("overwrite").save())
-    val results = SparkEntry.all.map { q =>
+    def runOnce(q: Q): Double = {
       val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-      }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.all.map { q =>
+      val t =
+        try {
+          runOnce(q) // untimed warmup: plan compile + codegen
+          val times = Seq.fill(reps)(runOnce(q)).sorted
+          times(times.length / 2) // median of the steady-state runs
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            Double.NaN
+        }
+      q.name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filterNot(_.isNaN).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

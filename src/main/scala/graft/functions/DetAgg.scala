@@ -30,12 +30,14 @@ object DetAgg {
   /** 6 fractional digits; 32 integral digits — enough for sums of 1e12
     * values of magnitude 1e12 without overflow.
     *
-    * Cross-engine caveat: keep per-element magnitudes below ~1e9. A
-    * double's shortest decimal representation carries ~17 significant
-    * digits, and Java's double→BigDecimal conversion rounds via that
-    * representation while DuckDB rounds the exact binary value — above
-    * ~1e11 the 6th fraction digit can differ between engines. Normalize
-    * large values (e.g. epoch micros → day fraction) before aggregating. */
+    * Cross-engine caveat (input side): keep per-element magnitudes below
+    * ~1e9. A double's shortest decimal representation carries ~17
+    * significant digits, and Java's double→BigDecimal conversion rounds
+    * via that representation while DuckDB rounds the exact binary value —
+    * above ~1e11 the 6th fraction digit can differ between engines.
+    * Normalize large values (e.g. epoch micros → day fraction) before
+    * aggregating. (The OUTPUT side — decimal sum back to double — is
+    * exact at every magnitude; see [[sql.dsumD]] for the DuckDB subtlety.) */
   val Dec: DecimalType = DecimalType(38, 6)
 
   /** Exact, order-independent sum; returns DECIMAL(38,6). */
@@ -68,7 +70,13 @@ object DetAgg {
     * string for the aggregated value. */
   object sql {
     def dsum(e: String): String  = s"sum(CAST(($e) AS DECIMAL(38,6)))"
-    def dsumD(e: String): String = s"CAST(${dsum(e)} AS DOUBLE)"
+    /** The final decimal→double goes through VARCHAR: DuckDB's direct
+      * DECIMAL→DOUBLE cast converts the scaled int128 to double BEFORE
+      * unscaling, so any sum whose scaled value exceeds 2^53 (i.e. sum >
+      * ~9e9 at scale 6) loses its low bits. Parsing the exact decimal
+      * string rounds correctly to nearest — matching Java's
+      * BigDecimal→double on the Spark side at every magnitude. */
+    def dsumD(e: String): String = s"CAST(CAST(${dsum(e)} AS VARCHAR) AS DOUBLE)"
     def davg(e: String): String  = s"(${dsumD(e)} / count($e))"
     def dstddev(e: String): String = {
       val n  = s"CAST(count($e) AS DOUBLE)"

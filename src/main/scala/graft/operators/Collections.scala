@@ -46,33 +46,58 @@ object Collections {
     },
 
     Q("q55_argmin_argmax",
-      """SELECT o_orderpriority,
-        |  arg_max(o_orderkey, o_totalprice) AS biggest_order,
-        |  arg_min(o_orderkey, o_totalprice) AS smallest_order,
+      """WITH ranked AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rmax = 1 THEN o_orderkey END) AS biggest_order,
+        |  max(CASE WHEN rmin = 1 THEN o_orderkey END) AS smallest_order,
         |  max(o_totalprice) AS max_price
-        |FROM orders
+        |FROM ranked
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
-      "argmin/argmax aggregation (Spark max_by/min_by ≡ DuckDB arg_max/arg_min) — single-pass, no window needed for 'row of the extreme'.") {
+      "argmin/argmax aggregation (Spark max_by/min_by ≡ DuckDB arg_max/arg_min), single-pass, no window needed for 'row of the extreme'. The ordering key is (price, orderkey), not price alone: on a price tie both engines then agree on the orderkey, where the bare form returns an arbitrary tied row.") {
       (s, d) =>
         Tables.orders(s, d)
           .groupBy(col("o_orderpriority"))
           .agg(
-            expr("max_by(o_orderkey, o_totalprice)").as("biggest_order"),
-            expr("min_by(o_orderkey, o_totalprice)").as("smallest_order"),
+            expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").as("biggest_order"),
+            expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))").as("smallest_order"),
             max(col("o_totalprice")).as("max_price"))
           .orderBy(col("o_orderpriority"))
     },
 
     Q("q56_sorted_array_agg",
-      """SELECT n_regionkey, list_sort(list(n_name)) AS nations
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
-      "Ordered array aggregation: collect_list is order-nondeterministic, so the sort AFTER collection is what makes the result stable (and oracle-comparable).") {
+      "Ordered array aggregation: collect_list is order-nondeterministic, so the sort AFTER collection is what makes the result stable. Emitted as a joined string rather than a raw array — the driver's pandas-based comparator cannot sort/hash array cells.") {
       (s, d) =>
         Tables.nation(s, d)
           .groupBy(col("n_regionkey"))
-          .agg(sort_array(collect_list(col("n_name"))).as("nations"))
+          .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
           .orderBy(col("n_regionkey"))
+    },
+
+    Q("q57_except_all",
+      """SELECT c_nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey FROM customer WHERE c_acctbal > 0
+        |  EXCEPT ALL
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+      "Bag-semantics EXCEPT ALL (each left duplicate survives unless matched by a right duplicate) — completes the multiset algebra next to q53's INTERSECT ALL.") {
+      (s, d) =>
+        val c = Tables.customer(s, d)
+        c.filter(col("c_acctbal") > 0).select("c_nationkey")
+          .exceptAll(c.filter(col("c_mktsegment") === "BUILDING").select("c_nationkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("c_nationkey"))
     },
   )
 }

@@ -27,7 +27,7 @@ object EventWindows {
   def tumbling(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), dsumD(col("value")).as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
@@ -53,7 +53,7 @@ object EventWindows {
       .withColumn("ts_us", unix_micros(col("ts")))
       .select(col("user_id"), col("event_id"),
         count(lit(1)).over(w).as("n_recent"),
-        sum(col("value").cast(Dec)).over(w).as("recent_value"))
+        sum(col("value").cast(Dec)).over(w).cast("double").as("recent_value"))
   }
 
   val queries: Seq[Q] = Seq(
@@ -62,7 +62,7 @@ object EventWindows {
       """SELECT user_id, event_id, n_recent, recent_value FROM (
         |  SELECT user_id, event_id,
         |    count(*) OVER w AS n_recent,
-        |    sum(CAST(value AS DECIMAL(38,6))) OVER w AS recent_value
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS VARCHAR) AS DOUBLE) AS recent_value
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
         |               RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW))
@@ -76,7 +76,7 @@ object EventWindows {
     Q("q21_tumbling_window",
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
          |  count(*) AS n_events,
-         |  ${sql.dsum("value")} AS total_value
+         |  ${sql.dsumD("value")} AS total_value
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY 1, 2""".stripMargin,

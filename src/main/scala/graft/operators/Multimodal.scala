@@ -117,8 +117,8 @@ object Multimodal {
 
     Q("q40_multimodal_bytes",
       s"""SELECT source, count(*) AS n_assets,
-         |  sum(octet_length(encode(text))) AS total_bytes,
-         |  max(octet_length(encode(text))) AS max_bytes,
+         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+         |  CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
          |  ${DetAgg.sql.davg("CAST(octet_length(encode(text)) AS DOUBLE)")} AS avg_bytes
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
       "Binary payload stats per source: byte lengths computed on the opaque blob column, no decode needed — the cheap metadata pass a media pipeline runs first.") {
@@ -128,7 +128,7 @@ object Multimodal {
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_assets"),
             sum(length(col("blob"))).as("total_bytes"),
-            max(length(col("blob"))).as("max_bytes"),
+            max(length(col("blob"))).cast("bigint").as("max_bytes"),
             DetAgg.davg(length(col("blob")).cast("double")).as("avg_bytes"))
           .orderBy(col("source"))
     },

@@ -67,8 +67,8 @@ object PipelineOps {
 
     Q("q26_clean_trim",
       """SELECT lang, count(*) AS n_docs,
-        |  sum(length(trim(text))) AS total_chars,
-        |  min(length(trim(text))) AS min_chars
+        |  CAST(sum(length(trim(text))) AS BIGINT) AS total_chars,
+        |  CAST(min(length(trim(text))) AS BIGINT) AS min_chars
         |FROM documents
         |GROUP BY lang ORDER BY lang""".stripMargin,
       "Cleaning stage (trim-all-strings + drop-all-null, helpers.py:46-54) feeding per-language size stats.") {
@@ -77,7 +77,7 @@ object PipelineOps {
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum(length(col("text"))).as("total_chars"),
-            min(length(col("text"))).as("min_chars"))
+            min(length(col("text"))).cast("bigint").as("min_chars"))
           .orderBy(col("lang"))
     },
 

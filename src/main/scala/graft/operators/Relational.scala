@@ -12,11 +12,14 @@ import graft.functions.DetAgg._
   *
   * Scale posture: all plans are declarative DataFrame algebra so Catalyst
   * gets predicate pushdown / column pruning / join planning for free.
-  * Dimension tables (region, nation, supplier, and customer at small SF)
-  * are explicitly `broadcast()` so the fact-side scan never shuffles for
-  * a dim join; the only shuffles left are the ones the semantics require
-  * (groupBy on the fact table, fact⋈fact joins on their keys). With AQE
-  * on, skewed fact joins re-split at runtime.
+  * Only the FIXED-size dimension tables (region: 5 rows, nation: 25 rows
+  * at every scale factor) carry explicit `broadcast()` hints. customer/
+  * supplier/part scale linearly with the fact tables, so their joins are
+  * left unhinted: AQE + autoBroadcastJoinThreshold broadcast them at
+  * small SF and fall back to shuffle joins at 100 TB where a forced
+  * broadcast would OOM. The only shuffles left are the ones the semantics
+  * require (groupBy on the fact table, fact⋈fact joins on their keys).
+  * With AQE on, skewed fact joins re-split at runtime.
   */
 object Relational {
 
@@ -27,10 +30,10 @@ object Relational {
     // ---------------------------------------------------------------- q01
     Q("q01_pricing_summary",
       s"""SELECT l_returnflag, l_linestatus,
-         |  ${sql.dsum("l_quantity")} AS sum_qty,
-         |  ${sql.dsum("l_extendedprice")} AS sum_base_price,
-         |  ${sql.dsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")} AS sum_disc_price,
-         |  ${sql.dsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * (CAST(1 AS DOUBLE) + l_tax)")} AS sum_charge,
+         |  ${sql.dsumD("l_quantity")} AS sum_qty,
+         |  ${sql.dsumD("l_extendedprice")} AS sum_base_price,
+         |  ${sql.dsumD("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")} AS sum_disc_price,
+         |  ${sql.dsumD("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * (CAST(1 AS DOUBLE) + l_tax)")} AS sum_charge,
          |  ${sql.davg("l_quantity")} AS avg_qty,
          |  ${sql.davg("l_extendedprice")} AS avg_price,
          |  ${sql.davg("l_discount")} AS avg_disc,
@@ -45,10 +48,10 @@ object Relational {
           .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            dsum(col("l_quantity")).as("sum_qty"),
-            dsum(col("l_extendedprice")).as("sum_base_price"),
-            dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))).as("sum_disc_price"),
-            dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount")) * (lit(1.0d) + col("l_tax"))).as("sum_charge"),
+            dsumD(col("l_quantity")).as("sum_qty"),
+            dsumD(col("l_extendedprice")).as("sum_base_price"),
+            dsumD(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))).as("sum_disc_price"),
+            dsumD(col("l_extendedprice") * (lit(1.0d) - col("l_discount")) * (lit(1.0d) + col("l_tax"))).as("sum_charge"),
             davg(col("l_quantity")).as("avg_qty"),
             davg(col("l_extendedprice")).as("avg_price"),
             davg(col("l_discount")).as("avg_disc"),
@@ -58,7 +61,7 @@ object Relational {
 
     // ---------------------------------------------------------------- q02
     Q("q02_revenue_filter",
-      s"""SELECT ${sql.dsum("l_extendedprice * l_discount")} AS revenue,
+      s"""SELECT ${sql.dsumD("l_extendedprice * l_discount")} AS revenue,
          |  count(*) AS n_items
          |FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -73,14 +76,14 @@ object Relational {
                   col("l_discount").between(0.02, 0.09) &&
                   col("l_quantity") < 24)
           .agg(
-            dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+            dsumD(col("l_extendedprice") * col("l_discount")).as("revenue"),
             count(lit(1)).as("n_items"))
     },
 
     // ---------------------------------------------------------------- q03
     Q("q03_top_revenue_orders",
       s"""SELECT l_orderkey,
-         |  ${sql.dsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")} AS revenue,
+         |  ${sql.dsumD("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")} AS revenue,
          |  o_orderdate, o_orderpriority
          |FROM customer JOIN orders ON c_custkey = o_custkey
          |  JOIN lineitem ON l_orderkey = o_orderkey
@@ -88,7 +91,7 @@ object Relational {
          |  AND o_orderdate < $D AND l_shipdate > $D
          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
-      "TPC-H-Q3-style join+agg+top-k. customer is broadcast (small dim after segment filter); orders⋈lineitem shuffles on orderkey only.") {
+      "TPC-H-Q3-style join+agg+top-k. customer scales with the fact tables, so no forced broadcast — AQE/autoBroadcastJoinThreshold picks broadcast when the filtered side is actually small; orders⋈lineitem shuffles on orderkey only.") {
       (s, d) =>
         val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
           .select("c_custkey")
@@ -97,9 +100,9 @@ object Relational {
         val li = Tables.lineitem(s, d)
           .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-          .agg(dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))).as("revenue"))
+          .agg(dsumD(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))).as("revenue"))
           .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
           .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
     },
@@ -126,7 +129,7 @@ object Relational {
     // ---------------------------------------------------------------- q05
     Q("q05_region_revenue",
       s"""SELECT r_name, n_name,
-         |  ${sql.dsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")} AS revenue,
+         |  ${sql.dsumD("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")} AS revenue,
          |  count(*) AS n_items
          |FROM lineitem
          |  JOIN orders ON l_orderkey = o_orderkey
@@ -135,18 +138,18 @@ object Relational {
          |  JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name
          |ORDER BY r_name, n_name""".stripMargin,
-      "Star join: nation/region/customer broadcast so the lineitem scan shuffles once (on l_orderkey for the orders join) and once for the final 25-group agg.") {
+      "Star join: nation/region are true fixed-size dims and stay broadcast-hinted; customer scales with the facts, so its join is left to AQE (broadcast at small SF, shuffle at 100 TB). lineitem shuffles once on l_orderkey and once for the final 25-group agg.") {
       (s, d) =>
         Tables.lineitem(s, d)
           .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+          .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
             col("o_custkey") === col("c_custkey"))
           .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
           .agg(
-            dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))).as("revenue"),
+            dsumD(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))).as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy(col("r_name"), col("n_name"))
     },
@@ -214,14 +217,14 @@ object Relational {
     // ---------------------------------------------------------------- q09
     Q("q09_running_sum",
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  sum(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) OVER (
         |    PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_qty
         |FROM lineitem
         |WHERE l_suppkey <= 20
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
-      "Running total with an explicit ROWS frame and a total deterministic sort key; decimal accumulator keeps the prefix sums exact.") {
+      "Running total with an explicit ROWS frame and a total deterministic sort key; decimal accumulator keeps the prefix sums exact, single final cast to double for a cross-engine-stable output type.") {
       (s, d) =>
         val w = Window.partitionBy(col("l_suppkey"))
           .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
@@ -229,7 +232,7 @@ object Relational {
         Tables.lineitem(s, d)
           .filter(col("l_suppkey") <= 20)
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-            sum(col("l_quantity").cast(Dec)).over(w).as("running_qty"))
+            sum(col("l_quantity").cast(Dec)).over(w).cast("double").as("running_qty"))
           .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     },
 
@@ -273,7 +276,7 @@ object Relational {
     // ---------------------------------------------------------------- q12
     Q("q12_rollup",
       s"""SELECT r_name, n_name, count(*) AS n_customers,
-         |  ${sql.dsum("c_acctbal")} AS total_acctbal
+         |  ${sql.dsumD("c_acctbal")} AS total_acctbal
          |FROM customer
          |  JOIN nation ON c_nationkey = n_nationkey
          |  JOIN region ON n_regionkey = r_regionkey
@@ -285,14 +288,14 @@ object Relational {
           .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
           .rollup(col("r_name"), col("n_name"))
-          .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_acctbal"))
+          .agg(count(lit(1)).as("n_customers"), dsumD(col("c_acctbal")).as("total_acctbal"))
           .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     },
 
     // ---------------------------------------------------------------- q13
     Q("q13_cube",
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-         |  ${sql.dsum("o_totalprice")} AS total_price
+         |  ${sql.dsumD("o_totalprice")} AS total_price
          |FROM orders
          |GROUP BY CUBE (o_orderstatus, o_orderpriority)
          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
@@ -300,7 +303,7 @@ object Relational {
       (s, d) =>
         Tables.orders(s, d)
           .cube(col("o_orderstatus"), col("o_orderpriority"))
-          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+          .agg(count(lit(1)).as("n_orders"), dsumD(col("o_totalprice")).as("total_price"))
           .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
 
@@ -330,7 +333,7 @@ object Relational {
     // ---------------------------------------------------------------- q15
     Q("q15_group_having",
       s"""SELECT l_partkey, count(*) AS n_lines,
-         |  ${sql.dsum("l_quantity")} AS total_qty
+         |  ${sql.dsumD("l_quantity")} AS total_qty
          |FROM lineitem
          |GROUP BY l_partkey
          |HAVING count(*) >= 8
@@ -339,7 +342,7 @@ object Relational {
       (s, d) =>
         Tables.lineitem(s, d)
           .groupBy(col("l_partkey"))
-          .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("total_qty"))
+          .agg(count(lit(1)).as("n_lines"), dsumD(col("l_quantity")).as("total_qty"))
           .filter(col("n_lines") >= 8)
           .orderBy(col("l_partkey"))
     },
@@ -365,21 +368,21 @@ object Relational {
     Q("q17_conditional_agg",
       s"""SELECT c_nationkey,
          |  count(*) AS n_orders,
-         |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-         |  ${sql.dsum("CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN o_totalprice ELSE CAST(0 AS DOUBLE) END")} AS urgent_price
+         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+         |  ${sql.dsumD("CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN o_totalprice ELSE CAST(0 AS DOUBLE) END")} AS urgent_price
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_nationkey
          |ORDER BY c_nationkey""".stripMargin,
-      "Conditional aggregation (pivot-style CASE sums) after a broadcast dim join.") {
+      "Conditional aggregation (pivot-style CASE sums) after a key join; customer is fact-sized, so broadcast is AQE's call, not a forced hint.") {
       (s, d) =>
         Tables.orders(s, d)
-          .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+          .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
             col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_nationkey"))
           .agg(
             count(lit(1)).as("n_orders"),
             sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_finished"),
-            dsum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), col("o_totalprice"))
+            dsumD(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), col("o_totalprice"))
               .otherwise(lit(0.0d))).as("urgent_price"))
           .orderBy(col("c_nationkey"))
     },

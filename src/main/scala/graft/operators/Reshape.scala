@@ -14,11 +14,11 @@ object Reshape {
 
     Q("q46_pivot",
       s"""SELECT user_id,
-         |  ${sql.dsum("CASE WHEN event_type = 'click' THEN value END")} AS click,
-         |  ${sql.dsum("CASE WHEN event_type = 'error' THEN value END")} AS error,
-         |  ${sql.dsum("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase,
-         |  ${sql.dsum("CASE WHEN event_type = 'signup' THEN value END")} AS signup,
-         |  ${sql.dsum("CASE WHEN event_type = 'view' THEN value END")} AS view
+         |  ${sql.dsumD("CASE WHEN event_type = 'click' THEN value END")} AS click,
+         |  ${sql.dsumD("CASE WHEN event_type = 'error' THEN value END")} AS error,
+         |  ${sql.dsumD("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase,
+         |  ${sql.dsumD("CASE WHEN event_type = 'signup' THEN value END")} AS signup,
+         |  ${sql.dsumD("CASE WHEN event_type = 'view' THEN value END")} AS view
          |FROM events WHERE user_id <= 30
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
       "Pivot (long→wide): per-user value totals by event type. Explicit pivot values avoid the extra distinct-values job at scale.") {
@@ -27,7 +27,7 @@ object Reshape {
           .filter(col("user_id") <= 30)
           .groupBy(col("user_id"))
           .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-          .agg(dsum(col("value")))
+          .agg(dsumD(col("value")))
           .orderBy(col("user_id"))
     },
 
@@ -68,12 +68,13 @@ object Reshape {
     },
 
     Q.noOracle("q52_approx_percentile",
-      "approx_percentile (KLL-style sketch) per returnflag — the mergeable, one-pass replacement for q50's exact percentiles at 100 TB (no oracle: sketch internals differ across engines).") {
+      "approx_percentile (KLL-style sketch) per returnflag — the mergeable, one-pass replacement for q50's exact percentiles at 100 TB (no oracle: sketch internals differ across engines). The quantile array is emitted as a joined string: the driver's rows-only probe sorts output values in pandas, and raw array columns crash that sort.") {
       (s, d) =>
         Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
-          .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 1000)")
-            .as("approx_price_quantiles"))
+          .agg(array_join(
+            expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 1000)")
+              .cast("array<string>"), ",").as("approx_price_quantiles"))
           .orderBy(col("l_returnflag"))
     },
 

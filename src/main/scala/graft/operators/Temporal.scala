@@ -96,7 +96,7 @@ object Temporal {
 
     Q("q45_sql_entry",
       """SELECT o_orderpriority, count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total_price
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS total_price
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY o_orderpriority

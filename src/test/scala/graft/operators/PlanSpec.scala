@@ -34,11 +34,21 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("GreaterThanOrEqual(l_shipda"), s.take(1200))
   }
 
-  test("q05 star join broadcasts every dimension") {
+  test("q05 hints only the fixed-size dims; customer join is left to AQE") {
+    // exactly 2 explicit broadcast hints (nation, region) — a forced
+    // broadcast(customer) would OOM at 100 TB, so its absence is asserted
+    val analyzed = SparkEntry.queries("q05_region_revenue")(spark, sf001)
+      .queryExecution.analyzed
+    val hints = analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 2, s"expected 2 broadcast hints (nation, region), got ${hints.size}")
+    // at this SF the physical plan still broadcasts the hinted dims (and
+    // AQE is free to broadcast the small customer side too)
     val bhj = planOf("q05_region_revenue").collect {
       case b: BroadcastHashJoinExec => b
     }
-    assert(bhj.size >= 3, s"expected >=3 broadcast joins, got ${bhj.size}")
+    assert(bhj.size >= 2, s"expected >=2 broadcast joins, got ${bhj.size}")
   }
 
   test("q01 aggregates with map-side partial aggregation") {

@@ -5,26 +5,39 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB with views over <sfDir>/*.parquet,
-and compares: column names (sorted), row counts, and exact values after
-sorting columns by name and rows lexicographically. Dev-only tool — the
-deliverable library never depends on it.
+and compares the way the driver does: both results go into pandas frames,
+columns are sorted by name, rows are sorted by all columns (pandas
+sort_values — this is where raw array cells crash, same as the driver), and
+the TYPED values are hashed with pd.util.hash_pandas_object. A DuckDB
+DECIMAL/HUGEINT column therefore hash-mismatches a Spark double/bigint even
+when the stringified values coincide — the failure class the old
+string-compare version of this tool masked. Dev-only tool — the deliverable
+library never depends on it.
 """
 import sys, json, glob, os
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-def norm_cell(v):
-    if isinstance(v, float):
-        return repr(v)  # full precision
-    return str(v)
 
-def norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [cols[i] for i in order], out
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, rows by all columns — driver canonicalization."""
+    df = df[sorted(df.columns)]
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    # unify datetime resolution (parquet may be ns, duckdb us) — a pure
+    # storage artifact, not a semantic type difference
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.reset_index(drop=True)
+
+
+def frame_hash(df: pd.DataFrame):
+    return pd.util.hash_pandas_object(df, index=False).tolist()
+
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -38,33 +51,41 @@ def main():
         if not pq:
             print(f"FAIL {name}: no spark output");  n_fail += 1; continue
         try:
-            got = con.sql(f"SELECT * FROM read_parquet({pq!r})")
-            gcols, grows = norm_rows(got.columns, got.fetchall())
-            exp = con.sql(sql)
-            ecols, erows = norm_rows(exp.columns, exp.fetchall())
+            got = canon(con.sql(f"SELECT * FROM read_parquet({pq!r})").df())
+            exp = canon(con.sql(sql).df())
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
-        if gcols != ecols:
-            print(f"FAIL {name}: cols {gcols} != {ecols}"); n_fail += 1; continue
-        if len(grows) != len(erows):
-            print(f"FAIL {name}: rows {len(grows)} != {len(erows)}"); n_fail += 1; continue
-        bad = [(a, b) for a, b in zip(grows, erows) if a != b]
-        if bad:
-            print(f"FAIL {name}: {len(bad)}/{len(grows)} rows differ; first: {bad[0][0]} != {bad[0][1]}")
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: cols {list(got.columns)} != {list(exp.columns)}")
             n_fail += 1; continue
-        print(f"PASS {name} ({len(grows)} rows)"); n_pass += 1
-    # rows-only checks for oracle-less queries
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); n_fail += 1; continue
+        gh, eh = frame_hash(got), frame_hash(exp)
+        if gh != eh:
+            bad = next(i for i, (a, b) in enumerate(zip(gh, eh)) if a != b)
+            print(f"FAIL {name}: value hash differs; first row {bad}: "
+                  f"{got.iloc[bad].to_dict()} != {exp.iloc[bad].to_dict()} "
+                  f"(dtypes {dict(got.dtypes.astype(str))} vs {dict(exp.dtypes.astype(str))})")
+            n_fail += 1; continue
+        print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+    # rows-only checks for oracle-less queries: replicate the driver's probe,
+    # which loads + canonicalizes the spark output (so array cells crash here
+    # too, by design) and records the row count
     for path in sorted(glob.glob(os.path.join(out_dir, "*"))):
         name = os.path.basename(path)
         if os.path.isdir(path) and name not in oracle:
             pq = glob.glob(os.path.join(path, "*.parquet"))
-            n = con.sql(f"SELECT count(*) FROM read_parquet({pq!r})").fetchone()[0] if pq else 0
+            try:
+                n = len(canon(con.sql(f"SELECT * FROM read_parquet({pq!r})").df())) if pq else 0
+            except Exception as e:
+                print(f"FAIL {name} (rows-only: {e})"); n_fail += 1; continue
             status = "PASS" if n > 0 else "FAIL"
             print(f"{status} {name} (rows-only: {n})")
             if n > 0: n_pass += 1
             else: n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
+
 
 if __name__ == "__main__":
     main()
