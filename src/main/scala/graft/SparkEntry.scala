@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Temporal.queries ++
     operators.Reshape.queries ++
     operators.Collections.queries ++
+    operators.Scale.queries ++
     operators.PipelineOps.queries ++
     operators.TextAnalysis.queries ++
     operators.Dedup.queries ++

@@ -3,6 +3,9 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.{Q, Tables}
+import graft.functions.DetAgg.sql
+
 /** Scale utilities that only pay off beyond local mode but must be part
   * of the library's surface: skew-salted joins and bucketed co-located
   * joins (SURVEY.md §7.4 "100 TB posture").
@@ -36,4 +39,32 @@ object Scale {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** The semantic contract of the skew technique, oracle-verified: a
+    * salted join must produce EXACTLY the rows of the plain join it
+    * replaces. (The bucketed-join twin is covered by ScaleSpec's plan
+    * assertions instead — bucketing requires a catalog write, which an
+    * oracle query must not perform.) */
+  val queries: Seq[Q] = Seq(
+
+    Q("q58_salted_join_parity",
+      s"""SELECT c_nationkey, count(*) AS n_orders,
+         |  ${sql.dsumD("o_totalprice")} AS total_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_nationkey
+         |ORDER BY c_nationkey""".stripMargin,
+      "Skew-salted fact⋈dim join (hot keys spread over 8 reducer salts, dim replicated x8) aggregated per nation — the oracle is the PLAIN join, proving the salt is semantics-neutral.") {
+      (s, d) =>
+        val fact = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_custkey").as("custkey"))
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+        saltedJoin(fact, dim, "custkey")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            graft.functions.DetAgg.dsumD(col("o_totalprice")).as("total_price"))
+          .orderBy(col("c_nationkey"))
+    },
+  )
 }

@@ -74,13 +74,22 @@ object Similarity {
     * vec_ids), a few Lloyd iterations as pure DataFrame ops. Returns
     * (centroid_id, cvec). Centroid recompute is a posexplode → per-dim
     * avg → re-assemble; everything per-iteration is one shuffle keyed by
-    * centroid, so the loop scales to any corpus size. */
+    * centroid, so the loop scales to any corpus size.
+    *
+    * Each iteration's result is eagerly `localCheckpoint`ed: the centroid
+    * table is tiny (nlist rows) but is referenced once per subsequent
+    * iteration AND by the downstream assign/probe stages — without the
+    * checkpoint, lineage compounds per iteration and every consumer
+    * re-executes the whole Lloyd chain (and at iters≫3 the growing plan
+    * itself becomes the bottleneck). This is the DataFrame analog of
+    * MLlib KMeans keeping centers on the driver between iterations. */
   def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     val dv = embeddings.select(col("vec_id"),
       graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
     var centroids = dv.orderBy(col("vec_id")).limit(k)
       .select((col("vec_id")).as("cid"), col("v").as("cvec"))
       .withColumn("cid", row_number().over(Window.orderBy(col("cid"))) - 1)
+      .localCheckpoint(true)
     (0 until iters).foreach { _ =>
       val assigned = assign(dv, centroids)
       centroids = assigned
@@ -89,21 +98,29 @@ object Similarity {
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), expr("transform(pm, s -> s.m)").as("cvec"))
+        .localCheckpoint(true)
     }
     centroids
   }
 
-  /** Nearest-centroid assignment via broadcast centroids + min-struct
-    * argmin (no window, no second shuffle). */
-  private def assign(dv: DataFrame, centroids: DataFrame): DataFrame =
-    dv.crossJoin(broadcast(centroids))
+  /** Nearest-centroid assignment as a pure map-side projection: the
+    * centroid set is folded into ONE broadcast array row and the per-row
+    * argmax runs inside a `transform` + `array_max` over it — the corpus
+    * is never shuffled or row-multiplied for assignment (the previous
+    * shape shuffled corpus×nlist rows through a groupBy on the vector
+    * itself). `array_max` over struct(sim, cid) keeps the exact ordering
+    * semantics of the old max(struct): highest similarity, ties to the
+    * larger cid. */
+  private def assign(dv: DataFrame, centroids: DataFrame): DataFrame = {
+    val carr = centroids.agg(collect_list(struct(col("cid"), col("cvec"))).as("cs"))
+    dv.crossJoin(broadcast(carr))
       .select(col("vec_id"), col("v"),
-        struct(
-          graft.expressions.VecDot(col("v"), col("cvec")).as("sim"),
-          col("cid")).as("sc"))
-      .groupBy(col("vec_id"), col("v"))
-      .agg(max(col("sc")).as("best")) // cosine: max similarity = argmin dist
-      .select(col("vec_id"), col("v"), col("best.cid").as("cid"))
+        array_max(transform(col("cs"), c =>
+          struct(
+            graft.expressions.VecDot(col("v"), c.getField("cvec")).as("sim"),
+            c.getField("cid").as("cid"))))
+          .getField("cid").as("cid"))
+  }
 
   /** IVF ANN: probe the `nprobe` most similar centroid lists, exact
     * re-rank inside. Candidate set is nprobe/nlist of the corpus — the
