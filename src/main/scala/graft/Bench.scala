@@ -12,16 +12,21 @@ import org.apache.spark.sql.SparkSession
   * exactly what a 1000-executor deployment would rely on.
   *
   * Timing discipline: one untimed warmup run per query (codegen compile,
-  * JIT, parquet footer cache), then `SPARK_GRAFT_REPS` timed runs (default
-  * 3) of which the MEDIAN is reported. Single-shot timing on a shared JVM
-  * measures GC/JIT noise, not the engine — round-1 vs round-2 drivers saw
-  * 4-14× swings on byte-identical plans from exactly that.
+  * JIT, parquet footer cache), then repeated timed runs of which the
+  * MEDIAN is reported. Single-shot timing on a shared JVM measures GC/JIT
+  * noise, not the engine — round-1 vs round-2 drivers saw 4-14× swings on
+  * byte-identical plans from exactly that. Rep count adapts to query
+  * cost: sub-second queries sit at the JVM's noise floor, so they get up
+  * to `SPARK_GRAFT_MAX_REPS` (default 9) reps while multi-second queries
+  * stay at `SPARK_GRAFT_REPS` (default 3) — extra reps are only spent
+  * where they are cheap.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val minReps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_MAX_REPS", "9").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,7 +48,10 @@ object Bench {
     val results = SparkEntry.all.map { q =>
       val t =
         try {
-          runOnce(q) // untimed warmup: plan compile + codegen
+          val warm = runOnce(q) // untimed warmup: plan compile + codegen
+          // budget ~2s of reps for fast queries, floor/cap by env
+          val reps = math.min(maxReps,
+            math.max(minReps, math.ceil(2.0 / math.max(warm, 0.05)).toInt))
           val times = Seq.fill(reps)(runOnce(q)).sorted
           times(times.length / 2) // median of the steady-state runs
         } catch {
@@ -56,7 +64,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filterNot(_.isNaN).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":"$minReps-$maxReps adaptive"}""")
     spark.stop()
   }
 }
