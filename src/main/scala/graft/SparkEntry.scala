@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Reshape.queries ++
     operators.Collections.queries ++
     operators.Scale.queries ++
+    operators.Strings.queries ++
     operators.PipelineOps.queries ++
     operators.TextAnalysis.queries ++
     operators.Dedup.queries ++

@@ -49,4 +49,27 @@ object EventStreams {
     events
       .withColumn("prop_k", get_json_object(col("props"), "$.k").cast("int"))
       .withColumn("is_error", (col("event_type") === "error").cast("int"))
+
+  /** Stream-stream interval join — the streaming twin of q42's batch
+    * range join: every event of the same user within 10 minutes AFTER an
+    * error event. Both inputs carry watermarks and the join condition
+    * bounds event time on both sides, so Spark can evict buffered rows
+    * once the watermark passes their interval: state is O(events inside
+    * the horizon), never the stream's history. The equi-key (user_id)
+    * keeps the join a hash join per micro-batch — the same
+    * bounded-blow-up argument as the batch plan. */
+  def errorFollowers(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val errors = events
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+        col("event_id").as("a_event_id"))
+      .withWatermark("a_ts", watermark)
+    events.withWatermark("ts", watermark)
+      .join(errors,
+        col("user_id") === col("a_user") &&
+        col("ts") > col("a_ts") &&
+        col("ts") <= col("a_ts") + expr("INTERVAL 10 MINUTE"))
+      .select(col("a_event_id"), col("event_id"), col("user_id"),
+        col("a_ts"), col("ts"))
+  }
 }

@@ -82,6 +82,22 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    val (dir, batch) = stagedEvents()
+    val src = spark.readStream.schema(batch.schema).parquet(dir)
+    // one micro-batch (no maxFilesPerTrigger): every pair is discovered
+    // before any state eviction, so the result must be the FULL batch join
+    val q = EventStreams.errorFollowers(src).writeStream
+      .format("memory").queryName("followers_out").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("followers_out")
+    val want = EventStreams.errorFollowers(batch) // same code path, batch run
+    assert(got.count() > 0, "no join matches produced")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "stream-stream join diverged from its batch twin")
+  }
+
   test("stateless enrich runs in append mode without watermark") {
     val (dir, batch) = stagedEvents()
     val src = spark.readStream.schema(batch.schema).parquet(dir)
