@@ -79,6 +79,53 @@ object FileWatch {
     }
   }
 
+  /** Materialize the directory layout the watcher expects (the
+    * reference provisions its bucket folders out of band,
+    * config.py bucket paths + Main.py's assumption they exist).
+    * Idempotent, and goes through Hadoop FS so the same call works on
+    * file:// in tests and s3a:///hdfs:// in production. */
+  def bootstrap(spark: SparkSession, cfg: Config): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dirs = Seq(cfg.dataDir, cfg.schemaDir, cfg.processedDir,
+      cfg.quarantineFileDir, cfg.pipeline.auditDir, cfg.pipeline.quarantineDir,
+      cfg.checkpointDir)
+    dirs.foreach { d =>
+      val p = new Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+    }
+  }
+
+  /** Restart supervisor, re-expressing the reference's forever loop
+    * (Main.py:175-186: `while True: start; awaitTermination` with a 10 s
+    * sleep on failure) with two deliberate fixes:
+    *   - restarts are BOUNDED — an unbounded loop turns a permanent
+    *     failure (corrupt checkpoint, revoked credentials) into a silent
+    *     hot loop the platform never sees; after `maxRestarts` the error
+    *     propagates so systemd/k8s/YARN can act on it;
+    *   - the delay backs off exponentially (shares [[graft.pipeline.Retry]]
+    *     with every other external-I/O path) instead of a fixed 10 s.
+    * Transient failures (executor loss mid-batch, a flaky sink) restart
+    * from the checkpoint exactly like the reference; the stream resumes
+    * at the first unprocessed file. Returns when the query terminates
+    * without error (e.g. an AvailableNow drain finishing). */
+  def supervise(
+      startQuery: () => StreamingQuery,
+      maxRestarts: Int = 5,
+      initialDelay: scala.concurrent.duration.FiniteDuration =
+        scala.concurrent.duration.DurationInt(10).seconds,
+      onRestart: (Throwable, Int) => Unit = (_, _) => ()): Unit =
+    graft.pipeline.Retry(
+      attempts = maxRestarts + 1, delay = initialDelay, onFailure = onRestart) {
+      startQuery().awaitTermination()
+    }
+
+  /** Supervised watcher: bootstrap + start + bounded-restart loop — the
+    * full Main.py:175-186 entry point in one call. */
+  def run(spark: SparkSession, cfg: Config, maxRestarts: Int = 5): Unit = {
+    bootstrap(spark, cfg)
+    supervise(() => start(spark, cfg), maxRestarts)
+  }
+
   /** Start the watcher (Main.py:178-181). `availableNow = true` drains the
     * current backlog and stops — used by tests and catch-up runs; the
     * default is the reference's fixed processing-time trigger. */

@@ -24,12 +24,6 @@ object IngestDemo {
     spark.sparkContext.setLogLevel("ERROR")
 
     val root = Files.createTempDirectory("graft-ingest-demo").toString
-    Seq("data", "schema", "processed", "qfiles", "sink", "audit", "quarantine")
-      .foreach(d => Files.createDirectories(Paths.get(root, d)))
-    Files.copy(
-      Paths.get("/root/reference/schema/Smart_Farming_Crop_Yield_2024.json"),
-      Paths.get(root, "schema", "Smart_Farming_Crop_Yield_2024.json"),
-      StandardCopyOption.REPLACE_EXISTING)
     val cfg = FileWatch.Config(
       dataDir = s"$root/data",
       schemaDir = s"$root/schema",
@@ -44,6 +38,11 @@ object IngestDemo {
         auditDir = s"$root/audit",
         quarantineDir = s"$root/quarantine"),
       checkpointDir = s"$root/checkpoint")
+    FileWatch.bootstrap(spark, cfg)
+    Files.copy(
+      Paths.get("/root/reference/schema/Smart_Farming_Crop_Yield_2024.json"),
+      Paths.get(root, "schema", "Smart_Farming_Crop_Yield_2024.json"),
+      StandardCopyOption.REPLACE_EXISTING)
 
     def drop(src: String, as: String): Unit = Files.copy(
       Paths.get(src), Paths.get(root, "data", as), StandardCopyOption.REPLACE_EXISTING)
