@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Collections.queries ++
     operators.Scale.queries ++
     operators.Strings.queries ++
+    operators.Sampling.queries ++
     operators.PipelineOps.queries ++
     operators.TextAnalysis.queries ++
     operators.Dedup.queries ++

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Deterministic sampling / dataset splitting. A training pipeline must
+  * produce the SAME train/val/test membership on every run, on any
+  * cluster size, with no stored split table — so membership is a pure
+  * function of a stable key (hash-bucketing), never `rand()` (which is
+  * per-task-seed dependent) and never a sampled row set that has to be
+  * persisted and joined at 100 TB.
+  *
+  * `md5` rather than a cheaper hash because the oracle (and any other
+  * engine a user checks against) computes the identical bytes — split
+  * parity across engines is the whole point of a deterministic split.
+  */
+object Sampling {
+
+  /** 256-way stable bucket: first two hex chars of md5(key). Lowercase
+    * hex compares lexicographically = numerically, in every engine. */
+  def hashBucket(key: Column): Column = substring(md5(key.cast("string")), 1, 2)
+
+  /** 80/10/10 split by bucket range: 0x00-0xcb train (204/256),
+    * 0xcc-0xe5 val (26/256), 0xe6-0xff test (26/256). */
+  def splitOf(key: Column): Column = {
+    val b = hashBucket(key)
+    when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    Q("q61_hash_split",
+      """WITH b AS (
+        |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |              ELSE 'test' END AS split, doc_id, n_chars
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM b GROUP BY split ORDER BY split""".stripMargin,
+      "Deterministic train/val/test split: membership is md5(doc_id) bucketed 80/10/10 — reproducible on any run/cluster/engine, no rand(), no persisted split table to join. Stateless Project + one aggregation.") {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(Sampling.splitOf(col("doc_id")).as("split"),
+            col("doc_id"), col("n_chars"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            min(col("doc_id")).as("min_doc_id"),
+            max(col("doc_id")).as("max_doc_id"))
+          .orderBy(col("split"))
+    },
+  )
+}

@@ -121,5 +121,32 @@ object TextAnalysis {
             rollingHash(col("text")).as("rolling_hash"))
           .orderBy(col("doc_id"))
     },
+
+    Q("q62_tfidf_top_terms",
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |stats AS (
+        |  SELECT term, count(*) AS tot_tf, count(DISTINCT doc_id) AS df
+        |  FROM terms GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT term, tot_tf, df,
+        |  round(tot_tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |FROM stats, n
+        |ORDER BY tfidf DESC, term LIMIT 25""".stripMargin,
+      "Corpus-level TF-IDF: explode→count gives term frequency and document frequency in two shuffles (both map-side combined); the one-row corpus count broadcasts onto term stats. Determinism: the double appears only in the FINAL per-term product (integer tf × one log), never inside a distributed sum.") {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val terms = docs.select(col("doc_id"),
+          explode(wsTokens(lower(col("text")))).as("term"))
+        val stats = terms.groupBy(col("term"))
+          .agg(count(lit(1)).as("tot_tf"), countDistinct(col("doc_id")).as("df"))
+        val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+        stats.crossJoin(broadcast(n))
+          .select(col("term"), col("tot_tf"), col("df"),
+            round(col("tot_tf") * log(col("n_docs").cast("double") / col("df")), 6)
+              .as("tfidf"))
+          .orderBy(col("tfidf").desc, col("term")).limit(25)
+    },
   )
 }

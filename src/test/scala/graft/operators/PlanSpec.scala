@@ -69,6 +69,21 @@ class PlanSpec extends SparkSpec {
       s.take(600))
   }
 
+  test("q59 scan prunes to props + event_type only") {
+    val s = planString("q59_json_props")
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("props") && readSchema.contains("event_type"), readSchema)
+    assert(!readSchema.contains("user_id") && !readSchema.contains("payload"), readSchema)
+  }
+
+  test("q60 fuzzy match: blocking filter pushed down, no cartesian/nested-loop join") {
+    val s = planString("q60_fuzzy_match")
+    assert(s.contains("PushedFilters: [IsNotNull(p_size), EqualTo(p_size,1)") ||
+      s.contains("EqualTo(p_size,1)"), "p_size block filter not pushed to scan")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      "fuzzy match must stay an equi-join on the blocking key\n" + s.take(600))
+  }
+
   test("shuffle counts stay bounded for the headline queries") {
     val maxShuffles = Map(
       "q01_pricing_summary" -> 2, // partial/final agg + sort
