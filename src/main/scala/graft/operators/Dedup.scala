@@ -157,5 +157,39 @@ object Dedup {
       (s, d) =>
         minhashCandidates(Tables.documents(s, d)).orderBy(col("d1"), col("d2"))
     },
+
+    Q("q65_incremental_dedup",
+      """WITH fp AS (
+        |  SELECT doc_id, source,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |existing AS (SELECT * FROM fp WHERE doc_id % 10 < 8),
+        |arrivals AS (
+        |  SELECT doc_id, source, fp FROM fp WHERE doc_id % 10 >= 8
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, fp FROM fp WHERE doc_id % 10 < 2),
+        |seen AS (SELECT DISTINCT fp FROM existing)
+        |SELECT a.source, count(*) AS n_arrivals,
+        |  CAST(sum(CASE WHEN s.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM arrivals a LEFT JOIN seen s ON a.fp = s.fp
+        |GROUP BY a.source ORDER BY a.source""".stripMargin,
+      "Incremental-arrival dedup: new documents join against the DISTINCT fingerprints of the existing corpus (16-byte keys — the only state an incremental pipeline carries), so a daily batch never rescans yesterday's text. A replayed slice of the corpus arrives under new ids to prove the drop path fires.") {
+      (s, d) =>
+        val fp = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), fingerprint(col("text")).as("fp"))
+        val existing = fp.filter(col("doc_id") % 10 < 8)
+        val arrivals = fp.filter(col("doc_id") % 10 >= 8)
+          .unionByName(fp.filter(col("doc_id") % 10 < 2)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("source"), col("fp")))
+        val seen = existing.select(col("fp")).distinct()
+          .withColumn("seen_fp", col("fp"))
+        arrivals.join(seen, Seq("fp"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_arrivals"),
+            sum(when(col("seen_fp").isNull, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("seen_fp").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+          .orderBy(col("source"))
+    },
   )
 }

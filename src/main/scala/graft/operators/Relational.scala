@@ -418,5 +418,28 @@ object Relational {
             count(lit(1)).as("n_events"))
           .orderBy(col("event_type"))
     },
+
+    Q("q64_first_last_nth",
+      """SELECT user_id, event_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type,
+        |  nth_value(event_type, 2) OVER w AS second_type
+        |FROM events
+        |WHERE user_id <= 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
+      "first/last/nth_value over the full per-user frame (entry/exit/second-step of each user journey); the explicit unbounded frame makes last_value the partition's true last row, not the default running frame's current row.") {
+      (s, d) =>
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, d)
+          .filter(col("user_id") <= 20)
+          .select(col("user_id"), col("event_id"),
+            first(col("event_type")).over(w).as("first_type"),
+            last(col("event_type")).over(w).as("last_type"),
+            nth_value(col("event_type"), 2).over(w).as("second_type"))
+          .orderBy(col("user_id"), col("event_id"))
+    },
   )
 }
