@@ -35,6 +35,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark) // SQL fns + levenshtein banded rewrite
     // session-level warmup: JVM/codegen/session initialization and the
     // parquet footer reads happen once here instead of inside the first query
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()

@@ -24,20 +24,27 @@ object GraftExtensions {
   /** Install into an ALREADY-RUNNING session (notebooks, shared test
     * sessions). The withExtensions path below only binds at session
     * construction — getOrCreate on an existing session ignores it. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(
+        graft.plans.LevenshteinPrefilter))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LevenshteinPrefilter
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, null, name),
         builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
+  }
 }
