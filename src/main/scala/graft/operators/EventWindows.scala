@@ -122,5 +122,44 @@ object EventWindows {
         sessions(Tables.events(s, d))
           .orderBy(col("user_id"), col("session_start"))
     },
+
+    Q("q66_gap_fill",
+      s"""WITH ev AS (
+         |  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, value
+         |  FROM events WHERE user_id <= 5),
+         |hourly AS (
+         |  SELECT user_id, hour, ${sql.davg("value")} AS v, count(*) AS n_events
+         |  FROM ev GROUP BY user_id, hour),
+         |bounds AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM ev GROUP BY user_id),
+         |grid AS (
+         |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+         |  FROM bounds)
+         |SELECT g.user_id, g.hour,
+         |  coalesce(h.n_events, 0) AS n_events,
+         |  last_value(h.v IGNORE NULLS) OVER (
+         |    PARTITION BY g.user_id ORDER BY g.hour
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+         |  CAST(h.v IS NULL AS INT) AS is_gap
+         |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+         |ORDER BY g.user_id, g.hour""".stripMargin,
+      "Time-series resample + gap-fill: each user's hourly grid comes from sequence()/explode between their own bounds, empty hours join as NULL and forward-fill via last(ignoreNulls) over a running frame. Grid generation is per-key and bounded by the key's own span — no global calendar table, no driver loop.") {
+      (s, d) =>
+        val ev = Tables.events(s, d).filter(col("user_id") <= 5)
+          .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"), col("value"))
+        val hourly = ev.groupBy(col("user_id"), col("hour"))
+          .agg(davg(col("value")).as("v"), count(lit(1)).as("n_events"))
+        val grid = ev.groupBy(col("user_id"))
+          .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "hour"), "left")
+          .select(col("user_id"), col("hour"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            last(col("v"), ignoreNulls = true).over(w).as("value_ffill"),
+            col("v").isNull.cast("int").as("is_gap"))
+          .orderBy(col("user_id"), col("hour"))
+    },
   )
 }
