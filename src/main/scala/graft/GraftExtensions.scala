@@ -33,6 +33,10 @@ object GraftExtensions {
         graft.plans.LevenshteinPrefilter))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LevenshteinPrefilter
+    if (!spark.experimental.extraStrategies.contains(
+        graft.plans.TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
   }
 }
 
@@ -46,5 +50,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -66,5 +66,24 @@ object Scale {
             graft.functions.DetAgg.dsumD(col("o_totalprice")).as("total_price"))
           .orderBy(col("c_nationkey"))
     },
+
+    Q("q67_topk_per_key",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      "Custom whole-operator top-k per key (graft.plans.TopKPerKey: LogicalPlan + Strategy + heap-based SparkPlan): map-side partial heaps cut shuffle volume to <= k rows per key per task and the final phase never sorts — the oracle is the row_number window formulation it replaces, proving exact equivalence under a total order.") {
+      (s, d) =>
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        graft.plans.TopKPerKey(li,
+            keys = Seq("l_orderkey"),
+            order = Seq("l_extendedprice" -> false, "l_linenumber" -> true),
+            k = 3)
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
   )
 }
