@@ -441,5 +441,27 @@ object Relational {
             nth_value(col("event_type"), 2).over(w).as("second_type"))
           .orderBy(col("user_id"), col("event_id"))
     },
+
+    Q("q68_correlated_exists",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+      "Correlated EXISTS + NOT EXISTS through the SQL entry point: Catalyst decorrelates both into a left-semi and a left-anti join on the correlation key, with the inner predicates pushed into the subquery scans — no per-row subquery execution.") {
+      (s, d) =>
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT c_custkey, c_name FROM customer c
+            |WHERE EXISTS (SELECT 1 FROM orders o
+            |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+            |  AND NOT EXISTS (SELECT 1 FROM orders o2
+            |                  WHERE o2.o_custkey = c.c_custkey
+            |                    AND o2.o_orderstatus = 'F')
+            |ORDER BY c_custkey""".stripMargin)
+    },
   )
 }

@@ -84,6 +84,14 @@ class PlanSpec extends SparkSpec {
       "fuzzy match must stay an equi-join on the blocking key\n" + s.take(600))
   }
 
+  test("q68 correlated EXISTS/NOT EXISTS decorrelates to semi + anti joins") {
+    val s = planString("q68_correlated_exists")
+    assert(s.contains("LeftSemi"), "no semi join in:\n" + s.take(600))
+    assert(s.contains("LeftAnti"), "no anti join in:\n" + s.take(600))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      "subquery executed as a nested loop:\n" + s.take(600))
+  }
+
   test("shuffle counts stay bounded for the headline queries") {
     val maxShuffles = Map(
       "q01_pricing_summary" -> 2, // partial/final agg + sort
