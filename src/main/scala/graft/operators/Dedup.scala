@@ -43,6 +43,43 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Connected components over candidate duplicate pairs (`d1`, `d2`) —
+    * the stage that turns pairwise near-dup hits into dedup GROUPS with
+    * one canonical survivor each. Iterative min-label propagation: every
+    * vertex starts as its own label and repeatedly adopts the smallest
+    * label among itself and its neighbors, so each component converges to
+    * its minimum vertex id. Iterations are one equi-join + one groupBy
+    * each, and the labels frame is `localCheckpoint`ed per round to keep
+    * lineage flat (the IVF lesson). Convergence is detected by the sum of
+    * labels (strictly decreasing until fixpoint), checked on the driver.
+    *
+    * Dedup components are near-cliques from LSH/fingerprint buckets, so
+    * diameters are tiny and this converges in 2-3 rounds; a web-scale
+    * general graph would want the large-star/small-star variant instead
+    * (same join-per-round shape, fewer rounds on long chains). Returns
+    * (`doc_id`, `component`). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("component")).localCheckpoint()
+    var lastSum = labels.agg(sum(col("component"))).head().getLong(0)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val pushed = edges.join(labels, edges("src") === labels("v"))
+        .select(col("dst").as("v"), col("component"))
+      labels = labels.union(pushed)
+        .groupBy(col("v")).agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      val s = labels.agg(sum(col("component"))).head().getLong(0)
+      converged = s == lastSum
+      lastSum = s
+      iter += 1
+    }
+    labels.select(col("v").as("doc_id"), col("component"))
+  }
+
   /** Near-duplicate pairs by n-gram Jaccard ≥ threshold, via the
     * inverted-index join on hashed shingles (only co-shingle pairs are
     * ever scored; the shuffle key is an 8-byte long). */
@@ -190,6 +227,32 @@ object Dedup {
             sum(when(col("seen_fp").isNull, 1L).otherwise(0L)).as("n_kept"),
             sum(when(col("seen_fp").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
           .orderBy(col("source"))
+    },
+
+    Q("q69_dedup_components",
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |  FROM documents)
+        |SELECT min(doc_id) AS component, count(*) AS n_members
+        |FROM fp GROUP BY fp.fp ORDER BY component""".stripMargin,
+      "Pairs-to-groups dedup clustering: connected components (iterative min-label propagation) over the exact-duplicate pair graph of the doubled corpus. The oracle derives the same components INDEPENDENTLY by grouping on the fingerprint itself — two formulations, one answer.") {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val doubled = docs.select(col("doc_id"), col("text"))
+          .union(docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        val withFp = doubled.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        val pairs = withFp.as("a").join(withFp.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        connectedComponents(pairs)
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("component"))
     },
   )
 }

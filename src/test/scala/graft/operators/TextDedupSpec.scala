@@ -8,6 +8,15 @@ import graft.functions.TextFunctions._
 class TextDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("connected components merge across multi-hop chains") {
+    // chain 1-2-3-4 (diameter 3 — needs propagation, not one join) and
+    // the isolated pair 10-11
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("shingles produce n-grams in order, distinct") {
     val got = Seq("a b c d", "x x x x").toDF("text")
       .select(shingles(col("text")).as("s")).collect()
