@@ -53,5 +53,29 @@ object Sampling {
             max(col("doc_id")).as("max_doc_id"))
           .orderBy(col("split"))
     },
+
+    Q("q70_balanced_sample",
+      """SELECT source, doc_id, CAST(rn AS INT) AS sample_rank FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 5
+        |ORDER BY source, sample_rank""".stripMargin,
+      "Balanced per-source sampling via a typed Aggregator (functions.BottomKIds): bottom-5-by-md5 per group is a uniform, reproducible, MERGEABLE sample — each map task ships at most k elements per group, unlike rand() sampling (not reproducible) or global top-k (not per-group). The oracle formulates the same sample as a window rank.") {
+      (s, d) =>
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"),
+            md5(col("doc_id").cast("string")).as("h"), col("doc_id"))
+          .as[(String, String, Long)]
+          .groupByKey(_._1)
+          .agg(new graft.functions.BottomKIds(5).toColumn)
+          .flatMap { case (source, ids) =>
+            ids.zipWithIndex.map { case (id, i) => (source, id, i + 1) }
+          }
+          .toDF("source", "doc_id", "sample_rank")
+          .orderBy(col("source"), col("sample_rank"))
+    },
   )
 }
