@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -154,6 +154,42 @@ object Similarity {
   private def cosineSql(a: String, b: String) =
     s"round(list_cosine_similarity($a::DOUBLE[], $b::DOUBLE[]), 6)"
 
+  /** Int8 quantization: per-vector scale = max|v|/127, q_i = round-half-up
+    * of v_i/scale. Returned as integer-VALUED doubles so dot products stay
+    * EXACT (|q_i| <= 127 → |dot| <= 127²·dim « 2^53): the whole quantized
+    * scoring path is integer arithmetic, bit-reproducible on any engine —
+    * which is what lets the oracle verify an "approximate" method exactly.
+    * At scale the qvec is stored as array<tinyint> + a float scale (4×
+    * less memory/bandwidth than float32; here it is derived on the fly so
+    * the query stays a pure function of the corpus). */
+  def quantize(v: Column): Column = {
+    val scale = aggregate(v, lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0
+    transform(v, x => floor(x.cast("double") / scale + 0.5).cast("double"))
+  }
+
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** Brute-force top-k on QUANTIZED vectors. Cosine over int8 codes needs
+    * no dequantization: the per-vector scales cancel in the ratio, so the
+    * score is intdot(qa,qb)/(‖qa‖·‖qb‖) — three exact integer dots, two
+    * sqrts, one division. */
+  def quantizedTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val qz = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val queries = qz.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
+    val scored = qz.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(intDot(col("qv"), col("qqv")) /
+          (sqrt(intDot(col("qv"), col("qv"))) * sqrt(intDot(col("qqv"), col("qqv")))), 6)
+          .as("qcosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcosine").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("q36_cosine_topk",
@@ -225,6 +261,35 @@ object Similarity {
       "IVF ANN top-10: k-means-lite coarse quantizer (DataFrame Lloyd iterations), probe 3 of 8 inverted lists, exact re-rank (recall vs q36 asserted in SimilaritySpec).") {
       (s, d) =>
         ivfTopK(Tables.embeddings(s, d), QueryIds, 10)
+          .orderBy(col("query_id"), col("rn"))
+    },
+
+    Q("q71_quantized_topk",
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    embedding,
+        |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS DOUBLE)) AS qv
+        |  FROM s),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |    round(list_dot_product(e.qv, q.qv) /
+        |      (sqrt(list_dot_product(e.qv, e.qv)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+        |      AS qcosine
+        |  FROM qz e JOIN qz q ON q.vec_id IN (0, 100, 200) AND e.vec_id <> q.vec_id)
+        |SELECT query_id, vec_id, qcosine, CAST(rn AS INT) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY qcosine DESC, vec_id) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 10
+        |ORDER BY query_id, rn""".stripMargin,
+      "Int8-quantized cosine top-10 (4x less memory/bandwidth than float32 at scale): per-vector scales cancel in the cosine ratio, so scoring is pure integer dot products — exact on any engine, which is why this 'approximate' method has a full hash-checked oracle rather than a recall bound.") {
+      (s, d) =>
+        quantizedTopK(Tables.embeddings(s, d), QueryIds, 10)
           .orderBy(col("query_id"), col("rn"))
     },
   )

@@ -29,6 +29,18 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.size <= exact.size)
   }
 
+  test("int8-quantized top-k nearly reproduces the exact float ranking") {
+    val e = Tables.embeddings(spark, sf0001)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = asSet(Similarity.bruteForceTopK(e, queryIds, 10))
+    val quant = asSet(Similarity.quantizedTopK(e, queryIds, 10))
+    val recall = exact.count(quant.contains).toDouble / exact.size
+    // 8 bits per component loses very little cosine precision — demand
+    // far more than the bucketed-ANN bounds
+    assert(recall >= 0.9, s"quantized recall too low: $recall")
+  }
+
   test("IVF top-k recall vs brute force is usable and candidates shrink") {
     val e = Tables.embeddings(spark, sf0001)
     def asSet(df: org.apache.spark.sql.DataFrame) =
