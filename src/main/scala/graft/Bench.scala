@@ -62,8 +62,11 @@ object Bench {
         }
       q.name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // NaN is not legal JSON (RFC 8259) — serialize failures as -1 so the
+    // emitted line always parses and a failed query is still visible
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v.isNaN) "-1" else v.toString)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filterNot(_.isNaN).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":"$minReps-$maxReps adaptive"}""")
     spark.stop()

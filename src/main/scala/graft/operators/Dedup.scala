@@ -59,20 +59,26 @@ object Dedup {
     * (same join-per-round shape, fewer rounds on long chains). Returns
     * (`doc_id`, `component`). */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // checkpoint the edge list too: it is re-joined every iteration, and
+    // pairs is typically itself an expensive self-join (q69)
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint()
+    // coalesce guards the empty-graph case: sum over zero rows is NULL
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("component")), lit(0L))).head().getLong(0)
     var labels = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("component")).localCheckpoint()
-    var lastSum = labels.agg(sum(col("component"))).head().getLong(0)
+    var lastSum = labelSum(labels)
     var iter = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (iter < maxIters && !converged) {
       val pushed = edges.join(labels, edges("src") === labels("v"))
         .select(col("dst").as("v"), col("component"))
       labels = labels.union(pushed)
         .groupBy(col("v")).agg(min(col("component")).as("component"))
         .localCheckpoint()
-      val s = labels.agg(sum(col("component"))).head().getLong(0)
+      val s = labelSum(labels)
       converged = s == lastSum
       lastSum = s
       iter += 1

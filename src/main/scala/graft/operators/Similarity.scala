@@ -155,35 +155,47 @@ object Similarity {
     s"round(list_cosine_similarity($a::DOUBLE[], $b::DOUBLE[]), 6)"
 
   /** Int8 quantization: per-vector scale = max|v|/127, q_i = round-half-up
-    * of v_i/scale. Returned as integer-VALUED doubles so dot products stay
+    * of v_i/scale. `out` holds integer-VALUED doubles so dot products stay
     * EXACT (|q_i| <= 127 → |dot| <= 127²·dim « 2^53): the whole quantized
     * scoring path is integer arithmetic, bit-reproducible on any engine —
     * which is what lets the oracle verify an "approximate" method exactly.
-    * At scale the qvec is stored as array<tinyint> + a float scale (4×
-    * less memory/bandwidth than float32; here it is derived on the fly so
-    * the query stays a pure function of the corpus). */
-  def quantize(v: Column): Column = {
-    val scale = aggregate(v, lit(0.0d),
-      (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0
-    transform(v, x => floor(x.cast("double") / scale + 0.5).cast("double"))
-  }
+    * The scale reaches the per-element lambda through `array_repeat` — a
+    * regular once-per-row function — never as a subexpression of the
+    * lambda body: HOF lambdas evaluate their body per ELEMENT with no
+    * subexpression elimination, and CollapseProject can inline a scale
+    * alias back into the lambda, so a naive formulation is O(d²) per row
+    * however it is phrased. This shape is O(d) no matter what the
+    * optimizer inlines. At scale the qvec is stored as array<tinyint> +
+    * a float scale (4× less memory/bandwidth than float32; here it is
+    * derived on the fly so the query stays a pure function of the
+    * corpus). */
+  def quantized(df: DataFrame, vec: String, out: String): DataFrame =
+    df.withColumn("_qscale",
+        aggregate(col(vec), lit(0.0d),
+          (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0)
+      .withColumn(out,
+        zip_with(col(vec), array_repeat(col("_qscale"), size(col(vec))),
+          (x, s) => floor(x.cast("double") / s + 0.5).cast("double")))
+      .drop("_qscale")
 
   private def intDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   /** Brute-force top-k on QUANTIZED vectors. Cosine over int8 codes needs
     * no dequantization: the per-vector scales cancel in the ratio, so the
-    * score is intdot(qa,qb)/(‖qa‖·‖qb‖) — three exact integer dots, two
-    * sqrts, one division. */
+    * score is intdot(qa,qb)/(‖qa‖·‖qb‖). Norms are materialized per
+    * VECTOR before the join — recomputing them per (corpus × query) pair
+    * would triple the dot products on the hot path. */
   def quantizedTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val qz = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val qz = quantized(embeddings.select(col("vec_id"), col("embedding")),
+        "embedding", "qv")
+      .select(col("vec_id"), col("qv"), sqrt(intDot(col("qv"), col("qv"))).as("qn"))
     val queries = qz.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("qn").as("qqn"))
     val scored = qz.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(intDot(col("qv"), col("qqv")) /
-          (sqrt(intDot(col("qv"), col("qv"))) * sqrt(intDot(col("qqv"), col("qqv")))), 6)
+        round(intDot(col("qv"), col("qqv")) / (col("qn") * col("qqn")), 6)
           .as("qcosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("qcosine").desc, col("vec_id"))

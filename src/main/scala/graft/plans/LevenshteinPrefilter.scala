@@ -46,7 +46,9 @@ object LevenshteinPrefilter extends Rule[LogicalPlan] with PredicateHelper {
   private def bounded(
       lev: Levenshtein, k: Expression, slack: Int): Option[(Expression, Expression)] =
     k match {
-      case Literal(kv: Int, IntegerType) if kv + slack >= 0 =>
+      // Long arithmetic: kv + slack on Int wraps for kv = Int.MinValue,
+      // which would rewrite an always-false predicate into always-true
+      case Literal(kv: Int, IntegerType) if kv.toLong + slack >= 0 =>
         val bound = Literal(kv + slack, IntegerType)
         val prefilter = LessThanOrEqual(
           Abs(Subtract(Length(lev.left), Length(lev.right))), bound)

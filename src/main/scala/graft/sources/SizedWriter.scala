@@ -26,22 +26,28 @@ object SizedWriter {
       files: Int,
       rowsPerFile: Long)
 
-  /** Parquet bytes/row measured from a bounded sample written to a temp
-    * dir (real encoding + compression, then deleted). Small samples
-    * slightly OVER-estimate bytes/row — footer/dictionary overhead is
-    * amortized less — which errs toward smaller files, the cheap
-    * direction. */
-  def measureRowBytes(df: DataFrame, sampleRows: Int = 10000): Double = {
+  /** Parquet bytes/row measured from a bounded RANDOM sample written to
+    * a temp dir (real encoding + compression, then deleted). The sample
+    * is `df.sample`, not `limit`: a first-rows prefix of sorted or
+    * clustered data (one source's short documents first) would
+    * misestimate density by large factors — the exact failure mode this
+    * module exists to avoid. Small samples slightly OVER-estimate
+    * bytes/row — footer/dictionary overhead is amortized less — which
+    * errs toward smaller files, the cheap direction. */
+  def measureRowBytes(df: DataFrame, totalRows: Long, sampleRows: Int = 10000): Double = {
     val spark = df.sparkSession
     val tmp = new Path(
       spark.sparkContext.hadoopConfiguration.get("hadoop.tmp.dir", "/tmp"),
       s"graft-sizer-${java.util.UUID.randomUUID()}")
     val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
+      require(totalRows > 0, "cannot size output of an empty frame")
+      val fraction = math.min(1.0, sampleRows * 1.2 / totalRows)
       // coalesce(1): one file, so the fixed per-file overhead is counted once
-      val sample = df.limit(sampleRows).coalesce(1).cache()
+      val sample = df.sample(withReplacement = false, fraction, seed = 42L)
+        .coalesce(1).cache()
       val n = sample.count()
-      require(n > 0, "cannot size output of an empty frame")
+      require(n > 0, "sample came back empty — raise sampleRows")
       sample.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       sample.unpersist()
       val bytes = fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
@@ -58,8 +64,8 @@ object SizedWriter {
       path: String,
       targetBytes: Long = 128L << 20,
       sampleRows: Int = 10000): Report = {
-    val bytesPerRow = measureRowBytes(df, sampleRows)
     val rows = df.count()
+    val bytesPerRow = measureRowBytes(df, rows, sampleRows)
     val rowsPerFile = math.max(1L, (targetBytes / bytesPerRow).toLong)
     val files = math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt)
     df.repartition(files)

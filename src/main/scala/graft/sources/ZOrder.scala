@@ -38,6 +38,14 @@ object ZOrder {
   def zvalue(a: Column, b: Column): Column =
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
 
+  /** The Morton code made SORTABLE: bit 63 carries b's bit 31, so for
+    * b >= 2^31 the raw code is a negative long and a signed sort would
+    * put the top half of the curve first. Flipping the sign bit maps
+    * unsigned order onto signed order (the standard trick), keeping the
+    * curve contiguous for the full uint32 range of both dimensions. */
+  def zsortKey(a: Column, b: Column): Column =
+    zvalue(a, b).bitwiseXOR(lit(Long.MinValue))
+
   /** Write `df` clustered by z(a, b): range-partition on the z-value
     * (each output file owns a z-range), sort within partitions (each row
     * group owns a sub-range), drop the helper column. `blockBytes`
@@ -49,7 +57,7 @@ object ZOrder {
       b: String,
       numFiles: Int = 8,
       blockBytes: Long = 128L << 20): Unit =
-    df.withColumn("_z", zvalue(col(a), col(b)))
+    df.withColumn("_z", zsortKey(col(a), col(b)))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")

@@ -8,6 +8,11 @@ import graft.functions.TextFunctions._
 class TextDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("connected components on an empty pair set is empty, not a crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Dedup.connectedComponents(empty).isEmpty)
+  }
+
   test("connected components merge across multi-hop chains") {
     // chain 1-2-3-4 (diameter 3 — needs propagation, not one join) and
     // the isolated pair 10-11

@@ -32,6 +32,21 @@ class ZOrderSpec extends SparkSpec {
     assert(got == want, s"got $got, want $want")
   }
 
+  test("zsortKey orders the full uint32 range as unsigned Morton order") {
+    import spark.implicits._
+    // b spanning the sign boundary of spread(b)<<1 (b >= 2^31 flips bit 63)
+    val cases = Seq((5L, 1L), (7L, (1L << 31) - 1), (1L, 1L << 31),
+      (2L, 0xFFFFFFFFL), (9L, (1L << 31) + 3))
+    val got = cases.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.zsortKey(col("a"), col("b")).as("sk"))
+      .orderBy(col("sk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = cases.sortBy { case (a, b) =>
+      mortonRef(a, b) ^ Long.MinValue // unsigned order via sign-bit flip
+    }
+    assert(got == want, s"got $got, want $want")
+  }
+
   private def scanRows(df: DataFrame): Long = {
     df.collect()
     def ops(p: SparkPlan): Seq[SparkPlan] = p match {
