@@ -56,14 +56,16 @@ object Reshape {
         |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
         |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-      "Exact interpolated percentiles (Spark percentile == DuckDB quantile_cont, linear interpolation); the approx_percentile sketch is the 100 TB swap-in.") {
+      "Exact interpolated percentiles (Spark percentile == DuckDB quantile_cont, linear interpolation); the approx_percentile sketch is the 100 TB swap-in. Both price percentiles come from ONE array-percentile buffer — separate aggs would each collect the full column per group.") {
       (s, d) =>
         Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
           .agg(
             round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
-            round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
-            round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))
+            expr("percentile(l_extendedprice, array(0.25, 0.95))").as("_p"))
+          .select(col("l_returnflag"), col("median_qty"),
+            round(col("_p").getItem(0), 6).as("p25_price"),
+            round(col("_p").getItem(1), 6).as("p95_price"))
           .orderBy(col("l_returnflag"))
     },
 
