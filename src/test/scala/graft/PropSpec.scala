@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.BottomKIds
+import graft.plans.TopKPerKey
+import graft.sources.ZOrder
+
+/** Property-based invariants of the round-3 custom operators, over
+  * ScalaCheck-generated inputs with fixed seeds (raw ScalaCheck — the
+  * scalatestplus bridge isn't on the offline classpath). Each property
+  * pins a custom implementation to an independent reference formulation
+  * on data the hand-written fixtures don't reach: duplicate keys, ties,
+  * skewed group sizes, full-range unsigned values. */
+class PropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gen[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("TopKPerKey equals the row_number window on random skewed data") {
+    val rows = Gen.listOfN(400, for {
+      key <- Gen.chooseNum(0L, 7L) // few keys -> big skewed groups
+      v <- Gen.chooseNum(-1000.0, 1000.0)
+      id <- Gen.chooseNum(0, 100000)
+    } yield (key, v, id.toLong))
+    for (seed <- 1L to 3L; k <- Seq(1, 3, 17)) {
+      val df = gen(rows, seed).toDF("key", "v", "id")
+        .dropDuplicates("key", "id") // (v, id) total order needs unique id per key
+        .repartition(5)
+      val got = TopKPerKey(df, Seq("key"), Seq("v" -> false, "id" -> true), k)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val w = Window.partitionBy(col("key")).orderBy(col("v").desc, col("id"))
+      val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(got == want, s"seed=$seed k=$k: ${(got diff want).size} extra, " +
+        s"${(want diff got).size} missing")
+    }
+  }
+
+  test("BottomKIds is mergeable: any split of the input yields the same sample") {
+    val elems = Gen.listOfN(60, Gen.chooseNum(0L, 100000L))
+      .map(_.distinct.map(id => ("g", f"$id%020d-hash", id)))
+    val agg = new BottomKIds(7)
+    for (seed <- 1L to 5L) {
+      val xs = gen(elems, seed)
+      val whole = xs.foldLeft(agg.zero)(agg.reduce)
+      for (cut <- Seq(0, 1, xs.size / 2, xs.size)) {
+        val (a, b) = xs.splitAt(cut)
+        val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+          b.foldLeft(agg.zero)(agg.reduce))
+        assert(agg.finish(merged) == agg.finish(whole), s"seed=$seed cut=$cut")
+      }
+      // and the sample is exactly the k smallest by hash key
+      assert(agg.finish(whole) == xs.sortBy(e => (e._2, e._3)).take(7).map(_._3))
+    }
+  }
+
+  test("zvalue round-trips: de-interleaving recovers both coordinates") {
+    val pair = for {
+      a <- Gen.chooseNum(0L, 0xFFFFFFFFL)
+      b <- Gen.chooseNum(0L, 0xFFFFFFFFL)
+    } yield (a, b)
+    def unspread(z: Long): Long = // inverse of the even-bit spread
+      (0 until 32).foldLeft(0L)((acc, i) => acc | ((z >> (2 * i)) & 1L) << i)
+    val cases = (1L to 50L).map(gen(pair, _))
+    val got = cases.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.zvalue(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, z) =>
+      assert(unspread(z) == a && unspread(z >>> 1) == b,
+        s"morton($a, $b) = $z does not round-trip")
+    }
+  }
+}
