@@ -161,5 +161,65 @@ object EventWindows {
             col("v").isNull.cast("int").as("is_gap"))
           .orderBy(col("user_id"), col("hour"))
     },
+
+    Q("q72_funnel",
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_click,
+        |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+      "Ordered funnel (first view -> later click -> later purchase): each stage is one per-user min + one user_id-co-partitioned join — never the 3-way event self-join the naive funnel explodes into. Stage frames shrink monotonically, so each join's build side only gets smaller.") {
+      (s, d) =>
+        val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+        def stage(tpe: String, prev: DataFrame, prevT: String, t: String) =
+          ev.filter(col("event_type") === tpe)
+            .join(prev, Seq("user_id"))
+            .filter(col("ts") > col(prevT))
+            .groupBy(col("user_id")).agg(min(col("ts")).as(t))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val c = stage("click", v, "t1", "t2")
+        val p = stage("purchase", c, "t2", "t3")
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    },
+
+    Q("q73_retention_cohorts",
+      """WITH firstw AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+        |  FROM events GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+        |  FROM events)
+        |SELECT f.cohort AS cohort_week,
+        |  CAST(epoch(a.wk - f.cohort) / 604800 AS INT) AS week_n,
+        |  count(*) AS n_users
+        |FROM active a JOIN firstw f ON a.user_id = f.user_id
+        |GROUP BY cohort_week, week_n
+        |ORDER BY cohort_week, week_n""".stripMargin,
+      "Weekly retention cohorts: users bucketed by first-activity week, counted in each later active week. Two per-user aggregates plus one user_id-co-partitioned join; cohort output cardinality is weeks², independent of event volume.") {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+        val firstw = ev.groupBy(col("user_id"))
+          .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+        val active = ev.select(col("user_id"),
+          date_trunc("week", col("ts")).as("wk")).distinct()
+        active.join(firstw, Seq("user_id"))
+          .groupBy(col("cohort").as("cohort_week"),
+            ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort"))) / 604800)
+              .cast("int").as("week_n"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort_week"), col("week_n"))
+    },
   )
 }
