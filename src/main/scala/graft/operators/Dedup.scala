@@ -83,6 +83,14 @@ object Dedup {
       lastSum = s
       iter += 1
     }
+    // fail LOUD: an unconverged label set silently mislabels components
+    // (a chain of diameter > maxIters still carries intermediate labels).
+    // Dedup graphs converge in 2-3 rounds; hitting this means the input
+    // is not a dedup-shaped graph — raise maxIters deliberately.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters iterations; " +
+        "raise maxIters (component diameter exceeds it)")
     labels.select(col("v").as("doc_id"), col("component"))
   }
 

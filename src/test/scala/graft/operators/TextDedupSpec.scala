@@ -22,6 +22,16 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components fail loud when the diameter exceeds maxIters") {
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("d1", "d2")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 2).collect()
+    }
+    val got = Dedup.connectedComponents(chain, maxIters = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.values.toSet == Set(1L) && got.size == 8)
+  }
+
   test("shingles produce n-grams in order, distinct") {
     val got = Seq("a b c d", "x x x x").toDF("text")
       .select(shingles(col("text")).as("s")).collect()

@@ -47,6 +47,31 @@ class LevenshteinPrefilterSpec extends SparkSpec {
       "no length prefilter in:\n" + plan.take(800))
   }
 
+  test("rewritten predicate drops NULL rows exactly like the original") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("a", StringType, nullable = true),
+      StructField("b", StringType, nullable = true)))
+    val rows = Seq(
+      Row("kitten", "sitting"), Row(null, "x"), Row("x", null),
+      Row(null, null), Row("same", "same"), Row("abcdefgh", "z"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(identity)), schema)
+    val got = df.filter(levenshtein(col("a"), col("b")) <= 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // ground truth computed WITHOUT the comparison pattern (Project only,
+    // untouched by the rule), filtered on the driver
+    val want = df.select(col("a"), col("b"),
+        levenshtein(col("a"), col("b")).as("d"))
+      .collect()
+      .filter(r => !r.isNullAt(2) && r.getInt(2) <= 3)
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want, s"got $got, want $want")
+    assert(got == Set(("kitten", "sitting"), ("same", "same")))
+  }
+
   test("a disjunct is NOT rewritten (deriving from inside OR is unsound)") {
     GraftExtensions.register(spark)
     val plan = pairs()
