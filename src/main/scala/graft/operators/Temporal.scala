@@ -18,6 +18,20 @@ import graft.{Q, Tables}
   */
 object Temporal {
 
+  /** One SQL text, both engines (q45). The final
+    * `CAST(CAST(... AS VARCHAR(64)) AS DOUBLE)` forces each engine to render
+    * the exact DECIMAL(38,6) sum to text and re-parse it as DOUBLE, so the
+    * output column is a DOUBLE with identical value on Spark and DuckDB —
+    * the round-2/round-3 decimal-vs-double hash-mismatch class cannot recur.
+    */
+  private val q45Text: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS total_price
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     Q("q42_range_join",
@@ -94,23 +108,11 @@ object Temporal {
             |ORDER BY r_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin)
     },
 
-    Q("q45_sql_entry",
-      """SELECT o_orderpriority, count(*) AS n_orders,
-        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR(64)) AS DOUBLE) AS total_price
-        |FROM orders
-        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
-      "The spark.sql(...) entry point itself: same ANSI text runs on both engines (views registered over the parquet tables).") {
+    Q("q45_sql_entry", q45Text,
+      "The spark.sql(...) entry point itself: the SAME ANSI text (one shared string constant) runs on both engines (views registered over the parquet tables). The decimal sum is canonicalized to DOUBLE via an identical string round-trip on both sides so the typed hash compares bit-equal.") {
       (s, d) =>
         Tables.orders(s, d).createOrReplaceTempView("orders")
-        s.sql(
-          """SELECT o_orderpriority, count(*) AS n_orders,
-            |  sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total_price
-            |FROM orders
-            |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-            |GROUP BY o_orderpriority
-            |ORDER BY o_orderpriority""".stripMargin)
+        s.sql(q45Text)
     },
   )
 }
