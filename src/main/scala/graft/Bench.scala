@@ -68,7 +68,21 @@ object Bench {
       "\"" + k + "\":" + (if (v.isNaN) "-1" else v.toString)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filterNot(_.isNaN).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":"$minReps-$maxReps adaptive"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":"$minReps-$maxReps adaptive"}"""
+    println(fullLine)
+    // Durable record: the driver captures only a 2000-char stdout tail, which
+    // truncated the 73-query line in round 3 (BENCH_r03.json parsed:null).
+    // Write the full line to a file, and print a compact total-only line LAST
+    // so whatever survives the tail always contains the parseable headline.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"full_record":"$outPath"}""")
   }
 }

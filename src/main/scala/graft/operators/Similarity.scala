@@ -171,12 +171,51 @@ object Similarity {
     * corpus). */
   def quantized(df: DataFrame, vec: String, out: String): DataFrame =
     df.withColumn("_qscale",
-        aggregate(col(vec), lit(0.0d),
-          (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0)
+        // zero-vector guard: an all-zero embedding has max|v| = 0 and 0/0
+        // would emit NaN codes that poison every dot product involving the
+        // vector; clamping to the smallest positive double makes it quantize
+        // to exact zeros instead (0 / 5e-324 = 0). Mirrored in the q71 oracle.
+        greatest(
+          aggregate(col(vec), lit(0.0d),
+            (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0,
+          lit(java.lang.Double.MIN_VALUE)))
       .withColumn(out,
         zip_with(col(vec), array_repeat(col("_qscale"), size(col(vec))),
           (x, s) => floor(x.cast("double") / s + 0.5).cast("double")))
       .drop("_qscale")
+
+  /** All-pairs embedding near-dup: every (a, b) pair with cosine >= the
+    * threshold. DELIBERATELY O(n²) — it exists as the exact oracle baseline
+    * the approximate families are verified against. Norms are precomputed
+    * per side and the cosine threshold lives in the JOIN CONDITION: the
+    * nested-loop join evaluates it per pair and only materializes matches,
+    * never the n²-row cross product with its two embedded vectors per row —
+    * but the n² COMPUTE is irreducible, so this must never run on a large
+    * corpus. The guard counts the input (one cheap scan next to the n² join)
+    * and refuses above `maxRows` unless the caller explicitly accepts the
+    * quadratic cost with `allPairsOk = true`. Scale-safe replacements, all
+    * in this repo: MinHash-LSH bands (Dedup.minhashCandidates, q34),
+    * hyperplane-LSH buckets (annTopK, q39), IVF (ivfTopK, q49),
+    * int8-quantized scoring (quantizedTopK, q71). */
+  def allPairsNearDup(embeddings: DataFrame, threshold: Double,
+      allPairsOk: Boolean = false, maxRows: Long = 100000L): DataFrame = {
+    if (!allPairsOk) {
+      val n = embeddings.count()
+      require(n <= maxRows,
+        s"allPairsNearDup is O(n²) in compute: |embeddings| = $n exceeds maxRows = $maxRows. " +
+          "At this size use a bucketed family instead — Dedup.minhashCandidates (q34), " +
+          "Similarity.annTopK (q39), ivfTopK (q49), or quantizedTopK (q71) — " +
+          "or pass allPairsOk = true to accept the quadratic cost explicitly.")
+    }
+    val e = embeddings
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("d1"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("d2"), col("embedding").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("d1") < col("d2") &&
+        round(graft.expressions.VecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= threshold)
+      .select(col("d1"), col("d2"),
+        round(graft.expressions.VecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+  }
 
   private def intDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
@@ -246,19 +285,7 @@ object Similarity {
          |ORDER BY d1, d2""".stripMargin,
       "Embedding-cosine near-dup pairs (threshold 0.3): the all-pairs oracle baseline that q39's LSH bucketing replaces at scale.") {
       (s, d) =>
-        // norms are precomputed per side, and the cosine threshold lives in
-        // the JOIN CONDITION: the nested-loop join evaluates it per pair
-        // and only materializes matches (~1e3 rows), never the 2M-row
-        // cross product with its two embedded vectors per row.
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"),
-            norm(col("embedding")).as("nrm"))
-        val a = e.select(col("vec_id").as("d1"), col("embedding").as("va"), col("nrm").as("na"))
-        val b = e.select(col("vec_id").as("d2"), col("embedding").as("vb"), col("nrm").as("nb"))
-        a.join(b, col("d1") < col("d2") &&
-            round(graft.expressions.VecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= 0.3)
-          .select(col("d1"), col("d2"),
-            round(graft.expressions.VecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+        allPairsNearDup(Tables.embeddings(s, d), 0.3)
           .orderBy(col("d1"), col("d2"))
     },
 
@@ -280,7 +307,7 @@ object Similarity {
       """WITH s AS (
         |  SELECT vec_id,
         |    embedding,
-        |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0 AS scale
+        |    greatest(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0, 4.9e-324) AS scale
         |  FROM embeddings),
         |qz AS (
         |  SELECT vec_id,

@@ -46,9 +46,13 @@ object TopKPerKey {
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    // check-then-append on a shared mutable field: synchronize on the session
+    // so concurrent first calls can't register the strategy twice
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
     val sortOrder = order.map { case (name, asc) =>
       SortOrder(UnresolvedAttribute.quoted(name), if (asc) Ascending else Descending)
     }

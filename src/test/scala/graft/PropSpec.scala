@@ -28,8 +28,13 @@ class PropSpec extends SparkSpec {
       id <- Gen.chooseNum(0, 100000)
     } yield (key, v, id.toLong))
     for (seed <- 1L to 3L; k <- Seq(1, 3, 17)) {
+      // (v, id) total order needs a unique id per key; dedupe DETERMINISTICALLY
+      // (dropDuplicates keeps an arbitrary row, and the uncached frame is
+      // recomputed separately for the operator and the reference, so the two
+      // sides could disagree on which v survived -> flake)
       val df = gen(rows, seed).toDF("key", "v", "id")
-        .dropDuplicates("key", "id") // (v, id) total order needs unique id per key
+        .groupBy("key", "id").agg(max("v").as("v"))
+        .select("key", "v", "id")
         .repartition(5)
       val got = TopKPerKey(df, Seq("key"), Seq("v" -> false, "id" -> true), k)
         .collect().map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -59,6 +59,35 @@ class SimilaritySpec extends SparkSpec {
     assert(c.select(size(col("cvec"))).distinct().head().getInt(0) == 64)
   }
 
+  test("allPairsNearDup guard: refuses big input, names the replacements, override works") {
+    val e = Tables.embeddings(spark, sf0001)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.allPairsNearDup(e, 0.3, maxRows = 10L)
+    }
+    assert(err.getMessage.contains("O(n²)"), err.getMessage)
+    assert(err.getMessage.contains("q34") && err.getMessage.contains("q39"),
+      s"remediation text must point at the bucketed families: ${err.getMessage}")
+    // explicit opt-in bypasses the count entirely and still computes pairs
+    val ok = Similarity.allPairsNearDup(e, 0.3, allPairsOk = true, maxRows = 10L)
+    assert(ok.count() > 0)
+    // under the cap it runs without the flag (the oracle-query path)
+    assert(Similarity.allPairsNearDup(e.limit(50), 0.9).columns.toSeq ==
+      Seq("d1", "d2", "cosine"))
+  }
+
+  test("quantized: all-zero embedding yields zero codes, not NaN") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, -2.0f, 0.5f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantized(df, "embedding", "qv")
+      .select(col("vec_id"), col("qv")).orderBy("vec_id").collect()
+    val zeroCodes = q(0).getSeq[Double](1)
+    assert(zeroCodes == Seq(0.0, 0.0, 0.0), s"zero vector quantized to $zeroCodes")
+    assert(!q(1).getSeq[Double](1).exists(_.isNaN))
+  }
+
   test("hyperplane signature is deterministic across evaluations") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf0001).limit(50)
