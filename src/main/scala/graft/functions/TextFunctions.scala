@@ -68,4 +68,38 @@ object TextFunctions {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- portable (md5-derived) variants -------------------------------------
+  // xxhash64 is the production token hash (faster, seeded), but it exists only
+  // in Spark; these md5-derived twins have bit-identical formulations in ANSI
+  // SQL/DuckDB, which is what lets q35 carry a full value-hash oracle instead
+  // of a rows-only check. Same shapes, same costs (one md5 per token).
+
+  /** 64-bit token hash from the first 16 hex chars of md5(token): the two
+    * 32-bit halves are parsed separately (each fits a signed long) and
+    * recombined bitwise, so no 64-bit unsigned parse is ever needed. */
+  def md5TokenHash64(w: Column): Column = {
+    val hi = conv(substring(md5(w), 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(md5(w), 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
+  /** SimHash-64 over md5-derived token hashes, rendered as a 16-char
+    * lowercase hex string (the cross-engine-stable encoding for a value
+    * whose top bit may be set). */
+  def simhashHex(c: Column): Column = {
+    val sig = graft.expressions.SimHash64(
+      transform(wsTokens(c), w => md5TokenHash64(w)))
+    lower(lpad(hex(sig), 16, "0"))
+  }
+
+  /** Karp-Rabin rolling hash with md5-derived token values:
+    * acc = (acc * 31 + (md5_hi32(token) mod p)) mod p, p = 1e9+7.
+    * Order-sensitive like [[rollingHash]], but portable. */
+  def rollingHashMd5(c: Column): Column = {
+    val p = lit(1000000007L)
+    aggregate(wsTokens(c), lit(0L),
+      (acc, w) => pmod(acc * lit(31L) +
+        pmod(conv(substring(md5(w), 1, 8), 16, 10).cast("long"), p), p))
+  }
 }

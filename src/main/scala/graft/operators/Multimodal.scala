@@ -133,11 +133,38 @@ object Multimodal {
           .orderBy(col("source"))
     },
 
-    Q.noOracle("q41_multimodal_features",
-      "Stubbed resize + decode + feature extraction via Dataset.mapPartitions (real batching shape; fake deterministic features over 128-byte thumbnails).") {
+    Q("q41_multimodal_features",
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents),
+        |resized AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n <= 128
+        |      THEN list_transform(range(n), j -> CAST('0x' || substring(hx, 2*j + 1, 2) AS INTEGER))
+        |      ELSE list_transform(range(128), i -> CAST('0x' || substring(hx, 2*((i*n)//128) + 1, 2) AS INTEGER))
+        |    END AS bytes
+        |  FROM b),
+        |base AS (
+        |  SELECT doc_id, CAST(len(bytes) AS INTEGER) AS n_bytes,
+        |    list_sum(list_transform(bytes, x -> CAST(x AS DOUBLE))) / len(bytes) AS mean_byte
+        |  FROM resized),
+        |cnt AS (
+        |  SELECT doc_id, v, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(bytes) AS v FROM resized) GROUP BY doc_id, v),
+        |ent AS (
+        |  SELECT doc_id,
+        |    round(-sum((CAST(c AS DOUBLE) / s) * ln(CAST(c AS DOUBLE) / s) / ln(2)), 6) AS byte_entropy
+        |  FROM (SELECT doc_id, v, c, sum(c) OVER (PARTITION BY doc_id) AS s FROM cnt)
+        |  GROUP BY doc_id)
+        |SELECT base.doc_id, n_bytes, mean_byte, byte_entropy, 4 AS n_frames
+        |FROM base JOIN ent ON base.doc_id = ent.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+      "Stubbed resize + decode + feature extraction via Dataset.mapPartitions (real batching shape; deterministic byte-level features over 128-byte thumbnails). The stub decode is honest-but-deterministic, which makes even this query oracle-able: the DuckDB twin re-derives the nearest-neighbor byte sample from the hex of the utf-8 blob and recomputes mean/entropy in SQL. mean_byte needs NO rounding — an integer byte sum is exact in a double in any summation order, and both engines then perform the identical IEEE division (resizing to a power-of-two length makes .xxxxxx5 halves COMMON, where HALF_UP/HALF_EVEN rounding disagreement bites — so not rounding is the safer parity, not a shortcut). byte_entropy is transcendental, so both sides round to 6 decimals to absorb ulp-level ln() differences.") {
       (s, d) =>
         extractFeatures(resize(assets(Tables.documents(s, d)), targetBytes = 128))
           .toDF()
+          .select(col("doc_id"), col("n_bytes"), col("mean_byte"),
+            round(col("byte_entropy"), 6).as("byte_entropy"), col("n_frames"))
           .orderBy(col("doc_id"))
     },
   )

@@ -112,13 +112,41 @@ object TextAnalysis {
           .orderBy(col("doc_id"))
     },
 
-    Q.noOracle("q35_simhash_rolling",
-      "SimHash-64 signatures + Karp-Rabin rolling hash per document (Spark bit-arithmetic expressions; no portable SQL twin).") {
+    Q("q35_simhash_rolling",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+        |th AS (
+        |  SELECT doc_id, substring(md5(w), 1, 16) AS hx FROM tok),
+        |nib AS (
+        |  SELECT doc_id, p.p AS p, CAST('0x' || substring(hx, p.p, 1) AS INTEGER) AS v
+        |  FROM th CROSS JOIN (SELECT unnest(range(1, 17)) AS p) p),
+        |votes AS (
+        |  SELECT doc_id, p, b.b AS b,
+        |    sum(CASE WHEN (v >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM nib CROSS JOIN (SELECT unnest(range(4)) AS b) b
+        |  GROUP BY doc_id, p, b.b),
+        |nibs AS (
+        |  SELECT doc_id, p, CAST(sum(CASE WHEN vote > 0 THEN 1 << b ELSE 0 END) AS INTEGER) AS nv
+        |  FROM votes GROUP BY doc_id, p),
+        |sig AS (
+        |  SELECT doc_id, string_agg(substring('0123456789abcdef', nv + 1, 1), '' ORDER BY p) AS simhash_hex
+        |  FROM nibs GROUP BY doc_id),
+        |roll AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(trim(text), '\s+'),
+        |        w -> CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % 1000000007)),
+        |      (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_hash
+        |  FROM documents)
+        |SELECT s.doc_id, s.simhash_hex, r.rolling_hash
+        |FROM sig s JOIN roll r ON s.doc_id = r.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+      "SimHash-64 signatures + Karp-Rabin rolling hash per document over md5-derived token hashes — fully deterministic, so unlike true sketches this 'signature' query carries an exact value-hash oracle. The DuckDB twin re-derives the 64 majority votes nibble-wise from the md5 hex; Spark computes them in the single-pass codegen'd SimHash64 expression (one tight loop per row — the twin's 64-way unnest×unnest shape is the oracle, not the plan). The production variant (graft.functions.TextFunctions.simhash64/rollingHash) swaps md5 for the faster xxhash64; bit-equality of the expression machinery is pinned in ExpressionsSpec.") {
       (s, d) =>
         Tables.documents(s, d)
           .select(col("doc_id"),
-            simhash64(col("text")).as("simhash"),
-            rollingHash(col("text")).as("rolling_hash"))
+            simhashHex(col("text")).as("simhash_hex"),
+            rollingHashMd5(col("text")).as("rolling_hash"))
           .orderBy(col("doc_id"))
     },
 

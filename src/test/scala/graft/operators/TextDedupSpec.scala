@@ -79,6 +79,37 @@ class TextDedupSpec extends SparkSpec {
     assert(ham(m(1L), m(2L)) <= 16)
   }
 
+  test("portable md5 simhash/rolling match an independent in-JVM reference") {
+    // the same semantics q35's DuckDB twin re-derives nibble-wise: token hash
+    // = first 16 md5 hex chars, per-bit majority vote; rolling fold mod 1e9+7
+    def refPair(text: String): (String, Long) = {
+      val toks = text.trim.split("\\s+", -1)
+      val votes = new Array[Int](64)
+      var acc = 0L
+      val P = 1000000007L
+      toks.foreach { w =>
+        val hx = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val h64 = java.lang.Long.parseUnsignedLong(hx.take(16), 16)
+        (0 until 64).foreach(b =>
+          votes(b) += (if (((h64 >>> b) & 1L) != 0L) 1 else -1))
+        acc = (acc * 31L + java.lang.Long.parseLong(hx.take(8), 16) % P) % P
+      }
+      val sig = (0 until 64).foldLeft(0L)((s, b) =>
+        if (votes(b) > 0) s | (1L << b) else s)
+      (f"$sig%016x", acc)
+    }
+    val texts = Seq("the quick brown fox", "a", "a b a b a",
+      "punctuation, stays! in tokens", "singleword")
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select($"id", simhashHex($"text").as("sh"), rollingHashMd5($"text").as("rh"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == refPair(t), s"text '$t'")
+    }
+  }
+
   test("rolling hash is order-sensitive, fingerprint is not punctuation-sensitive") {
     val df = Seq(("a b c", 1), ("c b a", 2), ("a, b... c!", 3)).toDF("text", "id")
       .select($"id", rollingHash($"text").as("rh"), fingerprint($"text").as("fp"))
