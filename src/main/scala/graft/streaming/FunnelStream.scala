@@ -1,0 +1,131 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of the q72 ordered funnel (first view → later click →
+  * later purchase), via flatMapGroupsWithState keyed by user.
+  *
+  * Exactness argument: the transition FINALIZES buffered events only once
+  * the watermark has passed them, in ascending (ts, event_id) order. An
+  * event that would finalize out of order must have event time below the
+  * watermark at arrival, which is precisely the late data the watermark
+  * policy already drops — so per user, finalization is globally
+  * time-ordered, and the 3-stage machine needs only the three stage
+  * timestamps as long-lived state:
+  *   view     → t1 = first finalized view
+  *   click    → t2 = first finalized click with ts > t1
+  *   purchase → t3 = first finalized purchase with ts > t2
+  * which is exactly q72's min/join cascade (strict > at each stage).
+  *
+  * Scale posture: per-user state is 3 optional timestamps plus ONLY the
+  * events inside the watermark horizon (the buffer drains every time the
+  * watermark advances; an event-time timeout re-invokes idle groups so
+  * draining does not depend on new arrivals). A 1000-executor job holds
+  * |users| × (3 longs + horizon backlog), never the stream's history.
+  * Output is append-mode monotone (a stage record is emitted exactly once,
+  * when it becomes final), so downstream streaming aggregations — e.g. the
+  * per-stage counts — remain legal.
+  *
+  * In BATCH mode the same code path sees no watermark (getCurrentWatermarkMs
+  * throws → treated as +∞), finalizes everything in one invocation per
+  * group, and reproduces the batch funnel exactly — FunnelStreamSpec pins
+  * both that equivalence and the streaming run against q72's per-user CTEs.
+  */
+object FunnelStream {
+
+  final case class FEv(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+
+  /** (micros, event_id, event_type) triple buffered until finalizable. */
+  final case class Pending(us: Long, eventId: Long, tpe: String)
+
+  final case class FunnelState(
+      t1: Option[Long], t2: Option[Long], t3: Option[Long],
+      buf: Seq[Pending])
+
+  /** One funnel stage (1 = view, 2 = click, 3 = purchase) becoming final
+    * for a user, emitted exactly once. */
+  final case class FunnelStage(user_id: Long, stage: Int, ts: Timestamp)
+
+  private def us(t: Timestamp): Long = t.getTime * 1000 + t.getNanos / 1000 % 1000
+
+  private def tsFromUs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
+    t
+  }
+
+  /** Fold time-ordered, finalized events into the stage machine. */
+  private def advance(
+      userId: Long, st: FunnelState, ready: Seq[Pending]): (FunnelState, Seq[FunnelStage]) = {
+    var (t1, t2, t3) = (st.t1, st.t2, st.t3)
+    val out = Seq.newBuilder[FunnelStage]
+    ready.foreach { e =>
+      e.tpe match {
+        case "view" if t1.isEmpty =>
+          t1 = Some(e.us); out += FunnelStage(userId, 1, tsFromUs(e.us))
+        case "click" if t1.nonEmpty && t2.isEmpty && e.us > t1.get =>
+          t2 = Some(e.us); out += FunnelStage(userId, 2, tsFromUs(e.us))
+        case "purchase" if t2.nonEmpty && t3.isEmpty && e.us > t2.get =>
+          t3 = Some(e.us); out += FunnelStage(userId, 3, tsFromUs(e.us))
+        case _ => ()
+      }
+    }
+    (FunnelState(t1, t2, t3, st.buf), out.result())
+  }
+
+  /** The state-transition function (shared by batch and streaming runs). */
+  def transition(
+      userId: Long, events: Iterator[FEv],
+      state: GroupState[FunnelState]): Iterator[FunnelStage] = {
+    // batch mode has no watermark: treat it as +∞ so everything finalizes
+    val wmUs = scala.util.Try(state.getCurrentWatermarkMs()).toOption
+      .map(_ * 1000L).getOrElse(Long.MaxValue)
+    val st0 = state.getOption.getOrElse(FunnelState(None, None, None, Nil))
+    // drop late arrivals (below the watermark — the documented policy; they
+    // would otherwise finalize out of time order and break exactness)
+    val fresh = events
+      .map(e => Pending(us(e.ts), e.event_id, e.event_type))
+      .filter(p => p.us >= wmUs || wmUs == Long.MaxValue)
+      .toSeq
+    val all = st0.buf ++ fresh
+    val (ready, still) = all.partition(_.us < wmUs)
+    val (st1, out) = advance(userId, st0.copy(buf = still),
+      ready.sortBy(p => (p.us, p.eventId)))
+    if (st1.t3.nonEmpty && still.isEmpty) {
+      // funnel complete and nothing pending: this user's state is dead weight
+      state.remove()
+    } else {
+      state.update(st1)
+      if (still.nonEmpty && wmUs != Long.MaxValue) {
+        // re-invoke once the watermark passes the earliest pending event,
+        // even if no further events arrive for this user
+        state.setTimeoutTimestamp(still.map(_.us).min / 1000L + 1L)
+      }
+    }
+    out.iterator
+  }
+
+  /** Finalized funnel-stage records for a batch or streaming events frame
+    * (schema of Tables.events). Streaming callers must set a watermark. */
+  def funnelStages(events: DataFrame): Dataset[FunnelStage] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[FEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        transition)
+  }
+
+  /** Watermarked streaming entry point. */
+  def funnelStages(events: DataFrame, watermark: String): Dataset[FunnelStage] =
+    funnelStages(events.withWatermark("ts", watermark))
+
+  /** q72's headline shape from the stage records: one count per stage. */
+  def funnelCounts(stages: Dataset[FunnelStage]): DataFrame =
+    stages.groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+}

@@ -71,6 +71,84 @@ class JdbcSinksSpec extends SparkSpec {
     assert(spark.read.jdbc(url, "upsert_dup", cfg.properties).count() == 2)
   }
 
+  test("every jdbcTypeName branch is pinned in the SQL text and executes on Derby") {
+    import spark.implicits._
+    val df = Seq((1L, 2, 3.toShort, 4.5d, 5.5f, true,
+        java.sql.Timestamp.valueOf("2024-01-02 03:04:05"),
+        java.sql.Date.valueOf("2024-01-02"), "text", "hash-1"))
+      .toDF("c_long", "c_int", "c_short", "c_double", "c_float", "c_bool",
+        "c_ts", "c_date", "c_str", Metadata.RowHashCol)
+      .withColumn("c_dec", $"c_long".cast("decimal(12,3)"))
+    // golden: one CAST per type-mapping branch, derived from the schema
+    val sql = Sinks.upsertSql(df, "typed_t", Metadata.RowHashCol, Sinks.AnsiNotExists())
+    Seq("CAST(? AS BIGINT)", "CAST(? AS INTEGER)", "CAST(? AS SMALLINT)",
+        "CAST(? AS DOUBLE)", "CAST(? AS REAL)", "CAST(? AS BOOLEAN)",
+        "CAST(? AS TIMESTAMP)", "CAST(? AS DATE)", "CAST(? AS VARCHAR(32672))",
+        "CAST(? AS DECIMAL(12,3))")
+      .foreach(c => assert(sql.contains(c), s"missing $c in:\n$sql"))
+    // and the text is not just well-formed but EXECUTABLE for every branch
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        """CREATE TABLE typed_t (
+          |  "c_long" BIGINT, "c_int" INTEGER, "c_short" SMALLINT,
+          |  "c_double" DOUBLE, "c_float" REAL, "c_bool" BOOLEAN,
+          |  "c_ts" TIMESTAMP, "c_date" DATE, "c_str" VARCHAR(64),
+          |  "row_hash" VARCHAR(64) PRIMARY KEY, "c_dec" DECIMAL(12,3))""".stripMargin)
+    } finally conn.close()
+    Sinks.jdbcUpsert(df, "typed_t", cfg, dialect = Sinks.AnsiNotExists())
+    Sinks.jdbcUpsert(df, "typed_t", cfg, dialect = Sinks.AnsiNotExists()) // replay
+    val back = spark.read.jdbc(url, "typed_t", cfg.properties).collect()
+    assert(back.length == 1)
+    val r = back.head
+    assert(r.getAs[Long]("c_long") == 1L && r.getAs[Int]("c_int") == 2 &&
+      r.getAs[Boolean]("c_bool") &&
+      r.getAs[java.sql.Date]("c_date") == java.sql.Date.valueOf("2024-01-02") &&
+      r.getAs[java.math.BigDecimal]("c_dec").doubleValue() == 1.0d)
+  }
+
+  test("concurrent AnsiNotExists writers: no lost keys, duplicates bounded — the documented non-atomicity") {
+    // The dialect's documented caveat, EXECUTED: INSERT..SELECT..WHERE NOT
+    // EXISTS is check-then-insert, and the check locks nothing when the key
+    // is absent (the phantom-row problem) — so N concurrent writers of the
+    // same batch can each pass NOT EXISTS and insert. This is why the
+    // production dialect is PostgresOnConflict (ON CONFLICT DO NOTHING is
+    // atomic). The table has NO primary key precisely so the race leaves
+    // evidence instead of an exception. Under contention Derby has been
+    // observed to do all three of: serialize (lock blocking), duplicate
+    // (phantom window), and ABORT a deadlock victim — so each writer wraps
+    // in the library's Retry, exactly as a production caller of this
+    // dialect must (a rolled-back victim retries cleanly; its transaction
+    // committed nothing). Guaranteed properties asserted: (a) no writer
+    // fails after retries, (b) no key is LOST, (c) a key appears at most
+    // once per writer. Total rows anywhere in [20, 80] are legitimate.
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        """CREATE TABLE race_t ("id" BIGINT, "row_hash" VARCHAR(64))""") // no PK!
+    } finally conn.close()
+    import spark.implicits._
+    val batch = (1L to 20L).map(i => (i, s"key-$i")).toDF("id", Metadata.RowHashCol)
+      .coalesce(1).cache()
+    batch.count()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { _ =>
+      new Thread(() =>
+        try Retry(delay = scala.concurrent.duration.DurationInt(200).millis) {
+          Sinks.jdbcUpsert(batch, "race_t", cfg, dialect = Sinks.AnsiNotExists())
+        } catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"writer threw: ${Option(errs.peek()).map(_.toString)}")
+    val perKey = spark.read.jdbc(url, "race_t", cfg.properties)
+      .groupBy(Metadata.RowHashCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perKey.size == 20, s"lost keys: ${20 - perKey.size}")
+    assert(perKey.values.forall(c => c >= 1 && c <= 4),
+      s"per-key count outside [1,4]: ${perKey.filter(kv => kv._2 < 1 || kv._2 > 4)}")
+    batch.unpersist()
+  }
+
   test("Postgres production dialect emits ON CONFLICT DO NOTHING (golden SQL)") {
     // not executable without Postgres; pin the statement text instead so a
     // refactor cannot silently change the production semantics

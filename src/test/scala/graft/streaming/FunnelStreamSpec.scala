@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{SparkSpec, Tables}
+
+/** Batch-equivalence for the streaming funnel: the same transition code
+  * runs (a) in batch mode against q72's min/join cascade, and (b) as a
+  * real multi-micro-batch stream whose finalized stages must match the
+  * batch result exactly once the watermark has passed everything. */
+class FunnelStreamSpec extends SparkSpec {
+
+  /** q72's per-user stage frames, computed independently of FunnelStream. */
+  private def expectedStages(ev: DataFrame): Set[(Long, Int, java.sql.Timestamp)] = {
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    def stage(tpe: String, prev: DataFrame) =
+      ev.filter(col("event_type") === tpe)
+        .join(prev.select(col("user_id"), col("t").as("pt")), Seq("user_id"))
+        .filter(col("ts") > col("pt"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val c = stage("click", v)
+    val p = stage("purchase", c)
+    def toSet(df: DataFrame, s: Int) =
+      df.collect().map(r => (r.getLong(0), s, r.getTimestamp(1))).toSet
+    toSet(v, 1) ++ toSet(c, 2) ++ toSet(p, 3)
+  }
+
+  test("batch run of the funnel state machine equals q72's min/join cascade") {
+    val ev = Tables.events(spark, sf0001)
+    val got = FunnelStream.funnelStages(ev)
+      .collect().map(s => (s.user_id, s.stage, s.ts)).toSet
+    val want = expectedStages(ev)
+    assert(got == want,
+      s"${(got diff want).size} extra, ${(want diff got).size} missing")
+    // and the headline counts match the three funnel numbers
+    val counts = FunnelStream.funnelCounts(FunnelStream.funnelStages(ev))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts(1) == want.count(_._2 == 1))
+    assert(counts(2) == want.count(_._2 == 2))
+    assert(counts(3) == want.count(_._2 == 3))
+  }
+
+  test("streaming funnel finalizes to the batch result across micro-batches") {
+    val dir = Files.createTempDirectory("graft-funnel").toString
+    val batch = Tables.events(spark, sf0001)
+    batch.write.mode("overwrite").parquet(dir)
+    // files are not time-ordered, so the watermark delay must cover the
+    // data span; the far-future marker (inert user/type) then pushes the
+    // watermark past every real event so all stages finalize
+    batch.limit(1)
+      .withColumn("ts", expr("ts + INTERVAL 365 DAYS"))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("error"))
+      .write.mode("append").parquet(dir)
+    val src = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = FunnelStream.funnelStages(src, "40 days")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("funnel_out")
+      .filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2))).toSet
+    val want = expectedStages(batch)
+    assert(got == want,
+      s"${(got diff want).size} extra, ${(want diff got).size} missing " +
+        s"of ${want.size} expected stage records")
+    // append-mode emission is exactly-once per stage record
+    assert(spark.table("funnel_out").filter(col("user_id") >= 0).count() == want.size)
+  }
+}
