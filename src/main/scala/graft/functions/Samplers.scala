@@ -41,3 +41,47 @@ final class BottomKIds(k: Int)
     Encoders.kryo[List[(String, Long)]]
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
 }
+
+/** KMV (k-minimum-values) distinct-count sketch over md5 hex hashes —
+  * the mergeable, ENGINE-PORTABLE alternative to HLL (q19): where HLL's
+  * register layout is engine-specific and therefore un-oracle-able, KMV's
+  * state is just the k lexicographically-smallest DISTINCT hashes, and
+  * lowercase md5 hex order is identical everywhere, so the whole sketch —
+  * state, merge, estimate — can be re-derived exactly in ANSI SQL (q74).
+  *
+  * Estimator: treating the k-th smallest hash as a uniform draw h_k in
+  * [0,1) (first 8 hex chars / 2^32), distinct ≈ (k-1)/h_k. Below k
+  * distinct values the sketch IS the exact answer. Standard error is
+  * ~1/sqrt(k-2) (Bar-Yossef et al., "Counting distinct elements in a
+  * data stream", RANDOM 2002).
+  *
+  * Merge is set-union-then-trim: associative, commutative, idempotent —
+  * re-delivered rows cannot inflate the estimate (unlike a sum-based
+  * counter), and each map task ships at most k 32-char strings per
+  * group. The buffer is a sorted bounded list (same trade-off as
+  * [[BottomKIds]]; a big-k production variant would swap in a TreeSet).
+  *
+  * IN is (groupKey, md5hex); the group key rides along unused so the
+  * element type matches under `groupByKey`, exactly as in BottomKIds.
+  * OUT is (k_used, estimate).
+  */
+final class KmvDistinct(k: Int)
+    extends Aggregator[(String, String), List[String], (Int, Double)] {
+
+  private def trim(l: List[String]): List[String] = l.distinct.sorted.take(k)
+
+  override def zero: List[String] = Nil
+  override def reduce(buf: List[String], in: (String, String)): List[String] =
+    trim(in._2 :: buf)
+  override def merge(a: List[String], b: List[String]): List[String] =
+    trim(a ++ b)
+  override def finish(buf: List[String]): (Int, Double) =
+    if (buf.size < k) (buf.size, buf.size.toDouble)
+    else {
+      val frac = java.lang.Long.parseLong(buf.last.take(8), 16) / 4294967296.0
+      (k, (k - 1).toDouble / frac)
+    }
+
+  override def bufferEncoder: Encoder[List[String]] = Encoders.kryo[List[String]]
+  override def outputEncoder: Encoder[(Int, Double)] = ExpressionEncoder[(Int, Double)]()
+}

@@ -77,5 +77,43 @@ object Sampling {
           .toDF("source", "doc_id", "sample_rank")
           .orderBy(col("source"), col("sample_rank"))
     },
+
+    Q("q74_kmv_distinct",
+      """WITH h AS (
+        |  SELECT DISTINCT o_orderpriority, md5(CAST(o_custkey AS VARCHAR)) AS h
+        |  FROM orders),
+        |grp AS (
+        |  SELECT o_orderpriority, count(*) AS nd FROM h GROUP BY o_orderpriority),
+        |kth AS (
+        |  SELECT o_orderpriority, h AS kth FROM (
+        |    SELECT o_orderpriority, h,
+        |      row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+        |    FROM h) t
+        |  WHERE rn = 256)
+        |SELECT g.o_orderpriority,
+        |  CAST(LEAST(nd, 256) AS INT) AS k_used,
+        |  CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
+        |       ELSE CAST(255 AS DOUBLE) /
+        |            (CAST('0x' || substring(kth, 1, 8) AS BIGINT) / 4294967296.0)
+        |  END AS est_distinct,
+        |  CAST(nd AS BIGINT) AS exact_distinct
+        |FROM grp g LEFT JOIN kth USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
+      "KMV (k-minimum-values) distinct-count sketch per group (functions.KmvDistinct, k=256) — the mergeable, engine-PORTABLE alternative to HLL (q19): sketch state is the k smallest distinct md5 hashes, so the DuckDB twin re-derives state AND estimate exactly, making this the rare approximate-distinct with a full value-hash oracle. One shuffle on the group key; each map task ships at most k 32-char strings per group; merge is set-union-then-trim (idempotent — replays cannot inflate it). Below k distinct values the sketch degrades to the exact answer; the exact count rides along for comparison.") {
+      (s, d) =>
+        import s.implicits._
+        val hashed = Tables.orders(s, d)
+          .select(col("o_orderpriority"),
+            md5(col("o_custkey").cast("string")).as("h"))
+        val sk = hashed.as[(String, String)]
+          .groupByKey(_._1)
+          .agg(new graft.functions.KmvDistinct(256).toColumn)
+          .toDF("o_orderpriority", "sk")
+          .select(col("o_orderpriority"),
+            col("sk._1").as("k_used"), col("sk._2").as("est_distinct"))
+        val exact = hashed.distinct().groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("exact_distinct"))
+        sk.join(exact, Seq("o_orderpriority")).orderBy(col("o_orderpriority"))
+    },
   )
 }

@@ -46,10 +46,13 @@ object Similarity {
     * buckets. The join is an equi-join on (band, bits): |corpus|×|bands|
     * fixed-size keys, never all pairs. */
   def annTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      planes: Int = 8, bandBits: Int = 2): DataFrame = {
+      planes: Int = 8, bandBits: Int = 2,
+      portablePlanes: Boolean = false): DataFrame = {
     val nBands = planes / bandBits
-    val signed = embeddings.withColumn("sig",
-      graft.functions.VectorOps.hyperplaneSignature(col("embedding"), planes))
+    val sigFn =
+      if (portablePlanes) graft.functions.VectorOps.hyperplaneSignatureMd5 _
+      else graft.functions.VectorOps.hyperplaneSignature _
+    val signed = embeddings.withColumn("sig", sigFn(col("embedding"), planes))
     val mask = (1L << bandBits) - 1
     val banded = signed.select(col("vec_id"), col("embedding"), col("sig"),
         explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
@@ -289,10 +292,41 @@ object Similarity {
           .orderBy(col("d1"), col("d2"))
     },
 
-    Q.noOracle("q39_ann_lsh_topk",
-      "Hyperplane-LSH ANN top-10 for the same 3 queries: deterministic hash-derived planes, bucket equi-join + exact re-rank (recall vs q36 asserted in SimilaritySpec).") {
+    Q("q39_ann_lsh_topk",
+      """WITH sig AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN proj > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM (
+        |    SELECT vec_id, p.p AS p,
+        |      list_sum(list_transform(range(len(embedding)), j ->
+        |        CAST(embedding[j + 1] AS DOUBLE) *
+        |        (CASE WHEN CAST('0x' || substring(md5(p.p || '|' || j), 1, 1) AS INTEGER) % 2 = 0
+        |              THEN 1.0 ELSE -1.0 END))) AS proj
+        |    FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS p) p) t
+        |  GROUP BY vec_id),
+        |banded AS (
+        |  SELECT vec_id, b.b AS band, (sig >> (b.b * 2)) & 3 AS bits
+        |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) b),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, e.vec_id
+        |  FROM banded e JOIN banded q
+        |    ON e.band = q.band AND e.bits = q.bits
+        |   AND q.vec_id IN (0, 100, 200) AND e.vec_id <> q.vec_id),
+        |scored AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine
+        |  FROM cand c
+        |  JOIN embeddings e ON e.vec_id = c.vec_id
+        |  JOIN embeddings q ON q.vec_id = c.query_id)
+        |SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, vec_id) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 10
+        |ORDER BY query_id, rn""".stripMargin,
+      "Hyperplane-LSH ANN top-10 for the same 3 queries: banded signature bucket equi-join + exact re-rank. The q39 registration uses md5-parity planes so the DuckDB twin re-derives the identical signatures (the 'approximate' method is a deterministic function of the corpus — only the recall is approximate, and that is pinned vs q36 in SimilaritySpec); production uses the xxhash64 planes (portablePlanes=false). Both Spark's aggregate and DuckDB's list_sum are strict sequential folds, so the projection sign test agrees to the last ulp.") {
       (s, d) =>
-        annTopK(Tables.embeddings(s, d), QueryIds, 10)
+        annTopK(Tables.embeddings(s, d), QueryIds, 10, portablePlanes = true)
           .orderBy(col("query_id"), col("rn"))
     },
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.functions.BottomKIds
+import graft.functions.{BottomKIds, KmvDistinct}
 import graft.plans.TopKPerKey
 import graft.sources.ZOrder
 
@@ -61,6 +61,34 @@ class PropSpec extends SparkSpec {
       }
       // and the sample is exactly the k smallest by hash key
       assert(agg.finish(whole) == xs.sortBy(e => (e._2, e._3)).take(7).map(_._3))
+    }
+  }
+
+  test("KmvDistinct is mergeable and replay-idempotent; below k it is exact") {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hash(v: Long): String =
+      md5.digest(v.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val elems = Gen.listOfN(300, Gen.chooseNum(0L, 500L))
+      .map(_.map(v => ("g", hash(v))))
+    val agg = new KmvDistinct(64)
+    for (seed <- 1L to 5L) {
+      val xs = gen(elems, seed)
+      val whole = xs.foldLeft(agg.zero)(agg.reduce)
+      for (cut <- Seq(0, 1, xs.size / 2, xs.size)) {
+        val (a, b) = xs.splitAt(cut)
+        val bufA = a.foldLeft(agg.zero)(agg.reduce)
+        val merged = agg.merge(bufA, b.foldLeft(agg.zero)(agg.reduce))
+        assert(agg.finish(merged) == agg.finish(whole), s"seed=$seed cut=$cut")
+        // replay idempotence: merging a partial in AGAIN changes nothing
+        assert(agg.finish(agg.merge(merged, bufA)) == agg.finish(whole))
+      }
+      val nd = xs.map(_._2).distinct.size
+      val (kUsed, est) = agg.finish(whole)
+      if (nd < 64) assert(kUsed == nd && est == nd.toDouble, "below-k must be exact")
+      else {
+        assert(kUsed == 64)
+        assert(math.abs(est - nd) / nd < 0.5, s"estimate $est vs true $nd")
+      }
     }
   }
 

@@ -27,6 +27,10 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall too low: $recall")
     // and the ANN result must itself be correctly ranked within buckets
     assert(ann.size <= exact.size)
+    // the portable (md5-plane) variant q39 ships must hold the same bound
+    val annMd5 = asSet(Similarity.annTopK(e, queryIds, 10, portablePlanes = true))
+    val recallMd5 = exact.count(annMd5.contains).toDouble / exact.size
+    assert(recallMd5 >= 0.5, s"portable-plane ANN recall too low: $recallMd5")
   }
 
   test("int8-quantized top-k nearly reproduces the exact float ranking") {
