@@ -72,7 +72,11 @@ final class KmvDistinct(k: Int)
 
   override def zero: List[String] = Nil
   override def reduce(buf: List[String], in: (String, String)): List[String] =
-    trim(in._2 :: buf)
+    // fast reject: once the buffer is full (sorted, distinct), a hash >= the
+    // current k-th smallest cannot enter the sketch — skip the O(k log k)
+    // re-trim for the overwhelming majority of rows past warm-up
+    if (buf.lengthCompare(k) >= 0 && in._2 >= buf.last) buf
+    else trim(in._2 :: buf)
   override def merge(a: List[String], b: List[String]): List[String] =
     trim(a ++ b)
   override def finish(buf: List[String]): (Int, Double) =

@@ -92,6 +92,48 @@ class SimilaritySpec extends SparkSpec {
     assert(!q(1).getSeq[Double](1).exists(_.isNaN))
   }
 
+  test("literal-matrix signatures equal the per-row-hash formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    // the ORIGINAL formulations (one hash expression per row × plane × dim),
+    // kept here as the semantic pin for the driver-precomputed sign matrices
+    def oldStyle(v: Column, planes: Int, sign: (Int, Column) => Column): Column = {
+      val dv = transform(v, _.cast("double"))
+      val bits = (0 until planes).map { p =>
+        val proj = aggregate(
+          zip_with(dv, transform(sequence(lit(0), size(v) - 1), j => sign(p, j)),
+            _ * _),
+          lit(0.0d), _ + _)
+        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      bits.reduce((x, y) => x.bitwiseOR(y))
+    }
+    val xxSign = (p: Int, j: Column) =>
+      when(pmod(xxhash64(lit(p), j), lit(2)) === 0, 1.0d).otherwise(-1.0d)
+    val md5Sign = (p: Int, j: Column) =>
+      when(conv(substring(md5(concat(lit(s"$p|"), j.cast("string"))), 1, 1), 16, 10)
+            .cast("int") % 2 === 0, 1.0d)
+        .otherwise(-1.0d)
+    val e = Tables.embeddings(spark, sf0001).limit(100)
+    val cmp = e.select(
+      graft.functions.VectorOps.hyperplaneSignature(col("embedding"), 8).as("nx"),
+      oldStyle(col("embedding"), 8, xxSign).as("ox"),
+      graft.functions.VectorOps.hyperplaneSignatureMd5(col("embedding"), 8).as("nm"),
+      oldStyle(col("embedding"), 8, md5Sign).as("om"))
+    assert(cmp.filter(col("nx") =!= col("ox") || col("nm") =!= col("om")).count() == 0)
+  }
+
+  test("oversized vector fails loud instead of a null-poisoned signature") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val big = Seq((1L, (0 until 2000).map(_.toFloat))).toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      big.select(graft.functions.VectorOps.hyperplaneSignature(col("embedding"), 4))
+        .collect()
+    }
+    assert(err.getMessage.contains("1024"), err.getMessage)
+  }
+
   test("hyperplane signature is deterministic across evaluations") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf0001).limit(50)
