@@ -86,7 +86,16 @@ object Similarity {
     * re-executes the whole Lloyd chain (and at iters≫3 the growing plan
     * itself becomes the bottleneck). This is the DataFrame analog of
     * MLlib KMeans keeping centers on the driver between iterations. */
-  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int,
+      portableMeans: Boolean = false): DataFrame = {
+    // portableMeans swaps the per-dim double avg for DetAgg.davg (exact
+    // decimal sum, one double division): order-independent and therefore
+    // bit-identical on any partitioning AND in the DuckDB twin — which is
+    // what gives q49 a full value-hash oracle. Double avg stays the
+    // default (2-3x cheaper per value; IVF recall does not care about the
+    // last ulp of a centroid).
+    val mean: Column => Column =
+      if (portableMeans) DetAgg.davg else avg(_)
     val dv = embeddings.select(col("vec_id"),
       graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
     var centroids = dv.orderBy(col("vec_id")).limit(k)
@@ -97,7 +106,7 @@ object Similarity {
       val assigned = assign(dv, centroids)
       centroids = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"), col("pos")).agg(mean(col("x")).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), expr("transform(pm, s -> s.m)").as("cvec"))
@@ -129,8 +138,9 @@ object Similarity {
     * re-rank inside. Candidate set is nprobe/nlist of the corpus — the
     * inverted-file shape that makes 100 TB ANN feasible. */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      nlist: Int = 8, nprobe: Int = 3, iters: Int = 3): DataFrame = {
-    val centroids = kmeansCentroids(embeddings, nlist, iters)
+      nlist: Int = 8, nprobe: Int = 3, iters: Int = 3,
+      portableMeans: Boolean = false): DataFrame = {
+    val centroids = kmeansCentroids(embeddings, nlist, iters, portableMeans)
     val dv = embeddings.select(col("vec_id"),
       graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
     val lists = assign(dv, centroids)
@@ -244,6 +254,68 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** DuckDB twin of ivfTopK(portableMeans = true): the three Lloyd
+    * iterations unroll into chained assign/recompute CTE rounds. Dot
+    * products are explicit sequential list folds (list_sum is a strict
+    * left fold, like Spark's aggregate/VecDot); centroid means are the
+    * DetAgg decimal-sum shape; argmax assignment breaks ties to the
+    * LARGER cid (mirroring array_max over struct(sim, cid)) while probe
+    * selection breaks ties to the smaller cid (mirroring the orderBy).
+    * Dims fixed at 64 (the embeddings schema). */
+  private def q49OracleSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(64), j -> $a[j+1] * $b[j+1]))"
+    def assignCte(prev: String, out: String) =
+      s"""${out}_sim AS (
+         |  SELECT a.vec_id, a.v, b.cid, ${dot("a.v", "b.cvec")} AS sim
+         |  FROM dv a CROSS JOIN $prev b),
+         |$out AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT vec_id, v, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+         |    FROM ${out}_sim) t WHERE rn = 1)""".stripMargin
+    def recomputeCte(assigned: String, out: String) =
+      s"""${out}_m AS (
+         |  SELECT cid, p.j AS j,
+         |    CAST(CAST(sum(CAST(v[p.j + 1] AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count(*) AS m
+         |  FROM $assigned CROSS JOIN (SELECT unnest(range(64)) AS j) p
+         |  GROUP BY cid, p.j),
+         |$out AS (
+         |  SELECT cid, list(m ORDER BY j) AS cvec FROM ${out}_m GROUP BY cid)""".stripMargin
+    s"""WITH dv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+       |  FROM (SELECT vec_id, v FROM dv ORDER BY vec_id LIMIT 8) t),
+       |${assignCte("c0", "a1")},
+       |${recomputeCte("a1", "c1")},
+       |${assignCte("c1", "a2")},
+       |${recomputeCte("a2", "c2")},
+       |${assignCte("c2", "a3")},
+       |${recomputeCte("a3", "c3")},
+       |${assignCte("c3", "lists")},
+       |queries AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM lists WHERE vec_id IN (0, 100, 200)),
+       |probes AS (
+       |  SELECT query_id, qv, cid FROM (
+       |    SELECT q.query_id, q.qv, b.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${dot("q.qv", "b.cvec")} DESC, b.cid) AS rn
+       |    FROM queries q CROSS JOIN c3 b) t
+       |  WHERE rn <= 3),
+       |scored AS (
+       |  SELECT p.query_id, l.vec_id,
+       |    round(${dot("l.v", "p.qv")} /
+       |      (sqrt(${dot("l.v", "l.v")}) * sqrt(${dot("p.qv", "p.qv")})), 6) AS cosine
+       |  FROM lists l JOIN probes p ON l.cid = p.cid AND l.vec_id <> p.query_id)
+       |SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= 10
+       |ORDER BY query_id, rn""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("q36_cosine_topk",
@@ -330,10 +402,10 @@ object Similarity {
           .orderBy(col("query_id"), col("rn"))
     },
 
-    Q.noOracle("q49_ann_ivf_topk",
-      "IVF ANN top-10: k-means-lite coarse quantizer (DataFrame Lloyd iterations), probe 3 of 8 inverted lists, exact re-rank (recall vs q36 asserted in SimilaritySpec).") {
+    Q("q49_ann_ivf_topk", q49OracleSql,
+      "IVF ANN top-10: k-means-lite coarse quantizer (DataFrame Lloyd iterations), probe 3 of 8 inverted lists, exact re-rank. Registered with portableMeans=true: centroid means are DetAgg decimal sums (order-independent, bit-identical cross-engine), dot products are sequential folds on both engines, and argmax/probe ties mirror exactly — so even the k-means ITERATIONS replay identically in the DuckDB twin (three unrolled assign/recompute CTE rounds) and this 'approximate' index gets a full value-hash oracle. Production default keeps plain double means (cheaper; recall is insensitive to centroid ulps). Recall vs q36 asserted in SimilaritySpec.") {
       (s, d) =>
-        ivfTopK(Tables.embeddings(s, d), QueryIds, 10)
+        ivfTopK(Tables.embeddings(s, d), QueryIds, 10, portableMeans = true)
           .orderBy(col("query_id"), col("rn"))
     },
 
