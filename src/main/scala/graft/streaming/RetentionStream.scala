@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.time.{DayOfWeek, Instant, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of the q73 weekly retention cohorts, by the same
+  * watermark-ordered finalization argument as [[FunnelStream]]: events
+  * buffer until the watermark passes them, then finalize in ascending
+  * (ts, event_id) order — so per user the first finalized event fixes the
+  * cohort week (it IS min(ts), no earlier event can still arrive), and
+  * each later event's week emits one (cohort_week, week_n) record the
+  * first time that week is seen.
+  *
+  * Week truncation matches `date_trunc('week', ts)` in UTC (Monday
+  * 00:00) — computed on epoch micros in the JVM, pinned against the SQL
+  * function in RetentionStreamSpec.
+  *
+  * Scale posture: per-user state is the cohort week plus the SET of
+  * already-emitted week starts — bounded by stream lifetime in weeks
+  * (52 longs/year), not by event volume — plus the watermark-horizon
+  * buffer. Output is append-mode exactly-once per (user, week), so the
+  * q73 aggregation (count per cohort_week × week_n) is a legal
+  * downstream streaming aggregate.
+  */
+object RetentionStream {
+
+  final case class REv(event_id: Long, ts: Timestamp, user_id: Long)
+
+  final case class RPending(us: Long, eventId: Long)
+
+  final case class RetentionState(
+      cohortUs: Option[Long], emittedWeeksUs: Seq[Long], buf: Seq[RPending])
+
+  /** One first-activity-in-week record per (user, week). */
+  final case class WeekActive(user_id: Long, cohort_week: Timestamp, week_n: Int)
+
+  private def us(t: Timestamp): Long = t.getTime * 1000 + t.getNanos / 1000 % 1000
+
+  private def tsFromUs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
+    t
+  }
+
+  /** Monday-00:00 UTC week start of an epoch-micros instant, in micros —
+    * the JVM twin of `date_trunc('week', ts)` under a UTC session. */
+  def weekStartUs(eventUs: Long): Long = {
+    val day = Instant.ofEpochSecond(Math.floorDiv(eventUs, 1000000L))
+      .atZone(ZoneOffset.UTC).toLocalDate
+    val monday = day.minusDays(day.getDayOfWeek.getValue - DayOfWeek.MONDAY.getValue)
+    monday.atStartOfDay(ZoneOffset.UTC).toEpochSecond * 1000000L
+  }
+
+  def transition(
+      userId: Long, events: Iterator[REv],
+      state: GroupState[RetentionState]): Iterator[WeekActive] = {
+    val wmUs = scala.util.Try(state.getCurrentWatermarkMs()).toOption
+      .map(_ * 1000L).getOrElse(Long.MaxValue)
+    val st0 = state.getOption.getOrElse(RetentionState(None, Nil, Nil))
+    val fresh = events
+      .map(e => RPending(us(e.ts), e.event_id))
+      .filter(p => p.us >= wmUs || wmUs == Long.MaxValue)
+      .toSeq
+    val all = st0.buf ++ fresh
+    val (ready, still) = all.partition(_.us < wmUs)
+    var cohort = st0.cohortUs
+    var emitted = st0.emittedWeeksUs.toSet
+    val out = Seq.newBuilder[WeekActive]
+    ready.sortBy(p => (p.us, p.eventId)).foreach { e =>
+      if (cohort.isEmpty) cohort = Some(weekStartUs(e.us))
+      val wk = weekStartUs(e.us)
+      if (!emitted.contains(wk)) {
+        emitted += wk
+        out += WeekActive(userId, tsFromUs(cohort.get),
+          ((wk - cohort.get) / 1000000L / 604800L).toInt)
+      }
+    }
+    state.update(RetentionState(cohort, emitted.toSeq.sorted, still))
+    if (still.nonEmpty && wmUs != Long.MaxValue)
+      state.setTimeoutTimestamp(still.map(_.us).min / 1000L + 1L)
+    out.result().iterator
+  }
+
+  /** Finalized (user, week) activity records for a batch or streaming
+    * events frame. Streaming callers must set a watermark. */
+  def retentionStages(events: DataFrame): Dataset[WeekActive] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"))
+      .as[REv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        transition)
+  }
+
+  /** Watermarked streaming entry point. */
+  def retentionStages(events: DataFrame, watermark: String): Dataset[WeekActive] =
+    retentionStages(events.withWatermark("ts", watermark))
+
+  /** q73's headline shape from the stage records. */
+  def cohortCounts(stages: Dataset[WeekActive]): DataFrame =
+    stages.groupBy(col("cohort_week"), col("week_n"))
+      .agg(count(lit(1)).as("n_users"))
+}
