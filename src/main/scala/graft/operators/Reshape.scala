@@ -120,5 +120,80 @@ object Reshape {
           .agg(count(lit(1)).as("n"))
           .orderBy(col("kind"), col("entity_id"))
     },
+
+    Q("q75_histogram_quantiles",
+      """WITH r AS (
+        |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+        |s AS (
+        |  SELECT g, min(x) AS mn, max(x) AS mx, count(*) AS n FROM r GROUP BY g),
+        |b AS (
+        |  SELECT g, bucket, count(*) AS cnt FROM (
+        |    SELECT r.g AS g,
+        |      CASE WHEN s.mx = s.mn THEN 0
+        |           ELSE CAST(least(floor((r.x - s.mn) / ((s.mx - s.mn) / 256.0)), 255) AS INT)
+        |      END AS bucket
+        |    FROM r JOIN s USING (g)) t
+        |  GROUP BY g, bucket),
+        |c AS (
+        |  SELECT g, bucket, cnt,
+        |    sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum
+        |  FROM b),
+        |cand AS (
+        |  SELECT c.g, qx.p, c.bucket, c.cnt, c.cum, s.mn, s.mx,
+        |    qx.p * s.n AS target,
+        |    row_number() OVER (PARTITION BY c.g, qx.p ORDER BY c.bucket) AS rn
+        |  FROM c CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS p) qx
+        |  JOIN s USING (g)
+        |  WHERE c.cum >= qx.p * s.n)
+        |SELECT g AS l_returnflag, p,
+        |  CASE WHEN mx = mn THEN mn
+        |       ELSE mn + (mx - mn) / 256.0 *
+        |            (CAST(bucket AS DOUBLE) + (target - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE))
+        |  END AS est_quantile
+        |FROM cand WHERE rn = 1
+        |ORDER BY l_returnflag, p""".stripMargin,
+      "Histogram-sketch quantiles (256 equi-width buckets, linear interpolation within the hit bucket) — the mergeable, bounded-memory swap for q50's exact percentile, whose full-buffer-per-group aggregate is OOM-shaped at 100 TB. Histogram counts merge by addition (map-side combined; the shuffle carries at most 256 longs per group), and unlike KLL (q52) every step is deterministic closed-form double math, so the estimate itself is oracle-exact. Two passes (min/max, then counts), both full map-side; no rounding on the estimate — both engines run the identical IEEE expression (rounding would actually HURT: bucket widths divide by a power of two, so .xxxxx5 halves are common — the q41 lesson). The quantile literals are CAST AS DOUBLE in the twin because DuckDB parses bare 0.95 as DECIMAL(3,2), making p*n an exact decimal where Spark computes the double product — an ulp that flips the estimate's last bits.") {
+      (s, d) =>
+        histogramQuantiles(Tables.lineitem(s, d), "l_returnflag",
+            col("l_extendedprice"), 256, Seq(0.5, 0.95))
+          .orderBy(col("l_returnflag"), col("p"))
+    },
   )
+
+  /** Equi-width histogram quantile estimate per group: two map-side passes
+    * (min/max/count, then bucket counts), cumulative window, linear
+    * interpolation inside the first bucket whose cumulative count reaches
+    * q*n. State per group is `buckets` longs — mergeable by addition, the
+    * property exact percentile lacks. See q75 for the scale rationale. */
+  def histogramQuantiles(df: org.apache.spark.sql.DataFrame, grp: String,
+      value: org.apache.spark.sql.Column, buckets: Int,
+      qs: Seq[Double]): org.apache.spark.sql.DataFrame = {
+    val rows = df.select(col(grp), value.cast("double").as("x"))
+    val stats = rows.groupBy(col(grp)).agg(
+      min(col("x")).as("mn"), max(col("x")).as("mx"), count(lit(1)).as("n"))
+    def w = (col("mx") - col("mn")) / lit(buckets.toDouble)
+    val hist = rows.join(stats, Seq(grp))
+      .select(col(grp), col("mn"), col("mx"), col("n"),
+        when(col("mx") === col("mn"), 0)
+          .otherwise(least(floor((col("x") - col("mn")) / w), lit(buckets - 1))
+            .cast("int")).as("bucket"))
+      .groupBy(col(grp), col("mn"), col("mx"), col("n"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+      Window.partitionBy(col(grp)).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.withColumn("p", explode(array(qs.map(lit(_)): _*)))
+      .withColumn("target", col("p") * col("n"))
+      .filter(col("cum") >= col("target"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(grp), col("p")).orderBy(col("bucket"))))
+      .filter(col("rn") === 1)
+      .select(col(grp), col("p"),
+        when(col("mx") === col("mn"), col("mn"))
+          .otherwise(col("mn") + w *
+            (col("bucket").cast("double") +
+              (col("target") - (col("cum") - col("cnt")).cast("double")) /
+                col("cnt").cast("double")))
+          .as("est_quantile"))
+  }
 }
