@@ -92,6 +92,32 @@ class PlanSpec extends SparkSpec {
       "subquery executed as a nested loop:\n" + s.take(600))
   }
 
+  test("q75 histogram: tiny stats side broadcasts, counts aggregate map-side") {
+    val s = planString("q75_histogram_quantiles")
+    assert(s.contains("partial_"), "no partial aggregation phase")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      "stats join degenerated:\n" + s.take(600))
+    val bhj = planOf("q75_histogram_quantiles").collect {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty,
+      "per-group stats (a handful of rows) must broadcast onto the scan, not shuffle it")
+  }
+
+  test("q74 KMV: typed aggregator runs with a partial (map-side) phase") {
+    val s = planString("q74_kmv_distinct")
+    assert(s.contains("partial_"),
+      "KmvDistinct must combine map-side (ships <= k hashes per group per task):\n" +
+        s.take(600))
+  }
+
+  test("q39 plan carries no per-row plane hashing (sign matrices are literals)") {
+    val s = planString("q39_ann_lsh_topk")
+    assert(!s.contains("xxhash64(") && !s.contains("md5("),
+      "hyperplane signs must be precomputed literals, not per-row hash calls:\n" +
+        s.take(800))
+  }
+
   test("shuffle counts stay bounded for the headline queries") {
     val maxShuffles = Map(
       "q01_pricing_summary" -> 2, // partial/final agg + sort
