@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+
+import graft.SparkSpec
+
+/** Direct unit tests of the watermark-ordered transition functions via
+  * Spark's TestGroupState — the paths the end-to-end streaming specs
+  * cannot isolate: late-event drop, above-watermark buffering, timeout
+  * re-invocation draining, and cross-invocation ordering. */
+class TransitionSpec extends SparkSpec {
+
+  private def ts(s: Long): Timestamp = new Timestamp(s * 1000)
+  private def usOf(s: Long): Long = s * 1000000L
+
+  import org.apache.spark.api.java.Optional
+
+  private def state(wmMs: Long, st: Option[FunnelStream.FunnelState] = None) =
+    TestGroupState.create[FunnelStream.FunnelState](
+      optionalState = st.map(Optional.of[FunnelStream.FunnelState])
+        .getOrElse(Optional.empty[FunnelStream.FunnelState]()),
+      timeoutConf = GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.of(java.lang.Long.valueOf(wmMs).longValue()),
+      hasTimedOut = false)
+
+  private def ev(id: Long, sec: Long, tpe: String) =
+    FunnelStream.FEv(id, ts(sec), 1L, tpe)
+
+  test("events above the watermark buffer; nothing emits until finalizable") {
+    val gs = state(wmMs = 0L)
+    val out = FunnelStream.transition(1L,
+      Iterator(ev(1, 100, "view"), ev(2, 200, "click")), gs).toList
+    assert(out.isEmpty, "nothing below the watermark may finalize")
+    assert(gs.get.buf.size == 2)
+    assert(gs.getTimeoutTimestampMs.isPresent,
+      "a pending buffer must register an event-time timeout")
+  }
+
+  test("late events (below the watermark) are dropped, not finalized out of order") {
+    // watermark already at t=150: a view at t=100 is late and must be
+    // dropped, so the click at t=200 (already buffered) finalizes against
+    // NO earlier view — exactly the documented drop policy
+    val st0 = FunnelStream.FunnelState(None, None, None,
+      Seq(FunnelStream.Pending(usOf(200), 2L, "click")))
+    val gs = state(wmMs = 300000L, st = Some(st0))
+    val out = FunnelStream.transition(1L, Iterator(ev(1, 100, "view")), gs).toList
+    assert(out.isEmpty, s"late view must not create a stage: $out")
+    assert(gs.get.t1.isEmpty, "late view must not set the cohort stage")
+  }
+
+  test("timeout invocation drains the buffer in (ts, event_id) order") {
+    // buffered out of arrival order; on re-invocation with the watermark
+    // advanced, the machine must process view(100) before click(150)
+    val st0 = FunnelStream.FunnelState(None, None, None, Seq(
+      FunnelStream.Pending(usOf(150), 9L, "click"),
+      FunnelStream.Pending(usOf(100), 7L, "view")))
+    val gs = state(wmMs = 1000000L, st = Some(st0))
+    val out = FunnelStream.transition(1L, Iterator.empty, gs).toList
+    assert(out.map(s => (s.stage, s.ts.getTime / 1000)) == List((1, 100L), (2, 150L)),
+      out.toString)
+  }
+
+  test("completed funnel with an empty buffer removes its state") {
+    val st0 = FunnelStream.FunnelState(None, None, None, Seq(
+      FunnelStream.Pending(usOf(10), 1L, "view"),
+      FunnelStream.Pending(usOf(20), 2L, "click"),
+      FunnelStream.Pending(usOf(30), 3L, "purchase")))
+    val gs = state(wmMs = 1000000L, st = Some(st0))
+    val out = FunnelStream.transition(1L, Iterator.empty, gs).toList
+    assert(out.map(_.stage) == List(1, 2, 3))
+    assert(!gs.exists, "a completed funnel must not hold state forever")
+  }
+
+  test("retention: one record per week, cohort fixed by the first finalized event") {
+    // events arrive as already-buffered state (they arrived above the
+    // watermark earlier); a timeout-style invocation with the watermark
+    // advanced past them finalizes all three in time order
+    val mondayUtc = 1704067200L // 2024-01-01 00:00:00 UTC, a Monday
+    val st0 = RetentionStream.RetentionState(None, Nil, Seq(
+      RetentionStream.RPending((mondayUtc + 15 * 86400) * 1000000L, 3L), // week 2
+      RetentionStream.RPending((mondayUtc + 10 * 3600) * 1000000L, 1L),  // week 0
+      RetentionStream.RPending((mondayUtc + 2 * 86400) * 1000000L, 2L))) // week 0 again
+    val gs = TestGroupState.create[RetentionStream.RetentionState](
+      optionalState = Optional.of(st0),
+      timeoutConf = GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.of(4102444800000L), // far future
+      hasTimedOut = false)
+    val out = RetentionStream.transition(5L, Iterator.empty, gs).toList
+    assert(out.map(_.week_n) == List(0, 2), out.toString)
+    assert(out.forall(_.cohort_week.getTime == mondayUtc * 1000L),
+      s"cohort must be the Monday of the first finalized event: $out")
+    assert(gs.get.emittedWeeksUs.size == 2, "exactly one emission per distinct week")
+  }
+}
