@@ -25,16 +25,22 @@ object TextAnalysis {
     size(regexp_extract_all(lower(c), lit(s"\\b(${words.mkString("|")})\\b"), lit(0)))
 
   /** Heuristic language-ID: CJK chars → zh, else the profile with the
-    * most stopword hits (fixed priority on ties). */
+    * most stopword hits (fixed tie priority en>es>de>fr).
+    *
+    * Deliberately a FLAT when-cascade (the same CASE shape as the q30
+    * oracle): the earlier fold formulation nested each comparison inside
+    * the previous ones' `when` branches, so the expression tree re-embedded
+    * every regex score exponentially — language k's count appeared in
+    * O(2^k) branch contexts, and whether that costs one regex scan or many
+    * is left to codegen subexpression elimination. Flat references keep
+    * each of the 5 regex scans appearing a bounded number of times. */
   def langId(text: Column): Column = {
-    val scores = LangProfiles.map { case (l, ws) => l -> hitCount(text, ws) }
-    val best = scores.tail.foldLeft(lit(LangProfiles.head._1) -> scores.head._2) {
-      case ((bestLang, bestScore), (l, s)) =>
-        (when(s > bestScore, lit(l)).otherwise(bestLang),
-         when(s > bestScore, s).otherwise(bestScore))
-    }._1
+    val Seq(en, es, de, fr) = LangProfiles.map { case (_, ws) => hitCount(text, ws) }
     when(size(regexp_extract_all(text, lit("[\\u4e00-\\u9fff]"), lit(0))) > 0, "zh")
-      .otherwise(best)
+      .when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
   }
 
   val queries: Seq[Q] = Seq(
