@@ -75,31 +75,40 @@ object TextFunctions {
   // SQL/DuckDB, which is what lets q35 carry a full value-hash oracle instead
   // of a rows-only check. Same shapes, same costs (one md5 per token).
 
-  /** 64-bit token hash from the first 16 hex chars of md5(token): the two
+  /** Per-token md5 hex strings — ONE md5 per token. HOF lambda bodies get
+    * no subexpression elimination, so every md5-derived signature should
+    * be built from this shared array rather than hashing inside its own
+    * lambda (q35 computed 3 md5/token before this refactor). */
+  def md5TokenHex(c: Column): Column = transform(wsTokens(c), w => md5(w))
+
+  /** 64-bit token hashes from the first 16 hex chars of each md5: the two
     * 32-bit halves are parsed separately (each fits a signed long) and
     * recombined bitwise, so no 64-bit unsigned parse is ever needed. */
-  def md5TokenHash64(w: Column): Column = {
-    val hi = conv(substring(md5(w), 1, 8), 16, 10).cast("long")
-    val lo = conv(substring(md5(w), 9, 8), 16, 10).cast("long")
-    shiftleft(hi, 32).bitwiseOR(lo)
-  }
+  def tokenHashesFromHex(hexes: Column): Column =
+    transform(hexes, hx =>
+      shiftleft(conv(substring(hx, 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(hx, 9, 8), 16, 10).cast("long")))
 
-  /** SimHash-64 over md5-derived token hashes, rendered as a 16-char
-    * lowercase hex string (the cross-engine-stable encoding for a value
-    * whose top bit may be set). */
-  def simhashHex(c: Column): Column = {
-    val sig = graft.expressions.SimHash64(
-      transform(wsTokens(c), w => md5TokenHash64(w)))
-    lower(lpad(hex(sig), 16, "0"))
-  }
+  /** SimHash-64 over 64-bit token hashes, rendered as a 16-char lowercase
+    * hex string (the cross-engine-stable encoding for a value whose top
+    * bit may be set). */
+  def simhashHexFromHashes(th: Column): Column =
+    lower(lpad(hex(graft.expressions.SimHash64(th)), 16, "0"))
 
-  /** Karp-Rabin rolling hash with md5-derived token values:
-    * acc = (acc * 31 + (md5_hi32(token) mod p)) mod p, p = 1e9+7.
+  /** Karp-Rabin rolling hash over the same 64-bit token hashes:
+    * acc = (acc * 31 + (hi32(h) mod p)) mod p, p = 1e9+7 — hi32(h) is
+    * exactly the first-8-hex-chars value the DuckDB twin parses.
     * Order-sensitive like [[rollingHash]], but portable. */
-  def rollingHashMd5(c: Column): Column = {
+  def rollingFromHashes(th: Column): Column = {
     val p = lit(1000000007L)
-    aggregate(wsTokens(c), lit(0L),
-      (acc, w) => pmod(acc * lit(31L) +
-        pmod(conv(substring(md5(w), 1, 8), 16, 10).cast("long"), p), p))
+    aggregate(th, lit(0L),
+      (acc, h) => pmod(acc * lit(31L) + pmod(shiftrightunsigned(h, 32), p), p))
   }
+
+  /** Convenience single-column forms (each rehashes the tokens; when
+    * deriving BOTH signatures, share [[md5TokenHex]] as q35 does). */
+  def simhashHex(c: Column): Column =
+    simhashHexFromHashes(tokenHashesFromHex(md5TokenHex(c)))
+  def rollingHashMd5(c: Column): Column =
+    rollingFromHashes(tokenHashesFromHex(md5TokenHex(c)))
 }

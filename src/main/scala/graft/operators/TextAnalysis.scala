@@ -150,9 +150,12 @@ object TextAnalysis {
       "SimHash-64 signatures + Karp-Rabin rolling hash per document over md5-derived token hashes — fully deterministic, so unlike true sketches this 'signature' query carries an exact value-hash oracle. The DuckDB twin re-derives the 64 majority votes nibble-wise from the md5 hex; Spark computes them in the single-pass codegen'd SimHash64 expression (one tight loop per row — the twin's 64-way unnest×unnest shape is the oracle, not the plan). The production variant (graft.functions.TextFunctions.simhash64/rollingHash) swaps md5 for the faster xxhash64; bit-equality of the expression machinery is pinned in ExpressionsSpec.") {
       (s, d) =>
         Tables.documents(s, d)
+          // hash each token ONCE; both signatures derive from the shared
+          // 64-bit hash array (HOF lambdas get no subexpression elimination)
+          .withColumn("_th", tokenHashesFromHex(md5TokenHex(col("text"))))
           .select(col("doc_id"),
-            simhashHex(col("text")).as("simhash_hex"),
-            rollingHashMd5(col("text")).as("rolling_hash"))
+            simhashHexFromHashes(col("_th")).as("simhash_hex"),
+            rollingFromHashes(col("_th")).as("rolling_hash"))
           .orderBy(col("doc_id"))
     },
 
