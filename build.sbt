@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output normally round-trips through sbt's logger, which
+// prefixes every line with "[info] " — that prefix is what kept the
+// driver's BENCH json tail unparseable (parsed:null in rounds 3 and 4)
+// even after Bench printed a compact final line. StdoutOutput hands the
+// forked JVM the real stdout so graft.Bench's JSON line survives as-is.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

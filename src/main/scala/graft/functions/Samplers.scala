@@ -82,7 +82,11 @@ final class KmvDistinct(k: Int)
   override def finish(buf: List[String]): (Int, Double) =
     if (buf.size < k) (buf.size, buf.size.toDouble)
     else {
-      val frac = java.lang.Long.parseLong(buf.last.take(8), 16) / 4294967296.0
+      // clamp: if the k-th hash's top 32 bits are all zero (possible, just
+      // astronomically rare at k=256) a raw parse would make frac = 0.0 and
+      // the estimate Infinity — floor the divisor at 1/2^32 instead (the
+      // q74 twin mirrors this with GREATEST(..., 1))
+      val frac = math.max(java.lang.Long.parseLong(buf.last.take(8), 16), 1L) / 4294967296.0
       (k, (k - 1).toDouble / frac)
     }
 

@@ -146,7 +146,9 @@ object Multimodal {
         |  FROM b),
         |base AS (
         |  SELECT doc_id, CAST(len(bytes) AS INTEGER) AS n_bytes,
-        |    list_sum(list_transform(bytes, x -> CAST(x AS DOUBLE))) / len(bytes) AS mean_byte
+        |    CASE WHEN len(bytes) = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(bytes, x -> CAST(x AS DOUBLE))) / len(bytes)
+        |    END AS mean_byte
         |  FROM resized),
         |cnt AS (
         |  SELECT doc_id, v, count(*) AS c
@@ -156,10 +158,11 @@ object Multimodal {
         |    round(-sum((CAST(c AS DOUBLE) / s) * ln(CAST(c AS DOUBLE) / s) / ln(2)), 6) AS byte_entropy
         |  FROM (SELECT doc_id, v, c, sum(c) OVER (PARTITION BY doc_id) AS s FROM cnt)
         |  GROUP BY doc_id)
-        |SELECT base.doc_id, n_bytes, mean_byte, byte_entropy, 4 AS n_frames
-        |FROM base JOIN ent ON base.doc_id = ent.doc_id
+        |SELECT base.doc_id, n_bytes, mean_byte,
+        |  COALESCE(byte_entropy, 0.0) AS byte_entropy, 4 AS n_frames
+        |FROM base LEFT JOIN ent ON base.doc_id = ent.doc_id
         |ORDER BY base.doc_id""".stripMargin,
-      "Stubbed resize + decode + feature extraction via Dataset.mapPartitions (real batching shape; deterministic byte-level features over 128-byte thumbnails). The stub decode is honest-but-deterministic, which makes even this query oracle-able: the DuckDB twin re-derives the nearest-neighbor byte sample from the hex of the utf-8 blob and recomputes mean/entropy in SQL. mean_byte needs NO rounding — an integer byte sum is exact in a double in any summation order, and both engines then perform the identical IEEE division (resizing to a power-of-two length makes .xxxxxx5 halves COMMON, where HALF_UP/HALF_EVEN rounding disagreement bites — so not rounding is the safer parity, not a shortcut). byte_entropy is transcendental, so both sides round to 6 decimals to absorb ulp-level ln() differences.") {
+      "Stubbed resize + decode + feature extraction via Dataset.mapPartitions (real batching shape; deterministic byte-level features over 128-byte thumbnails). The stub decode is honest-but-deterministic, which makes even this query oracle-able: the DuckDB twin re-derives the nearest-neighbor byte sample from the hex of the utf-8 blob and recomputes mean/entropy in SQL. An EMPTY blob is guarded on the twin side (CASE around the mean's division, LEFT JOIN + COALESCE for entropy) so it agrees with the Spark stub's (0.0, 0.0) instead of NULLing the mean and dropping the row from the inner join. mean_byte needs NO rounding — an integer byte sum is exact in a double in any summation order, and both engines then perform the identical IEEE division (resizing to a power-of-two length makes .xxxxxx5 halves COMMON, where HALF_UP/HALF_EVEN rounding disagreement bites — so not rounding is the safer parity, not a shortcut). byte_entropy is transcendental, so both sides round to 6 decimals to absorb ulp-level ln() differences.") {
       (s, d) =>
         extractFeatures(resize(assets(Tables.documents(s, d)), targetBytes = 128))
           .toDF()

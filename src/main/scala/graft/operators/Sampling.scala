@@ -94,7 +94,7 @@ object Sampling {
         |  CAST(LEAST(nd, 256) AS INT) AS k_used,
         |  CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
         |       ELSE CAST(255 AS DOUBLE) /
-        |            (CAST('0x' || substring(kth, 1, 8) AS BIGINT) / 4294967296.0)
+        |            (GREATEST(CAST('0x' || substring(kth, 1, 8) AS BIGINT), 1) / 4294967296.0)
         |  END AS est_distinct,
         |  CAST(nd AS BIGINT) AS exact_distinct
         |FROM grp g LEFT JOIN kth USING (o_orderpriority)

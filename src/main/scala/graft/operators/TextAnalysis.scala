@@ -35,12 +35,20 @@ object TextAnalysis {
     * is left to codegen subexpression elimination. Flat references keep
     * each of the 5 regex scans appearing a bounded number of times. */
   def langId(text: Column): Column = {
-    val Seq(en, es, de, fr) = LangProfiles.map { case (_, ws) => hitCount(text, ws) }
-    when(size(regexp_extract_all(text, lit("[\\u4e00-\\u9fff]"), lit(0))) > 0, "zh")
-      .when(en >= es && en >= de && en >= fr, "en")
-      .when(es >= de && es >= fr, "es")
-      .when(de >= fr, "de")
-      .otherwise("fr")
+    // built generically from LangProfiles so adding/reordering a profile
+    // cannot desync (the old `val Seq(en, es, de, fr) = ...` destructure
+    // compiled against any list length and MatchError'd at runtime); tie
+    // priority is the LIST ORDER: profile i wins when its score >= every
+    // LATER profile's score, which for (en, es, de, fr) is exactly the
+    // en>es>de>fr cascade the q30 oracle's CASE text spells out
+    val scores = LangProfiles.map { case (lang, ws) => lang -> hitCount(text, ws) }
+    val cjk = when(
+      size(regexp_extract_all(text, lit("[\\u4e00-\\u9fff]"), lit(0))) > 0, "zh")
+    scores.init.zipWithIndex.foldLeft(cjk) { case (acc, ((lang, s), i)) =>
+        val later = scores.drop(i + 1).map(_._2)
+        acc.when(later.map(s >= _).reduce(_ && _), lang)
+      }
+      .otherwise(scores.last._1)
   }
 
   val queries: Seq[Q] = Seq(

@@ -26,6 +26,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * watermark advances; an event-time timeout re-invokes idle groups so
   * draining does not depend on new arrivals). A 1000-executor job holds
   * |users| × (3 longs + horizon backlog), never the stream's history.
+  * Completed users keep a 3-long tombstone forever rather than having
+  * state removed — removal would let post-purchase events re-enter the
+  * funnel at stage 1 and double-count (callers who need reclamation can
+  * layer a TTL on top, accepting that documented caveat).
   * Output is append-mode monotone (a stage record is emitted exactly once,
   * when it becomes final), so downstream streaming aggregations — e.g. the
   * per-stage counts — remain legal.
@@ -95,9 +99,15 @@ object FunnelStream {
     val (ready, still) = all.partition(_.us < wmUs)
     val (st1, out) = advance(userId, st0.copy(buf = still),
       ready.sortBy(p => (p.us, p.eventId)))
-    if (st1.t3.nonEmpty && still.isEmpty) {
-      // funnel complete and nothing pending: this user's state is dead weight
-      state.remove()
+    if (st1.t3.nonEmpty) {
+      // Funnel complete: keep a 3-timestamp TOMBSTONE, never remove(). A
+      // user who keeps generating events after the purchase (views, more
+      // clicks) would otherwise see fresh empty state and re-emit stage 1
+      // — overcounting funnelCounts and breaking the exactly-once /
+      // batch-equivalence guarantee. The tombstone is 3 longs per
+      // completed user (buffer dropped — no stage can ever fire again,
+      // so pending events are dead weight), still bounded state.
+      state.update(st1.copy(buf = Nil))
     } else {
       state.update(st1)
       if (still.nonEmpty && wmUs != Long.MaxValue) {

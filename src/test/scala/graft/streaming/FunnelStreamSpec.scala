@@ -73,4 +73,44 @@ class FunnelStreamSpec extends SparkSpec {
     // append-mode emission is exactly-once per stage record
     assert(spark.table("funnel_out").filter(col("user_id") >= 0).count() == want.size)
   }
+
+  test("a user with events after completing the funnel emits no duplicate stages") {
+    // Four micro-batches, each advancing the watermark (delay 1h):
+    //   batch 1: user 10's view→click→purchase buffer; marker pushes wm to 9h
+    //   batch 2: inert marker — the timeout finalizes all three stages, the
+    //            funnel COMPLETES (old code: state.remove() here); wm → 19h
+    //   batch 3: user 10 keeps browsing — view @ 21h (above the watermark)
+    //            buffers; with removed state that buffer is FRESH state
+    //   batch 4: inert marker; the timeout finalizes the 21h view. Removed
+    //            state re-emits stage 1 (→ 4 records); the tombstone keeps
+    //            the output at exactly the 3 original stages.
+    val dir = Files.createTempDirectory("graft-funnel-post").toString
+    val spark0 = spark
+    import spark0.implicits._
+    def hours(h: Double): java.sql.Timestamp =
+      new java.sql.Timestamp((h * 3600 * 1000).toLong)
+    def write(rows: (Long, Double, Long, String)*): Unit =
+      rows.toSeq
+        .map { case (id, h, u, t) => (id, hours(h), u, t) }
+        .toDF("event_id", "ts", "user_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(dir)
+    write((1L, 1.0, 10L, "view"), (2L, 2.0, 10L, "click"),
+      (3L, 3.0, 10L, "purchase"), (90L, 10.0, -1L, "error"))
+    write((91L, 20.0, -1L, "error"))
+    write((4L, 21.0, 10L, "view"), (92L, 30.0, -1L, "error"))
+    write((93L, 40.0, -1L, "error"))
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4, "each micro-batch needs its own file")
+    val schema = spark.read.parquet(dir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = FunnelStream.funnelStages(src, "1 hour")
+      .writeStream.format("memory").queryName("funnel_post")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("funnel_post").filter(col("user_id") === 10L)
+      .collect().map(r => (r.getInt(1), r.getTimestamp(2).getTime / 3600000.0)).toSet
+    assert(got == Set((1, 1.0), (2, 2.0), (3, 3.0)),
+      s"expected exactly the 3 original stages, got $got")
+  }
 }

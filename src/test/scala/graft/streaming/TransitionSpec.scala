@@ -63,7 +63,7 @@ class TransitionSpec extends SparkSpec {
       out.toString)
   }
 
-  test("completed funnel with an empty buffer removes its state") {
+  test("completed funnel keeps a tombstone, not fresh state") {
     val st0 = FunnelStream.FunnelState(None, None, None, Seq(
       FunnelStream.Pending(usOf(10), 1L, "view"),
       FunnelStream.Pending(usOf(20), 2L, "click"),
@@ -71,7 +71,39 @@ class TransitionSpec extends SparkSpec {
     val gs = state(wmMs = 1000000L, st = Some(st0))
     val out = FunnelStream.transition(1L, Iterator.empty, gs).toList
     assert(out.map(_.stage) == List(1, 2, 3))
-    assert(!gs.exists, "a completed funnel must not hold state forever")
+    // state.remove() here was the round-4 high-severity bug: a user whose
+    // events continue after the purchase would see fresh empty state and
+    // re-emit stage 1 — the completed user must keep a 3-long tombstone
+    assert(gs.exists, "a completed funnel must keep a tombstone")
+    val st1 = gs.get
+    assert(st1.t1.nonEmpty && st1.t2.nonEmpty && st1.t3.nonEmpty)
+    assert(st1.buf.isEmpty, "tombstone must not retain buffered events")
+  }
+
+  test("post-completion events never re-emit a stage (exactly-once)") {
+    // user completed the funnel in an earlier micro-batch; they keep
+    // browsing afterwards. Path 1: new events ABOVE the watermark arrive
+    // at a tombstoned user — they are dead weight, so no buffering, no
+    // timeout, no output
+    val done = FunnelStream.FunnelState(
+      Some(usOf(10)), Some(usOf(20)), Some(usOf(30)), Nil)
+    val gs = state(wmMs = 35000L, st = Some(done))
+    val out = FunnelStream.transition(1L,
+      Iterator(ev(4, 40, "view"), ev(5, 50, "click"), ev(6, 60, "purchase")),
+      gs).toList
+    assert(out.isEmpty, s"post-completion events re-emitted stages: $out")
+    assert(gs.exists && gs.get == done, "tombstone must survive unchanged")
+    assert(!gs.getTimeoutTimestampMs.isPresent,
+      "a completed user must not schedule timeouts for dead-weight events")
+    // Path 2: events that buffered before completion landed now FINALIZE
+    // against the completed machine — still no output, tombstone stays
+    val withBuf = done.copy(buf = Seq(
+      FunnelStream.Pending(usOf(40), 4L, "view"),
+      FunnelStream.Pending(usOf(50), 5L, "purchase")))
+    val gs2 = state(wmMs = 1000000L, st = Some(withBuf))
+    val out2 = FunnelStream.transition(1L, Iterator.empty, gs2).toList
+    assert(out2.isEmpty, s"finalized post-completion events emitted: $out2")
+    assert(gs2.exists && gs2.get == done, "tombstone must shed the dead buffer")
   }
 
   test("retention: one record per week, cohort fixed by the first finalized event") {
