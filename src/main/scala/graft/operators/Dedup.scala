@@ -145,6 +145,68 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash-banded near-dup pairs: the 64-bit signature (per-row
+    * codegen'd expression, no shuffle) splits into four 16-bit bands;
+    * documents agreeing on at least one band are candidates (pigeonhole:
+    * every pair within hamming ≤ 3 is guaranteed caught, and in practice
+    * most near-dups far beyond that), then the exact 64-bit hamming
+    * distance re-ranks candidates and keeps pairs ≤ `maxHamming`.
+    *
+    * Scale: the candidate join keys on (band, 16-bit value) — |docs|×4
+    * rows with constant-size keys, never all pairs; random-pair collision
+    * odds are 2⁻¹⁶ per band. Complements q33 (shingle inverted index,
+    * keys grow with text) and q34 (MinHash bands, set similarity): this
+    * one costs a single long per document and ranks by BIT distance. */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      graft.expressions.SimHash64(tokenHashesFromHex(md5TokenHex(col("text")))).as("sig"))
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xffffL)).as("bv"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("sig"),
+        col("bs.band").as("band"), col("bs.bv").as("bv"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sig").as("s1"), col("b.sig").as("s2"))
+      .distinct() // a pair may agree on several bands — count it once
+      .select(col("d1"), col("d2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Train/test contamination check (decontamination pass): test-split
+    * documents sharing at least one 3-gram shingle with ANY train-split
+    * document, with the shared-shingle count and contamination rate.
+    *
+    * Scale: the split is the md5-bucket membership function (no split
+    * table to join); the overlap is an equi-join of the test docs'
+    * 8-byte shingle hashes against the DISTINCT train shingle hashes —
+    * an inverted-index probe, never a doc×doc comparison. This is the
+    * standard pre-training hygiene pass: report (and then drop or
+    * re-bucket) eval documents the training corpus has seen. */
+  def contamination(docs: DataFrame): DataFrame = {
+    val sh = hashedShingles(docs)
+      .join(docs.select(col("doc_id"), Sampling.splitOf(col("doc_id")).as("split")),
+        Seq("doc_id"))
+    val trainSh = sh.filter(col("split") === "train").select(col("h")).distinct()
+    val testSh = sh.filter(col("split") === "test")
+      .select(col("doc_id"), col("h")).distinct()
+    val tot = testSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = testSh.join(trainSh, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    tot.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) * lit(1.0d) / col("n_shingles"))
+          .as("contamination"))
+      .filter(col("n_shared") > 0)
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("q32_exact_dedup",
@@ -267,6 +329,76 @@ object Dedup {
           .groupBy(col("component"))
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("component"))
+    },
+
+    Q("q76_simhash_neardup",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+        |th AS (
+        |  SELECT doc_id, substring(md5(w), 1, 16) AS hx FROM tok),
+        |nib AS (
+        |  SELECT doc_id, p.p AS p, CAST('0x' || substring(hx, p.p, 1) AS INTEGER) AS v
+        |  FROM th CROSS JOIN (SELECT unnest(range(1, 17)) AS p) p),
+        |votes AS (
+        |  SELECT doc_id, p, b.b AS b,
+        |    sum(CASE WHEN (v >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM nib CROSS JOIN (SELECT unnest(range(4)) AS b) b
+        |  GROUP BY doc_id, p, b.b),
+        |nibs AS (
+        |  SELECT doc_id, p, CAST(sum(CASE WHEN vote > 0 THEN 1 << b ELSE 0 END) AS INTEGER) AS nv
+        |  FROM votes GROUP BY doc_id, p),
+        |bandv AS (
+        |  SELECT doc_id, b.b AS band,
+        |    sum(nv * (1 << (4 * ((16 - p) % 4)))) AS bv
+        |  FROM nibs CROSS JOIN (SELECT unnest(range(4)) AS b) b
+        |  WHERE (16 - p) // 4 = b.b
+        |  GROUP BY doc_id, b.b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bandv a JOIN bandv b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT c.d1, c.d2,
+        |    CAST(sum(bit_count(xor(n1.nv, n2.nv))) AS INT) AS hamming
+        |  FROM cand c
+        |  JOIN nibs n1 ON n1.doc_id = c.d1
+        |  JOIN nibs n2 ON n2.doc_id = c.d2 AND n2.p = n1.p
+        |  GROUP BY c.d1, c.d2)
+        |SELECT d1, d2, hamming FROM ham WHERE hamming <= 8
+        |ORDER BY d1, d2""".stripMargin,
+      "SimHash-banded near-dup: per-doc 64-bit signature (codegen'd single pass, md5-derived so the twin re-derives it bit-exactly), candidates from a (band, 16-bit value) equi-join — |docs|*4 constant-size keys, never all pairs — then exact hamming <= 8 re-rank via bit_count(xor). Completes the near-dup family: q33 keys on shingles (grows with text), q34 on MinHash set-similarity bands, this one on a single long per doc. The DuckDB twin rebuilds the signature nibble-wise from md5 hex (the q35 machinery), slices the same four bands, and counts differing bits nibble-by-nibble.") {
+      (s, d) =>
+        simhashNearDupPairs(Tables.documents(s, d), maxHamming = 8)
+          .orderBy(col("d1"), col("d2"))
+    },
+
+    Q("q80_contamination_check",
+      """WITH sp AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |ws AS (SELECT doc_id, split, string_split_regex(trim(text), '\s+') AS w FROM sp),
+        |sh AS (
+        |  SELECT doc_id, split, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
+        |  FROM ws),
+        |train_sh AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+        |test_sh AS (SELECT doc_id, sh FROM sh WHERE split = 'test'),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM test_sh GROUP BY doc_id),
+        |hit AS (
+        |  SELECT t.doc_id, count(*) AS n_shared
+        |  FROM test_sh t JOIN train_sh tr ON t.sh = tr.sh GROUP BY t.doc_id)
+        |SELECT tot.doc_id AS doc_id, CAST(tot.n_shingles AS BIGINT) AS n_shingles,
+        |  CAST(COALESCE(hit.n_shared, 0) AS BIGINT) AS n_shared,
+        |  COALESCE(hit.n_shared, 0) * 1.0 / tot.n_shingles AS contamination
+        |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+        |WHERE COALESCE(hit.n_shared, 0) > 0
+        |ORDER BY tot.doc_id""".stripMargin,
+      "Train/test contamination (decontamination hygiene pass): test-split docs sharing >= 1 three-gram shingle with the train corpus, with shared count and contamination rate. Membership comes from the md5-bucket split function (q61 — no split table), overlap from an equi-join of 8-byte shingle hashes against the DISTINCT train hashes: an inverted-index probe that scales like q33's join, never doc x doc. The rate is an integer/integer division — exact in both engines.") {
+      (s, d) =>
+        contamination(Tables.documents(s, d)).orderBy(col("doc_id"))
     },
   )
 }

@@ -221,5 +221,56 @@ object EventWindows {
           .agg(count(lit(1)).as("n_users"))
           .orderBy(col("cohort_week"), col("week_n"))
     },
+
+    Q("q77_ewma_smoothing",
+      """WITH g AS (
+        |  SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+        |    list(value ORDER BY ts, event_id) AS vals
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE))
+        |SELECT user_id, day, CAST(len(vals) AS INT) AS n_events,
+        |  list_reduce(vals,
+        |    (acc, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc) AS ewma
+        |FROM g ORDER BY user_id, day""".stripMargin,
+      "Exponentially weighted moving average per (user, day): y_1 = x_1, y_n = 0.3*x_n + 0.7*y_(n-1) over (ts, event_id)-ordered values. The recursion is inherently sequential, so it runs as an aggregate() left fold over each group's collected values — Spark aggregate() and DuckDB list_reduce are BOTH strict sequential left folds, so the doubles compare bit-equal with no rounding (the q35/q49 fold-parity result). Scale: one shuffle on (user, day); the collected array is one group's events, bounded by per-user-per-day volume, never the stream (an unbounded-key variant would stream via flatMapGroupsWithState like FunnelStream). Literals are CAST AS DOUBLE in the twin because bare 0.3 parses as DECIMAL in DuckDB.") {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+        val grouped = ev
+          // DATE vs TIMESTAMP dtypes canonicalize differently in the
+          // driver compare — emit midnight timestamps like q73's cohorts
+          .groupBy(col("user_id"), to_date(col("ts")).cast("timestamp").as("day"))
+          .agg(sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("value")))).as("evs"))
+          .withColumn("vals", transform(col("evs"), e => e.getField("value")))
+        grouped.select(col("user_id"), col("day"),
+            size(col("vals")).as("n_events"),
+            aggregate(
+              slice(col("vals"), lit(2), size(col("vals")) - 1),
+              element_at(col("vals"), 1),
+              (acc, x) => lit(0.3d) * x + lit(0.7d) * acc).as("ewma"))
+          .orderBy(col("user_id"), col("day"))
+    },
+
+    Q("q78_zscore_outliers",
+      s"""WITH m AS (
+         |  SELECT event_type,
+         |    ${sql.davg("value")} AS mean,
+         |    ${sql.dstddev("value")} AS std
+         |  FROM events GROUP BY event_type)
+         |SELECT e.event_id, e.event_type, e.value,
+         |  (e.value - m.mean) / m.std AS z
+         |FROM events e JOIN m ON e.event_type = m.event_type
+         |WHERE abs((e.value - m.mean) / m.std) > 3
+         |ORDER BY e.event_id""".stripMargin,
+      "Population z-score outlier detection (|z| > 3) per event_type: two-pass — a 5-row mean/stddev aggregate under the DetAgg discipline (deterministic decimal sums of x and x², identical expression shape in the twin, so the stats are IDENTICAL doubles in both engines), broadcast-joined back onto the stream. From identical stats, z is the same IEEE expression on both sides (IEEE division and sqrt are exactly rounded), so the output needs no rounding and the |z|>3 cut cannot flip. Scale: one map-side-combined shuffle for stats + a broadcast join — no window over the full table, no second shuffle.") {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+        val m = ev.groupBy(col("event_type"))
+          .agg(davg(col("value")).as("mean"), dstddev(col("value")).as("std"))
+        ev.join(broadcast(m), Seq("event_type"))
+          .withColumn("z", (col("value") - col("mean")) / col("std"))
+          .filter(abs(col("z")) > 3)
+          .select(col("event_id"), col("event_type"), col("value"), col("z"))
+          .orderBy(col("event_id"))
+    },
   )
 }

@@ -193,5 +193,37 @@ object TextAnalysis {
               .as("tfidf"))
           .orderBy(col("tfidf").desc, col("term")).limit(25)
     },
+
+    Q("q79_repetition_filter",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(max(c) AS BIGINT) AS max_tf, CAST(count(*) AS BIGINT) AS n_distinct
+        |  FROM tf GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, max_tf,
+        |  max_tf * 1.0 / n_tokens AS max_tf_ratio,
+        |  n_distinct * 1.0 / n_tokens AS distinct_ratio,
+        |  (max_tf * 1.0 / n_tokens > CAST(0.1 AS DOUBLE)
+        |    OR n_distinct * 1.0 / n_tokens < CAST(0.2 AS DOUBLE)) AS repetitive
+        |FROM agg ORDER BY doc_id""".stripMargin,
+      "Per-document repetition filter (the Gopher-rule family of corpus quality cuts): dominant-term ratio and type-token ratio per doc, with a boolean `repetitive` verdict (max_tf/n > 0.1 OR distinct/n < 0.2). Both ratios are small-integer divisions — exact identical doubles in both engines, so even the boolean cut is oracle-stable (threshold literals CAST AS DOUBLE to dodge DuckDB's decimal-literal comparison). Scale: explode + two map-side-combined shuffles keyed by (doc, term) then doc; no collection, no window.") {
+      (s, d) =>
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        tf.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("max_tf"),
+            count(lit(1)).as("n_distinct"))
+          .select(col("doc_id"), col("n_tokens"), col("max_tf"),
+            (col("max_tf") * lit(1.0d) / col("n_tokens")).as("max_tf_ratio"),
+            (col("n_distinct") * lit(1.0d) / col("n_tokens")).as("distinct_ratio"),
+            (col("max_tf") * lit(1.0d) / col("n_tokens") > 0.1d ||
+              col("n_distinct") * lit(1.0d) / col("n_tokens") < 0.2d)
+              .as("repetitive"))
+          .orderBy(col("doc_id"))
+    },
   )
 }

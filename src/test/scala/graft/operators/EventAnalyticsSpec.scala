@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec, Tables}
+
+/** Semantic checks for the round-5 event analytics: the EWMA fold against
+  * a driver-side reference recursion, and the z-score cut against
+  * recomputed population stats. */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("EWMA equals the textbook recursion, computed independently") {
+    val got = SparkEntry.queries("q77_ewma_smoothing")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) -> (r.getInt(2), r.getDouble(3)))
+      .toMap
+    // independent reference: sort one user-day's events driver-side and
+    // fold y_1 = x_1, y_n = 0.3 x_n + 0.7 y_(n-1)
+    val ev = Tables.events(spark, sf0001)
+      .select($"user_id", to_date($"ts").cast("timestamp").as("day"),
+        $"ts", $"event_id", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4)))
+    val byGroup = ev.groupBy(e => (e._1, e._2))
+    assert(got.keySet == byGroup.keySet, "group sets differ")
+    byGroup.foreach { case (key, rows) =>
+      val xs = rows.sortBy(e => (e._3.getTime, e._3.getNanos, e._4)).map(_._5)
+      val want = xs.tail.foldLeft(xs.head)((acc, x) => 0.3d * x + 0.7d * acc)
+      val (n, ewma) = got(key)
+      assert(n == xs.length, s"$key n_events $n != ${xs.length}")
+      assert(ewma == want, s"$key ewma $ewma != $want (bitwise)")
+    }
+  }
+
+  test("z-score outliers are exactly the rows beyond 3 sigma of their type") {
+    val out = SparkEntry.queries("q78_zscore_outliers")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out.nonEmpty, "sf0.001 should contain |z|>3 events")
+    // recompute stats independently (plain double math is fine for a
+    // tolerance check; bit-exactness vs DuckDB is the oracle's job)
+    val rows = Tables.events(spark, sf0001)
+      .select($"event_id", $"event_type", $"value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val refZ = rows.groupBy(_._2).iterator.flatMap { case (_, g) =>
+      val n = g.length
+      val mean = g.map(_._3).sum / n
+      val std = math.sqrt(g.map(e => (e._3 - mean) * (e._3 - mean)).sum / (n - 1))
+      g.map { case (id, _, v) => id -> (v - mean) / std }
+    }.toMap
+    // the reference sums doubles in a different order than DetAgg's decimal
+    // accumulation, so compare with an epsilon band around the 3.0 cut
+    val eps = 1e-9
+    val mustHave = refZ.collect { case (id, z) if math.abs(z) > 3 + eps => id }.toSet
+    val mayHave = refZ.collect { case (id, z) if math.abs(z) > 3 - eps => id }.toSet
+    assert(mustHave.subsetOf(out.keySet), s"missing=${mustHave -- out.keySet}")
+    assert(out.keySet.subsetOf(mayHave), s"extra=${out.keySet -- mayHave}")
+    out.foreach { case (id, z) =>
+      assert(math.abs(z - refZ(id)) < 1e-9, s"$id: $z vs ${refZ(id)}")
+    }
+  }
+}

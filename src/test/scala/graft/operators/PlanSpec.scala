@@ -118,6 +118,35 @@ class PlanSpec extends SparkSpec {
         s.take(800))
   }
 
+  test("q76 simhash banding joins on (band, value) — no cartesian, no per-pair text work") {
+    val s = planString("q76_simhash_neardup")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      "band candidates must come from an equi-join:\n" + s.take(600))
+  }
+
+  test("q78 z-score: 5-row stats side broadcasts back onto the event scan") {
+    val bhj = planOf("q78_zscore_outliers").collect {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty,
+      "per-type stats must broadcast, not shuffle the full event stream")
+    val s = planString("q78_zscore_outliers")
+    assert(s.contains("partial_"), "stats must aggregate map-side")
+  }
+
+  test("q80 contamination probes train hashes via equi-join, never doc x doc") {
+    val s = planString("q80_contamination_check")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      "shingle-hash probe degenerated:\n" + s.take(600))
+  }
+
+  test("q77 EWMA folds inside the aggregate — bounded shuffles, no window") {
+    val n = planOf("q77_ewma_smoothing").collect {
+      case s: ShuffleExchangeLike => s
+    }.size
+    assert(n <= 2, s"expected (user, day) agg + output sort only, got $n shuffles")
+  }
+
   test("shuffle counts stay bounded for the headline queries") {
     val maxShuffles = Map(
       "q01_pricing_summary" -> 2, // partial/final agg + sort

@@ -67,6 +67,54 @@ class TextDedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall $recall over ${truePairs.size} true pairs")
   }
 
+  test("simhash banding is exact vs brute force within its hamming budget") {
+    val docs = Tables.documents(spark, sf0001)
+    // brute-force ground truth over the collected signatures (test-only;
+    // the operator itself never does this)
+    val sigs = docs
+      .select($"doc_id",
+        graft.expressions.SimHash64(
+          tokenHashesFromHex(md5TokenHex($"text"))).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val brute = (for {
+      (d1, s1) <- sigs; (d2, s2) <- sigs if d1 < d2 && ham(s1, s2) <= 8
+    } yield (d1, d2) -> ham(s1, s2)).toMap
+    val got = Dedup.simhashNearDupPairs(docs, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // reported pairs are true pairs with the true distance…
+    got.foreach { case (p, h) => assert(brute.get(p).contains(h), s"$p -> $h") }
+    // …and the pigeonhole guarantee holds: 4 bands, <= 3 differing bits
+    // means at least one band is untouched, so the pair MUST be caught
+    val within3 = brute.filter(_._2 <= 3).keySet
+    assert(within3.nonEmpty, "corpus should contain planted near-dups")
+    assert(within3.forall(got.contains),
+      s"banding missed ham<=3 pairs: ${within3.filterNot(got.contains)}")
+  }
+
+  test("contamination reports a test doc duplicated from the train split") {
+    // md5-bucket split membership is a pure function of doc_id — pick ids
+    // on each side of the cut the same way the operator will
+    def bucket(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      f"${d(0) & 0xff}%02x"
+    }
+    val trainId = (0L to 999L).find(bucket(_) < "cc").get
+    val testId = (0L to 999L).find(bucket(_) >= "e6").get
+    val cleanId = (testId + 1 to 1999L).find(bucket(_) >= "e6").get
+    val docs = Seq(
+      (trainId, "alpha beta gamma delta epsilon"),
+      (testId, "alpha beta gamma delta epsilon"), // exact dup of a train doc
+      (cleanId, "zeta eta theta iota kappa")      // test doc, uncontaminated
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(testId), s"expected only $testId, got $got")
+    val (nSh, nShared, rate) = got(testId)
+    assert(nSh == 3 && nShared == 3 && rate == 1.0, got(testId).toString)
+  }
+
   test("simhash: near-identical docs have small hamming distance") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val near = base.replace("today", "tomorrow")
