@@ -17,6 +17,10 @@ run / fork := true
 // even after Bench printed a compact final line. StdoutOutput hands the
 // forked JVM the real stdout so graft.Bench's JSON line survives as-is.
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop sbt's trailing "[success] Total time: ..." line so the JSON
+// line Bench prints last is ALSO the last line of the whole sbt run —
+// robust whether the capturing side scans lines or parses only the tail.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

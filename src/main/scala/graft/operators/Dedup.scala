@@ -158,8 +158,14 @@ object Dedup {
     * keys grow with text) and q34 (MinHash bands, set similarity): this
     * one costs a single long per document and ranks by BIT distance. */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    // localCheckpoint: both self-join branches would otherwise re-scan the
+    // text and re-run the per-token md5 pipeline (the broadcast side gets
+    // no exchange reuse). The signature table is 16 bytes/doc — the thing
+    // a production pipeline would persist anyway — so materializing it
+    // once halves the query's dominant cost (measured 1.7→~0.9 s at sf0.1).
     val sigs = docs.select(col("doc_id"),
       graft.expressions.SimHash64(tokenHashesFromHex(md5TokenHex(col("text")))).as("sig"))
+      .localCheckpoint()
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xffffL)).as("bv"))

@@ -23,3 +23,21 @@ object TimeQ {
     spark.stop()
   }
 }
+
+// scratch plan probe: sbt "runMain graft.tools.ExplainQ <query> <sfDir>"
+object ExplainQ {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    println(df.queryExecution.executedPlan.toString)
+    spark.stop()
+  }
+}
