@@ -185,6 +185,23 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The full near-dup dedup pipeline, end to end: simhash signatures →
+    * banded candidates → exact-hamming pairs → connected components →
+    * one canonical SURVIVOR per cluster (longest text, ties to the
+    * smallest doc_id — the doc a dedup pass would keep). Every stage is
+    * the scale-safe variant: per-row signatures, constant-key band join,
+    * iterative min-label components; survivor selection is a single
+    * max_by aggregate over (n_chars, -doc_id), no window sort. */
+  def nearDupSurvivors(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val pairs = simhashNearDupPairs(docs, maxHamming).select(col("d1"), col("d2"))
+    connectedComponents(pairs)
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+          .as("survivor"))
+  }
+
   /** Train/test contamination check (decontamination pass): test-split
     * documents sharing at least one 3-gram shingle with ANY train-split
     * document, with the shared-shingle count and contamination rate.
@@ -405,6 +422,60 @@ object Dedup {
       "Train/test contamination (decontamination hygiene pass): test-split docs sharing >= 1 three-gram shingle with the train corpus, with shared count and contamination rate. Membership comes from the md5-bucket split function (q61 — no split table), overlap from an equi-join of 8-byte shingle hashes against the DISTINCT train hashes: an inverted-index probe that scales like q33's join, never doc x doc. The rate is an integer/integer division — exact in both engines.") {
       (s, d) =>
         contamination(Tables.documents(s, d)).orderBy(col("doc_id"))
+    },
+
+    Q("q81_neardup_survivors",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+        |th AS (SELECT doc_id, substring(md5(w), 1, 16) AS hx FROM tok),
+        |nib AS (
+        |  SELECT doc_id, p.p AS p, CAST('0x' || substring(hx, p.p, 1) AS INTEGER) AS v
+        |  FROM th CROSS JOIN (SELECT unnest(range(1, 17)) AS p) p),
+        |votes AS (
+        |  SELECT doc_id, p, b.b AS b,
+        |    sum(CASE WHEN (v >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM nib CROSS JOIN (SELECT unnest(range(4)) AS b) b
+        |  GROUP BY doc_id, p, b.b),
+        |nibs AS (
+        |  SELECT doc_id, p, CAST(sum(CASE WHEN vote > 0 THEN 1 << b ELSE 0 END) AS INTEGER) AS nv
+        |  FROM votes GROUP BY doc_id, p),
+        |bandv AS (
+        |  SELECT doc_id, b.b AS band, sum(nv * (1 << (4 * ((16 - p) % 4)))) AS bv
+        |  FROM nibs CROSS JOIN (SELECT unnest(range(4)) AS b) b
+        |  WHERE (16 - p) // 4 = b.b GROUP BY doc_id, b.b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bandv a JOIN bandv b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT c.d1, c.d2 FROM cand c
+        |  JOIN nibs n1 ON n1.doc_id = c.d1
+        |  JOIN nibs n2 ON n2.doc_id = c.d2 AND n2.p = n1.p
+        |  GROUP BY c.d1, c.d2 HAVING sum(bit_count(xor(n1.nv, n2.nv))) <= 8),
+        |edges AS (
+        |  SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS v FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(v, l) AS (
+        |    SELECT v, v FROM nodes
+        |    UNION
+        |    SELECT e.b, r.l FROM r JOIN edges e ON r.v = e.a)
+        |  SELECT v, min(l) AS component FROM r GROUP BY v),
+        |sized AS (
+        |  SELECT r.v AS doc_id, r.component, d.n_chars
+        |  FROM reach r JOIN documents d ON r.v = d.doc_id),
+        |ranked AS (
+        |  SELECT component, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY component
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM sized)
+        |SELECT r.component, CAST(count(*) AS BIGINT) AS n_members,
+        |  max(CASE WHEN rn = 1 THEN doc_id END) AS survivor
+        |FROM ranked r GROUP BY r.component ORDER BY r.component""".stripMargin,
+      "The COMPLETE near-dup dedup pipeline as one query: simhash signatures -> banded candidates -> exact hamming <= 8 pairs -> connected components -> one canonical survivor per cluster (longest n_chars, ties to smallest doc_id). Unlike q69 (whose oracle shortcuts components by grouping on the exact fingerprint), near-dup clusters have no such shortcut, so the DuckDB twin computes TRUE connected components with a recursive CTE (transitive min-label closure) — an independent formulation of the same graph result the iterative Spark join-propagation produces. Survivor selection is a max_by over (n_chars, -doc_id), no per-cluster sort at scale.") {
+      (s, d) =>
+        nearDupSurvivors(Tables.documents(s, d), maxHamming = 8)
+          .orderBy(col("component"))
     },
   )
 }

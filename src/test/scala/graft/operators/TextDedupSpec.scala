@@ -92,6 +92,35 @@ class TextDedupSpec extends SparkSpec {
       s"banding missed ham<=3 pairs: ${within3.filterNot(got.contains)}")
   }
 
+  test("near-dup survivors match a driver-side union-find over the same pairs") {
+    val docs = Tables.documents(spark, sf0001)
+    val pairs = Dedup.simhashNearDupPairs(docs, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // independent reference: classic union-find, then argmax per root
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val chars = docs.select($"doc_id", $"n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = parent.keys.toSeq.groupBy(find).map { case (_, members) =>
+      val comp = members.min
+      val survivor = members.maxBy(m => (chars(m), -m))
+      comp -> (members.size.toLong, survivor)
+    }
+    val got = Dedup.nearDupSurvivors(docs, maxHamming = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want,
+      s"extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet} " +
+        s"diff=${got.filter { case (k, v) => want.get(k).exists(_ != v) }}")
+  }
+
   test("contamination reports a test doc duplicated from the train split") {
     // md5-bucket split membership is a pure function of doc_id — pick ids
     // on each side of the cut the same way the operator will
