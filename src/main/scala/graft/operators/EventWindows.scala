@@ -56,6 +56,45 @@ object EventWindows {
         sum(col("value").cast(Dec)).over(w).cast("double").as("recent_value"))
   }
 
+  /** Secondary-sort formulation of the q77 EWMA — the UNBOUNDED-group
+    * scale path. q77 collects each (user, day)'s values into one array
+    * (fine while a group fits an executor, the clickstream case); this
+    * variant never materializes a group: repartition by the group key,
+    * sortWithinPartitions by (key, ts, event_id), then ONE streaming pass
+    * per partition folds contiguous runs — constant memory per task no
+    * matter how large a single group grows. Same shuffle count as the
+    * aggregate (one exchange + local sort), bit-identical output
+    * (EventAnalyticsSpec pins parity against q77's fold). */
+  def ewmaSecondarySort(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"),
+        to_date(col("ts")).cast("timestamp").as("day"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Long, Double)]
+      .repartition(col("user_id"), col("day"))
+      .sortWithinPartitions(col("user_id"), col("day"), col("ts_us"), col("event_id"))
+      .mapPartitions { it =>
+        // contiguous-run fold: groups never co-reside in memory
+        new Iterator[(Long, java.sql.Timestamp, Int, Double)] {
+          private val rows = it.buffered
+          def hasNext: Boolean = rows.hasNext
+          def next(): (Long, java.sql.Timestamp, Int, Double) = {
+            val (user, day, _, _, x0) = rows.next()
+            var n = 1
+            var y = x0
+            while (rows.hasNext && rows.head._1 == user && rows.head._2 == day) {
+              y = 0.3d * rows.next()._5 + 0.7d * y
+              n += 1
+            }
+            (user, day, n, y)
+          }
+        }
+      }
+      .toDF("user_id", "day", "n_events", "ewma")
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("q20_range_frame_window",

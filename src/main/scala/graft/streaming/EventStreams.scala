@@ -50,6 +50,15 @@ object EventStreams {
       .withColumn("prop_k", get_json_object(col("props"), "$.k").cast("int"))
       .withColumn("is_error", (col("event_type") === "error").cast("int"))
 
+  /** Stream-static enrichment join: each micro-batch of the stream joins
+    * a STATIC dimension (user → attributes), the standard lookup-table
+    * enrichment. Stateless on the streaming side — no watermark, no state
+    * store — and the static side broadcasts at dimension size per
+    * micro-batch, so it composes with any downstream mode. The left join
+    * keeps unmatched events flowing (enrichment must never drop data). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   /** Stream-stream interval join — the streaming twin of q42's batch
     * range join: every event of the same user within 10 minutes AFTER an
     * error event. Both inputs carry watermarks and the join condition

@@ -34,6 +34,17 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("secondary-sort EWMA is bit-identical to the collect-based fold") {
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) -> (r.getInt(2), r.getDouble(3)))
+      .toMap
+    val agg = toMap(SparkEntry.queries("q77_ewma_smoothing")(spark, sf0001))
+    val ss = toMap(EventWindows.ewmaSecondarySort(Tables.events(spark, sf0001)))
+    assert(agg.keySet == ss.keySet,
+      s"extra=${ss.keySet -- agg.keySet} missing=${agg.keySet -- ss.keySet}")
+    agg.foreach { case (k, v) => assert(ss(k) == v, s"$k: ${ss(k)} != $v") }
+  }
+
   test("z-score outliers are exactly the rows beyond 3 sigma of their type") {
     val out = SparkEntry.queries("q78_zscore_outliers")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap

@@ -109,4 +109,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.count() == batch.count())
     assert(got.filter("prop_k IS NULL").count() == 0)
   }
+
+  test("stream-static dimension join equals the batch join, keeps unmatched rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (dir, batch) = stagedEvents()
+    // static user dimension covering only part of the id space, so the
+    // left-join's keep-unmatched contract is actually exercised
+    val dim = batch.select($"user_id").distinct()
+      .filter($"user_id" % 2 === 0)
+      .withColumn("segment", concat(lit("seg"), $"user_id" % 3))
+    val src = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStreams.enrichWithDim(src, dim).writeStream
+      .format("memory").queryName("dimjoin_out").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("dimjoin_out")
+    val want = EventStreams.enrichWithDim(batch, dim)
+    assert(got.count() == batch.count(), "enrichment must never drop events")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    assert(got.filter($"segment".isNull).count() ==
+      batch.filter($"user_id" % 2 =!= 0).count())
+  }
 }
