@@ -115,5 +115,60 @@ object Sampling {
           .agg(count(lit(1)).as("exact_distinct"))
         sk.join(exact, Seq("o_orderpriority")).orderBy(col("o_orderpriority"))
     },
+
+    Q("q82_countmin_sketch",
+      """WITH src AS (SELECT o_orderpriority AS g, o_custkey AS k FROM orders),
+        |jb AS (
+        |  SELECT g, j.j AS j,
+        |    CAST('0x' || substring(md5(j.j || '|' || k), 1, 8) AS BIGINT) % 1024 AS b
+        |  FROM src CROSS JOIN (SELECT unnest(range(4)) AS j) j),
+        |cms AS (SELECT g, j, b, count(*) AS c FROM jb GROUP BY g, j, b),
+        |probes AS (SELECT unnest([1, 7, 42]) AS probe),
+        |grid AS (SELECT g, probe FROM (SELECT DISTINCT g FROM src) CROSS JOIN probes),
+        |pb AS (
+        |  SELECT g, probe, j.j AS j,
+        |    CAST('0x' || substring(md5(j.j || '|' || probe), 1, 8) AS BIGINT) % 1024 AS b
+        |  FROM grid CROSS JOIN (SELECT unnest(range(4)) AS j) j),
+        |est AS (
+        |  SELECT pb.g, pb.probe, CAST(min(COALESCE(cms.c, 0)) AS BIGINT) AS est_count
+        |  FROM pb LEFT JOIN cms ON pb.g = cms.g AND pb.j = cms.j AND pb.b = cms.b
+        |  GROUP BY pb.g, pb.probe),
+        |exact AS (
+        |  SELECT g, k AS probe, count(*) AS exact_count FROM src
+        |  WHERE k IN (1, 7, 42) GROUP BY g, k)
+        |SELECT est.g AS o_orderpriority, est.probe AS probe_custkey, est.est_count,
+        |  CAST(COALESCE(exact.exact_count, 0) AS BIGINT) AS exact_count
+        |FROM est LEFT JOIN exact ON est.g = exact.g AND est.probe = exact.probe
+        |ORDER BY o_orderpriority, probe_custkey""".stripMargin,
+      "Count-min sketch per group (d=4 md5-derived hash rows x w=1024 buckets), the third portable sketch alongside KMV (q74) and histogram quantiles (q75): state is a fixed d x w count matrix expressed as (group, row, bucket) partial counts — merges by ADDITION (map-side combined, <= d*w rows per group per task), and point queries answer min over rows of the probed buckets (never under, over by ~n/w). Because the hashes are md5-derived the twin re-derives sketch AND estimates exactly; the true counts ride along to show the overestimate honestly. The classic heavy-hitter/frequency primitive at 100 TB: one shuffle, constant state per group.") {
+      (s, d) =>
+        import s.implicits._
+        val W = 1024
+        def bucket(j: Column, k: Column): Column =
+          pmod(conv(substring(md5(concat(j.cast("string"), lit("|"), k.cast("string"))),
+            1, 8), 16, 10).cast("long"), lit(W.toLong))
+        def jBuckets(k: Column): Column =
+          explode(array((0 until 4).map(j =>
+            struct(lit(j).as("j"), bucket(lit(j), k).as("b"))): _*))
+        val src = Tables.orders(s, d)
+          .select(col("o_orderpriority").as("g"), col("o_custkey").as("k"))
+        val cms = src.select(col("g"), jBuckets(col("k")).as("jb"))
+          .groupBy(col("g"), col("jb.j").as("j"), col("jb.b").as("b"))
+          .agg(count(lit(1)).as("c"))
+        val probes = Seq(1L, 7L, 42L).toDF("probe")
+        val grid = src.select(col("g")).distinct().crossJoin(broadcast(probes))
+        val pb = grid.select(col("g"), col("probe"), jBuckets(col("probe")).as("jb"))
+          .select(col("g"), col("probe"), col("jb.j").as("j"), col("jb.b").as("b"))
+        val est = pb.join(cms, Seq("g", "j", "b"), "left")
+          .groupBy(col("g"), col("probe"))
+          .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+        val exact = src.filter(col("k").isin(1L, 7L, 42L))
+          .groupBy(col("g"), col("k").as("probe"))
+          .agg(count(lit(1)).as("exact_count"))
+        est.join(exact, Seq("g", "probe"), "left")
+          .select(col("g").as("o_orderpriority"), col("probe").as("probe_custkey"),
+            col("est_count"), coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+          .orderBy(col("o_orderpriority"), col("probe_custkey"))
+    },
   )
 }
