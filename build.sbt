@@ -21,6 +21,7 @@ Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // line Bench prints last is ALSO the last line of the whole sbt run —
 // robust whether the capturing side scans lines or parses only the tail.
 showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by sbt's command layer, not a task
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

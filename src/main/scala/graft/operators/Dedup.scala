@@ -217,8 +217,9 @@ object Dedup {
       .join(docs.select(col("doc_id"), Sampling.splitOf(col("doc_id")).as("split")),
         Seq("doc_id"))
     val trainSh = sh.filter(col("split") === "train").select(col("h")).distinct()
-    val testSh = sh.filter(col("split") === "test")
-      .select(col("doc_id"), col("h")).distinct()
+    // (doc_id, h) is already unique: ShingleHash64 emits per-doc DISTINCT
+    // hashes and the split join is one row per doc — no dedup shuffle needed
+    val testSh = sh.filter(col("split") === "test").select(col("doc_id"), col("h"))
     val tot = testSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val hits = testSh.join(trainSh, Seq("h"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
@@ -229,6 +230,36 @@ object Dedup {
           .as("contamination"))
       .filter(col("n_shared") > 0)
   }
+
+  /** Shared DuckDB CTE prefix for the q76/q81 twins: re-derives the md5
+    * simhash nibble-wise (the q35 machinery), slices the four 16-bit
+    * bands, and produces the banded candidate pairs. ONE definition so
+    * the two oracles cannot drift if the signature derivation ever
+    * changes. NOTE: declared above `queries` — a val referenced before
+    * its declaration compiles but is null at init (round-3 lesson). */
+  private val SimhashBandCte: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+      |th AS (SELECT doc_id, substring(md5(w), 1, 16) AS hx FROM tok),
+      |nib AS (
+      |  SELECT doc_id, p.p AS p, CAST('0x' || substring(hx, p.p, 1) AS INTEGER) AS v
+      |  FROM th CROSS JOIN (SELECT unnest(range(1, 17)) AS p) p),
+      |votes AS (
+      |  SELECT doc_id, p, b.b AS b,
+      |    sum(CASE WHEN (v >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM nib CROSS JOIN (SELECT unnest(range(4)) AS b) b
+      |  GROUP BY doc_id, p, b.b),
+      |nibs AS (
+      |  SELECT doc_id, p, CAST(sum(CASE WHEN vote > 0 THEN 1 << b ELSE 0 END) AS INTEGER) AS nv
+      |  FROM votes GROUP BY doc_id, p),
+      |bandv AS (
+      |  SELECT doc_id, b.b AS band, sum(nv * (1 << (4 * ((16 - p) % 4)))) AS bv
+      |  FROM nibs CROSS JOIN (SELECT unnest(range(4)) AS b) b
+      |  WHERE (16 - p) // 4 = b.b GROUP BY doc_id, b.b),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bandv a JOIN bandv b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
 
   val queries: Seq[Q] = Seq(
 
@@ -355,31 +386,7 @@ object Dedup {
     },
 
     Q("q76_simhash_neardup",
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
-        |th AS (
-        |  SELECT doc_id, substring(md5(w), 1, 16) AS hx FROM tok),
-        |nib AS (
-        |  SELECT doc_id, p.p AS p, CAST('0x' || substring(hx, p.p, 1) AS INTEGER) AS v
-        |  FROM th CROSS JOIN (SELECT unnest(range(1, 17)) AS p) p),
-        |votes AS (
-        |  SELECT doc_id, p, b.b AS b,
-        |    sum(CASE WHEN (v >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-        |  FROM nib CROSS JOIN (SELECT unnest(range(4)) AS b) b
-        |  GROUP BY doc_id, p, b.b),
-        |nibs AS (
-        |  SELECT doc_id, p, CAST(sum(CASE WHEN vote > 0 THEN 1 << b ELSE 0 END) AS INTEGER) AS nv
-        |  FROM votes GROUP BY doc_id, p),
-        |bandv AS (
-        |  SELECT doc_id, b.b AS band,
-        |    sum(nv * (1 << (4 * ((16 - p) % 4)))) AS bv
-        |  FROM nibs CROSS JOIN (SELECT unnest(range(4)) AS b) b
-        |  WHERE (16 - p) // 4 = b.b
-        |  GROUP BY doc_id, b.b),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM bandv a JOIN bandv b
-        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      SimhashBandCte + """,
         |ham AS (
         |  SELECT c.d1, c.d2,
         |    CAST(sum(bit_count(xor(n1.nv, n2.nv))) AS INT) AS hamming
@@ -425,28 +432,7 @@ object Dedup {
     },
 
     Q("q81_neardup_survivors",
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
-        |th AS (SELECT doc_id, substring(md5(w), 1, 16) AS hx FROM tok),
-        |nib AS (
-        |  SELECT doc_id, p.p AS p, CAST('0x' || substring(hx, p.p, 1) AS INTEGER) AS v
-        |  FROM th CROSS JOIN (SELECT unnest(range(1, 17)) AS p) p),
-        |votes AS (
-        |  SELECT doc_id, p, b.b AS b,
-        |    sum(CASE WHEN (v >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-        |  FROM nib CROSS JOIN (SELECT unnest(range(4)) AS b) b
-        |  GROUP BY doc_id, p, b.b),
-        |nibs AS (
-        |  SELECT doc_id, p, CAST(sum(CASE WHEN vote > 0 THEN 1 << b ELSE 0 END) AS INTEGER) AS nv
-        |  FROM votes GROUP BY doc_id, p),
-        |bandv AS (
-        |  SELECT doc_id, b.b AS band, sum(nv * (1 << (4 * ((16 - p) % 4)))) AS bv
-        |  FROM nibs CROSS JOIN (SELECT unnest(range(4)) AS b) b
-        |  WHERE (16 - p) // 4 = b.b GROUP BY doc_id, b.b),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM bandv a JOIN bandv b
-        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      SimhashBandCte + """,
         |pairs AS (
         |  SELECT c.d1, c.d2 FROM cand c
         |  JOIN nibs n1 ON n1.doc_id = c.d1

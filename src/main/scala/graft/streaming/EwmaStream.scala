@@ -47,13 +47,7 @@ object EwmaStream {
 
   private val DayUs = 86400000000L
 
-  private def us(t: Timestamp): Long = t.getTime * 1000 + t.getNanos / 1000 % 1000
-
-  private def tsFromUs(us: Long): Timestamp = {
-    val t = new Timestamp(Math.floorDiv(us, 1000))
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
-    t
-  }
+  import StreamTime.{us, tsFromUs}
 
   /** UTC midnight of the event's day, in epoch micros. */
   def dayStartUs(eventUs: Long): Long = Math.floorDiv(eventUs, DayUs) * DayUs
@@ -63,8 +57,7 @@ object EwmaStream {
       state: GroupState[EwmaState]): Iterator[DayEwma] = {
     val (userId, dayUs) = key
     val dayEndUs = dayUs + DayUs
-    val wmUs = scala.util.Try(state.getCurrentWatermarkMs()).toOption
-      .map(_ * 1000L).getOrElse(Long.MaxValue)
+    val wmUs = StreamTime.watermarkUs(state)
     val batch = wmUs == Long.MaxValue
     if (!batch && state.getOption.isEmpty && wmUs >= dayEndUs) {
       // the day is already closed (its record was emitted when the

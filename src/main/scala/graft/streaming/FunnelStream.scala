@@ -54,13 +54,7 @@ object FunnelStream {
     * for a user, emitted exactly once. */
   final case class FunnelStage(user_id: Long, stage: Int, ts: Timestamp)
 
-  private def us(t: Timestamp): Long = t.getTime * 1000 + t.getNanos / 1000 % 1000
-
-  private def tsFromUs(us: Long): Timestamp = {
-    val t = new Timestamp(Math.floorDiv(us, 1000))
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
-    t
-  }
+  import StreamTime.{us, tsFromUs}
 
   /** Fold time-ordered, finalized events into the stage machine. */
   private def advance(
@@ -86,8 +80,7 @@ object FunnelStream {
       userId: Long, events: Iterator[FEv],
       state: GroupState[FunnelState]): Iterator[FunnelStage] = {
     // batch mode has no watermark: treat it as +∞ so everything finalizes
-    val wmUs = scala.util.Try(state.getCurrentWatermarkMs()).toOption
-      .map(_ * 1000L).getOrElse(Long.MaxValue)
+    val wmUs = StreamTime.watermarkUs(state)
     val st0 = state.getOption.getOrElse(FunnelState(None, None, None, Nil))
     // drop late arrivals (below the watermark — the documented policy; they
     // would otherwise finalize out of time order and break exactness)

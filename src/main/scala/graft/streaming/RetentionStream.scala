@@ -38,13 +38,7 @@ object RetentionStream {
   /** One first-activity-in-week record per (user, week). */
   final case class WeekActive(user_id: Long, cohort_week: Timestamp, week_n: Int)
 
-  private def us(t: Timestamp): Long = t.getTime * 1000 + t.getNanos / 1000 % 1000
-
-  private def tsFromUs(us: Long): Timestamp = {
-    val t = new Timestamp(Math.floorDiv(us, 1000))
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
-    t
-  }
+  import StreamTime.{us, tsFromUs}
 
   /** Monday-00:00 UTC week start of an epoch-micros instant, in micros —
     * the JVM twin of `date_trunc('week', ts)` under a UTC session. */
@@ -58,8 +52,7 @@ object RetentionStream {
   def transition(
       userId: Long, events: Iterator[REv],
       state: GroupState[RetentionState]): Iterator[WeekActive] = {
-    val wmUs = scala.util.Try(state.getCurrentWatermarkMs()).toOption
-      .map(_ * 1000L).getOrElse(Long.MaxValue)
+    val wmUs = StreamTime.watermarkUs(state)
     val st0 = state.getOption.getOrElse(RetentionState(None, Nil, Nil))
     val fresh = events
       .map(e => RPending(us(e.ts), e.event_id))

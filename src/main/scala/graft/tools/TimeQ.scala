@@ -36,8 +36,16 @@ object ExplainQ {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    df.write.format("noop").mode("overwrite").save()
-    println(df.queryExecution.executedPlan.toString)
+    // materialize df's OWN QueryExecution (a noop write would create a
+    // separate one, leaving this AdaptiveSparkPlanExec un-finalized) and
+    // unwrap to the plan AQE actually ran
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    println(plan.toString)
     spark.stop()
   }
 }
