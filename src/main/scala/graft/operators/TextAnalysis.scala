@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -224,6 +225,40 @@ object TextAnalysis {
               col("n_distinct") * lit(1.0d) / col("n_tokens") < 0.2d)
               .as("repetitive"))
           .orderBy(col("doc_id"))
+    },
+
+    Q("q83_vocab_coverage",
+      """WITH terms AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents),
+        |freq AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term),
+        |tot AS (SELECT count(*) AS n FROM terms),
+        |top AS (SELECT term, cnt FROM freq ORDER BY cnt DESC, term LIMIT 1000),
+        |ranked AS (
+        |  SELECT term, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
+        |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM top)
+        |SELECT rank, term, CAST(cnt AS BIGINT) AS cnt,
+        |  cum * 1.0 / n AS coverage
+        |FROM ranked, tot WHERE rank <= 30 ORDER BY rank""".stripMargin,
+      "Vocabulary coverage curve for tokenizer budgeting: rank terms by corpus frequency and report each rank's cumulative token coverage — the curve that answers 'how big a vocab covers X% of the corpus'. Scale discipline: the corpus-wide term counts are a map-side-combined shuffle; the global ORDER is taken only AFTER a distributed top-k (limit 1000) shrinks the frame, so the single-partition running-sum window touches a bounded row count, never the vocabulary (the same bounded-window trick as q75's buckets). Coverage is integer/integer — exact cross-engine.") {
+      (s, d) =>
+        val terms = Tables.documents(s, d)
+          .select(explode(wsTokens(lower(col("text")))).as("term"))
+        val freq = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        val tot = terms.agg(count(lit(1)).as("n"))
+        val top = freq.orderBy(col("cnt").desc, col("term")).limit(1000)
+        val w = Window.orderBy(col("cnt").desc, col("term"))
+        val ranked = top
+          .withColumn("rank", row_number().over(w).cast("bigint"))
+          .withColumn("cum", sum(col("cnt")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        ranked.crossJoin(broadcast(tot))
+          .filter(col("rank") <= 30)
+          .select(col("rank"), col("term"), col("cnt"),
+            (col("cum") * lit(1.0d) / col("n")).as("coverage"))
+          .orderBy(col("rank"))
     },
   )
 }
