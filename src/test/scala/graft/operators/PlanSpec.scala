@@ -147,6 +147,21 @@ class PlanSpec extends SparkSpec {
     assert(n <= 2, s"expected (user, day) agg + output sort only, got $n shuffles")
   }
 
+  test("q82 CMS: counts aggregate map-side; probe grid broadcasts") {
+    val s = planString("q82_countmin_sketch")
+    assert(s.contains("partial_"), "sketch counts must combine map-side")
+    assert(!s.contains("CartesianProduct"),
+      "probe expansion must not degenerate into a cartesian over data:\n" + s.take(600))
+  }
+
+  test("q83 vocab coverage: the global window runs on the bounded top-k only") {
+    val s = planString("q83_vocab_coverage")
+    // the single-partition window is fed by a limit, never the raw vocab
+    assert(s.contains("TakeOrderedAndProject") || s.contains("GlobalLimit"),
+      "top-k must bound the window input:\n" + s.take(800))
+    assert(s.contains("partial_"), "term counts must combine map-side")
+  }
+
   test("shuffle counts stay bounded for the headline queries") {
     val maxShuffles = Map(
       "q01_pricing_summary" -> 2, // partial/final agg + sort
