@@ -43,6 +43,41 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Passage-level exact dedup (the C4/RefinedWeb recipe applied at
+    * sub-document granularity): split each document into fixed
+    * `chunkWords`-word chunks, drop every chunk whose exact text occurs
+    * elsewhere in the corpus under an earlier (doc_id, chunk_idx), and
+    * reassemble each document from its surviving chunks.
+    *
+    * Scale shape: chunks are md5-hashed IN PLACE before the explode, so
+    * the claim shuffle carries (doc_id, idx, 32-char hash) — never chunk
+    * text — with map-side combine on the hash; the winners then collapse
+    * to one small int-array per surviving doc, and document text moves
+    * through exactly one join keyed by doc_id, where the kept chunks are
+    * re-sliced from the original words. Output per doc: chunk counts and
+    * the deduplicated text (empty string when every passage was claimed
+    * by an earlier document). */
+  def chunkDedup(docs: DataFrame, chunkWords: Int = 8): DataFrame = {
+    val arr = split(col("text"), " ")
+    val nChunks = ceil(size(arr) / lit(chunkWords.toDouble)).cast("int")
+    val sliceAt = (words: Column, i: Column) =>
+      concat_ws(" ", slice(words, i * chunkWords + 1, lit(chunkWords)))
+    val chunked = docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nChunks - 1), i => md5(sliceAt(arr, i))))
+        .as(Seq("chunk_idx", "h")))
+    val kept = chunked
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
+      .groupBy(col("w.doc_id").as("doc_id"))
+      .agg(sort_array(collect_list(col("w.chunk_idx"))).as("kept"))
+    docs.select(col("doc_id"), arr.as("arr"), nChunks.cast("long").as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(size(col("kept")), lit(0)).cast("long").as("n_kept"),
+        concat_ws(" ", transform(coalesce(col("kept"), array().cast("array<int>")),
+          i => sliceAt(col("arr"), i))).as("dedup_text"))
+  }
+
   /** Connected components over candidate duplicate pairs (`d1`, `d2`) —
     * the stage that turns pairwise near-dup hits into dedup GROUPS with
     * one canonical survivor each. Iterative min-label propagation: every
@@ -278,6 +313,38 @@ object Dedup {
         val doubled = docs.select(col("doc_id"), col("text"))
           .union(docs.select(col("doc_id") + 1000000, col("text")))
         exactDedup(doubled).orderBy(col("keep_doc_id"))
+    },
+
+    Q("q85_chunk_dedup",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, concat_ws(' ', s, s, s, s, s, s, s, s, text)
+        |  FROM (SELECT doc_id, text, 'u' || CAST(doc_id AS VARCHAR) AS s FROM documents)),
+        |docs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM corpus),
+        |chunks AS (
+        |  SELECT doc_id, arr,
+        |    unnest(range(0, CAST(ceil(len(arr) / 8.0) AS BIGINT))) AS chunk_idx
+        |  FROM docs),
+        |hashed AS (
+        |  SELECT doc_id, chunk_idx,
+        |    array_to_string(arr[(chunk_idx * 8 + 1):(chunk_idx * 8 + 8)], ' ') AS chunk
+        |  FROM chunks),
+        |keep AS (
+        |  SELECT doc_id, chunk_idx, chunk,
+        |    row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM hashed)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '') AS dedup_text
+        |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "Passage-level exact dedup (C4-style, sub-document granularity): documents split into fixed 8-word chunks; a chunk is dropped when its exact text already occurred under an earlier (doc_id, chunk_idx); survivors reassemble into the deduplicated text. The corpus is unioned with salted variants (8 unique salt words + the original text) so each variant provably keeps EXACTLY its salt chunk — the partial-overlap path, not all-or-nothing. Chunks are hashed in place before exploding, so the claim shuffle moves hashes, never text; text flows through one doc_id-keyed join for reassembly.") {
+      (s, d) =>
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val salt = concat(lit("u"), col("doc_id").cast("string"))
+        val variants = docs.select((col("doc_id") + 1000000).as("doc_id"),
+          concat_ws(" ", (Seq.fill(8)(salt) :+ col("text")): _*).as("text"))
+        chunkDedup(docs.union(variants)).orderBy(col("doc_id"))
     },
 
     Q("q33_ngram_jaccard",

@@ -289,6 +289,32 @@ object EventWindows {
           .orderBy(col("user_id"), col("day"))
     },
 
+    Q("q86_event_transitions",
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev, event_type AS next, count(*) AS n,
+        |  CAST(count(*) AS DOUBLE)
+        |    / CAST(sum(count(*)) OVER (PARTITION BY prev) AS DOUBLE) AS p
+        |FROM seq WHERE prev IS NOT NULL
+        |GROUP BY prev, next
+        |ORDER BY prev, next""".stripMargin,
+      "First-order Markov transition matrix over per-user event sequences: lag() pairs each event with its predecessor (one shuffle on user_id), bigram counts map-side-combine down to |types|² rows, and row-normalized probabilities come from a window over that tiny matrix. The probability is an exact small-integer division, identical IEEE result in both engines. The 100 TB posture: everything after the single user_id exchange is O(|event types|²), independent of event volume.") {
+      (s, d) =>
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wp = Window.partitionBy(col("prev"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("next"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p",
+            col("n").cast("double") / sum(col("n")).over(wp).cast("double"))
+          .orderBy(col("prev"), col("next"))
+    },
+
     Q("q78_zscore_outliers",
       s"""WITH m AS (
          |  SELECT event_type,

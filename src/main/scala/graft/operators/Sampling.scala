@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -75,6 +76,29 @@ object Sampling {
             ids.zipWithIndex.map { case (id, i) => (source, id, i + 1) }
           }
           .toDF("source", "doc_id", "sample_rank")
+          .orderBy(col("source"), col("sample_rank"))
+    },
+
+    Q("q87_weighted_sample",
+      """SELECT source, doc_id, CAST(rn AS INT) AS sample_rank, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+        |                  / 4294967296.0) / n_chars DESC, doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 5
+        |ORDER BY source, sample_rank""".stripMargin,
+      "Deterministic WEIGHTED sampling without replacement (Efraimidis-Spirtsas A-ES): per source, the 5 docs with the largest u^(1/w) — ranked equivalently by ln(u)/w — where w = n_chars and u is an md5-derived uniform in (0,1), so longer documents are proportionally likelier yet membership is a pure function of the data: reproducible across runs, cluster sizes, and engines, unlike rand()-weighted sampling. Top-k-per-group by a computed key — the same mergeable bounded-heap shape as q70/q67, never a global sort. The +0.5 offset keeps u strictly positive (ln defined); key ordering is ulp-robust because distinct md5s give keys separated far beyond 1-ulp libm divergence.") {
+      (s, d) =>
+        val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") + lit(0.5d)) / lit(4294967296.0d)
+        val w = Window.partitionBy(col("source"))
+          .orderBy((log(u) / col("n_chars")).desc, col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("sample_rank", row_number().over(w))
+          .filter(col("sample_rank") <= 5)
+          .select(col("source"), col("doc_id"), col("sample_rank"), col("n_chars"))
           .orderBy(col("source"), col("sample_rank"))
     },
 

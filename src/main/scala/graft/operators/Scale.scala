@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -27,6 +27,65 @@ object Scale {
     val explodedDim = dim.withColumn("_salt",
       explode(expr(s"sequence(0, ${saltFactor - 1})")))
     salted.join(explodedDim, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Bloom-filter shuffle pruning: when the build side of a join is too
+    * big to broadcast as a full hash relation but its KEY SET fits a
+    * small bloom filter (8 KB here), pre-filter the probe side with the
+    * bloom BEFORE its shuffle — the dominant cost of a big join is
+    * shuffling probe rows that match nothing. The subsequent exact join
+    * removes the bloom's false positives, so the result is exactly the
+    * plain join (no false negatives by construction: every build key
+    * sets the bits its probes will test).
+    *
+    * m = 2^16 bits / k = 4 probes → ~0.1% false-positive rate at 3k
+    * keys; at larger builds, grow m (the filter is bits, not entries —
+    * 1M keys still fit ~1 MB at 1% fp). Probes are double-hashing over
+    * two xxhash64 seeds (h1 + j·h2 mod m, Kirsch–Mitzenmacher), all
+    * codegen'd built-ins — membership need not be engine-portable
+    * because the exact join makes the final result engine-exact anyway.
+    */
+  object Bloom {
+    val m = 1 << 16 // bits (8 KB bitset)
+    val k = 4 // probes per key
+
+    private def position(key: Column, j: Int): Column = {
+      // reduce each hash mod m BEFORE combining: j*h2 on raw hashes
+      // overflows Long (an error under ANSI mode); mod-first is the
+      // same double-hash family and stays far from the Long range
+      val h1 = pmod(xxhash64(key), lit(m.toLong))
+      val h2 = pmod(xxhash64(lit("graft-bloom"), key), lit(m.toLong))
+      pmod(h1 + lit(j.toLong) * h2, lit(m.toLong)).cast("int")
+    }
+
+    /** Distributed build: each key's k bit positions, distinct-ed and
+      * collected. The collect is bounded by m (≤ 65536 ints, a
+      * CONSTANT), never by build-side row count — the same shape as
+      * Spark's own runtime bloom (treeAggregate to the driver), because
+      * a bloom must reach every probe task as one broadcast value. */
+    def build(keys: DataFrame, keyCol: String): Array[Long] = {
+      val bits = new Array[Long](m / 64)
+      keys
+        .select(explode(array((0 until k).map(j => position(col(keyCol), j)): _*)).as("pos"))
+        .distinct()
+        .collect()
+        .foreach { r => val p = r.getInt(0); bits(p / 64) |= 1L << (p % 64) }
+      bits
+    }
+
+    /** Probe-side membership test, pure built-in expressions (stays in
+      * whole-stage codegen): word = bits[pos >> 6], test bit pos & 63.
+      * `call_function` builds the column-count shiftright the typed
+      * helper doesn't expose. */
+    def mightContain(bits: Array[Long], key: Column): Column = {
+      val arr = lit(bits)
+      (0 until k).map { j =>
+        val pos = position(key, j)
+        val word = element_at(arr, shiftright(pos, 6) + 1)
+        call_function("shiftright", word, pos.bitwiseAND(lit(63)))
+          .bitwiseAND(lit(1L)) === lit(1L)
+      }.reduce(_ && _)
+    }
   }
 
   /** Write both sides bucketed by the join key so the subsequent join is
@@ -65,6 +124,30 @@ object Scale {
           .agg(count(lit(1)).as("n_orders"),
             graft.functions.DetAgg.dsumD(col("o_totalprice")).as("total_price"))
           .orderBy(col("c_nationkey"))
+    },
+
+    Q("q84_bloom_pruned_join",
+      s"""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+         |  count(*) AS n_items,
+         |  ${sql.dsumD("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY order_month
+         |ORDER BY order_month""".stripMargin,
+      "Bloom-pruned join: urgent orders' keys build an 8 KB bloom (bounded driver collect — <= m bits, a constant); the lineitem side is pre-filtered by 4 codegen'd double-hash probes BEFORE its shuffle, so ~4/5 of fact rows never enter the exchange; the exact join then removes the bloom's false positives. The oracle is the PLAIN join — proving the prune is semantics-free. The 100 TB case this exists for: build side too big to broadcast as a hash relation, but its key bitset still fits every executor.") {
+      (s, d) =>
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val bits = Bloom.build(urgent.select(col("o_orderkey")), "o_orderkey")
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .filter(Bloom.mightContain(bits, col("l_orderkey")))
+          .join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+          .agg(count(lit(1)).as("n_items"),
+            graft.functions.DetAgg.dsumD(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy(col("order_month"))
     },
 
     Q("q67_topk_per_key",

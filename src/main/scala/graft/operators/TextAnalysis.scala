@@ -260,5 +260,31 @@ object TextAnalysis {
             (col("cum") * lit(1.0d) / col("n")).as("coverage"))
           .orderBy(col("rank"))
     },
+
+    Q("q88_length_histogram",
+      """WITH b AS (
+        |  SELECT lang, CAST(n_chars // 64 AS INT) AS bucket FROM documents),
+        |h AS (SELECT lang, bucket, count(*) AS n_docs FROM b GROUP BY lang, bucket)
+        |SELECT lang, bucket * 64 AS bucket_lo, n_docs,
+        |  CAST(n_docs AS DOUBLE)
+        |    / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS share,
+        |  CAST(sum(n_docs) OVER (PARTITION BY lang ORDER BY bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS cum_share
+        |FROM h ORDER BY lang, bucket_lo""".stripMargin,
+      "Corpus length profile per language: 64-char histogram buckets with each bucket's share and cumulative share — the distribution report behind truncation/packing decisions (what fraction of docs fit a context budget). Bucketing is integer division (exact cross-engine); shares divide INTEGER cumulative counts by integer totals, one exact IEEE division each, so no float accumulates across rows. One map-side-combined shuffle to |lang|x|buckets| rows; the windows run over that tiny frame.") {
+      (s, d) =>
+        val h = Tables.documents(s, d)
+          .select(col("lang"), expr("n_chars div 64").cast("int").as("bucket"))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"))
+        val wl = Window.partitionBy(col("lang"))
+        val wc = wl.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        h.select(col("lang"), (col("bucket") * 64).as("bucket_lo"), col("n_docs"),
+            (col("n_docs").cast("double") / sum(col("n_docs")).over(wl).cast("double")).as("share"),
+            (sum(col("n_docs")).over(wc).cast("double") / sum(col("n_docs")).over(wl).cast("double")).as("cum_share"))
+          .orderBy(col("lang"), col("bucket_lo"))
+    },
   )
 }

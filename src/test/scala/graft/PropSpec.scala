@@ -92,6 +92,31 @@ class PropSpec extends SparkSpec {
     }
   }
 
+  test("weighted sample equals a driver-side A-ES recomputation and is stable") {
+    val q = SparkEntry.queries("q87_weighted_sample")
+    val got = q(spark, sf0001)
+      .as[(String, Long, Int, Long)].collect().toSeq
+    // independent reference: same md5-uniform, ln(u)/w ranking in plain Scala
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+    }
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .as[(String, Long, Long)].collect()
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.sortBy { case (_, id, w) => (-math.log(u(id)) / w, id) }
+        .take(5).zipWithIndex
+        .map { case ((_, id, w), i) => (src, id, i + 1, w) }
+    }.sortBy(r => (r._1, r._3))
+    assert(got == expected)
+    // and the membership is a pure function of the data: a second run
+    // returns the identical sample
+    assert(q(spark, sf0001).as[(String, Long, Int, Long)].collect().toSeq == got)
+  }
+
   test("zvalue round-trips: de-interleaving recovers both coordinates") {
     val pair = for {
       a <- Gen.chooseNum(0L, 0xFFFFFFFFL)

@@ -10,6 +10,26 @@ import graft.{SparkEntry, SparkSpec, Tables}
 class EventAnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("transition matrix: rows normalize to 1, totals = events minus chain starts") {
+    val got = SparkEntry.queries("q86_event_transitions")(spark, sf0001)
+      .as[(String, String, Long, Double)].collect()
+    val ev = Tables.events(spark, sf0001)
+    val nEvents = ev.count()
+    val nUsers = ev.select($"user_id").distinct().count()
+    // each user's first event has no predecessor; every other event is
+    // exactly one transition
+    assert(got.map(_._3).sum == nEvents - nUsers)
+    got.groupBy(_._1).foreach { case (prev, rows) =>
+      val pSum = rows.map(_._4).sum
+      assert(math.abs(pSum - 1.0) < 1e-9, s"$prev probabilities sum to $pSum")
+    }
+    // probabilities are the exact per-row division of the counts
+    val byPrev = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    got.foreach { case (prev, _, n, p) =>
+      assert(p == n.toDouble / byPrev(prev))
+    }
+  }
+
   test("EWMA equals the textbook recursion, computed independently") {
     val got = SparkEntry.queries("q77_ewma_smoothing")(spark, sf0001)
       .collect()

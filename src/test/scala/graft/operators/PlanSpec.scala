@@ -162,11 +162,39 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("partial_"), "term counts must combine map-side")
   }
 
+  test("q84 bloom probe filters the fact below every exchange") {
+    val p = planOf("q84_bloom_pruned_join")
+    val bloomFilters = p.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("xxhash64") => f
+    }
+    assert(bloomFilters.nonEmpty, "bloom probe filter missing from the plan")
+    // the probe must prune scan-side — a bloom above the exchange would
+    // shuffle the rows it exists to eliminate
+    assert(bloomFilters.exists(f =>
+      f.collect { case s: ShuffleExchangeLike => s }.isEmpty),
+      "bloom probe sits above an exchange")
+  }
+
+  test("q85 claim shuffle moves chunk hashes, never document text") {
+    val exchanges = planOf("q85_chunk_dedup")
+      .collect { case s: ShuffleExchangeLike => s }
+    val textBearing = exchanges.filter(_.child.output.exists(a =>
+      a.name == "text" || a.name == "arr"))
+    assert(textBearing.size <= 1,
+      s"${textBearing.size} exchanges carry document text (only the doc_id-keyed reassembly join may)")
+    assert(exchanges.exists(_.child.output.exists(_.name == "h")),
+      "no exchange keyed on the chunk hash")
+  }
+
   test("shuffle counts stay bounded for the headline queries") {
     val maxShuffles = Map(
       "q01_pricing_summary" -> 2, // partial/final agg + sort
       "q05_region_revenue" -> 4,  // fact join + agg + sort (dims broadcast)
-      "q08_window_topk" -> 3)     // window partition + output sort
+      "q08_window_topk" -> 3,     // window partition + output sort
+      "q86_event_transitions" -> 4, // user_id window + agg + prev window + sort
+      "q87_weighted_sample" -> 3, // source window + output sort (+1 slack)
+      "q88_length_histogram" -> 4) // agg + lang windows + sort
     maxShuffles.foreach { case (name, bound) =>
       val n = planOf(name).collect { case s: ShuffleExchangeLike => s }.size
       assert(n <= bound, s"$name has $n shuffles (bound $bound)")

@@ -19,6 +19,28 @@ class ScaleSpec extends SparkSpec {
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
+  test("bloom prefilter: no false negatives, real pruning, tiny fp rate") {
+    val urgent = Tables.orders(spark, sf001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bits = Scale.Bloom.build(urgent, "o_orderkey")
+    val li = Tables.lineitem(spark, sf001).select(col("l_orderkey"))
+    val matching = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"))
+    // no false negatives: every fact row with a real match passes the bloom
+    assert(matching.filter(!Scale.Bloom.mightContain(bits, col("l_orderkey"))).count() == 0)
+    val total = li.count()
+    val nMatch = matching.count()
+    val kept = li.filter(Scale.Bloom.mightContain(bits, col("l_orderkey"))).count()
+    assert(kept >= nMatch)
+    // the prune is real: ~1/5 of orders are urgent, so ~4/5 of fact rows
+    // must never reach the join shuffle
+    assert(kept < total * 3 / 10, s"bloom kept $kept of $total rows")
+    // false-positive rate among non-matching rows stays near the design point
+    val fpRate = (kept - nMatch).toDouble / (total - nMatch).max(1L)
+    assert(fpRate < 0.01, s"fp rate $fpRate")
+  }
+
   test("bucketed tables join without a shuffle on either side") {
     val o = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
     val l = Tables.lineitem(spark, sf0001)

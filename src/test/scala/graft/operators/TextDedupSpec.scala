@@ -56,6 +56,70 @@ class TextDedupSpec extends SparkSpec {
     assert(deduped.filter($"keep_doc_id" >= 1000000).count() == 0)
   }
 
+  test("chunk dedup matches an independent driver-side recomputation") {
+    // the real corpus DOES contain cross-doc duplicate chunks (short
+    // ragged tails collide), so this exercises genuine claims
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+    def chunksOf(text: String): Seq[(String, Int)] =
+      text.split(" ", -1).grouped(8).map(_.mkString(" ")).zipWithIndex.toSeq
+    val firstOwner = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    rows.foreach { case (id, text) =>
+      chunksOf(text).foreach { case (ch, i) =>
+        if (!firstOwner.contains(ch)) firstOwner(ch) = (id, i)
+      }
+    }
+    val expected = rows.map { case (id, text) =>
+      val cs = chunksOf(text)
+      val kept = cs.filter { case (ch, i) => firstOwner(ch) == ((id, i)) }
+      (id, cs.size.toLong, kept.size.toLong, kept.map(_._1).mkString(" "))
+    }.toSeq
+    val got = Dedup.chunkDedup(docs).orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("length histogram: shares sum to 1 and the cumulative curve ends at 1.0 exactly") {
+    val got = graft.SparkEntry.queries("q88_length_histogram")(spark, sf0001)
+      .as[(String, Int, Long, Double, Double)].collect()
+    assert(got.map(_._3).sum == Tables.documents(spark, sf0001).count())
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+      // cum_share is total/total = an EXACT 1.0 on the last bucket
+      assert(rows.maxBy(_._2)._5 == 1.0, s"$lang cumulative curve")
+      assert(rows.map(_._2).distinct.length == rows.length)
+    }
+  }
+
+  test("chunk dedup: claimed passages drop, unique passages survive") {
+    // doc 1: chunks A B; doc 2: A repeated within itself + unique C;
+    // doc 3: a short sub-chunk doc
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val c = (1 to 8).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$a $b"),
+      (2L, s"$a $a $c"),
+      (3L, "x y z")).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got(0) == ((1L, 2L, 2L, s"$a $b")))
+    // doc 2 loses both copies of A (claimed by doc 1 AND by its own
+    // first occurrence — which is itself claimed by doc 1), keeps C
+    assert(got(1) == ((2L, 3L, 1L, c)))
+    assert(got(2) == ((3L, 1L, 1L, "x y z")))
+  }
+
+  test("chunk dedup: a doc whose every passage is claimed keeps nothing") {
+    val a = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, a)).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs).orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got(0) == ((1L, 1L, 1L, a)))
+    assert(got(1) == ((2L, 1L, 0L, "")))
+  }
+
   test("minhash LSH candidates cover the high-jaccard pairs") {
     val docs = Tables.documents(spark, sf0001)
     val truePairs = Dedup.ngramJaccardPairs(docs, 0.3)
