@@ -289,6 +289,140 @@ object EventWindows {
           .orderBy(col("user_id"), col("day"))
     },
 
+    Q("q89_linear_trend",
+      s"""WITH base AS (
+         |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+         |  FROM events),
+         |t0 AS (SELECT min(us) AS us0 FROM base),
+         |pts AS (
+         |  SELECT event_type,
+         |    (us - us0) // 60000000 AS m,
+         |    CAST(floor(value * 1e6) AS BIGINT) AS v
+         |  FROM base, t0),
+         |s AS (
+         |  SELECT event_type, count(*) AS n,
+         |    ${sql.dsumD("m")} AS sm, ${sql.dsumD("v")} AS sv,
+         |    ${sql.dsumD("m * v")} AS smv, ${sql.dsumD("m * m")} AS smm
+         |  FROM pts GROUP BY event_type),
+         |c AS (
+         |  SELECT event_type, n,
+         |    sm / 1440e0 AS sx, sv * 1e-6 AS sy,
+         |    smv * 1e-6 / 1440e0 AS sxy, smm / 2073600e0 AS sxx
+         |  FROM s)
+         |SELECT event_type, n,
+         |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+         |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+         |FROM c ORDER BY event_type""".stripMargin,
+      "Per-group ordinary-least-squares trend (value vs event time), BIT-reproducible cross-engine: x and y are quantized to exact INTEGERS first (minutes since the first event via integer division; floor(value*1e6) micro-units — floor because DuckDB's double->int cast rounds where Spark's truncates), so every summed element and product (m*v <= 2.4e13, long-exact) is an integer whose decimal cast can never hit a rounding boundary — the failure mode that a naive sum of x*x doubles at ~4e8 magnitude actually exhibits (the double->decimal tie behavior of the two engines diverges with probability ~ulp/grid per element). The five sufficient statistics are then exact, the unit rescale (minutes->days, micro->value) and the closed-form slope/intercept are identical IEEE expressions on identical inputs. Two passes (global min + one map-side-combined shuffle to |groups| rows); intercept = estimated value at corpus start.") {
+      (s, d) =>
+        val base = Tables.events(s, d).select(col("event_type"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        val t0 = base.agg(min(col("us")).as("us0"))
+        val pts = base.crossJoin(broadcast(t0)).select(col("event_type"),
+          expr("(us - us0) div 60000000").as("m"),
+          floor(col("value") * lit(1e6d)).as("v"))
+        val st = pts.groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+          dsumD(col("m")).as("sm"), dsumD(col("v")).as("sv"),
+          dsumD(col("m") * col("v")).as("smv"), dsumD(col("m") * col("m")).as("smm"))
+        val cv = st.select(col("event_type"), col("n"),
+          (col("sm") / lit(1440.0d)).as("sx"),
+          (col("sv") * lit(1e-6d)).as("sy"),
+          (col("smv") * lit(1e-6d) / lit(1440.0d)).as("sxy"),
+          (col("smm") / lit(2073600.0d)).as("sxx"))
+        val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+        cv.select(col("event_type"), col("n"),
+            slope.as("slope"),
+            ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
+          .orderBy(col("event_type"))
+    },
+
+    Q("q90_user_entropy",
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY user_id, event_type),
+        |u AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_types,
+        |    list_transform(list(CAST(c AS DOUBLE) ORDER BY event_type),
+        |                   x -> x * ln(x)) AS terms
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, n, n_types,
+        |  round(ln(n) - list_reduce(list_prepend(CAST(0.0 AS DOUBLE), terms),
+        |                            (a, x) -> a + x) / n, 6) AS entropy
+        |FROM u ORDER BY user_id""".stripMargin,
+      "Behavioral entropy per user: Shannon entropy of the user's event-type distribution via H = ln(n) - (Σ c·ln(c))/n — the identity avoids materializing probabilities. The Σ is a strict sequential left fold over event_type-ORDERED counts (Spark aggregate() / DuckDB list_reduce with a prepended 0.0 seed — the q77 fold-parity trick), so the addition order is pinned cross-engine; ln() is the one libm call, absorbed by rounding to 6 decimals (a 1-ulp divergence flips a 6-dp boundary with probability ~1e-10 — the q41 precedent). Scale: two map-side-combined shuffles; per-user state is ≤ |event types| counts.") {
+      (s, d) =>
+        val c = Tables.events(s, d)
+          .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+        c.groupBy(col("user_id"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"),
+            transform(sort_array(collect_list(struct(col("event_type"), col("c")))),
+              e => e.getField("c").cast("double")).as("cs"))
+          .select(col("user_id"), col("n"), col("n_types"),
+            round(log(col("n")) -
+              aggregate(transform(col("cs"), x => x * log(x)), lit(0.0d), _ + _)
+                / col("n"), 6).as("entropy"))
+          .orderBy(col("user_id"))
+    },
+
+    Q("q91_growth_accounting",
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+        |  FROM events),
+        |seq AS (
+        |  SELECT user_id, wk,
+        |    lag(wk)  OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+        |    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+        |  FROM active),
+        |weeks AS (SELECT DISTINCT wk FROM active),
+        |maxw AS (SELECT max(wk) AS mw FROM active),
+        |status AS (
+        |  SELECT wk,
+        |    CAST(sum(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN prev_wk = wk - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN prev_wk IS NOT NULL
+        |                   AND prev_wk < wk - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM seq GROUP BY wk),
+        |churn AS (
+        |  SELECT s.wk + INTERVAL 7 DAY AS wk, count(*) AS n_churned
+        |  FROM seq s, maxw
+        |  WHERE (s.next_wk IS NULL OR s.next_wk > s.wk + INTERVAL 7 DAY)
+        |    AND s.wk + INTERVAL 7 DAY <= maxw.mw
+        |  GROUP BY s.wk + INTERVAL 7 DAY)
+        |SELECT w.wk AS week, st.n_new, st.n_retained, st.n_resurrected,
+        |  CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned
+        |FROM weeks w
+        |JOIN status st ON w.wk = st.wk
+        |LEFT JOIN churn c ON w.wk = c.wk
+        |ORDER BY week""".stripMargin,
+      "Weekly growth accounting — the product-analytics ledger: per week, users split into NEW (first-ever active week), RETAINED (also active the prior week), RESURRECTED (active before, but not the prior week), and CHURNED (active the prior week, absent this one; reported only for weeks up to the last observed, and on observed weeks — a fully-inactive gap week has no report row by definition of the grid). Everything derives from one per-user ordered pass (lag/lead over active weeks) — no per-week self-joins over the event table; outputs are exact integers. Scale: DISTINCT (user, week) collapses event volume first; the single user_id exchange dominates; weekly frames are |weeks|-sized.") {
+      (s, d) =>
+        val wU = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+        val active = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
+        val seq = active
+          .withColumn("prev_wk", lag(col("wk"), 1).over(wU))
+          .withColumn("next_wk", lead(col("wk"), 1).over(wU))
+        val week7 = expr("INTERVAL 7 DAY")
+        val status = seq.groupBy(col("wk"))
+          .agg(
+            sum(when(col("prev_wk").isNull, 1).otherwise(0)).as("n_new"),
+            sum(when(col("prev_wk") === col("wk") - week7, 1).otherwise(0)).as("n_retained"),
+            sum(when(col("prev_wk").isNotNull && col("prev_wk") < col("wk") - week7, 1)
+              .otherwise(0)).as("n_resurrected"))
+        val maxw = active.agg(max(col("wk")).as("mw"))
+        val churn = seq.crossJoin(broadcast(maxw))
+          .filter((col("next_wk").isNull || col("next_wk") > col("wk") + week7) &&
+            col("wk") + week7 <= col("mw"))
+          .groupBy((col("wk") + week7).as("wk"))
+          .agg(count(lit(1)).as("n_churned"))
+        status.join(churn, Seq("wk"), "left")
+          .select(col("wk").as("week"), col("n_new"), col("n_retained"),
+            col("n_resurrected"),
+            coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+          .orderBy(col("week"))
+    },
+
     Q("q86_event_transitions",
       """WITH seq AS (
         |  SELECT user_id, event_type,

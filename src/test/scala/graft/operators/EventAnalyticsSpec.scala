@@ -30,6 +30,69 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("linear trend matches a driver-side OLS on the same quantized points") {
+    val got = SparkEntry.queries("q89_linear_trend")(spark, sf0001)
+      .as[(String, Long, Double, Double)].collect()
+    val base = Tables.events(spark, sf0001)
+      .select($"event_type", unix_micros($"ts"), $"value")
+      .as[(String, Long, Double)].collect()
+    val us0 = base.map(_._2).min
+    val pts = base.map { case (t, us, v) =>
+      (t, (us - us0) / 60000000L, math.floor(v * 1e6).toLong)
+    }
+    got.foreach { case (tpe, n, slope, intercept) =>
+      val p = pts.filter(_._1 == tpe)
+      assert(p.length == n)
+      val sx = p.map(_._2.toDouble / 1440.0).sum
+      val sy = p.map(_._3.toDouble * 1e-6).sum
+      val sxy = p.map(r => (r._2.toDouble / 1440.0) * (r._3.toDouble * 1e-6)).sum
+      val sxx = p.map(r => math.pow(r._2.toDouble / 1440.0, 2)).sum
+      val expSlope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(slope - expSlope) <= 1e-9 * math.max(1.0, math.abs(expSlope)),
+        s"$tpe slope $slope vs $expSlope")
+      val expIcpt = (sy - expSlope * sx) / n
+      assert(math.abs(intercept - expIcpt) <= 1e-9 * math.max(1.0, math.abs(expIcpt)))
+    }
+  }
+
+  test("user entropy: bounded by ln(n_types), matches an independent recomputation") {
+    val got = SparkEntry.queries("q90_user_entropy")(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (u, n, k, h) =>
+      assert(h >= 0.0 && h <= math.log(k.toDouble) + 1e-6, s"user $u entropy $h of $k types")
+      assert(k >= 1 && n >= k)
+    }
+    // independent recomputation for one user
+    val u0 = got.head._1
+    val counts = Tables.events(spark, sf0001).filter($"user_id" === u0)
+      .groupBy($"event_type").count().as[(String, Long)].collect()
+      .sortBy(_._1).map(_._2.toDouble)
+    val n = counts.sum
+    val expected = BigDecimal(math.log(n) - counts.map(c => c * math.log(c)).sum / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got.head._4 - expected) <= 1e-6)
+  }
+
+  test("growth accounting: weekly ledger reconciles against the active sets") {
+    val got = SparkEntry.queries("q91_growth_accounting")(spark, sf0001)
+      .as[(java.sql.Timestamp, Long, Long, Long, Long)].collect()
+      .sortBy(_._1.getTime)
+    val active = Tables.events(spark, sf0001)
+      .select($"user_id", date_trunc("week", $"ts").as("wk")).distinct()
+      .as[(Long, java.sql.Timestamp)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val weekMs = 7L * 24 * 3600 * 1000
+    got.zipWithIndex.foreach { case ((wk, nNew, nRet, nRes, nChurn), i) =>
+      val cur = active(wk)
+      assert(nNew + nRet + nRes == cur.size, s"week $wk ledger != active count")
+      val prev = active.getOrElse(new java.sql.Timestamp(wk.getTime - weekMs), Set.empty[Long])
+      assert(nRet == (cur & prev).size, s"week $wk retained")
+      assert(nChurn == (prev -- cur).size, s"week $wk churned")
+      if (i == 0) assert(nNew == cur.size && nRet == 0 && nRes == 0)
+    }
+  }
+
   test("EWMA equals the textbook recursion, computed independently") {
     val got = SparkEntry.queries("q77_ewma_smoothing")(spark, sf0001)
       .collect()

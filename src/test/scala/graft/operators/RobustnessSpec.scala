@@ -48,6 +48,21 @@ class RobustnessSpec extends SparkSpec {
     assert(tf.filter($"doc_id" === 1L).count() == 1) // the empty token
   }
 
+  test("chunk dedup is empty-safe and single-word-safe") {
+    assert(Dedup.chunkDedup(emptyDocs.select($"doc_id", $"text")).isEmpty)
+    val one = Dedup.chunkDedup(docs((1L, "solo")).select($"doc_id", $"text"))
+      .as[(Long, Long, Long, String)].collect()
+    assert(one.toSeq == Seq((1L, 1L, 1L, "solo")))
+  }
+
+  test("bloom built from zero keys rejects everything; probes stay null-safe") {
+    val noKeys = Seq.empty[Long].toDF("k")
+    val bits = Scale.Bloom.build(noKeys, "k")
+    assert(bits.forall(_ == 0L))
+    val probe = Seq(1L, 42L, 7L).toDF("k")
+    assert(probe.filter(Scale.Bloom.mightContain(bits, $"k")).isEmpty)
+  }
+
   test("EWMA variants are empty-safe") {
     val emptyEvents = Seq.empty[(Long, Timestamp, Long, String, Double, String)]
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
