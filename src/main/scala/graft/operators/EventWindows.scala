@@ -449,6 +449,34 @@ object EventWindows {
           .orderBy(col("prev"), col("next"))
     },
 
+    Q("q93_partial_agg_merge",
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+         |    count(*) AS n, ${sql.dsum("value")} AS s,
+         |    min(value) AS mn, max(value) AS mx
+         |  FROM events GROUP BY event_type, day)
+         |SELECT event_type,
+         |  CAST(sum(n) AS BIGINT) AS n_events,
+         |  CAST(CAST(sum(s) AS VARCHAR) AS DOUBLE) AS total_value,
+         |  CAST(CAST(sum(s) AS VARCHAR) AS DOUBLE) / CAST(sum(n) AS BIGINT) AS avg_value,
+         |  min(mn) AS min_value, max(mx) AS max_value,
+         |  count(*) AS n_days
+         |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "Incremental-aggregation algebra: per-(type, day) PARTIAL aggregates (count, decimal sum, min, max — each a commutative monoid) merge into per-type totals, and the oracle computes the same totals from the SAME two-level rollup — while the EventAnalyticsSpec invariant pins the merged result equal to aggregating the raw stream directly. This is the contract an incremental 100 TB pipeline lives on: yesterday's materialized partials + today's delta re-aggregate WITHOUT rescanning history, valid precisely because DetAgg's decimal sums are exact and associative (a double sum would drift between the merged and direct paths). The merge also demonstrates avg's decomposition (sum-of-sums / sum-of-counts) — avg is NOT a monoid on its own outputs.") {
+      (s, d) =>
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).cast("timestamp").as("day"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("s"),
+            min(col("value")).as("mn"), max(col("value")).as("mx"))
+        daily.groupBy(col("event_type"))
+          .agg(sum(col("n")).as("n_events"),
+            sum(col("s")).cast("double").as("total_value"),
+            (sum(col("s")).cast("double") / sum(col("n"))).as("avg_value"),
+            min(col("mn")).as("min_value"), max(col("mx")).as("max_value"),
+            count(lit(1)).as("n_days"))
+          .orderBy(col("event_type"))
+    },
+
     Q("q78_zscore_outliers",
       s"""WITH m AS (
          |  SELECT event_type,

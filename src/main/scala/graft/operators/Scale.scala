@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -148,6 +149,41 @@ object Scale {
           .agg(count(lit(1)).as("n_items"),
             graft.functions.DetAgg.dsumD(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
           .orderBy(col("order_month"))
+    },
+
+    Q("q92_key_skew_profile",
+      """WITH c AS (
+        |  SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY o_custkey),
+        |g AS (
+        |  SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    CAST(max(cnt) AS BIGINT) AS max_cnt
+        |  FROM c),
+        |top AS (
+        |  SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rank
+        |  FROM c ORDER BY cnt DESC, key LIMIT 5)
+        |SELECT t.rank, t.key, t.cnt,
+        |  CAST(t.cnt AS DOUBLE) / CAST(g.n_rows AS DOUBLE) AS key_share,
+        |  g.n_keys, g.n_rows,
+        |  CAST(g.max_cnt AS DOUBLE) * CAST(g.n_keys AS DOUBLE)
+        |    / CAST(g.n_rows AS DOUBLE) AS skew_ratio
+        |FROM top t CROSS JOIN g
+        |ORDER BY t.rank""".stripMargin,
+      "Join-key skew diagnostics — the MEASUREMENT that decides whether a key needs Scale.saltedJoin or AQE skew-split before a 100 TB join is attempted: per-key counts (one map-side-combined shuffle), the top-5 hottest keys with their share of all rows, and skew_ratio = hottest-key count over the mean per-key count (1.0 = perfectly uniform; the classic salt-when > ~4 heuristic). All divisions are exact int-derived IEEE ops; top-k is a distributed TakeOrdered, never a global sort; the global stats row is a broadcast." ) {
+      (s, d) =>
+        val c = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("cnt"))
+        val g = c.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("max_cnt"))
+        val w = Window.orderBy(col("cnt").desc, col("key"))
+        val top = c.orderBy(col("cnt").desc, col("key")).limit(5)
+          .withColumn("rank", row_number().over(w))
+        top.crossJoin(broadcast(g))
+          .select(col("rank"), col("key"), col("cnt"),
+            (col("cnt").cast("double") / col("n_rows").cast("double")).as("key_share"),
+            col("n_keys"), col("n_rows"),
+            (col("max_cnt").cast("double") * col("n_keys").cast("double")
+              / col("n_rows").cast("double")).as("skew_ratio"))
+          .orderBy(col("rank"))
     },
 
     Q("q67_topk_per_key",

@@ -93,6 +93,28 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("partial-aggregate merge is BIT-equal to direct aggregation of the raw stream") {
+    val got = SparkEntry.queries("q93_partial_agg_merge")(spark, sf0001)
+      .select($"event_type", $"n_events", $"total_value", $"avg_value",
+        $"min_value", $"max_value")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    val direct = Tables.events(spark, sf0001).groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.DetAgg.dsumD($"value").as("t"),
+        min($"value").as("mn"), max($"value").as("mx"))
+      .orderBy($"event_type")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got.length == direct.length && got.nonEmpty)
+    got.zip(direct).foreach {
+      case ((tpe, n, tot, avg, mn, mx), (tpe2, n2, tot2, mn2, mx2)) =>
+        assert(tpe == tpe2 && n == n2)
+        // the merge of daily decimal partials must be EXACTLY the direct
+        // decimal sum — this equality is the incremental-pipeline contract
+        assert(tot == tot2, s"$tpe merged $tot != direct $tot2")
+        assert(avg == tot / n && mn == mn2 && mx == mx2)
+    }
+  }
+
   test("EWMA equals the textbook recursion, computed independently") {
     val got = SparkEntry.queries("q77_ewma_smoothing")(spark, sf0001)
       .collect()

@@ -41,6 +41,23 @@ class ScaleSpec extends SparkSpec {
     assert(fpRate < 0.01, s"fp rate $fpRate")
   }
 
+  test("skew profile: top keys ordered, ratio anchored to the hottest key") {
+    val rows = graft.SparkEntry.queries("q92_key_skew_profile")(spark, sf001)
+      .collect()
+    assert(rows.length == 5)
+    val cnts = rows.map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "top-5 not descending")
+    val nRows = rows.head.getLong(5)
+    assert(nRows == Tables.orders(spark, sf001).count())
+    // rank 1 is the global max, and the ratio is exactly its count over
+    // the mean rows-per-key
+    val nKeys = rows.head.getLong(4)
+    assert(rows.head.getDouble(6) ==
+      cnts.head.toDouble * nKeys.toDouble / nRows.toDouble)
+    assert(rows.head.getDouble(6) >= 1.0)
+    assert(rows.head.getDouble(3) == cnts.head.toDouble / nRows.toDouble)
+  }
+
   test("bucketed tables join without a shuffle on either side") {
     val o = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
     val l = Tables.lineitem(spark, sf0001)
