@@ -374,52 +374,51 @@ object EventWindows {
         |    lag(wk)  OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
         |    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
         |  FROM active),
-        |weeks AS (SELECT DISTINCT wk FROM active),
-        |maxw AS (SELECT max(wk) AS mw FROM active),
-        |status AS (
-        |  SELECT wk,
-        |    CAST(sum(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
-        |    CAST(sum(CASE WHEN prev_wk = wk - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
-        |    CAST(sum(CASE WHEN prev_wk IS NOT NULL
-        |                   AND prev_wk < wk - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
-        |  FROM seq GROUP BY wk),
-        |churn AS (
-        |  SELECT s.wk + INTERVAL 7 DAY AS wk, count(*) AS n_churned
-        |  FROM seq s, maxw
-        |  WHERE (s.next_wk IS NULL OR s.next_wk > s.wk + INTERVAL 7 DAY)
-        |    AND s.wk + INTERVAL 7 DAY <= maxw.mw
-        |  GROUP BY s.wk + INTERVAL 7 DAY)
-        |SELECT w.wk AS week, st.n_new, st.n_retained, st.n_resurrected,
-        |  CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned
-        |FROM weeks w
-        |JOIN status st ON w.wk = st.wk
-        |LEFT JOIN churn c ON w.wk = c.wk
-        |ORDER BY week""".stripMargin,
-      "Weekly growth accounting — the product-analytics ledger: per week, users split into NEW (first-ever active week), RETAINED (also active the prior week), RESURRECTED (active before, but not the prior week), and CHURNED (active the prior week, absent this one; reported only for weeks up to the last observed, and on observed weeks — a fully-inactive gap week has no report row by definition of the grid). Everything derives from one per-user ordered pass (lag/lead over active weeks) — no per-week self-joins over the event table; outputs are exact integers. Scale: DISTINCT (user, week) collapses event volume first; the single user_id exchange dominates; weekly frames are |weeks|-sized.") {
+        |maxw AS (
+        |  SELECT CAST(date_trunc('week', max(ts)) AS TIMESTAMP) AS mw FROM events),
+        |recs AS (
+        |  SELECT wk AS week,
+        |    CASE WHEN prev_wk IS NULL THEN 'new'
+        |         WHEN prev_wk = wk - INTERVAL 7 DAY THEN 'retained'
+        |         ELSE 'resurrected' END AS kind
+        |  FROM seq
+        |  UNION ALL
+        |  SELECT wk + INTERVAL 7 DAY AS week, 'churned' AS kind
+        |  FROM seq, maxw
+        |  WHERE (next_wk IS NULL OR next_wk > wk + INTERVAL 7 DAY)
+        |    AND wk + INTERVAL 7 DAY <= mw)
+        |SELECT week,
+        |  CAST(sum(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST(sum(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+        |  CAST(sum(CASE WHEN kind = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+        |FROM recs GROUP BY week ORDER BY week""".stripMargin,
+      "Weekly growth accounting — the product-analytics ledger: per week, users split into NEW (first-ever active week), RETAINED (also active the prior week), RESURRECTED (active before, but not the prior week), and CHURNED (active the prior week, absent this one; attributed to the following week, reported up to the last observed week — a churn-only gap week appears with zero actives). ONE per-user ordered pass (lag/lead over distinct active weeks) emits every ledger record — each seq row explodes into its status record plus an optional churn record — so there are no per-week self-joins and no replayed subtrees (the two-branch formulation re-ran the distinct+window chain three times; this one runs it once). Outputs are exact integers. Scale: DISTINCT (user, week) collapses event volume first; the single user_id exchange dominates; weekly frames are |weeks|-sized.") {
       (s, d) =>
         val wU = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+        val week7 = expr("INTERVAL 7 DAY")
         val active = Tables.events(s, d)
           .select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
         val seq = active
           .withColumn("prev_wk", lag(col("wk"), 1).over(wU))
           .withColumn("next_wk", lead(col("wk"), 1).over(wU))
-        val week7 = expr("INTERVAL 7 DAY")
-        val status = seq.groupBy(col("wk"))
-          .agg(
-            sum(when(col("prev_wk").isNull, 1).otherwise(0)).as("n_new"),
-            sum(when(col("prev_wk") === col("wk") - week7, 1).otherwise(0)).as("n_retained"),
-            sum(when(col("prev_wk").isNotNull && col("prev_wk") < col("wk") - week7, 1)
-              .otherwise(0)).as("n_resurrected"))
-        val maxw = active.agg(max(col("wk")).as("mw"))
-        val churn = seq.crossJoin(broadcast(maxw))
-          .filter((col("next_wk").isNull || col("next_wk") > col("wk") + week7) &&
-            col("wk") + week7 <= col("mw"))
-          .groupBy((col("wk") + week7).as("wk"))
-          .agg(count(lit(1)).as("n_churned"))
-        status.join(churn, Seq("wk"), "left")
-          .select(col("wk").as("week"), col("n_new"), col("n_retained"),
-            col("n_resurrected"),
-            coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        val maxw = Tables.events(s, d).agg(date_trunc("week", max(col("ts"))).as("mw"))
+        val statusRec = struct(col("wk").as("week"),
+          when(col("prev_wk").isNull, "new")
+            .when(col("prev_wk") === col("wk") - week7, "retained")
+            .otherwise("resurrected").as("kind"))
+        val churnRec = struct((col("wk") + week7).as("week"), lit("churned").as("kind"))
+        val emitsChurn = (col("next_wk").isNull || col("next_wk") > col("wk") + week7) &&
+          col("wk") + week7 <= col("mw")
+        val recs = seq.crossJoin(broadcast(maxw))
+          .select(explode(when(emitsChurn, array(statusRec, churnRec))
+            .otherwise(array(statusRec))).as("r"))
+          .select(col("r.week").as("week"), col("r.kind").as("kind"))
+        def kindCount(k: String) =
+          sum(when(col("kind") === k, 1).otherwise(0)).as(s"n_$k")
+        recs.groupBy(col("week"))
+          .agg(kindCount("new"), kindCount("retained"),
+            kindCount("resurrected"), kindCount("churned"))
           .orderBy(col("week"))
     },
 

@@ -84,7 +84,7 @@ class EventAnalyticsSpec extends SparkSpec {
       .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
     val weekMs = 7L * 24 * 3600 * 1000
     got.zipWithIndex.foreach { case ((wk, nNew, nRet, nRes, nChurn), i) =>
-      val cur = active(wk)
+      val cur = active.getOrElse(wk, Set.empty[Long]) // churn-only gap week
       assert(nNew + nRet + nRes == cur.size, s"week $wk ledger != active count")
       val prev = active.getOrElse(new java.sql.Timestamp(wk.getTime - weekMs), Set.empty[Long])
       assert(nRet == (cur & prev).size, s"week $wk retained")

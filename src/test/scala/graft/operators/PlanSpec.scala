@@ -187,6 +187,34 @@ class PlanSpec extends SparkSpec {
       "no exchange keyed on the chunk hash")
   }
 
+  test("q89 trend: the epoch anchor broadcasts; stats aggregate map-side") {
+    val p = planOf("q89_linear_trend")
+    assert(p.collect { case b: org.apache.spark.sql.execution.joins
+      .BroadcastNestedLoopJoinExec => b }.nonEmpty ||
+      p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "min-timestamp anchor must broadcast, not shuffle")
+    assert(p.toString.contains("partial_"),
+      "sufficient statistics must combine map-side")
+  }
+
+  test("q92 skew profile: distributed top-k, stats row broadcast") {
+    val s = planString("q92_key_skew_profile")
+    assert(s.contains("TakeOrderedAndProject") || s.contains("GlobalLimit"),
+      "top-5 must be a distributed TakeOrdered, not a global sort:\n" + s.take(800))
+    assert(s.contains("partial_"), "per-key counts must combine map-side")
+  }
+
+  test("q93 merge: both aggregation levels have partial phases") {
+    val p = planOf("q93_partial_agg_merge")
+    val aggs = p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    assert(aggs.size >= 4, s"expected partial+final at both levels, got ${aggs.size}")
+    assert(p.toString.contains("partial_"))
+  }
+
   test("shuffle counts stay bounded for the headline queries") {
     val maxShuffles = Map(
       "q01_pricing_summary" -> 2, // partial/final agg + sort
@@ -194,7 +222,9 @@ class PlanSpec extends SparkSpec {
       "q08_window_topk" -> 3,     // window partition + output sort
       "q86_event_transitions" -> 4, // user_id window + agg + prev window + sort
       "q87_weighted_sample" -> 3, // source window + output sort (+1 slack)
-      "q88_length_histogram" -> 4) // agg + lang windows + sort
+      "q88_length_histogram" -> 4, // agg + lang windows + sort
+      "q90_user_entropy" -> 3,    // two-level agg + sort
+      "q91_growth_accounting" -> 6) // distinct + user window + maxw + ledger agg + sort
     maxShuffles.foreach { case (name, bound) =>
       val n = planOf(name).collect { case s: ShuffleExchangeLike => s }.size
       assert(n <= bound, s"$name has $n shuffles (bound $bound)")
