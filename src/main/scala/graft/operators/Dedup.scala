@@ -70,7 +70,10 @@ object Dedup {
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
       .groupBy(col("w.doc_id").as("doc_id"))
       .agg(sort_array(collect_list(col("w.chunk_idx"))).as("kept"))
-    docs.select(col("doc_id"), arr.as("arr"), nChunks.cast("long").as("n_chunks"))
+    // coalesce: a NULL-text doc has no chunks at all — report a coherent
+    // (0, 0, "") row rather than (NULL, 0, "")
+    docs.select(col("doc_id"), arr.as("arr"),
+        coalesce(nChunks.cast("long"), lit(0L)).as("n_chunks"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
         coalesce(size(col("kept")), lit(0)).cast("long").as("n_kept"),

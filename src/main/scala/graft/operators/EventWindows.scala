@@ -95,6 +95,41 @@ object EventWindows {
       .toDF("user_id", "day", "n_events", "ewma")
   }
 
+  /** Weekly growth-accounting ledger (q91): one per-user ordered pass
+    * over distinct active weeks; each row explodes into its status
+    * record (new / retained / resurrected) plus an optional churn record
+    * attributed to the following week (bounded by the last observed
+    * week). Exposed as a method so tests can drive the resurrected /
+    * churned / gap-week branches on synthetic data — the fixed corpus's
+    * users are all continuously active, which exercises only new and
+    * retained. */
+  def growthLedger(events: DataFrame): DataFrame = {
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val week7 = expr("INTERVAL 7 DAY")
+    val active = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
+    val seq = active
+      .withColumn("prev_wk", lag(col("wk"), 1).over(wU))
+      .withColumn("next_wk", lead(col("wk"), 1).over(wU))
+    val maxw = events.agg(date_trunc("week", max(col("ts"))).as("mw"))
+    val statusRec = struct(col("wk").as("week"),
+      when(col("prev_wk").isNull, "new")
+        .when(col("prev_wk") === col("wk") - week7, "retained")
+        .otherwise("resurrected").as("kind"))
+    val churnRec = struct((col("wk") + week7).as("week"), lit("churned").as("kind"))
+    val emitsChurn = (col("next_wk").isNull || col("next_wk") > col("wk") + week7) &&
+      col("wk") + week7 <= col("mw")
+    val recs = seq.crossJoin(broadcast(maxw))
+      .select(explode(when(emitsChurn, array(statusRec, churnRec))
+        .otherwise(array(statusRec))).as("r"))
+      .select(col("r.week").as("week"), col("r.kind").as("kind"))
+    def kindCount(k: String) =
+      sum(when(col("kind") === k, 1).otherwise(0)).as(s"n_$k")
+    recs.groupBy(col("week"))
+      .agg(kindCount("new"), kindCount("retained"),
+        kindCount("resurrected"), kindCount("churned"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("q20_range_frame_window",
@@ -394,32 +429,7 @@ object EventWindows {
         |  CAST(sum(CASE WHEN kind = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
         |FROM recs GROUP BY week ORDER BY week""".stripMargin,
       "Weekly growth accounting — the product-analytics ledger: per week, users split into NEW (first-ever active week), RETAINED (also active the prior week), RESURRECTED (active before, but not the prior week), and CHURNED (active the prior week, absent this one; attributed to the following week, reported up to the last observed week — a churn-only gap week appears with zero actives). ONE per-user ordered pass (lag/lead over distinct active weeks) emits every ledger record — each seq row explodes into its status record plus an optional churn record — so there are no per-week self-joins and no replayed subtrees (the two-branch formulation re-ran the distinct+window chain three times; this one runs it once). Outputs are exact integers. Scale: DISTINCT (user, week) collapses event volume first; the single user_id exchange dominates; weekly frames are |weeks|-sized.") {
-      (s, d) =>
-        val wU = Window.partitionBy(col("user_id")).orderBy(col("wk"))
-        val week7 = expr("INTERVAL 7 DAY")
-        val active = Tables.events(s, d)
-          .select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
-        val seq = active
-          .withColumn("prev_wk", lag(col("wk"), 1).over(wU))
-          .withColumn("next_wk", lead(col("wk"), 1).over(wU))
-        val maxw = Tables.events(s, d).agg(date_trunc("week", max(col("ts"))).as("mw"))
-        val statusRec = struct(col("wk").as("week"),
-          when(col("prev_wk").isNull, "new")
-            .when(col("prev_wk") === col("wk") - week7, "retained")
-            .otherwise("resurrected").as("kind"))
-        val churnRec = struct((col("wk") + week7).as("week"), lit("churned").as("kind"))
-        val emitsChurn = (col("next_wk").isNull || col("next_wk") > col("wk") + week7) &&
-          col("wk") + week7 <= col("mw")
-        val recs = seq.crossJoin(broadcast(maxw))
-          .select(explode(when(emitsChurn, array(statusRec, churnRec))
-            .otherwise(array(statusRec))).as("r"))
-          .select(col("r.week").as("week"), col("r.kind").as("kind"))
-        def kindCount(k: String) =
-          sum(when(col("kind") === k, 1).otherwise(0)).as(s"n_$k")
-        recs.groupBy(col("week"))
-          .agg(kindCount("new"), kindCount("retained"),
-            kindCount("resurrected"), kindCount("churned"))
-          .orderBy(col("week"))
+      (s, d) => growthLedger(Tables.events(s, d)).orderBy(col("week"))
     },
 
     Q("q86_event_transitions",

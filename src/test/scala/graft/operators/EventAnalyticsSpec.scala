@@ -93,6 +93,31 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("growth ledger: resurrected, churned, and churn-only gap weeks on synthetic data") {
+    // the fixed corpus has NO gappy users (all continuously active), so
+    // these branches need constructed activity:
+    //   user 1: wk0, wk1            — new, retained, churns at wk2
+    //   user 2: wk0, wk3            — new, churns at wk1, RESURRECTS wk3
+    //   user 3: wk3 only            — new at the last week (no churn: > mw)
+    // wk2 is a churn-only gap week: nobody active, user 1's churn lands there
+    def at(week: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, 12, 0)
+        .plusDays(7L * week))
+    val ev = Seq(
+      (1L, at(0), 1L), (2L, at(1), 1L),
+      (3L, at(0), 2L), (4L, at(3), 2L),
+      (5L, at(3), 3L)).toDF("event_id", "ts", "user_id")
+    val got = EventWindows.growthLedger(ev).orderBy($"week")
+      .as[(java.sql.Timestamp, Long, Long, Long, Long)].collect().toSeq
+      .map { case (_, n, r, s, c) => (n, r, s, c) }
+    assert(got == Seq(
+      (2L, 0L, 0L, 0L), // wk0: users 1,2 new
+      (0L, 1L, 0L, 1L), // wk1: user 1 retained; user 2 churned
+      (0L, 0L, 0L, 1L), // wk2: gap week — only user 1's churn
+      (1L, 0L, 1L, 0L)  // wk3: user 3 new, user 2 resurrected; no churn past mw
+    ), got.toString)
+  }
+
   test("partial-aggregate merge is BIT-equal to direct aggregation of the raw stream") {
     val got = SparkEntry.queries("q93_partial_agg_merge")(spark, sf0001)
       .select($"event_type", $"n_events", $"total_value", $"avg_value",

@@ -55,6 +55,14 @@ class RobustnessSpec extends SparkSpec {
     assert(one.toSeq == Seq((1L, 1L, 1L, "solo")))
   }
 
+  test("chunk dedup reports a null-text doc as a coherent (0, 0, empty) row") {
+    val d = Seq((1L, "real words here"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(d).orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.toSeq == Seq((1L, 1L, 1L, "real words here"), (2L, 0L, 0L, "")))
+  }
+
   test("bloom built from zero keys rejects everything; probes stay null-safe") {
     val noKeys = Seq.empty[Long].toDF("k")
     val bits = Scale.Bloom.build(noKeys, "k")
