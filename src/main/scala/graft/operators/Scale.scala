@@ -135,7 +135,7 @@ object Scale {
          |WHERE o_orderpriority = '1-URGENT'
          |GROUP BY order_month
          |ORDER BY order_month""".stripMargin,
-      "Bloom-pruned join: urgent orders' keys build an 8 KB bloom (bounded driver collect — <= m bits, a constant); the lineitem side is pre-filtered by 4 codegen'd double-hash probes BEFORE its shuffle, so ~4/5 of fact rows never enter the exchange; the exact join then removes the bloom's false positives. The oracle is the PLAIN join — proving the prune is semantics-free. The 100 TB case this exists for: build side too big to broadcast as a hash relation, but its key bitset still fits every executor.") {
+      "Bloom-pruned join: urgent orders' keys build an 8 KB bloom (bounded driver collect — <= m bits, a constant); the lineitem side is pre-filtered by 4 codegen'd double-hash probes BEFORE its shuffle, so ~4/5 of fact rows never enter the exchange; the exact join then removes the bloom's false positives. The oracle is the PLAIN join — proving the prune is semantics-free. The 100 TB case this exists for: build side too big to broadcast as a hash relation, but its key bitset still fits every executor. Measured honestly at bench scale (TimeQ A/B, sf0.1 local[32], broadcast disabled to force the SMJ regime): plain ~0.8 s vs bloom ~1.0 s — in LOCAL mode an exchange is a memory copy, so the eliminated rows cannot buy back the bloom-build job + per-row probes; the technique pays where a probe-side exchange means network + disk serialization across executors, which local mode structurally cannot exhibit. The plan assertion (probe below every exchange) is the property that transfers.") {
       (s, d) =>
         val urgent = Tables.orders(s, d)
           .filter(col("o_orderpriority") === "1-URGENT")

@@ -14,10 +14,30 @@ object TimeQ {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // scratch variants for A/B probes: q84's join WITHOUT the bloom
+    // prune; "_nobc" suffix disables broadcast joins to reproduce the
+    // big-build SMJ regime bloom pruning exists for
+    if (name.endsWith("_nobc"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val baseName = name.stripSuffix("_nobc")
+    def run(): org.apache.spark.sql.DataFrame =
+      if (baseName == "q84_plain") {
+        import org.apache.spark.sql.functions._
+        val urgent = graft.Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        graft.Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+          .agg(count(lit(1)).as("n_items"),
+            graft.functions.DetAgg.dsumD(
+              col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy(col("order_month"))
+      } else graft.SparkEntry.queries(baseName)(spark, sfDir)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+      run().write.format("noop").mode("overwrite").save()
       println(f"[timeq] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
