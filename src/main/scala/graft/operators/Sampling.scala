@@ -102,6 +102,46 @@ object Sampling {
           .orderBy(col("source"), col("sample_rank"))
     },
 
+    Q("q94_mixture_weights",
+      """WITH tok AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |per_src AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tokens
+        |  FROM tok GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(tokens) AS BIGINT) AS t, count(*) AS n_sources
+        |  FROM per_src),
+        |ratio AS (
+        |  SELECT source, n_docs, tokens,
+        |    CAST(tokens AS DOUBLE) / CAST(t AS DOUBLE) AS actual_share,
+        |    (CAST(1.0 AS DOUBLE) / n_sources)
+        |      / (CAST(tokens AS DOUBLE) / CAST(t AS DOUBLE)) AS r
+        |  FROM per_src, tot)
+        |SELECT source, n_docs, tokens, actual_share,
+        |  r / max(r) OVER () AS weight,
+        |  CAST(tokens AS DOUBLE) * (r / max(r) OVER ()) AS expected_tokens
+        |FROM ratio ORDER BY source""".stripMargin,
+      "Data-mixing reweighting — the sampling weights that move a corpus toward a TARGET mixture (uniform across sources here): weight_s is proportional to target_share/actual_share, normalized so the hungriest source keeps weight 1 (without-replacement sampling cannot exceed 1); expected_tokens shows the post-sampling mix. Every value is derived from exact integer token counts through IEEE divisions with identical expression shape on both engines, so even the float weights hash-match. Scale: token counting is one map-side-combined shuffle; everything after runs on the |sources|-row frame. The per-doc acceptance test this feeds is q61/q87's md5-bucket machinery (accept doc iff md5-uniform < weight_s) — deterministic end to end.") {
+      (s, d) =>
+        val tok = Tables.documents(s, d)
+          .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val perSrc = tok.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+        val tot = perSrc.agg(sum(col("tokens")).as("t"), count(lit(1)).as("n_sources"))
+        val ratio = perSrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("tokens"),
+            (col("tokens").cast("double") / col("t").cast("double")).as("actual_share"),
+            ((lit(1.0d) / col("n_sources"))
+              / (col("tokens").cast("double") / col("t").cast("double"))).as("r"))
+        val wAll = Window.partitionBy()
+        ratio.select(col("source"), col("n_docs"), col("tokens"), col("actual_share"),
+            (col("r") / max(col("r")).over(wAll)).as("weight"),
+            (col("tokens").cast("double") * (col("r") / max(col("r")).over(wAll))).as("expected_tokens"))
+          .orderBy(col("source"))
+    },
+
     Q("q74_kmv_distinct",
       """WITH h AS (
         |  SELECT DISTINCT o_orderpriority, md5(CAST(o_custkey AS VARCHAR)) AS h

@@ -117,6 +117,26 @@ class PropSpec extends SparkSpec {
     assert(q(spark, sf0001).as[(String, Long, Int, Long)].collect().toSeq == got)
   }
 
+  test("mixture weights: capped at 1, hungriest source uncut, mix moves toward uniform") {
+    val got = SparkEntry.queries("q94_mixture_weights")(spark, sf0001)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (src, _, tokens, _, w, exp) =>
+      assert(w > 0.0 && w <= 1.0, s"$src weight $w out of range")
+      assert(exp <= tokens.toDouble + 1e-9, s"$src oversampled")
+      assert(exp == tokens.toDouble * w)
+    }
+    // exactly the scarcest source keeps weight 1 (its ratio is the max)
+    assert(got.count(_._5 == 1.0) >= 1)
+    assert(got.minBy(_._3)._5 == 1.0, "scarcest source must be uncut")
+    // post-sampling shares are strictly closer to uniform than before
+    val target = 1.0 / got.length
+    val before = got.map(r => math.abs(r._4 - target)).max
+    val totalExp = got.map(_._6).sum
+    val after = got.map(r => math.abs(r._6 / totalExp - target)).max
+    assert(after <= before + 1e-12, s"mix got worse: $after > $before")
+  }
+
   test("zvalue round-trips: de-interleaving recovers both coordinates") {
     val pair = for {
       a <- Gen.chooseNum(0L, 0xFFFFFFFFL)
