@@ -30,6 +30,58 @@ object Sampling {
     when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
   }
 
+  /** md5-derived uniform in (0,1): first 8 hex chars + 0.5, over 2^32.
+    * The engine-portable stand-in for rand() — identical on every run,
+    * cluster size, and engine (q87's key, q95's acceptance test). */
+  def mdUniform(key: Column): Column =
+    (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") + lit(0.5d)) / lit(4294967296.0d)
+
+  /** Per-source mixing weights toward a uniform target share (q94):
+    * weight ∝ target/actual token share, normalized so the scarcest
+    * source keeps weight 1. Returns one row per source with
+    * (source, n_docs, tokens, actual_share, weight). */
+  def mixtureWeights(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tok = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val perSrc = tok.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+    val tot = perSrc.agg(sum(col("tokens")).as("t"), count(lit(1)).as("n_sources"))
+    val ratio = perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        (col("tokens").cast("double") / col("t").cast("double")).as("actual_share"),
+        ((lit(1.0d) / col("n_sources"))
+          / (col("tokens").cast("double") / col("t").cast("double"))).as("r"))
+    val wAll = Window.partitionBy()
+    ratio.select(col("source"), col("n_docs"), col("tokens"), col("actual_share"),
+      (col("r") / max(col("r")).over(wAll)).as("weight"))
+  }
+
+  /** The q94/q95 shared oracle CTEs: per-source tokens → normalized
+    * mixing weights, ANSI twin of [[mixtureWeights]]. */
+  private val MixtureCte: String =
+    """WITH tok AS (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |per_src AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS tokens
+      |  FROM tok GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(sum(tokens) AS BIGINT) AS t, count(*) AS n_sources
+      |  FROM per_src),
+      |ratio AS (
+      |  SELECT source, n_docs, tokens,
+      |    CAST(tokens AS DOUBLE) / CAST(t AS DOUBLE) AS actual_share,
+      |    (CAST(1.0 AS DOUBLE) / n_sources)
+      |      / (CAST(tokens AS DOUBLE) / CAST(t AS DOUBLE)) AS r
+      |  FROM per_src, tot),
+      |wts AS (
+      |  SELECT source, n_docs, tokens, actual_share,
+      |    r / max(r) OVER () AS weight
+      |  FROM ratio)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     Q("q61_hash_split",
@@ -90,10 +142,8 @@ object Sampling {
         |ORDER BY source, sample_rank""".stripMargin,
       "Deterministic WEIGHTED sampling without replacement (Efraimidis-Spirtsas A-ES): per source, the 5 docs with the largest u^(1/w) — ranked equivalently by ln(u)/w — where w = n_chars and u is an md5-derived uniform in (0,1), so longer documents are proportionally likelier yet membership is a pure function of the data: reproducible across runs, cluster sizes, and engines, unlike rand()-weighted sampling. Top-k-per-group by a computed key — the same mergeable bounded-heap shape as q70/q67, never a global sort. The +0.5 offset keeps u strictly positive (ln defined); key ordering is ulp-robust because distinct md5s give keys separated far beyond 1-ulp libm divergence.") {
       (s, d) =>
-        val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") + lit(0.5d)) / lit(4294967296.0d)
         val w = Window.partitionBy(col("source"))
-          .orderBy((log(u) / col("n_chars")).desc, col("doc_id"))
+          .orderBy((log(mdUniform(col("doc_id"))) / col("n_chars")).desc, col("doc_id"))
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("n_chars"))
           .withColumn("sample_rank", row_number().over(w))
@@ -103,42 +153,55 @@ object Sampling {
     },
 
     Q("q94_mixture_weights",
-      """WITH tok AS (
-        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |per_src AS (
-        |  SELECT source, count(*) AS n_docs,
-        |    CAST(sum(n_tokens) AS BIGINT) AS tokens
-        |  FROM tok GROUP BY source),
-        |tot AS (
-        |  SELECT CAST(sum(tokens) AS BIGINT) AS t, count(*) AS n_sources
-        |  FROM per_src),
-        |ratio AS (
-        |  SELECT source, n_docs, tokens,
-        |    CAST(tokens AS DOUBLE) / CAST(t AS DOUBLE) AS actual_share,
-        |    (CAST(1.0 AS DOUBLE) / n_sources)
-        |      / (CAST(tokens AS DOUBLE) / CAST(t AS DOUBLE)) AS r
-        |  FROM per_src, tot)
-        |SELECT source, n_docs, tokens, actual_share,
-        |  r / max(r) OVER () AS weight,
-        |  CAST(tokens AS DOUBLE) * (r / max(r) OVER ()) AS expected_tokens
-        |FROM ratio ORDER BY source""".stripMargin,
-      "Data-mixing reweighting — the sampling weights that move a corpus toward a TARGET mixture (uniform across sources here): weight_s is proportional to target_share/actual_share, normalized so the hungriest source keeps weight 1 (without-replacement sampling cannot exceed 1); expected_tokens shows the post-sampling mix. Every value is derived from exact integer token counts through IEEE divisions with identical expression shape on both engines, so even the float weights hash-match. Scale: token counting is one map-side-combined shuffle; everything after runs on the |sources|-row frame. The per-doc acceptance test this feeds is q61/q87's md5-bucket machinery (accept doc iff md5-uniform < weight_s) — deterministic end to end.") {
+      MixtureCte + """
+        |SELECT source, n_docs, tokens, actual_share, weight,
+        |  CAST(tokens AS DOUBLE) * weight AS expected_tokens
+        |FROM wts ORDER BY source""".stripMargin,
+      "Data-mixing reweighting — the sampling weights that move a corpus toward a TARGET mixture (uniform across sources here): weight_s is proportional to target_share/actual_share, normalized so the hungriest source keeps weight 1 (without-replacement sampling cannot exceed 1); expected_tokens shows the post-sampling mix. Every value is derived from exact integer token counts through IEEE divisions with identical expression shape on both engines, so even the float weights hash-match. Scale: token counting is one map-side-combined shuffle; everything after runs on the |sources|-row frame. The per-doc acceptance test this feeds is q95.") {
       (s, d) =>
-        val tok = Tables.documents(s, d)
-          .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-        val perSrc = tok.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
-        val tot = perSrc.agg(sum(col("tokens")).as("t"), count(lit(1)).as("n_sources"))
-        val ratio = perSrc.crossJoin(broadcast(tot))
-          .select(col("source"), col("n_docs"), col("tokens"),
-            (col("tokens").cast("double") / col("t").cast("double")).as("actual_share"),
-            ((lit(1.0d) / col("n_sources"))
-              / (col("tokens").cast("double") / col("t").cast("double"))).as("r"))
-        val wAll = Window.partitionBy()
-        ratio.select(col("source"), col("n_docs"), col("tokens"), col("actual_share"),
-            (col("r") / max(col("r")).over(wAll)).as("weight"),
-            (col("tokens").cast("double") * (col("r") / max(col("r")).over(wAll))).as("expected_tokens"))
+        mixtureWeights(Tables.documents(s, d))
+          .withColumn("expected_tokens", col("tokens").cast("double") * col("weight"))
+          .orderBy(col("source"))
+    },
+
+    Q("q95_mixture_sample",
+      MixtureCte + """,
+        |acc AS (
+        |  SELECT t.source, t.n_tokens, w.weight,
+        |    CASE WHEN (CAST('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+        |              / 4294967296.0 < w.weight
+        |         THEN 1 ELSE 0 END AS accepted
+        |  FROM tok t JOIN wts w ON t.source = w.source),
+        |agg AS (
+        |  SELECT source, weight, count(*) AS n_docs,
+        |    CAST(sum(accepted) AS BIGINT) AS n_accepted,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |    CAST(sum(CASE WHEN accepted = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS accepted_tokens
+        |  FROM acc GROUP BY source, weight),
+        |tacc AS (SELECT CAST(sum(accepted_tokens) AS BIGINT) AS ta FROM agg)
+        |SELECT source, n_docs, n_accepted, tokens, accepted_tokens, weight,
+        |  CAST(accepted_tokens AS DOUBLE) / CAST(ta AS DOUBLE) AS realized_share
+        |FROM agg, tacc ORDER BY source""".stripMargin,
+      "The mixing loop CLOSED end-to-end: q94's weights drive a per-document acceptance test — keep doc iff md5-uniform(doc_id) < weight_source — and the realized post-sampling shares come out near the uniform target. Membership is a pure function of the data (no rand(): reproducible on any run/cluster/engine, and the SAME docs are kept when the corpus is re-processed incrementally); the u < weight comparison is between identical doubles on both engines, so even the accept/reject booleans agree exactly. Scale: one broadcast join of the |sources|-row weight table onto the doc stream + one map-side-combined aggregate — the corpus is never shuffled.") {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val w = mixtureWeights(docs).select(col("source"), col("weight"))
+        val acc = docs
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .join(broadcast(w), Seq("source"))
+          .withColumn("accepted",
+            (mdUniform(col("doc_id")) < col("weight")).cast("int"))
+        val agg = acc.groupBy(col("source"), col("weight"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("accepted")).cast("long").as("n_accepted"),
+            sum(col("n_tokens")).as("tokens"),
+            sum(when(col("accepted") === 1, col("n_tokens")).otherwise(0L)).as("accepted_tokens"))
+        val tacc = agg.agg(sum(col("accepted_tokens")).as("ta"))
+        agg.crossJoin(broadcast(tacc))
+          .select(col("source"), col("n_docs"), col("n_accepted"),
+            col("tokens"), col("accepted_tokens"), col("weight"),
+            (col("accepted_tokens").cast("double") / col("ta").cast("double")).as("realized_share"))
           .orderBy(col("source"))
     },
 

@@ -135,6 +135,19 @@ class PropSpec extends SparkSpec {
     val totalExp = got.map(_._6).sum
     val after = got.map(r => math.abs(r._6 / totalExp - target)).max
     assert(after <= before + 1e-12, s"mix got worse: $after > $before")
+
+    // and the realized q95 sample honors the weights: a weight-1 source
+    // keeps every doc (u < 1 always), counts stay within bounds, and the
+    // realized shares are a distribution
+    val sample = SparkEntry.queries("q95_mixture_sample")(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    assert(sample.length == got.length)
+    sample.foreach { case (src, nDocs, nAcc, toks, accToks, w, share) =>
+      assert(nAcc <= nDocs && accToks <= toks, s"$src over-accepted")
+      if (w == 1.0) assert(nAcc == nDocs, s"uncut source $src dropped docs")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+    assert(math.abs(sample.map(_._7).sum - 1.0) < 1e-9)
   }
 
   test("zvalue round-trips: de-interleaving recovers both coordinates") {

@@ -63,6 +63,14 @@ class RobustnessSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L, 1L, "real words here"), (2L, 0L, 0L, "")))
   }
 
+  test("mixture weights on an empty or single-source corpus degrade sanely") {
+    assert(Sampling.mixtureWeights(emptyDocs).isEmpty)
+    // one source: already at target → weight exactly 1
+    val one = Sampling.mixtureWeights(docs((1L, "a b c"), (2L, "d e")))
+      .select($"weight").as[Double].collect()
+    assert(one.toSeq == Seq(1.0))
+  }
+
   test("bloom built from zero keys rejects everything; probes stay null-safe") {
     val noKeys = Seq.empty[Long].toDF("k")
     val bits = Scale.Bloom.build(noKeys, "k")
