@@ -37,13 +37,19 @@ object Sampling {
     (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("long") + lit(0.5d)) / lit(4294967296.0d)
 
+  /** Whitespace token count — ONE definition shared by the weight
+    * derivation and the acceptance stage (and mirrored by the oracle's
+    * `len(string_split(...))`): the q94/q95 hash-parity contract depends
+    * on every site counting tokens identically. */
+  def nTokens(text: Column): Column = size(split(text, " ")).cast("long")
+
   /** Per-source mixing weights toward a uniform target share (q94):
     * weight ∝ target/actual token share, normalized so the scarcest
     * source keeps weight 1. Returns one row per source with
     * (source, n_docs, tokens, actual_share, weight). */
   def mixtureWeights(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tok = docs
-      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .select(col("source"), nTokens(col("text")).as("n_tokens"))
     val perSrc = tok.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
     val tot = perSrc.agg(sum(col("tokens")).as("t"), count(lit(1)).as("n_sources"))
@@ -182,13 +188,13 @@ object Sampling {
         |SELECT source, n_docs, n_accepted, tokens, accepted_tokens, weight,
         |  CAST(accepted_tokens AS DOUBLE) / CAST(ta AS DOUBLE) AS realized_share
         |FROM agg, tacc ORDER BY source""".stripMargin,
-      "The mixing loop CLOSED end-to-end: q94's weights drive a per-document acceptance test — keep doc iff md5-uniform(doc_id) < weight_source — and the realized post-sampling shares come out near the uniform target. Membership is a pure function of the data (no rand(): reproducible on any run/cluster/engine, and the SAME docs are kept when the corpus is re-processed incrementally); the u < weight comparison is between identical doubles on both engines, so even the accept/reject booleans agree exactly. Scale: one broadcast join of the |sources|-row weight table onto the doc stream + one map-side-combined aggregate — the corpus is never shuffled.") {
+      "The mixing loop CLOSED end-to-end: q94's weights drive a per-document acceptance test — keep doc iff md5-uniform(doc_id) < weight_source — and the realized post-sampling shares come out near the uniform target. Membership is a pure function of THE SAME CORPUS (no rand(): any run, cluster size, or engine reproduces it; the u < weight comparison is between identical doubles on both engines, so even the accept/reject booleans agree exactly). It is NOT stable under corpus growth: the weights move with the mixture, so adding data re-decides borderline docs — an incremental pipeline that needs frozen membership must PIN the weight table from a reference snapshot and join that instead (the threshold-is-a-constant property q61's split has by construction). Scale: two corpus scans (weight derivation, then acceptance — the registered query recomputes q94 inline), each a map-side-combined aggregate; the join broadcasts the |sources|-row weight table, so the corpus itself is never shuffled; persisting the weight table turns re-runs into one scan.") {
       (s, d) =>
         val docs = Tables.documents(s, d)
         val w = mixtureWeights(docs).select(col("source"), col("weight"))
         val acc = docs
           .select(col("source"), col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+            nTokens(col("text")).as("n_tokens"))
           .join(broadcast(w), Seq("source"))
           .withColumn("accepted",
             (mdUniform(col("doc_id")) < col("weight")).cast("int"))
