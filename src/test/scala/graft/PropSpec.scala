@@ -150,6 +150,23 @@ class PropSpec extends SparkSpec {
     assert(math.abs(sample.map(_._7).sum - 1.0) < 1e-9)
   }
 
+  test("bloom property: zero false negatives on random keys, fp rate near design point") {
+    val keys = gen(Gen.listOfN(400, Gen.chooseNum(Long.MinValue, Long.MaxValue)), seed = 11L)
+      .distinct
+    val (members, nonMembers) = keys.splitAt(keys.length / 2)
+    val bits = graft.operators.Scale.Bloom.build(members.toDF("k"), "k")
+    // completeness: every inserted key passes — the property exactness
+    // of the q84 result rests on
+    val fn = members.toDF("k")
+      .filter(!graft.operators.Scale.Bloom.mightContain(bits, col("k"))).count()
+    assert(fn == 0, s"$fn false negatives")
+    // soundness budget: with ~200 keys in 2^16 bits / 4 probes, the
+    // design fp rate is ~1e-8; even 1% would indicate broken hashing
+    val fp = nonMembers.toDF("k")
+      .filter(graft.operators.Scale.Bloom.mightContain(bits, col("k"))).count()
+    assert(fp.toDouble / nonMembers.length.max(1) < 0.01, s"$fp false positives")
+  }
+
   test("zvalue round-trips: de-interleaving recovers both coordinates") {
     val pair = for {
       a <- Gen.chooseNum(0L, 0xFFFFFFFFL)
