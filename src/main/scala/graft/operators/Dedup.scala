@@ -299,6 +299,27 @@ object Dedup {
       |  FROM bandv a JOIN bandv b
       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Cross-source shingle-overlap matrix (q96): per source pair s1 < s2,
+    * the count of distinct 3-gram shingles both contain and the overlap
+    * coefficient shared/min(|A|,|B|). Inverted-index join on 8-byte
+    * shingle hashes — fan-out per shingle bounded by |sources|². */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("source"),
+        explode(graft.expressions.ShingleHash64(col("text"))).as("h"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("shared_shingles"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))), Seq("s1"))
+      .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))), Seq("s2"))
+      .select(col("s1"), col("s2"), col("shared_shingles"),
+        (col("shared_shingles").cast("double") / least(col("n1"), col("n2"))).as("overlap"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("q32_exact_dedup",
@@ -348,6 +369,30 @@ object Dedup {
         val variants = docs.select((col("doc_id") + 1000000).as("doc_id"),
           concat_ws(" ", (Seq.fill(8)(salt) :+ col("text")): _*).as("text"))
         chunkDedup(docs.union(variants)).orderBy(col("doc_id"))
+    },
+
+    Q("q96_source_overlap",
+      """WITH ws AS (
+        |  SELECT source, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, sh FROM (
+        |    SELECT source, unnest(list_distinct(
+        |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
+        |    FROM ws)),
+        |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS s1, b.source AS s2, count(*) AS shared_shingles
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY s1, s2)
+        |SELECT p.s1, p.s2, CAST(p.shared_shingles AS BIGINT) AS shared_shingles,
+        |  CAST(p.shared_shingles AS DOUBLE) / least(z1.n, z2.n) AS overlap
+        |FROM pairs p
+        |JOIN sizes z1 ON p.s1 = z1.source
+        |JOIN sizes z2 ON p.s2 = z2.source
+        |ORDER BY p.s1, p.s2""".stripMargin,
+      "Cross-source overlap matrix — the corpus-curation diagnostic for 'which sources leak into each other': per source pair, the count of DISTINCT 3-gram shingles both contain, with the overlap coefficient shared/min(|A|,|B|). High overlap flags mirrored/scraped-twice sources BEFORE pairwise doc dedup is attempted (and tells q94's mixer that two sources are not independent). Same scale shape as q33/q80: a distinct (source, 8-byte ShingleHash64) inverted index joined on the hash — per-shingle join fan-out is bounded by |sources|² and the output by source pairs, never doc x doc; the coefficient is an exact int/int division.") {
+      (s, d) =>
+        sourceOverlap(Tables.documents(s, d)).orderBy(col("s1"), col("s2"))
     },
 
     Q("q33_ngram_jaccard",

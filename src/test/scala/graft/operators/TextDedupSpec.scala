@@ -120,6 +120,23 @@ class TextDedupSpec extends SparkSpec {
     assert(got(1) == ((2L, 1L, 0L, "")))
   }
 
+  test("source overlap: a mirrored source scores 1.0, disjoint sources are absent") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "A"),
+      (2L, "zeta eta theta iota kappa", "A"),
+      (1001L, "alpha beta gamma delta epsilon", "A-mirror"), // full copy of doc 1
+      (2001L, "wholly unrelated words live here", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(docs)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // the mirror contains exactly doc 1's shingles: min-side coverage 1.0
+    assert(got(("A", "A-mirror"))._2 == 1.0)
+    assert(got(("A", "A-mirror"))._1 == 3L) // 5 words -> 3 distinct 3-grams
+    // B shares nothing with anyone — no pair rows at all
+    assert(!got.keySet.exists { case (a, b) => a == "B" || b == "B" })
+  }
+
   test("minhash LSH candidates cover the high-jaccard pairs") {
     val docs = Tables.documents(spark, sf0001)
     val truePairs = Dedup.ngramJaccardPairs(docs, 0.3)
