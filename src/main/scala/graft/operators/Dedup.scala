@@ -299,6 +299,39 @@ object Dedup {
       |  FROM bandv a JOIN bandv b
       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Incremental near-dup (q97): only NEW arrivals probe the corpus —
+    * new bands join all bands, so the candidate set is exactly the pairs
+    * touching a new doc and the old × old quadrant is never recomputed.
+    * The daily-ingest shape: yesterday's signature/band table is the
+    * persisted state (16 bytes + 4 band keys per doc), today's delta is
+    * the probe side, and cost scales with |delta| × bucket density, not
+    * |corpus|². The exact-dup analogue is q65's fingerprint anti-join. */
+  def incrementalNearDupPairs(docs: DataFrame, isNew: Column, maxHamming: Int): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      graft.expressions.SimHash64(tokenHashesFromHex(md5TokenHex(col("text")))).as("sig"),
+      isNew.as("is_new"))
+      .localCheckpoint() // the q76 lesson: materialize the 16-byte/doc table once
+    def bandsOf(df: DataFrame): DataFrame = {
+      val bandCols = (0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xffffL)).as("bv"))
+      }
+      df.select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bs"))
+        .select(col("doc_id"), col("sig"),
+          col("bs.band").as("band"), col("bs.bv").as("bv"))
+    }
+    val corpus = bandsOf(sigs)
+    val probe = bandsOf(sigs.filter(col("is_new")))
+    probe.as("a").join(corpus.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
+      .distinct() // (new, new) pairs arrive from both probe sides; bands too
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Cross-source shingle-overlap matrix (q96): per source pair s1 < s2,
     * the count of distinct 3-gram shingles both contain and the overlap
     * coefficient shared/min(|A|,|B|). Inverted-index join on 8-byte
@@ -393,6 +426,27 @@ object Dedup {
       "Cross-source overlap matrix — the corpus-curation diagnostic for 'which sources leak into each other': per source pair, the count of DISTINCT 3-gram shingles both contain, with the overlap coefficient shared/min(|A|,|B|). High overlap flags mirrored/scraped-twice sources BEFORE pairwise doc dedup is attempted (and tells q94's mixer that two sources are not independent). Same scale shape as q33/q80: a distinct (source, 8-byte ShingleHash64) inverted index joined on the hash — per-shingle join fan-out is bounded by |sources|² and the output by source pairs, never doc x doc; the coefficient is an exact int/int division.") {
       (s, d) =>
         sourceOverlap(Tables.documents(s, d)).orderBy(col("s1"), col("s2"))
+    },
+
+    Q("q97_incremental_neardup",
+      SimhashBandCte + """,
+        |ham AS (
+        |  SELECT c.d1, c.d2,
+        |    CAST(sum(bit_count(xor(n1.nv, n2.nv))) AS INT) AS hamming
+        |  FROM cand c
+        |  JOIN nibs n1 ON n1.doc_id = c.d1
+        |  JOIN nibs n2 ON n2.doc_id = c.d2 AND n2.p = n1.p
+        |  GROUP BY c.d1, c.d2)
+        |SELECT d1, d2, hamming FROM ham
+        |WHERE hamming <= 8
+        |  AND (substr(md5(CAST(d1 AS VARCHAR)), 1, 2) >= 'e6'
+        |    OR substr(md5(CAST(d2 AS VARCHAR)), 1, 2) >= 'e6')
+        |ORDER BY d1, d2""".stripMargin,
+      "Incremental near-dup — the daily-ingest path: the md5-split test bucket (q61's function) plays the NEW-arrivals delta, and only its bands probe the corpus band table, so the old x old quadrant of candidate pairs is never recomputed; cost scales with |delta| x bucket density, not |corpus|². Completes the incremental story q65 opened for exact dups. The oracle SPECIFIES the result set (all hamming <= 8 pairs touching a new doc, derived from the full pair set) while the Spark side computes it the incremental way — TextDedupSpec additionally pins the incremental pairs equal to the full q76 pairs filtered to the delta.") {
+      (s, d) =>
+        incrementalNearDupPairs(Tables.documents(s, d),
+            Sampling.hashBucket(col("doc_id")) >= "e6", maxHamming = 8)
+          .orderBy(col("d1"), col("d2"))
     },
 
     Q("q33_ngram_jaccard",

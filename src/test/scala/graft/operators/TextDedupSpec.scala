@@ -137,6 +137,21 @@ class TextDedupSpec extends SparkSpec {
     assert(!got.keySet.exists { case (a, b) => a == "B" || b == "B" })
   }
 
+  test("incremental near-dup equals the full pair set restricted to the delta") {
+    val docs = Tables.documents(spark, sf0001)
+    val isNew = Sampling.hashBucket($"doc_id") >= "e6"
+    val inc = Dedup.incrementalNearDupPairs(docs, isNew, maxHamming = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    val newIds = docs.filter(isNew).select($"doc_id").as[Long].collect().toSet
+    assert(newIds.nonEmpty && newIds.size < docs.count())
+    val full = Dedup.simhashNearDupPairs(docs, maxHamming = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(inc == full.filter(p => newIds(p._1) || newIds(p._2)),
+      s"incremental ${inc.size} vs expected subset of full ${full.size}")
+    // the incremental path must never produce an old x old pair
+    assert(inc.forall(p => newIds(p._1) || newIds(p._2)))
+  }
+
   test("minhash LSH candidates cover the high-jaccard pairs") {
     val docs = Tables.documents(spark, sf0001)
     val truePairs = Dedup.ngramJaccardPairs(docs, 0.3)
