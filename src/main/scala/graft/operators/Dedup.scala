@@ -328,8 +328,8 @@ object Dedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming) // cut before the dedup exchange
       .distinct() // (new, new) pairs arrive from both probe sides; bands too
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Cross-source shingle-overlap matrix (q96): per source pair s1 < s2,
