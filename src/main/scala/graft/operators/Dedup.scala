@@ -195,6 +195,21 @@ object Dedup {
     * odds are 2⁻¹⁶ per band. Complements q33 (shingle inverted index,
     * keys grow with text) and q34 (MinHash bands, set similarity): this
     * one costs a single long per document and ranks by BIT distance. */
+  /** The 4×16-bit band explosion over a (doc_id, sig, ...) frame — ONE
+    * definition shared by q76 and q97, mirroring the oracle side's shared
+    * SimhashBandCte, so the two Spark paths cannot drift either. Keeps
+    * every other input column alongside (doc_id, sig, band, bv). */
+  private def simhashBands(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xffffL)).as("bv"))
+    }
+    sigs.select(col("*"), explode(array(bandCols: _*)).as("bs"))
+      .withColumn("band", col("bs.band"))
+      .withColumn("bv", col("bs.bv"))
+      .drop("bs")
+  }
+
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     // localCheckpoint: both self-join branches would otherwise re-scan the
     // text and re-run the per-token md5 pipeline (the broadcast side gets
@@ -204,14 +219,7 @@ object Dedup {
     val sigs = docs.select(col("doc_id"),
       graft.expressions.SimHash64(tokenHashesFromHex(md5TokenHex(col("text")))).as("sig"))
       .localCheckpoint()
-    val bandCols = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xffffL)).as("bv"))
-    }
-    val bands = sigs
-      .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("sig"),
-        col("bs.band").as("band"), col("bs.bv").as("bv"))
+    val bands = simhashBands(sigs)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -311,17 +319,11 @@ object Dedup {
       graft.expressions.SimHash64(tokenHashesFromHex(md5TokenHex(col("text")))).as("sig"),
       isNew.as("is_new"))
       .localCheckpoint() // the q76 lesson: materialize the 16-byte/doc table once
-    def bandsOf(df: DataFrame): DataFrame = {
-      val bandCols = (0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xffffL)).as("bv"))
-      }
-      df.select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bs"))
-        .select(col("doc_id"), col("sig"),
-          col("bs.band").as("band"), col("bs.bv").as("bv"))
-    }
-    val corpus = bandsOf(sigs)
-    val probe = bandsOf(sigs.filter(col("is_new")))
+    // ONE band explosion; the probe is a FILTER of the corpus band table —
+    // exactly the daily-ingest shape, where the persisted band table IS
+    // the corpus side and the delta's rows are marked within it
+    val corpus = simhashBands(sigs)
+    val probe = corpus.filter(col("is_new"))
     probe.as("a").join(corpus.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
         col("a.doc_id") =!= col("b.doc_id"))
@@ -352,6 +354,17 @@ object Dedup {
       .select(col("s1"), col("s2"), col("shared_shingles"),
         (col("shared_shingles").cast("double") / least(col("n1"), col("n2"))).as("overlap"))
   }
+
+  /** SimhashBandCte extended with the exact-hamming re-rank — shared by
+    * the q76 and q97 oracles so the nibble-xor derivation cannot drift. */
+  private val SimhashHamCte: String = SimhashBandCte + """,
+    |ham AS (
+    |  SELECT c.d1, c.d2,
+    |    CAST(sum(bit_count(xor(n1.nv, n2.nv))) AS INT) AS hamming
+    |  FROM cand c
+    |  JOIN nibs n1 ON n1.doc_id = c.d1
+    |  JOIN nibs n2 ON n2.doc_id = c.d2 AND n2.p = n1.p
+    |  GROUP BY c.d1, c.d2)""".stripMargin
 
   val queries: Seq[Q] = Seq(
 
@@ -429,14 +442,7 @@ object Dedup {
     },
 
     Q("q97_incremental_neardup",
-      SimhashBandCte + """,
-        |ham AS (
-        |  SELECT c.d1, c.d2,
-        |    CAST(sum(bit_count(xor(n1.nv, n2.nv))) AS INT) AS hamming
-        |  FROM cand c
-        |  JOIN nibs n1 ON n1.doc_id = c.d1
-        |  JOIN nibs n2 ON n2.doc_id = c.d2 AND n2.p = n1.p
-        |  GROUP BY c.d1, c.d2)
+      SimhashHamCte + """
         |SELECT d1, d2, hamming FROM ham
         |WHERE hamming <= 8
         |  AND (substr(md5(CAST(d1 AS VARCHAR)), 1, 2) >= 'e6'
@@ -555,14 +561,7 @@ object Dedup {
     },
 
     Q("q76_simhash_neardup",
-      SimhashBandCte + """,
-        |ham AS (
-        |  SELECT c.d1, c.d2,
-        |    CAST(sum(bit_count(xor(n1.nv, n2.nv))) AS INT) AS hamming
-        |  FROM cand c
-        |  JOIN nibs n1 ON n1.doc_id = c.d1
-        |  JOIN nibs n2 ON n2.doc_id = c.d2 AND n2.p = n1.p
-        |  GROUP BY c.d1, c.d2)
+      SimhashHamCte + """
         |SELECT d1, d2, hamming FROM ham WHERE hamming <= 8
         |ORDER BY d1, d2""".stripMargin,
       "SimHash-banded near-dup: per-doc 64-bit signature (codegen'd single pass, md5-derived so the twin re-derives it bit-exactly), candidates from a (band, 16-bit value) equi-join — |docs|*4 constant-size keys, never all pairs — then exact hamming <= 8 re-rank via bit_count(xor). Completes the near-dup family: q33 keys on shingles (grows with text), q34 on MinHash set-similarity bands, this one on a single long per doc. The DuckDB twin rebuilds the signature nibble-wise from md5 hex (the q35 machinery), slices the same four bands, and counts differing bits nibble-by-nibble.") {
