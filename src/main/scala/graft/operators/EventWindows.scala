@@ -432,6 +432,42 @@ object EventWindows {
       (s, d) => growthLedger(Tables.events(s, d)).orderBy(col("week"))
     },
 
+    Q("q98_session_conversion",
+      """WITH marked AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), numbered AS (
+        |  SELECT user_id, ts, event_type,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |sessions AS (
+        |  SELECT user_id, sid, min(ts) AS session_start,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        |  FROM numbered GROUP BY user_id, sid)
+        |SELECT CAST(CAST(session_start AS DATE) AS TIMESTAMP) AS day,
+        |  count(*) AS n_sessions,
+        |  CAST(sum(converted) AS BIGINT) AS n_converted,
+        |  CAST(sum(converted) AS DOUBLE) / count(*) AS conversion_rate
+        |FROM sessions GROUP BY day ORDER BY day""".stripMargin,
+      "Sessionized conversion rate — the per-day fraction of 5-minute-gap sessions containing a purchase, rounding out the product-analytics family (q23 defines the sessions, q72 funnels across whole histories, this measures conversion WITHIN a visit). Spark's session_window aggregation against the classic gaps-and-islands SQL twin (the q23 parity, extended with a conversion flag); sessions are attributed to their start date; the rate is an exact int/int division. One shuffle on (session, user); the daily rollup is map-side-combined to |days| rows.") {
+      (s, d) =>
+        val sessions = Tables.events(s, d)
+          .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+          .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
+        sessions
+          .select(to_date(col("w.start")).cast("timestamp").as("day"), col("converted"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("converted")).as("n_converted"),
+            (sum(col("converted")).cast("double") / count(lit(1))).as("conversion_rate"))
+          .orderBy(col("day"))
+    },
+
     Q("q86_event_transitions",
       """WITH seq AS (
         |  SELECT user_id, event_type,

@@ -118,6 +118,20 @@ class EventAnalyticsSpec extends SparkSpec {
     ), got.toString)
   }
 
+  test("session conversion reconciles with q23's session inventory") {
+    val conv = SparkEntry.queries("q98_session_conversion")(spark, sf0001)
+      .as[(java.sql.Timestamp, Long, Long, Double)].collect()
+    assert(conv.nonEmpty)
+    // every session has exactly one start day, so the daily counts must
+    // sum to q23's total session count (same gap definition)
+    assert(conv.map(_._2).sum ==
+      SparkEntry.queries("q23_session_window")(spark, sf0001).count())
+    conv.foreach { case (day, n, c, r) =>
+      assert(c >= 0 && c <= n, s"$day converted $c of $n")
+      assert(r == c.toDouble / n)
+    }
+  }
+
   test("partial-aggregate merge is BIT-equal to direct aggregation of the raw stream") {
     val got = SparkEntry.queries("q93_partial_agg_merge")(spark, sf0001)
       .select($"event_type", $"n_events", $"total_value", $"avg_value",
