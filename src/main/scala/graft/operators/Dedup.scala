@@ -90,6 +90,11 @@ object Dedup {
     * each, and the labels frame is `localCheckpoint`ed per round to keep
     * lineage flat (the IVF lesson). Convergence is detected by the sum of
     * labels (strictly decreasing until fixpoint), checked on the driver.
+    * The checkpoint is LAZY (`eager = false`): the convergence-sum action
+    * both materializes the round's checkpoint and returns the sum, so
+    * each round costs exactly ONE Spark job — the eager form ran two
+    * (checkpoint materialization, then the sum scan) and at toy scale
+    * the per-round driver round-trips dominated q81's wall-clock.
     *
     * Dedup components are near-cliques from LSH/fingerprint buckets, so
     * diameters are tiny and this converges in 2-3 rounds; a web-scale
@@ -106,7 +111,7 @@ object Dedup {
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("component")), lit(0L))).head().getLong(0)
     var labels = edges.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("component")).localCheckpoint()
+      .select(col("v"), col("v").as("component")).localCheckpoint(eager = false)
     var lastSum = labelSum(labels)
     var iter = 0
     var converged = labels.isEmpty
@@ -115,7 +120,7 @@ object Dedup {
         .select(col("dst").as("v"), col("component"))
       labels = labels.union(pushed)
         .groupBy(col("v")).agg(min(col("component")).as("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val s = labelSum(labels)
       converged = s == lastSum
       lastSum = s

@@ -111,15 +111,17 @@ object PipelineOps {
          |    CAST(count(DISTINCT o_orderstatus) AS DOUBLE) AS nd_status,
          |    CAST(count(DISTINCT o_orderpriority) AS DOUBLE) AS nd_priority,
          |    ${sql.davg("o_totalprice")} AS mean_price,
-         |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |      / count(*) AS nr_price
+         |    CAST(sum(CASE WHEN (CASE WHEN o_orderkey % 7 = 0 THEN NULL
+         |                             ELSE o_totalprice END) IS NULL
+         |             THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / count(*) AS nr_masked
          |  FROM s GROUP BY split),
          |long AS (
          |  SELECT split, 'o_custkey' AS col_name, 'n_distinct' AS metric, nd_custkey AS value FROM m
          |  UNION ALL SELECT split, 'o_orderstatus', 'n_distinct', nd_status FROM m
          |  UNION ALL SELECT split, 'o_orderpriority', 'n_distinct', nd_priority FROM m
          |  UNION ALL SELECT split, 'o_totalprice', 'mean', mean_price FROM m
-         |  UNION ALL SELECT split, 'o_totalprice', 'null_rate', nr_price FROM m)
+         |  UNION ALL SELECT split, 'o_totalprice_masked', 'null_rate', nr_masked FROM m)
          |SELECT col_name, metric,
          |  max(CASE WHEN split = 'a' THEN value END) AS a_value,
          |  max(CASE WHEN split = 'b' THEN value END) AS b_value,
@@ -127,7 +129,7 @@ object PipelineOps {
          |    - max(CASE WHEN split = 'b' THEN value END)) AS drift
          |FROM long GROUP BY col_name, metric
          |ORDER BY col_name, metric""".stripMargin,
-      "Column-profile DRIFT between two slices of a table — the production data-quality monitor's core question ('did today's data change shape vs yesterday's'), here over a deterministic md5 half-split standing in for the two days: per column, distinct counts, null rates, and DetAgg means computed per slice in ONE grouped pass, melted to (column, metric, a, b, |drift|) rows. All metrics are exact-integer-derived or DetAgg doubles, so even the drift column hash-matches. Scale: one map-side-combined grouped aggregate over the table (multi-distinct expands the pass by the metric count, the standard trade); the melt/pivot runs on a |columns|x|metrics| frame.") {
+      "Column-profile DRIFT between two slices of a table — the production data-quality monitor's core question ('did today's data change shape vs yesterday's'), here over a deterministic md5 half-split standing in for the two days: per column, distinct counts, null rates, and DetAgg means computed per slice in ONE grouped pass, melted to (column, metric, a, b, |drift|) rows. The null-rate metric profiles a deterministically MASKED price column (NULL where o_orderkey % 7 = 0) because the TPC-H-shaped test tables contain no physical NULLs — an always-zero null rate would leave the null-counting aggregate unexercised by the oracle; the mask makes both the rate (~1/7, split-dependent) and its drift real, engine-compared numbers. All metrics are exact-integer-derived or DetAgg doubles, so even the drift column hash-matches. Scale: one map-side-combined grouped aggregate over the table (multi-distinct expands the pass by the metric count, the standard trade); the melt/pivot runs on a |columns|x|metrics| frame.") {
       (s, d) =>
         val sp = Tables.orders(s, d)
           .withColumn("split",
@@ -137,15 +139,16 @@ object PipelineOps {
           countDistinct(col("o_orderstatus")).cast("double").as("nd_status"),
           countDistinct(col("o_orderpriority")).cast("double").as("nd_priority"),
           graft.functions.DetAgg.davg(col("o_totalprice")).as("mean_price"),
-          (sum(when(col("o_totalprice").isNull, 1).otherwise(0)).cast("double")
-            / count(lit(1))).as("nr_price"))
+          (sum(when(when(col("o_orderkey") % 7 === 0, lit(null))
+              .otherwise(col("o_totalprice")).isNull, 1).otherwise(0)).cast("double")
+            / count(lit(1))).as("nr_masked"))
         val long = m.select(col("split"), expr(
           """stack(5,
             |  'o_custkey', 'n_distinct', nd_custkey,
             |  'o_orderstatus', 'n_distinct', nd_status,
             |  'o_orderpriority', 'n_distinct', nd_priority,
             |  'o_totalprice', 'mean', mean_price,
-            |  'o_totalprice', 'null_rate', nr_price) AS (col_name, metric, value)""".stripMargin))
+            |  'o_totalprice_masked', 'null_rate', nr_masked) AS (col_name, metric, value)""".stripMargin))
         val a = max(when(col("split") === "a", col("value"))).as("a_value")
         val b = max(when(col("split") === "b", col("value"))).as("b_value")
         long.groupBy(col("col_name"), col("metric"))

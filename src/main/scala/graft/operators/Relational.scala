@@ -419,6 +419,25 @@ object Relational {
           .orderBy(col("event_type"))
     },
 
+    Q("q19b_hll_error_bound",
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  1 AS hll_within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "The strongest oracle check an engine-internal sketch can have: q19's HLL++ estimate is compared IN-QUERY against the exact distinct count, emitting only the exact count plus a bound-satisfied flag (|est - exact| <= 4·rsd·exact at rsd = 0.01 — 4 standard errors of the sketch's design accuracy). DuckDB cannot reproduce the sketch, but it can verify the flag: if the estimate ever drifts out of bound the flag flips to 0 and the hash comparison fails. The estimate itself is deterministic for fixed data, so the flag is stable. q19 remains the raw-estimate form (rows-only); this is its accountability twin.") {
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(
+            countDistinct(col("user_id")).as("exact_users"),
+            approx_count_distinct(col("user_id"), 0.01).as("_est"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("_est") - col("exact_users")).cast("double")
+              <= lit(4 * 0.01) * col("exact_users").cast("double"))
+              .cast("int").as("hll_within_bound"))
+          .orderBy(col("event_type"))
+    },
+
     Q("q64_first_last_nth",
       """SELECT user_id, event_id,
         |  first_value(event_type) OVER w AS first_type,

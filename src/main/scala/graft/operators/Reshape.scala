@@ -80,6 +80,37 @@ object Reshape {
           .orderBy(col("l_returnflag"))
     },
 
+    Q("q52b_kll_rank_bound",
+      """SELECT l_returnflag, p, 1 AS within_rank_bound
+        |FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+        |CROSS JOIN (SELECT unnest([0.25e0, 0.5e0, 0.95e0]) AS p)
+        |ORDER BY l_returnflag, p""".stripMargin,
+      "q52's accountability twin: the approx_percentile (KLL/GK-style) estimates are rank-checked IN-QUERY against the data itself — for each (returnflag, p) the estimate's true rank interval [count(x < est), count(x <= est)] must overlap p·n ± eps·n with eps = 2/accuracy (the sketch guarantees 1/accuracy; the factor-2 margin absorbs ties at the returned element). Only the bound-satisfied flag is emitted, so DuckDB — which cannot reproduce the sketch — verifies the guarantee: an out-of-bound estimate flips the flag and fails the hash compare. One broadcast of the 9-row estimate table back over lineitem, one map-side-combined count pass.") {
+      (s, d) =>
+        val acc = 1000
+        val eps = 2.0 / acc
+        val li = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_extendedprice"))
+        val ests = li.groupBy(col("l_returnflag"))
+          .agg(expr(s"approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), $acc)")
+            .as("ests"))
+          .select(col("l_returnflag"), posexplode(col("ests")))
+          .toDF("l_returnflag", "i", "est")
+          .select(col("l_returnflag"),
+            element_at(lit(Array(0.25, 0.5, 0.95)), col("i") + 1).as("p"), col("est"))
+        li.join(broadcast(ests), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"), col("p"), col("est"))
+          .agg(
+            sum(when(col("l_extendedprice") <= col("est"), 1L).otherwise(0L)).as("n_le"),
+            sum(when(col("l_extendedprice") < col("est"), 1L).otherwise(0L)).as("n_lt"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"), col("p"),
+            ((col("n_le").cast("double") >= (col("p") - lit(eps)) * col("n").cast("double"))
+              && (col("n_lt").cast("double") <= (col("p") + lit(eps)) * col("n").cast("double")))
+              .cast("int").as("within_rank_bound"))
+          .orderBy(col("l_returnflag"), col("p"))
+    },
+
     Q("q51_corr_covar",
       s"""SELECT event_type, count(*) AS n,
          |  round((${sql.dsumD("value * (CAST(epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS DOUBLE) / 86400000000.0)")}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -39,54 +39,106 @@ object Scale {
     * plain join (no false negatives by construction: every build key
     * sets the bits its probes will test).
     *
-    * m = 2^16 bits / k = 4 probes → ~0.1% false-positive rate at 3k
-    * keys; at larger builds, grow m (the filter is bits, not entries —
-    * 1M keys still fit ~1 MB at 1% fp). Probes are double-hashing over
-    * two xxhash64 seeds (h1 + j·h2 mod m, Kirsch–Mitzenmacher), all
+    * m is SIZED FROM THE BUILD SIDE: a cheap `approx_count_distinct`
+    * pre-pass picks the next power of two of ~16 bits per key (k = 4
+    * probes → ~0.2–0.9% design fp rate across the pow-2 rounding range),
+    * clamped to [2^16, 2^25] bits (8 KB–4 MB) — a fixed m would silently
+    * lose the prune exactly where it matters (a 2^16 filter is ~50% fp
+    * at 1M keys). Probes are double-hashing over two xxhash64 seeds
+    * (h1 + j·h2 mod m, Kirsch–Mitzenmacher) with h2 forced ODD: m is a
+    * power of two, so an odd h2 is coprime to m and the k probes cycle
+    * the full ring (h2 ≡ 0 mod m would collapse every probe onto h1 —
+    * the classic degenerate case, ~1/m of keys). All probes are
     * codegen'd built-ins — membership need not be engine-portable
     * because the exact join makes the final result engine-exact anyway.
     */
   object Bloom {
-    val m = 1 << 16 // bits (8 KB bitset)
     val k = 4 // probes per key
+    val minBits = 1 << 16 // 8 KB floor: below this the filter is free anyway
+    val maxBits = 1 << 25 // 4 MB cap: keeps the plan literal broadcastable;
+                          // beyond ~2M build keys use AQE/native bloom joins
 
-    private def position(key: Column, j: Int): Column = {
+    /** Bits for `nKeys` build keys: next pow-2 of 16·n in [minBits, maxBits]. */
+    def sizeFor(nKeys: Long): Int = {
+      val target = math.max(minBits.toLong, math.min(maxBits.toLong, nKeys * 16))
+      var p = minBits.toLong
+      while (p < target) p <<= 1
+      math.min(maxBits.toLong, p).toInt
+    }
+
+    private def position(key: Column, j: Int, m: Int): Column = {
       // reduce each hash mod m BEFORE combining: j*h2 on raw hashes
       // overflows Long (an error under ANSI mode); mod-first is the
       // same double-hash family and stays far from the Long range
       val h1 = pmod(xxhash64(key), lit(m.toLong))
       val h2 = pmod(xxhash64(lit("graft-bloom"), key), lit(m.toLong))
+        .bitwiseOR(lit(1L)) // odd ⇒ coprime to the pow-2 m: no probe collapse
       pmod(h1 + lit(j.toLong) * h2, lit(m.toLong)).cast("int")
     }
 
-    /** Distributed build: each key's k bit positions, distinct-ed and
-      * collected. The collect is bounded by m (≤ 65536 ints, a
-      * CONSTANT), never by build-side row count — the same shape as
-      * Spark's own runtime bloom (treeAggregate to the driver), because
-      * a bloom must reach every probe task as one broadcast value. */
+    /** Distributed build: size m from an approximate build-key count, then
+      * aggregate each key's k bit positions into 64-bit WORDS map-side
+      * (`bit_or` per word index), so the driver collect is bounded by
+      * m/64 longs — a constant in the build-side row count, the same
+      * shape as Spark's own runtime bloom (treeAggregate to the driver),
+      * because a bloom must reach every probe task as one broadcast
+      * value. Two passes over `keys` (count, then positions): both are
+      * key-column-only scans, and the count rides column statistics at
+      * parquet speed. */
     def build(keys: DataFrame, keyCol: String): Array[Long] = {
+      val n = keys.agg(approx_count_distinct(col(keyCol), 0.05)).head().getLong(0)
+      val m = sizeFor(n)
       val bits = new Array[Long](m / 64)
       keys
-        .select(explode(array((0 until k).map(j => position(col(keyCol), j)): _*)).as("pos"))
-        .distinct()
+        .select(explode(array((0 until k).map(j => position(col(keyCol), j, m)): _*)).as("pos"))
+        .select(shiftright(col("pos"), 6).as("w"),
+          call_function("shiftleft", lit(1L), col("pos").bitwiseAND(lit(63))).as("b"))
+        .groupBy(col("w")).agg(expr("bit_or(b)").as("word"))
         .collect()
-        .foreach { r => val p = r.getInt(0); bits(p / 64) |= 1L << (p % 64) }
+        .foreach { r => bits(r.getInt(0)) = r.getLong(1) }
       bits
     }
 
     /** Probe-side membership test, pure built-in expressions (stays in
       * whole-stage codegen): word = bits[pos >> 6], test bit pos & 63.
-      * `call_function` builds the column-count shiftright the typed
-      * helper doesn't expose. */
+      * m is recovered from the bitset length, so probe and build always
+      * agree. `call_function` builds the column-count shiftright the
+      * typed helper doesn't expose. */
     def mightContain(bits: Array[Long], key: Column): Column = {
+      val m = bits.length * 64
       val arr = lit(bits)
       (0 until k).map { j =>
-        val pos = position(key, j)
+        val pos = position(key, j, m)
         val word = element_at(arr, shiftright(pos, 6) + 1)
         call_function("shiftright", word, pos.bitwiseAND(lit(63)))
           .bitwiseAND(lit(1L)) === lit(1L)
       }.reduce(_ && _)
     }
+  }
+
+  /** q84's join/aggregate body, with the bloom prune toggleable: monthly
+    * revenue of lineitems belonging to URGENT orders. The registered
+    * query runs `prune = true`; TimeQ's `q84_plain` A/B baseline runs
+    * `prune = false` THROUGH THIS SAME METHOD, so the benchmark baseline
+    * cannot drift from the query it claims to compare against. */
+  def urgentMonthlyRevenue(s: SparkSession, d: String, prune: Boolean): DataFrame = {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val probe =
+      if (prune) {
+        val bits = Bloom.build(urgent.select(col("o_orderkey")), "o_orderkey")
+        li.filter(Bloom.mightContain(bits, col("l_orderkey")))
+      } else li
+    probe
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.functions.DetAgg.dsumD(
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("order_month"))
   }
 
   /** Write both sides bucketed by the join key so the subsequent join is
@@ -136,19 +188,7 @@ object Scale {
          |GROUP BY order_month
          |ORDER BY order_month""".stripMargin,
       "Bloom-pruned join: urgent orders' keys build an 8 KB bloom (bounded driver collect — <= m bits, a constant); the lineitem side is pre-filtered by 4 codegen'd double-hash probes BEFORE its shuffle, so ~4/5 of fact rows never enter the exchange; the exact join then removes the bloom's false positives. The oracle is the PLAIN join — proving the prune is semantics-free. The 100 TB case this exists for: build side too big to broadcast as a hash relation, but its key bitset still fits every executor. Measured honestly at bench scale (TimeQ A/B, sf0.1 local[32], broadcast disabled to force the SMJ regime): plain ~0.8 s vs bloom ~1.0 s — in LOCAL mode an exchange is a memory copy, so the eliminated rows cannot buy back the bloom-build job + per-row probes; the technique pays where a probe-side exchange means network + disk serialization across executors, which local mode structurally cannot exhibit. The plan assertion (probe below every exchange) is the property that transfers.") {
-      (s, d) =>
-        val urgent = Tables.orders(s, d)
-          .filter(col("o_orderpriority") === "1-URGENT")
-          .select(col("o_orderkey"), col("o_orderdate"))
-        val bits = Bloom.build(urgent.select(col("o_orderkey")), "o_orderkey")
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-          .filter(Bloom.mightContain(bits, col("l_orderkey")))
-          .join(urgent, col("l_orderkey") === col("o_orderkey"))
-          .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
-          .agg(count(lit(1)).as("n_items"),
-            graft.functions.DetAgg.dsumD(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-          .orderBy(col("order_month"))
+      (s, d) => urgentMonthlyRevenue(s, d, prune = true)
     },
 
     Q("q92_key_skew_profile",

@@ -75,8 +75,22 @@ object FunnelStream {
     (FunnelState(t1, t2, t3, st.buf), out.result())
   }
 
-  /** The state-transition function (shared by batch and streaming runs). */
+  /** The state-transition function (shared by batch and streaming runs).
+    * `tombstoneTtlUs`, when set, bounds COMPLETED-user state: a user's
+    * 3-long tombstone is dropped once the watermark passes
+    * `purchase + ttl` — the documented caveat being that a post-purchase
+    * event arriving with event time later than the TTL horizon sees
+    * empty state and re-enters the funnel at stage 1 (over-counting that
+    * user once). Unbounded tombstones are the only EXACT choice; the TTL
+    * trades that exactness for state proportional to recently-converted
+    * users instead of lifetime-converted users. */
   def transition(
+      userId: Long, events: Iterator[FEv],
+      state: GroupState[FunnelState]): Iterator[FunnelStage] =
+    transition(None)(userId, events, state)
+
+  /** TTL-parameterized form; `transition(None)` is the exact/unbounded one. */
+  def transition(tombstoneTtlUs: Option[Long])(
       userId: Long, events: Iterator[FEv],
       state: GroupState[FunnelState]): Iterator[FunnelStage] = {
     // batch mode has no watermark: treat it as +∞ so everything finalizes
@@ -100,7 +114,22 @@ object FunnelStream {
       // batch-equivalence guarantee. The tombstone is 3 longs per
       // completed user (buffer dropped — no stage can ever fire again,
       // so pending events are dead weight), still bounded state.
-      state.update(st1.copy(buf = Nil))
+      // With a TTL configured, the tombstone instead expires once the
+      // WATERMARK (not wall-clock: replay-deterministic) passes
+      // purchase + ttl — per-user state becomes reclaimable at the
+      // documented re-entry-caveat cost. Batch mode (wm = +∞) keeps
+      // tombstones for the whole run, so batch equivalence is unaffected.
+      tombstoneTtlUs match {
+        case Some(ttl) if wmUs != Long.MaxValue && wmUs > st1.t3.get + ttl =>
+          state.remove()
+        case Some(ttl) if wmUs != Long.MaxValue =>
+          state.update(st1.copy(buf = Nil))
+          // re-invoke at the expiry horizon so reclamation does not
+          // depend on the user ever producing another event
+          state.setTimeoutTimestamp((st1.t3.get + ttl) / 1000L + 1L)
+        case _ =>
+          state.update(st1.copy(buf = Nil))
+      }
     } else {
       state.update(st1)
       if (still.nonEmpty && wmUs != Long.MaxValue) {
@@ -114,19 +143,30 @@ object FunnelStream {
 
   /** Finalized funnel-stage records for a batch or streaming events frame
     * (schema of Tables.events). Streaming callers must set a watermark. */
-  def funnelStages(events: DataFrame): Dataset[FunnelStage] = {
+  def funnelStages(events: DataFrame): Dataset[FunnelStage] =
+    funnelStages(events, tombstoneTtlUs = None)
+
+  /** As [[funnelStages]], with optional completed-user tombstone TTL
+    * (micros of event time past the purchase; see [[transition]] for the
+    * exactness caveat the TTL buys state reclamation with). */
+  def funnelStages(events: DataFrame, tombstoneTtlUs: Option[Long]): Dataset[FunnelStage] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .as[FEv]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        transition)
+        transition(tombstoneTtlUs))
   }
 
   /** Watermarked streaming entry point. */
   def funnelStages(events: DataFrame, watermark: String): Dataset[FunnelStage] =
     funnelStages(events.withWatermark("ts", watermark))
+
+  /** Watermarked streaming entry point with tombstone TTL. */
+  def funnelStages(events: DataFrame, watermark: String,
+      tombstoneTtlUs: Long): Dataset[FunnelStage] =
+    funnelStages(events.withWatermark("ts", watermark), Some(tombstoneTtlUs))
 
   /** q72's headline shape from the stage records: one count per stage. */
   def funnelCounts(stages: Dataset[FunnelStage]): DataFrame =
