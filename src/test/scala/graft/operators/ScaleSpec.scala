@@ -41,6 +41,76 @@ class ScaleSpec extends SparkSpec {
     assert(fpRate < 0.01, s"fp rate $fpRate")
   }
 
+  test("bloom sizing: fp rate holds the design point across build scales") {
+    // the fixed-m failure this guards against: 2^16 bits at 1M keys is
+    // ~50% fp — the prune silently evaporates exactly where it matters.
+    // sizeFor picks 16 bits/key (next pow-2), so the design fp at k=4
+    // stays in ~0.03-0.9% across the rounding range at every scale.
+    assert(Scale.Bloom.sizeFor(0) == Scale.Bloom.minBits)
+    assert(Scale.Bloom.sizeFor(3000) == Scale.Bloom.minBits) // 48k bits < floor
+    assert(Scale.Bloom.sizeFor(100000) == (1 << 21))
+    assert(Scale.Bloom.sizeFor(1000000) == (1 << 24))
+    assert(Scale.Bloom.sizeFor(100000000) == Scale.Bloom.maxBits) // clamped
+    Seq(1000L, 100000L, 1000000L).foreach { n =>
+      val members = spark.range(n).select(col("id").as("k"))
+      val bits = Scale.Bloom.build(members, "k")
+      val m = bits.length * 64
+      assert(m == Scale.Bloom.sizeFor(n) ||
+        // approx_count_distinct (rsd 5%) may land one pow-2 off the exact n
+        m == Scale.Bloom.sizeFor(n) / 2 || m == Scale.Bloom.sizeFor(n) * 2,
+        s"n=$n sized m=$m")
+      // completeness at every scale: zero false negatives
+      assert(members.filter(!Scale.Bloom.mightContain(bits, col("k"))).count() == 0)
+      // soundness: disjoint probe keys pass at under 1%
+      val probes = 200000L
+      val fp = spark.range(n, n + probes).select(col("id").as("k"))
+        .filter(Scale.Bloom.mightContain(bits, col("k"))).count()
+      val rate = fp.toDouble / probes
+      assert(rate < 0.01, s"n=$n m=$m fp rate $rate")
+    }
+  }
+
+  test("AQE splits the hot partition of a skewed sort-merge join") {
+    // closes the loop between the skew DIAGNOSTIC (q92) and the
+    // remediations: beyond Scale.saltedJoin, the first thing the 100 TB
+    // runbook tells operators to rely on is AQE's own skew-join split —
+    // this pins that it actually fires on a 1-key-dominant frame at
+    // local[4] with thresholds scaled down to test-sized data.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      // 99% of fact rows share key 0; dim is uniform
+      val fact = spark.range(200000).select(
+        when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id") % 1000).as("k"),
+        concat(lit("payload-payload-payload-"), col("id")).as("payload"))
+      val dim = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      // aggregate on top so one collect drives the full join; the filter
+      // cannot be pushed below the join (references both sides)
+      val agg = fact.join(dim, "k")
+        .agg(sum(length(col("payload")) + col("v")).as("s"))
+      val rows = agg.collect()
+      assert(rows.length == 1 && !rows.head.isNullAt(0))
+      val plan = agg.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      assert(plan.toString.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire:\n${plan.toString.take(800)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("skew profile: top keys ordered, ratio anchored to the hottest key") {
     val rows = graft.SparkEntry.queries("q92_key_skew_profile")(spark, sf001)
       .collect()

@@ -113,4 +113,43 @@ class FunnelStreamSpec extends SparkSpec {
     assert(got == Set((1, 1.0), (2, 2.0), (3, 3.0)),
       s"expected exactly the 3 original stages, got $got")
   }
+
+  test("tombstone TTL reclaims completed-user state and the re-entry caveat fires") {
+    // Same four-micro-batch timeline as the tombstone test, but with a
+    // 5-hour tombstone TTL: user 10 completes at 3h; when the watermark
+    // reaches 9h (batch 2) it is already past 3h + 5h, so the tombstone
+    // is REMOVED — state is reclaimed, which is the point of the TTL.
+    // The post-purchase view at 21h then sees empty state and re-enters
+    // the funnel at stage 1: the DOCUMENTED caveat, asserted here as an
+    // extra (1, 21h) record. Run with no TTL, the same timeline emits
+    // exactly the 3 original stages (previous test) — together the two
+    // tests pin both sides of the exactness-for-state trade.
+    val dir = Files.createTempDirectory("graft-funnel-ttl").toString
+    val spark0 = spark
+    import spark0.implicits._
+    def hours(h: Double): java.sql.Timestamp =
+      new java.sql.Timestamp((h * 3600 * 1000).toLong)
+    def write(rows: (Long, Double, Long, String)*): Unit =
+      rows.toSeq
+        .map { case (id, h, u, t) => (id, hours(h), u, t) }
+        .toDF("event_id", "ts", "user_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(dir)
+    write((1L, 1.0, 10L, "view"), (2L, 2.0, 10L, "click"),
+      (3L, 3.0, 10L, "purchase"), (90L, 10.0, -1L, "error"))
+    write((91L, 20.0, -1L, "error"))
+    write((4L, 21.0, 10L, "view"), (92L, 30.0, -1L, "error"))
+    write((93L, 40.0, -1L, "error"))
+    val schema = spark.read.parquet(dir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val ttlUs = 5L * 3600 * 1000000 // 5 hours of event time past the purchase
+    val q = FunnelStream.funnelStages(src, "1 hour", ttlUs)
+      .writeStream.format("memory").queryName("funnel_ttl")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("funnel_ttl").filter(col("user_id") === 10L)
+      .collect().map(r => (r.getInt(1), r.getTimestamp(2).getTime / 3600000.0)).toSet
+    assert(got == Set((1, 1.0), (2, 2.0), (3, 3.0), (1, 21.0)),
+      s"expected the 3 stages plus the documented re-entry record, got $got")
+  }
 }
