@@ -454,17 +454,10 @@ object EventWindows {
         |  CAST(sum(converted) AS BIGINT) AS n_converted,
         |  CAST(sum(converted) AS DOUBLE) / count(*) AS conversion_rate
         |FROM sessions GROUP BY day ORDER BY day""".stripMargin,
-      "Sessionized conversion rate — the per-day fraction of 5-minute-gap sessions containing a purchase, rounding out the product-analytics family (q23 defines the sessions, q72 funnels across whole histories, this measures conversion WITHIN a visit). Spark's session_window aggregation against the classic gaps-and-islands SQL twin (the q23 parity, extended with a conversion flag); sessions are attributed to their start date; the rate is an exact int/int division. One shuffle on (session, user); the daily rollup is map-side-combined to |days| rows.") {
+      "Sessionized conversion rate — the per-day fraction of 5-minute-gap sessions containing a purchase, rounding out the product-analytics family (q23 defines the sessions, q72 funnels across whole histories, this measures conversion WITHIN a visit). Spark's session_window aggregation against the classic gaps-and-islands SQL twin (the q23 parity, extended with a conversion flag); sessions are attributed to their start date; the rate is an exact int/int division. One shuffle on (session, user); the daily rollup is map-side-combined to |days| rows. Both stages live in streaming/SessionStream and run UNCHANGED under Structured Streaming (watermark + append mode) — SessionStreamSpec pins the parity.") {
       (s, d) =>
-        val sessions = Tables.events(s, d)
-          .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
-          .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
-        sessions
-          .select(to_date(col("w.start")).cast("timestamp").as("day"), col("converted"))
-          .groupBy(col("day"))
-          .agg(count(lit(1)).as("n_sessions"),
-            sum(col("converted")).as("n_converted"),
-            (sum(col("converted")).cast("double") / count(lit(1))).as("conversion_rate"))
+        graft.streaming.SessionStream.dailyConversion(
+            graft.streaming.SessionStream.sessions(Tables.events(s, d)))
           .orderBy(col("day"))
     },
 

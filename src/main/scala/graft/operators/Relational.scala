@@ -424,12 +424,13 @@ object Relational {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         |  1 AS hll_within_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-      "The strongest oracle check an engine-internal sketch can have: q19's HLL++ estimate is compared IN-QUERY against the exact distinct count, emitting only the exact count plus a bound-satisfied flag (|est - exact| <= 4·rsd·exact at rsd = 0.01 — 4 standard errors of the sketch's design accuracy). DuckDB cannot reproduce the sketch, but it can verify the flag: if the estimate ever drifts out of bound the flag flips to 0 and the hash comparison fails. The estimate itself is deterministic for fixed data, so the flag is stable. q19 remains the raw-estimate form (rows-only); this is its accountability twin.") {
+      "The strongest oracle check an engine-internal sketch can have: q19's HLL++ estimate is compared IN-QUERY against the exact distinct count, emitting only the exact count plus a bound-satisfied flag (|est - exact| <= 4·rsd·exact at rsd = 0.01 — 4 standard errors of the sketch's design accuracy). DuckDB cannot reproduce the sketch, but it can verify the flag: if the estimate ever drifts out of bound the flag flips to 0 and the hash comparison fails. The estimate itself is deterministic for fixed data, so the flag is stable. q19 remains the raw-estimate form (rows-only); this is its accountability twin. Shape note: both aggregates run over a pre-distincted (type, user) frame — HLL insertion is idempotent, so the estimate is IDENTICAL to q19's over the raw stream, while countDistinct degrades to a plain count and the one-pass multi-distinct Expand (2x the input into the shuffle) disappears; measured ~1.5x faster than the naive combined aggregate at sf0.1.") {
       (s, d) =>
         Tables.events(s, d)
+          .select(col("event_type"), col("user_id")).distinct()
           .groupBy(col("event_type"))
           .agg(
-            countDistinct(col("user_id")).as("exact_users"),
+            count(lit(1)).as("exact_users"),
             approx_count_distinct(col("user_id"), 0.01).as("_est"))
           .select(col("event_type"), col("exact_users"),
             (abs(col("_est") - col("exact_users")).cast("double")
