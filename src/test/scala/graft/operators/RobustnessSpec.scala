@@ -85,4 +85,20 @@ class RobustnessSpec extends SparkSpec {
     assert(EventWindows.ewmaSecondarySort(emptyEvents).isEmpty)
     assert(graft.streaming.EwmaStream.ewmaStages(emptyEvents).isEmpty)
   }
+
+  test("session conversion is empty-safe end to end") {
+    val emptyEvents = Seq.empty[(Long, Timestamp, Long, String)]
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val sessions = graft.streaming.SessionStream.sessions(emptyEvents)
+    assert(sessions.isEmpty)
+    assert(graft.streaming.SessionStream.dailyConversion(sessions).isEmpty)
+  }
+
+  test("sized bloom survives a one-key build and still prunes") {
+    val bits = Scale.Bloom.build(Seq(42L).toDF("k"), "k")
+    assert(bits.length * 64 == Scale.Bloom.minBits) // floor size for tiny builds
+    assert(Seq(42L).toDF("k").filter(Scale.Bloom.mightContain(bits, $"k")).count() == 1)
+    assert(Seq(43L, 44L, 45L).toDF("k")
+      .filter(Scale.Bloom.mightContain(bits, $"k")).isEmpty)
+  }
 }
