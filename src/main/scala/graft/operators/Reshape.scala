@@ -89,15 +89,19 @@ object Reshape {
       (s, d) =>
         val acc = 1000
         val eps = 2.0 / acc
+        // ONE definition drives both the aggregate and the p-labels —
+        // the lists must agree in order and content or every estimate is
+        // rank-checked against the wrong percentile
+        val ps = Seq(0.25, 0.5, 0.95)
         val li = Tables.lineitem(s, d)
           .select(col("l_returnflag"), col("l_extendedprice"))
         val ests = li.groupBy(col("l_returnflag"))
-          .agg(expr(s"approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), $acc)")
+          .agg(expr(s"approx_percentile(l_extendedprice, array(${ps.mkString(", ")}), $acc)")
             .as("ests"))
           .select(col("l_returnflag"), posexplode(col("ests")))
           .toDF("l_returnflag", "i", "est")
           .select(col("l_returnflag"),
-            element_at(lit(Array(0.25, 0.5, 0.95)), col("i") + 1).as("p"), col("est"))
+            element_at(lit(ps.toArray), col("i") + 1).as("p"), col("est"))
         li.join(broadcast(ests), Seq("l_returnflag"))
           .groupBy(col("l_returnflag"), col("p"), col("est"))
           .agg(

@@ -83,8 +83,10 @@ object Scale {
       * shape as Spark's own runtime bloom (treeAggregate to the driver),
       * because a bloom must reach every probe task as one broadcast
       * value. Two passes over `keys` (count, then positions): both are
-      * key-column-only scans, and the count rides column statistics at
-      * parquet speed. */
+      * key-column-only scans — the sizing pre-pass is a real full scan
+      * of the key column (distinct counts cannot come from parquet
+      * stats), the price of not silently losing the prune at large
+      * builds; it is the cheapest scan the query makes. */
     def build(keys: DataFrame, keyCol: String): Array[Long] = {
       val n = keys.agg(approx_count_distinct(col(keyCol), 0.05)).head().getLong(0)
       val m = sizeFor(n)
@@ -187,7 +189,7 @@ object Scale {
          |WHERE o_orderpriority = '1-URGENT'
          |GROUP BY order_month
          |ORDER BY order_month""".stripMargin,
-      "Bloom-pruned join: urgent orders' keys build an 8 KB bloom (bounded driver collect — <= m bits, a constant); the lineitem side is pre-filtered by 4 codegen'd double-hash probes BEFORE its shuffle, so ~4/5 of fact rows never enter the exchange; the exact join then removes the bloom's false positives. The oracle is the PLAIN join — proving the prune is semantics-free. The 100 TB case this exists for: build side too big to broadcast as a hash relation, but its key bitset still fits every executor. Measured honestly at bench scale (TimeQ A/B, sf0.1 local[32], broadcast disabled to force the SMJ regime): plain ~0.8 s vs bloom ~1.0 s — in LOCAL mode an exchange is a memory copy, so the eliminated rows cannot buy back the bloom-build job + per-row probes; the technique pays where a probe-side exchange means network + disk serialization across executors, which local mode structurally cannot exhibit. The plan assertion (probe below every exchange) is the property that transfers.") {
+      "Bloom-pruned join: urgent orders' keys build a bloom SIZED FROM THE BUILD SIDE (approx_count_distinct pre-pass, 16 bits/key next-pow-2, 8 KB-4 MB clamp; driver collect bounded by m/64 words via map-side bit_or); the lineitem side is pre-filtered by 4 codegen'd double-hash probes BEFORE its shuffle, so ~4/5 of fact rows never enter the exchange; the exact join then removes the bloom's false positives. The oracle is the PLAIN join — proving the prune is semantics-free. The 100 TB case this exists for: build side too big to broadcast as a hash relation, but its key bitset still fits every executor. Measured honestly at bench scale (TimeQ A/B, sf0.1 local[32], broadcast disabled to force the SMJ regime): plain ~0.8 s vs bloom ~1.0 s — in LOCAL mode an exchange is a memory copy, so the eliminated rows cannot buy back the bloom-build job + per-row probes; the technique pays where a probe-side exchange means network + disk serialization across executors, which local mode structurally cannot exhibit. The plan assertion (probe below every exchange) is the property that transfers.") {
       (s, d) => urgentMonthlyRevenue(s, d, prune = true)
     },
 

@@ -56,12 +56,27 @@ object FunnelStream {
 
   import StreamTime.{us, tsFromUs}
 
-  /** Fold time-ordered, finalized events into the stage machine. */
+  /** a + b clamped at Long.MaxValue — a huge TTL means "never expire",
+    * not overflow-and-expire-immediately. */
+  private def satAdd(a: Long, b: Long): Long =
+    if (b > Long.MaxValue - a) Long.MaxValue else a + b
+
+  /** Fold time-ordered, finalized events into the stage machine. With a
+    * TTL, a completed funnel whose expiry (purchase + ttl) lies before
+    * the event being processed has expired IN EVENT TIME: the user is
+    * reborn and the event is eligible for a fresh stage 1. The rule
+    * references only event timestamps — never the watermark or arrival
+    * batch — so batch and streaming runs (and any micro-batch packing of
+    * the same stream) produce identical output. */
   private def advance(
-      userId: Long, st: FunnelState, ready: Seq[Pending]): (FunnelState, Seq[FunnelStage]) = {
+      userId: Long, st: FunnelState, ready: Seq[Pending],
+      ttlUs: Option[Long]): (FunnelState, Seq[FunnelStage]) = {
     var (t1, t2, t3) = (st.t1, st.t2, st.t3)
     val out = Seq.newBuilder[FunnelStage]
     ready.foreach { e =>
+      if (t3.nonEmpty && ttlUs.exists(ttl => e.us > satAdd(t3.get, ttl))) {
+        t1 = None; t2 = None; t3 = None // reborn: this event starts a new lifetime
+      }
       e.tpe match {
         case "view" if t1.isEmpty =>
           t1 = Some(e.us); out += FunnelStage(userId, 1, tsFromUs(e.us))
@@ -77,13 +92,17 @@ object FunnelStream {
 
   /** The state-transition function (shared by batch and streaming runs).
     * `tombstoneTtlUs`, when set, bounds COMPLETED-user state: a user's
-    * 3-long tombstone is dropped once the watermark passes
-    * `purchase + ttl` — the documented caveat being that a post-purchase
-    * event arriving with event time later than the TTL horizon sees
-    * empty state and re-enters the funnel at stage 1 (over-counting that
-    * user once). Unbounded tombstones are the only EXACT choice; the TTL
-    * trades that exactness for state proportional to recently-converted
-    * users instead of lifetime-converted users. */
+    * 3-long tombstone becomes reclaimable once the watermark passes
+    * `purchase + ttl`. The documented caveat: an event whose EVENT TIME
+    * lies beyond that horizon re-enters the funnel at stage 1
+    * (over-counting that user once per expiry). The re-entry rule is
+    * applied per event inside [[advance]] — by event time only, never by
+    * arrival batch or watermark — so the output is deterministic under
+    * replay, micro-batch repacking, and batch/streaming mode alike; only
+    * state RECLAMATION follows the watermark. Unbounded tombstones
+    * (ttl = None, the default) are the only choice with no re-entry;
+    * the TTL trades that single-funnel exactness for state proportional
+    * to recently-converted users instead of lifetime-converted users. */
   def transition(
       userId: Long, events: Iterator[FEv],
       state: GroupState[FunnelState]): Iterator[FunnelStage] =
@@ -105,7 +124,7 @@ object FunnelStream {
     val all = st0.buf ++ fresh
     val (ready, still) = all.partition(_.us < wmUs)
     val (st1, out) = advance(userId, st0.copy(buf = still),
-      ready.sortBy(p => (p.us, p.eventId)))
+      ready.sortBy(p => (p.us, p.eventId)), tombstoneTtlUs)
     if (st1.t3.nonEmpty) {
       // Funnel complete: keep a 3-timestamp TOMBSTONE, never remove(). A
       // user who keeps generating events after the purchase (views, more
@@ -114,19 +133,31 @@ object FunnelStream {
       // batch-equivalence guarantee. The tombstone is 3 longs per
       // completed user (buffer dropped — no stage can ever fire again,
       // so pending events are dead weight), still bounded state.
-      // With a TTL configured, the tombstone instead expires once the
-      // WATERMARK (not wall-clock: replay-deterministic) passes
-      // purchase + ttl — per-user state becomes reclaimable at the
-      // documented re-entry-caveat cost. Batch mode (wm = +∞) keeps
-      // tombstones for the whole run, so batch equivalence is unaffected.
+      // With a TTL configured, the EMISSION rule is event-time-only (see
+      // advance: an event past purchase + ttl is reborn at stage 1), so
+      // output is identical however the stream is packed into batches —
+      // the watermark below only decides when STATE becomes reclaimable.
+      // Buffered events beyond the expiry belong to the next lifetime
+      // and must survive; events inside the tombstone's horizon are dead
+      // weight exactly as in the unbounded case.
       tombstoneTtlUs match {
-        case Some(ttl) if wmUs != Long.MaxValue && wmUs > st1.t3.get + ttl =>
-          state.remove()
         case Some(ttl) if wmUs != Long.MaxValue =>
-          state.update(st1.copy(buf = Nil))
-          // re-invoke at the expiry horizon so reclamation does not
-          // depend on the user ever producing another event
-          state.setTimeoutTimestamp((st1.t3.get + ttl) / 1000L + 1L)
+          val expiryUs = satAdd(st1.t3.get, ttl)
+          val keepBuf = still.filter(_.us > expiryUs) // next-lifetime events
+          if (wmUs > expiryUs) {
+            // tombstone horizon fully below the watermark: reclaim
+            if (keepBuf.isEmpty) state.remove()
+            else {
+              state.update(FunnelState(None, None, None, keepBuf))
+              state.setTimeoutTimestamp(keepBuf.map(_.us).min / 1000L + 1L)
+            }
+          } else {
+            state.update(st1.copy(buf = keepBuf))
+            // re-invoke at the expiry horizon so reclamation does not
+            // depend on the user ever producing another event
+            if (expiryUs != Long.MaxValue)
+              state.setTimeoutTimestamp(expiryUs / 1000L + 1L)
+          }
         case _ =>
           state.update(st1.copy(buf = Nil))
       }

@@ -21,7 +21,17 @@ class JobBudgetSpec extends SparkSpec {
     val sc = spark.sparkContext
     sc.setJobGroup(tag, s"job budget: $tag", interruptOnCancel = false)
     try body finally sc.clearJobGroup()
-    sc.statusTracker.getJobIdsForGroup(tag).length
+    // the status store is fed asynchronously by the listener bus — read
+    // until the count is stable for a beat so a lagging bus can't
+    // undercount (which would make the upper-bound asserts vacuous)
+    var n = sc.statusTracker.getJobIdsForGroup(tag).length
+    var stableMs = 0
+    while (stableMs < 300) {
+      Thread.sleep(50)
+      val m = sc.statusTracker.getJobIdsForGroup(tag).length
+      if (m == n) stableMs += 50 else { n = m; stableMs = 0 }
+    }
+    n
   }
 
   private def queryJobs(name: String): Int =

@@ -151,5 +151,14 @@ class FunnelStreamSpec extends SparkSpec {
       .collect().map(r => (r.getInt(1), r.getTimestamp(2).getTime / 3600000.0)).toSet
     assert(got == Set((1, 1.0), (2, 2.0), (3, 3.0), (1, 21.0)),
       s"expected the 3 stages plus the documented re-entry record, got $got")
+    // the re-entry rule is EVENT-TIME-only, so a single-pass batch run
+    // over the same events (no watermark, no micro-batches) must produce
+    // the identical stage set — TTL does not break batch equivalence
+    val batchGot = FunnelStream
+      .funnelStages(spark.read.parquet(dir), Some(ttlUs))
+      .filter(col("user_id") === 10L)
+      .collect().map(s => (s.stage, s.ts.getTime / 3600000.0)).toSet
+    assert(batchGot == got,
+      s"batch TTL run diverged from streaming: $batchGot vs $got")
   }
 }
