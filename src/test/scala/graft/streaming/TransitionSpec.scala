@@ -106,6 +106,58 @@ class TransitionSpec extends SparkSpec {
     assert(gs2.exists && gs2.get == done, "tombstone must shed the dead buffer")
   }
 
+  test("funnel TTL output is invariant under micro-batch packing") {
+    // The TTL re-entry rule lives INSIDE the event fold (event ts vs
+    // purchase + ttl), so however the same stream is split into
+    // invocations — with whatever watermark schedule — the emitted stage
+    // records must be identical, and identical to a single-shot batch
+    // run. This pins the review-found failure mode where a post-expiry
+    // event arriving in the same invocation as tombstone reclamation was
+    // silently dropped (output depended on batch boundaries).
+    val ttlUs = 1000L * 1000000L // expiry = purchase + 1000 s
+    val events = List(ev(1, 100, "view"), ev(2, 200, "click"),
+      ev(3, 300, "purchase"), // funnel 1 completes; expiry at t = 1300 s
+      ev(4, 4000, "view"), ev(5, 4100, "click"), ev(6, 4200, "purchase"))
+    val expected = List((1, 100L), (2, 200L), (3, 300L),
+      (1, 4000L), (2, 4100L), (3, 4200L))
+    def fmt(s: FunnelStream.FunnelStage) = (s.stage, s.ts.getTime / 1000)
+    // single-shot batch (no watermark) agrees with the event-time rule
+    val gsB = TestGroupState.create[FunnelStream.FunnelState](
+      Optional.empty[FunnelStream.FunnelState](),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.empty[Long](), false)
+    assert(FunnelStream.transition(Some(ttlUs))(1L, events.iterator, gsB)
+      .map(fmt).toList == expected)
+    def run(packing: List[(List[FunnelStream.FEv], Long)]): List[(Int, Long)] = {
+      var st: Option[FunnelStream.FunnelState] = None
+      val out = List.newBuilder[(Int, Long)]
+      (packing :+ ((Nil: List[FunnelStream.FEv]), 100000L)).foreach {
+        case (evs, wmS) =>
+          val gs = state(wmMs = wmS * 1000, st = st)
+          out ++= FunnelStream.transition(Some(ttlUs))(1L, evs.iterator, gs)
+            .map(fmt).toList
+          st = if (gs.isRemoved) None else gs.getOption
+      }
+      out.result()
+    }
+    val packings = List(
+      List((events, 0L)),                              // everything buffers, one big drain
+      events.map(e => (List(e), e.ts.getTime / 1000)), // one per batch, wm trailing
+      List((events.take(3), 0L), (Nil, 2000L),         // reclamation via an empty batch...
+        (events.drop(3), 2000L)),                      // ...then the post-expiry events
+      List((events.take(3), 0L),
+        (events.drop(3), 2000L)),                      // post-expiry events arrive IN the expiry batch
+      List((events.take(4), 50L),
+        (events.drop(4), 4050L)))                      // split mid-second-funnel
+    // (watermarks in every packing trail the events they deliver: an
+    // event below the watermark at arrival is LATE and dropped by policy,
+    // which is a different — documented — behavior, not packing variance)
+    packings.zipWithIndex.foreach { case (p, i) =>
+      val got = run(p)
+      assert(got == expected, s"packing $i diverged: $got")
+    }
+  }
+
   test("retention: one record per week, cohort fixed by the first finalized event") {
     // events arrive as already-buffered state (they arrived above the
     // watermark earlier); a timeout-style invocation with the watermark
