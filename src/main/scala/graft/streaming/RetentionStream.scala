@@ -19,12 +19,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * 00:00) — computed on epoch micros in the JVM, pinned against the SQL
   * function in RetentionStreamSpec.
   *
-  * Scale posture: per-user state is the cohort week plus the SET of
-  * already-emitted week starts — bounded by stream lifetime in weeks
-  * (52 longs/year), not by event volume — plus the watermark-horizon
-  * buffer. Output is append-mode exactly-once per (user, week), so the
-  * q73 aggregation (count per cohort_week × week_n) is a legal
-  * downstream streaming aggregate.
+  * Scale posture: per-user state is the cohort week plus the LAST
+  * emitted week — O(1), because finalization is time-ordered per user
+  * (the module's core argument), so observed weeks are non-decreasing
+  * and one week of memory dedupes them (the transition fails loud if
+  * that invariant is ever violated rather than silently dropping a
+  * record); plus the watermark-horizon buffer. No TTL knob is offered
+  * (contrast [[FunnelStream]]): retention semantics NEED the cohort for
+  * the user's whole lifetime — a resurrected user must count in their
+  * original cohort, so reclaiming completed-user state would silently
+  * corrupt cohort assignment, and the state is O(1) anyway. Output is
+  * append-mode exactly-once per (user, week), so the q73 aggregation
+  * (count per cohort_week × week_n) is a legal downstream streaming
+  * aggregate.
   */
 object RetentionStream {
 
@@ -33,7 +40,7 @@ object RetentionStream {
   final case class RPending(us: Long, eventId: Long)
 
   final case class RetentionState(
-      cohortUs: Option[Long], emittedWeeksUs: Seq[Long], buf: Seq[RPending])
+      cohortUs: Option[Long], lastWeekUs: Option[Long], buf: Seq[RPending])
 
   /** One first-activity-in-week record per (user, week). */
   final case class WeekActive(user_id: Long, cohort_week: Timestamp, week_n: Int)
@@ -53,7 +60,7 @@ object RetentionStream {
       userId: Long, events: Iterator[REv],
       state: GroupState[RetentionState]): Iterator[WeekActive] = {
     val wmUs = StreamTime.watermarkUs(state)
-    val st0 = state.getOption.getOrElse(RetentionState(None, Nil, Nil))
+    val st0 = state.getOption.getOrElse(RetentionState(None, None, Nil))
     val fresh = events
       .map(e => RPending(us(e.ts), e.event_id))
       .filter(p => p.us >= wmUs || wmUs == Long.MaxValue)
@@ -61,18 +68,26 @@ object RetentionStream {
     val all = st0.buf ++ fresh
     val (ready, still) = all.partition(_.us < wmUs)
     var cohort = st0.cohortUs
-    var emitted = st0.emittedWeeksUs.toSet
+    var lastWk = st0.lastWeekUs
     val out = Seq.newBuilder[WeekActive]
     ready.sortBy(p => (p.us, p.eventId)).foreach { e =>
       if (cohort.isEmpty) cohort = Some(weekStartUs(e.us))
       val wk = weekStartUs(e.us)
-      if (!emitted.contains(wk)) {
-        emitted += wk
+      // finalization is time-ordered per user, so weeks are non-
+      // decreasing and the LAST emitted week dedupes (O(1) state). A
+      // smaller week here would mean that argument — and therefore the
+      // cohort assignment itself — is broken: fail loud, never drop.
+      if (lastWk.exists(wk < _))
+        throw new IllegalStateException(
+          s"retention finalization order violated for user $userId: " +
+            s"week $wk after ${lastWk.get}")
+      if (!lastWk.contains(wk)) {
+        lastWk = Some(wk)
         out += WeekActive(userId, tsFromUs(cohort.get),
           ((wk - cohort.get) / 1000000L / 604800L).toInt)
       }
     }
-    state.update(RetentionState(cohort, emitted.toSeq.sorted, still))
+    state.update(RetentionState(cohort, lastWk, still))
     if (still.nonEmpty && wmUs != Long.MaxValue)
       state.setTimeoutTimestamp(still.map(_.us).min / 1000L + 1L)
     out.result().iterator

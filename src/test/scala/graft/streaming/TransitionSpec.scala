@@ -163,7 +163,7 @@ class TransitionSpec extends SparkSpec {
     // watermark earlier); a timeout-style invocation with the watermark
     // advanced past them finalizes all three in time order
     val mondayUtc = 1704067200L // 2024-01-01 00:00:00 UTC, a Monday
-    val st0 = RetentionStream.RetentionState(None, Nil, Seq(
+    val st0 = RetentionStream.RetentionState(None, None, Seq(
       RetentionStream.RPending((mondayUtc + 15 * 86400) * 1000000L, 3L), // week 2
       RetentionStream.RPending((mondayUtc + 10 * 3600) * 1000000L, 1L),  // week 0
       RetentionStream.RPending((mondayUtc + 2 * 86400) * 1000000L, 2L))) // week 0 again
@@ -177,6 +177,9 @@ class TransitionSpec extends SparkSpec {
     assert(out.map(_.week_n) == List(0, 2), out.toString)
     assert(out.forall(_.cohort_week.getTime == mondayUtc * 1000L),
       s"cohort must be the Monday of the first finalized event: $out")
-    assert(gs.get.emittedWeeksUs.size == 2, "exactly one emission per distinct week")
+    // O(1) dedup state: only the LAST emitted week is retained (weeks
+    // finalize in non-decreasing order, so one week of memory dedupes)
+    assert(gs.get.lastWeekUs.contains((mondayUtc + 14 * 86400) * 1000000L),
+      s"state must hold the last emitted week start: ${gs.get.lastWeekUs}")
   }
 }
