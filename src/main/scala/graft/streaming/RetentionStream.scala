@@ -39,6 +39,11 @@ object RetentionStream {
 
   final case class RPending(us: Long, eventId: Long)
 
+  /** NOTE: this schema replaced an emitted-weeks Seq (round 6). Spark's
+    * state-store schema check will refuse to restart a streaming query
+    * checkpointed under the old layout — redeploying across the change
+    * means a fresh checkpoint (cohorts rebuild from the replayed
+    * stream, or from a batch backfill — the same code runs both). */
   final case class RetentionState(
       cohortUs: Option[Long], lastWeekUs: Option[Long], buf: Seq[RPending])
 

@@ -17,14 +17,20 @@ class TransitionSpec extends SparkSpec {
 
   import org.apache.spark.api.java.Optional
 
-  private def state(wmMs: Long, st: Option[FunnelStream.FunnelState] = None) =
+  /** wmMs = None builds a BATCH-mode state (no watermark set). */
+  private def state(wmMs: Option[Long], st: Option[FunnelStream.FunnelState]) =
     TestGroupState.create[FunnelStream.FunnelState](
       optionalState = st.map(Optional.of[FunnelStream.FunnelState])
         .getOrElse(Optional.empty[FunnelStream.FunnelState]()),
       timeoutConf = GroupStateTimeout.EventTimeTimeout,
       batchProcessingTimeMs = 0L,
-      eventTimeWatermarkMs = Optional.of(java.lang.Long.valueOf(wmMs).longValue()),
+      eventTimeWatermarkMs = wmMs.map(Optional.of[Long](_))
+        .getOrElse(Optional.empty[Long]()),
       hasTimedOut = false)
+
+  private def state(wmMs: Long, st: Option[FunnelStream.FunnelState] = None)
+      : TestGroupState[FunnelStream.FunnelState] =
+    state(Some(wmMs), st)
 
   private def ev(id: Long, sec: Long, tpe: String) =
     FunnelStream.FEv(id, ts(sec), 1L, tpe)
@@ -122,10 +128,7 @@ class TransitionSpec extends SparkSpec {
       (1, 4000L), (2, 4100L), (3, 4200L))
     def fmt(s: FunnelStream.FunnelStage) = (s.stage, s.ts.getTime / 1000)
     // single-shot batch (no watermark) agrees with the event-time rule
-    val gsB = TestGroupState.create[FunnelStream.FunnelState](
-      Optional.empty[FunnelStream.FunnelState](),
-      GroupStateTimeout.EventTimeTimeout, 0L,
-      Optional.empty[Long](), false)
+    val gsB = state(None, None)
     assert(FunnelStream.transition(Some(ttlUs))(1L, events.iterator, gsB)
       .map(fmt).toList == expected)
     def run(packing: List[(List[FunnelStream.FEv], Long)]): List[(Int, Long)] = {
@@ -136,7 +139,7 @@ class TransitionSpec extends SparkSpec {
           val gs = state(wmMs = wmS * 1000, st = st)
           out ++= FunnelStream.transition(Some(ttlUs))(1L, evs.iterator, gs)
             .map(fmt).toList
-          st = if (gs.isRemoved) None else gs.getOption
+          st = gs.getOption // None after state.remove()
       }
       out.result()
     }
@@ -181,5 +184,27 @@ class TransitionSpec extends SparkSpec {
     // finalize in non-decreasing order, so one week of memory dedupes)
     assert(gs.get.lastWeekUs.contains((mondayUtc + 14 * 86400) * 1000000L),
       s"state must hold the last emitted week start: ${gs.get.lastWeekUs}")
+  }
+
+  test("retention fails LOUD if a week ever finalizes out of order") {
+    // the O(1) dedup is sound only because finalization is time-ordered;
+    // if that invariant is ever violated the machine must throw, not
+    // silently drop the record. Forge the impossible state directly: the
+    // last emitted week is week 2, but a week-0 event finalizes.
+    val mondayUtc = 1704067200L // 2024-01-01 00:00:00 UTC, a Monday
+    val st0 = RetentionStream.RetentionState(
+      Some(mondayUtc * 1000000L),
+      Some((mondayUtc + 14 * 86400) * 1000000L), // last emitted: week 2
+      Seq(RetentionStream.RPending((mondayUtc + 3600) * 1000000L, 9L))) // week 0
+    val gs = TestGroupState.create[RetentionStream.RetentionState](
+      optionalState = Optional.of(st0),
+      timeoutConf = GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.of(4102444800000L), // far future
+      hasTimedOut = false)
+    val e = intercept[IllegalStateException] {
+      RetentionStream.transition(5L, Iterator.empty, gs).toList
+    }
+    assert(e.getMessage.contains("finalization order violated"), e.getMessage)
   }
 }
