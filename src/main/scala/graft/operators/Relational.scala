@@ -408,23 +408,12 @@ object Relational {
     },
 
     // ---------------------------------------------------------------- q19
-    Q.noOracle("q19_approx_distinct",
-      "HyperLogLog++ approximate distinct users per event type — the 100 TB answer to q18's exact expand (sketches merge associatively; no oracle: DuckDB's approx sketch differs).") {
-      (s, d) =>
-        Tables.events(s, d)
-          .groupBy(col("event_type"))
-          .agg(
-            approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-            count(lit(1)).as("n_events"))
-          .orderBy(col("event_type"))
-    },
-
-    Q("q19b_hll_error_bound",
+    Q("q19_approx_distinct",
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         |  1 AS hll_within_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-      "The strongest oracle check an engine-internal sketch can have: q19's HLL++ estimate is compared IN-QUERY against the exact distinct count, emitting only the exact count plus a bound-satisfied flag (|est - exact| <= 4·rsd·exact at rsd = 0.01 — 4 standard errors of the sketch's design accuracy). DuckDB cannot reproduce the sketch, but it can verify the flag: if the estimate ever drifts out of bound the flag flips to 0 and the hash comparison fails. The estimate itself is deterministic for fixed data, so the flag is stable. q19 remains the raw-estimate form (rows-only); this is its accountability twin. Shape note: both aggregates run over a pre-distincted (type, user) frame — HLL insertion is idempotent, so the estimate is IDENTICAL to q19's over the raw stream, while countDistinct degrades to a plain count and the one-pass multi-distinct Expand (2x the input into the shuffle) disappears; measured ~1.5x faster than the naive combined aggregate at sf0.1.") {
+      "HyperLogLog++ approximate distinct users per event type — the 100 TB answer to q18's exact expand (sketches merge associatively) — emitted in the strongest form an engine-internal sketch admits: the estimate is compared IN-QUERY against the exact distinct count, and the query emits the exact count plus a bound-satisfied flag (|est - exact| <= 4·rsd·exact at rsd = 0.01 — 4 standard errors of the sketch's design accuracy). DuckDB cannot reproduce the sketch bytes (its approx sketch differs), but it CAN verify the flag: if the estimate ever drifts out of bound the flag flips to 0 and the hash comparison fails. The estimate itself is deterministic for fixed data, so the flag is stable. (Until round 7 this was split into a rows-only raw-estimate form plus a q19b accountability twin; the raw form added no check the flag lacks, so they were folded — the estimate still runs, its value is just asserted rather than dumped.) Shape note: both aggregates run over a pre-distincted (type, user) frame — HLL insertion is idempotent, so the estimate is IDENTICAL to the raw-stream estimate, while countDistinct degrades to a plain count and the one-pass multi-distinct Expand (2x the input into the shuffle) disappears; measured ~1.5x faster than the naive combined aggregate at sf0.1.") {
       (s, d) =>
         Tables.events(s, d)
           .select(col("event_type"), col("user_id")).distinct()

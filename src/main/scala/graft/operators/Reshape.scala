@@ -69,23 +69,12 @@ object Reshape {
           .orderBy(col("l_returnflag"))
     },
 
-    Q.noOracle("q52_approx_percentile",
-      "approx_percentile (KLL-style sketch) per returnflag — the mergeable, one-pass replacement for q50's exact percentiles at 100 TB (no oracle: sketch internals differ across engines). The quantile array is emitted as a joined string: the driver's rows-only probe sorts output values in pandas, and raw array columns crash that sort.") {
-      (s, d) =>
-        Tables.lineitem(s, d)
-          .groupBy(col("l_returnflag"))
-          .agg(array_join(
-            expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 1000)")
-              .cast("array<string>"), ",").as("approx_price_quantiles"))
-          .orderBy(col("l_returnflag"))
-    },
-
-    Q("q52b_kll_rank_bound",
+    Q("q52_approx_percentile",
       """SELECT l_returnflag, p, 1 AS within_rank_bound
         |FROM (SELECT DISTINCT l_returnflag FROM lineitem)
         |CROSS JOIN (SELECT unnest([0.25e0, 0.5e0, 0.95e0]) AS p)
         |ORDER BY l_returnflag, p""".stripMargin,
-      "q52's accountability twin: the approx_percentile (KLL/GK-style) estimates are rank-checked IN-QUERY against the data itself — for each (returnflag, p) the estimate's true rank interval [count(x < est), count(x <= est)] must overlap p·n ± eps·n with eps = 2/accuracy (the sketch guarantees 1/accuracy; the factor-2 margin absorbs ties at the returned element). Only the bound-satisfied flag is emitted, so DuckDB — which cannot reproduce the sketch — verifies the guarantee: an out-of-bound estimate flips the flag and fails the hash compare. One broadcast of the 9-row estimate table back over lineitem, one map-side-combined count pass.") {
+      "approx_percentile (KLL/GK-style sketch) per returnflag — the mergeable, one-pass replacement for q50's exact percentiles at 100 TB — emitted in the strongest form an engine-internal sketch admits: each estimate is rank-checked IN-QUERY against the data itself. For each (returnflag, p) the estimate's true rank interval [count(x < est), count(x <= est)] must overlap p·n ± eps·n with eps = 2/accuracy (the sketch guarantees 1/accuracy; the factor-2 margin absorbs ties at the returned element). Only the bound-satisfied flag is emitted, so DuckDB — which cannot reproduce the sketch — verifies the guarantee: an out-of-bound estimate flips the flag and fails the hash compare. (Until round 7 this was split into a rows-only raw-estimate form plus a q52b accountability twin; the raw form added no check the flag lacks, so they were folded — the sketch still runs, its estimates are just asserted rather than dumped.) One broadcast of the 9-row estimate table back over lineitem, one map-side-combined count pass.") {
       (s, d) =>
         val acc = 1000
         val eps = 2.0 / acc

@@ -82,10 +82,19 @@ object RetentionStream {
       // decreasing and the LAST emitted week dedupes (O(1) state). A
       // smaller week here would mean that argument — and therefore the
       // cohort assignment itself — is broken: fail loud, never drop.
+      // The violating event is in checkpointed state, so a restart
+      // rethrows identically (poisoned checkpoint) — the exception
+      // message carries the recovery path for the on-call operator.
       if (lastWk.exists(wk < _))
         throw new IllegalStateException(
           s"retention finalization order violated for user $userId: " +
-            s"week $wk after ${lastWk.get}")
+            s"week $wk after ${lastWk.get}. This invariant failure is " +
+            "checkpointed — restarting rethrows. Recovery: start from a " +
+            "FRESH checkpoint and rebuild cohorts by replaying the " +
+            "stream from the source's retained history, or run the " +
+            "batch twin (the same retentionStages code) over the " +
+            "archived events as a backfill; see the RetentionState " +
+            "schema-migration note for the identical procedure.")
       if (!lastWk.contains(wk)) {
         lastWk = Some(wk)
         out += WeekActive(userId, tsFromUs(cohort.get),

@@ -17,16 +17,37 @@ import graft.SparkSpec
   */
 class JobBudgetSpec extends SparkSpec {
 
+  // The budgets below are stage-count observations, and stage counts are
+  // only stable for a FIXED (parallelism, shuffle partitions, AQE) tuple.
+  // Pin that tuple up front: if SparkSpec's session config ever drifts —
+  // or a suite ordering change hands this spec a differently-configured
+  // session — all seven budgets would trip at once with a misleading
+  // "round-trip added" message. Fail on the real cause instead.
+  test("session config matches what the budgets were observed under") {
+    assert(spark.sparkContext.master == "local[4]",
+      s"budgets observed at local[4], session is ${spark.sparkContext.master}")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "4",
+      "budgets observed at shuffle.partitions=4")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "budgets observed under AQE (one job per shuffle stage)")
+  }
+
   private def jobsFor(tag: String)(body: => Unit): Int = {
     val sc = spark.sparkContext
     sc.setJobGroup(tag, s"job budget: $tag", interruptOnCancel = false)
     try body finally sc.clearJobGroup()
     // the status store is fed asynchronously by the listener bus — read
     // until the count is stable for a beat so a lagging bus can't
-    // undercount (which would make the upper-bound asserts vacuous)
+    // undercount (which would make the upper-bound asserts vacuous).
+    // Hard deadline: a wedged listener bus should FAIL this test, not
+    // hang the suite.
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     var n = sc.statusTracker.getJobIdsForGroup(tag).length
     var stableMs = 0
     while (stableMs < 300) {
+      if (System.nanoTime() > deadline)
+        fail(s"listener bus never stabilized within 30 s for '$tag' " +
+          s"(last count $n) — the status store is wedged or starved")
       Thread.sleep(50)
       val m = sc.statusTracker.getJobIdsForGroup(tag).length
       if (m == n) stableMs += 50 else { n = m; stableMs = 0 }

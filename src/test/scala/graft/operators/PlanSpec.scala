@@ -215,21 +215,21 @@ class PlanSpec extends SparkSpec {
     assert(p.toString.contains("partial_"))
   }
 
-  test("q19b runs WITHOUT a multi-distinct Expand and with partial aggregation") {
+  test("q19 runs WITHOUT a multi-distinct Expand and with partial aggregation") {
     // the de-expand shape: both aggregates ride a pre-distincted
     // (type, user) frame — if someone reverts to countDistinct + approx
     // in one agg, Catalyst plans an Expand (2x the scan into the
     // shuffle) and this trips
-    val p = planOf("q19b_hll_error_bound")
+    val p = planOf("q19_approx_distinct")
     val expands = p.collect {
       case e: org.apache.spark.sql.execution.ExpandExec => e
     }
-    assert(expands.isEmpty, "q19b regressed to the Expand multi-distinct plan")
+    assert(expands.isEmpty, "q19 regressed to the Expand multi-distinct plan")
     assert(p.toString.contains("partial_"), "no map-side partial aggregation")
   }
 
-  test("q52b joins the 9-row estimate table by broadcast, never cartesian") {
-    val s = planString("q52b_kll_rank_bound")
+  test("q52 joins the 9-row estimate table by broadcast, never cartesian") {
+    val s = planString("q52_approx_percentile")
     assert(s.contains("BroadcastHashJoin"), s.take(600))
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
       s.take(600))

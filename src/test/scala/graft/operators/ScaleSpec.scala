@@ -55,9 +55,13 @@ class ScaleSpec extends SparkSpec {
       val members = spark.range(n).select(col("id").as("k"))
       val bits = Scale.Bloom.build(members, "k")
       val m = bits.length * 64
-      assert(m == Scale.Bloom.sizeFor(n) ||
-        // approx_count_distinct (rsd 5%) may land one pow-2 off the exact n
-        m == Scale.Bloom.sizeFor(n) / 2 || m == Scale.Bloom.sizeFor(n) * 2,
+      // approx_count_distinct (rsd 5%) can only round UP across a pow-2
+      // boundary for these n (16n sits within 5% of a boundary only from
+      // below, at n=1M); halving m would need a >30% underestimate (>>4
+      // standard errors), and at 8 bits/key the k=4 design fp is ~2.4% —
+      // which would contradict the <1% assertion below. So an undersized
+      // bloom FAILS here rather than being tolerated as dead slack.
+      assert(m == Scale.Bloom.sizeFor(n) || m == Scale.Bloom.sizeFor(n) * 2,
         s"n=$n sized m=$m")
       // completeness at every scale: zero false negatives
       assert(members.filter(!Scale.Bloom.mightContain(bits, col("k"))).count() == 0)
