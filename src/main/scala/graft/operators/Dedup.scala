@@ -253,6 +253,97 @@ object Dedup {
           .as("survivor"))
   }
 
+  // ------------------------------------------------------------------
+  // Hot-bucket cap: the superlinearity guard for the banded LSH family.
+  //
+  // The band joins above cost Σ_buckets B² candidate pairs — corpus SIZE
+  // doesn't make them quadratic, bucket DENSITY does. A pathological
+  // corpus (boilerplate mass, a mirrored site, near-identical template
+  // pages) can put B = millions of documents into ONE bucket, and the
+  // self-join goes quadratic exactly where the near-dup mass is. The
+  // guard: a bucket above `maxBucket` switches from all-pairs to a STAR
+  // around its min-doc_id hub — B−1 candidate edges instead of B(B−1)/2,
+  // linear per bucket — while the bucket stays CONNECTED for the
+  // components/survivor path (a mega-bucket IS the near-identical mass
+  // dedup exists to collapse). Every star edge is still a genuine band
+  // agreement and still passes the exact downstream verification
+  // (hamming cut / signature re-rank), so capped output never contains a
+  // false pair. What the cap gives up is pair ENUMERATION inside hot
+  // buckets: two hot-bucket members that BOTH fail verification against
+  // the hub lose their direct edge (for a 16-bit simhash band that means
+  // docs agreeing in one band yet >maxHamming from the hub — possible,
+  // rare, and exactly the population a mega-bucket makes ambiguous
+  // anyway). The uncapped forms remain the oracle/pair-set semantics;
+  // the capped forms are what a 100 TB dedup run ships with.
+
+  /** Per-bucket (size, min-struct hub) annotation — ONE window over the
+    * same key the candidate join shuffles on, so the cap adds no new
+    * exchange shape, just a sort within the bucket partition. */
+  private def withBucketStats(
+      bands: DataFrame, keys: Seq[String], hubCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    bands
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_hub", min(struct(hubCols.map(col): _*)).over(w))
+  }
+
+  /** [[simhashNearDupPairs]] with the hot-bucket cap. Identical output
+    * columns; buckets of size ≤ `maxBucket` enumerate all pairs exactly
+    * as the uncapped form, larger buckets contribute hub-star edges
+    * only. DedupScaleSpec pins: linear growth on a one-hot-bucket
+    * corpus, byte-identical output when no bucket exceeds the cap, and
+    * an unchanged survivor set for the near-identical mass. */
+  def simhashNearDupPairsCapped(
+      docs: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      graft.expressions.SimHash64(tokenHashesFromHex(md5TokenHex(col("text")))).as("sig"))
+      .localCheckpoint()
+    val bands = withBucketStats(simhashBands(sigs),
+      Seq("band", "bv"), Seq("doc_id", "sig"))
+    val cool = bands.filter(col("_n") <= maxBucket)
+    val coolPairs = cool.as("a").join(cool.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sig").as("s1"), col("b.sig").as("s2"))
+    val hotStars = bands
+      .filter(col("_n") > maxBucket && col("doc_id") =!= col("_hub.doc_id"))
+      .select(col("_hub.doc_id").as("d1"), col("doc_id").as("d2"),
+        col("_hub.sig").as("s1"), col("sig").as("s2"))
+    coolPairs.union(hotStars)
+      .distinct() // a pair may agree on several bands — count it once
+      .select(col("d1"), col("d2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** [[minhashCandidates]] with the hot-bucket cap; same output columns,
+    * same trade as [[simhashNearDupPairsCapped]] (candidates here feed an
+    * exact re-rank or the components path, so star edges preserve the
+    * dedup outcome while bounding the join). */
+  def minhashCandidatesCapped(
+      docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2, maxBucket: Int): DataFrame = {
+    val nBands = k / rowsPerBand
+    val sigs = minhashSignatures(docs, k)
+    val bandStructs = (0 until nBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), concat_ws(",", cols: _*).as("sig"))
+    }
+    val raw = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val bands = withBucketStats(raw, Seq("band", "sig"), Seq("doc_id"))
+    val cool = bands.filter(col("_n") <= maxBucket)
+    val coolPairs = cool.as("a").join(cool.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val hotStars = bands
+      .filter(col("_n") > maxBucket && col("doc_id") =!= col("_hub.doc_id"))
+      .select(col("_hub.doc_id").as("d1"), col("doc_id").as("d2"))
+    coolPairs.union(hotStars).distinct()
+  }
+
   /** Train/test contamination check (decontamination pass): test-split
     * documents sharing at least one 3-gram shingle with ANY train-split
     * document, with the shared-shingle count and contamination rate.

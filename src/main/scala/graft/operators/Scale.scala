@@ -56,7 +56,13 @@ object Scale {
     val k = 4 // probes per key
     val minBits = 1 << 16 // 8 KB floor: below this the filter is free anyway
     val maxBits = 1 << 25 // 4 MB cap: keeps the plan literal broadcastable;
-                          // beyond ~2M build keys use AQE/native bloom joins
+                          // beyond ~2M build keys use AQE/native bloom joins —
+                          // the handoff is PROVEN, not advised: ScaleSpec shows
+                          // spark.sql.optimizer.runtime.bloomFilter.enabled
+                          // injects might_contain into the unpruned q84 shape
+                          // (its production size thresholds — 10 GB app-side
+                          // scan, 10 MB creation side — pass on their own at
+                          // cluster scale; the spec scales them to test data)
 
     /** Bits for `nKeys` build keys: next pow-2 of 16·n in [minBits, maxBits]. */
     def sizeFor(nKeys: Long): Int = {

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The LSH superlinearity guard, measured rather than argued: banded
+  * candidate joins cost Σ_buckets B², so a corpus that concentrates one
+  * bucket (near-identical boilerplate mass — the thing web-scale corpora
+  * are full of) goes quadratic no matter how "scale-safe" the band join
+  * is per NORMAL corpus. These cases build that pathological corpus and
+  * pin (a) the uncapped form really is quadratic there, (b) the capped
+  * form stays linear, (c) the cap does not change the DEDUP OUTCOME —
+  * the hot mass still collapses to one component/survivor, and (d) on a
+  * corpus with no hot bucket the capped and uncapped outputs are
+  * identical, so the cap is safe to leave on.
+  */
+class DedupScaleSpec extends SparkSpec {
+
+  /** `nHot` byte-identical docs (one bucket in EVERY band) + `nTail`
+    * mutually-distinct docs. Deterministic — md5-based signatures make
+    * candidate counts reproducible. */
+  private def pathological(nHot: Int, nTail: Int): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val hotText = "the same boilerplate template page body repeated verbatim " +
+      "across every mirror of the site with navigation chrome and footer"
+    val hot = (0 until nHot).map(i => (i.toLong, hotText))
+    val tail = (0 until nTail).map { i =>
+      (1000000L + i,
+        s"unique document $i carrying its own words salt${i * 7919} " +
+          s"pepper${i * 104729} basil${i * 1299709} thyme${i * 15485863}")
+    }
+    (hot ++ tail).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  test("uncapped band join is quadratic on a one-hot-bucket corpus") {
+    val nHot = 300
+    val docs = pathological(nHot, 50)
+    val pairs = Dedup.simhashNearDupPairs(docs, maxHamming = 3).count()
+    // all hot docs share a signature: every one of the B(B-1)/2 pairs
+    // agrees on all four bands and passes hamming 0
+    assert(pairs >= nHot.toLong * (nHot - 1) / 2,
+      s"expected >= ${nHot.toLong * (nHot - 1) / 2} hot pairs, got $pairs")
+  }
+
+  test("hot-bucket cap keeps the band join linear and the dedup outcome intact") {
+    val nHot = 300
+    val nTail = 50
+    val docs = pathological(nHot, nTail)
+    val cap = 32
+    val capped = Dedup.simhashNearDupPairsCapped(docs, maxHamming = 3, maxBucket = cap)
+    val n = capped.count()
+    // star edges: B-1 for the hot bucket; tail buckets are below the cap
+    // and could contribute at most their own (rare 2^-16 collision) pairs
+    val linearBound = (nHot - 1) + nTail.toLong * cap
+    assert(n <= linearBound, s"capped candidate count $n exceeds linear bound $linearBound")
+    assert(n >= nHot - 1, s"star must connect every hot doc: $n < ${nHot - 1}")
+    // the outcome a dedup pass needs: the hot mass is ONE component with
+    // ONE survivor — capping bounded the work without losing the cluster
+    val comps = Dedup.connectedComponents(capped.select(col("d1"), col("d2")))
+    val hotComps = comps.filter(col("doc_id") < 1000000L)
+      .select(col("component")).distinct().count()
+    assert(hotComps == 1, s"hot mass split into $hotComps components")
+    // doubling the hot mass doubles (not quadruples) the candidate count
+    val n2 = Dedup.simhashNearDupPairsCapped(
+      pathological(2 * nHot, nTail), maxHamming = 3, maxBucket = cap).count()
+    val growth = n2.toDouble / n
+    assert(growth < 3.0, s"capped growth $growth on 2x hot docs — superlinear")
+  }
+
+  test("cap is inert when no bucket exceeds it") {
+    // real corpus shard, real signatures: capped == uncapped exactly
+    val docs = graft.Tables.documents(spark, sf0001)
+    val cap = 1 << 20
+    val a = Dedup.simhashNearDupPairs(docs, maxHamming = 3)
+    val b = Dedup.simhashNearDupPairsCapped(docs, maxHamming = 3, maxBucket = cap)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "capped form diverged from uncapped with the cap not engaged")
+    val ma = Dedup.minhashCandidates(docs)
+    val mb = Dedup.minhashCandidatesCapped(docs, maxBucket = cap)
+    assert(ma.exceptAll(mb).isEmpty && mb.exceptAll(ma).isEmpty,
+      "capped minhash candidates diverged with the cap not engaged")
+  }
+
+  test("minhash capped candidates stay linear on the hot corpus") {
+    val nHot = 300
+    val docs = pathological(nHot, 50)
+    val uncapped = Dedup.minhashCandidates(docs).count()
+    assert(uncapped >= nHot.toLong * (nHot - 1) / 2)
+    val capped = Dedup.minhashCandidatesCapped(docs, maxBucket = 32).count()
+    assert(capped <= (nHot - 1) + 2000L,
+      s"capped minhash candidates $capped not linear")
+  }
+}

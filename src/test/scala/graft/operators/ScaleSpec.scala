@@ -74,6 +74,48 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("native runtime bloom takes over the q84 shape beyond the hand-rolled cap") {
+    // Scale.Bloom's doc caps the hand-rolled filter at 4 MB (~2M build
+    // keys) and says "beyond that use AQE/native bloom joins" — this
+    // proves the handoff instead of advising it: with Spark's runtime
+    // bloom filter enabled (and its size thresholds scaled down to
+    // test-sized data, exactly as the 100 TB defaults already pass at
+    // cluster scale), the UNPRUNED q84 join shape gets a
+    // BloomFilterMightContain probe injected on the fact side by the
+    // optimizer itself. So below the cap the hand-rolled bloom prunes
+    // with an 8 KB-4 MB literal; above it the same query text is pruned
+    // by the native runtime filter — no operator action needed beyond
+    // the runbook conf.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // test data is far below the production 10 GB / 10 MB thresholds
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      // the filter only helps (and only injects) on shuffle joins
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Scale.urgentMonthlyRevenue(spark, sf0001, prune = false)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") ||
+        optimized.contains("BloomFilter"),
+        s"no runtime bloom injected into the q84 shape:\n${optimized.take(1200)}")
+      // both prune mechanisms agree: hand-rolled bloom + native filter
+      // vs native filter alone produce identical results
+      val hand = Scale.urgentMonthlyRevenue(spark, sf0001, prune = true)
+      assert(df.collect().toSeq == hand.collect().toSeq)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits the hot partition of a skewed sort-merge join") {
     // closes the loop between the skew DIAGNOSTIC (q92) and the
     // remediations: beyond Scale.saltedJoin, the first thing the 100 TB
