@@ -36,7 +36,7 @@ object BigramStream {
 
   final case class BEv(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
 
-  final case class BPending(us: Long, eventId: Long, tpe: String)
+  final case class BPending(us: Long, eventId: Long, tpe: String) extends Timed
 
   final case class BigramState(last: Option[BPending], buf: Seq[BPending])
 
@@ -50,25 +50,21 @@ object BigramStream {
   def transition(
       userId: Long, events: Iterator[BEv],
       state: GroupState[BigramState]): Iterator[Bigram] = {
+    // admission/drain/ordering/timeout semantics live in WatermarkBuffer
+    // (shared with funnel/retention/ewma); this machine is the fold
     val wmUs = StreamTime.watermarkUs(state)
     val st0 = state.getOption.getOrElse(BigramState(None, Nil))
-    val fresh = events
-      .map(e => BPending(us(e.ts), e.event_id, e.event_type))
-      .filter(p => p.us >= wmUs || wmUs == Long.MaxValue)
-      .toSeq
-    val (ready, still) = (st0.buf ++ fresh).partition(_.us < wmUs)
+    val fresh = WatermarkBuffer.admit(
+      events.map(e => BPending(us(e.ts), e.event_id, e.event_type)), wmUs)
+    val (ready, still) = WatermarkBuffer.drain(st0.buf, fresh, wmUs)
     var last = st0.last
-    val out = ready.sortBy(p => (p.us, p.eventId)).flatMap { e =>
+    val out = ready.flatMap { e =>
       val rec = last.map(l => Bigram(userId, l.tpe, e.tpe, tsFromUs(e.us)))
       last = Some(e)
       rec
     }
     state.update(BigramState(last, still))
-    if (still.nonEmpty && wmUs != Long.MaxValue) {
-      // fire the drain once the watermark passes the earliest pending
-      // event, even if this user goes quiet
-      state.setTimeoutTimestamp(still.map(_.us).min / 1000L + 1L)
-    }
+    WatermarkBuffer.armAtEarliest(state, still, wmUs)
     out.iterator
   }
 

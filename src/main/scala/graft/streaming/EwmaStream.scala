@@ -38,7 +38,7 @@ object EwmaStream {
 
   final case class VEv(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
 
-  final case class EPending(us: Long, eventId: Long, value: Double)
+  final case class EPending(us: Long, eventId: Long, value: Double) extends Timed
 
   final case class EwmaState(buf: Seq[EPending])
 
@@ -55,11 +55,15 @@ object EwmaStream {
   def transition(
       key: (Long, Long), events: Iterator[VEv],
       state: GroupState[EwmaState]): Iterator[DayEwma] = {
+    // WatermarkBuffer's HORIZON form: nothing finalizes until the
+    // watermark reaches the day's end, then the whole day does at once,
+    // in WatermarkBuffer.ordered order — the whole-group-atomic twin of
+    // the funnel/retention/bigram per-event drain
     val (userId, dayUs) = key
     val dayEndUs = dayUs + DayUs
     val wmUs = StreamTime.watermarkUs(state)
-    val batch = wmUs == Long.MaxValue
-    if (!batch && state.getOption.isEmpty && wmUs >= dayEndUs) {
+    val closed = WatermarkBuffer.horizonClosed(dayEndUs, wmUs)
+    if (wmUs != Long.MaxValue && state.getOption.isEmpty && closed) {
       // the day is already closed (its record was emitted when the
       // watermark crossed dayEnd, or these are its first-ever arrivals,
       // beyond-horizon late either way): drop, leave no state — a second
@@ -68,17 +72,17 @@ object EwmaStream {
     } else {
       val buf = state.getOption.map(_.buf).getOrElse(Nil) ++
         events.map(e => EPending(us(e.ts), e.event_id, e.value))
-      if (batch || wmUs >= dayEndUs) {
+      if (closed) {
         // no on-time event for this day can still arrive: finalize once
         if (state.exists) state.remove()
-        val xs = buf.sortBy(p => (p.us, p.eventId)).map(_.value)
+        val xs = WatermarkBuffer.ordered(buf).map(_.value)
         if (xs.isEmpty) Iterator.empty
         else Iterator.single(DayEwma(userId, tsFromUs(dayUs), xs.length,
           xs.tail.foldLeft(xs.head)((acc, x) => 0.3d * x + 0.7d * acc)))
       } else {
         state.update(EwmaState(buf))
         // fire the close even if this user goes quiet
-        state.setTimeoutTimestamp(dayEndUs / 1000L + 1L)
+        WatermarkBuffer.armAtUs(state, dayEndUs)
         Iterator.empty
       }
     }

@@ -44,7 +44,7 @@ object FunnelStream {
   final case class FEv(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
 
   /** (micros, event_id, event_type) triple buffered until finalizable. */
-  final case class Pending(us: Long, eventId: Long, tpe: String)
+  final case class Pending(us: Long, eventId: Long, tpe: String) extends Timed
 
   final case class FunnelState(
       t1: Option[Long], t2: Option[Long], t3: Option[Long],
@@ -112,19 +112,14 @@ object FunnelStream {
   def transition(tombstoneTtlUs: Option[Long])(
       userId: Long, events: Iterator[FEv],
       state: GroupState[FunnelState]): Iterator[FunnelStage] = {
-    // batch mode has no watermark: treat it as +∞ so everything finalizes
+    // admission/drain/ordering/timeout semantics live in WatermarkBuffer
+    // (shared with retention/bigram/ewma); this machine is the fold
     val wmUs = StreamTime.watermarkUs(state)
     val st0 = state.getOption.getOrElse(FunnelState(None, None, None, Nil))
-    // drop late arrivals (below the watermark — the documented policy; they
-    // would otherwise finalize out of time order and break exactness)
-    val fresh = events
-      .map(e => Pending(us(e.ts), e.event_id, e.event_type))
-      .filter(p => p.us >= wmUs || wmUs == Long.MaxValue)
-      .toSeq
-    val all = st0.buf ++ fresh
-    val (ready, still) = all.partition(_.us < wmUs)
-    val (st1, out) = advance(userId, st0.copy(buf = still),
-      ready.sortBy(p => (p.us, p.eventId)), tombstoneTtlUs)
+    val fresh = WatermarkBuffer.admit(
+      events.map(e => Pending(us(e.ts), e.event_id, e.event_type)), wmUs)
+    val (ready, still) = WatermarkBuffer.drain(st0.buf, fresh, wmUs)
+    val (st1, out) = advance(userId, st0.copy(buf = still), ready, tombstoneTtlUs)
     if (st1.t3.nonEmpty) {
       // Funnel complete: keep a 3-timestamp TOMBSTONE, never remove(). A
       // user who keeps generating events after the purchase (views, more
@@ -149,25 +144,23 @@ object FunnelStream {
             if (keepBuf.isEmpty) state.remove()
             else {
               state.update(FunnelState(None, None, None, keepBuf))
-              state.setTimeoutTimestamp(keepBuf.map(_.us).min / 1000L + 1L)
+              WatermarkBuffer.armAtEarliest(state, keepBuf, wmUs)
             }
           } else {
             state.update(st1.copy(buf = keepBuf))
             // re-invoke at the expiry horizon so reclamation does not
             // depend on the user ever producing another event
             if (expiryUs != Long.MaxValue)
-              state.setTimeoutTimestamp(expiryUs / 1000L + 1L)
+              WatermarkBuffer.armAtUs(state, expiryUs)
           }
         case _ =>
           state.update(st1.copy(buf = Nil))
       }
     } else {
       state.update(st1)
-      if (still.nonEmpty && wmUs != Long.MaxValue) {
-        // re-invoke once the watermark passes the earliest pending event,
-        // even if no further events arrive for this user
-        state.setTimeoutTimestamp(still.map(_.us).min / 1000L + 1L)
-      }
+      // re-invoke once the watermark passes the earliest pending event,
+      // even if no further events arrive for this user
+      WatermarkBuffer.armAtEarliest(state, still, wmUs)
     }
     out.iterator
   }

@@ -37,7 +37,7 @@ object RetentionStream {
 
   final case class REv(event_id: Long, ts: Timestamp, user_id: Long)
 
-  final case class RPending(us: Long, eventId: Long)
+  final case class RPending(us: Long, eventId: Long) extends Timed
 
   /** NOTE: this schema replaced an emitted-weeks Seq (round 6). Spark's
     * state-store schema check will refuse to restart a streaming query
@@ -64,18 +64,17 @@ object RetentionStream {
   def transition(
       userId: Long, events: Iterator[REv],
       state: GroupState[RetentionState]): Iterator[WeekActive] = {
+    // admission/drain/ordering/timeout semantics live in WatermarkBuffer
+    // (shared with funnel/bigram/ewma); this machine is the fold
     val wmUs = StreamTime.watermarkUs(state)
     val st0 = state.getOption.getOrElse(RetentionState(None, None, Nil))
-    val fresh = events
-      .map(e => RPending(us(e.ts), e.event_id))
-      .filter(p => p.us >= wmUs || wmUs == Long.MaxValue)
-      .toSeq
-    val all = st0.buf ++ fresh
-    val (ready, still) = all.partition(_.us < wmUs)
+    val fresh = WatermarkBuffer.admit(
+      events.map(e => RPending(us(e.ts), e.event_id)), wmUs)
+    val (ready, still) = WatermarkBuffer.drain(st0.buf, fresh, wmUs)
     var cohort = st0.cohortUs
     var lastWk = st0.lastWeekUs
     val out = Seq.newBuilder[WeekActive]
-    ready.sortBy(p => (p.us, p.eventId)).foreach { e =>
+    ready.foreach { e =>
       if (cohort.isEmpty) cohort = Some(weekStartUs(e.us))
       val wk = weekStartUs(e.us)
       // finalization is time-ordered per user, so weeks are non-
@@ -102,8 +101,7 @@ object RetentionStream {
       }
     }
     state.update(RetentionState(cohort, lastWk, still))
-    if (still.nonEmpty && wmUs != Long.MaxValue)
-      state.setTimeoutTimestamp(still.map(_.us).min / 1000L + 1L)
+    WatermarkBuffer.armAtEarliest(state, still, wmUs)
     out.result().iterator
   }
 

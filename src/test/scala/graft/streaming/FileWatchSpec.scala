@@ -60,6 +60,58 @@ class FileWatchSpec extends SparkSpec {
     assert(spark.read.json(s"$root/audit").count() == 1)
   }
 
+  test("reference fixture pair drains to the reference's committed audit outcome") {
+    // The strongest reference-parity claim available: the reference repo
+    // COMMITS the audit row its own run produced for this exact fixture
+    // (code/audit/audit_date=2025-08-19/part-*.json — 500/500/0 SUCCESS).
+    // Replay the same two files through the streaming shell end to end —
+    // the clean fixture in batch 0, the corrupted " - Copy" (spaced
+    // filename, exercising the %20 decode on a real file) in batch 1 on
+    // the SAME checkpoint — and assert OUR audit numbers equal the
+    // committed record, not re-derived expectations, plus the full
+    // processed/sink layout.
+    val (cfg, root) = setup()
+    val q1 = FileWatch.start(spark, cfg, availableNow = true)
+    q1.awaitTermination()
+
+    // the committed reference record for the clean fixture
+    val ref = spark.read.json("/root/reference/code/audit")
+      .filter(col("file_name").endsWith("Smart_Farming_Crop_Yield_2024.csv"))
+      .select("total_rows", "good_rows", "bad_rows", "status")
+      .head()
+    assert((ref.getLong(0), ref.getLong(1), ref.getLong(2), ref.getString(3)) ==
+      ((500L, 500L, 0L, "SUCCESS")), s"reference artifact changed: $ref")
+
+    val mine = spark.read.json(s"$root/audit")
+      .filter(col("file_name") === "Smart_Farming_Crop_Yield_2024.csv")
+      .select("total_rows", "good_rows", "bad_rows", "status")
+      .head()
+    assert(mine == ref, s"audit outcome diverged from the reference: $mine vs $ref")
+    assert(Files.exists(Paths.get(root, "processed", "Smart_Farming_Crop_Yield_2024.csv")))
+
+    // batch 1: the corrupted copy. No schema JSON is registered for it,
+    // so it takes the inference fallback and — observable reference
+    // behavior, preserved (PipelineSpec golden) — sails through into its
+    // own table; the file still completes the processed/ lifecycle.
+    Files.copy(
+      Paths.get("/root/reference/dataset/Smart_Farming_Crop_Yield_2024 - Copy.csv"),
+      Paths.get(root, "data", "Smart_Farming_Crop_Yield_2024 - Copy.csv"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q2 = FileWatch.start(spark, cfg, availableNow = true)
+    q2.awaitTermination()
+
+    val audit2 = spark.read.json(s"$root/audit")
+    assert(audit2.count() == 2, "exactly one audit row per file batch")
+    assert(audit2.filter(col("status") === "SUCCESS").count() == 2)
+    val copyFact = spark.read.parquet(
+      s"$root/sink/public_Smart_Farming_Crop_Yield_2024___Copy_transformed")
+    assert(copyFact.count() == 500)
+    assert(Files.exists(
+      Paths.get(root, "processed", "Smart_Farming_Crop_Yield_2024 - Copy.csv")))
+    assert(new java.io.File(s"$root/data").listFiles()
+      .forall(!_.getName.endsWith(".csv")), "watched dir not drained")
+  }
+
   test("bootstrap materializes the full directory layout, idempotently") {
     val root = Files.createTempDirectory("graft-boot").toString + "/nested"
     val cfg = FileWatch.Config(
