@@ -211,6 +211,31 @@ object Sampling {
           .orderBy(col("source"))
     },
 
+    Q("q102_token_shards",
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM tok)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(floor(prior / 500) AS BIGINT) AS shard_id
+        |FROM cum ORDER BY doc_id""".stripMargin,
+      "Token-budget sharding — the training-data packing step that turns a deduped corpus into shards of ~budget tokens each (here 500): shard_id = floor(prior-token-cumsum / budget) over a DETERMINISTIC (source, doc_id) order, so every run, engine, and cluster size assigns identical shards (append-only corpora extend shards without reshuffling earlier docs — the property that makes incremental shard builds possible). The prefix sum runs PARTITIONED BY SOURCE — the honest 100 TB shape: a global-order cumsum would funnel the corpus through one range-partitioned task chain, while per-source sharding (what a mixture-weighted pipeline wants anyway — see q94/q95) bounds each window partition to a source and parallelizes across them; a source too large for one task splits by date/prefix the same way. Exact integer arithmetic end to end; q94's token counting (same split-on-space CTE) is reused verbatim.") {
+      (s, d) =>
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), nTokens(col("text")).as("n_tokens"))
+          .withColumn("prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            floor(col("prior") / lit(500)).cast("bigint").as("shard_id"))
+          .orderBy(col("doc_id"))
+    },
+
     Q("q74_kmv_distinct",
       """WITH h AS (
         |  SELECT DISTINCT o_orderpriority, md5(CAST(o_custkey AS VARCHAR)) AS h

@@ -227,6 +227,60 @@ object TextAnalysis {
           .orderBy(col("doc_id"))
     },
 
+    Q("q100_dup_ngram_fraction",
+      """SELECT doc_id,
+        |  CAST(len(sh) AS BIGINT) AS n_shingles,
+        |  CAST(len(sh) - len(list_distinct(sh)) AS BIGINT) AS n_dup,
+        |  CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE)
+        |    / CAST(len(sh) AS DOUBLE) AS dup_fraction
+        |FROM (SELECT doc_id,
+        |        [array_to_string(toks[i:i+2], ' ')
+        |         for i in generate_series(1, len(toks)-2)] AS sh
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin,
+      "Within-document duplicated word-3-gram fraction — the Gopher-family structural-repetition cut q79's unigram ratios cannot see (a doc that loops whole PHRASES has normal term frequencies but a high duplicate-shingle share; the corpus-level complement of q85's cross-doc chunk dedup). A PURE PROJECTION — zero body shuffles, one scan; per-doc cost bounded by text length, embarrassingly parallel at 100 TB. The distinct-shingle count comes from the compiled ShingleHash64 expression (one virtual call per ROW, the tokenize/window/hash/dedup loop as compiled Scala): the composable transform/array_distinct formulations were measured at 3.3 s (string shingles) and 6.0 s (per-element xxhash64) at sf0.1 because higher-order lambdas evaluate INTERPRETED per element — this shape runs ~0.5 s. Distinctness is over 64-bit hashes (2^-64 per-pair collision, the family-wide trade, q96 note). The fraction is a small-integer division cast to double, IEEE-identical cross-engine. 3-grams because the synthetic corpus exercises them (27/500 docs non-zero at sf0.01; 5-grams are all-zero — the q99 unexercised-path lesson).") {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            (size(split(col("text"), " ")) - 2).cast("bigint").as("n_shingles"),
+            size(graft.expressions.ShingleHash64(col("text"), 3)).cast("bigint")
+              .as("n_distinct"))
+          .filter(col("n_shingles") > 0)
+          .select(col("doc_id"), col("n_shingles"),
+            (col("n_shingles") - col("n_distinct")).as("n_dup"),
+            ((col("n_shingles") - col("n_distinct")).cast("double")
+              / col("n_shingles").cast("double")).as("dup_fraction"))
+          .orderBy(col("doc_id"))
+    },
+
+    Q("q101_top_bigram_share",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest([array_to_string(t[i:i+1], ' ')
+        |                 for i in generate_series(1, len(t)-1)]) AS b
+        |       FROM toks WHERE len(t) >= 2),
+        |cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  CAST(max(c) AS BIGINT) AS top_count,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "Most-frequent word-bigram share per document — the 2-gram member of the Gopher top-n-gram cuts (q79 covers the unigram dominant term; a doc that alternates two words has max_tf 0.5 but top-bigram share ~1.0). Bigrams come from the same in-row transform/slice projection as q100 (no self-join, no lag window — the window formulation would sort-shuffle every token), then ONE explode feeds two map-side-combined aggregations keyed (doc, bigram) then doc: the q79 plan shape, whose shuffles carry counts, not text. Share is exact small-int division, stable cross-engine. 349/500 sf0.01 docs have a repeated bigram, so the max path is well exercised.") {
+      (s, d) =>
+        val bg = Tables.documents(s, d)
+          .withColumn("t", split(col("text"), " "))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(
+            expr("transform(sequence(1, size(t) - 1), i -> concat_ws(' ', slice(t, i, 2)))"))
+            .as("b"))
+        bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_count"))
+          .select(col("doc_id"), col("n_bigrams"), col("top_count"),
+            (col("top_count").cast("double") / col("n_bigrams").cast("double"))
+              .as("top_share"))
+          .orderBy(col("doc_id"))
+    },
+
     Q("q83_vocab_coverage",
       """WITH terms AS (
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents),

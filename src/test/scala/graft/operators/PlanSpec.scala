@@ -244,7 +244,9 @@ class PlanSpec extends SparkSpec {
       "q87_weighted_sample" -> 3, // source window + output sort (+1 slack)
       "q88_length_histogram" -> 4, // agg + lang windows + sort
       "q90_user_entropy" -> 3,    // two-level agg + sort
-      "q91_growth_accounting" -> 6) // distinct + user window + maxw + ledger agg + sort
+      "q91_growth_accounting" -> 6, // distinct + user window + maxw + ledger agg + sort
+      "q100_dup_ngram_fraction" -> 1, // PURE projection — only the output sort
+      "q101_top_bigram_share" -> 3) // (doc,bigram) agg + doc agg + sort
     maxShuffles.foreach { case (name, bound) =>
       val n = planOf(name).collect { case s: ShuffleExchangeLike => s }.size
       assert(n <= bound, s"$name has $n shuffles (bound $bound)")
