@@ -23,7 +23,9 @@ object Q {
       run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, Some(oracle), doc)
 
-  def noOracle(name: String, doc: String)(
-      run: (SparkSession, String) => DataFrame): Q =
-    Q(name, run, None, doc)
+  // Q.noOracle was removed in round 7 with the q19/q52 fold: every
+  // registered query now carries an exact oracle, and keeping the
+  // rows-only constructor around would let a future registration
+  // silently regress that invariant. Genuinely un-oracle-able semantics
+  // belong in-query as a bound check (the q19/q52 pattern) instead.
 }

@@ -169,18 +169,25 @@ object Dedup {
     docs.select(col("doc_id"),
       graft.expressions.MinHashSig(col("text"), k).as("sig"))
 
-  /** LSH candidate pairs: documents agreeing on at least one band of
-    * `rowsPerBand` consecutive minhashes (k/rowsPerBand bands). The
-    * bucket join key is (band, concatenated band signature). */
-  def minhashCandidates(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+  /** (doc_id, band, sig) band rows — ONE definition for the capped and
+    * uncapped candidate paths (a banding change that landed in only one
+    * would silently break DedupScaleSpec's cap-inertness byte-identity). */
+  private def minhashBands(docs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
     val nBands = k / rowsPerBand
     val sigs = minhashSignatures(docs, k)
     val bandStructs = (0 until nBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), concat_ws(",", cols: _*).as("sig"))
     }
-    val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** LSH candidate pairs: documents agreeing on at least one band of
+    * `rowsPerBand` consecutive minhashes (k/rowsPerBand bands). The
+    * bucket join key is (band, concatenated band signature). */
+  def minhashCandidates(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bands = minhashBands(docs, k, rowsPerBand)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -215,25 +222,36 @@ object Dedup {
       .drop("bs")
   }
 
-  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    // localCheckpoint: both self-join branches would otherwise re-scan the
-    // text and re-run the per-token md5 pipeline (the broadcast side gets
-    // no exchange reuse). The signature table is 16 bytes/doc — the thing
-    // a production pipeline would persist anyway — so materializing it
-    // once halves the query's dominant cost (measured 1.7→~0.9 s at sf0.1).
-    val sigs = docs.select(col("doc_id"),
+  /** Materialized (doc_id, sig) simhash table — shared by the capped and
+    * uncapped pair paths. localCheckpoint: both self-join branches would
+    * otherwise re-scan the text and re-run the per-token md5 pipeline
+    * (the broadcast side gets no exchange reuse). The signature table is
+    * 16 bytes/doc — the thing a production pipeline would persist anyway
+    * — so materializing it once halves the query's dominant cost
+    * (measured 1.7→~0.9 s at sf0.1). */
+  private def simhashSigs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       graft.expressions.SimHash64(tokenHashesFromHex(md5TokenHex(col("text")))).as("sig"))
       .localCheckpoint()
-    val bands = simhashBands(sigs)
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sig").as("s1"), col("b.sig").as("s2"))
+
+  /** Shared verify tail: dedup multi-band agreements, exact 64-bit
+    * hamming cut — one definition for the capped and uncapped paths. */
+  private def hammingVerified(cands: DataFrame, maxHamming: Int): DataFrame =
+    cands
       .distinct() // a pair may agree on several bands — count it once
       .select(col("d1"), col("d2"),
         bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = simhashBands(simhashSigs(docs))
+    hammingVerified(
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.sig").as("s1"), col("b.sig").as("s2")),
+      maxHamming)
   }
 
   /** The full near-dup dedup pipeline, end to end: simhash signatures →
@@ -296,10 +314,7 @@ object Dedup {
     * an unchanged survivor set for the near-identical mass. */
   def simhashNearDupPairsCapped(
       docs: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
-    val sigs = docs.select(col("doc_id"),
-      graft.expressions.SimHash64(tokenHashesFromHex(md5TokenHex(col("text")))).as("sig"))
-      .localCheckpoint()
-    val bands = withBucketStats(simhashBands(sigs),
+    val bands = withBucketStats(simhashBands(simhashSigs(docs)),
       Seq("band", "bv"), Seq("doc_id", "sig"))
     val cool = bands.filter(col("_n") <= maxBucket)
     val coolPairs = cool.as("a").join(cool.as("b"),
@@ -311,11 +326,7 @@ object Dedup {
       .filter(col("_n") > maxBucket && col("doc_id") =!= col("_hub.doc_id"))
       .select(col("_hub.doc_id").as("d1"), col("doc_id").as("d2"),
         col("_hub.sig").as("s1"), col("sig").as("s2"))
-    coolPairs.union(hotStars)
-      .distinct() // a pair may agree on several bands — count it once
-      .select(col("d1"), col("d2"),
-        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    hammingVerified(coolPairs.union(hotStars), maxHamming)
   }
 
   /** [[minhashCandidates]] with the hot-bucket cap; same output columns,
@@ -324,15 +335,8 @@ object Dedup {
     * dedup outcome while bounding the join). */
   def minhashCandidatesCapped(
       docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2, maxBucket: Int): DataFrame = {
-    val nBands = k / rowsPerBand
-    val sigs = minhashSignatures(docs, k)
-    val bandStructs = (0 until nBands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
-      struct(lit(b).as("band"), concat_ws(",", cols: _*).as("sig"))
-    }
-    val raw = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val bands = withBucketStats(raw, Seq("band", "sig"), Seq("doc_id"))
+    val bands = withBucketStats(minhashBands(docs, k, rowsPerBand),
+      Seq("band", "sig"), Seq("doc_id"))
     val cool = bands.filter(col("_n") <= maxBucket)
     val coolPairs = cool.as("a").join(cool.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&

@@ -222,7 +222,7 @@ object Sampling {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
         |  FROM tok)
         |SELECT doc_id, source, n_tokens,
-        |  CAST(floor(prior / 500) AS BIGINT) AS shard_id
+        |  CAST(prior // 500 AS BIGINT) AS shard_id
         |FROM cum ORDER BY doc_id""".stripMargin,
       "Token-budget sharding — the training-data packing step that turns a deduped corpus into shards of ~budget tokens each (here 500): shard_id = floor(prior-token-cumsum / budget) over a DETERMINISTIC (source, doc_id) order, so every run, engine, and cluster size assigns identical shards (append-only corpora extend shards without reshuffling earlier docs — the property that makes incremental shard builds possible). The prefix sum runs PARTITIONED BY SOURCE — the honest 100 TB shape: a global-order cumsum would funnel the corpus through one range-partitioned task chain, while per-source sharding (what a mixture-weighted pipeline wants anyway — see q94/q95) bounds each window partition to a source and parallelizes across them; a source too large for one task splits by date/prefix the same way. Exact integer arithmetic end to end; q94's token counting (same split-on-space CTE) is reused verbatim.") {
       (s, d) =>
@@ -232,7 +232,11 @@ object Sampling {
           .select(col("doc_id"), col("source"), nTokens(col("text")).as("n_tokens"))
           .withColumn("prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
           .select(col("doc_id"), col("source"), col("n_tokens"),
-            floor(col("prior") / lit(500)).cast("bigint").as("shard_id"))
+            // INTEGER division (Spark `div`, DuckDB `//`) — `/` promotes
+            // to IEEE double, which quietly breaks the "exact integer
+            // arithmetic" claim once a source's cumulative tokens pass
+            // 2^53 (review catch, round 7)
+            expr("prior div 500").cast("bigint").as("shard_id"))
           .orderBy(col("doc_id"))
     },
 

@@ -31,6 +31,12 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("ERROR")
 
     val vowels = "aeiou"
+    // at k = 5 the rotation would wrap to identity and copy 5 would be a
+    // byte-identical clone of the base — exactly the mutual-near-dup
+    // corpus this tool exists to avoid; refuse rather than mislead
+    require(copies <= vowels.length,
+      s"copies=$copies > ${vowels.length}: the vowel rotation wraps to " +
+        "identity and later copies become verbatim near-dup clones")
     def rot(s: String, k: Int): String =
       s.drop(k % s.length) + s.take(k % s.length)
     def unionCopies(base: DataFrame)(mut: (DataFrame, Int) => DataFrame): DataFrame =
@@ -52,15 +58,36 @@ object ScaleUp {
             s"slice(embedding, 1, $k))"))
     }.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
+    // the star schema keeps REFERENTIAL INTEGRITY across copies: every
+    // shifted FK has a matching shifted dimension row (dangling keys
+    // would make join output NOT grow with data, distorting exactly the
+    // scaling this tool measures), and part/supplier shift too so
+    // per-key join fan-out stays flat — the growth axis is entity COUNT
+    val custOff = 100000000L
+    val orderOff = 1000000000L
+    val partOff = 200000000L
+    val suppOff = 300000000L
+    unionCopies(graft.Tables.customer(spark, src)) { (c, k) =>
+      c.withColumn("c_custkey", col("c_custkey") + lit(k * custOff))
+    }.write.mode("overwrite").parquet(s"$dst/customer.parquet")
+    unionCopies(graft.Tables.part(spark, src)) { (p, k) =>
+      p.withColumn("p_partkey", col("p_partkey") + lit(k * partOff))
+    }.write.mode("overwrite").parquet(s"$dst/part.parquet")
+    unionCopies(graft.Tables.supplier(spark, src)) { (sp, k) =>
+      sp.withColumn("s_suppkey", col("s_suppkey") + lit(k * suppOff))
+    }.write.mode("overwrite").parquet(s"$dst/supplier.parquet")
+
     val orders = graft.Tables.orders(spark, src)
     unionCopies(orders) { (o, k) =>
-      o.withColumn("o_orderkey", col("o_orderkey") + lit(k * 1000000000L))
-        .withColumn("o_custkey", col("o_custkey") + lit(k * 100000000L))
+      o.withColumn("o_orderkey", col("o_orderkey") + lit(k * orderOff))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * custOff))
     }.write.mode("overwrite").parquet(s"$dst/orders.parquet")
 
     val li = graft.Tables.lineitem(spark, src)
     unionCopies(li) { (l, k) =>
-      l.withColumn("l_orderkey", col("l_orderkey") + lit(k * 1000000000L))
+      l.withColumn("l_orderkey", col("l_orderkey") + lit(k * orderOff))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * partOff))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k * suppOff))
     }.write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
 
     val ev = graft.Tables.events(spark, src)

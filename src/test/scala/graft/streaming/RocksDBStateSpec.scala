@@ -141,6 +141,20 @@ class RocksDBStateSpec extends SparkSpec {
       col("n_events"))).isEmpty, "sessions missing on RocksDB")
   }
 
+  test("built-in session_window aggregation matches batch on RocksDB") {
+    // the sixth stateful path: not a custom machine but Spark's own
+    // session-window merging state — its state layout differs from
+    // flatMapGroupsWithState's, so RocksDB coverage of the five machines
+    // says nothing about it; this pins the q98 streaming twin's store
+    val (dir, schema, batch) = eventsDirWithMarker("sessagg")
+    val got = runStream("rocks_sessagg", dir, schema)(
+      src => SessionStream.sessions(src, "40 days"))
+      .filter(col("user_id") >= 0)
+    val want = SessionStream.sessions(batch)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "session_window output diverged from batch on RocksDB")
+  }
+
   test("buffered funnel state survives a stop + checkpoint restart on RocksDB") {
     // Run 1 buffers user 10's view@1h / click@2h (watermark ends at 1h,
     // so NOTHING finalizes or emits). Run 2 — a separate query started
