@@ -179,15 +179,27 @@ class RocksDBStateSpec extends SparkSpec {
         .toDF("event_id", "ts", "user_id", "event_type")
         .coalesce(1).write.mode("append").parquet(dir)
 
+    // changelog checkpointing is the production RocksDB configuration at
+    // scale (per-batch deltas instead of full SST re-uploads); running
+    // the restart under it proves the recommended conf round-trips state
+    val ChangelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     def run(): Unit = onRocksDB {
-      val schema = spark.read.parquet(dir).schema
-      val src = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir)
-      val q = FunnelStream.funnelStages(src, "1 hour").toDF()
-        .writeStream.format("parquet").option("path", outDir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      val saved = scala.util.Try(spark.conf.get(ChangelogKey)).toOption
+      spark.conf.set(ChangelogKey, "true")
+      try {
+        val schema = spark.read.parquet(dir).schema
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        val q = FunnelStream.funnelStages(src, "1 hour").toDF()
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally saved match {
+        case Some(v) => spark.conf.set(ChangelogKey, v)
+        case None    => spark.conf.unset(ChangelogKey)
+      }
     }
 
     write((1L, 1.0, 10L, "view"), (2L, 2.0, 10L, "click"))
@@ -197,11 +209,13 @@ class RocksDBStateSpec extends SparkSpec {
     if (new java.io.File(outDir).listFiles().exists(_.getName.endsWith(".parquet")))
       assert(spark.read.parquet(outDir).count() == 0,
         "run 1 must emit nothing — the watermark never passed its events")
-    // RocksDB checkpoints state as versioned zip archives — their
-    // presence pins that run 2 starts from RocksDB files, not JVM memory
-    val stateZips = Files.walk(java.nio.file.Paths.get(ckpt, "state"))
-      .iterator().asScala.count(_.toString.endsWith(".zip"))
-    assert(stateZips > 0, "no RocksDB snapshot zips under the checkpoint")
+    // RocksDB checkpoints state as versioned zip snapshots and (under
+    // changelog checkpointing) .changelog deltas — their presence pins
+    // that run 2 starts from RocksDB files, not JVM memory
+    val stateFiles = Files.walk(java.nio.file.Paths.get(ckpt, "state"))
+      .iterator().asScala
+      .count(p => p.toString.endsWith(".zip") || p.toString.endsWith(".changelog"))
+    assert(stateFiles > 0, "no RocksDB snapshot/changelog files under the checkpoint")
 
     write((3L, 3.0, 10L, "purchase"), (90L, 10.0, -1L, "error"))
     run()
