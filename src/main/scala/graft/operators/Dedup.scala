@@ -161,6 +161,46 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** [[ngramJaccardPairs]] with a DOCUMENT-FREQUENCY cut — the inverted
+    * index's superlinearity guard, the q33 counterpart of the banded
+    * family's hot-bucket cap: a shingle appearing in F documents fans
+    * out F² pair rows, so one stopword-like shingle (boilerplate
+    * phrase, navigation chrome) makes the index join quadratic at any
+    * corpus size. Shingles with df > `maxDocFreq` are dropped from the
+    * INTERSECTION counting only — the standard prefix-filter/stop-term
+    * cut from the set-similarity-join literature — while per-doc sizes
+    * (the union denominator) keep every shingle, so a surviving pair's
+    * jaccard is exact whenever its overlap holds no hot shingle, and
+    * UNDERESTIMATED (never inflated) otherwise: the cut can only lose
+    * pairs whose overlap is mostly corpus-wide boilerplate — precisely
+    * the pairs a near-dup pass should not fire on. DedupScaleSpec pins
+    * the linear bound on a hot-shingle corpus and cut-inertness when no
+    * shingle exceeds the threshold. */
+  def ngramJaccardPairsCapped(
+      docs: DataFrame, threshold: Double, maxDocFreq: Int): DataFrame = {
+    val ex = hashedShingles(docs)
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // df per shingle hash: one map-side-combined agg on the SAME key the
+    // pair join shuffles on; the rare surviving index is then co-
+    // partitioned for the self-join
+    val rare = ex.join(
+      ex.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDocFreq)
+        .select(col("h")),
+      Seq("h"))
+    val inter = rare.as("a").join(rare.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jaccard",
+        col("inter") * lit(1.0d) / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
   /** MinHash signatures, one row per doc with a k-element signature
     * array — computed per-row by [[graft.expressions.MinHashSig]]: no
     * explode, no shuffle; signature construction is embarrassingly

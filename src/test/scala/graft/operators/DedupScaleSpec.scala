@@ -85,6 +85,41 @@ class DedupScaleSpec extends SparkSpec {
       "capped minhash candidates diverged with the cap not engaged")
   }
 
+  test("df-cut keeps the inverted-index join linear on a hot-shingle corpus") {
+    // q33's failure mode is different from the banded family's: not a
+    // hot BUCKET but a hot SHINGLE — one boilerplate phrase shared by F
+    // docs fans out F^2 pair rows in the index self-join. Corpus: 200
+    // docs sharing a 12-word boilerplate prefix (~half of each doc, so
+    // pairwise jaccard ~1/3 clears the 0.3 threshold) with unique tails.
+    val spark0 = spark
+    import spark0.implicits._
+    val nHot = 200
+    val boiler = "all rights reserved terms of service privacy policy " +
+      "cookie settings navigation menu"
+    val docs = (0 until nHot).map { i =>
+      (i.toLong, s"$boiler unique tail $i alpha${i * 7919} beta${i * 104729} " +
+        s"gamma${i * 1299709} delta${i * 15485863} epsilon${i * 32452843}")
+    }.toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(docs, 0.3).count()
+    assert(uncapped >= nHot.toLong * (nHot - 1) / 2,
+      s"expected the full quadratic pair set, got $uncapped")
+    // df-cut: the boilerplate shingles (df = 200) vanish from the
+    // intersection; tails share nothing, so the join emits ~no pairs —
+    // boilerplate-only overlap is exactly what a near-dup pass should
+    // not fire on
+    val capped = Dedup.ngramJaccardPairsCapped(docs, 0.3, maxDocFreq = 50).count()
+    assert(capped <= nHot.toLong,
+      s"df-cut did not bound the hot-shingle join: $capped pairs")
+  }
+
+  test("df-cut is inert when no shingle exceeds the threshold") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val a = Dedup.ngramJaccardPairs(docs, 0.2)
+    val b = Dedup.ngramJaccardPairsCapped(docs, 0.2, maxDocFreq = 1 << 20)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "capped jaccard diverged from uncapped with the cut not engaged")
+  }
+
   test("minhash capped candidates stay linear on the hot corpus") {
     val nHot = 300
     val docs = pathological(nHot, 50)
