@@ -137,18 +137,16 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("component"))
   }
 
-  /** Near-duplicate pairs by n-gram Jaccard ≥ threshold, via the
-    * inverted-index join on hashed shingles (only co-shingle pairs are
-    * ever scored; the shuffle key is an 8-byte long). */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    // `ex` appears in three plan branches (both join sides + sizes) that
-    // shuffle on different keys, so no exchange reuse applies and the
-    // shingle hashing runs 3×. That's deliberate: ShingleHash64 is a
-    // cheap compiled per-row pass, and recomputing beats caching the
-    // exploded index (which would be far larger than the input) at scale.
-    val ex = hashedShingles(docs)
+  /** Shared Jaccard scoring over an inverted index: self-join
+    * `interIndex` on the shingle hash for intersection counts, then
+    * union denominators from the FULL index `ex` — one definition for
+    * the capped and uncapped paths (a scoring change landing in only
+    * one would silently break DedupScaleSpec's cut-inertness
+    * byte-identity). */
+  private def jaccardScored(
+      ex: DataFrame, interIndex: DataFrame, threshold: Double): DataFrame = {
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = ex.as("a").join(ex.as("b"),
+    val inter = interIndex.as("a").join(interIndex.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
@@ -159,6 +157,19 @@ object Dedup {
         col("inter") * lit(1.0d) / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** Near-duplicate pairs by n-gram Jaccard ≥ threshold, via the
+    * inverted-index join on hashed shingles (only co-shingle pairs are
+    * ever scored; the shuffle key is an 8-byte long). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // `ex` appears in three plan branches (both join sides + sizes) that
+    // shuffle on different keys, so no exchange reuse applies and the
+    // shingle hashing runs 3×. That's deliberate: ShingleHash64 is a
+    // cheap compiled per-row pass, and recomputing beats caching the
+    // exploded index (which would be far larger than the input) at scale.
+    val ex = hashedShingles(docs)
+    jaccardScored(ex, ex, threshold)
   }
 
   /** [[ngramJaccardPairs]] with a DOCUMENT-FREQUENCY cut — the inverted
@@ -179,7 +190,6 @@ object Dedup {
   def ngramJaccardPairsCapped(
       docs: DataFrame, threshold: Double, maxDocFreq: Int): DataFrame = {
     val ex = hashedShingles(docs)
-    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // df per shingle hash: one map-side-combined agg on the SAME key the
     // pair join shuffles on; the rare surviving index is then co-
     // partitioned for the self-join
@@ -188,17 +198,7 @@ object Dedup {
         .filter(col("_df") <= maxDocFreq)
         .select(col("h")),
       Seq("h"))
-    val inter = rare.as("a").join(rare.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
-      .withColumn("jaccard",
-        col("inter") * lit(1.0d) / (col("n1") + col("n2") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), col("jaccard"))
+    jaccardScored(ex, rare, threshold)
   }
 
   /** MinHash signatures, one row per doc with a k-element signature

@@ -237,17 +237,24 @@ object TextAnalysis {
         |        [array_to_string(toks[i:i+2], ' ')
         |         for i in generate_series(1, len(toks)-2)] AS sh
         |      FROM (SELECT doc_id,
-        |              string_split_regex(trim(text), '\s+') AS toks FROM documents))
+        |              string_split_regex(
+        |                regexp_replace(text, '^\s+|\s+$', '', 'g'),
+        |                '\s+') AS toks FROM documents))
         |WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin,
       "Within-document duplicated word-3-gram fraction — the Gopher-family structural-repetition cut q79's unigram ratios cannot see (a doc that loops whole PHRASES has normal term frequencies but a high duplicate-shingle share; the corpus-level complement of q85's cross-doc chunk dedup). A PURE PROJECTION — zero body shuffles, one scan; per-doc cost bounded by text length, embarrassingly parallel at 100 TB. The distinct-shingle count comes from the compiled ShingleHash64 expression (one virtual call per ROW, the tokenize/window/hash/dedup loop as compiled Scala): the composable transform/array_distinct formulations were measured at 3.3 s (string shingles) and 6.0 s (per-element xxhash64) at sf0.1 because higher-order lambdas evaluate INTERPRETED per element — this shape runs ~0.5 s. Distinctness is over 64-bit hashes (2^-64 per-pair collision, the family-wide trade, q96 note). The fraction is a small-integer division cast to double, IEEE-identical cross-engine. 3-grams because the synthetic corpus exercises them (27/500 docs non-zero at sf0.01; 5-grams are all-zero — the q99 unexercised-path lesson).") {
       (s, d) =>
         Tables.documents(s, d)
           .select(col("doc_id"),
-            // ONE tokenization on all three legs: trim + regex whitespace,
-            // exactly ShingleHash64's internal split — a single-space
-            // split here would disagree on irregular whitespace and make
-            // n_dup negative (review catch, round 7)
-            (size(split(trim(col("text")), "\\s+")) - 2).cast("bigint").as("n_shingles"),
+            // ONE tokenization on all three legs, matching ShingleHash64's
+            // Java trim + "\\s+" split: a single-space split disagrees on
+            // irregular whitespace, and SQL trim strips only SPACES — a
+            // tab/newline-edged text would leave a leading empty token
+            // and report phantom duplicates — so the trim is a regex
+            // strip of \s on both engine and oracle sides (residual gap:
+            // Java trim also eats non-\s control chars ≤ U+0020 — not a
+            // token boundary any real corpus uses) (review catches, r7)
+            (size(split(regexp_replace(col("text"), "^\\s+|\\s+$", ""), "\\s+")) - 2)
+              .cast("bigint").as("n_shingles"),
             size(graft.expressions.ShingleHash64(col("text"), 3)).cast("bigint")
               .as("n_distinct"))
           .filter(col("n_shingles") > 0)

@@ -18,7 +18,10 @@ object TimeStream {
   def main(args: Array[String]): Unit = {
     val machine = if (args.length > 0) args(0) else "funnel"
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val batches = if (args.length > 2) args(2).toInt else 20
+    // `rocksdb` is position-independent, so only parse args(2) as the
+    // batch count when it IS a number — "TimeStream funnel <dir> rocksdb"
+    // must select the store, not crash on toInt
+    val batches = args.drop(2).find(_.forall(_.isDigit)).map(_.toInt).getOrElse(20)
     val rocksdb = args.contains("rocksdb")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
