@@ -18,7 +18,7 @@ object GraftExtensions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> ((args: Seq[Expression]) => VecDot(args(0), args(1))),
     "simhash64" -> ((args: Seq[Expression]) => SimHash64(args.head)),
-    "shingle_hash64" -> ((args: Seq[Expression]) => ShingleHash64(args.head, 3)),
+    "shingle_hash64" -> ((args: Seq[Expression]) => ShingleHash64(args.head, 3, distinct = true)),
     "minhash_sig" -> ((args: Seq[Expression]) => MinHashSig(args.head, 8, 3)))
 
   /** Install into an ALREADY-RUNNING session (notebooks, shared test

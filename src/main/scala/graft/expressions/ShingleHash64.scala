@@ -11,8 +11,10 @@ import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.Platform
 
-/** Distinct 64-bit hashes of all n-word shingles of a string, computed in
-  * ONE eval call per row.
+/** 64-bit hashes of all n-word shingles of a string, computed in ONE
+  * eval call per row — DISTINCT hashes by default (the inverted-index
+  * contract), or every positional hash with `distinct = false` (the
+  * frequency-counting contract, e.g. q101's top-bigram share).
   *
   * The composable form (split → transform → concat_ws → array_distinct →
   * xxhash64-per-element) walks the interpreted expression tree once per
@@ -22,10 +24,10 @@ import org.apache.spark.unsafe.Platform
   * whole tokenize/window/hash loop runs as compiled Scala.
   *
   * Hashes are XXH64 (seed 42, Spark's own) over the UTF-8 bytes of the
-  * space-joined shingle. The hash values are internal join keys — callers
-  * never compare them across engines.
+  * space-joined shingle. The hash values are internal join/group keys —
+  * callers never compare them across engines.
   */
-case class ShingleHash64(child: Expression, n: Int)
+case class ShingleHash64(child: Expression, n: Int, distinct: Boolean)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -55,7 +57,8 @@ case class ShingleHash64(child: Expression, n: Int)
         }
         val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
-        if (!seen.contains(h)) { seen.update(h, ()); out += h }
+        if (!distinct) out += h
+        else if (!seen.contains(h)) { seen.update(h, ()); out += h }
         i += 1
       }
       new GenericArrayData(out.result())
@@ -68,5 +71,11 @@ case class ShingleHash64(child: Expression, n: Int)
 
 object ShingleHash64 {
   def apply(text: Column, n: Int = 3): Column =
-    ColumnBridge.column(ShingleHash64(ColumnBridge.expression(text), n))
+    ColumnBridge.column(
+      ShingleHash64(ColumnBridge.expression(text), n, distinct = true))
+
+  /** Every positional shingle hash (repeats kept) — for frequency work. */
+  def all(text: Column, n: Int): Column =
+    ColumnBridge.column(
+      ShingleHash64(ColumnBridge.expression(text), n, distinct = false))
 }

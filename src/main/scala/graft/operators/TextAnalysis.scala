@@ -266,7 +266,10 @@ object TextAnalysis {
     },
 
     Q("q101_top_bigram_share",
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      """WITH toks AS (SELECT doc_id,
+        |         string_split_regex(
+        |           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+        |       FROM documents),
         |bg AS (SELECT doc_id,
         |         unnest([array_to_string(t[i:i+1], ' ')
         |                 for i in generate_series(1, len(t)-1)]) AS b
@@ -276,14 +279,11 @@ object TextAnalysis {
         |  CAST(max(c) AS BIGINT) AS top_count,
         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-      "Most-frequent word-bigram share per document — the 2-gram member of the Gopher top-n-gram cuts (q79 covers the unigram dominant term; a doc that alternates two words has max_tf 0.5 but top-bigram share ~1.0). Bigrams come from the same in-row transform/slice projection as q100 (no self-join, no lag window — the window formulation would sort-shuffle every token), then ONE explode feeds two map-side-combined aggregations keyed (doc, bigram) then doc: the q79 plan shape, whose shuffles carry counts, not text. Share is exact small-int division, stable cross-engine. 349/500 sf0.01 docs have a repeated bigram, so the max path is well exercised.") {
+      "Most-frequent word-bigram share per document — the 2-gram member of the Gopher top-n-gram cuts (q79 covers the unigram dominant term; a doc that alternates two words has max_tf 0.5 but top-bigram share ~1.0). Bigrams are positional 64-bit hashes from the COMPILED ShingleHash64.all pass — at sf0.1 this measures ~parity with the interpreted transform (the explode+shuffle dominates at these doc lengths), but it shares ONE tokenizer definition with q100 and the dedup family (regex-trim split — the interpreted form had silently used a bare single-space split), keeps the scan stage flat as text length grows, and ships 8-byte hashes instead of bigram strings into the shuffle (the family-wide 2^-64 collision trade, q96 note). One explode feeds two map-side-combined aggregations keyed (doc, hash) then doc: the q79 plan shape; no self-join, no lag window (that would sort-shuffle every token). Share is exact small-int division, stable cross-engine. 349/500 sf0.01 docs have a repeated bigram, so the max path is well exercised.") {
       (s, d) =>
         val bg = Tables.documents(s, d)
-          .withColumn("t", split(col("text"), " "))
-          .filter(size(col("t")) >= 2)
-          .select(col("doc_id"), explode(
-            expr("transform(sequence(1, size(t) - 1), i -> concat_ws(' ', slice(t, i, 2)))"))
-            .as("b"))
+          .select(col("doc_id"),
+            explode(graft.expressions.ShingleHash64.all(col("text"), 2)).as("b"))
         bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id"))
           .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_count"))
