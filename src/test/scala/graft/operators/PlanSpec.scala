@@ -246,7 +246,12 @@ class PlanSpec extends SparkSpec {
       "q90_user_entropy" -> 3,    // two-level agg + sort
       "q91_growth_accounting" -> 6, // distinct + user window + maxw + ledger agg + sort
       "q100_dup_ngram_fraction" -> 1, // PURE projection — only the output sort
-      "q101_top_bigram_share" -> 3) // (doc,bigram) agg + doc agg + sort
+      "q101_top_bigram_share" -> 3, // (doc,bigram) agg + doc agg + sort
+      // (doc,term) agg + vocab agg + corpus total + term-join exchanges
+      // + doc score agg + sort — all but the first at |vocab| or |docs|
+      "q103_unigram_lm_score" -> 8,
+      "q104_zipf_slope" -> 3,    // term agg + rank window + sort (stats agg reuses)
+      "q105_quality_gate" -> 2)  // per-source agg + sort — flags are per-row
     maxShuffles.foreach { case (name, bound) =>
       val n = planOf(name).collect { case s: ShuffleExchangeLike => s }.size
       assert(n <= bound, s"$name has $n shuffles (bound $bound)")
