@@ -581,6 +581,87 @@ object Dedup {
         sourceOverlap(Tables.documents(s, d)).orderBy(col("s1"), col("s2"))
     },
 
+    Q("q106_boilerplate_phrases",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
+        |  FROM toks),
+        |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+        |nd AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT sh AS phrase, CAST(df AS BIGINT) AS df,
+        |  CAST(df AS DOUBLE) / n_docs AS df_share
+        |FROM df, nd WHERE df >= 2 ORDER BY df DESC, phrase""".stripMargin,
+      "Corpus boilerplate phrase table — the C4/RefinedWeb removal list AS AN ARTIFACT: every word-3-gram that occurs in two or more distinct documents, with its document frequency and df-share, ordered hottest first. This is the list a curator reviews (and the q107 accounting consumes) before cross-document spans are stripped from training text; emitting the PHRASE rather than its hash is the point, so the Spark side uses the compiled ShingleText expression — byte-for-byte the ShingleHash64 tokenize/window loop (one virtual call per row, loop in compiled Scala) emitting text instead of hashes, which keeps this query's notion of a shingle identical to the hash the whole dedup family joins on. Scale shape: per-document distinct shingles dedupe IN-ROW before the explode, so the single shuffle is a map-side-combined count at |shingle vocabulary| keys (bounded by vocab^3, ~27k here; at 100 TB the df>=2 cut drops the unique-phrase long tail before anything is collected, and the blacklist that survives is exactly what ships to q107's broadcast). The corpus doc count joins as a one-row broadcast; df and the >=2 cut are exact integers, df_share one IEEE division.") {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        docs.select(
+            explode(graft.expressions.ShingleText(col("text"), 3)).as("phrase"))
+          .groupBy(col("phrase")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2)
+          .crossJoin(broadcast(nDocs))
+          .select(col("phrase"), col("df"),
+            (col("df").cast("double") / col("n_docs").cast("double")).as("df_share"))
+          .orderBy(col("df").desc, col("phrase"))
+    },
+
+    Q("q107_boilerplate_exposure",
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |inst AS (
+        |  SELECT doc_id, unnest(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+        |  FROM toks),
+        |bl AS (
+        |  SELECT sh FROM (
+        |    SELECT sh, count(*) AS df
+        |    FROM (SELECT DISTINCT doc_id, sh FROM inst) GROUP BY sh)
+        |  WHERE df >= 2),
+        |per_doc AS (
+        |  SELECT d.doc_id, d.source, count(i.sh) AS n_sh, count(b.sh) AS n_boiler
+        |  FROM documents d
+        |  LEFT JOIN inst i ON d.doc_id = i.doc_id
+        |  LEFT JOIN bl b ON i.sh = b.sh
+        |  GROUP BY d.doc_id, d.source)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+        |  CAST(sum(n_boiler) AS BIGINT) AS n_boiler,
+        |  CAST(sum(CASE WHEN n_boiler > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_exposed,
+        |  CAST(sum(n_boiler) AS DOUBLE) / CAST(sum(n_sh) AS DOUBLE) AS boiler_share,
+        |  CAST(sum(CASE WHEN n_boiler > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    AS exposed_share
+        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
+      "Boilerplate exposure accounting — the FILTER-STAGE impact report for q106's removal list: per source, how many 3-gram occurrences (and how many whole documents) sit on a cross-document repeated phrase, as exact counts plus occurrence- and document-level shares. This is the number a curator checks BEFORE enabling span removal: a source whose boiler_share spikes is mirrored/templated content, and the delta between exposed_share and boiler_share separates 'every doc touches one hot phrase' from 'a few docs are wholly boilerplate'. Scale shape: unlike q106 (which must emit text), the accounting never needs the phrase — both the instance stream and the df>=2 blacklist are 8-byte ShingleHash64 keys (the family-wide 2^-64 collision trade, q96 note), the blacklist is |vocab|-bounded and BROADCAST so the corpus-sized instance stream joins without a shuffle, and the two aggregations ((doc,source) then source) are map-side-combined. explode_outer keeps shingle-less (<3-token) documents in the denominators on the engine side exactly as the oracle's LEFT JOIN does — untripped in the test corpus (min doc length is 10 tokens) but load-bearing for real crawls. Counts are exact integers; the two shares are one IEEE division each.") {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val inst = docs.select(col("doc_id"), col("source"),
+          explode_outer(graft.expressions.ShingleHash64.all(col("text"), 3)).as("h"))
+        val bl = docs
+          .select(explode(graft.expressions.ShingleHash64(col("text"), 3)).as("h"))
+          .groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2)
+          .select(col("h").as("blh"))
+        inst.join(broadcast(bl), inst("h") === bl("blh"), "left")
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(col("h")).as("n_sh"), count(col("blh")).as("n_boiler"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_sh")).as("n_shingles"),
+            sum(col("n_boiler")).as("n_boiler"),
+            sum((col("n_boiler") > 0).cast("long")).as("n_docs_exposed"))
+          .select(col("source"), col("n_docs"), col("n_shingles"), col("n_boiler"),
+            col("n_docs_exposed"),
+            (col("n_boiler").cast("double") / col("n_shingles").cast("double"))
+              .as("boiler_share"),
+            (col("n_docs_exposed").cast("double") / col("n_docs").cast("double"))
+              .as("exposed_share"))
+          .orderBy(col("source"))
+    },
+
     Q("q97_incremental_neardup",
       SimhashHamCte + """
         |SELECT d1, d2, hamming FROM ham

@@ -251,7 +251,13 @@ class PlanSpec extends SparkSpec {
       // + doc score agg + sort — all but the first at |vocab| or |docs|
       "q103_unigram_lm_score" -> 8,
       "q104_zipf_slope" -> 3,    // term agg + rank window + sort (stats agg reuses)
-      "q105_quality_gate" -> 2)  // per-source agg + sort — flags are per-row
+      "q105_quality_gate" -> 2,  // per-source agg + sort — flags are per-row
+      // phrase-df agg + the one-row n_docs global agg + sort; the
+      // df-table x n_docs join broadcasts
+      "q106_boilerplate_phrases" -> 3,
+      // blacklist agg + (doc,source) agg + source agg + sort; the
+      // instance-vs-blacklist join itself broadcasts (no shuffle)
+      "q107_boilerplate_exposure" -> 4)
     maxShuffles.foreach { case (name, bound) =>
       val n = planOf(name).collect { case s: ShuffleExchangeLike => s }.size
       assert(n <= bound, s"$name has $n shuffles (bound $bound)")

@@ -45,6 +45,25 @@ class TextDedupSpec extends SparkSpec {
     assert(got(0).getSeq[String](0).isEmpty)
   }
 
+  test("ShingleText (compiled) matches composable shingles() and hashes to ShingleHash64") {
+    // the q106 emitter must agree with the interpreted reference form on
+    // order+distinctness, and its text must hash (xxhash64 = XXH64 seed
+    // 42, Spark's own) to exactly what the dedup family joins on — the
+    // 'one notion of a shingle' contract claimed in its scaladoc
+    val df = Seq("a b c d a b c", "one two", "  p   q\tr  ", "x x x x")
+      .toDF("text")
+    val rows = df.select(
+      shingles(col("text")).as("ref"),
+      graft.expressions.ShingleText(col("text"), 3).as("got"),
+      graft.expressions.ShingleHash64(col("text"), 3).as("hs"),
+      transform(graft.expressions.ShingleText(col("text"), 3),
+        s => xxhash64(s)).as("rehashed")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    }
+  }
+
   test("exact dedup collapses a doubled corpus to one keeper per group") {
     val docs = Tables.documents(spark, sf0001)
     val doubled = docs.select($"doc_id", $"text")
