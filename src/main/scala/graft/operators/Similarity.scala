@@ -437,5 +437,53 @@ object Similarity {
         quantizedTopK(Tables.embeddings(s, d), QueryIds, 10)
           .orderBy(col("query_id"), col("rn"))
     },
+
+    Q("q108_centroid_drift",
+      """WITH qd AS (
+        |  SELECT d.source,
+        |    generate_subscripts(e.embedding, 1) AS dim,
+        |    CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |cent AS (
+        |  SELECT source, dim,
+        |    CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS c
+        |  FROM qd GROUP BY source, dim),
+        |st AS (
+        |  SELECT a.source AS s1, b.source AS s2,
+        |    CAST(sum(a.c * b.c) AS BIGINT) AS sab,
+        |    CAST(sum(a.c * a.c) AS BIGINT) AS saa,
+        |    CAST(sum(b.c * b.c) AS BIGINT) AS sbb
+        |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.source < b.source
+        |  GROUP BY s1, s2)
+        |SELECT s1, s2,
+        |  CAST(sab AS DOUBLE) / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE)))
+        |    AS centroid_cosine
+        |FROM st ORDER BY s1, s2""".stripMargin,
+      "Per-source embedding centroid drift matrix — the embedding-space twin of q96's shingle overlap and q99's column drift: pairwise cosine between source centroids flags a source whose content has shifted away from (or collapsed onto) the rest of the corpus BEFORE any pairwise-document work is attempted, and at production scale the same shape compares this week's crawl centroid to last week's. Determinism is the family playbook made aggregate-safe: each float component is quantized to integer micro-units (floor, after an exact float→double widen) so the per-(source,dim) centroid is an exact integer sum; the centroid itself stays integer (floor of the double-exact sum/count quotient — sums ≲1e9 are exactly representable, and Spark's `div` truncation vs DuckDB's floor `//` on negatives is sidestepped by flooring the IEEE quotient identically on both engines), and cosine is scale-invariant so the unnormalized micro-unit centroid loses nothing. The pair stage sums 64 exact integer products per pair (c ≤ 6e5 → products ≤ 4e11, 64-dim sums ≤ 3e13: overflow-free under ANSI at ANY corpus size, because dividing by n bounds c by the VALUE range, not the corpus). Scale: one map-side-combined shuffle at |source|×64 keys; the |sources|²×64 pair stage is corpus-size-independent and its small side broadcasts; document vectors are read once and never pairwise-joined.") {
+      (s, d) =>
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val qd = docs.join(emb, docs("doc_id") === emb("vec_id"))
+          .select(col("source"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("source"), col("dim"),
+            floor(col("v").cast("double") * lit(1e6d)).cast("bigint").as("q"))
+        val cent = qd.groupBy(col("source"), col("dim"))
+          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+          .select(col("source"), col("dim"),
+            floor(col("sq").cast("double") / col("n")).cast("bigint").as("c"))
+        val a = cent.select(col("source").as("s1"), col("dim"), col("c").as("ca"))
+        val b = cent.select(col("source").as("s2"), col("dim").as("dimb"),
+          col("c").as("cb"))
+        a.join(broadcast(b), col("dim") === col("dimb") && col("s1") < col("s2"))
+          .groupBy(col("s1"), col("s2"))
+          .agg(sum(col("ca") * col("cb")).as("sab"),
+            sum(col("ca") * col("ca")).as("saa"),
+            sum(col("cb") * col("cb")).as("sbb"))
+          .select(col("s1"), col("s2"),
+            (col("sab").cast("double") /
+              (sqrt(col("saa").cast("double")) * sqrt(col("sbb").cast("double"))))
+              .as("centroid_cosine"))
+          .orderBy(col("s1"), col("s2"))
+    },
   )
 }

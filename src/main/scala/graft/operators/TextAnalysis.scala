@@ -52,6 +52,34 @@ object TextAnalysis {
       .otherwise(scores.last._1)
   }
 
+  /** Per-document unigram-LM score under the corpus unigram distribution
+    * — the single definition shared by q103 (per-doc scores) and q109
+    * (per-source calibration quantiles), so the calibration table can
+    * never drift from the score it calibrates. Determinism per the q89
+    * playbook: ln runs once per TERM and is quantized to integer
+    * micro-nats, so every distributed sum is exact-integer; `avg_nll` is
+    * one IEEE expression per row. Returns (doc_id, source, n_tokens,
+    * avg_nll). */
+  private def unigramNll(docs: DataFrame): DataFrame = {
+    val dt = docs
+      .select(col("doc_id"), col("source"),
+        explode(wsTokens(lower(col("text")))).as("w"))
+      .groupBy(col("doc_id"), col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = dt.groupBy(col("w")).agg(sum(col("c")).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).as("t"))
+    val v2 = vocab.select(col("w"),
+      floor(log(col("cnt").cast("double")) * lit(1e6d)).cast("bigint").as("lnq"))
+    dt.join(v2, "w")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("lnq")).as("slnq"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (floor(log(col("t").cast("double")) * lit(1e6d)).cast("bigint") * lit(1e-6d)
+          - (col("slnq") * lit(1e-6d)) / col("n_tokens")).as("avg_nll"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("q28_token_stats",
@@ -346,22 +374,48 @@ object TextAnalysis {
         |FROM s, tot ORDER BY doc_id""".stripMargin,
       "Per-document unigram language-model score (average negative log-likelihood of the doc's tokens under the corpus unigram distribution) — the CCNet-family quality/outlier signal: common-word documents score low, documents of rare tokens score high, and at production scale the same shape runs against a REFERENCE corpus LM to rank a new crawl (swap `vocab` for the reference table). Determinism is the q89 playbook: ln runs once per TERM (not per token) and is immediately quantized to integer micro-nats (floor — DuckDB's double→int cast rounds where Spark truncates), so every distributed sum (c, c·lnq) is an exact integer sum; avg_nll = ln(T) − Σ c·ln(cnt)/n is then one identical IEEE expression per row on identical inputs. Scale: explode → map-side-combined (doc,term) counts; the vocab table derives from those counts (second shuffle at |vocab|, not |tokens|); the score join ships 8-byte counts keyed by term, never text; ln cost is |vocab|, not |corpus|. The corpus-total is a one-row broadcast. The rare-token path is exercised: the synthetic corpus's 'dup' token (26/27165 occurrences at sf0.01) scores ~3.5 nats above the common words.") {
       (s, d) =>
-        val dt = Tables.documents(s, d)
-          .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("w"))
-          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-        val vocab = dt.groupBy(col("w")).agg(sum(col("c")).as("cnt"))
-        val tot = vocab.agg(sum(col("cnt")).as("t"))
-        val v2 = vocab.select(col("w"),
-          floor(log(col("cnt").cast("double")) * lit(1e6d)).cast("bigint").as("lnq"))
-        val scored = dt.join(v2, "w")
-          .groupBy(col("doc_id"))
-          .agg(sum(col("c")).as("n_tokens"),
-            sum(col("c") * col("lnq")).as("slnq"))
-        scored.crossJoin(broadcast(tot))
-          .select(col("doc_id"), col("n_tokens"),
-            (floor(log(col("t").cast("double")) * lit(1e6d)).cast("bigint") * lit(1e-6d)
-              - (col("slnq") * lit(1e-6d)) / col("n_tokens")).as("avg_nll"))
+        unigramNll(Tables.documents(s, d))
+          .select(col("doc_id"), col("n_tokens"), col("avg_nll"))
           .orderBy(col("doc_id"))
+    },
+
+    Q("q109_lm_score_calibration",
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |dt AS (SELECT doc_id, source, w, count(*) AS c
+        |       FROM tok GROUP BY doc_id, source, w),
+        |vocab AS (SELECT w, CAST(sum(c) AS BIGINT) AS cnt FROM dt GROUP BY w),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
+        |v2 AS (SELECT w,
+        |         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS lnq
+        |       FROM vocab),
+        |s AS (SELECT d.doc_id, d.source, CAST(sum(d.c) AS BIGINT) AS n_tokens,
+        |        CAST(sum(d.c * v.lnq) AS BIGINT) AS slnq
+        |      FROM dt d JOIN v2 v USING (w) GROUP BY d.doc_id, d.source),
+        |p AS (SELECT source,
+        |        CAST(floor(ln(CAST(t AS DOUBLE)) * 1e6) AS BIGINT) * 1e-6
+        |          - (slnq * 1e-6) / n_tokens AS avg_nll
+        |      FROM s, tot)
+        |SELECT source, count(*) AS n_docs,
+        |  round(quantile_cont(avg_nll, 0.25), 6) AS p25_nll,
+        |  round(quantile_cont(avg_nll, 0.5), 6) AS p50_nll,
+        |  round(quantile_cont(avg_nll, 0.75), 6) AS p75_nll,
+        |  round(quantile_cont(avg_nll, 0.9), 6) AS p90_nll
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
+      "LM-score calibration table — how the q103 signal becomes a FILTER: per-source quantiles of the per-document unigram negative log-likelihood (the CCNet recipe buckets a crawl into head/middle/tail by exactly such per-slice perplexity cut points; a curator reads this table to set the threshold the gate applies, and a source whose p90 runs far above its p50 is outlier-heavy). The per-doc score is the SAME `unigramNll` definition q103 registers — one code path, so the calibration can never drift from the score it calibrates. Quantiles are exact interpolated percentiles over each source's per-doc doubles (Spark `percentile` == DuckDB `quantile_cont`, the q50 equivalence; round-6 absorbs interpolation-arithmetic ulps; the inputs themselves are deterministic by q103's integer micro-nat construction). Scale: everything up to the per-doc score is q103's plan (map-side-combined shuffles at |vocab| and |docs| keys); the quantile buffer then holds ONE DOUBLE PER DOCUMENT per source — the q50 full-buffer caveat applies per source slice, and q75's mergeable histogram is the in-repo swap-in once a single source exceeds executor memory.") {
+      (s, d) =>
+        unigramNll(Tables.documents(s, d))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("percentile(avg_nll, array(0.25, 0.5, 0.75, 0.9))").as("_p"))
+          .select(col("source"), col("n_docs"),
+            round(col("_p").getItem(0), 6).as("p25_nll"),
+            round(col("_p").getItem(1), 6).as("p50_nll"),
+            round(col("_p").getItem(2), 6).as("p75_nll"),
+            round(col("_p").getItem(3), 6).as("p90_nll"))
+          .orderBy(col("source"))
     },
 
     Q("q104_zipf_slope",

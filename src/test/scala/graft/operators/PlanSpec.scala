@@ -257,7 +257,11 @@ class PlanSpec extends SparkSpec {
       "q106_boilerplate_phrases" -> 3,
       // blacklist agg + (doc,source) agg + source agg + sort; the
       // instance-vs-blacklist join itself broadcasts (no shuffle)
-      "q107_boilerplate_exposure" -> 4)
+      "q107_boilerplate_exposure" -> 4,
+      // docs-embeddings join + centroid agg + pair agg + sort; the
+      // |sources|x64 pair join broadcasts
+      "q108_centroid_drift" -> 4,
+      "q109_lm_score_calibration" -> 9) // q103's chain + quantile agg + sort
     maxShuffles.foreach { case (name, bound) =>
       val n = planOf(name).collect { case s: ShuffleExchangeLike => s }.size
       assert(n <= bound, s"$name has $n shuffles (bound $bound)")
