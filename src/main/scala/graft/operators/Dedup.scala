@@ -36,6 +36,20 @@ object Dedup {
     docs.select(col("doc_id"),
       explode(graft.expressions.ShingleHash64(col("text"))).as("h"))
 
+  /** The cross-document boilerplate set: 64-bit hashes of every word-
+    * 3-gram occurring in >= 2 distinct documents (per-doc distinctness
+    * comes from the compiled expression, so the count IS document
+    * frequency). One definition shared by the exposure accounting (q107)
+    * and the span-removal transform (q110) — the report and the
+    * transform can never disagree about what counts as boilerplate.
+    * |vocab|-bounded: small enough to broadcast at any corpus size the
+    * 3-gram space allows; q106 is the text-emitting audit twin. */
+  private def boilerplateHashes(docs: DataFrame): DataFrame =
+    docs.select(explode(graft.expressions.ShingleHash64(col("text"), 3)).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("h"))
+
   /** Exact dedup: keep the lowest doc_id per normalized-content
     * fingerprint, count copies. */
   def exactDedup(docs: DataFrame): DataFrame =
@@ -640,11 +654,7 @@ object Dedup {
         val docs = Tables.documents(s, d)
         val inst = docs.select(col("doc_id"), col("source"),
           explode_outer(graft.expressions.ShingleHash64.all(col("text"), 3)).as("h"))
-        val bl = docs
-          .select(explode(graft.expressions.ShingleHash64(col("text"), 3)).as("h"))
-          .groupBy(col("h")).agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 2)
-          .select(col("h").as("blh"))
+        val bl = boilerplateHashes(docs).select(col("h").as("blh"))
         inst.join(broadcast(bl), inst("h") === bl("blh"), "left")
           .groupBy(col("doc_id"), col("source"))
           .agg(count(col("h")).as("n_sh"), count(col("blh")).as("n_boiler"))
@@ -660,6 +670,56 @@ object Dedup {
             (col("n_docs_exposed").cast("double") / col("n_docs").cast("double"))
               .as("exposed_share"))
           .orderBy(col("source"))
+    },
+
+    Q("q110_boilerplate_removal",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |starts AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks),
+        |grams AS (
+        |  SELECT doc_id, i, array_to_string(w[i:i+2], ' ') AS g FROM starts),
+        |bl AS (
+        |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g)
+        |  WHERE df >= 2),
+        |cov AS (
+        |  SELECT doc_id, list(i) AS cov FROM grams JOIN bl USING (g) GROUP BY doc_id),
+        |fin AS (
+        |  SELECT t.doc_id, t.w, coalesce(c.cov, CAST([] AS BIGINT[])) AS cov
+        |  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id),
+        |k AS (
+        |  SELECT doc_id, w,
+        |    [w[j] for j in generate_series(1, len(w))
+        |     if NOT (list_contains(cov, j) OR list_contains(cov, j - 1)
+        |          OR list_contains(cov, j - 2))] AS kept
+        |  FROM fin)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens_before,
+        |  CAST(len(kept) AS BIGINT) AS n_tokens_after,
+        |  -- coalesce: DuckDB's array_to_string of an EMPTY list is NULL,
+        |  -- Spark's concat_ws is '' — the fully-boilerplate doc hits this
+        |  coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+        |FROM k ORDER BY doc_id""".stripMargin,
+      "Boilerplate span REMOVAL — the C4-family transform q106/q107 prepare for, actually applied: every token covered by at least one cross-document repeated 3-gram (the SAME `boilerplateHashes` set q107 accounts against — one definition, so the impact report and the transform cannot diverge) is dropped, and each document is reassembled from its surviving tokens with before/after token counts. The membership join runs on 8-byte positional shingle hashes against the broadcast |vocab|-bounded blacklist (never text, never doc x doc); covered START positions collect per document (a bounded int set, <= tokens per doc) and the reconstruction is IN-ROW: a filter-with-index over the token array testing coverage by any of the three starts that could span it — per-row work is O(tokens x covered), zero extra shuffles, and document text crosses exactly one join keyed by doc_id. At 100 TB this is one scan + one broadcast probe + one |docs|-key shuffle — the same budget as q85's chunk dedup. On the synthetic word-salad corpus the cut is brutal by construction (most 3-grams recur at sf0.1 — survivor counts stay >0 at the smaller SFs); real corpora sit far below, which only shrinks cov. The hash-vs-text blacklist is the family 2^-64 collision trade (q96 note) — here a collision would surface as a one-token text diff and a hash-compare failure, so the oracle gate itself polices it.") {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val bl = boilerplateHashes(docs).select(col("h").as("blh"))
+        val inst = docs.select(col("doc_id"),
+          posexplode(graft.expressions.ShingleHash64.all(col("text"), 3))
+            .as(Seq("pos", "h")))
+        val cov = inst.join(broadcast(bl), col("h") === col("blh"))
+          .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("cov"))
+        docs.select(col("doc_id"), wsTokens(col("text")).as("w"))
+          .join(cov, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("w"),
+            coalesce(col("cov"), array().cast("array<int>")).as("cov"))
+          .select(col("doc_id"),
+            size(col("w")).cast("bigint").as("n_tokens_before"),
+            filter(col("w"), (_, i) =>
+              !exists(col("cov"), s => s <= i && i <= s + lit(2))).as("kept"))
+          .select(col("doc_id"), col("n_tokens_before"),
+            size(col("kept")).cast("bigint").as("n_tokens_after"),
+            concat_ws(" ", col("kept")).as("cleaned_text"))
+          .orderBy(col("doc_id"))
     },
 
     Q("q97_incremental_neardup",

@@ -261,7 +261,10 @@ class PlanSpec extends SparkSpec {
       // docs-embeddings join + centroid agg + pair agg + sort; the
       // |sources|x64 pair join broadcasts
       "q108_centroid_drift" -> 4,
-      "q109_lm_score_calibration" -> 9) // q103's chain + quantile agg + sort
+      "q109_lm_score_calibration" -> 9, // q103's chain + quantile agg + sort
+      // blacklist agg + covered-starts agg + output sort; the membership
+      // probe broadcasts by hint and AQE broadcasts the small cov side
+      "q110_boilerplate_removal" -> 3)
     maxShuffles.foreach { case (name, bound) =>
       val n = planOf(name).collect { case s: ShuffleExchangeLike => s }.size
       assert(n <= bound, s"$name has $n shuffles (bound $bound)")
