@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -839,6 +840,61 @@ object Dedup {
           .groupBy(col("component"))
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("component"))
+    },
+
+    Q("q114_dup_cluster_sizes",
+      """WITH corpus AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, n_chars FROM documents
+        |  WHERE doc_id % 10 < 3),
+        |fp AS (
+        |  SELECT doc_id, n_chars,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |  FROM corpus),
+        |cl AS (
+        |  SELECT fp, count(*) AS sz,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars,
+        |    CAST(min_by(n_chars, doc_id) AS BIGINT) AS surv_chars
+        |  FROM fp GROUP BY fp),
+        |hist AS (
+        |  SELECT sz AS cluster_size, count(*) AS n_clusters,
+        |    CAST(sum(sz) AS BIGINT) AS n_docs,
+        |    CAST(sum(chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(chars - surv_chars) AS BIGINT) AS removable_chars
+        |  FROM cl GROUP BY sz)
+        |SELECT cluster_size, n_clusters, n_docs, total_chars, removable_chars,
+        |  CAST(removable_chars AS DOUBLE) /
+        |    CAST(sum(total_chars) OVER () AS DOUBLE) AS removable_frac
+        |FROM hist ORDER BY cluster_size""".stripMargin,
+      "Duplication-factor accounting — the report a curator reads BEFORE deduplicating: histogram of exact-duplicate cluster sizes with the char mass each size holds and the fraction of the corpus that keep-one-per-cluster would remove (the 'how duplicated is this crawl, and what does dedup buy' figure from the dedup literature). Runs on the q69 replicated corpus (two full copies + a 30% third copy) so sizes 2 and 3 both occur; on production data the UNIONs drop away and the same query profiles the raw crawl. The survivor's chars are measured (min_by doc_id — DuckDB's min_by is the same function), not inferred from size, so the accounting stays correct if a fingerprint collision ever grouped unequal docs. Exact integer sums end to end; the single double division happens after aggregation, over a histogram whose row count is the max cluster size. Scale: two map-side-combined shuffles (16-byte fingerprint keys, then tiny size keys) and a one-row window over the bounded histogram — the corpus text itself is hashed in place and never shuffled.") {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("n_chars"))
+        val corpus = docs
+          .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
+            col("text"), col("n_chars")))
+          .unionByName(docs.filter(col("doc_id") % 10 < 3)
+            .select((col("doc_id") + 2000000).as("doc_id"),
+              col("text"), col("n_chars")))
+        val cl = corpus
+          .select(col("doc_id"), col("n_chars").cast("bigint").as("n_chars"),
+            fingerprint(col("text")).as("fp"))
+          .groupBy(col("fp"))
+          .agg(count(lit(1)).as("sz"), sum(col("n_chars")).as("chars"),
+            min_by(col("n_chars"), col("doc_id")).as("surv_chars"))
+        val hist = cl.groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+            sum(col("chars")).as("total_chars"),
+            sum(col("chars") - col("surv_chars")).as("removable_chars"))
+        hist.select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+            col("total_chars"), col("removable_chars"),
+            (col("removable_chars").cast("double") /
+              sum(col("total_chars")).over(Window.partitionBy()).cast("double"))
+              .as("removable_frac"))
+          .orderBy(col("cluster_size"))
     },
 
     Q("q76_simhash_neardup",

@@ -88,6 +88,48 @@ object Sampling {
       |    r / max(r) OVER () AS weight
       |  FROM ratio)""".stripMargin
 
+  /** DSIR-style importance scoring (q111): rank every raw-pool doc (the
+    * non-`target` sources) by avg per-token ln p_target(bucket) −
+    * ln p_raw(bucket) under 256-bucket hashed-token LMs (add-1 smoothed),
+    * returning the top `k`. Each ln term is floor-quantized to integer
+    * micro-nats per BUCKET, so all distributed sums are exact integers
+    * and the ranking is engine-portable (the q103 determinism playbook).
+    * The top-k is a distributed TakeOrdered first, window-ranked after
+    * (q83 pattern) — no global window over the corpus. */
+  def dsirImportanceTop(docs: org.apache.spark.sql.DataFrame, target: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextFunctions.wsTokens
+    val tok = docs.select(col("doc_id"), col("source"),
+      explode(wsTokens(lower(col("text")))).as("w"))
+    // materialized once (q76's signature-table pattern): BOTH the bucket
+    // LM derivation and the scoring join read this table, and without the
+    // checkpoint each consumer re-tokenizes and re-hashes the corpus —
+    // the |docs|x(<=256) count table is exactly what a production
+    // pipeline persists between the two passes.
+    val dbc = tok
+      .groupBy(col("doc_id"), col("source"), hashBucket(col("w")).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val bc = dbc.groupBy(col("b")).agg(
+      sum(when(col("source") === target, col("c")).otherwise(0L)).as("ct"),
+      sum(when(col("source") =!= target, col("c")).otherwise(0L)).as("cr"))
+    val tot = bc.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val wt = bc.crossJoin(broadcast(tot)).select(col("b"),
+      (floor(log((col("ct") + 1).cast("double") / (col("tt") + 256).cast("double")) * 1e6).cast("bigint")
+        - floor(log((col("cr") + 1).cast("double") / (col("tr") + 256).cast("double")) * 1e6).cast("bigint"))
+        .as("lnr"))
+    val scored = dbc.filter(col("source") =!= target)
+      .join(broadcast(wt), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n_tokens"), sum(col("c") * col("lnr")).as("slnr"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        ((col("slnr") * lit(1e-6d)) / col("n_tokens")).as("avg_logratio"))
+    scored.orderBy(col("avg_logratio").desc, col("doc_id")).limit(k)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("avg_logratio").desc, col("doc_id"))))
+      .orderBy(col("rn"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("q61_hash_split",
@@ -238,6 +280,45 @@ object Sampling {
             // 2^53 (review catch, round 7)
             expr("prior div 500").cast("bigint").as("shard_id"))
           .orderBy(col("doc_id"))
+    },
+
+    Q("q111_dsir_importance",
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |dbc AS (
+        |  SELECT doc_id, source, substr(md5(w), 1, 2) AS b, count(*) AS c
+        |  FROM tok GROUP BY doc_id, source, b),
+        |bc AS (
+        |  SELECT b,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN c ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN source <> 'src0' THEN c ELSE 0 END) AS BIGINT) AS cr
+        |  FROM dbc GROUP BY b),
+        |tot AS (
+        |  SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr
+        |  FROM bc),
+        |wt AS (
+        |  SELECT b,
+        |    CAST(floor(ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE)) * 1e6) AS BIGINT)
+        |      - CAST(floor(ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 256 AS DOUBLE)) * 1e6) AS BIGINT)
+        |      AS lnr
+        |  FROM bc, tot),
+        |s AS (
+        |  SELECT d.doc_id, d.source, CAST(sum(d.c) AS BIGINT) AS n_tokens,
+        |    CAST(sum(d.c * wt.lnr) AS BIGINT) AS slnr
+        |  FROM dbc d JOIN wt USING (b)
+        |  WHERE d.source <> 'src0'
+        |  GROUP BY d.doc_id, d.source)
+        |SELECT doc_id, source, n_tokens, avg_logratio, CAST(rn AS INT) AS rn FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    (slnr * 1e-6) / n_tokens AS avg_logratio,
+        |    row_number() OVER (ORDER BY (slnr * 1e-6) / n_tokens DESC, doc_id) AS rn
+        |  FROM s) t
+        |WHERE rn <= 20 ORDER BY rn""".stripMargin,
+      "DSIR-style importance ranking for data selection (Xie et al. 2023, 'Data Selection for Language Models via Importance Resampling'): score every raw-pool document by how much more likely its tokens are under a TARGET distribution (here source src0 stands in for the curated corpus) than under the raw pool, using hashed-token bucket LMs — the method's trick that keeps the feature space a FIXED 256 buckets regardless of vocabulary size. Per-doc weight = avg over tokens of ln p_target(bucket) − ln p_raw(bucket), add-1 smoothed; top-20 raw docs returned. Determinism is the q103 playbook: ln runs once per BUCKET (256 rows, not |vocab|, not |tokens|) and each ln term is floor-quantized to integer micro-nats separately, so every distributed sum is exact-integer and the final double division is one identical IEEE expression per row. Scale: explode → map-side-combined (doc, bucket) counts (≤256 distinct buckets per doc regardless of length); the bucket LM table is 256 rows — BROADCAST to the scoring join, so the corpus is shuffled once (by doc) and the target/raw LMs cost one more reduce over those same counts. At 100 TB the target-side counts come from the small curated corpus and the raw side from a sampled slice — the shape is unchanged; resampling the scored pool is q95's acceptance stage.") {
+      (s, d) =>
+        dsirImportanceTop(Tables.documents(s, d), "src0", 20)
     },
 
     Q("q74_kmv_distinct",

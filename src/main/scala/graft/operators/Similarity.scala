@@ -262,9 +262,60 @@ object Similarity {
     * LARGER cid (mirroring array_max over struct(sim, cid)) while probe
     * selection breaks ties to the smaller cid (mirroring the orderBy).
     * Dims fixed at 64 (the embeddings schema). */
-  private def q49OracleSql: String = {
-    def dot(a: String, b: String) =
-      s"list_sum(list_transform(range(64), j -> $a[j+1] * $b[j+1]))"
+  /** SemDeDup-shape semantic deduplication: k-means clusters bound the
+    * quadratic, exact cosine runs only INSIDE a cluster, and a vector is
+    * dropped when a smaller-id in-cluster neighbor scores >= threshold
+    * (greedy keep-lowest-id — deterministic; the known bias is chain
+    * overdrop, a-b and b-c near-dup drops both b and c even when a-c is
+    * far, and the q69/q81 connected-components machinery is the in-repo
+    * alternative when group-exact survivors matter). Returns per-cluster
+    * (cid, n_vecs, n_dropped, n_kept).
+    *
+    * Scale: this is the published recipe for embedding dedup at corpus
+    * scale (cluster first, pairwise only within) — nlist grows with the
+    * corpus so the per-cluster pair count stays bounded (target cluster
+    * size B makes the compute n·B, not n²); the cluster equi-join
+    * shuffles (cid, vec) rows once and never materializes non-matching
+    * pairs (the threshold lives in the join condition, the q38 trick).
+    * The signature table is localCheckpoint-ed: both join sides and the
+    * size aggregate reuse it without re-running the Lloyd chain. */
+  def semanticDedup(embeddings: DataFrame, threshold: Double, nlist: Int = 8,
+      iters: Int = 3, portableMeans: Boolean = false): DataFrame = {
+    val centroids = kmeansCentroids(embeddings, nlist, iters, portableMeans)
+    val dv = embeddings.select(col("vec_id"),
+      graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+    val lists = assign(dv, centroids)
+      .select(col("cid"), col("vec_id"), col("v"),
+        sqrt(graft.expressions.VecDot(col("v"), col("v"))).as("nrm"))
+      .localCheckpoint(true)
+    val a = lists.select(col("cid"), col("vec_id").as("d1"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = lists.select(col("cid").as("cidb"), col("vec_id").as("d2"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, col("cid") === col("cidb") && col("d1") < col("d2") &&
+        round(graft.expressions.VecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          >= threshold)
+      .select(col("cid"), col("d2"))
+    val dropped = pairs.distinct()
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_dropped"))
+    lists.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+      .join(dropped, Seq("cid"), "left")
+      .select(col("cid"), col("n_vecs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy(col("cid"))
+  }
+
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(range(64), j -> $a[j+1] * $b[j+1]))"
+
+  /** Shared DuckDB CTE chain for the portable k-means family (q49, q112):
+    * dv → deterministic seeds c0 → three unrolled Lloyd assign/recompute
+    * rounds → final `lists`(vec_id, v, cid) — the twin of
+    * kmeansCentroids(portableMeans = true) + assign. Callers prepend
+    * "WITH " and append their own tail CTEs. */
+  private def kmeansListsCtes: String = {
+    def dot(a: String, b: String) = dotSql(a, b)
     def assignCte(prev: String, out: String) =
       s"""${out}_sim AS (
          |  SELECT a.vec_id, a.v, b.cid, ${dot("a.v", "b.cvec")} AS sim
@@ -282,7 +333,7 @@ object Similarity {
          |  GROUP BY cid, p.j),
          |$out AS (
          |  SELECT cid, list(m ORDER BY j) AS cvec FROM ${out}_m GROUP BY cid)""".stripMargin
-    s"""WITH dv AS (
+    s"""dv AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
@@ -293,7 +344,12 @@ object Similarity {
        |${recomputeCte("a2", "c2")},
        |${assignCte("c2", "a3")},
        |${recomputeCte("a3", "c3")},
-       |${assignCte("c3", "lists")},
+       |${assignCte("c3", "lists")}""".stripMargin
+  }
+
+  private def q49OracleSql: String = {
+    def dot(a: String, b: String) = dotSql(a, b)
+    s"""WITH $kmeansListsCtes,
        |queries AS (
        |  SELECT vec_id AS query_id, v AS qv FROM lists WHERE vec_id IN (0, 100, 200)),
        |probes AS (
@@ -314,6 +370,30 @@ object Similarity {
        |  FROM scored) t
        |WHERE rn <= 10
        |ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** DuckDB twin of semanticDedup(threshold = 0.3, portableMeans = true):
+    * the shared k-means `lists` CTEs, then the same in-cluster pair
+    * predicate (round-6 cosine in the join condition) and greedy
+    * smaller-id drop rule. */
+  private def q112OracleSql: String = {
+    def dot(a: String, b: String) = dotSql(a, b)
+    s"""WITH $kmeansListsCtes,
+       |sides AS (
+       |  SELECT cid, vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM lists),
+       |pairs AS (
+       |  SELECT a.cid, b.vec_id AS d2
+       |  FROM sides a JOIN sides b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |    AND round(${dot("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= 0.3),
+       |dropped AS (
+       |  SELECT cid, count(*) AS n_dropped FROM (
+       |    SELECT cid, d2 FROM pairs GROUP BY cid, d2) t GROUP BY cid),
+       |base AS (SELECT cid, count(*) AS n_vecs FROM lists GROUP BY cid)
+       |SELECT CAST(base.cid AS INT) AS cid, n_vecs,
+       |  coalesce(n_dropped, 0) AS n_dropped,
+       |  n_vecs - coalesce(n_dropped, 0) AS n_kept
+       |FROM base LEFT JOIN dropped ON base.cid = dropped.cid
+       |ORDER BY cid""".stripMargin
   }
 
   val queries: Seq[Q] = Seq(
@@ -484,6 +564,68 @@ object Similarity {
               (sqrt(col("saa").cast("double")) * sqrt(col("sbb").cast("double"))))
               .as("centroid_cosine"))
           .orderBy(col("s1"), col("s2"))
+    },
+
+    Q("q112_semantic_dedup", q112OracleSql,
+      "SemDeDup-shape semantic deduplication (the published recipe for embedding-level dedup at corpus scale): cluster the corpus with the q49 coarse quantizer, run exact cosine ONLY inside a cluster, drop any vector with a smaller-id in-cluster neighbor at cosine >= 0.3, report per-cluster kept/dropped. Registered with portableMeans=true, so the k-means iterations themselves replay bit-identically in the DuckDB twin (the q49 machinery — decimal-sum centroid means, larger-cid argmax ties) and the round-6 cosine threshold test mirrors exactly: a full value-hash oracle for an 'approximate' dedup method. Greedy keep-lowest-id is deterministic; its chain-overdrop bias is documented on the operator, with the q69/q81 connected-components machinery as the in-repo exact alternative. Scale: the cluster equi-join bounds pairwise work to n·B (B = target cluster size, nlist grows with the corpus), the threshold lives in the join condition so non-matches never materialize (the q38 trick), and the checkpointed signature table is the only thing read twice — never the Lloyd chain.") {
+      (s, d) =>
+        semanticDedup(Tables.embeddings(s, d), threshold = 0.3,
+          portableMeans = true)
+    },
+
+    Q("q113_embedding_outliers",
+      """WITH qd AS (
+        |  SELECT label, vec_id,
+        |    generate_subscripts(embedding, 1) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, dim,
+        |    CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS c
+        |  FROM qd GROUP BY label, dim),
+        |st AS (
+        |  SELECT a.label, a.vec_id,
+        |    CAST(sum(a.q * c.c) AS BIGINT) AS sqc,
+        |    CAST(sum(a.q * a.q) AS BIGINT) AS sqq,
+        |    CAST(sum(c.c * c.c) AS BIGINT) AS scc
+        |  FROM qd a JOIN cent c ON a.label = c.label AND a.dim = c.dim
+        |  GROUP BY a.label, a.vec_id),
+        |sc AS (
+        |  SELECT label, vec_id,
+        |    CAST(sqc AS DOUBLE) /
+        |      (sqrt(CAST(sqq AS DOUBLE)) * sqrt(CAST(scc AS DOUBLE)))
+        |      AS centroid_cosine
+        |  FROM st)
+        |SELECT label, vec_id, centroid_cosine, CAST(rn AS INT) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY label
+        |    ORDER BY centroid_cosine ASC, vec_id) AS rn
+        |  FROM sc) t
+        |WHERE rn <= 3 ORDER BY label, rn""".stripMargin,
+      "Embedding-space outlier detection for label/partition quality control: the 3 vectors per label FARTHEST (lowest cosine) from their own label centroid — the curation step that surfaces mislabeled or off-distribution examples before training (and, run per-source instead of per-label, the pruning stage of prototype-based data selection). Determinism is q108's integer micro-unit playbook extended to per-VECTOR cosines: components quantize to integer micro-units, the centroid stays an exact integer (floored IEEE quotient of an exactly-representable sum), and each vector-centroid dot is a 64-term exact-integer sum (|q| ≤ 6e5 → products ≤ 4e11, sums ≤ 3e13 — overflow-free under ANSI at any corpus size) — the one double division and two sqrts replay identically cross-engine. Scale: one map-side-combined shuffle to |label|×64 centroid keys, then the centroid table BROADCASTS back onto the corpus scan (the per-vector score is a stateless projection — the corpus shuffles once, keyed by vec for the 64-term regroup); the per-label bottom-3 window sees |label| bounded partitions.") {
+      (s, d) =>
+        val qd = Tables.embeddings(s, d)
+          .select(col("label"), col("vec_id"),
+            posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("label"), col("vec_id"), col("dim"),
+            floor(col("x").cast("double") * lit(1e6d)).cast("bigint").as("q"))
+        val cent = qd.groupBy(col("label"), col("dim"))
+          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+          .select(col("label"), col("dim"),
+            floor(col("sq").cast("double") / col("n")).cast("bigint").as("c"))
+        val sc = qd.join(broadcast(cent), Seq("label", "dim"))
+          .groupBy(col("label"), col("vec_id"))
+          .agg(sum(col("q") * col("c")).as("sqc"),
+            sum(col("q") * col("q")).as("sqq"),
+            sum(col("c") * col("c")).as("scc"))
+          .select(col("label"), col("vec_id"),
+            (col("sqc").cast("double") /
+              (sqrt(col("sqq").cast("double")) * sqrt(col("scc").cast("double"))))
+              .as("centroid_cosine"))
+        sc.withColumn("rn", row_number().over(
+            Window.partitionBy(col("label"))
+              .orderBy(col("centroid_cosine").asc, col("vec_id"))))
+          .filter(col("rn") <= 3)
+          .orderBy(col("label"), col("rn"))
     },
   )
 }

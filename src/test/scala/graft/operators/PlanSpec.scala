@@ -235,6 +235,42 @@ class PlanSpec extends SparkSpec {
       s.take(600))
   }
 
+  test("q111 DSIR: 256-row bucket LM broadcasts; rank window rides the top-k") {
+    val s = planString("q111_dsir_importance")
+    assert(s.contains("BroadcastHashJoin"),
+      "the bucket log-ratio table must broadcast onto the doc-bucket counts:\n" +
+        s.take(600))
+    assert(!s.contains("CartesianProduct"), s.take(600))
+    // the global rank window must be fed by the distributed top-k, never
+    // the full scored corpus (the q83 discipline)
+    assert(s.contains("TakeOrderedAndProject") || s.contains("GlobalLimit"),
+      "rank window is not bounded by a prior top-k:\n" + s.take(600))
+  }
+
+  test("q112 semantic dedup: in-cluster pairs join on cid, never all-pairs") {
+    val s = planString("q112_semantic_dedup")
+    assert(!s.contains("CartesianProduct"),
+      "pair generation degenerated to a cartesian:\n" + s.take(600))
+    // the threshold predicate must ride an equi-join keyed by cid
+    assert(s.contains("cid"), s.take(600))
+  }
+
+  test("q113 outliers: centroid table broadcasts; sums combine map-side") {
+    val s = planString("q113_embedding_outliers")
+    assert(s.contains("partial_"), "no map-side partial aggregation")
+    val bhj = planOf("q113_embedding_outliers").collect {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty,
+      "|label|x64 centroids must broadcast onto the corpus scan, not shuffle it")
+  }
+
+  test("q114 dup accounting: fingerprint counts combine map-side") {
+    val s = planString("q114_dup_cluster_sizes")
+    assert(s.contains("partial_"), "no map-side partial aggregation")
+    assert(!s.contains("CartesianProduct"), s.take(600))
+  }
+
   test("shuffle counts stay bounded for the headline queries") {
     val maxShuffles = Map(
       "q01_pricing_summary" -> 2, // partial/final agg + sort
@@ -264,7 +300,19 @@ class PlanSpec extends SparkSpec {
       "q109_lm_score_calibration" -> 9, // q103's chain + quantile agg + sort
       // blacklist agg + covered-starts agg + output sort; the membership
       // probe broadcasts by hint and AQE broadcasts the small cov side
-      "q110_boilerplate_removal" -> 3)
+      "q110_boilerplate_removal" -> 3,
+      // post-checkpoint plan (the (doc,bucket) count table materializes
+      // once and severs): bucket agg + one-row totals + doc score agg
+      // + rank exchange over the 20-row top-k; the 256-row LM broadcasts
+      "q111_dsir_importance" -> 5,
+      // post-checkpoint plan only (Lloyd rounds are severed): cluster
+      // size agg + pair-join exchanges + dropped distinct/agg + sort
+      "q112_semantic_dedup" -> 8,
+      // centroid agg + per-vector regroup + label window + sort; the
+      // |label|x64 centroid table broadcasts
+      "q113_embedding_outliers" -> 5,
+      // fingerprint agg + size agg + one-partition window + sort
+      "q114_dup_cluster_sizes" -> 5)
     maxShuffles.foreach { case (name, bound) =>
       val n = planOf(name).collect { case s: ShuffleExchangeLike => s }.size
       assert(n <= bound, s"$name has $n shuffles (bound $bound)")
