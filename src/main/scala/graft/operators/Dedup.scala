@@ -897,6 +897,65 @@ object Dedup {
           .orderBy(col("cluster_size"))
     },
 
+    Q("q117_neardup_threshold_curve",
+      SimhashHamCte + """,
+        |hist AS (SELECT hamming, count(*) AS n_pairs FROM ham GROUP BY hamming)
+        |SELECT hamming, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(sum(n_pairs) OVER (ORDER BY hamming
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_pairs,
+        |  CAST(sum(n_pairs) OVER (ORDER BY hamming
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(sum(n_pairs) OVER () AS DOUBLE) AS cum_frac
+        |FROM hist ORDER BY hamming""".stripMargin,
+      "Near-dup threshold tuning curve: the hamming-distance histogram of SimHash band-sharing candidate pairs, with cumulative counts — the curve a curator reads to PICK the cutoff the q76/q97/q81 family applies (true near-dups pile up at low hamming, the unrelated-pairs mass starts where the curve's second mode rises; the valley between is the threshold). Runs over the same banded candidate generation as q76 (constant-size (band, 16-bit) keys, never all pairs) with NO hamming cut, so the whole candidate distribution is visible; the known sampling bias is stated rather than hidden — band-sharing pairs are pigeonhole-complete only to hamming ≤ 3 (wider-distance pairs appear only when they happen to share a band), which is exactly the population the production cutoff selects from. Counts are exact integers; the cumulative windows run over a frame bounded by 65 distinct hamming values, and cum_frac is one IEEE division per row.") {
+      (s, d) =>
+        val hist = simhashNearDupPairs(Tables.documents(s, d), maxHamming = 64)
+          .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+        val wc = Window.orderBy(col("hamming"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy()
+        hist.select(col("hamming"), col("n_pairs"),
+            sum(col("n_pairs")).over(wc).as("cum_pairs"),
+            (sum(col("n_pairs")).over(wc).cast("double") /
+              sum(col("n_pairs")).over(wAll).cast("double")).as("cum_frac"))
+          .orderBy(col("hamming"))
+    },
+
+    Q("q118_arrival_novelty",
+      """WITH ws AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
+        |  FROM ws),
+        |existing AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 < 8),
+        |arr AS (SELECT DISTINCT source, sh FROM sh WHERE doc_id % 10 >= 8)
+        |SELECT a.source, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN e.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN e.sh IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS novelty_frac
+        |FROM arr a LEFT JOIN existing e ON a.sh = e.sh
+        |GROUP BY a.source ORDER BY a.source""".stripMargin,
+      "Arrival-batch content novelty: per source, the fraction of an arriving batch's distinct 3-gram shingles never seen in the existing corpus — the freshness gauge of an incremental ingest (a crawler re-fetching mirrors scores near 0 and can be throttled; a source suddenly at 1.0 changed domain or broke). Complements the q65/q97 incremental-dedup pair: those decide keep/drop per DOCUMENT, this one measures what a batch adds per TOKEN-SPAN, the number a 100 TB pipeline tracks per (source, day) to spend crawl budget where novelty lives. Same split convention as q65 (doc_id%10>=8 arrives), same scale shape as q80/q96: the existing corpus compresses to DISTINCT 8-byte ShingleHash64 keys (the persisted state of an incremental pipeline — the corpus text is NEVER rescanned), arrivals probe it with a left join on the hash, and both sides dedupe in-row before the explode so the shuffles move bounded hash sets (the family-wide md5-64 collision trade is documented at q96). Counts exact integers; one IEEE division per source row.") {
+      (s, d) =>
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(graft.expressions.ShingleHash64(col("text"))).as("h"))
+        val existing = sh.filter(col("doc_id") % 10 < 8)
+          .select(col("h")).distinct().withColumn("seen", lit(1))
+        val arr = sh.filter(col("doc_id") % 10 >= 8)
+          .select(col("source"), col("h")).distinct()
+        arr.join(existing, Seq("h"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+          .select(col("source"), col("n_shingles"), col("n_novel"),
+            (col("n_novel").cast("double") / col("n_shingles")).as("novelty_frac"))
+          .orderBy(col("source"))
+    },
+
     Q("q76_simhash_neardup",
       SimhashHamCte + """
         |SELECT d1, d2, hamming FROM ham WHERE hamming <= 8

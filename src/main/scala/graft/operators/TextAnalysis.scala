@@ -551,5 +551,79 @@ object TextAnalysis {
             (sum(col("n_docs")).over(wc).cast("double") / sum(col("n_docs")).over(wl).cast("double")).as("cum_share"))
           .orderBy(col("lang"), col("bucket_lo"))
     },
+
+    Q("q115_script_composition",
+      """WITH per AS (
+        |  SELECT source, length(text) AS len,
+        |    length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS l,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS dg,
+        |    length(text) - length(regexp_replace(text, '\s', '', 'g')) AS sp,
+        |    length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cj
+        |  FROM documents),
+        |agg AS (
+        |  SELECT source, CAST(sum(len) AS BIGINT) AS n_chars,
+        |    CAST(sum(l) AS BIGINT) AS l, CAST(sum(dg) AS BIGINT) AS dg,
+        |    CAST(sum(sp) AS BIGINT) AS sp, CAST(sum(cj) AS BIGINT) AS cj
+        |  FROM per GROUP BY source)
+        |SELECT source, n_chars,
+        |  CAST(l AS DOUBLE) / n_chars AS letter_frac,
+        |  CAST(dg AS DOUBLE) / n_chars AS digit_frac,
+        |  CAST(sp AS DOUBLE) / n_chars AS space_frac,
+        |  CAST(cj AS DOUBLE) / n_chars AS cjk_frac,
+        |  CAST(n_chars - l - dg - sp - cj AS DOUBLE) / n_chars AS other_frac
+        |FROM agg ORDER BY source""".stripMargin,
+      "Per-source script/character-class composition: fractions of Latin letters, digits, whitespace, CJK, and everything else — the multilingual curation signal that flags a 'Latin' source suddenly full of CJK (encoding breakage, scraped mixed content) or a prose source turning numeric (tables, logs) BEFORE per-document language-ID is trusted; at production scale the same row per (source, crawl-date) is the drift monitor. Counting is the replace-diff trick — length(text) − length(regexp_replace(class, '')) — one linear regex pass per class, NOT a per-character extract_all that materializes a char array per doc; counts are exact integers summed map-side, and each fraction is one IEEE division of corpus-level integers (engine-identical). 'Other' derives by subtraction, so the five fractions sum to 1 exactly. One map-side-combined shuffle at |source| keys; text is scanned once and never shuffled.") {
+      (s, d) =>
+        def cnt(pat: String) =
+          length(col("text")) - length(regexp_replace(col("text"), pat, ""))
+        val agg = Tables.documents(s, d)
+          .select(col("source"), length(col("text")).as("len"),
+            cnt("[a-zA-Z]").as("l"), cnt("[0-9]").as("dg"),
+            cnt("\\s").as("sp"), cnt("[\\u4e00-\\u9fff]").as("cj"))
+          .groupBy(col("source"))
+          .agg(sum(col("len")).as("n_chars"), sum(col("l")).as("l"),
+            sum(col("dg")).as("dg"), sum(col("sp")).as("sp"),
+            sum(col("cj")).as("cj"))
+        agg.select(col("source"), col("n_chars"),
+            (col("l").cast("double") / col("n_chars")).as("letter_frac"),
+            (col("dg").cast("double") / col("n_chars")).as("digit_frac"),
+            (col("sp").cast("double") / col("n_chars")).as("space_frac"),
+            (col("cj").cast("double") / col("n_chars")).as("cjk_frac"),
+            ((col("n_chars") - col("l") - col("dg") - col("sp") - col("cj"))
+              .cast("double") / col("n_chars")).as("other_frac"))
+          .orderBy(col("source"))
+    },
+
+    Q("q116_tokenizer_fertility",
+      s"""WITH per AS (
+         |  SELECT source, length(text) AS len,
+         |    len(string_split_regex(trim(text), '\\s+')) AS ws,
+         |    len(regexp_extract_all(lower(text), '$TokenPattern')) AS re
+         |  FROM documents),
+         |agg AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len) AS BIGINT) AS total_chars,
+         |    CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         |    CAST(sum(re) AS BIGINT) AS re_tokens
+         |  FROM per GROUP BY source)
+         |SELECT source, n_docs, total_chars, ws_tokens, re_tokens,
+         |  CAST(re_tokens AS DOUBLE) / ws_tokens AS fertility,
+         |  CAST(total_chars AS DOUBLE) / re_tokens AS chars_per_token
+         |FROM agg ORDER BY source""".stripMargin,
+      "Tokenizer fertility per source: subword-ish tokens per whitespace word (the metric tokenizer papers use to compare how hard a corpus is to tokenize) and chars per token — the numbers that turn a char-count corpus into a TOKEN budget (q102's shards, a training run's step count) and flag sources where the tokenizer fragments badly (code, URLs, non-Latin text → high fertility). Reuses q28's two token definitions EXACTLY (same `wsTokens` / `regexTokens` helpers, same oracle expressions), so the per-document counts and this corpus-level budget can never disagree. Integer sums map-side-combined to |source| keys; the two ratios are single IEEE divisions of corpus-level integers. Text scanned once, never shuffled.") {
+      (s, d) =>
+        val agg = Tables.documents(s, d)
+          .select(col("source"), length(col("text")).as("len"),
+            size(wsTokens(col("text"))).as("ws"),
+            size(regexTokens(col("text"))).as("re"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_chars"),
+            sum(col("ws")).as("ws_tokens"), sum(col("re")).as("re_tokens"))
+        agg.select(col("source"), col("n_docs"), col("total_chars"),
+            col("ws_tokens"), col("re_tokens"),
+            (col("re_tokens").cast("double") / col("ws_tokens")).as("fertility"),
+            (col("total_chars").cast("double") / col("re_tokens")).as("chars_per_token"))
+          .orderBy(col("source"))
+    },
   )
 }

@@ -91,6 +91,78 @@ class DataSelectionSpec extends SparkSpec {
     }
   }
 
+  test("script composition: the five class fractions partition the char mass") {
+    val got = SparkEntry.queries("q115_script_composition")(spark, sf0001)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(1) > 0, "empty source")
+      val fracs = (2 to 6).map(r.getDouble)
+      assert(fracs.forall(f => f >= 0 && f <= 1), s"fraction out of range: $r")
+      assert(math.abs(fracs.sum - 1.0) < 1e-9,
+        s"classes must partition the text exactly: $r")
+    }
+  }
+
+  test("tokenizer fertility: totals reconcile, ratios are consistent") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = SparkEntry.queries("q116_tokenizer_fertility")(spark, sf0001)
+      .collect()
+    assert(got.map(_.getLong(1)).sum == docs.count(), "every doc counted once")
+    got.foreach { r =>
+      val (chars, ws, re) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(re > 0 && ws > 0)
+      assert(math.abs(r.getDouble(5) - re.toDouble / ws) < 1e-12)
+      assert(math.abs(r.getDouble(6) - chars.toDouble / re) < 1e-12)
+    }
+  }
+
+  test("threshold curve: cumulative counts are monotone and end at 1.0") {
+    val got = SparkEntry.queries("q117_neardup_threshold_curve")(spark, sf0001)
+      .collect().sortBy(_.getInt(0))
+    assert(got.nonEmpty)
+    assert(got.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 64))
+    val cums = got.map(_.getLong(2))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b }, "cum not monotone")
+    assert(cums.last == got.map(_.getLong(1)).sum, "cum must end at the total")
+    assert(math.abs(got.last.getDouble(3) - 1.0) < 1e-12, "cum_frac must end at 1")
+    // the curve is the UNCUT distribution of the same candidate pairs
+    // q76's family verifies — totals must agree
+    val pairs = Dedup.simhashNearDupPairs(
+      Tables.documents(spark, sf0001), maxHamming = 64).count()
+    assert(cums.last == pairs)
+  }
+
+  test("arrival novelty: a replayed batch scores zero, a fresh one scores one") {
+    import spark.implicits._
+    // ids 0..7 exist (8 docs, %10<8); id 8 replays doc 0's text, id 9 is new
+    val base = (0L to 7L).map(i => (i, "srcA", s"alpha beta gamma token$i tail"))
+    val docs = (base :+ ((8L, "srcA", "alpha beta gamma token0 tail"))
+      :+ ((9L, "srcB", "wholly unseen shingle stream here")))
+      .toDF("doc_id", "source", "text")
+    val got = SparkEntry.queries("q118_arrival_novelty")(spark, sf0001)
+    // registered form runs on the documents table; the handcrafted check
+    // drives the same shape directly
+    val sh = docs.select(col("doc_id"), col("source"),
+      explode(graft.expressions.ShingleHash64(col("text"))).as("h"))
+    val existing = sh.filter(col("doc_id") % 10 < 8)
+      .select(col("h")).distinct().withColumn("seen", lit(1))
+    val arr = sh.filter(col("doc_id") % 10 >= 8)
+      .select(col("source"), col("h")).distinct()
+    val out = arr.join(existing, Seq("h"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("novel"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("srcA")._2 == 0, "replayed content must have zero novelty")
+    assert(out("srcB")._1 == out("srcB")._2, "fresh content must be all novel")
+    // and the registered query's output stays within [0, 1]
+    got.collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("dup-cluster accounting: masses reconcile with the replicated corpus") {
     val docs = Tables.documents(spark, sf0001)
     val n = docs.count()

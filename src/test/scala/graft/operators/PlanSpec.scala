@@ -312,7 +312,16 @@ class PlanSpec extends SparkSpec {
       // |label|x64 centroid table broadcasts
       "q113_embedding_outliers" -> 5,
       // fingerprint agg + size agg + one-partition window + sort
-      "q114_dup_cluster_sizes" -> 5)
+      "q114_dup_cluster_sizes" -> 5,
+      // one |source|-key agg + output sort — text never shuffles
+      "q115_script_composition" -> 2,
+      "q116_tokenizer_fertility" -> 2,
+      // band self-join exchanges + pair distinct + hamming agg + the
+      // bounded-histogram window + sort
+      "q117_neardup_threshold_curve" -> 8,
+      // two in-row-deduped shingle scans (existing distinct + arrival
+      // distinct) + hash probe join + source agg + sort
+      "q118_arrival_novelty" -> 8)
     maxShuffles.foreach { case (name, bound) =>
       val n = planOf(name).collect { case s: ShuffleExchangeLike => s }.size
       assert(n <= bound, s"$name has $n shuffles (bound $bound)")
