@@ -78,6 +78,37 @@ class DataSelectionSpec extends SparkSpec {
     assert(loose >= tight, "a looser threshold can only drop more")
   }
 
+  test("semantic dedup scale path: scaling nlist bounds the quadratic pair mass") {
+    // the 100 TB contract: nlist grows with the corpus so cluster size B
+    // stays bounded and pair compute is n*B, not n^2/nlist. Sum of B^2
+    // (the actual in-cluster pair work) is read off the operator's own
+    // n_vecs output.
+    def pairMass(df: org.apache.spark.sql.DataFrame, nlist: Int): (Long, Long, Long) = {
+      val rows = Similarity.semanticDedup(df, threshold = 0.3, nlist = nlist)
+        .collect()
+      (rows.map(r => r.getLong(1) * r.getLong(1)).sum,
+        rows.map(_.getLong(1)).max, rows.map(_.getLong(1)).sum)
+    }
+    val small = Tables.embeddings(spark, sf0001)
+    val big = Tables.embeddings(spark, sf001)
+    val (nS, nB) = (small.count(), big.count())
+    // same corpus: holding target cluster size ~8 (nlist = n/8) must cut
+    // the pair mass sharply vs the fixed nlist=8 registration
+    val (fixedMass, _, _) = pairMass(big, 8)
+    val (scaledMass, maxB, total) = pairMass(big, (nB / 8).toInt)
+    assert(total == nB)
+    assert(scaledMass * 3 < fixedMass,
+      s"scaled nlist must cut pair mass: fixed=$fixedMass scaled=$scaledMass")
+    assert(maxB < nB / 4, s"a cluster still holds $maxB of $nB vectors")
+    // across a 10x corpus growth with nlist held at n/8, per-vector pair
+    // work stays flat (generous 6x tolerance for k-means imbalance)
+    val (smallMass, _, _) = pairMass(small, (nS / 8).toInt max 2)
+    val perVecSmall = smallMass.toDouble / nS
+    val perVecBig = scaledMass.toDouble / nB
+    assert(perVecBig < perVecSmall * 6 && perVecSmall < perVecBig * 6,
+      s"per-vector pair work must stay flat: $perVecSmall vs $perVecBig")
+  }
+
   test("embedding outliers: bounded per label, ascending cosine, valid range") {
     val got = SparkEntry.queries("q113_embedding_outliers")(spark, sf0001)
       .collect()
