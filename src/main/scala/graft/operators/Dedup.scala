@@ -922,6 +922,65 @@ object Dedup {
           .orderBy(col("hamming"))
     },
 
+    Q("q120_dedup_saturation",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |fp AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b
+        |  FROM corpus),
+        |per_fp AS (
+        |  SELECT fp,
+        |    CAST(sum(CASE WHEN b < '40' THEN 1 ELSE 0 END) AS BIGINT) AS c25,
+        |    CAST(sum(CASE WHEN b < '80' THEN 1 ELSE 0 END) AS BIGINT) AS c50,
+        |    CAST(sum(CASE WHEN b < 'c0' THEN 1 ELSE 0 END) AS BIGINT) AS c75,
+        |    CAST(count(*) AS BIGINT) AS c100
+        |  FROM fp GROUP BY fp),
+        |curve AS (
+        |  SELECT f.frac,
+        |    CAST(sum(CASE f.frac WHEN 0.25 THEN c25 WHEN 0.5 THEN c50
+        |                         WHEN 0.75 THEN c75 ELSE c100 END) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN (CASE f.frac WHEN 0.25 THEN c25 WHEN 0.5 THEN c50
+        |                         WHEN 0.75 THEN c75 ELSE c100 END) > 0
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        |  FROM per_fp CROSS JOIN (
+        |    SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |                   CAST(0.75 AS DOUBLE), CAST(1.0 AS DOUBLE)]) AS frac) f
+        |  GROUP BY f.frac)
+        |SELECT frac, n_docs, n_unique,
+        |  CAST(n_docs - n_unique AS DOUBLE) / n_docs AS dup_frac
+        |FROM curve ORDER BY frac""".stripMargin,
+      "Dedup-rate saturation curve — how duplication GROWS with corpus fraction, measured on nested deterministic subsamples (md5-bucket thresholds at 25/50/75/100%): the extrapolation figure that answers 'is duplication saturating or still compounding as we crawl more' and predicts full-corpus dedup yield from a cheap slice. Pairwise duplication rises superlinearly with the sampled fraction (both copies must land in the sample — at fraction f a 2-cluster is observed duplicated with probability ~f), which the doubled q69 corpus makes visible: dup_frac ≈ f/2 at these points, and a REAL crawl's curve bending above/below that line is the signal. Scale shape: one fingerprint shuffle (16-byte keys) to per-fp membership counts at the four thresholds (conditional sums — the corpus is scanned ONCE for all curve points, the nested-sample property md5 buckets give for free), then a 4-way explode of the |fp| table into one tiny agg; at 100 TB this is exactly the hash-only scan a curator runs BEFORE committing to a full dedup pass. All counts exact integers; dup_frac is one IEEE division per curve point.") {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val corpus = docs.select(col("doc_id"), col("text"))
+          .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        val perFp = corpus
+          .select(fingerprint(col("text")).as("fp"),
+            substring(md5(col("doc_id").cast("string")), 1, 2).as("b"))
+          .groupBy(col("fp"))
+          .agg(sum(when(col("b") < "40", 1L).otherwise(0L)).as("c25"),
+            sum(when(col("b") < "80", 1L).otherwise(0L)).as("c50"),
+            sum(when(col("b") < "c0", 1L).otherwise(0L)).as("c75"),
+            count(lit(1)).as("c100"))
+        val curve = perFp
+          .select(col("c25"), col("c50"), col("c75"), col("c100"),
+            explode(array(lit(0.25d), lit(0.5d), lit(0.75d), lit(1.0d))).as("frac"))
+          .select(col("frac"),
+            when(col("frac") === 0.25, col("c25"))
+              .when(col("frac") === 0.5, col("c50"))
+              .when(col("frac") === 0.75, col("c75"))
+              .otherwise(col("c100")).as("c"))
+          .groupBy(col("frac"))
+          .agg(sum(col("c")).as("n_docs"),
+            sum(when(col("c") > 0, 1L).otherwise(0L)).as("n_unique"))
+        curve.select(col("frac"), col("n_docs"), col("n_unique"),
+            ((col("n_docs") - col("n_unique")).cast("double") / col("n_docs"))
+              .as("dup_frac"))
+          .orderBy(col("frac"))
+    },
+
     Q("q118_arrival_novelty",
       """WITH ws AS (
         |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w

@@ -321,6 +321,41 @@ object Sampling {
         dsirImportanceTop(Tables.documents(s, d), "src0", 20)
     },
 
+    Q("q119_packing_efficiency",
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |    CAST(sum((n_tokens + 499) // 500) AS BIGINT) AS windows_unpacked
+        |  FROM tok GROUP BY source)
+        |SELECT source, n_docs, total_tokens,
+        |  CAST((total_tokens + 499) // 500 AS BIGINT) AS windows_packed,
+        |  windows_unpacked,
+        |  CAST(((total_tokens + 499) // 500) * 500 - total_tokens AS DOUBLE)
+        |    / (((total_tokens + 499) // 500) * 500) AS padding_frac_packed,
+        |  CAST(windows_unpacked * 500 - total_tokens AS DOUBLE)
+        |    / (windows_unpacked * 500) AS padding_frac_unpacked
+        |FROM agg ORDER BY source""".stripMargin,
+      "Sequence-packing efficiency report — the decision table behind HOW training sequences are assembled: per source, the number of 500-token context windows needed when documents pack contiguously (cross-doc packing, documents split at window boundaries — q102's shard order makes this deterministic) vs one-doc-per-window with padding, and the padding waste each strategy carries. The unpacked padding fraction is the price of clean document isolation; the packed fraction (at most 499 tokens in the final window per source) is the price of cross-doc attention contamination — the table quantifies the trade the pipeline architect picks. Token counts reuse q94/q102's exact `nTokens` definition; ceil is the integer identity (t+499) div 500 on BOTH engines (never a float ceil), so every count is exact and the two waste fractions are single IEEE divisions. One map-side-combined |source| agg; text scanned once.") {
+      (s, d) =>
+        val agg = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), nTokens(col("text")).as("n_tokens"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+            sum(expr("(n_tokens + 499) div 500")).as("windows_unpacked"))
+        agg.select(col("source"), col("n_docs"), col("total_tokens"),
+            expr("(total_tokens + 499) div 500").cast("bigint").as("windows_packed"),
+            col("windows_unpacked"),
+            (expr("((total_tokens + 499) div 500) * 500 - total_tokens").cast("double")
+              / expr("((total_tokens + 499) div 500) * 500")).as("padding_frac_packed"),
+            ((col("windows_unpacked") * 500 - col("total_tokens")).cast("double")
+              / (col("windows_unpacked") * 500)).as("padding_frac_unpacked"))
+          .orderBy(col("source"))
+    },
+
     Q("q74_kmv_distinct",
       """WITH h AS (
         |  SELECT DISTINCT o_orderpriority, md5(CAST(o_custkey AS VARCHAR)) AS h

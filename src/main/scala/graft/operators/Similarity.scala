@@ -627,5 +627,45 @@ object Similarity {
           .filter(col("rn") <= 3)
           .orderBy(col("label"), col("rn"))
     },
+
+    Q("q121_embedding_dim_health",
+      """WITH qd AS (
+        |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(q) AS BIGINT) AS sq,
+        |    sum(CAST(q AS DECIMAL(18,0)) * CAST(q AS DECIMAL(18,0))) AS sqq
+        |  FROM qd GROUP BY dim)
+        |SELECT dim, n,
+        |  CAST(sq AS DOUBLE) / n * 1e-6 AS mean,
+        |  (CAST(CAST(sqq AS VARCHAR) AS DOUBLE)
+        |     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / n * 1e-12
+        |    AS variance
+        |FROM st ORDER BY dim""".stripMargin,
+      "Embedding dimension health: per-dimension mean and variance over the corpus — the monitor that catches a DEAD dimension (variance collapsing to 0: a projection bug, a saturated activation, a truncated export) or a runaway one (mean drifting off 0) before any similarity search built on these vectors quietly degrades; at production scale the same 64-row table per (model-version, day) is the embedding-pipeline dashboard. Determinism: components quantize to integer micro-units (the q108/q113 playbook), per-dim counts and sums are exact integers, and the sum of SQUARES accumulates in DECIMAL(38,0) (18-digit operand casts multiply exactly on both engines — ANSI-overflow-free to ~1e38, i.e. at ANY realistic corpus size, where a bigint sum of squares would overflow past ~2.5e7 rows per dim); mean and variance are then identical IEEE expressions over those exact sums, micro-unit scaling folded in at the end. Scale: one posexplode and one map-side-combined shuffle at 64 keys — the corpus is scanned once and never joined or windowed.") {
+      (s, d) =>
+        dimHealth(Tables.embeddings(s, d)).orderBy(col("dim"))
+    },
   )
+
+  /** Per-dimension mean/variance of an embedding column (q121): integer
+    * micro-unit quantization, exact integer/decimal sufficient
+    * statistics, one 64-key map-side-combined shuffle. */
+  def dimHealth(embeddings: DataFrame): DataFrame = {
+    val qd = embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        floor(col("x").cast("double") * lit(1e6d)).cast("bigint").as("q"))
+    val st = qd.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+        sum(col("q").cast("decimal(18,0)") * col("q").cast("decimal(18,0)"))
+          .as("sqq"))
+    st.select(col("dim"), col("n"),
+      (col("sq").cast("double") / col("n") * lit(1e-6d)).as("mean"),
+      ((col("sqq").cast("string").cast("double")
+        - col("sq").cast("double") * col("sq").cast("double") / col("n"))
+        / col("n") * lit(1e-12d)).as("variance"))
+  }
 }

@@ -194,6 +194,57 @@ class DataSelectionSpec extends SparkSpec {
     }
   }
 
+  test("packing efficiency: packed always beats unpacked, counts reconcile") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = SparkEntry.queries("q119_packing_efficiency")(spark, sf0001)
+      .collect()
+    assert(got.map(_.getLong(1)).sum == docs.count())
+    got.foreach { r =>
+      val (tokens, packed, unpacked) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(packed == (tokens + 499) / 500, "packed is ceil(total/500)")
+      assert(packed <= unpacked, "packing can only reduce window count")
+      assert(r.getDouble(5) <= r.getDouble(6) + 1e-12,
+        "packed padding waste cannot exceed unpacked")
+      assert(packed * 500 >= tokens && unpacked * 500 >= tokens)
+    }
+  }
+
+  test("dedup saturation: duplication compounds with sample fraction, exact at 1.0") {
+    val n = Tables.documents(spark, sf0001).count()
+    val got = SparkEntry.queries("q120_dedup_saturation")(spark, sf0001)
+      .collect().sortBy(_.getDouble(0))
+    assert(got.length == 4)
+    val fracs = got.map(_.getDouble(3))
+    assert(fracs.zip(fracs.tail).forall { case (a, b) => a <= b },
+      "dup rate must be nondecreasing in sample fraction")
+    val full = got.last
+    assert(full.getLong(1) == 2 * n && full.getLong(2) == n,
+      "at fraction 1.0 the doubled corpus dedups exactly 2:1")
+    assert(math.abs(full.getDouble(3) - 0.5) < 1e-12)
+    // nested samples: docs counted at f must be a subset of f' > f
+    val docs = got.map(_.getLong(1))
+    assert(docs.zip(docs.tail).forall { case (a, b) => a < b })
+  }
+
+  test("dim health: a constant dimension reports zero variance, a live one doesn't") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(0.5f, 0.1f, 0.0f)),
+      (1L, Array(0.5f, -0.3f, 0.2f)),
+      (2L, Array(0.5f, 0.7f, -0.4f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.dimHealth(vecs).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(0)._2 == 0.0, "constant dim must report exactly zero variance")
+    assert(math.abs(got(0)._1 - 0.5) < 1e-6, "constant dim mean is the constant")
+    assert(got(1)._2 > 0.01 && got(2)._2 > 0.01, "live dims carry variance")
+    // and on the real table: every dim present, every variance positive
+    val real = SparkEntry.queries("q121_embedding_dim_health")(spark, sf0001)
+      .collect()
+    assert(real.length == 64)
+    assert(real.forall(_.getDouble(3) > 0))
+  }
+
   test("dup-cluster accounting: masses reconcile with the replicated corpus") {
     val docs = Tables.documents(spark, sf0001)
     val n = docs.count()

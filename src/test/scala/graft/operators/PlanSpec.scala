@@ -321,7 +321,13 @@ class PlanSpec extends SparkSpec {
       "q117_neardup_threshold_curve" -> 8,
       // two in-row-deduped shingle scans (existing distinct + arrival
       // distinct) + hash probe join + source agg + sort
-      "q118_arrival_novelty" -> 8)
+      "q118_arrival_novelty" -> 8,
+      // one |source|-key agg + output sort
+      "q119_packing_efficiency" -> 2,
+      // fingerprint agg + the 4-way curve agg + sort
+      "q120_dedup_saturation" -> 3,
+      // one 64-key agg + output sort
+      "q121_embedding_dim_health" -> 2)
     maxShuffles.foreach { case (name, bound) =>
       val n = planOf(name).collect { case s: ShuffleExchangeLike => s }.size
       assert(n <= bound, s"$name has $n shuffles (bound $bound)")
