@@ -60,6 +60,33 @@ object TextAnalysis {
     * micro-nats, so every distributed sum is exact-integer; `avg_nll` is
     * one IEEE expression per row. Returns (doc_id, source, n_tokens,
     * avg_nll). */
+  /** Per-source character-bigram Shannon entropy in nats (q122): the
+    * q103 identity H = ln(T) − Σ c·ln(c)/T on exact integer bigram
+    * counts, ln floor-quantized to micro-nats per (source, bigram)
+    * group. Returns (source, n_bigrams, distinct_bigrams, entropy_nats). */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("source"),
+        // Spark's sequence(a, b) runs BACKWARDS when b < a (step -1),
+        // so a <2-char doc must short-circuit to an empty array (the
+        // shingles() guard); DuckDB's range(1, len) is exclusive and
+        // already empty there
+        explode(when(length(col("text")) >= 2,
+            expr("transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))"))
+          .otherwise(array().cast("array<string>"))).as("g"))
+    val counts = bg.groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("distinct_bigrams"),
+        sum(col("c") *
+          floor(log(col("c").cast("double")) * lit(1e6d)).cast("bigint"))
+          .as("sclnq"))
+      .select(col("source"), col("n_bigrams"), col("distinct_bigrams"),
+        (floor(log(col("n_bigrams").cast("double")) * lit(1e6d)).cast("bigint")
+          * lit(1e-6d)
+          - (col("sclnq") * lit(1e-6d)) / col("n_bigrams")).as("entropy_nats"))
+  }
+
   private def unigramNll(docs: DataFrame): DataFrame = {
     val dt = docs
       .select(col("doc_id"), col("source"),
@@ -550,6 +577,27 @@ object TextAnalysis {
             (col("n_docs").cast("double") / sum(col("n_docs")).over(wl).cast("double")).as("share"),
             (sum(col("n_docs")).over(wc).cast("double") / sum(col("n_docs")).over(wl).cast("double")).as("cum_share"))
           .orderBy(col("lang"), col("bucket_lo"))
+    },
+
+    Q("q122_char_entropy",
+      """WITH bg AS (
+        |  SELECT source,
+        |    unnest([substr(text, i, 2) for i in range(1, length(text))]) AS g
+        |  FROM documents),
+        |counts AS (SELECT source, g, count(*) AS c FROM bg GROUP BY source, g),
+        |ent AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(count(*) AS BIGINT) AS distinct_bigrams,
+        |    CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT)
+        |      AS sclnq
+        |  FROM counts GROUP BY source)
+        |SELECT source, n_bigrams, distinct_bigrams,
+        |  CAST(floor(ln(CAST(n_bigrams AS DOUBLE)) * 1e6) AS BIGINT) * 1e-6
+        |    - (sclnq * 1e-6) / n_bigrams AS entropy_nats
+        |FROM ent ORDER BY source""".stripMargin,
+      "Per-source character-bigram Shannon entropy — the compressibility proxy behind the classic 'gzip filter': templated/boilerplate/repetitive text compresses well and scores LOW, natural prose sits in a band, and random bytes score near ln(distinct) — a one-number quality prior per source (per (source, crawl-date) in production) that needs no tokenizer, no language model, and no reference corpus. The algebra is q103's identity H = ln(T) − Σ c·ln(c)/T on exact integer counts: ln runs once per (source, bigram) GROUP (bounded by |sources| × charset², never per character) and is floor-quantized to integer micro-nats, so both distributed sums are exact integers and the final expression is one identical IEEE evaluation per source. Scale: the per-character explode multiplies rows by ~doc length, but partial aggregation collapses it to ≤ charset² rows per task BEFORE the one |source|×|bigram| shuffle — the exchange moves counts, never characters; a second tiny agg folds to |source| rows.") {
+      (s, d) =>
+        charEntropy(Tables.documents(s, d)).orderBy(col("source"))
     },
 
     Q("q115_script_composition",

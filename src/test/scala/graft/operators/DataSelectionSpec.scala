@@ -245,6 +245,32 @@ class DataSelectionSpec extends SparkSpec {
     assert(real.forall(_.getDouble(3) > 0))
   }
 
+  test("char entropy: repetitive text scores below diverse text, bounds hold") {
+    val got = SparkEntry.queries("q122_char_entropy")(spark, sf0001).collect()
+    got.foreach { r =>
+      val (t, d, h) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(h >= 0 && h <= math.log(d.toDouble) + 1e-6,
+        s"entropy must sit in [0, ln(distinct)]: $r")
+      assert(t > 0 && d > 0)
+    }
+    // ordering property on handcrafted text: constant text has zero
+    // bigram entropy; alternating text scores below a diverse string.
+    // A one-char doc exercises the empty-bigram guard (contributes no
+    // rows, no crash).
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "flat", "aaaaaaaaaaaaaaaaaaaa"),
+      (2L, "loop", "abababababababababab"),
+      (3L, "rich", "the quick brown fox jumps"),
+      (4L, "flat", "a"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.charEntropy(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(out("flat")) < 1e-9, "constant text has zero entropy")
+    assert(out("loop") < out("rich"),
+      "repetitive text must score below diverse text")
+  }
+
   test("dup-cluster accounting: masses reconcile with the replicated corpus") {
     val docs = Tables.documents(spark, sf0001)
     val n = docs.count()

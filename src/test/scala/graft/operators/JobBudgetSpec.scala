@@ -81,6 +81,10 @@ class JobBudgetSpec extends SparkSpec {
     "q38_embedding_neardup" -> (10, "observed 7: guard count + the all-pairs join"),
     "q84_bloom_pruned_join" ->
       (14, "observed 11: build-side approx-distinct + word-agg collect + pruned join"),
+    "q110_boilerplate_removal" ->
+      (10, "observed 8: blacklist agg, covered-start probe, doc rebuild + save"),
+    "q112_semantic_dedup" ->
+      (36, "observed 28: q49's centroid seed + Lloyd chain, signature checkpoint, in-cluster pair join + size aggs"),
   )
 
   budgets.foreach { case (name, (budget, makeup)) =>

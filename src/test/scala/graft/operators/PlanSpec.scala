@@ -327,7 +327,10 @@ class PlanSpec extends SparkSpec {
       // fingerprint agg + the 4-way curve agg + sort
       "q120_dedup_saturation" -> 3,
       // one 64-key agg + output sort
-      "q121_embedding_dim_health" -> 2)
+      "q121_embedding_dim_health" -> 2,
+      // |source|x|bigram| agg + |source| agg + sort — the per-char
+      // explode never reaches an exchange (partial agg eats it)
+      "q122_char_entropy" -> 3)
     maxShuffles.foreach { case (name, bound) =>
       val n = planOf(name).collect { case s: ShuffleExchangeLike => s }.size
       assert(n <= bound, s"$name has $n shuffles (bound $bound)")
