@@ -254,14 +254,6 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
-  /** DuckDB twin of ivfTopK(portableMeans = true): the three Lloyd
-    * iterations unroll into chained assign/recompute CTE rounds. Dot
-    * products are explicit sequential list folds (list_sum is a strict
-    * left fold, like Spark's aggregate/VecDot); centroid means are the
-    * DetAgg decimal-sum shape; argmax assignment breaks ties to the
-    * LARGER cid (mirroring array_max over struct(sim, cid)) while probe
-    * selection breaks ties to the smaller cid (mirroring the orderBy).
-    * Dims fixed at 64 (the embeddings schema). */
   /** SemDeDup-shape semantic deduplication: k-means clusters bound the
     * quadratic, exact cosine runs only INSIDE a cluster, and a vector is
     * dropped when a smaller-id in-cluster neighbor scores >= threshold
@@ -347,6 +339,15 @@ object Similarity {
        |${assignCte("c3", "lists")}""".stripMargin
   }
 
+  /** DuckDB twin of ivfTopK(portableMeans = true): the three Lloyd
+    * iterations unroll into chained assign/recompute CTE rounds (the
+    * shared [[kmeansListsCtes]]). Dot products are explicit sequential
+    * list folds (list_sum is a strict left fold, like Spark's
+    * aggregate/VecDot); centroid means are the DetAgg decimal-sum shape;
+    * argmax assignment breaks ties to the LARGER cid (mirroring
+    * array_max over struct(sim, cid)) while probe selection breaks ties
+    * to the smaller cid (mirroring the orderBy). Dims fixed at 64 (the
+    * embeddings schema). */
   private def q49OracleSql: String = {
     def dot(a: String, b: String) = dotSql(a, b)
     s"""WITH $kmeansListsCtes,
@@ -640,9 +641,9 @@ object Similarity {
         |  FROM qd GROUP BY dim)
         |SELECT dim, n,
         |  CAST(sq AS DOUBLE) / n * 1e-6 AS mean,
-        |  (CAST(CAST(sqq AS VARCHAR) AS DOUBLE)
-        |     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / n * 1e-12
-        |    AS variance
+        |  greatest((CAST(CAST(sqq AS VARCHAR) AS DOUBLE)
+        |     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / n * 1e-12,
+        |    CAST(0 AS DOUBLE)) AS variance
         |FROM st ORDER BY dim""".stripMargin,
       "Embedding dimension health: per-dimension mean and variance over the corpus — the monitor that catches a DEAD dimension (variance collapsing to 0: a projection bug, a saturated activation, a truncated export) or a runaway one (mean drifting off 0) before any similarity search built on these vectors quietly degrades; at production scale the same 64-row table per (model-version, day) is the embedding-pipeline dashboard. Determinism: components quantize to integer micro-units (the q108/q113 playbook), per-dim counts and sums are exact integers, and the sum of SQUARES accumulates in DECIMAL(38,0) (18-digit operand casts multiply exactly on both engines — ANSI-overflow-free to ~1e38, i.e. at ANY realistic corpus size, where a bigint sum of squares would overflow past ~2.5e7 rows per dim); mean and variance are then identical IEEE expressions over those exact sums, micro-unit scaling folded in at the end. Scale: one posexplode and one map-side-combined shuffle at 64 keys — the corpus is scanned once and never joined or windowed.") {
       (s, d) =>
@@ -664,8 +665,12 @@ object Similarity {
           .as("sqq"))
     st.select(col("dim"), col("n"),
       (col("sq").cast("double") / col("n") * lit(1e-6d)).as("mean"),
-      ((col("sqq").cast("string").cast("double")
+      // E[x^2]-E[x]^2 on doubles can cancel to a tiny NEGATIVE value for
+      // a near-constant high-magnitude dimension (the sums are exact but
+      // their double conversions each round) — clamp at zero, mirrored
+      // in the oracle, so sqrt/stddev consumers never see NaN
+      greatest((col("sqq").cast("string").cast("double")
         - col("sq").cast("double") * col("sq").cast("double") / col("n"))
-        / col("n") * lit(1e-12d)).as("variance"))
+        / col("n") * lit(1e-12d), lit(0.0d)).as("variance"))
   }
 }

@@ -52,14 +52,6 @@ object TextAnalysis {
       .otherwise(scores.last._1)
   }
 
-  /** Per-document unigram-LM score under the corpus unigram distribution
-    * — the single definition shared by q103 (per-doc scores) and q109
-    * (per-source calibration quantiles), so the calibration table can
-    * never drift from the score it calibrates. Determinism per the q89
-    * playbook: ln runs once per TERM and is quantized to integer
-    * micro-nats, so every distributed sum is exact-integer; `avg_nll` is
-    * one IEEE expression per row. Returns (doc_id, source, n_tokens,
-    * avg_nll). */
   /** Per-source character-bigram Shannon entropy in nats (q122): the
     * q103 identity H = ln(T) − Σ c·ln(c)/T on exact integer bigram
     * counts, ln floor-quantized to micro-nats per (source, bigram)
@@ -87,6 +79,14 @@ object TextAnalysis {
           - (col("sclnq") * lit(1e-6d)) / col("n_bigrams")).as("entropy_nats"))
   }
 
+  /** Per-document unigram-LM score under the corpus unigram distribution
+    * — the single definition shared by q103 (per-doc scores) and q109
+    * (per-source calibration quantiles), so the calibration table can
+    * never drift from the score it calibrates. Determinism per the q89
+    * playbook: ln runs once per TERM and is quantized to integer
+    * micro-nats, so every distributed sum is exact-integer; `avg_nll` is
+    * one IEEE expression per row. Returns (doc_id, source, n_tokens,
+    * avg_nll). */
   private def unigramNll(docs: DataFrame): DataFrame = {
     val dt = docs
       .select(col("doc_id"), col("source"),
@@ -605,7 +605,7 @@ object TextAnalysis {
         |  SELECT source, length(text) AS len,
         |    length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS l,
         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS dg,
-        |    length(text) - length(regexp_replace(text, '\s', '', 'g')) AS sp,
+        |    length(text) - length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g')) AS sp,
         |    length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cj
         |  FROM documents),
         |agg AS (
@@ -627,7 +627,11 @@ object TextAnalysis {
         val agg = Tables.documents(s, d)
           .select(col("source"), length(col("text")).as("len"),
             cnt("[a-zA-Z]").as("l"), cnt("[0-9]").as("dg"),
-            cnt("\\s").as("sp"), cnt("[\\u4e00-\\u9fff]").as("cj"))
+            // explicit class, NOT \s: Java's \s includes U+000B where
+            // RE2's does not — the one whitespace definition both
+            // engines agree on is this spelled-out set
+            cnt("[ \\t\\n\\u000B\\f\\r]").as("sp"),
+            cnt("[\\u4e00-\\u9fff]").as("cj"))
           .groupBy(col("source"))
           .agg(sum(col("len")).as("n_chars"), sum(col("l")).as("l"),
             sum(col("dg")).as("dg"), sum(col("sp")).as("sp"),
