@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish testdata (TESTDATA.md).
   *
@@ -27,16 +27,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long and convert to a
-    * microsecond timestamp (truncating division — matches a
-    * TIMESTAMP_NS→TIMESTAMP cast elsewhere). */
+  /** `events.ts` has shipped in three physical encodings across testdata
+    * generations; normalize all of them to an instant-semantics TIMESTAMP
+    * so every downstream `unix_micros`/window/interval call site sees one
+    * type:
+    *  - INT64 TIMESTAMP(NANOS): Spark's vectorized reader rejects it —
+    *    read nanos as long, truncate to micros (matches TIMESTAMP_NS→
+    *    TIMESTAMP casts elsewhere);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *    TIMESTAMP_NTZ — cast to TIMESTAMP under the UTC session zone
+    *    (same instants DuckDB's naive-as-UTC `epoch_us` assigns);
+    *  - TIMESTAMP(MICROS, adjusted): already the target type. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$d/events.parquet")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
