@@ -43,6 +43,38 @@ object Sampling {
     * on every site counting tokens identically. */
   def nTokens(text: Column): Column = size(split(text, " ")).cast("long")
 
+  /** Temperature-tau=0.5 mixture sampler (q124): per-source weight ∝
+    * sqrt(n_docs) (IEEE sqrt, floor-quantized to integer micro-weights so
+    * the normalizer is an exact integer sum), integer-floor allocation of
+    * a fixed doc budget, then deterministic per-source draw by md5 rank.
+    * Returns one ledger row per source. */
+  def temperatureMixture(docsIn: org.apache.spark.sql.DataFrame,
+      budget: Int): org.apache.spark.sql.DataFrame = {
+    val docs = docsIn
+      .select(col("doc_id"), col("source"), nTokens(col("text")).as("n_tok"))
+    val q = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs").cast("bigint").as("n_docs"),
+        floor(sqrt(col("n_docs").cast("double")) * lit(1e6d)).cast("bigint")
+          .as("weight_micro"))
+    val tot = q.agg(sum(col("weight_micro")).as("wt"))
+    val tgt = q.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("weight_micro"),
+        expr(s"($budget * weight_micro) div wt").cast("bigint").as("target_n"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val smp = docs.withColumn("rn", row_number().over(w))
+      .join(broadcast(tgt.select(col("source"), col("target_n"))), "source")
+      .filter(col("rn") <= col("target_n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("sampled_docs"),
+        sum(col("n_tok")).cast("bigint").as("sampled_tokens"))
+    tgt.join(smp, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("weight_micro"), col("target_n"),
+        coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"),
+        coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Per-source mixing weights toward a uniform target share (q94):
     * weight ∝ target/actual token share, normalized so the scarcest
     * source keeps weight 1. Returns one row per source with
@@ -354,6 +386,39 @@ object Sampling {
             ((col("windows_unpacked") * 500 - col("total_tokens")).cast("double")
               / (col("windows_unpacked") * 500)).as("padding_frac_unpacked"))
           .orderBy(col("source"))
+    },
+
+    Q("q124_temperature_mixture",
+      """WITH cnt AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |q AS (
+        |  SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT) AS weight_micro
+        |  FROM cnt),
+        |tot AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS wt FROM q),
+        |tgt AS (
+        |  SELECT source, n_docs, weight_micro,
+        |    CAST((200 * weight_micro) // wt AS BIGINT) AS target_n
+        |  FROM q CROSS JOIN tot),
+        |r AS (
+        |  SELECT source, len(string_split(text, ' ')) AS n_tok,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents),
+        |smp AS (
+        |  SELECT r.source, CAST(count(*) AS BIGINT) AS sampled_docs,
+        |    CAST(sum(r.n_tok) AS BIGINT) AS sampled_tokens
+        |  FROM r JOIN tgt USING (source)
+        |  WHERE r.rn <= tgt.target_n
+        |  GROUP BY r.source)
+        |SELECT t.source AS source, t.n_docs, t.weight_micro, t.target_n,
+        |  COALESCE(s.sampled_docs, 0) AS sampled_docs,
+        |  COALESCE(s.sampled_tokens, 0) AS sampled_tokens
+        |FROM tgt t LEFT JOIN smp s ON t.source = s.source
+        |ORDER BY t.source""".stripMargin,
+      "Temperature-scaled mixture sampling (the exponential-smoothing rebalance of multilingual/multi-source corpora, tau = 0.5): per-source sampling weight proportional to n_docs^tau — flattening the source distribution toward uniform so long-tail sources are upsampled relative to their raw share — allocated against a fixed budget of 200 documents, then drawn DETERMINISTICALLY by ranking each source's docs on md5(doc_id) and keeping the first target_n (the same engine-portable stand-in for rand() as the q87/q95 samplers: identical membership on every run, cluster size, and engine). Determinism of the weights themselves: n^0.5 is IEEE sqrt (exactly specified, bit-identical cross-engine), floor-quantized to integer micro-weights so the normalizing sum is an exact integer, and each target is one integer floor-division — no double ever crosses an aggregation. Scale: two map-side-combined |source| aggregates plus one row_number window partitioned by source; at 100 TB the rank-by-hash becomes a threshold ON the hash value (keep md5 < target_n/n_docs scaled to the hash range — no per-source sort at all), the same flip the q95 acceptance stage documents; the ledger row per source is what a data-mixture card records next to q94's uniform-target weights.") {
+      (s, d) =>
+        temperatureMixture(Tables.documents(s, d), budget = 200)
     },
 
     Q("q74_kmv_distinct",

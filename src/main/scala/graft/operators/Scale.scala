@@ -160,6 +160,25 @@ object Scale {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Self-join-size estimator (q123): exact Σ c_k² next to a 16×-scaled
+    * estimate from the 1/16 of keys whose md5 starts with '0'. Key-uniform
+    * sampling keeps each key's c² whole — the skew-robust estimator shape.
+    * One map-side-combined groupBy(key); both sums ride the same pass. */
+  def joinSizeEstimate(fact: DataFrame, key: String): DataFrame = {
+    val c = fact.groupBy(col(key).as("key")).agg(count(lit(1)).as("cnt"))
+    c.select(col("cnt"),
+        (substring(md5(col("key").cast("string")), 1, 1) === "0").as("sampled"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_keys"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).cast("bigint").as("n_sampled"),
+        sum(col("cnt") * col("cnt")).cast("bigint").as("exact_pairs"),
+        (sum(when(col("sampled"), col("cnt") * col("cnt")).otherwise(0L)) * lit(16L))
+          .cast("bigint").as("est_pairs"))
+      .select(col("n_keys"), col("n_sampled"), col("exact_pairs"), col("est_pairs"),
+        ((col("est_pairs").cast("double") - col("exact_pairs").cast("double"))
+          / col("exact_pairs").cast("double")).as("rel_err"))
+  }
+
   /** The semantic contract of the skew technique, oracle-verified: a
     * salted join must produce EXACTLY the rows of the plain join it
     * replaces. (The bucketed-join twin is covered by ScaleSpec's plan
@@ -232,6 +251,28 @@ object Scale {
             (col("max_cnt").cast("double") * col("n_keys").cast("double")
               / col("n_rows").cast("double")).as("skew_ratio"))
           .orderBy(col("rank"))
+    },
+
+    Q("q123_join_size_estimate",
+      """WITH c AS (
+        |  SELECT l_partkey AS key, count(*) AS cnt FROM lineitem GROUP BY l_partkey),
+        |f AS (
+        |  SELECT cnt, substr(md5(CAST(key AS VARCHAR)), 1, 1) = '0' AS sampled
+        |  FROM c),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(count(*) FILTER (WHERE sampled) AS BIGINT) AS n_sampled,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS exact_pairs,
+        |    CAST(16 * sum(CASE WHEN sampled THEN cnt * cnt ELSE 0 END) AS BIGINT)
+        |      AS est_pairs
+        |  FROM f)
+        |SELECT n_keys, n_sampled, exact_pairs, est_pairs,
+        |  (CAST(est_pairs AS DOUBLE) - CAST(exact_pairs AS DOUBLE))
+        |    / CAST(exact_pairs AS DOUBLE) AS rel_err
+        |FROM a""".stripMargin,
+      "Join-size estimation by deterministic key sampling — the pre-flight CARDINALITY probe a planner runs before committing to a 100 TB self-join (the partkey self-join size Σ c_k² is simultaneously the skew diagnostic q92 reads as a ratio): sample 1/16 of the DISTINCT keys by an md5 prefix predicate (first hex char = '0' — exactly 16/256, the q61 bucket arithmetic), scale the sampled Σ c_k² back up by 16, and report it next to the exact value with the relative error. Key-uniform (not row-uniform) sampling is the published estimator for join sizes under skew (end-biased/correlated sampling literature): a hot key is either fully in or fully out, so its c² contributes exactly, never clipped by a row-level Bernoulli. Everything is one map-side-combined groupBy(partkey) — the same single shuffle the exact count needs; in production the sampled branch REPLACES the exact one and the md5 predicate pushes below the aggregate, so the probe touches 1/16 of the key space and the estimate costs a 16th of the diagnostic it replaces. Determinism: the sample is a pure function of the key (identical md5 text both engines), all sums are exact integers, and rel_err is one IEEE division of integer-derived doubles.") {
+      (s, d) =>
+        joinSizeEstimate(Tables.lineitem(s, d), "l_partkey")
     },
 
     Q("q67_topk_per_key",

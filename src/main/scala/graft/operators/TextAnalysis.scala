@@ -107,6 +107,67 @@ object TextAnalysis {
           - (col("slnq") * lit(1e-6d)) / col("n_tokens")).as("avg_nll"))
   }
 
+  /** BPE merge-candidate table (q125): adjacent char-pair counts weighted
+    * by word frequency, computed on the collapsed (word, count) vocabulary
+    * — pair enumeration cost ∝ |vocab|, never corpus tokens. */
+  def bpeMergeTop(docs: DataFrame, k: Int): DataFrame = {
+    val wc = docs
+      .select(explode(wsTokens(lower(col("text")))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pc = wc
+      .select(explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2))))
+        .as("pair"), col("c"))
+      .groupBy(col("pair")).agg(sum(col("c")).cast("bigint").as("n_occurrences"))
+    val w = Window.orderBy(col("n_occurrences").desc, col("pair"))
+    pc.orderBy(col("n_occurrences").desc, col("pair")).limit(k)
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .select(col("pair"), col("n_occurrences"), col("rn"))
+      .orderBy(col("rn"))
+  }
+
+  /** Winnowing window minima (q126 core): one row per complete 4-shingle
+    * window — (doc_id, pos, wmin) where wmin is the min 60-bit md5-derived
+    * hash of the word-3-gram shingles in the window. All three window
+    * functions share one (doc_id, pos) sort, so the whole stream is a
+    * single sort-shuffle of 8-byte hashes. */
+  def winnowedMins(docs: DataFrame): DataFrame = {
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs
+      .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "w")))
+    val sh = toks
+      .withColumn("w1", lead(col("w"), 1).over(wp))
+      .withColumn("w2", lead(col("w"), 2).over(wp))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(concat_ws(" ", col("w"), col("w1"), col("w2"))), 1, 15),
+          16, 10).cast("long").as("h"))
+    sh.withColumn("wmin", min(col("h")).over(wp.rowsBetween(0, 3)))
+      .withColumn("tail3", lead(col("h"), 3).over(wp))
+  }
+
+  /** Per-doc winnowing fingerprint SET — the thing a fingerprint index
+    * stores; the spec's overlap-guarantee check reads these values. */
+  def winnowingFingerprints(docs: DataFrame): DataFrame =
+    winnowedMins(docs).filter(col("tail3").isNotNull)
+      .select(col("doc_id"), col("wmin").as("fp")).distinct()
+
+  /** q126's report: per-doc shingle/window/fingerprint counts + density. */
+  def winnowingStats(docs: DataFrame): DataFrame =
+    winnowedMins(docs).groupBy(col("doc_id"))
+      .agg(count(col("h")).cast("bigint").as("n_shingles"),
+        sum(when(col("tail3").isNotNull, 1L).otherwise(0L)).cast("bigint")
+          .as("n_windows"),
+        countDistinct(when(col("tail3").isNotNull, col("wmin")))
+          .cast("bigint").as("n_fingerprints"))
+      .filter(col("n_windows") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("n_windows"),
+        col("n_fingerprints"),
+        (col("n_fingerprints").cast("double") / col("n_windows").cast("double"))
+          .as("density"))
+
   val queries: Seq[Q] = Seq(
 
     Q("q28_token_stats",
@@ -676,6 +737,55 @@ object TextAnalysis {
             (col("re_tokens").cast("double") / col("ws_tokens")).as("fertility"),
             (col("total_chars").cast("double") / col("re_tokens")).as("chars_per_token"))
           .orderBy(col("source"))
+    },
+
+    Q("q125_bpe_merge_step",
+      """WITH wc AS (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |    FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |pairs AS (
+        |  SELECT unnest([substr(w, i, 2)
+        |                 for i in generate_series(1, length(w) - 1)]) AS pair, c
+        |  FROM wc),
+        |pc AS (
+        |  SELECT pair, CAST(sum(c) AS BIGINT) AS n_occurrences
+        |  FROM pairs GROUP BY pair)
+        |SELECT pair, n_occurrences, CAST(rn AS INT) AS rn FROM (
+        |  SELECT pair, n_occurrences,
+        |    row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rn
+        |  FROM pc) t
+        |WHERE rn <= 20 ORDER BY rn""".stripMargin,
+      "One BPE merge iteration at corpus scale — the top-20 adjacent character pairs by weighted frequency, i.e. exactly the candidate table from which byte-pair-encoding training (Sennrich et al. 2016) greedily picks its next merge. The scale trick is the one real BPE trainers use: collapse the corpus to a (word, count) VOCABULARY first (map-side-combined groupBy — word types, not tokens, cross the shuffle), then enumerate each DISTINCT word's pairs once weighted by its count — pair-counting cost proportional to |vocab| x avg word length, independent of corpus size, so the 100 TB corpus costs one token-counting pass and everything after runs on a vocabulary that fits one executor. Iterating the loop (merge top pair, re-split, recount) is driver-side orchestration of this same query shape. Determinism: counts are exact integers end-to-end; the top-20 is total-ordered by (count DESC, pair ASC). The word-pass tokenizer is the family's lowered whitespace split (q111's DSIR pass), so the vocabulary this reads is the one the LM-scoring family already budgets against.") {
+      (s, d) =>
+        bpeMergeTop(Tables.documents(s, d), 20)
+    },
+
+    Q("q126_winnowing_fingerprints",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, [array_to_string(toks[i:i+2], ' ')
+        |                  for i in generate_series(1, len(toks) - 2)] AS s
+        |  FROM t WHERE len(toks) >= 3),
+        |h AS (
+        |  SELECT doc_id, [CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+        |                  for x in s] AS hs
+        |  FROM sh),
+        |wm AS (
+        |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles,
+        |    [list_min(hs[i:i+3]) for i in generate_series(1, len(hs) - 3)] AS mins
+        |  FROM h)
+        |SELECT doc_id, n_shingles, CAST(len(mins) AS BIGINT) AS n_windows,
+        |  CAST(len(list_distinct(mins)) AS BIGINT) AS n_fingerprints,
+        |  CAST(len(list_distinct(mins)) AS DOUBLE) / CAST(len(mins) AS DOUBLE)
+        |    AS density
+        |FROM wm WHERE len(mins) > 0 ORDER BY doc_id""".stripMargin,
+      "MOSS winnowing (Schleimer/Wilkerson/Aiken 2003) — the fingerprint-SELECTION algorithm the plagiarism/overlap-detection literature layers on top of rolling hashes: hash every word-3-gram, slide a window of 4 consecutive shingle hashes, keep each window's MINIMUM, and the distinct kept values are the document's fingerprints. The guarantee (any shared run of >= 6 tokens produces at least one shared fingerprint) with an expected density of 2/(w+1) is what makes it the principled downsampling of q31's full rolling-hash stream — this query reports per-doc fingerprint counts and realized density, the storage-budget row for a fingerprint index. Plan shape: posexplode tokens once, then lead() to assemble shingles, md5-derived 60-bit hashes (codegen'd AFTER the explode — one hash per shingle ROW, not an interpreted per-element lambda), min() over a 4-row following frame, and a count-distinct — ALL windows share one (doc_id, pos) partitioning, so the whole query is a single sort-shuffle of 8-byte hashes; at 100 TB each doc's stream lives in one partition and never leaves it. Cross-engine hash parity is the q35 playbook: 15 lowercase hex chars of md5 of the identical shingle text, parsed as the identical 60-bit integer (conv here, 0x-cast in the twin), so window minima — VALUES, not just counts — agree bit-exactly.") {
+      (s, d) =>
+        winnowingStats(Tables.documents(s, d)).orderBy(col("doc_id"))
     },
   )
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Specs for the round-8 corpus-tooling family: key-sampled join-size
+  * estimation (q123), temperature mixture sampling (q124), the BPE
+  * merge-candidate step (q125), and MOSS winnowing fingerprints (q126).
+  */
+class CorpusToolingSpec extends SparkSpec {
+
+  // ---- q123 join-size estimate -------------------------------------------
+
+  test("join-size estimate: exact term is Σ c², estimate reconstructs from the md5 sample") {
+    import spark.implicits._
+    val fact = Seq.tabulate(300)(i => (i % 40).toLong).toDF("k")
+    val row = Scale.joinSizeEstimate(fact, "k").collect().head
+    val (nKeys, nSampled, exact, est) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(nKeys == 40)
+    // independent recomputation of both sums from the raw counts
+    val counts = fact.groupBy($"k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact == counts.values.map(c => c * c).sum)
+    val sampledKeys = spark.createDataset(counts.keys.toSeq)
+      .select(col("value").as("k"),
+        (substring(md5(col("value").cast("string")), 1, 1) === "0").as("s"))
+      .collect().filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    assert(nSampled == sampledKeys.size)
+    assert(est == 16L * sampledKeys.toSeq.map(k => counts(k) * counts(k)).sum)
+    assert(est % 16 == 0)
+  }
+
+  test("join-size estimate: rel_err is the exact ratio of the integer fields") {
+    val row = Scale.joinSizeEstimate(Tables.lineitem(spark, sf0001), "l_partkey")
+      .collect().head
+    val (exact, est, relErr) = (row.getLong(2), row.getLong(3), row.getDouble(4))
+    assert(relErr == (est.toDouble - exact.toDouble) / exact.toDouble)
+    assert(exact > 0 && est >= 0)
+  }
+
+  // ---- q124 temperature mixture ------------------------------------------
+
+  test("temperature mixture: sqrt weights flatten a skewed corpus, draws are capped by targets") {
+    import spark.implicits._
+    def doc(id: Long, src: String) = (id, src, "w " * 10 + "end")
+    val docs = ((1L to 16L).map(doc(_, "big")) ++
+      (17L to 20L).map(doc(_, "mid")) ++ Seq(doc(21L, "tiny")))
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.temperatureMixture(docs, budget = 7)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // weights: sqrt(16)=4e6, sqrt(4)=2e6, sqrt(1)=1e6; budget 7 over 7e6
+    assert(got("big") == ((16L, 4000000L, 4L, 4L)))
+    assert(got("mid") == ((4L, 2000000L, 2L, 2L)))
+    assert(got("tiny") == ((1L, 1000000L, 1L, 1L)))
+    // the flattening property: big's sampled share (4/7) is below its raw
+    // share (16/21); tiny's (1/7) is above (1/21)
+    assert(4.0 / 7 < 16.0 / 21 && 1.0 / 7 > 1.0 / 21)
+  }
+
+  test("temperature mixture: budget is respected and membership is deterministic") {
+    val a = Sampling.temperatureMixture(Tables.documents(spark, sf0001), 50).collect()
+    val b = Sampling.temperatureMixture(Tables.documents(spark, sf0001), 50).collect()
+    assert(a.toSeq == b.toSeq, "hash-ranked draw must be run-independent")
+    assert(a.map(_.getLong(3)).sum <= 50, "floor allocation never exceeds the budget")
+    assert(a.forall(r => r.getLong(4) <= r.getLong(3)), "draws capped by target")
+    assert(a.forall(r => r.getLong(4) == math.min(r.getLong(3), r.getLong(1))),
+      "each source draws min(target, n_docs)")
+  }
+
+  // ---- q125 BPE merge step ------------------------------------------------
+
+  test("bpe merge step: pair counts weight by word frequency, ties order by pair") {
+    import spark.implicits._
+    val docs = Seq((1L, "s", "abab ab"), (2L, "s", "ab zz zz")).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.bpeMergeTop(docs, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // vocabulary: abab×1 → ab,ba,ab ; ab×2 → ab ; zz×2 → zz
+    // totals: ab=4, zz=2, ba=1
+    assert(got.toSeq == Seq(("ab", 4L, 1), ("zz", 2L, 2), ("ba", 1L, 3)))
+  }
+
+  test("bpe merge step: single-char words contribute nothing; k bounds output") {
+    import spark.implicits._
+    val docs = Seq((1L, "s", "a b c ab")).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.bpeMergeTop(docs, 10).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("ab"))
+    val top5 = TextAnalysis.bpeMergeTop(Tables.documents(spark, sf0001), 5).collect()
+    assert(top5.length == 5)
+    assert(top5.map(_.getInt(2)).toSeq == Seq(1, 2, 3, 4, 5))
+    val c = top5.map(_.getLong(1))
+    assert(c.zip(c.tail).forall { case (x, y) => x >= y }, "not descending")
+  }
+
+  // ---- q126 winnowing ------------------------------------------------------
+
+  test("winnowing guarantee: docs sharing a >= 6-token run share a fingerprint") {
+    import spark.implicits._
+    // w=4 windows over k=3 shingles detect any common substring of
+    // >= w+k-1 = 6 tokens (Schleimer et al. 2003, the winnowing theorem)
+    val docs = Seq(
+      (1L, "s", "p q r common run of six tokens t u"),
+      (2L, "s", "x y z common run of six tokens m n o")).toDF("doc_id", "source", "text")
+    val fps = TextAnalysis.winnowingFingerprints(docs).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    assert(fps(1L).intersect(fps(2L)).nonEmpty,
+      "shared 6-token run must surface at least one shared fingerprint")
+  }
+
+  test("winnowing stats: window accounting and density bounds on the real corpus") {
+    val rows = TextAnalysis.winnowingStats(Tables.documents(spark, sf0001)).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nSh, nWin, nFp, density) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nWin == nSh - 3, s"doc ${r.getLong(0)}: windows must be shingles-3")
+      assert(nFp >= 1 && nFp <= nWin)
+      assert(density > 0.0 && density <= 1.0)
+      assert(density == nFp.toDouble / nWin.toDouble)
+    }
+    // realized corpus-wide density sits near the theoretical 2/(w+1) = 0.4
+    val overall = rows.map(_.getLong(3)).sum.toDouble / rows.map(_.getLong(2)).sum
+    assert(overall > 0.2 && overall < 0.8, s"corpus density $overall off the expected band")
+  }
+
+  test("winnowing fingerprints are a subset of the doc's shingle hashes") {
+    import spark.implicits._
+    val docs = Seq((1L, "s", "one two three four five six seven eight nine"))
+      .toDF("doc_id", "source", "text")
+    val mins = TextAnalysis.winnowedMins(docs).collect()
+    val hashes = mins.map(r => r.getAs[Long]("h")).toSet
+    val fps = TextAnalysis.winnowingFingerprints(docs).collect().map(_.getLong(1)).toSet
+    assert(fps.subsetOf(hashes))
+    assert(fps.nonEmpty)
+  }
+}
