@@ -30,12 +30,20 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark) // SQL fns + levenshtein banded rewrite
     new java.io.File(outDir).mkdirs()
+    // Per-query failures are caught so one bad query cannot sink the whole
+    // dump — but a caught failure must stay VISIBLE: the driver enumerates
+    // the outputs that exist, so a swallowed error surfaces as the query's
+    // silent ABSENCE from the correctness artifact (exactly how the round-7
+    // TIMESTAMP_NTZ regression hid four queries). Record every failure in
+    // verify_errors.json next to the dump and end with a loud summary.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures(name) = String.valueOf(e.getMessage)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -55,6 +63,11 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size} QUERIES FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }

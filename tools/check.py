@@ -88,6 +88,16 @@ def main():
             print(f"{status} {name} (rows-only: {n})")
             if n > 0: n_pass += 1
             else: n_fail += 1
+    # failures Verify itself recorded (analysis/runtime errors): these have
+    # no output dir, so without this they'd only show up as "no spark
+    # output" when the query has an oracle entry — surface them explicitly
+    err_path = os.path.join(out_dir, "verify_errors.json")
+    if os.path.exists(err_path):
+        for name, msg in sorted(json.load(open(err_path)).items()):
+            if name in oracle:
+                continue  # already FAILed above as "no spark output"
+            print(f"FAIL {name} (verify error: {msg.splitlines()[0][:200]})")
+            n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
