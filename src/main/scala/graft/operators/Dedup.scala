@@ -326,6 +326,41 @@ object Dedup {
           .as("survivor"))
   }
 
+  /** Quality×duplication lift (q127): for each q105 gate reason, the
+    * near-dup membership rate (any simhash hamming ≤ `maxHamming` pair)
+    * among flagged vs clean docs, with the lift ratio. Flags come from
+    * [[TextAnalysis.gateFlags]] — the SAME definition q105 reports — so
+    * the cross-signal monitor cannot drift from the gate it explains. */
+  def qualityDupLift(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val pairs = simhashNearDupPairs(docs, maxHamming).select(col("d1"), col("d2"))
+    val members = pairs.select(col("d1").as("doc_id"))
+      .union(pairs.select(col("d2").as("doc_id"))).distinct()
+    val flagged = TextAnalysis.gateFlags(docs)
+      .join(members.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+    val reasons = Seq("f_short" -> "short", "f_low_ttr" -> "low_ttr",
+      "f_bad_len" -> "bad_len", "f_dup" -> "dup_3gram")
+    val unp = flagged.select(col("is_dup"),
+        explode(array(reasons.map { case (c, n) =>
+          struct(lit(n).as("reason"), col(c).as("flag")) }: _*)).as("r"))
+      .select(col("r.reason").as("reason"), col("r.flag").as("flag"), col("is_dup"))
+    val a = unp.groupBy(col("reason")).agg(
+      sum(when(col("flag"), 1L).otherwise(0L)).cast("bigint").as("n_flagged"),
+      sum(when(col("flag") && col("is_dup"), 1L).otherwise(0L)).cast("bigint")
+        .as("dup_flagged"),
+      sum(when(!col("flag"), 1L).otherwise(0L)).cast("bigint").as("n_clean"),
+      sum(when(!col("flag") && col("is_dup"), 1L).otherwise(0L)).cast("bigint")
+        .as("dup_clean"))
+    val rateF = col("dup_flagged").cast("double") / col("n_flagged").cast("double")
+    val rateC = col("dup_clean").cast("double") / col("n_clean").cast("double")
+    a.select(col("reason"), col("n_flagged"), col("dup_flagged"),
+        col("n_clean"), col("dup_clean"),
+        when(col("n_flagged") > 0, rateF).as("rate_flagged"),
+        when(col("n_clean") > 0, rateC).as("rate_clean"),
+        when(col("n_flagged") > 0 && col("dup_clean") > 0, rateF / rateC).as("lift"))
+      .orderBy(col("reason"))
+  }
+
   // ------------------------------------------------------------------
   // Hot-bucket cap: the superlinearity guard for the banded LSH family.
   //
@@ -1085,6 +1120,62 @@ object Dedup {
       (s, d) =>
         nearDupSurvivors(Tables.documents(s, d), maxHamming = 8)
           .orderBy(col("component"))
+    },
+
+    Q("q127_quality_dup_lift",
+      SimhashBandCte + """,
+        |pairs AS (
+        |  SELECT c.d1, c.d2 FROM cand c
+        |  JOIN nibs n1 ON n1.doc_id = c.d1
+        |  JOIN nibs n2 ON n2.doc_id = c.d2 AND n2.p = n1.p
+        |  GROUP BY c.d1, c.d2 HAVING sum(bit_count(xor(n1.nv, n2.nv))) <= 8),
+        |members AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT d1 AS doc_id FROM pairs UNION ALL SELECT d2 FROM pairs)),
+        |flags AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) < 20 AS f_short,
+        |    CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')) < CAST(0.32 AS DOUBLE) AS f_low_ttr,
+        |    (CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |       / len(string_split_regex(trim(text), '\s+')) < CAST(4.0 AS DOUBLE)
+        |     OR CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |       / len(string_split_regex(trim(text), '\s+')) > CAST(5.0 AS DOUBLE)) AS f_bad_len,
+        |    (len(sh) > 0 AND len(sh) > len(list_distinct(sh))) AS f_dup
+        |  FROM (SELECT doc_id, text,
+        |          [array_to_string(toks[i:i+2], ' ')
+        |           for i in generate_series(1, len(toks)-2)] AS sh
+        |        FROM (SELECT doc_id, text,
+        |                string_split_regex(
+        |                  regexp_replace(text, '^\s+|\s+$', '', 'g'),
+        |                  '\s+') AS toks FROM documents))),
+        |j AS (
+        |  SELECT f.*, m.doc_id IS NOT NULL AS is_dup
+        |  FROM flags f LEFT JOIN members m USING (doc_id)),
+        |u AS (
+        |  SELECT 'short' AS reason, f_short AS flag, is_dup FROM j
+        |  UNION ALL SELECT 'low_ttr', f_low_ttr, is_dup FROM j
+        |  UNION ALL SELECT 'bad_len', f_bad_len, is_dup FROM j
+        |  UNION ALL SELECT 'dup_3gram', f_dup, is_dup FROM j),
+        |a AS (
+        |  SELECT reason,
+        |    CAST(count(*) FILTER (WHERE flag) AS BIGINT) AS n_flagged,
+        |    CAST(count(*) FILTER (WHERE flag AND is_dup) AS BIGINT) AS dup_flagged,
+        |    CAST(count(*) FILTER (WHERE NOT flag) AS BIGINT) AS n_clean,
+        |    CAST(count(*) FILTER (WHERE NOT flag AND is_dup) AS BIGINT) AS dup_clean
+        |  FROM u GROUP BY reason)
+        |SELECT reason, n_flagged, dup_flagged, n_clean, dup_clean,
+        |  CASE WHEN n_flagged > 0
+        |    THEN CAST(dup_flagged AS DOUBLE) / CAST(n_flagged AS DOUBLE) END AS rate_flagged,
+        |  CASE WHEN n_clean > 0
+        |    THEN CAST(dup_clean AS DOUBLE) / CAST(n_clean AS DOUBLE) END AS rate_clean,
+        |  CASE WHEN n_flagged > 0 AND dup_clean > 0
+        |    THEN (CAST(dup_flagged AS DOUBLE) / CAST(n_flagged AS DOUBLE))
+        |       / (CAST(dup_clean AS DOUBLE) / CAST(n_clean AS DOUBLE)) END AS lift
+        |FROM a ORDER BY reason""".stripMargin,
+      "Quality × duplication cross-signal monitor — the curation question behind the 'duplicates are disproportionately low-quality' folklore, MEASURED: for each q105 gate reason, the near-dup membership rate (any simhash hamming ≤ 8 pair, the q76 candidate machinery) among flagged docs vs clean docs, with the lift ratio. This is the table that decides pipeline ORDER at 100 TB — if flagged docs carry most of the duplication (lift ≫ 1), running the cheap quality gate BEFORE near-dup dedup shrinks the expensive banded join's input; if lift ≈ 1 the two passes are independent and commute. Flags reuse TextAnalysis.gateFlags (the exact q105 definition — one source of truth) and pair generation reuses the q76 band join; the per-doc membership flag is a left join against the DISTINCT pair-member set (|members| ≤ 2·|pairs|, tiny). Determinism: all counts exact integers; rates and lift are the identical IEEE division shapes on both engines, null-guarded where a denominator can be zero. Scale: the band join is the dominant cost and is exactly q76's (hot-bucket-cappable via simhashNearDupPairsCapped); everything after runs on |docs| flag rows + a broadcast-size member set, and the unpivot-aggregate is one |reasons|-key map-side-combined shuffle.") {
+      (s, d) =>
+        qualityDupLift(Tables.documents(s, d), maxHamming = 8)
     },
   )
 }

@@ -373,6 +373,27 @@ object Similarity {
        |ORDER BY query_id, rn""".stripMargin
   }
 
+  /** ANN recall@k against the exact baseline (q128): per query, the
+    * fraction of the brute-force cosine top-k the banded-LSH index
+    * retrieves — the index-quality eval a production ANN deployment
+    * monitors (SimilaritySpec asserts a floor; this registers the
+    * measurement itself as an oracle-checked query). */
+  def annRecall(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val exact = bruteForceTopK(embeddings, queryIds, k)
+      .select(col("query_id"), col("vec_id"))
+    val ann = annTopK(embeddings, queryIds, k, portablePlanes = true)
+      .select(col("query_id"), col("vec_id"))
+    val hits = ann.join(exact, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).cast("bigint").as("n_hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), lit(k.toLong).as("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** DuckDB twin of semanticDedup(threshold = 0.3, portableMeans = true):
     * the shared k-means `lists` CTEs, then the same in-cluster pair
     * predicate (round-6 cosine in the join condition) and greedy
@@ -481,6 +502,58 @@ object Similarity {
       (s, d) =>
         annTopK(Tables.embeddings(s, d), QueryIds, 10, portablePlanes = true)
           .orderBy(col("query_id"), col("rn"))
+    },
+
+    Q("q128_ann_recall",
+      s"""WITH sig AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN proj > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM (
+         |    SELECT vec_id, p.p AS p,
+         |      list_sum(list_transform(range(len(embedding)), j ->
+         |        CAST(embedding[j + 1] AS DOUBLE) *
+         |        (CASE WHEN CAST('0x' || substring(md5(p.p || '|' || j), 1, 1) AS INTEGER) % 2 = 0
+         |              THEN 1.0 ELSE -1.0 END))) AS proj
+         |    FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS p) p) t
+         |  GROUP BY vec_id),
+         |banded AS (
+         |  SELECT vec_id, b.b AS band, (sig >> (b.b * 2)) & 3 AS bits
+         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) b),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, e.vec_id
+         |  FROM banded e JOIN banded q
+         |    ON e.band = q.band AND e.bits = q.bits
+         |   AND q.vec_id IN (0, 100, 200) AND e.vec_id <> q.vec_id),
+         |ann AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT c.query_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY ${cosineSql("e.embedding", "q.embedding")} DESC, c.vec_id) AS rn
+         |    FROM cand c
+         |    JOIN embeddings e ON e.vec_id = c.vec_id
+         |    JOIN embeddings q ON q.vec_id = c.query_id) t
+         |  WHERE rn <= 10),
+         |exact AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosineSql("e.embedding", "q.embedding")} DESC, e.vec_id) AS rn
+         |    FROM embeddings e
+         |    JOIN embeddings q ON q.vec_id IN (0, 100, 200) AND e.vec_id <> q.vec_id) t
+         |  WHERE rn <= 10),
+         |hits AS (
+         |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM ann a JOIN exact x ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+         |  GROUP BY a.query_id)
+         |SELECT e.query_id, CAST(10 AS BIGINT) AS k,
+         |  coalesce(h.n_hits, 0) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall
+         |FROM (SELECT DISTINCT query_id FROM exact) e
+         |LEFT JOIN hits h ON e.query_id = h.query_id
+         |ORDER BY e.query_id""".stripMargin,
+      "ANN recall@10 — the index-quality EVAL registered as a first-class query (the number an ANN deployment monitors before trusting its index): per query, |LSH top-10 ∩ exact top-10| / 10, from the SAME bruteForceTopK and annTopK(portablePlanes) definitions q36/q39 register, so the eval can never drift from the methods it evaluates. SimilaritySpec's recall floor becomes a measured, oracle-checked artifact. Determinism: both top-k sets are total-ordered (rounded cosine DESC, vec_id) in identical formulations, the hit count is an exact integer join-count, and recall is one IEEE division by the literal k. Scale: cost is one brute-force pass (|corpus|×|queries| broadcast dots — the eval is run on a SAMPLE of queries by construction) plus the banded index probe; at 100 TB the exact side is the expensive leg and is exactly what you'd budget a recall eval's query sample against.") {
+      (s, d) =>
+        annRecall(Tables.embeddings(s, d), QueryIds, 10)
     },
 
     Q("q49_ann_ivf_topk", q49OracleSql,

@@ -108,6 +108,26 @@ object TextAnalysis {
           - (col("slnq") * lit(1e-6d)) / col("n_tokens")).as("avg_nll"))
   }
 
+  /** The q105 quality-gate flags, per document — ONE definition shared by
+    * the per-source gate report (q105) and the quality×duplication lift
+    * monitor (q127), so the cross-signal analysis can never drift from
+    * the gate it explains. Returns (doc_id, source, f_short, f_low_ttr,
+    * f_bad_len, f_dup). */
+  def gateFlags(docs: DataFrame): DataFrame = {
+    val ws = wsTokens(col("text"))
+    val wsl = wsTokens(lower(col("text")))
+    val nTok = size(ws)
+    val mtl = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok
+    val nShingles = size(split(regexp_replace(col("text"), "^\\s+|\\s+$", ""), "\\s+")) - 2
+    docs.select(col("doc_id"), col("source"),
+      (nTok < 20).as("f_short"),
+      (size(array_distinct(wsl)).cast("double") / nTok < 0.32d).as("f_low_ttr"),
+      (mtl < 4.0d || mtl > 5.0d).as("f_bad_len"),
+      (nShingles > 0 &&
+        nShingles > size(graft.expressions.ShingleHash64(col("text"), 3)))
+        .as("f_dup"))
+  }
+
   /** BPE merge-candidate table (q125): adjacent char-pair counts weighted
     * by word frequency, computed on the collapsed (word, count) vocabulary
     * — pair enumeration cost ∝ |vocab|, never corpus tokens. */
@@ -589,18 +609,7 @@ object TextAnalysis {
         |FROM g GROUP BY source ORDER BY source""".stripMargin,
       "The pipeline's actual FILTER STAGE: a composite document quality gate combining four of the engine's signals — too-short (whitespace tokens < 20), low type-token ratio (< 0.32), mean token length outside [4.0, 5.0], and any duplicated word-3-gram (the q100 structural cut via the compiled ShingleHash64 expression) — reported as a per-source keep-rate with per-reason counts, the dashboard row a corpus curator reads before launching a training run. Every signal reuses the family's single tokenizer definition, so gate semantics cannot drift from the diagnostics (q28/q29/q79/q100) that explain them. All four thresholds are exercised at sf0.01 (43/49/13/27 of 500 docs trip respectively). Determinism: flags compare exact small-integer divisions against double-cast literals (the q79 convention — bare decimal literals parse as DECIMAL in DuckDB); counts are integers; keep_rate is one exact IEEE division. Scale: a pure per-document projection (zero body shuffles — the ShingleHash64 loop is compiled per row) into one map-side-combined aggregation at |source| rows; at 100 TB the gate is the same single scan the q102 sharder would fuse with.") {
       (s, d) =>
-        val ws = wsTokens(col("text"))
-        val wsl = wsTokens(lower(col("text")))
-        val nTok = size(ws)
-        val mtl = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok
-        val nShingles = size(split(regexp_replace(col("text"), "^\\s+|\\s+$", ""), "\\s+")) - 2
-        val flags = Tables.documents(s, d).select(col("source"),
-          (nTok < 20).as("f_short"),
-          (size(array_distinct(wsl)).cast("double") / nTok < 0.32d).as("f_low_ttr"),
-          (mtl < 4.0d || mtl > 5.0d).as("f_bad_len"),
-          (nShingles > 0 &&
-            nShingles > size(graft.expressions.ShingleHash64(col("text"), 3)))
-            .as("f_dup"))
+        val flags = gateFlags(Tables.documents(s, d))
         val kept = !(col("f_short") || col("f_low_ttr") || col("f_bad_len") || col("f_dup"))
         flags.groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),

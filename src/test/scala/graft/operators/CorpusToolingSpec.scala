@@ -125,6 +125,64 @@ class CorpusToolingSpec extends SparkSpec {
     assert(overall > 0.2 && overall < 0.8, s"corpus density $overall off the expected band")
   }
 
+  // ---- q127 quality × duplication lift ------------------------------------
+
+  test("quality-dup lift: partitions reconcile and dup mass is reason-invariant") {
+    val rows = Dedup.qualityDupLift(Tables.documents(spark, sf0001), 8).collect()
+    assert(rows.length == 4)
+    val nDocs = Tables.documents(spark, sf0001).count()
+    val dupTotals = rows.map { r =>
+      assert(r.getLong(1) + r.getLong(3) == nDocs,
+        s"${r.getString(0)}: flagged + clean must partition the corpus")
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(4) <= r.getLong(3))
+      r.getLong(2) + r.getLong(4)
+    }
+    assert(dupTotals.distinct.length == 1,
+      "total near-dup membership must not depend on which flag partitions it")
+    for (r <- rows if r.getLong(1) > 0)
+      assert(r.getDouble(5) == r.getLong(2).toDouble / r.getLong(1).toDouble)
+  }
+
+  test("quality-dup lift: flagged-only duplication nulls the clean rate's lift") {
+    import spark.implicits._
+    // the two near-identical docs are also the only SHORT ones (< 20
+    // tokens); every clean doc is unique → dup_clean = 0 → lift null
+    val long = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, "s", "alpha beta gamma delta", 22L),
+      (2L, "s", "alpha beta gamma delta", 22L),
+      (3L, "s", long, 200L),
+      (4L, "s", long.replace("tok1 ", "one "), 200L))
+      .toDF("doc_id", "source", "text", "n_chars")
+    val got = Dedup.qualityDupLift(docs, 8).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val short = got("short")
+    assert(short.getLong(2) == 2, "both short docs are near-dups")
+    assert(short.getLong(4) >= 0)
+    if (short.getLong(4) == 0) assert(short.isNullAt(7), "lift null when clean side has no dups")
+  }
+
+  // ---- q128 ANN recall ----------------------------------------------------
+
+  test("ann recall: bounded, and reconstructs from the two top-k sets") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val ids = Seq(0L, 100L, 200L)
+    val got = Similarity.annRecall(emb, ids, 10).collect()
+    assert(got.map(_.getLong(0)).toSeq == ids.sorted)
+    for (r <- got) {
+      assert(r.getLong(1) == 10L)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 10)
+      assert(r.getDouble(3) == r.getLong(2).toDouble / 10.0)
+    }
+    // independent reconstruction from the same public helpers
+    val exact = Similarity.bruteForceTopK(emb, ids, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb, ids, 10, portablePlanes = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = ids.map(q => q -> (exact.filter(_._1 == q) & ann.filter(_._1 == q)).size).toMap
+    assert(got.forall(r => r.getLong(2) == want(r.getLong(0)).toLong))
+  }
+
   test("winnowing fingerprints are a subset of the doc's shingle hashes") {
     import spark.implicits._
     val docs = Seq((1L, "s", "one two three four five six seven eight nine"))
