@@ -1122,6 +1122,27 @@ object Dedup {
           .orderBy(col("component"))
     },
 
+    Q("q129_template_prefixes",
+      """SELECT substr(text, 1, 80) AS prefix,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  min(doc_id) AS min_doc_id
+        |FROM documents
+        |GROUP BY prefix HAVING count(*) >= 2
+        |ORDER BY prefix""".stripMargin,
+      "Template-prefix detection — the scraped-page pattern the span-level tools miss by construction: documents that OPEN identically (navigation chrome, headers, license preambles — the first 80 code points) grouped into template families, with the distinct-full-text count alongside so head-duplication separates from full duplication (n_distinct_texts = n_docs → shared header on otherwise-different pages, the q106 boilerplate case at document HEAD; n_distinct_texts < n_docs → the group also carries exact dups and belongs to q32). Emitting the PREFIX itself (the q106 artifact principle — a reviewable string, not a hash) is the point. Scale: one map-side-combined groupBy on the 80-char prefix (bounded key, pruned scan reads text/source/doc_id once); the distinct-text count inside each group shuffles md5 fingerprints, never text, and group sizes are template-family-bounded. The >= 2 cut drops the unique-prefix long tail before anything is returned — 19/22/216 groups survive at sf0.001/0.01/0.1, so the path is exercised everywhere. All counts exact integers; total order by prefix.") {
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(substring(col("text"), 1, 80).as("prefix"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            countDistinct(md5(col("text"))).cast("bigint").as("n_distinct_texts"),
+            countDistinct(col("source")).cast("bigint").as("n_sources"),
+            min(col("doc_id")).as("min_doc_id"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(col("prefix"))
+    },
+
     Q("q127_quality_dup_lift",
       SimhashBandCte + """,
         |pairs AS (

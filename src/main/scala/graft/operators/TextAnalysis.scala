@@ -108,6 +108,40 @@ object TextAnalysis {
           - (col("slnq") * lit(1e-6d)) / col("n_tokens")).as("avg_nll"))
   }
 
+  /** Per-doc conditional bigram LM score (q130): avg over adjacent word
+    * pairs of ln c(w1) − ln c(w1 w2) under corpus counts — q103's
+    * unigram playbook one order up. Both ln terms quantize to integer
+    * micro-nats per VOCAB ENTRY, so every distributed sum is exact.
+    * Bigram/unigram instances come from the compiled ShingleHash64.all
+    * passes zipped IN-ROW by position (no instance join); the oracle
+    * recomputes on strings — count parity modulo the family-wide 2^-64
+    * hash-collision trade (q96/q100 note). */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val lowered = lower(col("text"))
+    val bg2 = graft.expressions.ShingleHash64.all(lowered, 2)
+    val bg1 = graft.expressions.ShingleHash64.all(lowered, 1)
+    // zip bigram i with its FIRST word's hash (position i of the token
+    // stream) — slice keeps the arrays aligned and drops the final token
+    val inst = docs.select(col("doc_id"), col("source"),
+        explode(arrays_zip(bg2.as("h2"), slice(bg1, lit(1), size(bg2)).as("h1"))).as("z"))
+      .select(col("doc_id"), col("source"),
+        col("z.h2").as("h2"), col("z.h1").as("h1"))
+    val toks = docs.select(explode(bg1).as("h1"))
+    val uniLn = toks.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+      .select(col("h1"),
+        floor(log(col("c1").cast("double")) * lit(1e6d)).cast("bigint").as("lnq1"))
+    val bgLn = inst.groupBy(col("h2")).agg(count(lit(1)).as("c2"))
+      .select(col("h2"),
+        floor(log(col("c2").cast("double")) * lit(1e6d)).cast("bigint").as("lnq2"))
+    inst.join(uniLn, "h1").join(bgLn, "h2")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
+        sum(col("lnq1") - col("lnq2")).as("snlq"))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        ((col("snlq") * lit(1e-6d)) / col("n_bigrams")).as("avg_cond_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The q105 quality-gate flags, per document — ONE definition shared by
     * the per-source gate report (q105) and the quality×duplication lift
     * monitor (q127), so the cross-signal analysis can never drift from
@@ -796,6 +830,39 @@ object TextAnalysis {
       "MOSS winnowing (Schleimer/Wilkerson/Aiken 2003) — the fingerprint-SELECTION algorithm the plagiarism/overlap-detection literature layers on top of rolling hashes: hash every word-3-gram, slide a window of 4 consecutive shingle hashes, keep each window's MINIMUM, and the distinct kept values are the document's fingerprints. The guarantee (any shared run of >= 6 tokens produces at least one shared fingerprint) with an expected density of 2/(w+1) is what makes it the principled downsampling of q31's full rolling-hash stream — this query reports per-doc fingerprint counts and realized density, the storage-budget row for a fingerprint index. Plan shape: posexplode tokens once, then lead() to assemble shingles, md5-derived 60-bit hashes (codegen'd AFTER the explode — one hash per shingle ROW, not an interpreted per-element lambda), min() over a 4-row following frame, and a count-distinct — ALL windows share one (doc_id, pos) partitioning, so the whole query is a single sort-shuffle of 8-byte hashes; at 100 TB each doc's stream lives in one partition and never leaves it. Cross-engine hash parity is the q35 playbook: 15 lowercase hex chars of md5 of the identical shingle text, parsed as the identical 60-bit integer (conv here, 0x-cast in the twin), so window minima — VALUES, not just counts — agree bit-exactly.") {
       (s, d) =>
         winnowingStats(Tables.documents(s, d)).orderBy(col("doc_id"))
+    },
+
+    Q("q130_bigram_lm_score",
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(
+        |      regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t
+        |  FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM toks),
+        |wc AS (
+        |  SELECT w, CAST(floor(ln(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS lnq1
+        |  FROM uni GROUP BY w),
+        |bgi AS (
+        |  SELECT doc_id, source,
+        |    unnest([t[i] || ' ' || t[i+1]
+        |            for i in generate_series(1, len(t) - 1)]) AS bg
+        |  FROM toks WHERE len(t) >= 2),
+        |bc AS (
+        |  SELECT bg, CAST(floor(ln(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS lnq2
+        |  FROM bgi GROUP BY bg),
+        |s AS (
+        |  SELECT i.doc_id, i.source, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(wc.lnq1 - bc.lnq2) AS BIGINT) AS snlq
+        |  FROM bgi i
+        |  JOIN wc ON wc.w = split_part(i.bg, ' ', 1)
+        |  JOIN bc ON bc.bg = i.bg
+        |  GROUP BY i.doc_id, i.source)
+        |SELECT doc_id, source, n_bigrams,
+        |  (snlq * 1e-6) / n_bigrams AS avg_cond_nll
+        |FROM s ORDER BY doc_id""".stripMargin,
+      "Per-document CONDITIONAL bigram LM score — q103's unigram NLL one order up: avg over adjacent word pairs of ln c(w1) − ln c(w1 w2) under corpus counts, i.e. how surprising each next-word is GIVEN its predecessor — the signal that separates 'rare words' (q103 fires) from 'rare transitions' (word salad with common words, which unigram scoring cannot see; this is the direction real CCNet-style filters take toward 5-gram LMs). Determinism is the q103 playbook verbatim: both ln terms quantize to integer micro-nats once per VOCAB ENTRY (never per instance), every distributed sum is exact-integer, and the final division is one IEEE expression per doc; c(w1) >= c(w1 w2) always, so the score is non-negative up to quantization. Scale: bigram and token instances come from the two compiled ShingleHash64.all passes ZIPPED IN-ROW by position (slice keeps alignment; no instance-level join), so the corpus text is scanned once and everything downstream moves 8-byte hashes — (doc,pair) instances join the two vocab ln-tables on their hash keys (the 2^-64 collision trade the whole n-gram family already accepts, policed by this very oracle gate), then one |docs|-key agg. The oracle recomputes on strings with split_part re-deriving w1 from the bigram text.") {
+      (s, d) =>
+        bigramLmScore(Tables.documents(s, d))
     },
   )
 }

@@ -183,6 +183,65 @@ class CorpusToolingSpec extends SparkSpec {
     assert(got.forall(r => r.getLong(2) == want(r.getLong(0)).toLong))
   }
 
+  // ---- q129 template prefixes ---------------------------------------------
+
+  test("template prefixes: head-sharing docs group, singletons drop, full dups counted") {
+    import spark.implicits._
+    val head = "H" * 90 // 90 chars — identical 80-char prefix
+    val docs = Seq(
+      (1L, "a", head + " tail one"),
+      (2L, "b", head + " tail two"),
+      (3L, "a", head + " tail one"), // exact dup of doc 1
+      (4L, "a", "unique document body")).toDF("doc_id", "source", "text")
+    val out = docs.groupBy(substring(col("text"), 1, 80).as("prefix"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("min_doc_id"))
+      .filter(col("n_docs") >= 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 3 && r.getLong(2) == 2 && r.getLong(3) == 2 &&
+      r.getLong(4) == 1L)
+  }
+
+  test("template prefixes: real corpus groups satisfy the count invariants") {
+    val rows = graft.SparkEntry.queries("q129_template_prefixes")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getString(0).length <= 80)
+      assert(r.getLong(1) >= 2)
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(2) >= 1)
+      assert(r.getLong(3) >= 1)
+    }
+  }
+
+  // ---- q130 bigram LM -----------------------------------------------------
+
+  test("bigram LM: rare transitions of common words score above common transitions") {
+    import spark.implicits._
+    // every unigram is common; doc 9 chains them in never-seen orders —
+    // the exact case unigram scoring (q103) cannot separate
+    val common = (1 to 8).map(i => (i.toLong, "s", "x y x y x y x y"))
+    val salad = Seq((9L, "s", "y x y x y x y x"))
+    val docs = (common ++ salad).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.bigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(9L) > got(1L),
+      "reversed-transition doc must be more surprising under the bigram LM")
+  }
+
+  test("bigram LM: scores are non-negative and every multi-token doc is scored") {
+    val rows = TextAnalysis.bigramLmScore(Tables.documents(spark, sf0001)).collect()
+    assert(rows.length == Tables.documents(spark, sf0001).count())
+    for (r <- rows) {
+      assert(r.getLong(2) > 0)
+      assert(r.getDouble(3) >= 0.0,
+        s"c(w1) >= c(w1 w2) forces a non-negative quantized score: $r")
+    }
+  }
+
   test("winnowing fingerprints are a subset of the doc's shingle hashes") {
     import spark.implicits._
     val docs = Seq((1L, "s", "one two three four five six seven eight nine"))

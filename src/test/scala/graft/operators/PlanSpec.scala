@@ -330,7 +330,30 @@ class PlanSpec extends SparkSpec {
       "q121_embedding_dim_health" -> 2,
       // |source|x|bigram| agg + |source| agg + sort — the per-char
       // explode never reaches an exchange (partial agg eats it)
-      "q122_char_entropy" -> 3)
+      "q122_char_entropy" -> 3,
+      // one groupBy(key) — both sums ride it; single-row output, no sort
+      "q123_join_size_estimate" -> 2,
+      // only TWO exchanges carry data (the count agg's and the rank
+      // window's, both on source); the other six are |source|-row or
+      // 1-row bookkeeping: weight re-agg, SinglePartition total, ledger
+      // join sides, output sort
+      "q124_temperature_mixture" -> 8,
+      // word-vocab agg + pair agg + top-k single-partition window + sort
+      "q125_bpe_merge_step" -> 4,
+      // ONE (doc_id) sort-shuffle shared by all windows + doc agg
+      // (rides the same partitioning) + output sort
+      "q126_winnowing_fingerprints" -> 3,
+      // band self-join exchanges + pair distinct + member distinct +
+      // flag join + unpivot agg + sort (band family baseline is q117's 8)
+      "q127_quality_dup_lift" -> 10,
+      // banded index probe + two top-k windows + hit join + final sort;
+      // queries/corpus sides broadcast where small
+      "q128_ann_recall" -> 8,
+      // prefix agg (count-distinct expand + final) + sort
+      "q129_template_prefixes" -> 3,
+      // unigram vocab agg + bigram vocab agg + doc agg + sort; both
+      // ln-table joins broadcast at this scale
+      "q130_bigram_lm_score" -> 4)
     maxShuffles.foreach { case (name, bound) =>
       val n = planOf(name).collect { case s: ShuffleExchangeLike => s }.size
       assert(n <= bound, s"$name has $n shuffles (bound $bound)")
