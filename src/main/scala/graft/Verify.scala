@@ -45,6 +45,17 @@ object Verify {
       catch { case e: Throwable =>
         failures(name) = String.valueOf(e.getMessage)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // delete any output a PREVIOUS run left for this query: the dev
+        // loop re-verifies into an existing outDir, and an analysis-time
+        // failure happens before overwrite-mode deletes anything — the
+        // stale-but-correct parquet would otherwise make the checker (and
+        // the driver) PASS a broken query on old data (review catch, r8)
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -115,7 +115,13 @@ object TextAnalysis {
     * Bigram/unigram instances come from the compiled ShingleHash64.all
     * passes zipped IN-ROW by position (no instance join); the oracle
     * recomputes on strings — count parity modulo the family-wide 2^-64
-    * hash-collision trade (q96/q100 note). */
+    * hash-collision trade (q96/q100 note).
+    *
+    * The instance subtree is deliberately RECOMPUTED where it appears
+    * (three scans of the text: bigram vocab, unigram vocab, probe side)
+    * rather than cached — the q33 trade: ShingleHash64 is a cheap
+    * compiled per-row pass, and materializing the exploded instance
+    * index would be far larger than the input at scale. */
   def bigramLmScore(docs: DataFrame): DataFrame = {
     val lowered = lower(col("text"))
     val bg2 = graft.expressions.ShingleHash64.all(lowered, 2)
@@ -860,7 +866,7 @@ object TextAnalysis {
         |SELECT doc_id, source, n_bigrams,
         |  (snlq * 1e-6) / n_bigrams AS avg_cond_nll
         |FROM s ORDER BY doc_id""".stripMargin,
-      "Per-document CONDITIONAL bigram LM score — q103's unigram NLL one order up: avg over adjacent word pairs of ln c(w1) − ln c(w1 w2) under corpus counts, i.e. how surprising each next-word is GIVEN its predecessor — the signal that separates 'rare words' (q103 fires) from 'rare transitions' (word salad with common words, which unigram scoring cannot see; this is the direction real CCNet-style filters take toward 5-gram LMs). Determinism is the q103 playbook verbatim: both ln terms quantize to integer micro-nats once per VOCAB ENTRY (never per instance), every distributed sum is exact-integer, and the final division is one IEEE expression per doc; c(w1) >= c(w1 w2) always, so the score is non-negative up to quantization. Scale: bigram and token instances come from the two compiled ShingleHash64.all passes ZIPPED IN-ROW by position (slice keeps alignment; no instance-level join), so the corpus text is scanned once and everything downstream moves 8-byte hashes — (doc,pair) instances join the two vocab ln-tables on their hash keys (the 2^-64 collision trade the whole n-gram family already accepts, policed by this very oracle gate), then one |docs|-key agg. The oracle recomputes on strings with split_part re-deriving w1 from the bigram text.") {
+      "Per-document CONDITIONAL bigram LM score — q103's unigram NLL one order up: avg over adjacent word pairs of ln c(w1) − ln c(w1 w2) under corpus counts, i.e. how surprising each next-word is GIVEN its predecessor — the signal that separates 'rare words' (q103 fires) from 'rare transitions' (word salad with common words, which unigram scoring cannot see; this is the direction real CCNet-style filters take toward 5-gram LMs). Determinism is the q103 playbook verbatim: both ln terms quantize to integer micro-nats once per VOCAB ENTRY (never per instance), every distributed sum is exact-integer, and the final division is one IEEE expression per doc; c(w1) >= c(w1 w2) always, so the score is non-negative up to quantization. Scale: bigram and token instances come from the two compiled ShingleHash64.all passes ZIPPED IN-ROW by position (slice keeps alignment; no instance-level join); the text is scanned three times (bigram vocab, unigram vocab, probe side) with the hashing recomputed per scan — the q33 recompute-over-cache trade, since the exploded instance index dwarfs the input — and everything that SHUFFLES is 8-byte hashes — (doc,pair) instances join the two vocab ln-tables on their hash keys (the 2^-64 collision trade the whole n-gram family already accepts, policed by this very oracle gate), then one |docs|-key agg. The oracle recomputes on strings with split_part re-deriving w1 from the bigram text.") {
       (s, d) =>
         bigramLmScore(Tables.documents(s, d))
     },

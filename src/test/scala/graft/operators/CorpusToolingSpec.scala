@@ -99,10 +99,15 @@ class CorpusToolingSpec extends SparkSpec {
   test("winnowing guarantee: docs sharing a >= 6-token run share a fingerprint") {
     import spark.implicits._
     // w=4 windows over k=3 shingles detect any common substring of
-    // >= w+k-1 = 6 tokens (Schleimer et al. 2003, the winnowing theorem)
+    // >= w+k-1 = 6 tokens (Schleimer et al. 2003, the winnowing theorem).
+    // The shared run below is "a common run of six tokens" — exactly six
+    // shared tokens = 4 shared shingles = one full window inside the
+    // shared region on both sides, the minimal case the theorem covers
+    // (a 5-token run would leave the intersection to md5 luck — r8
+    // review catch)
     val docs = Seq(
-      (1L, "s", "p q r common run of six tokens t u"),
-      (2L, "s", "x y z common run of six tokens m n o")).toDF("doc_id", "source", "text")
+      (1L, "s", "p q r a common run of six tokens t u"),
+      (2L, "s", "x y z a common run of six tokens m n o")).toDF("doc_id", "source", "text")
     val fps = TextAnalysis.winnowingFingerprints(docs).collect()
       .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
     assert(fps(1L).intersect(fps(2L)).nonEmpty,

@@ -45,8 +45,18 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # failures Verify itself recorded: these OVERRIDE any output on disk —
+    # the dev loop re-verifies into an existing outDir, so a query that
+    # errored this run may still have a stale-but-correct parquet from a
+    # previous run, which must not be compared as if it were fresh
+    err_path = os.path.join(out_dir, "verify_errors.json")
+    verify_errors = json.load(open(err_path)) if os.path.exists(err_path) else {}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if name in verify_errors:
+            first = (verify_errors[name].splitlines() or [""])[0]
+            print(f"FAIL {name} (verify error: {first[:200]})")
+            n_fail += 1; continue
         pq = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not pq:
             print(f"FAIL {name}: no spark output");  n_fail += 1; continue
@@ -78,7 +88,8 @@ def main():
     # too, by design) and records the row count
     for path in sorted(glob.glob(os.path.join(out_dir, "*"))):
         name = os.path.basename(path)
-        if os.path.isdir(path) and name not in oracle:
+        # a name in verify_errors failed THIS run — any dir is stale output
+        if os.path.isdir(path) and name not in oracle and name not in verify_errors:
             pq = glob.glob(os.path.join(path, "*.parquet"))
             try:
                 n = len(canon(con.sql(f"SELECT * FROM read_parquet({pq!r})").df())) if pq else 0
@@ -88,16 +99,14 @@ def main():
             print(f"{status} {name} (rows-only: {n})")
             if n > 0: n_pass += 1
             else: n_fail += 1
-    # failures Verify itself recorded (analysis/runtime errors): these have
-    # no output dir, so without this they'd only show up as "no spark
-    # output" when the query has an oracle entry — surface them explicitly
-    err_path = os.path.join(out_dir, "verify_errors.json")
-    if os.path.exists(err_path):
-        for name, msg in sorted(json.load(open(err_path)).items()):
-            if name in oracle:
-                continue  # already FAILed above as "no spark output"
-            print(f"FAIL {name} (verify error: {msg.splitlines()[0][:200]})")
-            n_fail += 1
+    # verify failures for queries WITHOUT an oracle entry (the oracle'd
+    # ones already FAILed in the main loop above)
+    for name, msg in sorted(verify_errors.items()):
+        if name in oracle:
+            continue
+        first = (msg.splitlines() or [""])[0]
+        print(f"FAIL {name} (verify error: {first[:200]})")
+        n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
