@@ -46,7 +46,18 @@ object Bench {
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.all.map { q =>
+    // dev-loop subset filter (comma-separated names): iterate on one
+    // query's timing without replaying the whole tree. The driver's
+    // per-round run leaves it unset → full suite, unchanged.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.all.map(_.name).toSet
+      require(unknown.isEmpty, s"unknown bench filter names: ${unknown.mkString(", ")}")
+    }
+    val results = SparkEntry.all
+      .filter(q => only.forall(_.contains(q.name)))
+      .map { q =>
       val t =
         try {
           val warm = runOnce(q) // untimed warmup: plan compile + codegen

@@ -30,6 +30,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark) // SQL fns + levenshtein banded rewrite
     new java.io.File(outDir).mkdirs()
+    // Remove any verify_errors.json a PRIOR run left: the checker treats a
+    // recorded failure as authoritative, so a crashed rerun that fixed a
+    // query but died before rewriting this file would otherwise FAIL the
+    // fixed query on stale evidence. A missing file is the crash signal.
+    Files.deleteIfExists(Paths.get(s"$outDir/verify_errors.json"))
     // Per-query failures are caught so one bad query cannot sink the whole
     // dump — but a caught failure must stay VISIBLE: the driver enumerates
     // the outputs that exist, so a swallowed error surfaces as the query's
@@ -53,8 +58,17 @@ object Verify {
         val dir = Paths.get(s"$outDir/$name")
         if (Files.exists(dir)) {
           import scala.jdk.CollectionConverters._
-          Files.walk(dir).iterator().asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
+          // Close the walk stream, and never let a deletion IOException
+          // escape this catch — it would abort every remaining query and
+          // skip the verify_errors.json/oracle_sql.json writes entirely.
+          try {
+            val walk = Files.walk(dir)
+            try walk.iterator().asScala.toSeq.reverse
+              .foreach(p => Files.deleteIfExists(p))
+            finally walk.close()
+          } catch { case io: Throwable =>
+            failures(name) += s" [stale-output cleanup failed: ${io.getMessage}]"
+          }
         }
       }
     }

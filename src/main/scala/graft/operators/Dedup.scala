@@ -27,13 +27,26 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Hot-bucket cap / document-frequency cut the REGISTERED end-to-end
+    * dedup queries ship with (q33/q81/q127): the value a 100 TB run
+    * would use — a 16-bit simhash band bucket or a shingle posting list
+    * above 1000 members is template/boilerplate mass, and all-pairs
+    * enumeration inside it is quadratic work the star/cut path avoids —
+    * while being provably INERT on the testdata (tools/BucketProbe at
+    * sf0.1: max simhash bucket 291, max shingle df 25; DedupScaleSpec
+    * pins capped == uncapped byte-identity under inert caps), so the
+    * DuckDB oracle, which computes the uncapped semantics, still
+    * hash-matches. */
+  val DefaultMaxBucket = 1000
+  val DefaultMaxDocFreq = 1000
+
   /** Inverted index keyed by a 64-bit shingle hash (single-eval
     * [[graft.expressions.ShingleHash64]]): the join/shuffle carries
     * 8-byte longs instead of ~30-char strings, and the tokenize/window
     * loop runs compiled, not per-element interpreted. Hash collisions
     * would be needed to change a Jaccard count (~2⁻⁶⁴ per shingle pair)
     * — the standard trade at scale. */
-  private def hashedShingles(docs: DataFrame): DataFrame =
+  private[graft] def hashedShingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       explode(graft.expressions.ShingleHash64(col("text"))).as("h"))
 
@@ -205,14 +218,15 @@ object Dedup {
   def ngramJaccardPairsCapped(
       docs: DataFrame, threshold: Double, maxDocFreq: Int): DataFrame = {
     val ex = hashedShingles(docs)
-    // df per shingle hash: one map-side-combined agg on the SAME key the
-    // pair join shuffles on; the rare surviving index is then co-
-    // partitioned for the self-join
-    val rare = ex.join(
-      ex.groupBy(col("h")).agg(count(lit(1)).as("_df"))
-        .filter(col("_df") <= maxDocFreq)
-        .select(col("h")),
-      Seq("h"))
+    // df per shingle hash is one map-side-combined agg, but only the HOT
+    // tail matters: hashes with df > maxDocFreq number at most
+    // |index|/maxDocFreq — broadcast-size at any corpus size, usually
+    // empty — so the cut is a broadcast ANTI join, not a co-partitioned
+    // join of the full index against its (nearly-as-large) rare subset.
+    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFreq)
+      .select(col("h"))
+    val rare = ex.join(broadcast(hot), Seq("h"), "left_anti")
     jaccardScored(ex, rare, threshold)
   }
 
@@ -266,7 +280,7 @@ object Dedup {
     * definition shared by q76 and q97, mirroring the oracle side's shared
     * SimhashBandCte, so the two Spark paths cannot drift either. Keeps
     * every other input column alongside (doc_id, sig, band, bv). */
-  private def simhashBands(sigs: DataFrame): DataFrame = {
+  private[graft] def simhashBands(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xffffL)).as("bv"))
@@ -284,14 +298,15 @@ object Dedup {
     * 16 bytes/doc — the thing a production pipeline would persist anyway
     * — so materializing it once halves the query's dominant cost
     * (measured 1.7→~0.9 s at sf0.1). */
-  private def simhashSigs(docs: DataFrame): DataFrame =
+  private[graft] def simhashSigs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       graft.expressions.SimHash64(tokenHashesFromHex(md5TokenHex(col("text")))).as("sig"))
       .localCheckpoint()
 
   /** Shared verify tail: dedup multi-band agreements, exact 64-bit
-    * hamming cut — one definition for the capped and uncapped paths. */
-  private def hammingVerified(cands: DataFrame, maxHamming: Int): DataFrame =
+    * hamming cut — one definition for the capped and uncapped paths
+    * (and for [[Multimodal]]'s payload-level simhash twin). */
+  private[graft] def hammingVerified(cands: DataFrame, maxHamming: Int): DataFrame =
     cands
       .distinct() // a pair may agree on several bands — count it once
       .select(col("d1"), col("d2"),
@@ -316,8 +331,10 @@ object Dedup {
     * the scale-safe variant: per-row signatures, constant-key band join,
     * iterative min-label components; survivor selection is a single
     * max_by aggregate over (n_chars, -doc_id), no window sort. */
-  def nearDupSurvivors(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val pairs = simhashNearDupPairs(docs, maxHamming).select(col("d1"), col("d2"))
+  def nearDupSurvivors(docs: DataFrame, maxHamming: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val pairs = simhashNearDupPairsCapped(docs, maxHamming, maxBucket)
+      .select(col("d1"), col("d2"))
     connectedComponents(pairs)
       .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
       .groupBy(col("component"))
@@ -331,8 +348,10 @@ object Dedup {
     * among flagged vs clean docs, with the lift ratio. Flags come from
     * [[TextAnalysis.gateFlags]] — the SAME definition q105 reports — so
     * the cross-signal monitor cannot drift from the gate it explains. */
-  def qualityDupLift(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val pairs = simhashNearDupPairs(docs, maxHamming).select(col("d1"), col("d2"))
+  def qualityDupLift(docs: DataFrame, maxHamming: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val pairs = simhashNearDupPairsCapped(docs, maxHamming, maxBucket)
+      .select(col("d1"), col("d2"))
     val members = pairs.select(col("d1").as("doc_id"))
       .union(pairs.select(col("d2").as("doc_id"))).distinct()
     val flagged = TextAnalysis.gateFlags(docs)
@@ -384,36 +403,44 @@ object Dedup {
   // anyway). The uncapped forms remain the oracle/pair-set semantics;
   // the capped forms are what a 100 TB dedup run ships with.
 
-  /** Per-bucket (size, min-struct hub) annotation — ONE window over the
-    * same key the candidate join shuffles on, so the cap adds no new
-    * exchange shape, just a sort within the bucket partition. */
-  private def withBucketStats(
-      bands: DataFrame, keys: Seq[String], hubCols: Seq[String]): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-    bands
-      .withColumn("_n", count(lit(1)).over(w))
-      .withColumn("_hub", min(struct(hubCols.map(col): _*)).over(w))
-  }
+  /** The tiny HOT-bucket table: (keys..., _n, _hub) for buckets whose
+    * membership exceeds `maxBucket` — by construction at most
+    * |bands|/maxBucket rows, i.e. broadcast-size at ANY corpus size, and
+    * empty on a healthy corpus. One map-side-combined aggregate; the
+    * min-struct hub is the star center. (A window formulation was
+    * measured first and rejected: it shuffles AND sorts the full band
+    * table to annotate every row with stats only hot rows need —
+    * +60 % on q81's wall-clock for information that fits in a broadcast.) */
+  private def hotBuckets(
+      bands: DataFrame, keys: Seq[String], hubCols: Seq[String],
+      maxBucket: Int): DataFrame =
+    bands.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_n"),
+        min(struct(hubCols.map(col): _*)).as("_hub"))
+      .filter(col("_n") > maxBucket)
 
   /** [[simhashNearDupPairs]] with the hot-bucket cap. Identical output
     * columns; buckets of size ≤ `maxBucket` enumerate all pairs exactly
     * as the uncapped form, larger buckets contribute hub-star edges
-    * only. DedupScaleSpec pins: linear growth on a one-hot-bucket
-    * corpus, byte-identical output when no bucket exceeds the cap, and
-    * an unchanged survivor set for the near-identical mass. */
+    * only. The cap costs one map-side-combined agg plus a broadcast
+    * left join that marks each band row hot/cool — no extra shuffle or
+    * sort of the band table. DedupScaleSpec pins: linear growth on a
+    * one-hot-bucket corpus, byte-identical output when no bucket
+    * exceeds the cap, and an unchanged survivor set for the
+    * near-identical mass. */
   def simhashNearDupPairsCapped(
       docs: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
-    val bands = withBucketStats(simhashBands(simhashSigs(docs)),
-      Seq("band", "bv"), Seq("doc_id", "sig"))
-    val cool = bands.filter(col("_n") <= maxBucket)
+    val bands = simhashBands(simhashSigs(docs))
+    val hot = hotBuckets(bands, Seq("band", "bv"), Seq("doc_id", "sig"), maxBucket)
+    val marked = bands.join(broadcast(hot), Seq("band", "bv"), "left")
+    val cool = marked.filter(col("_n").isNull)
     val coolPairs = cool.as("a").join(cool.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.sig").as("s1"), col("b.sig").as("s2"))
-    val hotStars = bands
-      .filter(col("_n") > maxBucket && col("doc_id") =!= col("_hub.doc_id"))
+    val hotStars = marked
+      .filter(col("_n").isNotNull && col("doc_id") =!= col("_hub.doc_id"))
       .select(col("_hub.doc_id").as("d1"), col("doc_id").as("d2"),
         col("_hub.sig").as("s1"), col("sig").as("s2"))
     hammingVerified(coolPairs.union(hotStars), maxHamming)
@@ -425,15 +452,16 @@ object Dedup {
     * dedup outcome while bounding the join). */
   def minhashCandidatesCapped(
       docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2, maxBucket: Int): DataFrame = {
-    val bands = withBucketStats(minhashBands(docs, k, rowsPerBand),
-      Seq("band", "sig"), Seq("doc_id"))
-    val cool = bands.filter(col("_n") <= maxBucket)
+    val bands = minhashBands(docs, k, rowsPerBand)
+    val hot = hotBuckets(bands, Seq("band", "sig"), Seq("doc_id"), maxBucket)
+    val marked = bands.join(broadcast(hot), Seq("band", "sig"), "left")
+    val cool = marked.filter(col("_n").isNull)
     val coolPairs = cool.as("a").join(cool.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-    val hotStars = bands
-      .filter(col("_n") > maxBucket && col("doc_id") =!= col("_hub.doc_id"))
+    val hotStars = marked
+      .filter(col("_n").isNotNull && col("doc_id") =!= col("_hub.doc_id"))
       .select(col("_hub.doc_id").as("d1"), col("doc_id").as("d2"))
     coolPairs.union(hotStars).distinct()
   }
@@ -473,11 +501,12 @@ object Dedup {
     * the two oracles cannot drift if the signature derivation ever
     * changes. NOTE: declared above `queries` — a val referenced before
     * its declaration compiles but is null at init (round-3 lesson). */
-  private val SimhashBandCte: String =
-    """WITH tok AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
-      |th AS (SELECT doc_id, substring(md5(w), 1, 16) AS hx FROM tok),
-      |nib AS (
+  /** Simhash derivation from a generic `th(doc_id, hx)` token-md5 table
+    * to banded candidates — factored so [[Multimodal]]'s payload twin
+    * (byte-chunk tokens instead of whitespace words) reuses the EXACT
+    * nibble-vote/band/candidate stages and cannot drift from q76's. */
+  private[graft] val SimhashFromThTail: String =
+    """nib AS (
       |  SELECT doc_id, p.p AS p, CAST('0x' || substring(hx, p.p, 1) AS INTEGER) AS v
       |  FROM th CROSS JOIN (SELECT unnest(range(1, 17)) AS p) p),
       |votes AS (
@@ -496,6 +525,24 @@ object Dedup {
       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       |  FROM bandv a JOIN bandv b
       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Exact-hamming re-rank over `cand` + `nibs` — the shared verify
+    * stage, likewise reused by the payload twin. */
+  private[graft] val SimhashHamTail: String =
+    """,
+      |ham AS (
+      |  SELECT c.d1, c.d2,
+      |    CAST(sum(bit_count(xor(n1.nv, n2.nv))) AS INT) AS hamming
+      |  FROM cand c
+      |  JOIN nibs n1 ON n1.doc_id = c.d1
+      |  JOIN nibs n2 ON n2.doc_id = c.d2 AND n2.p = n1.p
+      |  GROUP BY c.d1, c.d2)""".stripMargin
+
+  private val SimhashBandCte: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+      |th AS (SELECT doc_id, substring(md5(w), 1, 16) AS hx FROM tok),
+      |""".stripMargin + SimhashFromThTail
 
   /** Incremental near-dup (q97): only NEW arrivals probe the corpus —
     * new bands join all bands, so the candidate set is exactly the pairs
@@ -547,14 +594,7 @@ object Dedup {
 
   /** SimhashBandCte extended with the exact-hamming re-rank — shared by
     * the q76 and q97 oracles so the nibble-xor derivation cannot drift. */
-  private val SimhashHamCte: String = SimhashBandCte + """,
-    |ham AS (
-    |  SELECT c.d1, c.d2,
-    |    CAST(sum(bit_count(xor(n1.nv, n2.nv))) AS INT) AS hamming
-    |  FROM cand c
-    |  JOIN nibs n1 ON n1.doc_id = c.d1
-    |  JOIN nibs n2 ON n2.doc_id = c.d2 AND n2.p = n1.p
-    |  GROUP BY c.d1, c.d2)""".stripMargin
+  private val SimhashHamCte: String = SimhashBandCte + SimhashHamTail
 
   val queries: Seq[Q] = Seq(
 
@@ -788,9 +828,10 @@ object Dedup {
         |FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.3
         |ORDER BY d1, d2""".stripMargin,
-      "Near-dup pairs by 3-gram Jaccard >= 0.3 via inverted-index join — only co-shingle pairs are ever scored.") {
+      "Near-dup pairs by 3-gram Jaccard >= 0.3 via inverted-index join — only co-shingle pairs are ever scored. The registered form carries the document-frequency cut (ngramJaccardPairsCapped, DefaultMaxDocFreq=1000 — inert on testdata where max df is 25, and the guard that keeps one boilerplate shingle from making the index join quadratic at corpus scale).") {
       (s, d) =>
-        ngramJaccardPairs(Tables.documents(s, d), 0.3).orderBy(col("d1"), col("d2"))
+        ngramJaccardPairsCapped(Tables.documents(s, d), 0.3, DefaultMaxDocFreq)
+          .orderBy(col("d1"), col("d2"))
     },
 
     Q("q34_minhash_lsh",
@@ -1116,7 +1157,7 @@ object Dedup {
         |SELECT r.component, CAST(count(*) AS BIGINT) AS n_members,
         |  max(CASE WHEN rn = 1 THEN doc_id END) AS survivor
         |FROM ranked r GROUP BY r.component ORDER BY r.component""".stripMargin,
-      "The COMPLETE near-dup dedup pipeline as one query: simhash signatures -> banded candidates -> exact hamming <= 8 pairs -> connected components -> one canonical survivor per cluster (longest n_chars, ties to smallest doc_id). Unlike q69 (whose oracle shortcuts components by grouping on the exact fingerprint), near-dup clusters have no such shortcut, so the DuckDB twin computes TRUE connected components with a recursive CTE (transitive min-label closure) — an independent formulation of the same graph result the iterative Spark join-propagation produces. Survivor selection is a max_by over (n_chars, -doc_id), no per-cluster sort at scale.") {
+      "The COMPLETE near-dup dedup pipeline as one query: simhash signatures -> banded candidates -> exact hamming <= 8 pairs -> connected components -> one canonical survivor per cluster (longest n_chars, ties to smallest doc_id). Unlike q69 (whose oracle shortcuts components by grouping on the exact fingerprint), near-dup clusters have no such shortcut, so the DuckDB twin computes TRUE connected components with a recursive CTE (transitive min-label closure) — an independent formulation of the same graph result the iterative Spark join-propagation produces. Survivor selection is a max_by over (n_chars, -doc_id), no per-cluster sort at scale. The candidate stage the registered pipeline ships is the CAPPED one (simhashNearDupPairsCapped, DefaultMaxBucket=1000 — inert on testdata, hub-star linear under a mega-bucket; the star keeps hot buckets connected so components/survivors are preserved).") {
       (s, d) =>
         nearDupSurvivors(Tables.documents(s, d), maxHamming = 8)
           .orderBy(col("component"))
@@ -1194,7 +1235,7 @@ object Dedup {
         |    THEN (CAST(dup_flagged AS DOUBLE) / CAST(n_flagged AS DOUBLE))
         |       / (CAST(dup_clean AS DOUBLE) / CAST(n_clean AS DOUBLE)) END AS lift
         |FROM a ORDER BY reason""".stripMargin,
-      "Quality × duplication cross-signal monitor — the curation question behind the 'duplicates are disproportionately low-quality' folklore, MEASURED: for each q105 gate reason, the near-dup membership rate (any simhash hamming ≤ 8 pair, the q76 candidate machinery) among flagged docs vs clean docs, with the lift ratio. This is the table that decides pipeline ORDER at 100 TB — if flagged docs carry most of the duplication (lift ≫ 1), running the cheap quality gate BEFORE near-dup dedup shrinks the expensive banded join's input; if lift ≈ 1 the two passes are independent and commute. Flags reuse TextAnalysis.gateFlags (the exact q105 definition — one source of truth) and pair generation reuses the q76 band join; the per-doc membership flag is a left join against the DISTINCT pair-member set (|members| ≤ 2·|pairs|, tiny). Determinism: all counts exact integers; rates and lift are the identical IEEE division shapes on both engines, null-guarded where a denominator can be zero. Scale: the band join is the dominant cost and is exactly q76's (hot-bucket-cappable via simhashNearDupPairsCapped); everything after runs on |docs| flag rows + a broadcast-size member set, and the unpivot-aggregate is one |reasons|-key map-side-combined shuffle.") {
+      "Quality × duplication cross-signal monitor — the curation question behind the 'duplicates are disproportionately low-quality' folklore, MEASURED: for each q105 gate reason, the near-dup membership rate (any simhash hamming ≤ 8 pair, the q76 candidate machinery) among flagged docs vs clean docs, with the lift ratio. This is the table that decides pipeline ORDER at 100 TB — if flagged docs carry most of the duplication (lift ≫ 1), running the cheap quality gate BEFORE near-dup dedup shrinks the expensive banded join's input; if lift ≈ 1 the two passes are independent and commute. Flags reuse TextAnalysis.gateFlags (the exact q105 definition — one source of truth) and pair generation reuses the q76 band join; the per-doc membership flag is a left join against the DISTINCT pair-member set (|members| ≤ 2·|pairs|, tiny). Determinism: all counts exact integers; rates and lift are the identical IEEE division shapes on both engines, null-guarded where a denominator can be zero. Scale: the band join is the dominant cost and is q76's machinery running through simhashNearDupPairsCapped — the hot-bucket star cap is ON in the registered query (DefaultMaxBucket=1000, inert on testdata, linear under a mega-bucket); everything after runs on |docs| flag rows + a broadcast-size member set, and the unpivot-aggregate is one |reasons|-key map-side-combined shuffle.") {
       (s, d) =>
         qualityDupLift(Tables.documents(s, d), maxHamming = 8)
     },

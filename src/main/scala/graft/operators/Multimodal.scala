@@ -1,10 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
 import graft.functions.DetAgg
+import graft.functions.TextFunctions.tokenHashesFromHex
 
 /** Multimodal column handling: image/audio/video payloads as opaque
   * `binary` columns plus a typed metadata struct, with decode /
@@ -113,6 +114,72 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic modality: doc_id mod 3 → one of three mime
+    * types. Gives the single-table corpus a modality axis the accounting
+    * and dedup queries can group on (a real pipeline reads mime from the
+    * asset manifest; the derivation is the stand-in, the GROUPING is the
+    * real operator). */
+  def mimeOf(docId: Column): Column =
+    element_at(array(lit("image/jpeg"), lit("audio/wav"), lit("video/mp4")),
+      (docId % 3).cast("int") + 1)
+
+  /** Cross-modal pair assembly (q131): caption metadata ⋈ asset payload ⋈
+    * embedding — the image-text-pair construction step of a multimodal
+    * training set, with per-pair quality flags (CLIP-style pipelines gate
+    * on exactly these: caption too short, payload truncated/tiny,
+    * embedding norm out of band).
+    *
+    * Scale: two 1:1 equi-joins on the shared doc_id key — at 100 TB both
+    * sides shuffle (or are co-bucketed) on that key, and every flag is a
+    * per-row projection fused into the join output; nothing widens. */
+  def crossModalPairs(docs: DataFrame, embs: DataFrame): DataFrame = {
+    val caption = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    val asset = docs.select(col("doc_id"),
+      length(to_binary(col("text"), lit("utf-8"))).as("n_bytes"),
+      mimeOf(col("doc_id")).as("mime"))
+    val vec = embs.select(col("vec_id").as("doc_id"), col("label"),
+      round(sqrt(graft.expressions.VecDot(col("embedding"), col("embedding"))), 9)
+        .as("vec_norm"))
+    caption.join(asset, Seq("doc_id")).join(vec, Seq("doc_id"))
+      .withColumn("f_caption_short", col("n_chars") < 120)
+      .withColumn("f_payload_small", col("n_bytes") <
+        when(col("mime") === "image/jpeg", 100)
+          .when(col("mime") === "audio/wav", 200).otherwise(300))
+      .withColumn("f_norm_out",
+        col("vec_norm") < 0.99999995d || col("vec_norm") > 1.00000005d)
+      .withColumn("pair_ok",
+        !(col("f_caption_short") || col("f_payload_small") || col("f_norm_out")))
+  }
+
+  /** Payload-level simhash signatures over non-overlapping byte 4-gram
+    * chunks (q134): the content-defined-chunking analog of q76's word
+    * tokens, for near-dup detection on OPAQUE payloads where no
+    * tokenizer exists. Chunk token = md5 of the 8-hex-char window of the
+    * payload's hex encoding (both engines md5 the same VARCHAR — the
+    * cross-engine-stable formulation; the underlying bytes are identical
+    * either way). Stride-4 chunking is alignment-sensitive by design:
+    * template payloads sharing a byte prefix (the dominant real-world
+    * near-dup shape — same header, same boilerplate, divergent tail)
+    * keep identical chunk sets up to the divergence point. */
+  def payloadSimhashPairs(assets: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = assets
+      .filter(length(col("blob")) >= 4)
+      .withColumn("hx", hex(col("blob")))
+      .select(col("doc_id"),
+        graft.expressions.SimHash64(tokenHashesFromHex(
+          expr("transform(sequence(1, int(length(hx) div 8))," +
+            " i -> md5(substring(hx, (i-1)*8 + 1, 8)))"))).as("sig"))
+      .localCheckpoint() // the q76 lesson: 16 bytes/doc, materialize once
+    val bands = Dedup.simhashBands(sigs)
+    Dedup.hammingVerified(
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.sig").as("s1"), col("b.sig").as("s2")),
+      maxHamming)
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("q40_multimodal_bytes",
@@ -169,6 +236,124 @@ object Multimodal {
           .select(col("doc_id"), col("n_bytes"), col("mean_byte"),
             round(col("byte_entropy"), 6).as("byte_entropy"), col("n_frames"))
           .orderBy(col("doc_id"))
+    },
+
+    Q("q131_crossmodal_pairs",
+      """WITH pair AS (
+        |  SELECT d.doc_id, d.source,
+        |    CASE CAST(d.doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/jpeg'
+        |      WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |    e.label, d.n_chars,
+        |    CAST(octet_length(encode(d.text)) AS INTEGER) AS n_bytes,
+        |    round(sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 9) AS vec_norm
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |flagged AS (
+        |  SELECT *, n_chars < 120 AS f_caption_short,
+        |    n_bytes < (CASE mime WHEN 'image/jpeg' THEN 100
+        |               WHEN 'audio/wav' THEN 200 ELSE 300 END) AS f_payload_small,
+        |    (vec_norm < 0.99999995 OR vec_norm > 1.00000005) AS f_norm_out
+        |  FROM pair)
+        |SELECT doc_id, source, mime, label, n_chars, n_bytes, vec_norm,
+        |  f_caption_short, f_payload_small, f_norm_out,
+        |  NOT (f_caption_short OR f_payload_small OR f_norm_out) AS pair_ok
+        |FROM flagged ORDER BY doc_id""".stripMargin,
+      "Cross-modal pair assembly: caption metadata JOIN asset payload JOIN embedding on the shared doc_id key — the image-text-pair construction step of a multimodal training set, with the three per-pair quality gates such pipelines apply (caption < 120 chars, payload under a per-modality byte minimum, embedding L2 norm outside the unit band) and the combined pair_ok verdict. Norm parity: both engines fold the float vector element-by-element in DOUBLE in array order (VecDot / list_inner_product ::DOUBLE[]), one IEEE sqrt, rounded to 9 decimals — tight enough that the +-5e-8 unit-band flag sees real signal (the corpus norms spread ~1e-7), wide enough to absorb any summation-reassociation ulp. Scale: two 1:1 equi-joins on doc_id (co-bucketable at 100 TB), flags fused as per-row projections; nothing widens beyond the join output.") {
+      (s, d) =>
+        crossModalPairs(Tables.documents(s, d), Tables.embeddings(s, d))
+          .orderBy(col("doc_id"))
+    },
+
+    Q("q132_modality_accounting",
+      """WITH a AS (
+        |  SELECT source,
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/jpeg'
+        |      WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |    octet_length(encode(text)) AS n_bytes
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, mime, count(*) AS n_assets,
+        |    CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |    CAST(max(n_bytes) AS BIGINT) AS max_bytes
+        |  FROM a GROUP BY source, mime)
+        |SELECT source, mime, n_assets, total_bytes, max_bytes,
+        |  CAST(total_bytes AS DOUBLE)
+        |    / CAST(sum(total_bytes) OVER (PARTITION BY source) AS DOUBLE) AS byte_share
+        |FROM g ORDER BY source, mime""".stripMargin,
+      "Per-modality corpus accounting: assets/bytes per (source, mime) with each modality's share of its source's bytes — the storage-planning and mixture-weighting table a multimodal corpus curator reads first (video dominating a source's bytes changes its sampling economics). byte_share is one exact-integer division per row: the per-source denominator is a window sum in the oracle and a broadcast-size (|source| x |mime| rows) self-aggregate join in Spark — same exact BIGINT totals either way, then identical IEEE division. Scale: one map-side-combined groupBy at |sources| x 3 keys; the share join broadcasts a table bounded by the group count, so the whole query is a single scan plus constant-size exchanges.") {
+      (s, d) =>
+        val a = Tables.documents(s, d).select(col("source"),
+          mimeOf(col("doc_id")).as("mime"),
+          length(to_binary(col("text"), lit("utf-8"))).as("n_bytes"))
+        val g = a.groupBy(col("source"), col("mime"))
+          .agg(count(lit(1)).as("n_assets"),
+            sum(col("n_bytes")).as("total_bytes"),
+            max(col("n_bytes")).cast("bigint").as("max_bytes"))
+        val tot = g.groupBy(col("source"))
+          .agg(sum(col("total_bytes")).as("src_bytes"))
+        g.join(broadcast(tot), Seq("source"))
+          .select(col("source"), col("mime"), col("n_assets"),
+            col("total_bytes"), col("max_bytes"),
+            (col("total_bytes").cast("double") / col("src_bytes").cast("double"))
+              .as("byte_share"))
+          .orderBy(col("source"), col("mime"))
+    },
+
+    Q("q133_payload_dedup",
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/jpeg'
+        |      WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |    md5(text) AS fp, octet_length(encode(text)) AS n_bytes
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/jpeg'
+        |      WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |    md5(text) AS fp, octet_length(encode(text)) AS n_bytes
+        |  FROM documents),
+        |grp AS (
+        |  SELECT mime, fp, count(*) AS n_copies, min(n_bytes) AS n_bytes
+        |  FROM a GROUP BY mime, fp)
+        |SELECT mime,
+        |  CAST(count(*) AS BIGINT) AS n_dup_groups,
+        |  CAST(sum(n_copies) AS BIGINT) AS n_dup_assets,
+        |  CAST(sum((n_copies - 1) * n_bytes) AS BIGINT) AS bytes_reclaimable
+        |FROM grp WHERE n_copies >= 2
+        |GROUP BY mime ORDER BY mime""".stripMargin,
+      "Payload-level exact dedup with per-modality byte accounting: md5 fingerprint over the opaque blob (the q32 pattern at byte level — identical bytes, identical digest, no decode), groups with >= 2 copies aggregated per mime into the storage-reclamation table (groups / duplicate assets / bytes reclaimable keeping one survivor per group). The corpus is unioned with an id-shifted copy of itself (the q32 fixture trick) so every group provably collapses 2 -> 1 and all three modality rows are exercised. Determinism: digests and counts are exact; bytes_reclaimable is exact-integer arithmetic. Scale: one map-side-combined groupBy on (mime, 16-byte digest) — the digest shuffle is the standard exact-dedup shape at any corpus size — then a 3-key final aggregate; payloads themselves never shuffle.") {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val one = docs.select(col("doc_id"),
+          mimeOf(col("doc_id")).as("mime"),
+          md5(to_binary(col("text"), lit("utf-8"))).as("fp"),
+          length(to_binary(col("text"), lit("utf-8"))).as("n_bytes"))
+        val a = one.union(one.withColumn("doc_id", col("doc_id") + 1000000L))
+        a.groupBy(col("mime"), col("fp"))
+          .agg(count(lit(1)).as("n_copies"), min(col("n_bytes")).as("n_bytes"))
+          .filter(col("n_copies") >= 2)
+          .groupBy(col("mime"))
+          .agg(count(lit(1)).as("n_dup_groups"),
+            sum(col("n_copies")).as("n_dup_assets"),
+            sum((col("n_copies") - 1) * col("n_bytes")).as("bytes_reclaimable"))
+          .orderBy(col("mime"))
+    },
+
+    Q("q134_payload_neardup",
+      ("""WITH hx0 AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+        |  WHERE octet_length(encode(text)) >= 4),
+        |tok AS (
+        |  SELECT doc_id, hx AS full_hx, unnest(range(length(hx) // 8)) AS i FROM hx0),
+        |th AS (
+        |  SELECT doc_id, substring(md5(substring(full_hx, 8*i + 1, 8)), 1, 16) AS hx
+        |  FROM tok),
+        |""" + Dedup.SimhashFromThTail + Dedup.SimhashHamTail + """
+        |SELECT d1, d2, hamming FROM ham WHERE hamming <= 8
+        |ORDER BY d1, d2""").stripMargin,
+      "Payload-level near-dup: SimHash-banded candidate join over byte-4-gram chunk signatures — q76's machinery applied to the OPAQUE blob (no tokenizer, no decode), the pass that catches re-encoded/appended-tail copies exact md5 dedup (q133) misses. Chunk token = md5 of each 8-hex-char window of the payload's hex encoding, stride 4 bytes: alignment-sensitive by design, which is exactly right for the dominant real near-dup shape (shared byte prefix, divergent tail — the testdata's template docs). The DuckDB twin re-derives signatures through the SAME factored nibble-vote/band/candidate/hamming CTEs as q76 (SimhashFromThTail/SimhashHamTail — one source of truth), only the token stage differs. Scale: signature is one compiled per-row pass (16 bytes/doc materialized), candidates key on (band, 16-bit) constant-size buckets, exact hamming re-rank — never all pairs, payloads never shuffle.") {
+      (s, d) =>
+        payloadSimhashPairs(assets(Tables.documents(s, d)).toDF(), maxHamming = 8)
+          .orderBy(col("d1"), col("d2"))
     },
   )
 }

@@ -163,8 +163,10 @@ class CorpusToolingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r).toMap
     val short = got("short")
     assert(short.getLong(2) == 2, "both short docs are near-dups")
-    assert(short.getLong(4) >= 0)
-    if (short.getLong(4) == 0) assert(short.isNullAt(7), "lift null when clean side has no dups")
+    // pin the fixture property itself — a drifted fixture must FAIL here,
+    // not silently skip the null-lift assertion this test exists for
+    assert(short.getLong(4) == 0, "fixture: clean side must have zero dups")
+    assert(short.isNullAt(7), "lift null when clean side has no dups")
   }
 
   // ---- q128 ANN recall ----------------------------------------------------

@@ -120,6 +120,30 @@ class DedupScaleSpec extends SparkSpec {
       "capped jaccard diverged from uncapped with the cut not engaged")
   }
 
+  test("REGISTERED q33/q127 plans contain the cap stage (capped-by-default pipeline)") {
+    // round-8 verdict: the end-to-end dedup queries a user would copy must
+    // ship the scale-safe candidate stage, not just have one available.
+    // The cap's fingerprints in the analyzed plan: the bucket-stats window
+    // columns (_n/_hub) for the simhash star cap, the _df document-
+    // frequency attribute for the inverted-index cut.
+    val q127 = graft.SparkEntry.queries("q127_quality_dup_lift")(spark, sf0001)
+    val p127 = q127.queryExecution.analyzed.toString
+    assert(p127.contains("_hub") && p127.contains("_n"),
+      "q127 must run through simhashNearDupPairsCapped (bucket-stats window missing)")
+    val q33 = graft.SparkEntry.queries("q33_ngram_jaccard")(spark, sf0001)
+    val p33 = q33.queryExecution.analyzed.toString
+    assert(p33.contains("_df"),
+      "q33 must run through ngramJaccardPairsCapped (df-cut stage missing)")
+    // q81 iterates components eagerly at construction, so pin its capped
+    // candidate stage at the function level with an ACTIVE cap: the star
+    // output stays connected and the survivor set is unchanged vs uncapped
+    val docs = graft.Tables.documents(spark, sf0001)
+    val reg = Dedup.nearDupSurvivors(docs, maxHamming = 8)
+    val unc = Dedup.nearDupSurvivors(docs, maxHamming = 8, maxBucket = 1 << 20)
+    assert(reg.exceptAll(unc).isEmpty && unc.exceptAll(reg).isEmpty,
+      "q81's default-capped survivors diverged from uncapped on real corpus")
+  }
+
   test("minhash capped candidates stay linear on the hot corpus") {
     val nHot = 300
     val docs = pathological(nHot, 50)

@@ -51,4 +51,57 @@ class MultimodalSpec extends SparkSpec {
     assert(r.forall(_.getInt(1) == 4))
     assert(r.forall(_.getSeq[Int](2).forall(_ == 16)))
   }
+
+  test("cross-modal pairs: total on the key intersection, flags cohere") {
+    val got = Multimodal.crossModalPairs(docs, Tables.embeddings(spark, sf0001))
+      .collect()
+    assert(got.length == docs.count(), "1:1 key overlap must yield one pair per doc")
+    got.foreach { r =>
+      val ok = r.getAs[Boolean]("pair_ok")
+      val flags = Seq("f_caption_short", "f_payload_small", "f_norm_out")
+        .map(r.getAs[Boolean])
+      assert(ok == !flags.exists(identity), "pair_ok must be the flag conjunction")
+      // unit-normalized corpus: norms sit within 1e-6 of 1.0
+      assert(math.abs(r.getAs[Double]("vec_norm") - 1.0) < 1e-6)
+    }
+  }
+
+  test("mimeOf partitions the corpus into exactly three modalities") {
+    val m = docs.select(Multimodal.mimeOf(col("doc_id")).as("mime"))
+      .groupBy("mime").count().collect()
+    assert(m.map(_.getString(0)).toSet ==
+      Set("image/jpeg", "audio/wav", "video/mp4"))
+    assert(m.map(_.getLong(1)).sum == docs.count())
+  }
+
+  test("payload near-dup: shared-prefix payloads pair up, disjoint ones do not") {
+    val spark0 = spark
+    import spark0.implicits._
+    // two docs sharing a long byte prefix with a divergent tail (the
+    // template shape q134 is designed for), plus an unrelated doc
+    val prefix = ("alpha bravo charlie delta echo foxtrot golf hotel " * 8)
+    val fixture = Seq(
+      (1L, prefix + "tail one"),
+      (2L, prefix + "tail two entirely"),
+      (3L, "completely different content with no shared bytes at all " * 8))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("blob"))
+    val pairs = Multimodal.payloadSimhashPairs(fixture, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "shared-prefix payloads must pair")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated payload must not pair")
+  }
+
+  test("payload near-dup: sub-4-byte payloads are excluded, not crashed on") {
+    val spark0 = spark
+    import spark0.implicits._
+    val fixture = Seq((1L, "ab"), (2L, "abcdefgh" * 10), (3L, "abcdefgh" * 10))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("blob"))
+    val pairs = Multimodal.payloadSimhashPairs(fixture, maxHamming = 8).collect()
+    assert(pairs.forall(r => r.getLong(0) != 1L && r.getLong(1) != 1L))
+    assert(pairs.exists(r => r.getLong(0) == 2L && r.getLong(1) == 3L),
+      "identical payloads must pair at hamming 0")
+  }
 }

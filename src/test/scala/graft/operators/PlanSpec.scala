@@ -345,7 +345,10 @@ class PlanSpec extends SparkSpec {
       "q126_winnowing_fingerprints" -> 3,
       // band self-join exchanges + pair distinct + member distinct +
       // flag join + unpivot agg + sort (band family baseline is q117's 8)
-      "q127_quality_dup_lift" -> 10,
+      // +2 (r9): the hot-bucket cap's map-side-combined bucket agg and its
+      // broadcast — the registered pipeline now ships the capped candidate
+      // stage (VERDICT r8 item 2); the hot table itself never shuffles
+      "q127_quality_dup_lift" -> 12,
       // banded index probe + two top-k windows + hit join + final sort;
       // queries/corpus sides broadcast where small
       "q128_ann_recall" -> 8,
