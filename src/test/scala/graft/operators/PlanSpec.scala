@@ -271,6 +271,20 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s.take(600))
   }
 
+  test("q105 gate: factored flags stay one pruned scan + one aggregate") {
+    // the r8->r9 check on the gateFlags extraction (shared with q127):
+    // column pruning must drop the doc_id the shared definition carries,
+    // and the gate must stay a single-scan single-agg plan — the 0.55 ->
+    // 0.89 s swing in BENCH_r08 was bench noise, not a plan change, and
+    // this pin keeps it that way
+    val s = planString("q105_quality_gate")
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text") && readSchema.contains("source"), readSchema)
+    assert(!readSchema.contains("doc_id"),
+      "doc_id from the shared gateFlags definition must be pruned: " + readSchema)
+    assert(s.contains("partial_"), "gate aggregate must combine map-side")
+  }
+
   test("shuffle counts stay bounded for the headline queries") {
     val maxShuffles = Map(
       "q01_pricing_summary" -> 2, // partial/final agg + sort

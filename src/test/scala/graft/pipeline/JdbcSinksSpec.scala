@@ -161,4 +161,21 @@ class JdbcSinksSpec extends SparkSpec {
     assert(Sinks.upsertSql(df, "fact_t", Metadata.RowHashCol,
       Sinks.PostgresOnConflict) == expected)
   }
+
+  test("placeholder counts match the binding loop for BOTH dialects") {
+    // jdbcUpsert's setObject loop binds cols.length params, plus one extra
+    // key param iff the dialect is not PostgresOnConflict. The PG branch
+    // never executes in this sandbox (no PG-compatible engine ships: only
+    // Derby is on the classpath and the offline resolver cannot fetch H2),
+    // so this pins the one contract a live run would have caught breaking:
+    // statement arity vs the shared binding code.
+    val df = withHash(sample)
+    def qCount(s: String) = s.count(_ == '?')
+    assert(qCount(Sinks.upsertSql(df, "t", Metadata.RowHashCol,
+      Sinks.PostgresOnConflict)) == df.columns.length,
+      "PG statement arity must equal the base binding loop (no extra key param)")
+    assert(qCount(Sinks.upsertSql(df, "t", Metadata.RowHashCol,
+      Sinks.AnsiNotExists())) == df.columns.length + 1,
+      "ANSI statement arity must equal base bindings + the NOT EXISTS key param")
+  }
 }

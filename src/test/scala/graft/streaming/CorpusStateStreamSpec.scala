@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The incremental corpus-state twin: the persisted shingle/signature
+  * tables a streaming ingest maintains must equal what a batch
+  * recomputation over all delivered documents derives — including across
+  * a stream restart and a replayed micro-batch. */
+class CorpusStateStreamSpec extends SparkSpec {
+
+  private def docsSlice(pred: org.apache.spark.sql.Column) =
+    Tables.documents(spark, sf0001)
+      .filter(pred)
+      .select(col("doc_id"), col("text"), col("source"))
+
+  private def batchShingles(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(explode(graft.expressions.ShingleHash64(col("text"))).as("h"))
+      .distinct()
+
+  private def batchSigs(docs: org.apache.spark.sql.DataFrame) = {
+    import graft.functions.TextFunctions.{md5TokenHex, tokenHashesFromHex}
+    docs.select(col("doc_id"),
+      graft.expressions.SimHash64(tokenHashesFromHex(md5TokenHex(col("text"))))
+        .as("sig"))
+  }
+
+  test("drain + restart: persisted state equals the batch recomputation") {
+    val root = Files.createTempDirectory("graft-corpstate").toString
+    val docsDir = s"$root/docs"; val stateDir = s"$root/state"
+    val ckpt = s"$root/ckpt"
+
+    // wave 1 arrives; drain it
+    docsSlice(col("doc_id") % 10 < 8).write.parquet(docsDir)
+    CorpusStateStream.start(spark, docsDir, stateDir, ckpt,
+      availableNow = true).awaitTermination()
+
+    val wave1 = docsSlice(col("doc_id") % 10 < 8)
+    assert(CorpusStateStream.shingleState(spark, stateDir)
+      .exceptAll(batchShingles(wave1)).isEmpty)
+    assert(batchShingles(wave1)
+      .exceptAll(CorpusStateStream.shingleState(spark, stateDir)).isEmpty)
+
+    // wave 2 arrives; RESTART from the same checkpoint (new query, same
+    // log — the FileWatch recovery path); only new files are processed
+    docsSlice(col("doc_id") % 10 >= 8).write.mode("append").parquet(docsDir)
+    CorpusStateStream.start(spark, docsDir, stateDir, ckpt,
+      availableNow = true).awaitTermination()
+
+    val all = docsSlice(lit(true))
+    val st = CorpusStateStream.shingleState(spark, stateDir)
+    assert(st.exceptAll(batchShingles(all)).isEmpty &&
+      batchShingles(all).exceptAll(st).isEmpty,
+      "post-restart shingle state diverged from batch recomputation")
+    // no duplicate shingle rows: distinct == total
+    assert(st.count() == st.distinct().count(), "shingle state has duplicates")
+
+    val sg = CorpusStateStream.sigState(spark, stateDir)
+    assert(sg.exceptAll(batchSigs(all)).isEmpty &&
+      batchSigs(all).exceptAll(sg).isEmpty,
+      "signature state diverged from batch recomputation")
+    assert(sg.count() == all.count(), "one signature per delivered document")
+  }
+
+  test("a replayed micro-batch is a state no-op (restart recovery contract)") {
+    val root = Files.createTempDirectory("graft-corpstate-replay").toString
+    val stateDir = s"$root/state"
+    val batch = docsSlice(col("doc_id") < 20)
+
+    CorpusStateStream.update(stateDir)(batch, 0L)
+    val sh1 = CorpusStateStream.shingleState(spark, stateDir).collect().sortBy(_.getLong(0))
+    val sg1 = CorpusStateStream.sigState(spark, stateDir).collect().sortBy(_.getLong(0))
+
+    // the crash-replay shape: same batch delivered again
+    CorpusStateStream.update(stateDir)(batch, 0L)
+    val sh2 = CorpusStateStream.shingleState(spark, stateDir).collect().sortBy(_.getLong(0))
+    val sg2 = CorpusStateStream.sigState(spark, stateDir).collect().sortBy(_.getLong(0))
+    assert(sh1.toSeq == sh2.toSeq, "replay appended duplicate shingles")
+    assert(sg1.toSeq == sg2.toSeq, "replay appended duplicate signatures")
+  }
+
+  test("novelty served from state matches the q118-style split computation") {
+    val root = Files.createTempDirectory("graft-corpstate-novelty").toString
+    val stateDir = s"$root/state"
+    val existing = docsSlice(col("doc_id") % 10 < 8)
+    val arrivals = docsSlice(col("doc_id") % 10 >= 8)
+    CorpusStateStream.update(stateDir)(existing, 0L)
+
+    val fromState = CorpusStateStream.noveltyAgainstState(stateDir, arrivals)
+      .orderBy(col("source")).collect()
+    // q118's same-query formulation over the identical split
+    val exSh = batchShingles(existing)
+    val arrSh = arrivals
+      .select(col("source"),
+        explode(graft.expressions.ShingleHash64(col("text"))).as("h"))
+      .distinct()
+    val expected = arrSh
+      .join(exSh.withColumn("seen", lit(1)), Seq("h"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .orderBy(col("source")).collect()
+    assert(fromState.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      expected.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq,
+      "state-served novelty diverged from the batch split computation")
+    // arrivals folded in afterwards: everything becomes seen
+    CorpusStateStream.update(stateDir)(arrivals, 1L)
+    val post = CorpusStateStream.noveltyAgainstState(stateDir, arrivals)
+      .agg(sum(col("n_novel"))).collect().head.getLong(0)
+    assert(post == 0L, "after folding the batch into state nothing is novel")
+  }
+}
