@@ -300,7 +300,7 @@ object Dedup {
     * (measured 1.7→~0.9 s at sf0.1). */
   private[graft] def simhashSigs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      graft.expressions.SimHash64(tokenHashesFromHex(md5TokenHex(col("text")))).as("sig"))
+      graft.expressions.SimHash64(graft.expressions.Md5TokenHash64.words(col("text"))).as("sig"))
       .localCheckpoint()
 
   /** Shared verify tail: dedup multi-band agreements, exact 64-bit
@@ -553,7 +553,7 @@ object Dedup {
     * |corpus|². The exact-dup analogue is q65's fingerprint anti-join. */
   def incrementalNearDupPairs(docs: DataFrame, isNew: Column, maxHamming: Int): DataFrame = {
     val sigs = docs.select(col("doc_id"),
-      graft.expressions.SimHash64(tokenHashesFromHex(md5TokenHex(col("text")))).as("sig"),
+      graft.expressions.SimHash64(graft.expressions.Md5TokenHash64.words(col("text"))).as("sig"),
       isNew.as("is_new"))
       .localCheckpoint() // the q76 lesson: materialize the 16-byte/doc table once
     // ONE band explosion; the probe is a FILTER of the corpus band table —

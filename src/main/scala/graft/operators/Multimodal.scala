@@ -164,11 +164,9 @@ object Multimodal {
   def payloadSimhashPairs(assets: DataFrame, maxHamming: Int): DataFrame = {
     val sigs = assets
       .filter(length(col("blob")) >= 4)
-      .withColumn("hx", hex(col("blob")))
       .select(col("doc_id"),
-        graft.expressions.SimHash64(tokenHashesFromHex(
-          expr("transform(sequence(1, int(length(hx) div 8))," +
-            " i -> md5(substring(hx, (i-1)*8 + 1, 8)))"))).as("sig"))
+        graft.expressions.SimHash64(
+          graft.expressions.Md5TokenHash64.chunks(col("blob"), 4)).as("sig"))
       .localCheckpoint() // the q76 lesson: 16 bytes/doc, materialize once
     val bands = Dedup.simhashBands(sigs)
     Dedup.hammingVerified(
@@ -178,6 +176,35 @@ object Multimodal {
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
           col("a.sig").as("s1"), col("b.sig").as("s2")),
       maxHamming)
+  }
+
+  /** Frame-fingerprint near-dup (q135): the video-keyframe dedup
+    * pattern — k evenly spaced frames per payload ([[sampleFrames]]),
+    * one md5 fingerprint per distinct frame, pairs ranked by how many
+    * fingerprints they share. Complements q134: chunk-simhash scores
+    * WHOLE-payload similarity, frame matching catches payloads that
+    * share exact SEGMENTS (same intro/outro, re-muxed containers)
+    * however much the rest diverges.
+    *
+    * Scale: an inverted-index equi-join on 16-byte fingerprints — q33's
+    * shape with a k-bounded per-doc posting count (≤ k rows per doc, so
+    * the index is k·|docs| however large payloads get); a hot
+    * fingerprint (a shared-by-all intro frame) fans out like a hot
+    * shingle and takes the same broadcast df-cut if a corpus needs it. */
+  def frameNearDupPairs(
+      assetsDf: DataFrame, k: Int = 4, frameBytes: Int = 16,
+      minShared: Int = 1): DataFrame = {
+    val f = sampleFrames(assetsDf, k, frameBytes)
+      .select(col("doc_id"), explode(col("frames")).as("frame"))
+      // fingerprint the frame's HEX rendering: the cross-engine-stable
+      // formulation (both engines md5 the same VARCHAR — q134's trade)
+      .select(col("doc_id"), md5(hex(col("frame"))).as("fp"))
+      .distinct()
+    f.as("a").join(f.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).cast("bigint").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   val queries: Seq[Q] = Seq(
@@ -353,6 +380,30 @@ object Multimodal {
       "Payload-level near-dup: SimHash-banded candidate join over byte-4-gram chunk signatures — q76's machinery applied to the OPAQUE blob (no tokenizer, no decode), the pass that catches re-encoded/appended-tail copies exact md5 dedup (q133) misses. Chunk token = md5 of each 8-hex-char window of the payload's hex encoding, stride 4 bytes: alignment-sensitive by design, which is exactly right for the dominant real near-dup shape (shared byte prefix, divergent tail — the testdata's template docs). The DuckDB twin re-derives signatures through the SAME factored nibble-vote/band/candidate/hamming CTEs as q76 (SimhashFromThTail/SimhashHamTail — one source of truth), only the token stage differs. Scale: signature is one compiled per-row pass (16 bytes/doc materialized), candidates key on (band, 16-bit) constant-size buckets, exact hamming re-rank — never all pairs, payloads never shuffle.") {
       (s, d) =>
         payloadSimhashPairs(assets(Tables.documents(s, d)).toDF(), maxHamming = 8)
+          .orderBy(col("d1"), col("d2"))
+    },
+
+    Q("q135_frame_neardup",
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |stepped AS (
+        |  SELECT doc_id, hx,
+        |    CASE WHEN (n - 16) / 3 > 0 THEN (n - 16) // 3 ELSE 0 END AS step
+        |  FROM b),
+        |f AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(substring(hx, 2 * (1 + i.i * step) - 1, 32)) AS fp
+        |  FROM stepped CROSS JOIN (SELECT unnest(range(4)) AS i) i)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 1
+        |ORDER BY d1, d2""".stripMargin,
+      "Frame-fingerprint near-dup: the video-keyframe dedup pattern over the opaque payload — 4 evenly spaced 16-byte frames per asset (the q41 sampleFrames definition), one md5 fingerprint per DISTINCT frame, pairs ranked by shared-fingerprint count. Complements q134's whole-payload chunk simhash: frame matching catches payloads sharing exact SEGMENTS (same intro, same template header) however much the rest diverges — on this corpus that is precisely the shared-prefix template families, which match on frame 0. Fingerprints are md5 over the frame's hex rendering (both engines digest the same VARCHAR; the DuckDB twin re-derives each frame as a 32-hex-char substring at the same integer offsets). Scale: inverted-index equi-join on 16-byte fingerprints with a k-bounded posting count per doc — the index is 4|docs| rows however large payloads get; a corpus-wide hot frame takes q33's broadcast df-cut if needed.") {
+      (s, d) =>
+        frameNearDupPairs(assets(Tables.documents(s, d)).toDF())
           .orderBy(col("d1"), col("d2"))
     },
   )

@@ -338,7 +338,7 @@ object TextAnalysis {
         Tables.documents(s, d)
           // hash each token ONCE; both signatures derive from the shared
           // 64-bit hash array (HOF lambdas get no subexpression elimination)
-          .withColumn("_th", tokenHashesFromHex(md5TokenHex(col("text"))))
+          .withColumn("_th", graft.expressions.Md5TokenHash64.words(col("text")))
           .select(col("doc_id"),
             simhashHexFromHashes(col("_th")).as("simhash_hex"),
             rollingFromHashes(col("_th")).as("rolling_hash"))

@@ -5,8 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
-import graft.functions.TextFunctions.{md5TokenHex, tokenHashesFromHex}
-
 /** Incremental corpus-state materialization — the streaming twin of the
   * batch dedup probes. q118's arrival-novelty and q97's delta near-dup
   * both ASSUME a maintained state table ("the existing corpus compresses
@@ -81,7 +79,7 @@ object CorpusStateStream {
       .write.mode("append").parquet(s"$stateDir/shingles")
 
     val batchSigs = docs.select(col("doc_id"),
-      graft.expressions.SimHash64(tokenHashesFromHex(md5TokenHex(col("text"))))
+      graft.expressions.SimHash64(graft.expressions.Md5TokenHash64.words(col("text")))
         .as("sig"))
     batchSigs
       .join(sigState(spark, stateDir), Seq("doc_id"), "left_anti")

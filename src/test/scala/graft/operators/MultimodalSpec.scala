@@ -93,6 +93,37 @@ class MultimodalSpec extends SparkSpec {
       "unrelated payload must not pair")
   }
 
+  test("frame near-dup: shared-prefix payloads match on frame 0, disjoint never match") {
+    val spark0 = spark
+    import spark0.implicits._
+    val prefix = "shared sixteen b" // exactly 16 bytes — frame 0 for both
+    val fixture = Seq(
+      (1L, prefix + (" tail one " * 20)),
+      (2L, prefix + (" a different continuation " * 12)),
+      (3L, "completely unrelated payload body with other bytes " * 8))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("blob"))
+    val got = Multimodal.frameNearDupPairs(fixture)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((1L, 2L)), "same first frame must produce a pair")
+    assert(got((1L, 2L)) >= 1L)
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated payload must not pair")
+  }
+
+  test("frame near-dup: identical payloads share all distinct frames") {
+    val spark0 = spark
+    import spark0.implicits._
+    val body = "frame dedup body with enough bytes to sample four windows " * 4
+    val fixture = Seq((1L, body), (2L, body))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("blob"))
+    val got = Multimodal.frameNearDupPairs(fixture).collect()
+    assert(got.length == 1)
+    // 4 sampled frames, all distinct for this body → n_shared == 4
+    assert(got.head.getLong(2) == 4L, s"expected 4 shared frames: ${got.head}")
+  }
+
   test("payload near-dup: sub-4-byte payloads are excluded, not crashed on") {
     val spark0 = spark
     import spark0.implicits._
