@@ -313,16 +313,20 @@ object Dedup {
         bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
 
-  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val bands = simhashBands(simhashSigs(docs))
-    hammingVerified(
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          col("a.sig").as("s1"), col("b.sig").as("s2")),
-      maxHamming)
-  }
+  /** Banded candidate pairs from a (doc_id, sig, band, bv) frame — ONE
+    * definition of the self-join convention (band/bv equality, d1 < d2,
+    * s1/s2 projection) shared by the uncapped path here and
+    * [[Multimodal.payloadSimhashPairs]]; a convention change landing in
+    * only one caller would silently desynchronize the engines. */
+  private[graft] def bandCandidatePairs(bands: DataFrame): DataFrame =
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sig").as("s1"), col("b.sig").as("s2"))
+
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    hammingVerified(bandCandidatePairs(simhashBands(simhashSigs(docs))), maxHamming)
 
   /** The full near-dup dedup pipeline, end to end: simhash signatures →
     * banded candidates → exact-hamming pairs → connected components →

@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
 import graft.functions.DetAgg
-import graft.functions.TextFunctions.tokenHashesFromHex
 
 /** Multimodal column handling: image/audio/video payloads as opaque
   * `binary` columns plus a typed metadata struct, with decode /
@@ -149,6 +148,13 @@ object Multimodal {
         col("vec_norm") < 0.99999995d || col("vec_norm") > 1.00000005d)
       .withColumn("pair_ok",
         !(col("f_caption_short") || col("f_payload_small") || col("f_norm_out")))
+      // project the oracle's documented column order: the driver compare
+      // sorts columns by name (order-insensitive, verified 135/135), but
+      // a positional reader of the two artifacts should see them agree
+      .select(col("doc_id"), col("source"), col("mime"), col("label"),
+        col("n_chars"), col("n_bytes"), col("vec_norm"),
+        col("f_caption_short"), col("f_payload_small"), col("f_norm_out"),
+        col("pair_ok"))
   }
 
   /** Payload-level simhash signatures over non-overlapping byte 4-gram
@@ -168,14 +174,8 @@ object Multimodal {
         graft.expressions.SimHash64(
           graft.expressions.Md5TokenHash64.chunks(col("blob"), 4)).as("sig"))
       .localCheckpoint() // the q76 lesson: 16 bytes/doc, materialize once
-    val bands = Dedup.simhashBands(sigs)
     Dedup.hammingVerified(
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          col("a.sig").as("s1"), col("b.sig").as("s2")),
-      maxHamming)
+      Dedup.bandCandidatePairs(Dedup.simhashBands(sigs)), maxHamming)
   }
 
   /** Frame-fingerprint near-dup (q135): the video-keyframe dedup

@@ -78,9 +78,15 @@ object CorpusStateStream {
       .join(shingleState(spark, stateDir), Seq("h"), "left_anti")
       .write.mode("append").parquet(s"$stateDir/shingles")
 
+    // within-batch dedupe on the state key: at-least-once delivery can
+    // land the same document twice in ONE trigger (original + re-upload)
+    // — the anti-join only protects against rows already in state, so
+    // without this both copies would append and no later batch could
+    // remove the duplicate (review catch, r9)
     val batchSigs = docs.select(col("doc_id"),
       graft.expressions.SimHash64(graft.expressions.Md5TokenHash64.words(col("text")))
         .as("sig"))
+      .dropDuplicates("doc_id")
     batchSigs
       .join(sigState(spark, stateDir), Seq("doc_id"), "left_anti")
       .write.mode("append").parquet(s"$stateDir/sigs")

@@ -123,9 +123,9 @@ class DedupScaleSpec extends SparkSpec {
   test("REGISTERED q33/q127 plans contain the cap stage (capped-by-default pipeline)") {
     // round-8 verdict: the end-to-end dedup queries a user would copy must
     // ship the scale-safe candidate stage, not just have one available.
-    // The cap's fingerprints in the analyzed plan: the bucket-stats window
-    // columns (_n/_hub) for the simhash star cap, the _df document-
-    // frequency attribute for the inverted-index cut.
+    // The cap's fingerprints in the analyzed plan: the hot-bucket
+    // aggregate's columns (_n/_hub) for the simhash star cap, the _df
+    // document-frequency attribute for the inverted-index cut.
     val q127 = graft.SparkEntry.queries("q127_quality_dup_lift")(spark, sf0001)
     val p127 = q127.queryExecution.analyzed.toString
     assert(p127.contains("_hub") && p127.contains("_n"),
@@ -135,13 +135,22 @@ class DedupScaleSpec extends SparkSpec {
     assert(p33.contains("_df"),
       "q33 must run through ngramJaccardPairsCapped (df-cut stage missing)")
     // q81 iterates components eagerly at construction, so pin its capped
-    // candidate stage at the function level with an ACTIVE cap: the star
-    // output stays connected and the survivor set is unchanged vs uncapped
+    // default at the function level twice: (a) on the real corpus the
+    // default cap is INERT — capped output byte-equals uncapped; (b) on
+    // the pathological corpus with the cap ACTIVE (maxBucket far below
+    // the hot mass) the hub-star path still yields the same components
+    // and survivors as full pair enumeration — the property that makes
+    // shipping the capped stage safe
     val docs = graft.Tables.documents(spark, sf0001)
     val reg = Dedup.nearDupSurvivors(docs, maxHamming = 8)
     val unc = Dedup.nearDupSurvivors(docs, maxHamming = 8, maxBucket = 1 << 20)
     assert(reg.exceptAll(unc).isEmpty && unc.exceptAll(reg).isEmpty,
       "q81's default-capped survivors diverged from uncapped on real corpus")
+    val bad = pathological(200, 30)
+    val capped = Dedup.nearDupSurvivors(bad, maxHamming = 3, maxBucket = 32)
+    val full = Dedup.nearDupSurvivors(bad, maxHamming = 3, maxBucket = 1 << 20)
+    assert(capped.exceptAll(full).isEmpty && full.exceptAll(capped).isEmpty,
+      "ACTIVE hub-star cap changed the survivor table on the hot corpus")
   }
 
   test("minhash capped candidates stay linear on the hot corpus") {

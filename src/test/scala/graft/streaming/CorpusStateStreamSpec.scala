@@ -82,6 +82,18 @@ class CorpusStateStreamSpec extends SparkSpec {
     assert(sg1.toSeq == sg2.toSeq, "replay appended duplicate signatures")
   }
 
+  test("a doc delivered twice in ONE batch appends one signature (at-least-once)") {
+    val root = Files.createTempDirectory("graft-corpstate-dupbatch").toString
+    val stateDir = s"$root/state"
+    val batch = docsSlice(col("doc_id") < 10)
+    // the at-least-once shape: original + re-uploaded copy in one trigger
+    CorpusStateStream.update(stateDir)(batch.union(batch), 0L)
+    val sg = CorpusStateStream.sigState(spark, stateDir)
+    assert(sg.count() == batch.count(),
+      "within-batch duplicate doc must not append a second signature row")
+    assert(sg.groupBy("doc_id").count().filter(col("count") > 1).isEmpty)
+  }
+
   test("novelty served from state matches the q118-style split computation") {
     val root = Files.createTempDirectory("graft-corpstate-novelty").toString
     val stateDir = s"$root/state"
