@@ -47,6 +47,29 @@ class Md5TokenHash64Spec extends SparkSpec {
     assert(both.filter(col("fast") =!= col("ref")).count() == 0)
   }
 
+  test("word mode matches the HOF composition on generated adversarial strings") {
+    // raw ScalaCheck with fixed seeds (PropSpec convention): random mixes
+    // of words, every whitespace class, unicode letters, and empty runs —
+    // the population where a hand-rolled trim/split replication breaks
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val piece = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf(" ", "  ", "\t", "\n", "\r\n", " ", "　"),
+      Gen.oneOf("čeština", "日本語", "emoji🙂bit", "a-b_c", ""))
+    val textGen = Gen.listOfN(12, piece).map(_.mkString)
+    val texts = (1L to 200L).map(seed =>
+      textGen.pureApply(Gen.Parameters.default, Seed(seed)))
+    val df = texts.toDF("text")
+    val bad = df.select(col("text"),
+        Md5TokenHash64.words(col("text")).as("fast"),
+        tokenHashesFromHex(md5TokenHex(col("text"))).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .collect()
+    assert(bad.isEmpty,
+      s"compiled/HOF divergence on: ${bad.take(3).map(_.getString(0)).mkString(" | ")}")
+  }
+
   test("chunk mode: tail bytes short of a full chunk are dropped") {
     val one = Seq(Array[Byte](1, 2, 3, 4, 5)).toDF("blob")
     val got = one.select(Md5TokenHash64.chunks(col("blob"), 4)).head.getSeq[Long](0)
