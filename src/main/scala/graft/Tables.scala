@@ -16,17 +16,43 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
+    case "events"   => events(spark, sfDir)
+    case "orders"   => orders(spark, sfDir)
+    case "lineitem" => lineitem(spark, sfDir)
+    case _          => spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** o_orderdate / l_shipdate carry the same regeneration hazard as
+    * events.ts (the round-7 incident): normalize through the same
+    * three-encoding logic so a driver-side flip to NANOS or NTZ cannot
+    * silently break the TPC-H family next round. */
+  def orders(s: SparkSession, d: String): DataFrame =
+    normalizeTs(readWithNanosAsLong(s, s"$d/orders.parquet"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normalizeTs(readWithNanosAsLong(s, s"$d/lineitem.parquet"), "l_shipdate")
+
+  private def readWithNanosAsLong(s: SparkSession, path: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(path)
+  }
+
+  /** Normalize one timestamp-bearing column to instant-semantics
+    * TIMESTAMP across the three physical encodings the testdata has
+    * shipped (see [[events]] for the per-encoding rationale). */
+  private def normalizeTs(raw: DataFrame, c: String): DataFrame =
+    raw.schema(c).dataType match {
+      case LongType =>
+        raw.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn(c, col(c).cast(TimestampType))
+      case _ => raw
+    }
   /** `events.ts` has shipped in three physical encodings across testdata
     * generations; normalize all of them to an instant-semantics TIMESTAMP
     * so every downstream `unix_micros`/window/interval call site sees one
@@ -38,17 +64,8 @@ object Tables {
     *    TIMESTAMP_NTZ — cast to TIMESTAMP under the UTC session zone
     *    (same instants DuckDB's naive-as-UTC `epoch_us` assigns);
     *  - TIMESTAMP(MICROS, adjusted): already the target type. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$d/events.parquet")
-    raw.schema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
-    }
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(readWithNanosAsLong(s, s"$d/events.parquet"), "ts")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -66,6 +66,40 @@ class TablesSpec extends SparkSpec {
     assert(micros.sameElements(Array(1700000000000000L, 1700000000000001L)))
   }
 
+  test("orders/lineitem timestamps normalize across the three encodings (r7-hazard guard)") {
+    // the r7 incident hit events.ts; o_orderdate/l_shipdate carry the
+    // identical hazard if a regeneration flips their physical encoding —
+    // pin the shared normalizeTs path on both loaders with NTZ fixtures
+    val dir = Files.createTempDirectory("graft-ts-tables").toFile
+    dir.deleteOnExit()
+    spark.range(2).select(
+      col("id").as("o_orderkey"), col("id").as("o_custkey"),
+      lit("O").as("o_orderstatus"), lit(1.0).as("o_totalprice"),
+      timestamp_micros(lit(1700000000000000L) + col("id") * 86400000000L)
+        .cast(TimestampNTZType).as("o_orderdate"),
+      lit("1-URGENT").as("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val o = Tables.orders(spark, dir.toString)
+    assert(o.schema("o_orderdate").dataType == TimestampType)
+    spark.range(2).select(
+      col("id").as("l_orderkey"), col("id").as("l_partkey"),
+      col("id").as("l_suppkey"), lit(1).as("l_linenumber"),
+      lit(1.0).as("l_quantity"), lit(1.0).as("l_extendedprice"),
+      lit(0.0).as("l_discount"), lit(0.0).as("l_tax"),
+      lit("N").as("l_returnflag"), lit("O").as("l_linestatus"),
+      (lit(1700000000000000000L) + col("id") * 1500L).as("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val li = Tables.lineitem(spark, dir.toString)
+    assert(li.schema("l_shipdate").dataType == TimestampType)
+    val micros = li.select(unix_micros(col("l_shipdate")))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    assert(micros.sameElements(Array(1700000000000000L, 1700000000000001L)),
+      "nanos-as-long l_shipdate must truncate to micros")
+    // the shipped testdata (already instant micros) passes through unchanged
+    assert(Tables.orders(spark, sf0001).schema("o_orderdate").dataType == TimestampType)
+    assert(Tables.lineitem(spark, sf0001).schema("l_shipdate").dataType == TimestampType)
+  }
+
   test("all ten tables load with stable column names") {
     val expected = Map(
       "region" -> "r_regionkey", "nation" -> "n_nationkey",
