@@ -113,6 +113,37 @@ object CorpusStateStream {
       .foreachBatch(update(stateDir) _)
       .start()
 
+  /** Compact a state table's accumulated per-batch files — the periodic
+    * maintenance the append-only layout was designed for: content is a
+    * pure set of rows keyed by the probe column, so compaction is
+    * re-write + atomic directory swap with NO semantic coupling to the
+    * stream logic. Run it while the maintenance stream is STOPPED (or
+    * from its own foreachBatch quiet window): the swap is two renames,
+    * but a reader holding the old listing mid-swap would see a partial
+    * table. Returns (files before, files after). */
+  def compactState(
+      spark: SparkSession, stateDir: String, table: String,
+      targetFiles: Int = 1): (Int, Int) = {
+    val dir = s"$stateDir/$table"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no state table at $dir")
+    def parquetCount(d: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(d).count(_.getPath.getName.endsWith(".parquet"))
+    val before = parquetCount(p)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.read.parquet(dir).repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // atomic-enough swap: two renames; crash between them leaves the
+    // .old directory as the recovery copy, never a half-written table
+    require(fs.rename(p, old), s"could not move $dir aside")
+    require(fs.rename(tmp, p), s"could not promote compacted $tmp")
+    fs.delete(old, true)
+    (before, parquetCount(p))
+  }
+
   /** q118's novelty probe served FROM the maintained state instead of a
     * same-query split: per source, the fraction of an arrival batch's
     * distinct shingles absent from the persisted set. Run BEFORE folding

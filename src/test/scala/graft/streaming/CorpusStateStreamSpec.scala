@@ -94,6 +94,31 @@ class CorpusStateStreamSpec extends SparkSpec {
     assert(sg.groupBy("doc_id").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("compaction collapses per-batch files without changing state content") {
+    val root = Files.createTempDirectory("graft-corpstate-compact").toString
+    val stateDir = s"$root/state"
+    // several small batches → several parquet files per state table
+    for (b <- 0 until 4)
+      CorpusStateStream.update(stateDir)(
+        docsSlice(col("doc_id") % 4 === b), b.toLong)
+    val shBefore = CorpusStateStream.shingleState(spark, stateDir)
+      .collect().map(_.getLong(0)).sorted
+    val sgBefore = CorpusStateStream.sigState(spark, stateDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val (sb, sa) = CorpusStateStream.compactState(spark, stateDir, "shingles")
+    val (gb, ga) = CorpusStateStream.compactState(spark, stateDir, "sigs")
+    assert(sb >= 4 && gb >= 4, s"expected >=4 per-batch files, got $sb/$gb")
+    assert(sa == 1 && ga == 1, s"expected 1 compacted file, got $sa/$ga")
+    assert(CorpusStateStream.shingleState(spark, stateDir)
+      .collect().map(_.getLong(0)).sorted.sameElements(shBefore))
+    assert(CorpusStateStream.sigState(spark, stateDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.sameElements(sgBefore))
+    // the maintenance loop keeps working against the compacted table
+    CorpusStateStream.update(stateDir)(docsSlice(col("doc_id") < 1000), 9L)
+    val all = docsSlice(lit(true))
+    assert(CorpusStateStream.sigState(spark, stateDir).count() == all.count())
+  }
+
   test("novelty served from state matches the q118-style split computation") {
     val root = Files.createTempDirectory("graft-corpstate-novelty").toString
     val stateDir = s"$root/state"
