@@ -101,9 +101,11 @@ object CorpusStateStream {
       stateDir: String,
       checkpointDir: String,
       availableNow: Boolean = false,
-      triggerSeconds: Int = 10): StreamingQuery =
-    spark.readStream
-      .schema(docSchema)
+      triggerSeconds: Int = 10,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
+    reader
       .parquet(docsDir)
       .writeStream
       .trigger(
@@ -112,6 +114,7 @@ object CorpusStateStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(update(stateDir) _)
       .start()
+  }
 
   /** Compact a state table's accumulated per-batch files — the periodic
     * maintenance the append-only layout was designed for: content is a
