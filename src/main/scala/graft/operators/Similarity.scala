@@ -167,6 +167,137 @@ object Similarity {
   private def cosineSql(a: String, b: String) =
     s"round(list_cosine_similarity($a::DOUBLE[], $b::DOUBLE[]), 6)"
 
+  /** MMR (maximal marginal relevance) diversified top-k — the standard
+    * re-ranking pass between retrieval and consumption: greedily pick
+    * the candidate maximizing `λ·cos(q,c) − (1−λ)·max_{s∈selected}
+    * cos(c,s)`, so near-duplicate neighbors stop crowding the result
+    * page (for training-data work: diverse exemplar selection from a
+    * retrieved pool). Runs entirely on the top-`fromN` candidate set —
+    * the production shape, where re-ranking cost is bounded by the
+    * retrieved page (|queries|·fromN rows, fromN² pair sims), never the
+    * corpus. The k greedy rounds are k tiny DataFrame steps over a
+    * localCheckpoint'ed candidate table — bounded work per round, no
+    * driver-side loop over data.
+    *
+    * Determinism: relevance and pair sims are the family's round-6
+    * cosines; the score is one IEEE expression over them with ties
+    * broken on (score DESC, vec_id), so the greedy argmax chain is
+    * engine-portable and the DuckDB twin (k unrolled CTE steps) is a
+    * full value-hash oracle. */
+  def mmrTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
+      fromN: Int = 20, lambda: Double = 0.7): DataFrame = {
+    val cand = bruteForceTopK(embeddings, queryIds, fromN)
+      .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("embedding"))
+      .localCheckpoint()
+    val pairs = cand.as("x").join(cand.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+        col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.query_id").as("query_id"), col("x.vec_id").as("v1"),
+        col("y.vec_id").as("v2"),
+        cosine(col("x.embedding"), col("y.embedding")).as("sim"))
+      .localCheckpoint()
+    val spark = embeddings.sparkSession
+    var selected = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("step",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("relevance",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("mmr_score",
+          org.apache.spark.sql.types.DoubleType))))
+    for (step <- 1 to k) {
+      val pen = pairs
+        .join(selected.select(col("query_id"), col("vec_id").as("v2")),
+          Seq("query_id", "v2"))
+        .groupBy(col("query_id"), col("v1")).agg(max(col("sim")).as("pen"))
+      val scoreCol = lit(lambda) * col("cosine") -
+        lit(1.0d - lambda) * coalesce(col("pen"), lit(0.0d))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(scoreCol.desc, col("vec_id"))
+      val pick = cand
+        .join(selected.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+        .join(pen, cand("query_id") === pen("query_id") &&
+          col("vec_id") === col("v1"), "left")
+        .drop(pen("query_id")).drop("v1")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), lit(step).as("step"),
+          col("cosine").as("relevance"), scoreCol.as("mmr_score"))
+      selected = selected.union(pick).localCheckpoint()
+    }
+    selected
+  }
+
+  /** The DuckDB twin of [[mmrTopK]]: the k greedy rounds unrolled into k
+    * CTE steps (DuckDB's recursive CTEs cannot carry the per-step argmax
+    * window, so the fixed k is unrolled — same technique as the q81
+    * components CTE, fixed shape instead of recursion). */
+  private def mmrSql(k: Int, fromN: Int, lambda: Double): String = {
+    // q79 convention: bare decimal literals parse as DECIMAL in DuckDB —
+    // CAST to DOUBLE so both engines score with the identical IEEE values
+    // (including the 1-λ artifact 0.30000000000000004)
+    val lam = s"CAST(${lambda} AS DOUBLE)"
+    val oneMinus = s"CAST(${1.0d - lambda} AS DOUBLE)"
+    val head =
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+         |  WHERE vec_id IN (${QueryIds.mkString(", ")})),
+         |cand AS (
+         |  SELECT query_id, vec_id, cosine, embedding FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |      ${cosineSql("e.embedding", "q.qvec")} AS cosine, e.embedding,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosineSql("e.embedding", "q.qvec")} DESC, e.vec_id) AS rn
+         |    FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
+         |  WHERE rn <= $fromN),
+         |pair AS (
+         |  SELECT x.query_id, x.vec_id AS v1, y.vec_id AS v2,
+         |    ${cosineSql("x.embedding", "y.embedding")} AS sim
+         |  FROM cand x JOIN cand y
+         |    ON x.query_id = y.query_id AND x.vec_id <> y.vec_id),
+         |sel1 AS (
+         |  SELECT query_id, vec_id, 1 AS step, cosine AS relevance,
+         |    $lam * cosine - $oneMinus * COALESCE(CAST(NULL AS DOUBLE), 0) AS mmr_score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY $lam * cosine - $oneMinus * COALESCE(CAST(NULL AS DOUBLE), 0) DESC,
+         |        vec_id) AS rn
+         |    FROM cand) WHERE rn = 1),
+         |selu1 AS (SELECT * FROM sel1)""".stripMargin
+    val steps = (2 to k).map { s =>
+      val prev = s - 1
+      s""",
+         |sel$s AS (
+         |  SELECT query_id, vec_id, $s AS step, relevance, score AS mmr_score FROM (
+         |    SELECT c.query_id, c.vec_id, c.cosine AS relevance,
+         |      $lam * c.cosine - $oneMinus * COALESCE(p.pen, 0) AS score,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY $lam * c.cosine - $oneMinus * COALESCE(p.pen, 0) DESC,
+         |          c.vec_id) AS rn
+         |    FROM cand c
+         |    LEFT JOIN (
+         |      SELECT pr.query_id, pr.v1, max(pr.sim) AS pen
+         |      FROM pair pr JOIN selu$prev s
+         |        ON pr.query_id = s.query_id AND pr.v2 = s.vec_id
+         |      GROUP BY 1, 2) p
+         |      ON p.query_id = c.query_id AND p.v1 = c.vec_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM selu$prev s
+         |      WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id))
+         |  WHERE rn = 1),
+         |selu$s AS (SELECT * FROM selu$prev UNION ALL SELECT * FROM sel$s)""".stripMargin
+    }.mkString
+    head + steps +
+      s"""
+         |SELECT query_id, step, vec_id, relevance, mmr_score
+         |FROM selu$k ORDER BY query_id, step""".stripMargin
+  }
+
   /** Int8 quantization: per-vector scale = max|v|/127, q_i = round-half-up
     * of v_i/scale. `out` holds integer-VALUED doubles so dot products stay
     * EXACT (|q_i| <= 127 → |dot| <= 127²·dim « 2^53): the whole quantized
@@ -721,6 +852,15 @@ object Similarity {
       "Embedding dimension health: per-dimension mean and variance over the corpus — the monitor that catches a DEAD dimension (variance collapsing to 0: a projection bug, a saturated activation, a truncated export) or a runaway one (mean drifting off 0) before any similarity search built on these vectors quietly degrades; at production scale the same 64-row table per (model-version, day) is the embedding-pipeline dashboard. Determinism: components quantize to integer micro-units (the q108/q113 playbook), per-dim counts and sums are exact integers, and the sum of SQUARES accumulates in DECIMAL(38,0) (18-digit operand casts multiply exactly on both engines — ANSI-overflow-free to ~1e38, i.e. at ANY realistic corpus size, where a bigint sum of squares would overflow past ~2.5e7 rows per dim); mean and variance are then identical IEEE expressions over those exact sums, micro-unit scaling folded in at the end. Scale: one posexplode and one map-side-combined shuffle at 64 keys — the corpus is scanned once and never joined or windowed.") {
       (s, d) =>
         dimHealth(Tables.embeddings(s, d)).orderBy(col("dim"))
+    },
+
+    Q("q136_mmr_diversified_topk", mmrSql(k = 5, fromN = 20, lambda = 0.7),
+      "MMR (maximal marginal relevance) diversified top-k — the re-ranking pass between retrieval and consumption that q36/q39/q49 all feed: greedily select the candidate maximizing lambda*cos(q,c) - (1-lambda)*max_selected cos(c,s), so near-duplicate neighbors stop crowding the page (for corpus work: diverse exemplar selection from a retrieved pool). Runs ENTIRELY on the retrieved top-20 page (|queries|*20 rows, 20^2 pair sims) — re-ranking cost is bounded by the page, never the corpus, which is the production MMR shape. The k=5 greedy rounds are five bounded DataFrame steps (anti-join unselected, max-sim penalty join, argmax window); the DuckDB twin unrolls the same five rounds as CTE steps (fixed shape instead of recursion — the q49 unrolled-Lloyd technique). Determinism: relevance and pair sims are the family's round-6 cosines, the score is one IEEE expression over them on both engines (lambda literals CAST to DOUBLE — the q79 DECIMAL-literal trap), ties broken (score DESC, vec_id), so the greedy chain replays identically and this re-ranker carries a full value-hash oracle.") {
+      (s, d) =>
+        mmrTopK(Tables.embeddings(s, d), QueryIds, k = 5, fromN = 20, lambda = 0.7)
+          .select(col("query_id"), col("step"), col("vec_id"),
+            col("relevance"), col("mmr_score"))
+          .orderBy(col("query_id"), col("step"))
     },
   )
 

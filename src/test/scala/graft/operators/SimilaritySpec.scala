@@ -143,4 +143,47 @@ class SimilaritySpec extends SparkSpec {
       graft.functions.VectorOps.hyperplaneSignature(col("embedding"), 4).as("sig"))
     assert(s1.except(s2).isEmpty && s2.except(s1).isEmpty)
   }
+
+  test("mmr: distinct picks, top-1 is the relevance argmax, scores non-increasing") {
+    val got = Similarity.mmrTopK(Tables.embeddings(spark, sf0001),
+        Seq(0L, 10L), k = 4, fromN = 10)
+      .collect()
+      .groupBy(_.getLong(0))
+    assert(got.keySet == Set(0L, 10L))
+    for ((q, rows) <- got) {
+      val byStep = rows.sortBy(_.getInt(2))
+      assert(byStep.map(_.getLong(1)).distinct.length == 4, s"q$q repeated a pick")
+      // step 1 has no penalty: it is the plain relevance argmax
+      val top1 = Similarity.bruteForceTopK(
+          Tables.embeddings(spark, sf0001), Seq(q), 1)
+        .collect().head.getLong(1)
+      assert(byStep.head.getLong(1) == top1, s"q$q step-1 != relevance top-1")
+      // candidate pool only shrinks and penalties only grow → the greedy
+      // argmax score is non-increasing across steps
+      val scores = byStep.map(_.getDouble(4))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"q$q scores increased: ${scores.mkString(",")}")
+    }
+  }
+
+  test("mmr diversifies: a tight near-dup cluster cannot fill the page") {
+    val spark0 = spark
+    import spark0.implicits._
+    // cluster A: four near-identical vectors very close to the query;
+    // B: one moderately relevant but distant vector. Plain top-3 is all
+    // A; at lambda=0.3 the redundancy penalty must admit B.
+    def vec(theta: Double) = Array(math.cos(theta).toFloat, math.sin(theta).toFloat)
+    val rows = Seq(
+      (0L, vec(0.0), 0),            // query
+      (1L, vec(0.080), 0), (2L, vec(0.081), 0),
+      (3L, vec(0.082), 0), (4L, vec(0.083), 0), // cluster A
+      (5L, vec(1.05), 1))            // B: ~60 degrees off
+      .toDF("vec_id", "embedding", "label")
+    val plain = Similarity.bruteForceTopK(rows, Seq(0L), 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(!plain.contains(5L), "fixture: plain top-3 must be all cluster A")
+    val mmr = Similarity.mmrTopK(rows, Seq(0L), k = 3, fromN = 5, lambda = 0.3)
+      .collect().map(_.getLong(1)).toSet
+    assert(mmr.contains(5L), s"MMR must admit the distant vector, got $mmr")
+  }
 }
