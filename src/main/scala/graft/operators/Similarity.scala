@@ -186,31 +186,28 @@ object Similarity {
     * full value-hash oracle. */
   def mmrTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
       fromN: Int = 20, lambda: Double = 0.7): DataFrame = {
-    val cand = bruteForceTopK(embeddings, queryIds, fromN)
+    // the greedy rounds only need (query_id, vec_id, cosine) — vectors
+    // feed the pair-sim table once and never enter the k anti-join/
+    // window rounds (carrying them through each round's shuffle was the
+    // measurable waste the first cut had)
+    val candVec = bruteForceTopK(embeddings, queryIds, fromN)
       .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("query_id"), col("vec_id"), col("cosine"), col("embedding"))
       .localCheckpoint()
-    val pairs = cand.as("x").join(cand.as("y"),
+    val cand = candVec.select(col("query_id"), col("vec_id"), col("cosine"))
+    val pairs = candVec.as("x").join(candVec.as("y"),
         col("x.query_id") === col("y.query_id") &&
         col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.query_id").as("query_id"), col("x.vec_id").as("v1"),
         col("y.vec_id").as("v2"),
         cosine(col("x.embedding"), col("y.embedding")).as("sim"))
       .localCheckpoint()
-    val spark = embeddings.sparkSession
-    var selected = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("query_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("vec_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("step",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("relevance",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("mmr_score",
-          org.apache.spark.sql.types.DoubleType))))
+    // empty seed with the loop's exact output schema, derived from the
+    // same expressions the rounds union in
+    var selected = cand
+      .select(col("query_id"), col("vec_id"), lit(0).as("step"),
+        col("cosine").as("relevance"), lit(0.0d).as("mmr_score"))
+      .limit(0)
     for (step <- 1 to k) {
       val pen = pairs
         .join(selected.select(col("query_id"), col("vec_id").as("v2")),

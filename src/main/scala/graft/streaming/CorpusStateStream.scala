@@ -45,6 +45,16 @@ object CorpusStateStream {
   private def stateDf(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a dangling .old with the table dir MISSING means compactState
+    // crashed between its two renames — treating that as "empty state"
+    // would silently re-admit every previously-seen document (the file
+    // source never redelivers committed files). Fail loudly; the .old
+    // dir IS the state, and compactState recovers it on its next run.
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
+    if (!fs.exists(p) && fs.exists(old))
+      throw new IllegalStateException(
+        s"$dir missing but $old exists: compaction crashed mid-swap — " +
+        s"re-run compactState (it recovers .old) before reading state")
     if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -130,12 +140,17 @@ object CorpusStateStream {
     val dir = s"$stateDir/$table"
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
+    // crash recovery from a previous run: died between the two renames →
+    // .old IS the table, promote it back; died after the swap → .old is
+    // a stale copy of the pre-compaction table, safe to drop below
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p), s"could not recover $old to $dir")
     require(fs.exists(p), s"no state table at $dir")
     def parquetCount(d: org.apache.hadoop.fs.Path): Int =
       fs.listStatus(d).count(_.getPath.getName.endsWith(".parquet"))
     val before = parquetCount(p)
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
-    val old = new org.apache.hadoop.fs.Path(dir + ".old")
     fs.delete(tmp, true); fs.delete(old, true)
     spark.read.parquet(dir).repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)

@@ -36,10 +36,13 @@ object TimeCorpusState {
       s"$root/ckpt", availableNow = true, maxFilesPerTrigger = Some(1))
       .awaitTermination()
     val secs = (System.nanoTime() - t0) / 1e9
-    // one batch per input file: maxFilesPerTrigger is not set, so
-    // AvailableNow may group files — count the actual batches from the
-    // checkpoint offsets log for an honest per-batch floor
-    val nBatches = new java.io.File(s"$root/ckpt/offsets").list().length
+    // maxFilesPerTrigger=1 → one batch per input file; still count the
+    // committed batches from the checkpoint offsets log rather than
+    // assuming, EXCLUDING the hidden .crc checksum twins the local FS
+    // writes beside every offsets file (counting them once doubled the
+    // reported batch count and halved s/batch — review catch, r9)
+    val nBatches = new java.io.File(s"$root/ckpt/offsets").list()
+      .count(n => !n.startsWith("."))
     val shingles = CorpusStateStream.shingleState(spark, s"$root/state").count()
     val sigs = CorpusStateStream.sigState(spark, s"$root/state").count()
     println(f"[timecorpus] $n docs in $secs%.1f s over $nBatches batches = " +

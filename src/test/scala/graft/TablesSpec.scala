@@ -81,6 +81,12 @@ class TablesSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     val o = Tables.orders(spark, dir.toString)
     assert(o.schema("o_orderdate").dataType == TimestampType)
+    // pin the VALUES, not just the dtype: the NTZ wall-clock must map to
+    // the same instants DuckDB's naive-as-UTC read assigns
+    val oMicros = o.select(unix_micros(col("o_orderdate")))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    assert(oMicros.sameElements(Array(1700000000000000L, 1700086400000000L)),
+      "NTZ o_orderdate instants diverged from naive-as-UTC")
     spark.range(2).select(
       col("id").as("l_orderkey"), col("id").as("l_partkey"),
       col("id").as("l_suppkey"), lit(1).as("l_linenumber"),
