@@ -295,6 +295,45 @@ object Similarity {
          |FROM selu$k ORDER BY query_id, step""".stripMargin
   }
 
+  /** Reciprocal rank fusion (q137): the standard hybrid-retrieval
+    * combiner — fuse two rankers' result lists by summing 1/(c + rank)
+    * per document (Cormack et al. 2009's c = 60), here over the exact
+    * (q36) and LSH-approximate (q39) top-k lists the registry already
+    * serves. RRF needs only RANKS, never comparable scores, which is
+    * why production stacks reach for it when fusing retrievers with
+    * incommensurable scoring (BM25 + dense, exact + ANN). Scale: both
+    * input rankings are page-bounded (top-N per query); the fusion is
+    * one union + one (query, doc) groupBy + one bounded top-k window —
+    * cost is the page, never the corpus.
+    *
+    * Determinism: ranks are exact ints; each doc's score sums at most
+    * two 1/(60+r) doubles in a FIXED order (exact-ranker term first via
+    * max_by over the ranker tag — both engines reduce the same pair),
+    * ties on (score DESC, vec_id). */
+  def rrfFuse(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
+      fromN: Int = 10, c: Int = 60): DataFrame = {
+    val exact = bruteForceTopK(embeddings, queryIds, fromN)
+      .select(col("query_id"), col("vec_id"), col("rn"), lit("exact").as("src"))
+    val ann = annTopK(embeddings, queryIds, fromN, portablePlanes = true)
+      .select(col("query_id"), col("vec_id"), col("rn"), lit("ann").as("src"))
+    val fused = exact.union(ann)
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(
+        // fixed evaluation order: exact term + ann term, each 0 when the
+        // ranker missed the doc — one addition, same shape both engines
+        (coalesce(max(when(col("src") === "exact",
+            lit(1.0d) / (lit(c.toDouble) + col("rn")))), lit(0.0d)) +
+          coalesce(max(when(col("src") === "ann",
+            lit(1.0d) / (lit(c.toDouble) + col("rn")))), lit(0.0d)))
+          .as("rrf_score"),
+        count(lit(1)).cast("int").as("n_rankers"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("vec_id"))
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("rrf_score"), col("n_rankers"))
+  }
+
   /** Int8 quantization: per-vector scale = max|v|/127, q_i = round-half-up
     * of v_i/scale. `out` holds integer-VALUED doubles so dot products stay
     * EXACT (|q_i| <= 127 → |dot| <= 127²·dim « 2^53): the whole quantized
@@ -849,6 +888,68 @@ object Similarity {
       "Embedding dimension health: per-dimension mean and variance over the corpus — the monitor that catches a DEAD dimension (variance collapsing to 0: a projection bug, a saturated activation, a truncated export) or a runaway one (mean drifting off 0) before any similarity search built on these vectors quietly degrades; at production scale the same 64-row table per (model-version, day) is the embedding-pipeline dashboard. Determinism: components quantize to integer micro-units (the q108/q113 playbook), per-dim counts and sums are exact integers, and the sum of SQUARES accumulates in DECIMAL(38,0) (18-digit operand casts multiply exactly on both engines — ANSI-overflow-free to ~1e38, i.e. at ANY realistic corpus size, where a bigint sum of squares would overflow past ~2.5e7 rows per dim); mean and variance are then identical IEEE expressions over those exact sums, micro-unit scaling folded in at the end. Scale: one posexplode and one map-side-combined shuffle at 64 keys — the corpus is scanned once and never joined or windowed.") {
       (s, d) =>
         dimHealth(Tables.embeddings(s, d)).orderBy(col("dim"))
+    },
+
+    Q("q137_rrf_fusion",
+      s"""WITH sig AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN proj > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM (
+         |    SELECT vec_id, p.p AS p,
+         |      list_sum(list_transform(range(len(embedding)), j ->
+         |        CAST(embedding[j + 1] AS DOUBLE) *
+         |        (CASE WHEN CAST('0x' || substring(md5(p.p || '|' || j), 1, 1) AS INTEGER) % 2 = 0
+         |              THEN 1.0 ELSE -1.0 END))) AS proj
+         |    FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS p) p) t
+         |  GROUP BY vec_id),
+         |banded AS (
+         |  SELECT vec_id, b.b AS band, (sig >> (b.b * 2)) & 3 AS bits
+         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) b),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, e.vec_id
+         |  FROM banded e JOIN banded q
+         |    ON e.band = q.band AND e.bits = q.bits
+         |   AND q.vec_id IN (${QueryIds.mkString(", ")}) AND e.vec_id <> q.vec_id),
+         |ann AS (
+         |  SELECT query_id, vec_id, rn FROM (
+         |    SELECT c.query_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY ${cosineSql("e.embedding", "q.embedding")} DESC, c.vec_id) AS rn
+         |    FROM cand c
+         |    JOIN embeddings e ON e.vec_id = c.vec_id
+         |    JOIN embeddings q ON q.vec_id = c.query_id) t
+         |  WHERE rn <= 10),
+         |exact AS (
+         |  SELECT query_id, vec_id, rn FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosineSql("e.embedding", "q.embedding")} DESC, e.vec_id) AS rn
+         |    FROM embeddings e
+         |    JOIN embeddings q ON q.vec_id IN (${QueryIds.mkString(", ")})
+         |      AND e.vec_id <> q.vec_id) t
+         |  WHERE rn <= 10),
+         |fused AS (
+         |  SELECT
+         |    COALESCE(x.query_id, a.query_id) AS query_id,
+         |    COALESCE(x.vec_id, a.vec_id) AS vec_id,
+         |    COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + x.rn), CAST(0 AS DOUBLE))
+         |      + COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + a.rn), CAST(0 AS DOUBLE))
+         |      AS rrf_score,
+         |    CAST((CASE WHEN x.rn IS NULL THEN 0 ELSE 1 END)
+         |       + (CASE WHEN a.rn IS NULL THEN 0 ELSE 1 END) AS INT) AS n_rankers
+         |  FROM exact x FULL OUTER JOIN ann a
+         |    ON x.query_id = a.query_id AND x.vec_id = a.vec_id)
+         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, rrf_score, n_rankers
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_score DESC, vec_id) AS rank
+         |  FROM fused) t
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+      "Reciprocal rank fusion — the standard hybrid-retrieval combiner (Cormack et al. 2009, c=60): fuse the exact (q36) and LSH-approximate (q39, md5-portable planes) top-10 lists by summing 1/(60+rank) per document, then take the fused top-5. RRF consumes only RANKS, never comparable scores — the reason production stacks reach for it when fusing retrievers with incommensurable scoring (BM25 + dense, exact + ANN); n_rankers records whether both lists carried the doc. Determinism: ranks are exact ints from the family's total-ordered windows; each fused score adds at most two 1/(60+r) doubles in a FIXED order (exact term first on both engines), ties on (score DESC, vec_id). Scale: both inputs are page-bounded top-10s; the fusion is one (query, doc) aggregate plus a bounded top-k window — cost is the page, never the corpus.") {
+      (s, d) =>
+        rrfFuse(Tables.embeddings(s, d), QueryIds, k = 5, fromN = 10)
+          .orderBy(col("query_id"), col("rank"))
     },
 
     Q("q136_mmr_diversified_topk", mmrSql(k = 5, fromN = 20, lambda = 0.7),

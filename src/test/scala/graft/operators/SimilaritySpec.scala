@@ -166,6 +166,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rrf: fused scores reconstruct from the two input rankings") {
+    val e = Tables.embeddings(spark, sf0001)
+    val ids = Seq(0L, 10L)
+    val exact = Similarity.bruteForceTopK(e, ids, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val ann = Similarity.annTopK(e, ids, 10, portablePlanes = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val fused = Similarity.rrfFuse(e, ids, k = 5, fromN = 10).collect()
+    assert(fused.groupBy(_.getLong(0)).forall(_._2.map(_.getInt(1)).sorted
+      .sameElements(1 to 5)), "each query must carry ranks 1..5")
+    fused.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      val expected =
+        exact.get(key).map(rn => 1.0 / (60.0 + rn)).getOrElse(0.0) +
+        ann.get(key).map(rn => 1.0 / (60.0 + rn)).getOrElse(0.0)
+      assert(r.getDouble(3) == expected, s"score mismatch for $key")
+      val nr = Seq(exact.contains(key), ann.contains(key)).count(identity)
+      assert(r.getInt(4) == nr, s"n_rankers mismatch for $key")
+      assert(nr >= 1, "fused doc must come from at least one ranker")
+    }
+  }
+
   test("mmr diversifies: a tight near-dup cluster cannot fill the page") {
     val spark0 = spark
     import spark0.implicits._
