@@ -596,6 +596,36 @@ object Dedup {
         (col("shared_shingles").cast("double") / least(col("n1"), col("n2"))).as("overlap"))
   }
 
+  /** Cross-source near-dup matrix (q141): per normalized (source,
+    * source) pair, the count of verified simhash near-dup pairs spanning
+    * those sources and the distinct docs involved. Diagonal = within-
+    * source template churn; off-diagonal = mirroring between sources.
+    * Pairs come from the capped band machinery; tagging is two
+    * |docs|-key joins of the 8-byte pair table, the matrix aggregate is
+    * |sources|²-key map-side-combined. */
+  def crossSourceNearDup(docs: DataFrame, maxHamming: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val tagged = simhashNearDupPairsCapped(docs, maxHamming, maxBucket)
+      .select(col("d1"), col("d2"))
+      .join(src.select(col("doc_id").as("d1"), col("source").as("src1")), Seq("d1"))
+      .join(src.select(col("doc_id").as("d2"), col("source").as("src2")), Seq("d2"))
+      .select(least(col("src1"), col("src2")).as("s1"),
+        greatest(col("src1"), col("src2")).as("s2"),
+        col("d1"), col("d2"))
+    val np = tagged.groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nd = tagged
+      .select(col("s1"), col("s2"), explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .distinct()
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_docs"))
+    np.join(nd, Seq("s1", "s2"))
+      .select(col("s1"), col("s2"), col("n_pairs"), col("n_docs"),
+        (col("s1") =!= col("s2")).as("cross_source"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   /** SimhashBandCte extended with the exact-hamming re-rank — shared by
     * the q76 and q97 oracles so the nibble-xor derivation cannot drift. */
   private val SimhashHamCte: String = SimhashBandCte + SimhashHamTail
@@ -1242,6 +1272,29 @@ object Dedup {
       "Quality × duplication cross-signal monitor — the curation question behind the 'duplicates are disproportionately low-quality' folklore, MEASURED: for each q105 gate reason, the near-dup membership rate (any simhash hamming ≤ 8 pair, the q76 candidate machinery) among flagged docs vs clean docs, with the lift ratio. This is the table that decides pipeline ORDER at 100 TB — if flagged docs carry most of the duplication (lift ≫ 1), running the cheap quality gate BEFORE near-dup dedup shrinks the expensive banded join's input; if lift ≈ 1 the two passes are independent and commute. Flags reuse TextAnalysis.gateFlags (the exact q105 definition — one source of truth) and pair generation reuses the q76 band join; the per-doc membership flag is a left join against the DISTINCT pair-member set (|members| ≤ 2·|pairs|, tiny). Determinism: all counts exact integers; rates and lift are the identical IEEE division shapes on both engines, null-guarded where a denominator can be zero. Scale: the band join is the dominant cost and is q76's machinery running through simhashNearDupPairsCapped — the hot-bucket star cap is ON in the registered query (DefaultMaxBucket=1000, inert on testdata, linear under a mega-bucket); everything after runs on |docs| flag rows + a broadcast-size member set, and the unpivot-aggregate is one |reasons|-key map-side-combined shuffle.") {
       (s, d) =>
         qualityDupLift(Tables.documents(s, d), maxHamming = 8)
+    },
+
+    Q("q141_crosssource_neardup",
+      SimhashHamCte + """,
+        |pairs AS (SELECT d1, d2 FROM ham WHERE hamming <= 8),
+        |tagged AS (
+        |  SELECT least(a.source, b.source) AS s1,
+        |    greatest(a.source, b.source) AS s2, p.d1, p.d2
+        |  FROM pairs p
+        |  JOIN documents a ON p.d1 = a.doc_id
+        |  JOIN documents b ON p.d2 = b.doc_id),
+        |np AS (SELECT s1, s2, count(*) AS n_pairs FROM tagged GROUP BY s1, s2),
+        |nd AS (SELECT s1, s2, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |       FROM (SELECT s1, s2, d1 AS doc_id FROM tagged
+        |             UNION ALL SELECT s1, s2, d2 FROM tagged) u
+        |       GROUP BY s1, s2)
+        |SELECT np.s1, np.s2, np.n_pairs, nd.n_docs,
+        |  np.s1 <> np.s2 AS cross_source
+        |FROM np JOIN nd ON np.s1 = nd.s1 AND np.s2 = nd.s2
+        |ORDER BY np.s1, np.s2""".stripMargin,
+      "Cross-source near-duplication matrix — WHERE the duplication lives: per (source, source) pair, the count of simhash hamming <= 8 near-dup pairs whose members span those sources, plus the distinct documents involved. The diagonal (s1 = s2) is within-source duplication (template churn — fix the source's own extraction); off-diagonal mass is MIRRORING (one source republishing another — fix by dropping one side wholesale, far cheaper than pairwise dedup). This is the q96 shingle-overlap matrix upgraded from token-set overlap to verified near-dup pairs, and the table a curator reads to decide crawl-source precedence before spending the full q81 components pass. Pair generation is the registered capped q76 machinery (simhashNearDupPairsCapped, DefaultMaxBucket inert at test scale); the source tags arrive by two |docs|-key joins of an 8-byte pair table against (doc_id, source), the matrix aggregate is |sources|^2-key map-side-combined, and the distinct-doc count works on the same bounded pair set. least/greatest normalization makes the matrix upper-triangular so A->B and B->A mirroring land in one cell on both engines; all counts exact integers, full value-hash oracle against the uncapped pair semantics.") {
+      (s, d) =>
+        crossSourceNearDup(Tables.documents(s, d), maxHamming = 8)
     },
   )
 }

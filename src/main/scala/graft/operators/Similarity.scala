@@ -465,6 +465,85 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** Within-list kNN-graph in-degree distribution (q138) — the hubness
+    * diagnostic for an embedding space: build the k-nearest-neighbor
+    * graph the way a production ANN index would (top-k by cosine INSIDE
+    * each IVF list, the q112/SemDeDup bound on pairwise work), then
+    * histogram how often each vector is chosen as someone's neighbor.
+    * A healthy space has in-degree concentrated near k; hub vectors
+    * (in-degree ≫ k) distort retrieval and are the known failure mode
+    * of high-dimensional kNN (hubness). Returns (in_degree, n_vectors).
+    *
+    * Vectors in a singleton list have no candidates and surface in the
+    * in_degree = 0 bucket (the left join keeps every corpus vector).
+    * Scale: nlist grows with the corpus so the per-list size stays at a
+    * target B and the pair stage costs n·B, never n²; per-row norms are
+    * computed once on the checkpointed list table, the top-k window is
+    * bounded by the list, and the two aggregates shuffle 8-byte keys. */
+  def knnHubness(embeddings: DataFrame, k: Int = 10, nlist: Int = 8,
+      iters: Int = 3, portableMeans: Boolean = false): DataFrame = {
+    val centroids = kmeansCentroids(embeddings, nlist, iters, portableMeans)
+    val dv = embeddings.select(col("vec_id"),
+      graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+    val lists = assign(dv, centroids)
+      .select(col("cid"), col("vec_id"), col("v"),
+        sqrt(graft.expressions.VecDot(col("v"), col("v"))).as("nrm"))
+      .localCheckpoint(true)
+    val a = lists.select(col("cid"), col("vec_id").as("src"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = lists.select(col("cid").as("cidb"), col("vec_id").as("dst"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val scored = a.join(b, col("cid") === col("cidb") && col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(graft.expressions.VecDot(col("va"), col("vb")) /
+          (col("na") * col("nb")), 6).as("cosine"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+    val knn = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    val indeg = lists.select(col("vec_id"))
+      .join(knn.groupBy(col("dst")).agg(count(lit(1)).as("c")),
+        col("vec_id") === col("dst"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("in_degree"))
+    indeg.groupBy(col("in_degree"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("in_degree"))
+  }
+
+  /** IVF index-health table (q139): per inverted list, its size, share
+    * of the corpus, skew vs the mean list size (size·nlist/total — the
+    * imbalance factor an IVF deployment alarms on, since probe cost is
+    * driven by the hottest lists), and the mean member→centroid cosine
+    * (quantization quality: a low-cohesion list is one the index should
+    * split before recall degrades). Complements q112's kept/dropped
+    * accounting and q49's retrieval path with the OPERATIONAL view of
+    * the same coarse quantizer. Scale: one |corpus| scan with a
+    * broadcast centroid join (nlist rows), one nlist-key map-side-
+    * combined aggregate, one broadcast one-row total — no pairwise
+    * stage at all. */
+  def ivfListStats(embeddings: DataFrame, nlist: Int = 8, iters: Int = 3,
+      portableMeans: Boolean = false): DataFrame = {
+    val centroids = kmeansCentroids(embeddings, nlist, iters, portableMeans)
+    val dv = embeddings.select(col("vec_id"),
+      graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+    val mc = assign(dv, centroids)
+      .join(broadcast(centroids), Seq("cid"))
+      .select(col("cid"),
+        round(graft.expressions.VecDot(col("v"), col("cvec")) /
+          (sqrt(graft.expressions.VecDot(col("v"), col("v"))) *
+           sqrt(graft.expressions.VecDot(col("cvec"), col("cvec")))), 6)
+          .as("cc"))
+    val per = mc.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        DetAgg.davg(col("cc")).as("avg_centroid_cosine"))
+    val tot = per.agg(sum(col("n_vecs")).as("_t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_vecs"),
+        (col("n_vecs").cast("double") / col("_t").cast("double")).as("size_share"),
+        (col("n_vecs").cast("double") * lit(nlist) / col("_t").cast("double"))
+          .as("skew"),
+        col("avg_centroid_cosine"))
+      .orderBy(col("cid"))
+  }
+
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(range(64), j -> $a[j+1] * $b[j+1]))"
 
@@ -583,6 +662,52 @@ object Similarity {
        |  n_vecs - coalesce(n_dropped, 0) AS n_kept
        |FROM base LEFT JOIN dropped ON base.cid = dropped.cid
        |ORDER BY cid""".stripMargin
+  }
+
+  /** DuckDB twin of [[knnHubness]](portableMeans = true): the shared
+    * k-means lists, per-row norms computed once, within-list kNN via the
+    * same (cosine DESC, dst) window, in-degree from a left join so
+    * never-chosen vectors land in the 0 bucket. */
+  private def q138OracleSql: String = {
+    def dot(a: String, b: String) = dotSql(a, b)
+    s"""WITH $kmeansListsCtes,
+       |nr AS (SELECT cid, vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM lists),
+       |sc AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    round(${dot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
+       |  FROM nr a JOIN nr b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+       |knn AS (SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src
+       |    ORDER BY cosine DESC, dst) AS rn FROM sc) t WHERE rn <= 10),
+       |ind AS (
+       |  SELECT CAST(COALESCE(k.c, 0) AS BIGINT) AS in_degree
+       |  FROM lists l LEFT JOIN (SELECT dst, count(*) AS c FROM knn GROUP BY dst) k
+       |    ON l.vec_id = k.dst)
+       |SELECT in_degree, count(*) AS n_vectors FROM ind
+       |GROUP BY in_degree ORDER BY in_degree""".stripMargin
+  }
+
+  /** DuckDB twin of [[ivfListStats]](portableMeans = true): shared
+    * k-means lists joined to the final centroids c3, round-6 member
+    * cosine, DetAgg decimal average, shares against the one-row total. */
+  private def q139OracleSql(nlist: Int): String = {
+    def dot(a: String, b: String) = dotSql(a, b)
+    s"""WITH $kmeansListsCtes,
+       |mc AS (
+       |  SELECT l.cid,
+       |    round(${dot("l.v", "c.cvec")} /
+       |      (sqrt(${dot("l.v", "l.v")}) * sqrt(${dot("c.cvec", "c.cvec")})), 6) AS cc
+       |  FROM lists l JOIN c3 c ON l.cid = c.cid),
+       |per AS (
+       |  SELECT cid, count(*) AS n_vecs,
+       |    ${DetAgg.sql.davg("cc")} AS avg_centroid_cosine
+       |  FROM mc GROUP BY cid),
+       |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS t FROM per)
+       |SELECT CAST(cid AS INT) AS cid, n_vecs,
+       |  CAST(n_vecs AS DOUBLE) / CAST(t AS DOUBLE) AS size_share,
+       |  CAST(n_vecs AS DOUBLE) * $nlist / CAST(t AS DOUBLE) AS skew,
+       |  avg_centroid_cosine
+       |FROM per, tot ORDER BY cid""".stripMargin
   }
 
   val queries: Seq[Q] = Seq(
@@ -959,6 +1084,18 @@ object Similarity {
           .select(col("query_id"), col("step"), col("vec_id"),
             col("relevance"), col("mmr_score"))
           .orderBy(col("query_id"), col("step"))
+    },
+
+    Q("q138_knn_hubness", q138OracleSql,
+      "kNN-graph hubness histogram — the embedding-space health check retrieval quality silently depends on: build the k-nearest-neighbor graph the way a production index would (top-10 by cosine INSIDE each IVF list — the q112 bound, pairwise work n·B with B the target list size, never n²), then histogram each vector's in-degree. Healthy spaces concentrate in-degree near k; hub vectors (in-degree >> k, the high-dimensional hubness pathology) crowd out true neighbors in every result page they touch, and the 0-bucket counts vectors NO ONE retrieves (orphans — singleton-list members included, kept by the left join). Registered with portableMeans=true so the k-means lists replay bit-identically in the DuckDB twin (q49 machinery); per-row norms are computed once on the checkpointed list table and the round-6 cosine is the q112 IEEE shape, so even the graph edges are engine-portable and the histogram gets a full value-hash oracle. Scale: the list self-join is the SemDeDup bound, the top-k window is per-list, and both closing aggregates shuffle 8-byte keys.") {
+      (s, d) =>
+        knnHubness(Tables.embeddings(s, d), k = 10, portableMeans = true)
+    },
+
+    Q("q139_ivf_list_stats", q139OracleSql(nlist = 8),
+      "IVF index-health table — the operational view of the q49/q112 coarse quantizer: per inverted list its size, corpus share, skew vs the mean list size (the imbalance factor an ANN deployment alarms on — probe latency is driven by the hottest lists, and skew >> 1 means the quantizer needs re-training or the corpus drifted), and mean member->centroid cosine (quantization quality: a low-cohesion list should be split before recall degrades — the nlist-scaling trigger). Registered with portableMeans=true: lists and centroids replay bit-identically in DuckDB, the member cosine is the family's round-6 shape against the FINAL centroids, the average is DetAgg's decimal sum, and the share/skew divisions are identical IEEE expressions — full value-hash oracle. Scale: one corpus scan with a broadcast nlist-row centroid join, one nlist-key map-side-combined aggregate, one broadcast one-row total; no pairwise stage exists in this query at all.") {
+      (s, d) =>
+        ivfListStats(Tables.embeddings(s, d), portableMeans = true)
     },
   )
 

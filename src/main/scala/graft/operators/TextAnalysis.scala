@@ -108,6 +108,45 @@ object TextAnalysis {
           - (col("slnq") * lit(1e-6d)) / col("n_tokens")).as("avg_nll"))
   }
 
+  /** Per-source RANK-based LM quality gate (q140): the gate the q109
+    * calibration table parameterizes — per source, KEEP the lowest
+    * `keepShare` fraction of documents by unigram NLL (lowest = most
+    * predictable under the corpus LM, the CCNet head/middle cut), and
+    * report per source the kept count, realized share, and the
+    * effective threshold (max kept score). Rank-based rather than
+    * value-threshold-based deliberately: the per-source quantile VALUE
+    * is interpolated (engine ulps at the boundary would flip
+    * keep/drop), while ranks over the deterministic integer-micro-nat
+    * scores with doc_id ties are exact on any engine — and a per-source
+    * TOP-FRACTION is the actual CCNet recipe (each slice keeps its own
+    * best, so a uniformly-noisy source cannot flood the gate).
+    *
+    * Scale: the score is q103's plan (map-side-combined |vocab| and
+    * |docs| shuffles, 8-byte keys); the gate adds ONE window sort
+    * partitioned by source — same cost family as q08's top-k — and a
+    * |sources|-key aggregate. At 100 TB with a mega-source, swap the
+    * exact rank for q75's mergeable histogram quantile and accept the
+    * boundary approximation; the exact form is the oracle semantics. */
+  def adaptiveQualityGate(docs: DataFrame, keepShare: Double = 0.75): DataFrame = {
+    val rankW = Window.partitionBy(col("source"))
+      .orderBy(col("avg_nll"), col("doc_id"))
+    val cntW = Window.partitionBy(col("source"))
+    val flagged = unigramNll(docs)
+      .withColumn("rn", row_number().over(rankW))
+      .withColumn("nd", count(lit(1)).over(cntW))
+      .withColumn("keep",
+        col("rn") <= ceil(col("nd").cast("double") * lit(keepShare)))
+    flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+        max(when(col("keep"), col("avg_nll"))).as("threshold_nll"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_docs").cast("double"))
+          .as("kept_share"),
+        col("threshold_nll"))
+      .orderBy(col("source"))
+  }
+
   /** Per-doc conditional bigram LM score (q130): avg over adjacent word
     * pairs of ln c(w1) − ln c(w1 w2) under corpus counts — q103's
     * unigram playbook one order up. Both ln terms quantize to integer
@@ -869,6 +908,44 @@ object TextAnalysis {
       "Per-document CONDITIONAL bigram LM score — q103's unigram NLL one order up: avg over adjacent word pairs of ln c(w1) − ln c(w1 w2) under corpus counts, i.e. how surprising each next-word is GIVEN its predecessor — the signal that separates 'rare words' (q103 fires) from 'rare transitions' (word salad with common words, which unigram scoring cannot see; this is the direction real CCNet-style filters take toward 5-gram LMs). Determinism is the q103 playbook verbatim: both ln terms quantize to integer micro-nats once per VOCAB ENTRY (never per instance), every distributed sum is exact-integer, and the final division is one IEEE expression per doc; c(w1) >= c(w1 w2) always, so the score is non-negative up to quantization. Scale: bigram and token instances come from the two compiled ShingleHash64.all passes ZIPPED IN-ROW by position (slice keeps alignment; no instance-level join); the text is scanned three times (bigram vocab, unigram vocab, probe side) with the hashing recomputed per scan — the q33 recompute-over-cache trade, since the exploded instance index dwarfs the input — and everything that SHUFFLES is 8-byte hashes — (doc,pair) instances join the two vocab ln-tables on their hash keys (the 2^-64 collision trade the whole n-gram family already accepts, policed by this very oracle gate), then one |docs|-key agg. The oracle recomputes on strings with split_part re-deriving w1 from the bigram text.") {
       (s, d) =>
         bigramLmScore(Tables.documents(s, d))
+    },
+
+    Q("q140_adaptive_quality_gate",
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |dt AS (SELECT doc_id, source, w, count(*) AS c
+        |       FROM tok GROUP BY doc_id, source, w),
+        |vocab AS (SELECT w, CAST(sum(c) AS BIGINT) AS cnt FROM dt GROUP BY w),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
+        |v2 AS (SELECT w,
+        |         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS lnq
+        |       FROM vocab),
+        |s AS (SELECT d.doc_id, d.source, CAST(sum(d.c) AS BIGINT) AS n_tokens,
+        |        CAST(sum(d.c * v.lnq) AS BIGINT) AS slnq
+        |      FROM dt d JOIN v2 v USING (w) GROUP BY d.doc_id, d.source),
+        |p AS (SELECT source, doc_id,
+        |        CAST(floor(ln(CAST(t AS DOUBLE)) * 1e6) AS BIGINT) * 1e-6
+        |          - (slnq * 1e-6) / n_tokens AS avg_nll
+        |      FROM s, tot),
+        |r AS (SELECT source, avg_nll,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY avg_nll, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY source) AS nd
+        |      FROM p),
+        |f AS (SELECT source, avg_nll,
+        |        rn <= ceil(CAST(nd AS DOUBLE) * CAST(0.75 AS DOUBLE)) AS keep
+        |      FROM r)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE keep) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS kept_share,
+        |  max(avg_nll) FILTER (WHERE keep) AS threshold_nll
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+      "Per-source rank-based LM quality gate — the GATE that q109's calibration table parameterizes, closing the q103 -> q109 -> gate loop: each source keeps its lowest 75% of documents by unigram NLL (the CCNet per-slice head/middle cut — per-source top-fraction, so a uniformly-noisy source cannot flood the corpus through a global threshold, and a clean source is not over-pruned by other sources' tail). Reported per source: kept count, realized share (ceil rounding makes it >= 0.75), and the effective threshold = max kept score — the number a curator would pin as that source's cut for incremental ingest. Rank-based rather than value-threshold-based deliberately: interpolated quantile VALUES differ by engine ulps exactly at the keep/drop boundary, while ranks over the deterministic integer-micro-nat scores (ties to doc_id) replay identically — so the gate itself is hash-exact cross-engine. Scale: q103's score plan (8-byte-key map-side-combined shuffles), plus one per-source window sort (the q08 cost family) and a |sources|-key aggregate; a mega-source swaps the exact rank for q75's mergeable histogram quantile at the documented boundary-approximation cost.") {
+      (s, d) =>
+        adaptiveQualityGate(Tables.documents(s, d), keepShare = 0.75)
     },
   )
 }

@@ -259,4 +259,40 @@ class CorpusToolingSpec extends SparkSpec {
     assert(fps.subsetOf(hashes))
     assert(fps.nonEmpty)
   }
+
+  // ---- q140 adaptive quality gate ----------------------------------------
+
+  test("adaptive gate: every source keeps exactly ceil(0.75·n) docs") {
+    val got = TextAnalysis.adaptiveQualityGate(Tables.documents(spark, sf001))
+      .collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      val n = r.getLong(1); val kept = r.getLong(2)
+      assert(kept == math.ceil(n * 0.75).toLong,
+        s"source ${r.getString(0)}: kept $kept of $n")
+      assert(math.abs(r.getDouble(3) - kept.toDouble / n) < 1e-12)
+      assert(!r.isNullAt(4), "a source with kept docs must report its threshold")
+    }
+  }
+
+  test("adaptive gate: thresholds are per-source — a noisy source keeps its own 75%") {
+    import spark.implicits._
+    // 'common' docs repeat corpus-frequent words (low NLL); every 'rare'
+    // doc is made of corpus-unique words (cnt = 1 → avg_nll = ln T, the
+    // maximum). A GLOBAL 75% cut would keep all of 'common' and nearly
+    // none of 'rare'; the per-source gate must keep 6 of 8 in EACH.
+    val common = (0 until 8).map(i =>
+      (i.toLong, "common", "the cat sat on the mat again"))
+    val rare = (0 until 8).map(i =>
+      (100L + i, "rare", s"zyx${i}a qwv${i}b mnl${i}c pqr${i}d"))
+    val docs = (common ++ rare).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.adaptiveQualityGate(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(got.keySet == Set("common", "rare"))
+    assert(got("common")._1 == 8 && got("common")._2 == 6)
+    assert(got("rare")._1 == 8 && got("rare")._2 == 6)
+    assert(got("rare")._3 > got("common")._3,
+      "rare-word source must carry the higher effective threshold")
+  }
 }

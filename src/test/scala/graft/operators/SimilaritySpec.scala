@@ -208,4 +208,48 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(mmr.contains(5L), s"MMR must admit the distant vector, got $mmr")
   }
+
+  test("knn hubness: star fixture — the hub is everyone's nearest neighbor") {
+    val spark0 = spark
+    import spark0.implicits._
+    // hub = e1; satellite i = e1 + 0.5·e_i (orthogonal offsets), so
+    // cos(sat, hub) = 1/sqrt(1.25) ≈ .894 beats cos(sat_i, sat_j) = 0.8
+    // for every pair — with k = 1 all six satellites pick the hub, the
+    // hub's own tie among satellites breaks to the smallest dst (1).
+    def vec(i: Int): Array[Float] = {
+      val v = Array.fill(8)(0.0f); v(0) = 1.0f
+      if (i > 0) v(i) = 0.5f
+      v
+    }
+    val rows = (0 to 6).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val got = Similarity.knnHubness(rows, k = 1, nlist = 1, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 5L, 1L -> 1L, 6L -> 1L),
+      s"expected in-degree histogram {0:5, 1:1, 6:1}, got $got")
+  }
+
+  test("knn hubness: histogram partitions the corpus, edges bounded by n*k") {
+    val e = Tables.embeddings(spark, sf0001)
+    val n = e.count()
+    val h = Similarity.knnHubness(e, k = 10, portableMeans = true).collect()
+    assert(h.map(_.getLong(1)).sum == n, "every vector must land in one bucket")
+    val edges = h.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(edges > 0 && edges <= n * 10, s"edge count $edges out of [1, ${n * 10}]")
+  }
+
+  test("ivf list stats: shares/skew reconcile; sizes match the q112 lists") {
+    val e = Tables.embeddings(spark, sf0001)
+    val st = Similarity.ivfListStats(e, portableMeans = true).collect()
+    assert(st.length == 8, "all 8 lists populated on this corpus")
+    assert(st.map(_.getLong(1)).sum == e.count())
+    assert(math.abs(st.map(_.getDouble(2)).sum - 1.0) < 1e-9, "shares sum to 1")
+    assert(math.abs(st.map(_.getDouble(3)).sum / st.length - 1.0) < 1e-9,
+      "mean skew is 1 when every list is non-empty")
+    assert(st.forall(r => r.getDouble(4) >= -1.000001 && r.getDouble(4) <= 1.000001))
+    // the same coarse quantizer q112 accounts with — list sizes must agree
+    val sd = Similarity.semanticDedup(e, threshold = 0.3, portableMeans = true)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(st.map(r => (r.getInt(0), r.getLong(1))).toMap == sd,
+      "ivfListStats and semanticDedup disagree on the list partition")
+  }
 }

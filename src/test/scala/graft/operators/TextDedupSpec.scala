@@ -320,4 +320,33 @@ class TextDedupSpec extends SparkSpec {
       .withColumn("got", TextAnalysis.langId($"text"))
     assert(df.filter($"got" =!= $"expected").count() == 0)
   }
+
+  test("cross-source near-dup matrix reconciles with the pair set") {
+    val docs = Tables.documents(spark, sf001)
+    val srcOf = docs.select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup
+      .simhashNearDupPairsCapped(docs, maxHamming = 8, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // independent in-memory recompute of the matrix
+    val keyed = pairs.map { case (d1, d2) =>
+      val (a, b) = (srcOf(d1), srcOf(d2))
+      ((if (a <= b) a else b, if (a <= b) b else a), (d1, d2))
+    }
+    val expPairs = keyed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expDocs = keyed.groupBy(_._1).view
+      .mapValues(v => v.flatMap(p => Seq(p._2._1, p._2._2)).distinct.size.toLong)
+      .toMap
+    val got = Dedup.crossSourceNearDup(docs, maxHamming = 8).collect()
+    assert(got.nonEmpty)
+    assert(got.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      == expPairs.map { case ((a, b), n) => (a, b) -> n })
+    assert(got.map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+      == expDocs.map { case ((a, b), n) => (a, b) -> n })
+    for (r <- got) {
+      assert(r.getString(0) <= r.getString(1), "matrix must be upper-triangular")
+      assert(r.getBoolean(4) == (r.getString(0) != r.getString(1)))
+      assert(r.getLong(3) <= 2 * r.getLong(2), "docs bounded by 2·pairs")
+    }
+  }
 }
