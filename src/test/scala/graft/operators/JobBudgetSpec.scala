@@ -85,6 +85,10 @@ class JobBudgetSpec extends SparkSpec {
       (10, "observed 8: blacklist agg, covered-start probe, doc rebuild + save"),
     "q112_semantic_dedup" ->
       (36, "observed 28: q49's centroid seed + Lloyd chain, signature checkpoint, in-cluster pair join + size aggs"),
+    "q138_knn_hubness" ->
+      (37, "observed 29: q49's Lloyd chain + list checkpoint, within-list kNN join + window, in-degree + histogram aggs"),
+    "q139_ivf_list_stats" ->
+      (35, "observed 28: q49's Lloyd chain, centroid join + cosine agg, one-row total broadcast"),
   )
 
   budgets.foreach { case (name, (budget, makeup)) =>

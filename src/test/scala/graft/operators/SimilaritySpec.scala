@@ -228,6 +228,15 @@ class SimilaritySpec extends SparkSpec {
       s"expected in-degree histogram {0:5, 1:1, 6:1}, got $got")
   }
 
+  test("knn hubness: auto nlist holds the oracle's 8 lists at verify scale, grows with n") {
+    assert(Similarity.autoNlist(500) == 8,
+      "500 vectors must run the exact 8-list chain the DuckDB twin unrolls")
+    assert(Similarity.autoNlist(1) == 8, "floor keeps tiny corpora at 8")
+    assert(Similarity.autoNlist(5000) == 80)
+    assert(Similarity.autoNlist(25000) == 397,
+      "5x bench corpus: per-list size stays ~63, pair mass n·B not n²/8")
+  }
+
   test("knn hubness: histogram partitions the corpus, edges bounded by n*k") {
     val e = Tables.embeddings(spark, sf0001)
     val n = e.count()
