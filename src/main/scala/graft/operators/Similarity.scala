@@ -485,6 +485,63 @@ object Similarity {
     * on a sample and assign the corpus once, which this chain supports
     * by passing a sampled frame to [[kmeansCentroids]]). Measured on the
     * 5x ScaleUp corpus: fixed nlist=8 7.1x, auto 1.9x. */
+  /** IVF probe-recall curve (q142): recall@k and mean candidate count
+    * as a function of nprobe — the tuning curve an IVF deployment reads
+    * to pick its recall/latency operating point (the ANN twin of q117's
+    * near-dup threshold curve). Candidates are scored ONCE with the
+    * rank of the centroid that admitted them; each nprobe row is then a
+    * filter + bounded window over that one table, so the whole curve
+    * costs one q49 probe pass plus |q|·n bounded work, never nlist
+    * separate index runs. At nprobe = nlist the candidate set is the
+    * full corpus under the IDENTICAL cosine, so the curve provably ends
+    * at recall 1.0 — an in-query correctness anchor. */
+  def ivfProbeRecallCurve(embeddings: DataFrame, queryIds: Seq[Long],
+      k: Int, nlist: Int = 8, iters: Int = 3,
+      portableMeans: Boolean = false): DataFrame = {
+    val centroids = kmeansCentroids(embeddings, nlist, iters, portableMeans)
+    val dv = embeddings.select(col("vec_id"),
+      graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+    val lists = assign(dv, centroids).localCheckpoint(true)
+    val queries = lists.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("sim", graft.expressions.VecDot(col("qv"), col("cvec")))
+      .withColumn("prank", row_number().over(pw))
+      .select(col("query_id"), col("qv"), col("cid"), col("prank"))
+    val cand = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("prank"),
+        cosine(col("v"), col("qv")).as("cosine"))
+    val pc = cand
+      .withColumn("nprobe", explode(sequence(lit(1), lit(nlist))))
+      .filter(col("prank") <= col("nprobe"))
+    val tw = Window.partitionBy(col("query_id"), col("nprobe"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val topk = pc.withColumn("rn", row_number().over(tw)).filter(col("rn") <= k)
+      .select(col("query_id"), col("nprobe"), col("vec_id"))
+    val ew = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val exact = dv.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("cosine"))
+      .withColumn("rn", row_number().over(ew)).filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    val hits = topk.join(exact, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("h"))
+    val ncand = pc.groupBy(col("nprobe"), col("query_id"))
+      .agg(count(lit(1)).as("nc"))
+    hits.join(ncand, Seq("nprobe", "query_id"))
+      .groupBy(col("nprobe"))
+      .agg(
+        (sum(col("h")).cast("double") / lit(k * queryIds.size)).as("avg_recall"),
+        (sum(col("nc")).cast("double") / lit(queryIds.size)).as("avg_candidates"))
+      .orderBy(col("nprobe"))
+  }
+
   /** Target per-list size for [[knnHubness]]'s auto nlist: chosen so the
     * verify-scale corpus (500 vectors → ceil(500/63) = 8) runs the exact
     * 8-list chain the DuckDB oracle unrolls, while larger corpora grow
@@ -684,6 +741,59 @@ object Similarity {
        |  n_vecs - coalesce(n_dropped, 0) AS n_kept
        |FROM base LEFT JOIN dropped ON base.cid = dropped.cid
        |ORDER BY cid""".stripMargin
+  }
+
+  /** DuckDB twin of [[ivfProbeRecallCurve]](portableMeans = true): the
+    * shared k-means lists, probes ranked over ALL centroids, candidates
+    * scored once with their admitting probe rank, one unnest(range) per
+    * nprobe row, and the exact baseline under the identical cosine. */
+  private def q142OracleSql(k: Int, nlist: Int, nQueries: Int): String = {
+    def dot(a: String, b: String) = dotSql(a, b)
+    def cos(v: String, q: String) =
+      s"round(${dot(v, q)} / (sqrt(${dot(v, v)}) * sqrt(${dot(q, q)})), 6)"
+    s"""WITH $kmeansListsCtes,
+       |queries AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM lists
+       |  WHERE vec_id IN (${QueryIds.mkString(", ")})),
+       |probes AS (
+       |  SELECT query_id, qv, cid, rn AS prank FROM (
+       |    SELECT q.query_id, q.qv, b.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${dot("q.qv", "b.cvec")} DESC, b.cid) AS rn
+       |    FROM queries q CROSS JOIN c3 b) t),
+       |cand AS (
+       |  SELECT p.query_id, l.vec_id, p.prank, ${cos("l.v", "p.qv")} AS cosine
+       |  FROM lists l JOIN probes p ON l.cid = p.cid AND l.vec_id <> p.query_id),
+       |pc AS (
+       |  SELECT c.query_id, c.vec_id, c.cosine, pr.p AS nprobe
+       |  FROM cand c CROSS JOIN (SELECT unnest(range(1, ${nlist + 1})) AS p) pr
+       |  WHERE c.prank <= pr.p),
+       |topk AS (
+       |  SELECT query_id, nprobe, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id, nprobe
+       |      ORDER BY cosine DESC, vec_id) AS rn
+       |    FROM pc) t WHERE rn <= $k),
+       |exact AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cos("e.v", "q.qv")} DESC, e.vec_id) AS rn
+       |    FROM dv e JOIN queries q ON e.vec_id <> q.query_id) t
+       |  WHERE rn <= $k),
+       |hits AS (
+       |  SELECT t.nprobe, t.query_id, count(x.vec_id) AS h
+       |  FROM topk t LEFT JOIN exact x
+       |    ON t.query_id = x.query_id AND t.vec_id = x.vec_id
+       |  GROUP BY t.nprobe, t.query_id),
+       |ncand AS (
+       |  SELECT nprobe, query_id, count(*) AS nc FROM pc
+       |  GROUP BY nprobe, query_id)
+       |SELECT CAST(h.nprobe AS INT) AS nprobe,
+       |  CAST(sum(h.h) AS DOUBLE) / ${k * nQueries} AS avg_recall,
+       |  CAST(sum(n.nc) AS DOUBLE) / $nQueries AS avg_candidates
+       |FROM hits h JOIN ncand n
+       |  ON h.nprobe = n.nprobe AND h.query_id = n.query_id
+       |GROUP BY h.nprobe ORDER BY nprobe""".stripMargin
   }
 
   /** DuckDB twin of [[knnHubness]](portableMeans = true): the shared
@@ -1118,6 +1228,13 @@ object Similarity {
       "IVF index-health table — the operational view of the q49/q112 coarse quantizer: per inverted list its size, corpus share, skew vs the mean list size (the imbalance factor an ANN deployment alarms on — probe latency is driven by the hottest lists, and skew >> 1 means the quantizer needs re-training or the corpus drifted), and mean member->centroid cosine (quantization quality: a low-cohesion list should be split before recall degrades — the nlist-scaling trigger). Registered with portableMeans=true: lists and centroids replay bit-identically in DuckDB, the member cosine is the family's round-6 shape against the FINAL centroids, the average is DetAgg's decimal sum, and the share/skew divisions are identical IEEE expressions — full value-hash oracle. Scale: one corpus scan with a broadcast nlist-row centroid join, one nlist-key map-side-combined aggregate, one broadcast one-row total; no pairwise stage exists in this query at all.") {
       (s, d) =>
         ivfListStats(Tables.embeddings(s, d), portableMeans = true)
+    },
+
+    Q("q142_ivf_probe_recall", q142OracleSql(k = 10, nlist = 8, nQueries = 3),
+      "IVF probe-recall tuning curve — recall@10 and mean candidate count per query as a function of nprobe (1..nlist): the table an ANN deployment reads to pick its recall/latency operating point, and the ANN twin of q117's near-dup threshold curve (both turn a tuning knob into an oracle-checked artifact instead of folklore). Built from ONE q49 probe pass: every candidate is scored once carrying the rank of the centroid that admitted it, so each nprobe row is a filter + bounded top-k window over the same table — the curve costs one index run, never nlist of them. The curve carries its own correctness anchor: at nprobe = nlist the candidate set is the full corpus under the IDENTICAL round-6 cosine, so recall ends at exactly 1.0 and avg_candidates at n-1 (SimilaritySpec pins both). Registered with portableMeans=true — k-means lists, probe ranks, cosines, and the integer hit counts all replay bit-identically in DuckDB; the final divisions are one IEEE expression per row. Scale: probe table is |q|·nlist broadcast rows, candidate scoring is the q49 inverted-file bound, the nprobe explosion multiplies only the CANDIDATE set (|q|·n at worst), and the closing aggregates run on nlist·|q| keys.") {
+      (s, d) =>
+        ivfProbeRecallCurve(Tables.embeddings(s, d), QueryIds, k = 10,
+          portableMeans = true)
     },
   )
 

@@ -246,6 +246,25 @@ class SimilaritySpec extends SparkSpec {
     assert(edges > 0 && edges <= n * 10, s"edge count $edges out of [1, ${n * 10}]")
   }
 
+  test("ivf probe-recall curve: monotone, anchored at exactly 1.0 / n-1 at full probe") {
+    val e = Tables.embeddings(spark, sf0001)
+    val rows = Similarity
+      .ivfProbeRecallCurve(e, queryIds, k = 10, portableMeans = true)
+      .collect()
+    assert(rows.length == 8, "one row per nprobe value")
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 8))
+    val rec = rows.map(_.getDouble(1))
+    // superset candidates under the SAME total score order can only add
+    // true-top-k members, never displace one — recall is monotone
+    assert(rec.zip(rec.tail).forall { case (a, b) => b >= a }, "recall dipped")
+    assert(rec.last == 1.0, "full probe must reproduce the exact top-k")
+    val cands = rows.map(_.getDouble(2))
+    assert(cands.zip(cands.tail).forall { case (a, b) => b > a },
+      "every extra probe admits a non-empty list on this corpus")
+    assert(cands.last == (e.count() - 1).toDouble,
+      "full probe scores every non-self vector exactly once")
+  }
+
   test("ivf list stats: shares/skew reconcile; sizes match the q112 lists") {
     val e = Tables.embeddings(spark, sf0001)
     val st = Similarity.ivfListStats(e, portableMeans = true).collect()
