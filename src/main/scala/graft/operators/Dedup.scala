@@ -238,12 +238,69 @@ object Dedup {
     docs.select(col("doc_id"),
       graft.expressions.MinHashSig(col("text"), k).as("sig"))
 
+  /** MinHash calibration table (q143): for the banded candidate pairs,
+    * the estimator (signature agreement fraction) against the TRUE
+    * distinct-3-gram-shingle Jaccard, bucketed by agreement count —
+    * the table that tells a dedup operator what an "agreeing" signature
+    * actually MEANS at k = 8 (estimator standard error ≈ 1/√k ≈ 0.35,
+    * so the measured per-bucket bias/error is large and worth knowing
+    * before picking a drop threshold; the production fix is raising k,
+    * and this query is how the k-vs-error trade gets measured).
+    *
+    * Scale: the pair population is the capped banded candidate set
+    * (never all pairs); signatures ship as k md5 strings per doc; the
+    * true-Jaccard leg joins each pair against d1's distinct shingle
+    * hashes then probes d2's — |pairs|·S̄ shuffled 8-byte rows, the
+    * q33 inverted-probe shape restricted to candidates. */
+  def minhashCalibration(docs: DataFrame, k: Int = 8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // ONE compiled-MinHashSig pass feeds both the band join and the
+    // agreement count (a second pass measured ~1 s of the query's cost)
+    val sigs = minhashSignatures(docs, k).localCheckpoint()
+    val withSig = minhashCappedFromBands(
+        minhashBandsFromSigs(sigs, k, 2), maxBucket)
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), Seq("d1"))
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        aggregate(
+          zip_with(col("sig1"), col("sig2"), (a, b) => (a === b).cast("int")),
+          lit(0), (acc, x) => acc + x).as("n_agree"))
+    // ShingleHash64 emits DISTINCT hashes (its default contract), so the
+    // exploded rows are already the set representation Jaccard needs
+    val sh = docs.select(col("doc_id"),
+      explode(graft.expressions.ShingleHash64(col("text"), 3)).as("h"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = withSig.select(col("d1"), col("d2"))
+      .join(sh.select(col("doc_id").as("d1"), col("h")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("h")), Seq("d2", "h"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ni"))
+    val ni = coalesce(col("ni"), lit(0L))
+    val j = withSig
+      .join(inter, Seq("d1", "d2"), "left")
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .select(col("n_agree"),
+        (col("n_agree").cast("double") / lit(k)).as("est_jaccard"),
+        (ni.cast("double") / (col("n1") + col("n2") - ni).cast("double"))
+          .as("tj"))
+    j.groupBy(col("n_agree"), col("est_jaccard"))
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.functions.DetAgg.davg(col("tj")).as("avg_true_jaccard"),
+        graft.functions.DetAgg.davg(abs(col("est_jaccard") - col("tj")))
+          .as("avg_abs_err"))
+      .orderBy(col("n_agree"))
+  }
+
   /** (doc_id, band, sig) band rows — ONE definition for the capped and
     * uncapped candidate paths (a banding change that landed in only one
     * would silently break DedupScaleSpec's cap-inertness byte-identity). */
-  private def minhashBands(docs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+  private def minhashBands(docs: DataFrame, k: Int, rowsPerBand: Int): DataFrame =
+    minhashBandsFromSigs(minhashSignatures(docs, k), k, rowsPerBand)
+
+  /** Band derivation over a prebuilt (doc_id, sig) signature frame. */
+  private def minhashBandsFromSigs(
+      sigs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
     val nBands = k / rowsPerBand
-    val sigs = minhashSignatures(docs, k)
     val bandStructs = (0 until nBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), concat_ws(",", cols: _*).as("sig"))
@@ -455,8 +512,15 @@ object Dedup {
     * exact re-rank or the components path, so star edges preserve the
     * dedup outcome while bounding the join). */
   def minhashCandidatesCapped(
-      docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2, maxBucket: Int): DataFrame = {
-    val bands = minhashBands(docs, k, rowsPerBand)
+      docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2, maxBucket: Int): DataFrame =
+    minhashCappedFromBands(minhashBands(docs, k, rowsPerBand), maxBucket)
+
+  /** The capped band self-join over a prebuilt (doc_id, band, sig) frame —
+    * split out so callers that already hold the signature table (q143's
+    * calibration joins signatures anyway) can derive candidates from it
+    * without a second compiled-MinHashSig pass over the corpus. */
+  private def minhashCappedFromBands(
+      bands: DataFrame, maxBucket: Int): DataFrame = {
     val hot = hotBuckets(bands, Seq("band", "sig"), Seq("doc_id"), maxBucket)
     val marked = bands.join(broadcast(hot), Seq("band", "sig"), "left")
     val cool = marked.filter(col("_n").isNull)
@@ -1295,6 +1359,56 @@ object Dedup {
       "Cross-source near-duplication matrix — WHERE the duplication lives: per (source, source) pair, the count of simhash hamming <= 8 near-dup pairs whose members span those sources, plus the distinct documents involved. The diagonal (s1 = s2) is within-source duplication (template churn — fix the source's own extraction); off-diagonal mass is MIRRORING (one source republishing another — fix by dropping one side wholesale, far cheaper than pairwise dedup). This is the q96 shingle-overlap matrix upgraded from token-set overlap to verified near-dup pairs, and the table a curator reads to decide crawl-source precedence before spending the full q81 components pass. Pair generation is the registered capped q76 machinery (simhashNearDupPairsCapped, DefaultMaxBucket inert at test scale); the source tags arrive by two |docs|-key joins of an 8-byte pair table against (doc_id, source), the matrix aggregate is |sources|^2-key map-side-combined, and the distinct-doc count works on the same bounded pair set. least/greatest normalization makes the matrix upper-triangular so A->B and B->A mirroring land in one cell on both engines; all counts exact integers, full value-hash oracle against the uncapped pair semantics.") {
       (s, d) =>
         crossSourceNearDup(Tables.documents(s, d), maxHamming = 8)
+    },
+
+    Q("q143_minhash_calibration",
+      s"""WITH ws AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
+        |  FROM ws),
+        |mh AS (
+        |  SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed)
+        |  GROUP BY doc_id, seed),
+        |bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |    string_agg(seed || ':' || mh, ',' ORDER BY seed || ':' || mh) AS sig
+        |  FROM mh GROUP BY doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |agree AS (
+        |  SELECT c.d1, c.d2,
+        |    CAST(count(*) FILTER (WHERE x.mh = y.mh) AS INT) AS n_agree
+        |  FROM cand c
+        |  JOIN mh x ON x.doc_id = c.d1
+        |  JOIN mh y ON y.doc_id = c.d2 AND y.seed = x.seed
+        |  GROUP BY c.d1, c.d2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.d1, c.d2, count(*) AS ni
+        |  FROM cand c
+        |  JOIN sh s1 ON s1.doc_id = c.d1
+        |  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
+        |  GROUP BY c.d1, c.d2),
+        |j AS (
+        |  SELECT a.n_agree, CAST(a.n_agree AS DOUBLE) / 8 AS est_jaccard,
+        |    CAST(COALESCE(i.ni, 0) AS DOUBLE)
+        |      / CAST(z1.n + z2.n - COALESCE(i.ni, 0) AS DOUBLE) AS tj
+        |  FROM agree a
+        |  LEFT JOIN inter i ON i.d1 = a.d1 AND i.d2 = a.d2
+        |  JOIN sizes z1 ON z1.doc_id = a.d1
+        |  JOIN sizes z2 ON z2.doc_id = a.d2)
+        |SELECT n_agree, est_jaccard, count(*) AS n_pairs,
+        |  ${graft.functions.DetAgg.sql.davg("tj")} AS avg_true_jaccard,
+        |  ${graft.functions.DetAgg.sql.davg("abs(est_jaccard - tj)")} AS avg_abs_err
+        |FROM j GROUP BY n_agree, est_jaccard ORDER BY n_agree""".stripMargin,
+      "MinHash estimator calibration — what an 'agreeing' signature actually MEANS: for the banded candidate pairs (the population the dedup pipeline acts on), the k=8 signature-agreement fraction vs the TRUE distinct-3-gram Jaccard, bucketed by agreement count with pair counts, mean true Jaccard, and mean |estimate − truth|. This is the table that turns the LSH threshold from folklore into a measured operating point (estimator stderr ≈ 1/√k ≈ 0.35 at k=8 — the measured per-bucket error shows exactly how much, and raising k is the production fix this query prices). Candidate generation is the CAPPED band join (registered 100 TB semantics, inert on testdata); signatures are the compiled per-row MinHashSig (md5-derived, so the twin re-derives them string-identically and even the agreement counts are engine-exact); the true-Jaccard leg is the q33 inverted-probe restricted to candidates — |pairs|·S̄ 8-byte rows, never all pairs (hash-vs-string counting is the family's 2^-64 collision trade, policed by this oracle). Integer agreement buckets, exact integer Jaccard ratios, DetAgg decimal averages: full value-hash oracle.") {
+      (s, d) =>
+        minhashCalibration(Tables.documents(s, d))
     },
   )
 }

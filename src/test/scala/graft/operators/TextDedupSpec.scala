@@ -321,6 +321,37 @@ class TextDedupSpec extends SparkSpec {
     assert(df.filter($"got" =!= $"expected").count() == 0)
   }
 
+  test("minhash calibration: identical docs land in the 8/8 bucket at truth 1.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "b", "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "c", "totally different words entirely unrelated content here now"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.minhashCalibration(docs).collect()
+    assert(got.length == 1, "only the identical pair is a band candidate")
+    val r = got.head
+    assert(r.getInt(0) == 8 && r.getDouble(1) == 1.0)
+    assert(r.getLong(2) == 1)
+    assert(r.getDouble(3) == 1.0, "true jaccard of identical docs")
+    assert(r.getDouble(4) == 0.0, "estimator error of identical docs")
+  }
+
+  test("minhash calibration: buckets cover the candidate set with sane ranges") {
+    val docs = Tables.documents(spark, sf001)
+    val got = Dedup.minhashCalibration(docs).collect()
+    assert(got.nonEmpty)
+    val nPairs = Dedup.minhashCandidatesCapped(docs, 8, 2, 1000).count()
+    assert(got.map(_.getLong(2)).sum == nPairs,
+      "every candidate pair must land in exactly one agreement bucket")
+    for (r <- got) {
+      assert(r.getInt(0) >= 1 && r.getInt(0) <= 8)
+      assert(r.getDouble(1) == r.getInt(0) / 8.0)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("cross-source near-dup matrix reconciles with the pair set") {
     val docs = Tables.documents(spark, sf001)
     val srcOf = docs.select(col("doc_id"), col("source"))
