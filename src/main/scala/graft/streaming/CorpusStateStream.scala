@@ -162,6 +162,97 @@ object CorpusStateStream {
     (before, parquetCount(p))
   }
 
+  // ------------------------------------------------------------------
+  // Vocab-count state: the persisted reference LM q103 promises
+  // ("swap `vocab` for the reference table"). Counts are ADDITIVE, not
+  // set-like, so the shingle/sig anti-join idempotence does not apply:
+  // a replayed batch re-appending its deltas would double-count. The
+  // layout instead appends (batch_id, w_hash, delta) DELTA rows plus a
+  // one-row-per-batch ledger; replay is dropped by probing the ledger
+  // BEFORE appending, and the reader aggregates sum(delta) per term.
+  // Compaction (compactState on "vocab") folds the deltas into fewer
+  // files without changing the aggregate — the same pure file-level
+  // maintenance as the set tables.
+
+  private val vocabSchema = StructType(Seq(
+    StructField("batch_id", LongType),
+    StructField("w", LongType),
+    StructField("delta", LongType)))
+
+  private val ledgerSchema = StructType(Seq(StructField("batch_id", LongType)))
+
+  /** The aggregated (w, cnt) reference-vocabulary view over the delta
+    * log — term keys are Md5TokenHash64 word hashes (8 bytes/term, the
+    * family's hash-domain trade; text never persists in state). */
+  def vocabState(spark: SparkSession, stateDir: String): DataFrame =
+    stateDf(spark, s"$stateDir/vocab", vocabSchema)
+      .groupBy(col("w")).agg(sum(col("delta")).as("cnt"))
+
+  /** One vocab micro-batch: append this batch's term-count deltas
+    * exactly once. The DELTA LOG is the idempotence record (rows carry
+    * their batch_id; a batch already present never appends again), the
+    * ledger is the cheap fast-path probe that avoids scanning the log's
+    * batch_id column on every trigger. Deltas append BEFORE the ledger
+    * row: a crash between the two replays the batch, the ledger misses,
+    * the log probe finds the deltas already present and skips them, and
+    * only the ledger row is healed — counts can never double. */
+  def updateVocab(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val ledgerDir = s"$stateDir/vocab_ledger"
+    val seen = stateDf(spark, ledgerDir, ledgerSchema)
+      .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (!seen) {
+      val inLog = stateDf(spark, s"$stateDir/vocab", vocabSchema)
+        .filter(col("batch_id") === batchId).limit(1).count() > 0
+      if (!inLog) {
+        batch
+          .select(explode(
+              graft.expressions.Md5TokenHash64.words(lower(col("text"))))
+            .as("w"))
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("delta"))
+          .select(lit(batchId).as("batch_id"), col("w"), col("delta"))
+          .write.mode("append").parquet(s"$stateDir/vocab")
+      }
+      spark.range(1).select(lit(batchId).as("batch_id"))
+        .write.mode("append").parquet(ledgerDir)
+    }
+  }
+
+  /** q103's unigram NLL served FROM the maintained vocabulary — the
+    * production scoring shape, where an arriving crawl is ranked against
+    * a REFERENCE corpus LM rather than against itself. Tokens absent
+    * from the reference vocab are reported as an OOV fraction per doc
+    * (they carry no reference probability; a production gate reads
+    * oov_frac alongside the score rather than inventing a floor).
+    * Determinism is q103's: ln quantized to integer micro-nats once per
+    * vocab term, exact integer sums per doc, one IEEE expression. */
+  def lmScoreAgainstState(stateDir: String, arrivals: DataFrame): DataFrame = {
+    val spark = arrivals.sparkSession
+    val vocab = vocabState(spark, stateDir)
+    val tot = vocab.agg(sum(col("cnt")).as("t"))
+    val v2 = vocab.select(col("w"),
+      floor(log(col("cnt").cast("double")) * lit(1e6d)).cast("bigint").as("lnq"))
+    val dt = arrivals
+      .select(col("doc_id"),
+        explode(graft.expressions.Md5TokenHash64.words(lower(col("text"))))
+          .as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    dt.join(v2, Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("lnq").isNull, col("c")).otherwise(0L)).as("n_oov"),
+        sum(when(col("lnq").isNotNull, col("c")).otherwise(0L)).as("n_scored"),
+        sum(when(col("lnq").isNotNull, col("c") * col("lnq")).otherwise(0L))
+          .as("slnq"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_frac"),
+        when(col("n_scored") > 0,
+          floor(log(col("t").cast("double")) * lit(1e6d)).cast("bigint") * lit(1e-6d)
+            - (col("slnq") * lit(1e-6d)) / col("n_scored")).as("avg_nll"))
+  }
+
   /** q118's novelty probe served FROM the maintained state instead of a
     * same-query split: per source, the fraction of an arrival batch's
     * distinct shingles absent from the persisted set. Run BEFORE folding

@@ -149,4 +149,79 @@ class CorpusStateStreamSpec extends SparkSpec {
       .agg(sum(col("n_novel"))).collect().head.getLong(0)
     assert(post == 0L, "after folding the batch into state nothing is novel")
   }
+
+  private def batchVocab(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(
+        explode(graft.expressions.Md5TokenHash64.words(lower(col("text"))))
+          .as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  test("vocab state: counts equal the batch recomputation; replay is a no-op") {
+    val root = Files.createTempDirectory("graft-corpstate-vocab").toString
+    val stateDir = s"$root/state"
+    CorpusStateStream.updateVocab(stateDir)(docsSlice(col("doc_id") % 10 < 8), 0L)
+    CorpusStateStream.updateVocab(stateDir)(docsSlice(col("doc_id") % 10 >= 8), 1L)
+    // restart replay of batch 1 must not double any count
+    CorpusStateStream.updateVocab(stateDir)(docsSlice(col("doc_id") % 10 >= 8), 1L)
+    val st = CorpusStateStream.vocabState(spark, stateDir)
+    val exp = batchVocab(docsSlice(lit(true)))
+    assert(st.exceptAll(exp).isEmpty && exp.exceptAll(st).isEmpty,
+      "vocab counts diverged from the batch recomputation")
+    // compaction folds delta files without changing the aggregate
+    val (before, after) =
+      CorpusStateStream.compactState(spark, stateDir, "vocab")
+    assert(after <= before)
+    val st2 = CorpusStateStream.vocabState(spark, stateDir)
+    assert(st2.exceptAll(exp).isEmpty && exp.exceptAll(st2).isEmpty,
+      "compaction changed the vocab aggregate")
+  }
+
+  test("vocab crash window: deltas committed + ledger lost heals, never double-counts") {
+    val root = Files.createTempDirectory("graft-corpstate-vocabcrash").toString
+    val stateDir = s"$root/state"
+    CorpusStateStream.updateVocab(stateDir)(docsSlice(col("doc_id") % 10 < 5), 0L)
+    val exp = batchVocab(docsSlice(col("doc_id") % 10 < 5))
+    // simulate the crash between the delta append and the ledger append
+    val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/vocab_ledger"), true))
+    // the replayed batch finds its deltas in the log: counts unchanged
+    CorpusStateStream.updateVocab(stateDir)(docsSlice(col("doc_id") % 10 < 5), 0L)
+    val st = CorpusStateStream.vocabState(spark, stateDir)
+    assert(st.exceptAll(exp).isEmpty && exp.exceptAll(st).isEmpty,
+      "replay after a ledger-loss crash double-counted the batch")
+    // and the ledger row was healed: the fast path now short-circuits
+    assert(spark.read.parquet(s"$stateDir/vocab_ledger")
+      .filter(col("batch_id") === 0L).count() == 1)
+  }
+
+  test("lm score against state: exact on a hand-computed fixture, OOV accounted") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft-corpstate-lm").toString
+    val stateDir = s"$root/state"
+    // reference corpus: 'common' appears 4 times, 'rare' once (T = 5)
+    val ref = Seq((1L, "common common rare", "s"), (2L, "common common", "s"))
+      .toDF("doc_id", "text", "source")
+    CorpusStateStream.updateVocab(stateDir)(ref, 0L)
+    val arrivals = Seq(
+      (10L, "common rare", "s"),       // fully in-vocab
+      (11L, "common unseen", "s"),     // half OOV
+      (12L, "nothere never", "s"))     // fully OOV
+      .toDF("doc_id", "text", "source")
+    val got = CorpusStateStream.lmScoreAgainstState(stateDir, arrivals)
+      .orderBy(col("doc_id")).collect()
+    def q(x: Double) = math.floor(math.log(x) * 1e6)
+    val lnT = q(5.0) * 1e-6
+    // doc 10: mean over {ln 4, ln 1} quantized micro-nats
+    val exp10 = lnT - ((q(4.0) + q(1.0)) * 1e-6) / 2
+    assert(got(0).getDouble(3) == exp10, s"got ${got(0).getDouble(3)}, want $exp10")
+    assert(got(0).getDouble(2) == 0.0)
+    // doc 11: only 'common' scores; OOV fraction 1/2
+    val exp11 = lnT - (q(4.0) * 1e-6) / 1
+    assert(got(1).getDouble(3) == exp11)
+    assert(got(1).getDouble(2) == 0.5)
+    // doc 12: nothing scoreable — null score, full OOV
+    assert(got(2).isNullAt(3) && got(2).getDouble(2) == 1.0)
+  }
 }
