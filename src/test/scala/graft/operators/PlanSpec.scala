@@ -376,4 +376,41 @@ class PlanSpec extends SparkSpec {
       assert(n <= bound, s"$name has $n shuffles (bound $bound)")
     }
   }
+
+  test("q143 computes the minhash signature ONCE: consumers read the checkpoint") {
+    // the 3.5 s -> 1.6 s single-pass refactor's regression rail: if the
+    // signature checkpoint is lost, minhash_sig re-appears in the final
+    // plan (once per consumer) and this pins it
+    val s = planString("q143_minhash_calibration")
+    assert(!s.contains("minhash_sig"),
+      "minhash_sig in the final plan — the single-pass checkpoint was lost")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("new ANN/curation queries: no cartesian products; shuffle budgets hold") {
+    val bounds = Map(
+      // observed 5: within-list self-join, top-k window, in-degree +
+      // histogram aggs (the Lloyd chain hides behind its checkpoints)
+      "q138_knn_hubness" -> 7,
+      // observed 6: assign/centroid join, nlist agg, 1-row total, sort
+      "q139_ivf_list_stats" -> 8,
+      // observed 9: q103's score shuffles + ONE source window sort + gate agg
+      "q140_adaptive_quality_gate" -> 11,
+      // observed 12: capped band self-join + two doc-key tag joins +
+      // matrix/distinct-doc aggs (q127's band-family baseline)
+      "q141_crosssource_neardup" -> 14,
+      // observed 10: probe/candidate joins, per-nprobe window, exact leg,
+      // hit + candidate aggs
+      "q142_ivf_probe_recall" -> 12,
+      // observed 12: band join from checkpointed sigs, agreement joins,
+      // shingle-probe joins, bucket agg
+      "q143_minhash_calibration" -> 14)
+    bounds.foreach { case (name, bound) =>
+      val p = planOf(name)
+      val n = p.collect { case s: ShuffleExchangeLike => s }.size
+      info(s"$name: $n shuffles (bound $bound)")
+      assert(n <= bound, s"$name has $n shuffles (bound $bound)")
+      assert(!p.toString.contains("CartesianProduct"), s"$name went cartesian")
+    }
+  }
 }
