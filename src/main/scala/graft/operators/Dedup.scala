@@ -619,11 +619,20 @@ object Dedup {
     * persisted state (16 bytes + 4 band keys per doc), today's delta is
     * the probe side, and cost scales with |delta| × bucket density, not
     * |corpus|². The exact-dup analogue is q65's fingerprint anti-join. */
-  def incrementalNearDupPairs(docs: DataFrame, isNew: Column, maxHamming: Int): DataFrame = {
-    val sigs = docs.select(col("doc_id"),
-      graft.expressions.SimHash64(graft.expressions.Md5TokenHash64.words(col("text"))).as("sig"),
-      isNew.as("is_new"))
-      .localCheckpoint() // the q76 lesson: materialize the 16-byte/doc table once
+  def incrementalNearDupPairs(docs: DataFrame, isNew: Column, maxHamming: Int): DataFrame =
+    incrementalNearDupFromSigs(
+      docs.select(col("doc_id"),
+        graft.expressions.SimHash64(graft.expressions.Md5TokenHash64.words(col("text"))).as("sig"),
+        isNew.as("is_new"))
+        .localCheckpoint(), // the q76 lesson: materialize the 16-byte/doc table once
+      maxHamming)
+
+  /** The probe over a prebuilt (doc_id, sig, is_new) frame — split out so
+    * the streaming corpus-state path can serve the SAME delta near-dup
+    * from its persisted signature table (CorpusStateStream
+    * .nearDupAgainstState) without re-deriving signatures from text. */
+  private[graft] def incrementalNearDupFromSigs(
+      sigs: DataFrame, maxHamming: Int): DataFrame = {
     // ONE band explosion; the probe is a FILTER of the corpus band table —
     // exactly the daily-ingest shape, where the persisted band table IS
     // the corpus side and the delta's rows are marked within it

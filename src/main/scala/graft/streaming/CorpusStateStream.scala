@@ -162,6 +162,30 @@ object CorpusStateStream {
     (before, parquetCount(p))
   }
 
+  /** q97's delta near-dup served FROM the maintained signature table:
+    * arriving documents derive signatures once, the persisted corpus
+    * signatures join in as the band-table side, and the probe/hamming
+    * re-rank is the EXACT q97 code path (Dedup.incrementalNearDupFromSigs)
+    * — so the stream-served answer can never drift from the batch
+    * operator. Run BEFORE folding the batch into state (the corpus side
+    * must be yesterday's); cost is |delta| × bucket density plus a
+    * pushdown read of the 16-byte/doc signature table — the corpus text
+    * is never rescanned and the old × old quadrant never recomputed. */
+  def nearDupAgainstState(stateDir: String, arrivals: DataFrame,
+      maxHamming: Int = 8): DataFrame = {
+    val spark = arrivals.sparkSession
+    val arrSigs = arrivals.select(col("doc_id"),
+        graft.expressions.SimHash64(
+          graft.expressions.Md5TokenHash64.words(col("text"))).as("sig"))
+      .dropDuplicates("doc_id")
+      .withColumn("is_new", lit(true))
+      .localCheckpoint()
+    val all = sigState(spark, stateDir)
+      .withColumn("is_new", lit(false))
+      .unionByName(arrSigs)
+    graft.operators.Dedup.incrementalNearDupFromSigs(all, maxHamming)
+  }
+
   // ------------------------------------------------------------------
   // Vocab-count state: the persisted reference LM q103 promises
   // ("swap `vocab` for the reference table"). Counts are ADDITIVE, not

@@ -150,6 +150,25 @@ class CorpusStateStreamSpec extends SparkSpec {
     assert(post == 0L, "after folding the batch into state nothing is novel")
   }
 
+  test("delta near-dup served from state equals the q97 batch operator") {
+    val root = Files.createTempDirectory("graft-corpstate-neardup").toString
+    val stateDir = s"$root/state"
+    val existing = docsSlice(col("doc_id") % 10 < 8)
+    val arrivals = docsSlice(col("doc_id") % 10 >= 8)
+    CorpusStateStream.update(stateDir)(existing, 0L)
+
+    val fromState = CorpusStateStream
+      .nearDupAgainstState(stateDir, arrivals, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = graft.operators.Dedup
+      .incrementalNearDupPairs(docsSlice(lit(true)),
+        isNew = col("doc_id") % 10 >= 8, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fromState == batch,
+      "state-served delta near-dup diverged from the batch operator")
+    assert(fromState.nonEmpty, "fixture must produce at least one delta pair")
+  }
+
   private def batchVocab(docs: org.apache.spark.sql.DataFrame) =
     docs.select(
         explode(graft.expressions.Md5TokenHash64.words(lower(col("text"))))
