@@ -563,6 +563,37 @@ object Dedup {
       .filter(col("n_shared") > 0)
   }
 
+  /** Decontaminated holdout constructor (q144): the step after q80's
+    * report — per source, how much of the test split SURVIVES
+    * decontamination (zero 3-gram overlap with the train split) and is
+    * actually usable as an eval set. A source whose clean fraction
+    * collapses cannot be evaluated on (its test docs are all seen), and
+    * the clean count is the denominator every eval metric on this
+    * corpus should quote. Short docs with no complete shingle are
+    * trivially clean (nothing measurable overlaps). Scale: q80's
+    * machinery verbatim — membership is the md5-bucket function (no
+    * split table), the overlap probe is the inverted-index hash join,
+    * and the close is one |sources|-key aggregate. */
+  def cleanHoldout(docs: DataFrame): DataFrame = {
+    val testDocs = docs
+      .select(col("doc_id"), col("source"),
+        Sampling.splitOf(col("doc_id")).as("split"))
+      .filter(col("split") === "test")
+      .drop("split")
+    val bad = contamination(docs)
+      .select(col("doc_id")).withColumn("bad", lit(true))
+    testDocs.join(bad, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("bad"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_contaminated"))
+      .select(col("source"), col("n_test"), col("n_contaminated"),
+        (col("n_test") - col("n_contaminated")).as("n_clean"),
+        ((col("n_test") - col("n_contaminated")).cast("double") /
+          col("n_test").cast("double")).as("clean_frac"))
+      .orderBy(col("source"))
+  }
+
   /** Shared DuckDB CTE prefix for the q76/q81 twins: re-derives the md5
     * simhash nibble-wise (the q35 machinery), slices the four 16-bit
     * bands, and produces the banded candidate pairs. ONE definition so
@@ -1418,6 +1449,36 @@ object Dedup {
       "MinHash estimator calibration — what an 'agreeing' signature actually MEANS: for the banded candidate pairs (the population the dedup pipeline acts on), the k=8 signature-agreement fraction vs the TRUE distinct-3-gram Jaccard, bucketed by agreement count with pair counts, mean true Jaccard, and mean |estimate − truth|. This is the table that turns the LSH threshold from folklore into a measured operating point (estimator stderr ≈ 1/√k ≈ 0.35 at k=8 — the measured per-bucket error shows exactly how much, and raising k is the production fix this query prices). Candidate generation is the CAPPED band join (registered 100 TB semantics, inert on testdata); signatures are the compiled per-row MinHashSig (md5-derived, so the twin re-derives them string-identically and even the agreement counts are engine-exact); the true-Jaccard leg is the q33 inverted-probe restricted to candidates — |pairs|·S̄ 8-byte rows, never all pairs (hash-vs-string counting is the family's 2^-64 collision trade, policed by this oracle). Integer agreement buckets, exact integer Jaccard ratios, DetAgg decimal averages: full value-hash oracle.") {
       (s, d) =>
         minhashCalibration(Tables.documents(s, d))
+    },
+
+    Q("q144_clean_holdout",
+      """WITH sp AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |ws AS (SELECT doc_id, split, string_split_regex(trim(text), '\s+') AS w FROM sp),
+        |sh AS (
+        |  SELECT doc_id, split, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
+        |  FROM ws),
+        |train_sh AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+        |bad AS (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM sh t JOIN train_sh tr ON t.sh = tr.sh
+        |  WHERE t.split = 'test')
+        |SELECT s.source, count(*) AS n_test,
+        |  CAST(count(b.doc_id) AS BIGINT) AS n_contaminated,
+        |  count(*) - count(b.doc_id) AS n_clean,
+        |  CAST(count(*) - count(b.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS clean_frac
+        |FROM sp s LEFT JOIN bad b ON s.doc_id = b.doc_id
+        |WHERE s.split = 'test'
+        |GROUP BY s.source ORDER BY s.source""".stripMargin,
+      "Decontaminated holdout constructor — the step AFTER q80's contamination report: per source, how much of the md5-bucket test split SURVIVES decontamination (zero 3-gram-shingle overlap with the train split) and is actually usable for evaluation. The clean count is the denominator every eval metric on this corpus should quote, and a source whose clean_frac collapses cannot be evaluated at all (its test docs are all seen in training — the practical outcome of mirrored sources that q141 localizes). Composes q61's engine-portable split function with q80's inverted-index overlap probe (8-byte shingle hashes vs the DISTINCT train set — never doc×doc; string-vs-hash counting is the family's 2^-64 trade); docs too short for a complete shingle are trivially clean on both engines. One |sources|-key aggregate closes it: exact integer counts, one IEEE division, full value-hash oracle.") {
+      (s, d) =>
+        cleanHoldout(Tables.documents(s, d))
     },
   )
 }

@@ -352,6 +352,30 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("clean holdout reconciles with the contamination report and the split") {
+    val docs = Tables.documents(spark, sf001)
+    val got = Dedup.cleanHoldout(docs).collect()
+    assert(got.nonEmpty)
+    val splitOf = docs.select(col("doc_id"), col("source"),
+        Sampling.splitOf(col("doc_id")).as("split"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val testBySource = splitOf.values.filter(_._2 == "test")
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val badBySource = Dedup.contamination(docs).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+      .filter(d => splitOf(d)._2 == "test")
+      .groupBy(d => splitOf(d)._1).view.mapValues(_.size.toLong).toMap
+    for (r <- got) {
+      val s = r.getString(0)
+      assert(r.getLong(1) == testBySource(s), s"n_test for $s")
+      assert(r.getLong(2) == badBySource.getOrElse(s, 0L), s"n_contaminated for $s")
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2), "clean + contaminated = test")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    assert(got.map(_.getString(0)).toSet == testBySource.keySet,
+      "every source with test docs must appear")
+  }
+
   test("cross-source near-dup matrix reconciles with the pair set") {
     val docs = Tables.documents(spark, sf001)
     val srcOf = docs.select(col("doc_id"), col("source"))
