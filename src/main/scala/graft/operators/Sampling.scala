@@ -513,5 +513,64 @@ object Sampling {
             col("est_count"), coalesce(col("exact_count"), lit(0L)).as("exact_count"))
           .orderBy(col("o_orderpriority"), col("probe_custkey"))
     },
+
+    Q("q145_context_packing",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |off AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS tok_offset
+        |  FROM tok)
+        |SELECT doc_id, n_tok, tok_offset,
+        |  CAST(tok_offset // 512 AS BIGINT) AS start_window,
+        |  CAST((tok_offset + n_tok - 1) // 512 AS BIGINT) AS end_window,
+        |  CAST((tok_offset + n_tok - 1) // 512 - tok_offset // 512 + 1
+        |    AS BIGINT) AS n_windows,
+        |  ((tok_offset + n_tok - 1) // 512 > tok_offset // 512) AS fragmented
+        |FROM off ORDER BY doc_id""".stripMargin,
+      "Concatenate-and-chunk context assignment — the EXECUTION of the packing strategy q119's efficiency table decides: every document gets its global token offset in the deterministic doc_id concatenation order, and from it the 512-token training-window span it lands in (start/end window, windows spanned, whether the doc is fragmented across a window boundary — the rows a contamination-sensitive eval pipeline needs to trace which windows saw which documents). The offset is a GLOBAL prefix sum, and the implementation is the scalable two-level form, not a single-partition window: per-doc counts fold to range-bucket subtotals (doc_id div 64 — at 100 TB the bucket is the ingest partition), the tiny |buckets| frame takes the only serial cumulative pass (|corpus|/64 rows... actually |buckets| rows, broadcastable), and each bucket's interior offsets run as a PARALLEL partitioned window — no stage ever sorts the corpus through one task, the textbook distributed scan pattern. Integer arithmetic end-to-end (ceil-free div identities, the q119 rule), token counts from the shared q94/q102 nTokens definition; the oracle states the same semantics as the naive single window, proving the two-level decomposition exact. Window size 512 with ~55-token docs means roughly every tenth document straddles a window boundary — the fragmented flag is exercised, not vestigial, at sf0.01.") {
+      (s, d) =>
+        contextPacking(Tables.documents(s, d), windowTokens = 512, bucketDocs = 64)
+    },
   )
+
+  /** q145: global token offsets + 512-token window spans via the scalable
+    * two-level prefix sum (per-bucket subtotals → serial cumulate over the
+    * tiny bucket frame → parallel within-bucket windows). */
+  def contextPacking(docsIn: org.apache.spark.sql.DataFrame,
+      windowTokens: Int, bucketDocs: Int): org.apache.spark.sql.DataFrame = {
+    val tok = docsIn
+      .select(col("doc_id"), nTokens(col("text")).as("n_tok"),
+        expr(s"doc_id div $bucketDocs").cast("bigint").as("bkt"))
+    // level 1: per-bucket totals, cumulated over the tiny bucket frame
+    val bktOff = tok.groupBy(col("bkt"))
+      .agg(sum(col("n_tok")).as("bkt_tok"))
+      .withColumn("bkt_off",
+        coalesce(sum(col("bkt_tok")).over(
+          Window.orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("bkt_off"))
+    // level 2: parallel within-bucket running sum + broadcast bucket base
+    val local = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wt = windowTokens
+    tok.join(broadcast(bktOff), "bkt")
+      .withColumn("tok_offset",
+        (coalesce(sum(col("n_tok")).over(local), lit(0L)) + col("bkt_off"))
+          .cast("bigint"))
+      .select(col("doc_id"), col("n_tok"), col("tok_offset"),
+        expr(s"tok_offset div $wt").cast("bigint").as("start_window"),
+        expr(s"(tok_offset + n_tok - 1) div $wt").cast("bigint")
+          .as("end_window"),
+        (expr(s"(tok_offset + n_tok - 1) div $wt")
+          - expr(s"tok_offset div $wt") + lit(1L)).cast("bigint")
+          .as("n_windows"),
+        (expr(s"(tok_offset + n_tok - 1) div $wt")
+          > expr(s"tok_offset div $wt")).as("fragmented"))
+      .orderBy(col("doc_id"))
+  }
 }

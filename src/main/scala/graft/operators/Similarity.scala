@@ -1236,7 +1236,67 @@ object Similarity {
         ivfProbeRecallCurve(Tables.embeddings(s, d), QueryIds, k = 10,
           portableMeans = true)
     },
+
+    Q("q146_lloyd_step",
+      """WITH c AS (
+        |  SELECT vec_id AS cid, embedding AS cvec,
+        |    list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS cc
+        |  FROM embeddings WHERE vec_id < 8),
+        |d AS (
+        |  SELECT e.vec_id, c.cid,
+        |    CAST(floor(round(
+        |      list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+        |      - 2 * list_inner_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[])
+        |      + c.cc, 9) * 1e6) AS BIGINT) AS d2_micro
+        |  FROM embeddings e CROSS JOIN c),
+        |a AS (
+        |  SELECT vec_id, cid, d2_micro,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d2_micro, cid) AS rn
+        |  FROM d)
+        |SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned,
+        |  CAST(sum(d2_micro) AS BIGINT) AS sse_micro,
+        |  CAST(sum(d2_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+        |    AS mean_d2
+        |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin,
+      "One Lloyd (k-means) assignment step with its SSE objective — the iteration kernel behind the q49/q139 coarse quantizer, registered as an oracle-checked query: every vector assigned to its nearest of k=8 deterministic seed centroids (the 8 smallest vec_ids — the seeding k-means|| replaces at production scale) by squared L2 distance, folded to the per-centroid table an index trainer watches per iteration (membership count, SSE, mean distortion). Distance parity is the q131 norm recipe composed three ways: d2 = v.v - 2 v.c + c.c, every dot an element-ordered DOUBLE fold (VecDot / list_inner_product ::DOUBLE[]), rounded at 9 dp to absorb reassociation ulp, then floor-quantized to integer micro-units BEFORE the argmin so the nearest-centroid ORDERING (ties broken by cid) and the SSE sums are exact-integer cross-engine — the oracle's window-argmin and the engine's in-row array_min provably pick identical winners. Scale: the centroid set folds to ONE broadcast row (k structs with precomputed c.c norms); assignment is a per-row array_min over a transform — zero shuffle, no |corpus|-key exchange, no crossJoin materialization (the oracle's |n|x|k| expansion states semantics only); the lone exchange is the map-side-combined k-key aggregate. v.v hoisted once per row, c.c once per centroid. The full trainer is this query in a loop with centroids re-derived per round (the q108 drift query measures exactly that delta).") {
+      (s, d) =>
+        lloydStep(Tables.embeddings(s, d), k = 8)
+    },
   )
+
+  /** q146: one k-means assignment step against the k smallest-vec_id seed
+    * centroids — zero-shuffle in-row argmin (broadcast centroid array +
+    * array_min over a transform), then a k-key SSE aggregate. */
+  def lloydStep(embIn: DataFrame, k: Int): DataFrame = {
+    val emb = embIn.select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      .withColumn("cc", dot(col("cvec"), col("cvec")))
+    val centsRow = cents.agg(
+      sort_array(collect_list(struct(col("cid"), col("cvec"), col("cc"))))
+        .as("cs"))
+    emb
+      .withColumn("vv", dot(col("embedding"), col("embedding")))
+      .crossJoin(broadcast(centsRow))
+      .select(col("vec_id"),
+        array_min(transform(col("cs"), c =>
+          struct(
+            floor(round(col("vv")
+                - lit(2d) * dot(col("embedding"), c.getField("cvec"))
+                + c.getField("cc"), 9) * lit(1e6d)).cast("bigint")
+              .as("d2_micro"),
+            c.getField("cid").as("cid")))).as("best"))
+      .select(col("best").getField("cid").as("cid"),
+        col("best").getField("d2_micro").as("d2_micro"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).cast("bigint").as("n_assigned"),
+        sum(col("d2_micro")).cast("bigint").as("sse_micro"))
+      .select(col("cid"), col("n_assigned"), col("sse_micro"),
+        (col("sse_micro").cast("double") / col("n_assigned").cast("double")
+          / lit(1e6d)).as("mean_d2"))
+      .orderBy(col("cid"))
+  }
 
   /** Per-dimension mean/variance of an embedding column (q121): integer
     * micro-unit quantization, exact integer/decimal sufficient

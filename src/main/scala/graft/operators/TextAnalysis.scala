@@ -947,5 +947,116 @@ object TextAnalysis {
       (s, d) =>
         adaptiveQualityGate(Tables.documents(s, d), keepShare = 0.75)
     },
+
+    Q("q147_source_js_divergence",
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY source, term),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t
+        |        FROM cnt GROUP BY source),
+        |pairs AS (
+        |  SELECT t1.source AS s1, t2.source AS s2, t1.t AS ta, t2.t AS tb
+        |  FROM tot t1 CROSS JOIN tot t2 WHERE t1.source < t2.source),
+        |l AS (SELECT p.s1, p.s2, c.term, c.c AS a
+        |      FROM pairs p JOIN cnt c ON p.s1 = c.source),
+        |r AS (SELECT p.s1, p.s2, c.term, c.c AS b
+        |      FROM pairs p JOIN cnt c ON p.s2 = c.source),
+        |u AS (
+        |  SELECT COALESCE(l.s1, r.s1) AS s1, COALESCE(l.s2, r.s2) AS s2,
+        |    COALESCE(l.a, 0) AS a, COALESCE(r.b, 0) AS b
+        |  FROM l FULL OUTER JOIN r
+        |    ON l.s1 = r.s1 AND l.s2 = r.s2 AND l.term = r.term),
+        |w AS (
+        |  SELECT u.s1, u.s2, p.ta, p.tb, a, b,
+        |    a * p.tb + b * p.ta AS w
+        |  FROM u JOIN pairs p ON u.s1 = p.s1 AND u.s2 = p.s2),
+        |m AS (
+        |  SELECT s1, s2, ta, tb,
+        |    CAST(count(*) AS BIGINT) AS n_terms,
+        |    CAST(sum(CASE WHEN a > 0 AND b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_shared,
+        |    CAST(sum(w * CAST(floor(ln(CAST(w AS DOUBLE)) * 1e6) AS BIGINT))
+        |      AS BIGINT) AS sw,
+        |    CAST(sum(CASE WHEN a > 0 THEN
+        |        a * CAST(floor(ln(CAST(a AS DOUBLE)) * 1e6) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN b > 0 THEN
+        |        b * CAST(floor(ln(CAST(b AS DOUBLE)) * 1e6) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS sb
+        |  FROM w GROUP BY s1, s2, ta, tb)
+        |SELECT s1, s2, n_terms, n_shared,
+        |  CAST(n_shared AS DOUBLE) / CAST(n_terms AS DOUBLE) AS shared_frac,
+        |  (CAST(floor(ln(CAST(2 * ta * tb AS DOUBLE)) * 1e6) AS BIGINT) * 1e-6
+        |     - (sw * 1e-6) / (2 * ta * tb))
+        |  - 0.5 * (CAST(floor(ln(CAST(ta AS DOUBLE)) * 1e6) AS BIGINT) * 1e-6
+        |     - (sa * 1e-6) / ta)
+        |  - 0.5 * (CAST(floor(ln(CAST(tb AS DOUBLE)) * 1e6) AS BIGINT) * 1e-6
+        |     - (sb * 1e-6) / tb) AS js_nats
+        |FROM m ORDER BY s1, s2""".stripMargin,
+      "Pairwise Jensen-Shannon divergence between per-source unigram distributions — the source-redundancy matrix a mixture designer reads next to q124's temperature weights (two sources with near-zero JS are the same crawl twice: merge them before weighting, or the mixture double-counts their distribution; a high-JS outlier source is the one worth upweighting for coverage). The determinism problem JS adds over q103/q122 entropy is the MIXTURE M = (P+Q)/2 having non-integer masses; solved by the common-denominator identity: weight w = a*B + b*A over W = 2AB keeps every mass an exact integer, and JS = H_W - (H_A + H_B)/2 where each H is the family's ln(T) - sum(c*ln c)/T on integer counts, ln once per GROUP floor-quantized to integer micro-nats, every distributed sum exact-int64. Int64 headroom is proven not assumed: sum(w*floor(ln w * 1e6)) <= W*ln(W)*1e6, safe to W ~ 3.5e11 (per-source ~4e5 tokens — 25x over sf0.1); beyond that the ledger flips to decimal(38) sums on both engines, same shape. Scale: ONE token explode folds to map-side-combined (source, xxhash64(term)) counts — term strings never cross a shuffle (engine-side hash keys; 2^-64 per-pair collision, the q96/q100 family trade — the oracle groups the strings themselves), the pair expansion ships only 8-byte hashes and counts bounded by |pairs| x |vocab|, and the closing aggregate runs at |pairs| keys. shared_frac (vocab overlap) rides along as the cheap first-look signal.") {
+      (s, d) =>
+        sourceJsDivergence(Tables.documents(s, d))
+    },
   )
+
+  /** q147: pairwise Jensen-Shannon divergence between per-source unigram
+    * distributions via the integer common-denominator mixture (w = a*B +
+    * b*A over W = 2AB) and per-group micro-nat-quantized ln ledgers. */
+  def sourceJsDivergence(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tok = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+    val cnt = tok.select(col("source"), xxhash64(col("term")).as("th"))
+      .groupBy(col("source"), col("th"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("source"))
+      .agg(sum(col("c")).cast("bigint").as("t"))
+    val pairs = tot.select(col("source").as("s1"), col("t").as("ta"))
+      .crossJoin(broadcast(tot.select(col("source").as("s2"),
+        col("t").as("tb"))))
+      .filter(col("s1") < col("s2"))
+    val l = broadcast(pairs.select(col("s1"), col("s2")))
+      .join(cnt.select(col("source").as("s1"), col("th"),
+        col("c").as("a")), Seq("s1"))
+    val r = broadcast(pairs.select(col("s1"), col("s2")))
+      .join(cnt.select(col("source").as("s2"), col("th"),
+        col("c").as("b")), Seq("s2"))
+    val u = l.join(r, Seq("s1", "s2", "th"), "full_outer")
+      .select(col("s1"), col("s2"),
+        coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("b"), lit(0L)).as("b"))
+    val term = u.join(broadcast(pairs), Seq("s1", "s2"))
+      .withColumn("w", col("a") * col("tb") + col("b") * col("ta"))
+      .withColumn("wlnw", col("w") *
+        floor(log(col("w").cast("double")) * lit(1e6d)).cast("bigint"))
+      .withColumn("alna", when(col("a") > 0, col("a") *
+        floor(log(col("a").cast("double")) * lit(1e6d)).cast("bigint"))
+        .otherwise(lit(0L)))
+      .withColumn("blnb", when(col("b") > 0, col("b") *
+        floor(log(col("b").cast("double")) * lit(1e6d)).cast("bigint"))
+        .otherwise(lit(0L)))
+    term.groupBy(col("s1"), col("s2"), col("ta"), col("tb"))
+      .agg(count(lit(1)).cast("bigint").as("n_terms"),
+        sum(when(col("a") > 0 && col("b") > 0, lit(1L)).otherwise(lit(0L)))
+          .cast("bigint").as("n_shared"),
+        sum(col("wlnw")).cast("bigint").as("sw"),
+        sum(col("alna")).cast("bigint").as("sa"),
+        sum(col("blnb")).cast("bigint").as("sb"))
+      .select(col("s1"), col("s2"), col("n_terms"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_terms").cast("double"))
+          .as("shared_frac"),
+        ((floor(log((lit(2L) * col("ta") * col("tb")).cast("double"))
+            * lit(1e6d)).cast("bigint") * lit(1e-6d)
+          - (col("sw") * lit(1e-6d)) / (lit(2L) * col("ta") * col("tb")))
+          - lit(0.5d) * (floor(log(col("ta").cast("double")) * lit(1e6d))
+              .cast("bigint") * lit(1e-6d)
+            - (col("sa") * lit(1e-6d)) / col("ta"))
+          - lit(0.5d) * (floor(log(col("tb").cast("double")) * lit(1e6d))
+              .cast("bigint") * lit(1e-6d)
+            - (col("sb") * lit(1e-6d)) / col("tb"))).as("js_nats"))
+      .orderBy(col("s1"), col("s2"))
+  }
 }

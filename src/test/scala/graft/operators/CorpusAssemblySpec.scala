@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Specs for the round-9 corpus-assembly family: concat-and-chunk context
+  * packing (q145), the Lloyd k-means assignment step (q146), and pairwise
+  * source Jensen-Shannon divergence (q147).
+  */
+class CorpusAssemblySpec extends SparkSpec {
+
+  // ---- q145 context packing ----------------------------------------------
+
+  test("context packing: two-level prefix sum equals the naive global window") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = Sampling.contextPacking(docs, windowTokens = 512, bucketDocs = 64)
+      .collect()
+    // naive single-partition reference: one global running sum
+    val naive = docs
+      .select(col("doc_id"), Sampling.nTokens(col("text")).as("n_tok"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tok")).over(
+          Window.orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .orderBy(col("doc_id")).collect()
+    assert(out.length == naive.length)
+    out.zip(naive).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0), "doc_id order")
+      assert(a.getLong(2) == b.getLong(2), s"offset mismatch at doc ${a.getLong(0)}")
+    }
+  }
+
+  test("context packing: bucket granularity cannot change the result") {
+    val docs = Tables.documents(spark, sf0001)
+    val fine = Sampling.contextPacking(docs, 512, bucketDocs = 3).collect()
+    val one = Sampling.contextPacking(docs, 512, bucketDocs = 100000).collect()
+    assert(fine.toSeq == one.toSeq)
+  }
+
+  test("context packing: span fields are consistent and fragmentation is exercised") {
+    val rows = Sampling.contextPacking(
+      Tables.documents(spark, sf0001), 512, 64).collect()
+    var prevEnd = 0L
+    for (r <- rows) {
+      val (nTok, off, s0, e0, nw, frag) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))
+      assert(s0 == off / 512 && e0 == (off + nTok - 1) / 512)
+      assert(nw == e0 - s0 + 1 && frag == (e0 > s0))
+      assert(s0 == prevEnd || s0 == prevEnd + 1) // contiguous stream
+      prevEnd = e0
+    }
+    assert(rows.exists(_.getBoolean(6)), "no fragmented doc at sf0.001")
+    assert(rows.exists(r => !r.getBoolean(6)))
+    // offsets partition the token stream exactly: last offset + last n_tok
+    // equals the total token count
+    val last = rows.last
+    val total = rows.map(_.getLong(1)).sum
+    assert(last.getLong(2) + last.getLong(1) == total)
+  }
+
+  // ---- q146 Lloyd step ----------------------------------------------------
+
+  test("lloyd step: every vector is counted once and seeds stay non-empty") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val out = Similarity.lloydStep(emb, k = 8).collect()
+    assert(out.map(_.getLong(0)).toSeq == (0L until 8L))
+    assert(out.map(_.getLong(1)).sum == emb.count())
+    // each seed vector is at distance 0 of itself, so its own cluster exists
+    assert(out.forall(_.getLong(1) >= 1))
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(3) -
+        r.getLong(2).toDouble / r.getLong(1).toDouble / 1e6) < 1e-12)
+    }
+  }
+
+  test("lloyd step: in-row argmin matches a brute-force reassignment") {
+    val emb = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 120)
+    val out = Similarity.lloydStep(emb, k = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // brute force on the driver (test-only collect)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val cents = vecs.filter(_._1 < 4)
+    def d2micro(v: Array[Float], c: Array[Float]): Long = {
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0d; var i = 0
+        while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+        s
+      }
+      val d2 = dot(v, v) - 2d * dot(v, c) + dot(c, c)
+      math.floor(BigDecimal(d2).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble * 1e6).toLong
+    }
+    val manual = vecs.map { case (_, v) =>
+      cents.map { case (cid, c) => (d2micro(v, c), cid) }.min
+    }.groupBy(_._2).map { case (cid, xs) =>
+      cid -> (xs.length.toLong, xs.map(_._1).sum)
+    }
+    assert(out == manual)
+  }
+
+  // ---- q147 source JS divergence -----------------------------------------
+
+  test("js divergence: identical sources diverge by (at most) quantization noise") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha", "en", "sA", 0L),
+      (2L, "beta beta delta", "en", "sA", 0L),
+      (3L, "alpha beta gamma alpha", "en", "sB", 0L),
+      (4L, "beta beta delta", "en", "sB", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.sourceJsDivergence(docs).collect()
+    assert(r.length == 1)
+    assert(r.head.getString(0) == "sA" && r.head.getString(1) == "sB")
+    assert(math.abs(r.head.getDouble(5)) < 2e-6,
+      s"JS of identical distributions = ${r.head.getDouble(5)}")
+    assert(r.head.getLong(2) == r.head.getLong(3)) // full vocab overlap
+  }
+
+  test("js divergence: disjoint vocabularies land at ln 2") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en", "sA", 0L),
+      (2L, "delta epsilon zeta", "en", "sB", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.sourceJsDivergence(docs).collect().head
+    assert(r.getLong(3) == 0) // nothing shared
+    assert(math.abs(r.getDouble(5) - math.log(2d)) < 1e-4,
+      s"JS of disjoint distributions = ${r.getDouble(5)}")
+  }
+
+  test("js divergence: real corpus rows stay inside [0, ln 2] and cover all pairs") {
+    val srcs = Tables.documents(spark, sf0001)
+      .select(col("source")).distinct().count()
+    val rows = TextAnalysis.sourceJsDivergence(Tables.documents(spark, sf0001))
+      .collect()
+    assert(rows.length == srcs * (srcs - 1) / 2)
+    for (r <- rows) {
+      val js = r.getDouble(5)
+      assert(js >= -2e-6 && js <= math.log(2d) + 2e-6, s"JS out of range: $js")
+      assert(r.getLong(3) <= r.getLong(2))
+    }
+  }
+}
