@@ -1263,7 +1263,52 @@ object Similarity {
       (s, d) =>
         lloydStep(Tables.embeddings(s, d), k = 8)
     },
+
+    Q("q148_pca_power_step",
+      """WITH qd AS (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM embeddings),
+        |sv AS (SELECT vec_id, CAST(sum(q) AS BIGINT) AS s
+        |       FROM qd GROUP BY vec_id),
+        |y AS (
+        |  SELECT dim,
+        |    sum(CAST(q.q AS DECIMAL(18,0)) * CAST(v.s AS DECIMAL(18,0))) AS yl
+        |  FROM qd q JOIN sv v USING (vec_id) GROUP BY dim),
+        |t AS (SELECT sum(abs(yl)) AS tot FROM y)
+        |SELECT dim,
+        |  CAST(CAST(yl AS VARCHAR) AS DOUBLE) * 1e-12 / 8 AS component,
+        |  CAST(CAST(abs(yl) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(tot AS VARCHAR) AS DOUBLE) AS abs_share
+        |FROM y CROSS JOIN t ORDER BY dim""".stripMargin,
+      "One power-iteration step of uncentered PCA over the embedding corpus — y = Gᵀ(G·x0) with G the n×64 data matrix and x0 the uniform unit start (1/8 per dim, exactly representable): the spectral kernel behind whitening, dominant-direction removal (the all-but-the-top trick common in embedding post-processing), and anisotropy diagnosis (one direction hoarding the spectrum is why raw cosine similarity saturates). Per dim it reports the un-normalized component and its absolute share of the L1 mass — iterate by re-quantizing y into the next x (the q146-loop pattern); the centered variant composes with q121's exact per-dim means. Exactness is TOTAL here, no ln/exp anywhere: components quantize to integer micro-units (q121's playbook), the projection s_v = sum_j q_vj is an exact int64 per vector (the uniform start folds its 1/8 into the final expression), and the per-dim ledger sum(q*s) accumulates in DECIMAL(38,0) via 18-digit operand casts — overflow-free at any realistic corpus size where int64 would die past ~2.5e6 rows (q121's note); the closing divisions are identical IEEE expressions over exact decimals (the varchar-cast double parity trick q121 pinned). Scale: one posexplode, one map-side-combined |vecs|-key shuffle for the projections, one 64-key ledger shuffle, one broadcast one-row total — no pairwise stage, no |dim|x|dim| covariance ever materialized.") {
+      (s, d) =>
+        pcaPowerStep(Tables.embeddings(s, d))
+    },
   )
+
+  /** q148: one power-iteration step y = Gᵀ(G·x0) of uncentered PCA on the
+    * integer micro-unit ledger — exact cross-engine by construction. */
+  def pcaPowerStep(embIn: DataFrame): DataFrame = {
+    val qd = embIn
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("x").cast("double") * lit(1e6d)).cast("bigint").as("q"))
+    val sv = qd.groupBy(col("vec_id"))
+      .agg(sum(col("q")).cast("bigint").as("s"))
+    val y = qd.join(sv, "vec_id")
+      .groupBy(col("dim"))
+      .agg(sum(col("q").cast("decimal(18,0)") * col("s").cast("decimal(18,0)"))
+        .as("yl"))
+    val tot = y.agg(sum(abs(col("yl"))).as("tot"))
+    y.crossJoin(broadcast(tot))
+      .select(col("dim"),
+        (col("yl").cast("double") * lit(1e-12d) / lit(8d)).as("component"),
+        (abs(col("yl")).cast("double") / col("tot").cast("double"))
+          .as("abs_share"))
+      .orderBy(col("dim"))
+  }
 
   /** q146: one k-means assignment step against the k smallest-vec_id seed
     * centroids — zero-shuffle in-row argmin (broadcast centroid array +

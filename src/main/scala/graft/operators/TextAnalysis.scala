@@ -1000,7 +1000,85 @@ object TextAnalysis {
       (s, d) =>
         sourceJsDivergence(Tables.documents(s, d))
     },
+
+    Q("q149_doremi_reweight",
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |dt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |       FROM tok GROUP BY source, w),
+        |vocab AS (SELECT w, CAST(sum(c) AS BIGINT) AS cnt FROM dt GROUP BY w),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
+        |v2 AS (SELECT w,
+        |         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS lnq
+        |       FROM vocab),
+        |src AS (
+        |  SELECT d.source, CAST(sum(d.c) AS BIGINT) AS n_tokens,
+        |    CAST(sum(d.c * v.lnq) AS BIGINT) AS slnq
+        |  FROM dt d JOIN v2 v USING (w) GROUP BY d.source),
+        |corpus AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+        |                  CAST(sum(slnq) AS BIGINT) AS tslnq FROM src),
+        |sc AS (
+        |  SELECT source, n_tokens,
+        |    CAST(floor(ln(CAST(t AS DOUBLE)) * 1e6) AS BIGINT) * 1e-6
+        |      - (slnq * 1e-6) / n_tokens AS nll,
+        |    CAST(floor(ln(CAST(t AS DOUBLE)) * 1e6) AS BIGINT) * 1e-6
+        |      - (tslnq * 1e-6) / tt AS nllbar
+        |  FROM src CROSS JOIN tot CROSS JOIN corpus),
+        |b AS (
+        |  SELECT source, n_tokens, nll, nll - nllbar AS excess,
+        |    CAST(floor(exp(nll - nllbar) * 1e6) AS BIGINT) AS boost_micro
+        |  FROM sc),
+        |z AS (SELECT CAST(sum(boost_micro) AS BIGINT) AS z FROM b)
+        |SELECT source, n_tokens, nll, excess, boost_micro,
+        |  CAST(boost_micro AS DOUBLE) / CAST(z AS DOUBLE) AS weight
+        |FROM b CROSS JOIN z ORDER BY source""".stripMargin,
+      "One multiplicative-weights domain-reweighting step, the DoReMi shape (Xie et al. 2023, 'Doremi: Optimizing Data Mixtures Speeds Up Language Model Pretraining'): per source its average NLL under the corpus unigram LM, the EXCESS over the corpus-wide average (the hard-domain signal a proxy-model loss provides in the full method — the corpus LM stands in the way src0 stands in for the curated target in q111), and the renormalized mixture weight w_i proportional to exp(eta * excess_i) at eta = 1 from a uniform start (the uniform factor cancels in the normalizer). Upweights the sources the current model-proxy finds hardest — the opposite corrective to q124's temperature flattening, and the two tables TOGETHER are the mixture designer's dashboard. Determinism: the NLL legs are q103/q140's exact integer micro-nat ledgers aggregated per SOURCE; excess is a subtraction of two deterministic doubles; the one exp per source is immediately floor-quantized to integer micro-units so the normalizer is an exact integer sum and each weight one IEEE division (the q147 ln-parity trade extended to exp, |sources| evaluations total). Scale: q103's plan — token explode to map-side-combined 8-byte-key counts, vocab ln once per entry, then everything folds to |sources| rows; the two one-row totals broadcast.") {
+      (s, d) =>
+        doremiStep(Tables.documents(s, d))
+    },
   )
+
+  /** q149: one multiplicative-weights (DoReMi-style) domain reweighting
+    * step from per-source excess NLL under the corpus unigram LM —
+    * exp boosts floor-quantized to integer micro-units so the
+    * normalizer is an exact integer sum. */
+  def doremiStep(docs: DataFrame): DataFrame = {
+    val dt = docs
+      .select(col("source"), explode(wsTokens(lower(col("text")))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = dt.groupBy(col("w")).agg(sum(col("c")).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).cast("bigint").as("t"))
+    val v2 = vocab.select(col("w"),
+      floor(log(col("cnt").cast("double")) * lit(1e6d)).cast("bigint").as("lnq"))
+    val src = dt.join(v2, "w")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).cast("bigint").as("n_tokens"),
+        sum(col("c") * col("lnq")).cast("bigint").as("slnq"))
+    val corpus = src.agg(sum(col("n_tokens")).cast("bigint").as("tt"),
+      sum(col("slnq")).cast("bigint").as("tslnq"))
+    val b = src.crossJoin(broadcast(tot)).crossJoin(broadcast(corpus))
+      .select(col("source"), col("n_tokens"),
+        (floor(log(col("t").cast("double")) * lit(1e6d)).cast("bigint")
+          * lit(1e-6d)
+          - (col("slnq") * lit(1e-6d)) / col("n_tokens")).as("nll"),
+        (floor(log(col("t").cast("double")) * lit(1e6d)).cast("bigint")
+          * lit(1e-6d)
+          - (col("tslnq") * lit(1e-6d)) / col("tt")).as("nllbar"))
+      .select(col("source"), col("n_tokens"), col("nll"),
+        (col("nll") - col("nllbar")).as("excess"),
+        floor(exp(col("nll") - col("nllbar")) * lit(1e6d)).cast("bigint")
+          .as("boost_micro"))
+    val z = b.agg(sum(col("boost_micro")).cast("bigint").as("z"))
+    b.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"), col("nll"), col("excess"),
+        col("boost_micro"),
+        (col("boost_micro").cast("double") / col("z").cast("double"))
+          .as("weight"))
+      .orderBy(col("source"))
+  }
 
   /** q147: pairwise Jensen-Shannon divergence between per-source unigram
     * distributions via the integer common-denominator mixture (w = a*B +

@@ -26,12 +26,23 @@ object Sinks {
       batchSize: Int = 5000,
       driverClass: String = "org.postgresql.Driver") {
     def properties: Properties = {
-      val p = new Properties()
-      p.setProperty("user", user)
-      p.setProperty("password", password)
+      val p = connectionProperties
       p.setProperty("driver", driverClass)
       p.setProperty("rewriteBatchedStatements", "true")
       p.setProperty("batchsize", batchSize.toString)
+      p
+    }
+
+    /** Properties for a raw `DriverManager` connection: credentials ONLY.
+      * `driver`/`batchsize`/`rewriteBatchedStatements` are Spark
+      * reader/writer options, not JDBC driver properties — lenient engines
+      * (Derby, Postgres) ignore the extras but strict ones (DuckDB)
+      * reject unknown keys outright, so the executor-side connect path
+      * must never see them. */
+    def connectionProperties: Properties = {
+      val p = new Properties()
+      p.setProperty("user", user)
+      p.setProperty("password", password)
       p
     }
   }
@@ -90,7 +101,7 @@ object Sinks {
     require(keyIdx >= 0, s"conflict column $conflictCol not in ${cols.mkString(",")}")
     val insertSql = upsertSql(df, table, conflictCol, dialect)
     val extraKeyParam = dialect != PostgresOnConflict
-    val url = cfg.url; val props = cfg.properties; val batch = cfg.batchSize
+    val url = cfg.url; val props = cfg.connectionProperties; val batch = cfg.batchSize
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
         val conn = DriverManager.getConnection(url, props)

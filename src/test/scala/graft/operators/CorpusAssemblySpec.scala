@@ -101,6 +101,66 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(out == manual)
   }
 
+  // ---- q148 PCA power step ------------------------------------------------
+
+  test("pca power step: matches a driver-side exact-integer recomputation") {
+    val emb = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 100)
+    val out = Similarity.pcaPowerStep(emb).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val vecs = emb.collect().map(_.getSeq[Float](1).toArray)
+    val dims = vecs.head.length
+    // same integer ledger, in plain Scala with BigInt (exact)
+    val q = vecs.map(_.map(x => math.floor(x.toDouble * 1e6).toLong))
+    val s = q.map(_.sum)
+    val y = (0 until dims).map { j =>
+      q.zip(s).map { case (row, sv) => BigInt(row(j)) * BigInt(sv) }.sum
+    }
+    val tot = y.map(_.abs).sum
+    for (j <- 0 until dims) {
+      val (comp, share) = out(j)
+      assert(math.abs(comp - y(j).toDouble * 1e-12 / 8) < 1e-9 * math.max(1, math.abs(comp)))
+      assert(math.abs(share - y(j).abs.toDouble / tot.toDouble) < 1e-12)
+    }
+  }
+
+  test("pca power step: shares form a distribution over all 64 dims") {
+    val rows = Similarity.pcaPowerStep(Tables.embeddings(spark, sf0001)).collect()
+    assert(rows.length == 64)
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 64))
+    val shareSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(shareSum - 1.0d) < 1e-9, s"shares sum to $shareSum")
+    assert(rows.forall(_.getDouble(2) >= 0))
+  }
+
+  // ---- q149 DoReMi reweighting step --------------------------------------
+
+  test("doremi step: hard (rare-token) sources gain weight, easy ones lose it") {
+    import spark.implicits._
+    // sHard's tokens are rare in the corpus; sEasy's are the common mass
+    val docs = (
+      (1 to 20).map(i => (i.toLong, "the of and the of and", "en", "sEasy", 0L)) ++
+      Seq((100L, "xylophone quixotic zephyr vortex", "en", "sHard", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextAnalysis.doremiStep(docs).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(5))).toMap
+    val (excessHard, wHard) = rows("sHard")
+    val (excessEasy, wEasy) = rows("sEasy")
+    assert(excessHard > 0 && excessEasy < 0,
+      s"excess: hard=$excessHard easy=$excessEasy")
+    assert(wHard > 0.5 && wEasy < 0.5, s"weights: hard=$wHard easy=$wEasy")
+  }
+
+  test("doremi step: weights renormalize to 1 and respect the exp-boost ratio") {
+    val rows = TextAnalysis.doremiStep(Tables.documents(spark, sf0001)).collect()
+    val wSum = rows.map(_.getDouble(5)).sum
+    assert(math.abs(wSum - 1.0d) < 1e-9, s"weights sum to $wSum")
+    for (r <- rows) {
+      val (excess, boost) = (r.getDouble(3), r.getLong(4))
+      assert(boost == math.floor(math.exp(excess) * 1e6).toLong)
+      assert(r.getDouble(5) > 0)
+    }
+  }
+
   // ---- q147 source JS divergence -----------------------------------------
 
   test("js divergence: identical sources diverge by (at most) quantization noise") {

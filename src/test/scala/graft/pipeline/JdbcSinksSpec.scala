@@ -1,10 +1,25 @@
 package graft.pipeline
 
+import java.nio.file.{Files, Paths}
 import java.sql.DriverManager
 
 import org.apache.spark.sql.DataFrame
 
 import graft.SparkSpec
+
+/** `DriverManager` only hands connections to drivers whose class resolves
+  * from the caller's classloader, so a URLClassLoader-loaded engine driver
+  * needs this app-classpath shim registered in its place. */
+private final class DriverShim(d: java.sql.Driver) extends java.sql.Driver {
+  def connect(u: String, p: java.util.Properties): java.sql.Connection = d.connect(u, p)
+  def acceptsURL(u: String): Boolean = d.acceptsURL(u)
+  def getPropertyInfo(u: String, p: java.util.Properties): Array[java.sql.DriverPropertyInfo] =
+    d.getPropertyInfo(u, p)
+  def getMajorVersion: Int = d.getMajorVersion
+  def getMinorVersion: Int = d.getMinorVersion
+  def jdbcCompliant: Boolean = d.jdbcCompliant
+  def getParentLogger: java.util.logging.Logger = d.getParentLogger
+}
 
 /** Executes the JDBC sink path end-to-end against embedded Derby (on
   * Spark's classpath) — the reference's primary output is a JDBC database
@@ -149,9 +164,66 @@ class JdbcSinksSpec extends SparkSpec {
     batch.unpersist()
   }
 
+  test("Postgres ON CONFLICT dialect executes end-to-end (DuckDB, availability-gated)") {
+    // The production dialect's SQL was only ever text-pinned (no Postgres
+    // in the sandbox). DuckDB's JDBC driver sits in the pre-warmed local
+    // artifact cache and accepts the exact Postgres
+    // `ON CONFLICT (col) DO NOTHING` phrasing, so the statement jdbcUpsert
+    // emits for production is EXECUTED here — within-batch dedup, replay
+    // idempotence, later-batch delivery — through the same
+    // foreachPartition/PreparedStatement path the Derby tests run. Gated:
+    // if the jar is absent the test cancels rather than fails (the build
+    // never depends on it — the driver is reflectively loaded, nothing is
+    // added to libraryDependencies).
+    val jars = {
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get("/root/.cache/coursier")
+      if (!Files.isDirectory(root)) Seq.empty
+      else {
+        val s = Files.find(root, 24,
+          (p, a) => a.isRegularFile &&
+            p.getFileName.toString.matches("duckdb_jdbc-.*\\.jar"))
+        try s.iterator().asScala.toList finally s.close()
+      }
+    }
+    assume(jars.nonEmpty, "duckdb_jdbc not present in the local artifact cache")
+    val loader = new java.net.URLClassLoader(
+      Array(jars.head.toUri.toURL), getClass.getClassLoader)
+    val drv = Class.forName("org.duckdb.DuckDBDriver", true, loader)
+      .getDeclaredConstructor().newInstance().asInstanceOf[java.sql.Driver]
+    DriverManager.registerDriver(new DriverShim(drv))
+    val dir = Files.createTempDirectory("graft-duck").toString
+    val duckUrl = s"jdbc:duckdb:$dir/pg_upsert.db"
+    val duckCfg = Sinks.JdbcConfig(duckUrl, "app", "app",
+      driverClass = "org.duckdb.DuckDBDriver")
+    val c = DriverManager.getConnection(duckUrl, duckCfg.connectionProperties)
+    try c.createStatement().execute(
+      """CREATE TABLE pg_t ("id" BIGINT, "name" VARCHAR, "score" DOUBLE,
+        |  "row_hash" VARCHAR PRIMARY KEY)""".stripMargin)
+    finally c.close()
+    // single partition: DuckDB holds a per-process file lock, so the
+    // executor-side writers must not race separate database instances
+    val df = withHash(sample).coalesce(1)
+    val dup = df.union(df).coalesce(1) // duplicate keys INSIDE one batch
+    Sinks.jdbcUpsert(dup, "pg_t", duckCfg) // production default dialect
+    Sinks.jdbcUpsert(df, "pg_t", duckCfg)  // replay: must be a no-op
+    import spark.implicits._
+    val more = withHash(Seq((4L, "delta", 40.0)).toDF("id", "name", "score"))
+      .coalesce(1)
+    Sinks.jdbcUpsert(more, "pg_t", duckCfg) // new key still lands
+    val c2 = DriverManager.getConnection(duckUrl, duckCfg.connectionProperties)
+    try {
+      val rs = c2.createStatement().executeQuery(
+        """SELECT count(*), count(DISTINCT "row_hash") FROM pg_t""")
+      rs.next()
+      assert(rs.getLong(1) == 4, "expected 3 distinct sample keys + 1 new")
+      assert(rs.getLong(2) == 4)
+    } finally c2.close()
+  }
+
   test("Postgres production dialect emits ON CONFLICT DO NOTHING (golden SQL)") {
-    // not executable without Postgres; pin the statement text instead so a
-    // refactor cannot silently change the production semantics
+    // pins the statement text so a refactor cannot silently change the
+    // production semantics (the DuckDB test above executes the same text)
     val df = withHash(sample)
     val cols = df.columns
     val expected =
@@ -165,10 +237,9 @@ class JdbcSinksSpec extends SparkSpec {
   test("placeholder counts match the binding loop for BOTH dialects") {
     // jdbcUpsert's setObject loop binds cols.length params, plus one extra
     // key param iff the dialect is not PostgresOnConflict. The PG branch
-    // never executes in this sandbox (no PG-compatible engine ships: only
-    // Derby is on the classpath and the offline resolver cannot fetch H2),
-    // so this pins the one contract a live run would have caught breaking:
-    // statement arity vs the shared binding code.
+    // executes only when the cache-gated DuckDB test above can run, so
+    // this unconditionally pins the contract a live run would catch
+    // breaking: statement arity vs the shared binding code.
     val df = withHash(sample)
     def qCount(s: String) = s.count(_ == '?')
     assert(qCount(Sinks.upsertSql(df, "t", Metadata.RowHashCol,
