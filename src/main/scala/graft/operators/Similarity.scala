@@ -1286,7 +1286,116 @@ object Similarity {
       (s, d) =>
         pcaPowerStep(Tables.embeddings(s, d))
     },
+
+    Q("q150_bitext_margin", q150OracleSql(langX = "en", langY = "es", k = 4),
+      "Margin-based cross-lingual pair mining (Artetxe & Schwenk 2019, the LASER/CCMatrix bitext-mining criterion): for every English document its best Spanish candidate by RATIO MARGIN — cos(x,y) divided by the mean of the two sides' average top-4 cross-lingual cosines — the normalization that fixes raw-cosine mining (hub vectors score high against EVERYTHING; dividing by each side's local neighborhood density cancels the hub effect), with the standard margin >= 1.05 acceptance flag. The parallel-corpus construction step of multilingual training pipelines, here bounded to IVF-list co-membership (the q112/q138 SemDeDup bound): candidates, kNN averages, and the best pick all live inside the same coarse-quantizer list, so pairwise work is n*B, never |en|x|es|. Determinism: round-6-family cosines land as exact integer micro-units (round(cos*1e6) — both engines round half away from zero), the top-4 averages stay exact integer (sum, count) pairs, and each margin is ONE IEEE expression over those integers — so even the margin-ordered best-candidate pick replays identically; list membership is the portable k-means chain the oracle unrolls. Scale: the Lloyd chain + one broadcast-assign pass (the accepted IVF build cost), then ONE within-list language-split join reused three times off a checkpoint (both kNN windows + the best pick — all bounded by list size), two 8-byte-key aggregates, one |src|-key window. autoNlist holds per-list size ~63 as the corpus grows (q138's measured fix).") {
+      (s, d) =>
+        bitextMarginMining(Tables.embeddings(s, d), Tables.documents(s, d),
+          langX = "en", langY = "es", k = 4, portableMeans = true)
+    },
   )
+
+  /** q150: margin-based cross-lingual pair mining (Artetxe & Schwenk 2019)
+    * bounded to IVF-list co-membership — for each source-language vector
+    * its best target-language candidate by ratio margin
+    * cos(x,y) / ((avgTopK_x + avgTopK_y) / 2), kNN averages taken within
+    * the OTHER language inside the same list. */
+  def bitextMarginMining(embeddings: DataFrame, docs: DataFrame,
+      langX: String, langY: String, k: Int = 4, nlist: Int = 0,
+      iters: Int = 3, portableMeans: Boolean = false): DataFrame = {
+    val chosen =
+      if (nlist > 0) nlist else autoNlist(embeddings.count())
+    val centroids = kmeansCentroids(embeddings, chosen, iters, portableMeans)
+    val dv = embeddings.select(col("vec_id"),
+      graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+    val langs = docs.select(col("doc_id").as("vec_id"), col("lang"))
+    val lists = assign(dv, centroids).join(langs, "vec_id")
+      .select(col("cid"), col("vec_id"), col("v"), col("lang"),
+        sqrt(graft.expressions.VecDot(col("v"), col("v"))).as("nrm"))
+      .localCheckpoint(true)
+    val xs = lists.filter(col("lang") === langX)
+      .select(col("cid"), col("vec_id").as("src"),
+        col("v").as("vx"), col("nrm").as("nx"))
+    val ys = lists.filter(col("lang") === langY)
+      .select(col("cid").as("cidy"), col("vec_id").as("dst"),
+        col("v").as("vy"), col("nrm").as("ny"))
+    val pairs = xs.join(ys, col("cid") === col("cidy"))
+      .select(col("src"), col("dst"),
+        round(graft.expressions.VecDot(col("vx"), col("vy"))
+          / (col("nx") * col("ny")) * lit(1e6d), 0).cast("bigint")
+          .as("cos_micro"))
+      .localCheckpoint(true) // reused by both kNN averages + the best pick
+    val wx = Window.partitionBy(col("src"))
+      .orderBy(col("cos_micro").desc, col("dst"))
+    val ax = pairs.withColumn("rn", row_number().over(wx))
+      .filter(col("rn") <= k)
+      .groupBy(col("src"))
+      .agg(sum(col("cos_micro")).cast("bigint").as("ax_num"),
+        count(lit(1)).cast("bigint").as("ax_den"))
+    val wy = Window.partitionBy(col("dst"))
+      .orderBy(col("cos_micro").desc, col("src"))
+    val ay = pairs.withColumn("rn", row_number().over(wy))
+      .filter(col("rn") <= k)
+      .groupBy(col("dst"))
+      .agg(sum(col("cos_micro")).cast("bigint").as("ay_num"),
+        count(lit(1)).cast("bigint").as("ay_den"))
+    val cnt = pairs.groupBy(col("src"))
+      .agg(count(lit(1)).cast("bigint").as("n_candidates"))
+    val scored = pairs.join(ax, "src").join(ay, "dst")
+      .withColumn("margin",
+        col("cos_micro").cast("double") /
+          ((col("ax_num").cast("double") / col("ax_den")
+            + col("ay_num").cast("double") / col("ay_den")) / lit(2d)))
+    val wbest = Window.partitionBy(col("src"))
+      .orderBy(col("margin").desc, col("dst"))
+    scored.withColumn("rn", row_number().over(wbest)).filter(col("rn") === 1)
+      .join(cnt, "src")
+      .select(col("src"), col("dst"),
+        (col("cos_micro").cast("double") * lit(1e-6d)).as("cosine"),
+        col("margin"), col("n_candidates"),
+        (col("margin") >= lit(1.05d)).as("accepted"))
+      .orderBy(col("src"))
+  }
+
+  private def q150OracleSql(langX: String, langY: String, k: Int): String = {
+    def dot(a: String, b: String) = dotSql(a, b)
+    s"""WITH $kmeansListsCtes,
+       |ll AS (
+       |  SELECT l.cid, l.vec_id, l.v, sqrt(${dot("l.v", "l.v")}) AS nrm, d.lang
+       |  FROM lists l JOIN documents d ON l.vec_id = d.doc_id),
+       |p AS (
+       |  SELECT x.vec_id AS src, y.vec_id AS dst,
+       |    CAST(round(${dot("x.v", "y.v")} / (x.nrm * y.nrm) * 1e6, 0)
+       |      AS BIGINT) AS cos_micro
+       |  FROM ll x JOIN ll y ON x.cid = y.cid
+       |    AND x.lang = '$langX' AND y.lang = '$langY'),
+       |ax AS (
+       |  SELECT src, CAST(sum(cos_micro) AS BIGINT) AS ax_num,
+       |    CAST(count(*) AS BIGINT) AS ax_den
+       |  FROM (SELECT src, cos_micro, row_number() OVER (PARTITION BY src
+       |          ORDER BY cos_micro DESC, dst) AS rn FROM p) t
+       |  WHERE rn <= $k GROUP BY src),
+       |ay AS (
+       |  SELECT dst, CAST(sum(cos_micro) AS BIGINT) AS ay_num,
+       |    CAST(count(*) AS BIGINT) AS ay_den
+       |  FROM (SELECT dst, cos_micro, row_number() OVER (PARTITION BY dst
+       |          ORDER BY cos_micro DESC, src) AS rn FROM p) t
+       |  WHERE rn <= $k GROUP BY dst),
+       |cnt AS (SELECT src, CAST(count(*) AS BIGINT) AS n_candidates
+       |        FROM p GROUP BY src),
+       |sc AS (
+       |  SELECT p.src, p.dst, p.cos_micro,
+       |    CAST(p.cos_micro AS DOUBLE) /
+       |      ((CAST(ax.ax_num AS DOUBLE) / ax.ax_den
+       |        + CAST(ay.ay_num AS DOUBLE) / ay.ay_den) / 2) AS margin
+       |  FROM p JOIN ax USING (src) JOIN ay USING (dst))
+       |SELECT src, dst, CAST(cos_micro AS DOUBLE) * 1e-6 AS cosine, margin,
+       |  n_candidates, margin >= 1.05 AS accepted
+       |FROM (SELECT *, row_number() OVER (PARTITION BY src
+       |        ORDER BY margin DESC, dst) AS rn FROM sc) t
+       |JOIN cnt USING (src)
+       |WHERE rn = 1 ORDER BY src""".stripMargin
+  }
 
   /** q148: one power-iteration step y = Gᵀ(G·x0) of uncentered PCA on the
     * integer micro-unit ledger — exact cross-engine by construction. */

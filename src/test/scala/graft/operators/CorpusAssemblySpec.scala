@@ -161,6 +161,77 @@ class CorpusAssemblySpec extends SparkSpec {
     }
   }
 
+  // ---- q150 bitext margin mining -----------------------------------------
+
+  test("bitext margin: single-list run matches an exact driver-side recomputation") {
+    import spark.implicits._
+    // 3 en + 3 es vectors in 4 dims; nlist = 1 → candidates are the full
+    // cross product, so every stage is hand-checkable
+    val vecs = Seq(
+      0L -> Array(1.0f, 0.1f, 0.0f, 0.0f),
+      1L -> Array(0.0f, 1.0f, 0.2f, 0.0f),
+      2L -> Array(0.0f, 0.0f, 1.0f, 0.3f),
+      3L -> Array(0.9f, 0.2f, 0.1f, 0.0f),
+      4L -> Array(0.1f, 0.8f, 0.1f, 0.1f),
+      5L -> Array(0.4f, 0.4f, 0.4f, 0.4f))
+    val emb = vecs.map { case (id, v) => (id, v.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val docs = Seq(
+      (0L, "a", "en", "s", 0L), (1L, "b", "en", "s", 0L),
+      (2L, "c", "en", "s", 0L), (3L, "d", "es", "s", 0L),
+      (4L, "e", "es", "s", 0L), (5L, "f", "es", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Similarity.bitextMarginMining(emb, docs, "en", "es",
+        k = 4, nlist = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    // driver-side recomputation with the same integer-micro ledger
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0d; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val m = vecs.toMap
+    def cosMicro(x: Long, y: Long): Long =
+      BigDecimal(dot(m(x), m(y)) /
+        (math.sqrt(dot(m(x), m(x))) * math.sqrt(dot(m(y), m(y)))) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val en = Seq(0L, 1L, 2L); val es = Seq(3L, 4L, 5L)
+    val ax = en.map(x => x -> es.map(y => cosMicro(x, y))).toMap // all 3 ≤ k
+    val ay = es.map(y => y -> en.map(x => cosMicro(x, y))).toMap
+    val manual = en.map { x =>
+      val best = es.map { y =>
+        val margin = cosMicro(x, y).toDouble /
+          ((ax(x).sum.toDouble / ax(x).size + ay(y).sum.toDouble / ay(y).size) / 2d)
+        (margin, y)
+      }.maxBy { case (mg, y) => (mg, -y) } // margin DESC, dst ASC ties
+      x -> (best._2, best._1)
+    }.toMap
+    for (x <- en) {
+      assert(out(x)._1 == manual(x)._1, s"best dst mismatch for src $x")
+      assert(math.abs(out(x)._2 - manual(x)._2) < 1e-12,
+        s"margin mismatch for src $x")
+    }
+  }
+
+  test("bitext margin: real-corpus output is one best es candidate per en doc") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = Similarity.bitextMarginMining(
+      Tables.embeddings(spark, sf0001), docs, "en", "es", k = 4,
+      portableMeans = true).collect()
+    val enIds = docs.filter(col("lang") === "en")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val esIds = docs.filter(col("lang") === "es")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).distinct.length == out.length, "one row per src")
+    assert(out.forall(r => enIds.contains(r.getLong(0))))
+    assert(out.forall(r => esIds.contains(r.getLong(1))))
+    for (r <- out) {
+      assert(r.getBoolean(5) == (r.getDouble(3) >= 1.05d))
+      assert(r.getLong(4) >= 1)
+      assert(r.getDouble(2) >= -1.000001 && r.getDouble(2) <= 1.000001)
+    }
+  }
+
   // ---- q147 source JS divergence -----------------------------------------
 
   test("js divergence: identical sources diverge by (at most) quantization noise") {
