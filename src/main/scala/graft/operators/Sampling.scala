@@ -536,6 +536,69 @@ object Sampling {
       (s, d) =>
         contextPacking(Tables.documents(s, d), windowTokens = 512, bucketDocs = 64)
     },
+
+    Q("q152_split_balance",
+      """WITH s AS (
+        |  SELECT label,
+        |    CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < 'cc'
+        |           THEN 'train'
+        |         WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < 'e6'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT label,
+        |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_train,
+        |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_val,
+        |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_test,
+        |    CAST(count(*) AS BIGINT) AS n_total
+        |  FROM s GROUP BY label),
+        |g AS (SELECT CAST(sum(n_train) AS BIGINT) AS gt,
+        |             CAST(sum(n_val) AS BIGINT) AS gv,
+        |             CAST(sum(n_test) AS BIGINT) AS gs,
+        |             CAST(sum(n_total) AS BIGINT) AS gn FROM c)
+        |SELECT label, n_train, n_val, n_test, n_total,
+        |  (CAST(n_train AS DOUBLE) - CAST(n_total AS DOUBLE) * gt / gn)
+        |    * (CAST(n_train AS DOUBLE) - CAST(n_total AS DOUBLE) * gt / gn)
+        |    / (CAST(n_total AS DOUBLE) * gt / gn)
+        |  + (CAST(n_val AS DOUBLE) - CAST(n_total AS DOUBLE) * gv / gn)
+        |    * (CAST(n_val AS DOUBLE) - CAST(n_total AS DOUBLE) * gv / gn)
+        |    / (CAST(n_total AS DOUBLE) * gv / gn)
+        |  + (CAST(n_test AS DOUBLE) - CAST(n_total AS DOUBLE) * gs / gn)
+        |    * (CAST(n_test AS DOUBLE) - CAST(n_total AS DOUBLE) * gs / gn)
+        |    / (CAST(n_total AS DOUBLE) * gs / gn) AS chi2
+        |FROM c CROSS JOIN g ORDER BY label""".stripMargin,
+      "Per-label split-balance audit of the q61 hash split — the eval-hygiene check that a deterministic 80/10/10 split did not accidentally starve a class: per label its train/val/test counts and the chi-square statistic against the expectation that every label splits at the GLOBAL split shares (expected cell = label_total x global_share); a label with chi2 far above the others has its evaluation dominated by sampling noise and is the one to stratify explicitly. Membership is the identical md5-bucket rule q61/q87 pin (no rand, engine-portable), so this audit replays bit-identically anywhere. Determinism: all counts exact integers from one map-side-combined |label|x3 aggregate; each chi-square is one fixed THREE-TERM IEEE expression per row over those integers (terms written out, never a float sum over rows); the global totals are a broadcast one-row aggregate. Scale: one corpus scan, bounded keys, no joins wider than the one-row cross.") {
+      (s, d) =>
+        val e = Tables.embeddings(s, d)
+          .select(col("label"), splitOf(col("vec_id")).as("split"))
+        val c = e.groupBy(col("label"))
+          .agg(
+            sum(when(col("split") === "train", 1L).otherwise(0L))
+              .cast("bigint").as("n_train"),
+            sum(when(col("split") === "val", 1L).otherwise(0L))
+              .cast("bigint").as("n_val"),
+            sum(when(col("split") === "test", 1L).otherwise(0L))
+              .cast("bigint").as("n_test"),
+            count(lit(1)).cast("bigint").as("n_total"))
+        val g = c.agg(sum(col("n_train")).cast("bigint").as("gt"),
+          sum(col("n_val")).cast("bigint").as("gv"),
+          sum(col("n_test")).cast("bigint").as("gs"),
+          sum(col("n_total")).cast("bigint").as("gn"))
+        def term(obs: String, share: String) = {
+          val exp = col("n_total").cast("double") * col(share) / col("gn")
+          (col(obs).cast("double") - exp) * (col(obs).cast("double") - exp) / exp
+        }
+        c.crossJoin(broadcast(g))
+          .select(col("label"), col("n_train"), col("n_val"), col("n_test"),
+            col("n_total"),
+            (term("n_train", "gt") + term("n_val", "gv")
+              + term("n_test", "gs")).as("chi2"))
+          .orderBy(col("label"))
+    },
   )
 
   /** q145: global token offsets + 512-token window spans via the scalable

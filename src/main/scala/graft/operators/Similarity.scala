@@ -1288,7 +1288,7 @@ object Similarity {
     },
 
     Q("q150_bitext_margin", q150OracleSql(langX = "en", langY = "es", k = 4),
-      "Margin-based cross-lingual pair mining (Artetxe & Schwenk 2019, the LASER/CCMatrix bitext-mining criterion): for every English document its best Spanish candidate by RATIO MARGIN — cos(x,y) divided by the mean of the two sides' average top-4 cross-lingual cosines — the normalization that fixes raw-cosine mining (hub vectors score high against EVERYTHING; dividing by each side's local neighborhood density cancels the hub effect), with the standard margin >= 1.05 acceptance flag. The parallel-corpus construction step of multilingual training pipelines, here bounded to IVF-list co-membership (the q112/q138 SemDeDup bound): candidates, kNN averages, and the best pick all live inside the same coarse-quantizer list, so pairwise work is n*B, never |en|x|es|. Determinism: round-6-family cosines land as exact integer micro-units (round(cos*1e6) — both engines round half away from zero), the top-4 averages stay exact integer (sum, count) pairs, and each margin is ONE IEEE expression over those integers — so even the margin-ordered best-candidate pick replays identically; list membership is the portable k-means chain the oracle unrolls. Scale: the Lloyd chain + one broadcast-assign pass (the accepted IVF build cost), then ONE within-list language-split join reused three times off a checkpoint (both kNN windows + the best pick — all bounded by list size), two 8-byte-key aggregates, one |src|-key window. autoNlist holds per-list size ~63 as the corpus grows (q138's measured fix).") {
+      "Margin-based cross-lingual pair mining (Artetxe & Schwenk 2019, the LASER/CCMatrix bitext-mining criterion): for every English document its best Spanish candidate by RATIO MARGIN — cos(x,y) divided by the mean of the two sides' average top-4 cross-lingual cosines — the normalization that fixes raw-cosine mining (hub vectors score high against EVERYTHING; dividing by each side's local neighborhood density cancels the hub effect), with the standard margin >= 1.05 acceptance flag. The parallel-corpus construction step of multilingual training pipelines, here bounded to IVF-list co-membership (the q112/q138 SemDeDup bound): candidates, kNN averages, and the best pick all live inside the same coarse-quantizer list, so pairwise work is n*B, never |en|x|es|. Determinism: round-6-family cosines land as exact integer micro-units (round(cos*1e6) — both engines round half away from zero), the top-4 averages stay exact integer (sum, count) pairs, and each margin is ONE IEEE expression over those integers — so even the margin-ordered best-candidate pick replays identically; list membership is the portable k-means chain the oracle unrolls. Scale: the Lloyd chain + one broadcast-assign pass (the accepted IVF build cost), then ONE within-list language-split join reused three times off a checkpoint (both kNN windows + the best pick — all bounded by list size), two 8-byte-key aggregates, one |src|-key window. autoNlist holds per-list size ~63 as the corpus grows (q138's measured fix) — exactly the oracle's 8 lists at verify scale, deliberately more beyond it.") {
       (s, d) =>
         bitextMarginMining(Tables.embeddings(s, d), Tables.documents(s, d),
           langX = "en", langY = "es", k = 4, portableMeans = true)

@@ -232,6 +232,61 @@ class CorpusAssemblySpec extends SparkSpec {
     }
   }
 
+  // ---- q151 k-anonymity ---------------------------------------------------
+
+  test("k-anonymity: classes conserve every document and respect the k threshold per level") {
+    val docs = Tables.documents(spark, sf0001)
+    val rows = graft.SparkEntry.queries("q151_k_anonymity")(spark, sf0001)
+      .collect()
+    assert(rows.map(_.getLong(4)).sum == docs.count(), "docs lost or duplicated")
+    for (r <- rows) {
+      val (bucket, level, size) = (r.getLong(2), r.getInt(3), r.getLong(4))
+      level match {
+        case 3 => assert(size >= 5 && bucket >= 0)
+        case 2 => assert(size >= 5 && bucket == -1L)
+        case 0 => assert(size < 5 && bucket == -1L)
+        case l => fail(s"unexpected level $l")
+      }
+    }
+    // the generalization step must be exercised in all three outcomes
+    assert(Set(0, 2, 3).subsetOf(rows.map(_.getInt(3)).toSet))
+  }
+
+  test("k-anonymity: level-3 classes are exactly the full-QI groups of size >= k") {
+    val docs = Tables.documents(spark, sf0001)
+    val want = docs.groupBy(col("lang"), col("source"),
+        expr("n_chars div 256").cast("bigint").as("b"))
+      .count().filter(col("count") >= 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val got = graft.SparkEntry.queries("q151_k_anonymity")(spark, sf0001)
+      .filter(col("level") === 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(4))
+      .toMap
+    assert(got == want)
+  }
+
+  // ---- q152 split balance -------------------------------------------------
+
+  test("split balance: counts conserve and the chi-square matches a manual recompute") {
+    val rows = graft.SparkEntry.queries("q152_split_balance")(spark, sf0001)
+      .collect()
+    val (gt, gv, gs, gn) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum,
+      rows.map(_.getLong(3)).sum, rows.map(_.getLong(4)).sum)
+    assert(gn == Tables.embeddings(spark, sf0001).count())
+    for (r <- rows) {
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) == r.getLong(4))
+      val chi = Seq((r.getLong(1), gt), (r.getLong(2), gv), (r.getLong(3), gs))
+        .map { case (obs, share) =>
+          val exp = r.getLong(4).toDouble * share / gn
+          (obs.toDouble - exp) * (obs.toDouble - exp) / exp
+        }.sum
+      assert(math.abs(r.getDouble(5) - chi) < 1e-9)
+      assert(r.getDouble(5) >= 0)
+    }
+  }
+
   // ---- q147 source JS divergence -----------------------------------------
 
   test("js divergence: identical sources diverge by (at most) quantization noise") {
