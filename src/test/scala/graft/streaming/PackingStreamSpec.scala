@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.operators.Sampling
+
+/** The incremental packing twin: offsets a streaming ingest assigns by
+  * extending the persisted ledger must equal the batch q145 computation
+  * over all delivered documents — including across a stream restart and
+  * a replayed micro-batch. */
+class PackingStreamSpec extends SparkSpec {
+
+  private def docsSlice(pred: org.apache.spark.sql.Column) =
+    Tables.documents(spark, sf0001)
+      .filter(pred)
+      .select(col("doc_id"), col("text"), col("source"))
+
+  test("ordered arrival across restarts reproduces the batch q145 offsets exactly") {
+    val root = Files.createTempDirectory("graft-packing").toString
+    val docsDir = s"$root/docs"; val stateDir = s"$root/state"
+    val ckpt = s"$root/ckpt"
+
+    // wave 1: the low half arrives and is drained
+    docsSlice(col("doc_id") < 250).write.parquet(docsDir)
+    PackingStream.start(spark, docsDir, stateDir, ckpt,
+      availableNow = true).awaitTermination()
+    // wave 2: the high half; restart from the same checkpoint
+    docsSlice(col("doc_id") >= 250).write.mode("append").parquet(docsDir)
+    PackingStream.start(spark, docsDir, stateDir, ckpt,
+      availableNow = true).awaitTermination()
+
+    val got = PackingStream.windows(spark, stateDir)
+      .select(col("doc_id"), col("n_tok"), col("tok_offset"),
+        col("start_window"), col("end_window"), col("n_windows"),
+        col("fragmented"))
+    val want = Sampling.contextPacking(
+      Tables.documents(spark, sf0001), windowTokens = 512, bucketDocs = 64)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "incremental ledger diverged from the batch computation")
+  }
+
+  test("replayed micro-batch is a no-op; later batches continue from the high-water mark") {
+    val root = Files.createTempDirectory("graft-packing2").toString
+    val stateDir = s"$root/state"
+    val b1 = docsSlice(col("doc_id") < 100)
+    val b2 = docsSlice(col("doc_id") >= 100 && col("doc_id") < 200)
+
+    PackingStream.update(stateDir)(b1, 0L)
+    val afterFirst = PackingStream.ledgerState(spark, stateDir).count()
+    PackingStream.update(stateDir)(b1, 0L) // replay: crash-after-append path
+    assert(PackingStream.ledgerState(spark, stateDir).count() == afterFirst,
+      "replay appended duplicate ledger rows")
+
+    PackingStream.update(stateDir)(b2, 1L)
+    val led = PackingStream.ledgerState(spark, stateDir)
+    // batch 2 starts exactly at batch 1's high-water mark
+    val b1End = led.filter(col("batch_id") === 0L)
+      .agg(max(col("tok_offset") + col("n_tok"))).collect()(0).getLong(0)
+    val b2Start = led.filter(col("batch_id") === 1L)
+      .agg(min(col("tok_offset"))).collect()(0).getLong(0)
+    assert(b2Start == b1End, s"gap or overlap: b1 ends $b1End, b2 starts $b2Start")
+    // the combined ledger is gapless: offsets partition the token stream
+    val rows = led.orderBy(col("tok_offset")).collect()
+    var expect = 0L
+    for (r <- rows) {
+      assert(r.getLong(2) == expect, s"offset gap at doc ${r.getLong(0)}")
+      expect = r.getLong(2) + r.getLong(1)
+    }
+  }
+
+  test("at-least-once within one batch: duplicate doc rows assign once") {
+    val root = Files.createTempDirectory("graft-packing3").toString
+    val stateDir = s"$root/state"
+    val b = docsSlice(col("doc_id") < 50)
+    PackingStream.update(stateDir)(b.union(b), 0L) // double delivery in-batch
+    val led = PackingStream.ledgerState(spark, stateDir)
+    assert(led.count() == b.count())
+    assert(led.select(col("doc_id")).distinct().count() == b.count())
+  }
+}
