@@ -1045,26 +1045,33 @@ object TextAnalysis {
     * exp boosts floor-quantized to integer micro-units so the
     * normalizer is an exact integer sum. */
   def doremiStep(docs: DataFrame): DataFrame = {
+    // (source, token) counts feed both the vocab ln-table and the source
+    // ledgers: materialize once (8-byte-key rows, the q143 lesson) so the
+    // downstream fan-out replicates a LEAF, not the corpus explode
     val dt = docs
       .select(col("source"), explode(wsTokens(lower(col("text")))).as("w"))
       .groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val vocab = dt.groupBy(col("w")).agg(sum(col("c")).as("cnt"))
-    val tot = vocab.agg(sum(col("cnt")).cast("bigint").as("t"))
     val v2 = vocab.select(col("w"),
       floor(log(col("cnt").cast("double")) * lit(1e6d)).cast("bigint").as("lnq"))
+    // |sources| rows, read three times (corpus totals, boosts, output)
     val src = dt.join(v2, "w")
       .groupBy(col("source"))
       .agg(sum(col("c")).cast("bigint").as("n_tokens"),
         sum(col("c") * col("lnq")).cast("bigint").as("slnq"))
+      .localCheckpoint(true)
+    // corpus token total tt == the vocab-sum total (same integer), so the
+    // one corpus aggregate serves both ln(T) and the mean-NLL leg
     val corpus = src.agg(sum(col("n_tokens")).cast("bigint").as("tt"),
       sum(col("slnq")).cast("bigint").as("tslnq"))
-    val b = src.crossJoin(broadcast(tot)).crossJoin(broadcast(corpus))
+    val b = src.crossJoin(broadcast(corpus))
       .select(col("source"), col("n_tokens"),
-        (floor(log(col("t").cast("double")) * lit(1e6d)).cast("bigint")
+        (floor(log(col("tt").cast("double")) * lit(1e6d)).cast("bigint")
           * lit(1e-6d)
           - (col("slnq") * lit(1e-6d)) / col("n_tokens")).as("nll"),
-        (floor(log(col("t").cast("double")) * lit(1e6d)).cast("bigint")
+        (floor(log(col("tt").cast("double")) * lit(1e6d)).cast("bigint")
           * lit(1e-6d)
           - (col("tslnq") * lit(1e-6d)) / col("tt")).as("nllbar"))
       .select(col("source"), col("n_tokens"), col("nll"),
@@ -1087,9 +1094,12 @@ object TextAnalysis {
       : org.apache.spark.sql.DataFrame = {
     val tok = docs
       .select(col("source"), explode(split(col("text"), " ")).as("term"))
+    // read three times (totals + both pair legs): materialize the bounded
+    // 8-byte-key count table once instead of re-exploding the corpus
     val cnt = tok.select(col("source"), xxhash64(col("term")).as("th"))
       .groupBy(col("source"), col("th"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val tot = cnt.groupBy(col("source"))
       .agg(sum(col("c")).cast("bigint").as("t"))
     val pairs = tot.select(col("source").as("s1"), col("t").as("ta"))

@@ -413,4 +413,42 @@ class PlanSpec extends SparkSpec {
       assert(!p.toString.contains("CartesianProduct"), s"$name went cartesian")
     }
   }
+
+  test("corpus-assembly queries (q145-q152): no cartesian; shuffle budgets hold") {
+    val bounds = Map(
+      // bucket agg + tiny bucket cumulate + within-bucket window + sort
+      "q145_context_packing" -> 6,
+      // the design claim: ONE k-key agg + the final sort — assignment is
+      // the in-row argmin against a broadcast row, never a shuffle
+      "q146_lloyd_step" -> 4,
+      // (source, hash) counts, source totals, pair l/r legs, full-outer
+      // regroup, pair agg, sort
+      "q147_source_js_divergence" -> 10,
+      // |vecs|-key projection agg + 64-key ledger agg + sort (the one-row
+      // total broadcasts)
+      "q148_pca_power_step" -> 6,
+      // q103's score shuffles folded to sources + sort
+      "q149_doremi_reweight" -> 8,
+      // Lloyd chain hides behind checkpoints; pairs checkpoint feeds the
+      // two kNN windows + candidate-count/best-pick joins + sort
+      "q150_bitext_margin" -> 12,
+      // two bounded-key aggs + union sort
+      "q151_k_anonymity" -> 6,
+      // one |label|x3 agg + one-row total + sort
+      "q152_split_balance" -> 5)
+    bounds.foreach { case (name, bound) =>
+      val p = planOf(name)
+      val n = p.collect { case s: ShuffleExchangeLike => s }.size
+      info(s"$name: $n shuffles (bound $bound)")
+      assert(n <= bound, s"$name has $n shuffles (bound $bound)")
+      assert(!p.toString.contains("CartesianProduct"), s"$name went cartesian")
+    }
+  }
+
+  test("q146 argmin runs in-row: no per-vector shuffle, no window, no join on vec_id") {
+    val s = planString("q146_lloyd_step")
+    assert(!s.contains("Window"), "q146 grew a window — the in-row argmin was lost")
+    assert(!s.contains("SortMergeJoin"), "q146 grew a sort-merge join")
+    assert(s.contains("array_min"), "q146's in-row argmin disappeared from the plan")
+  }
 }
