@@ -1480,5 +1480,128 @@ object Dedup {
       (s, d) =>
         cleanHoldout(Tables.documents(s, d))
     },
+
+    Q("q153_tombstone_cascade",
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |              UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |t AS (SELECT doc_id, text,
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' AS tomb
+        |      FROM base),
+        |fp AS (SELECT doc_id, tomb,
+        |         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |           AS fp
+        |       FROM t),
+        |g AS (SELECT fp, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN tomb THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |        min(doc_id) AS mn,
+        |        min(CASE WHEN tomb THEN doc_id END) AS mnt
+        |      FROM fp GROUP BY fp),
+        |ga AS (SELECT
+        |        CAST(sum(CASE WHEN nt = n THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS erased,
+        |        CAST(sum(CASE WHEN nt > 0 AND nt < n AND mn = mnt
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS recanon,
+        |        CAST(count(*) AS BIGINT) AS groups FROM g),
+        |tok AS (SELECT doc_id,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |        FROM t),
+        |off AS (SELECT doc_id, n_tok,
+        |          CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |            AS BIGINT) AS o
+        |        FROM tok),
+        |pw AS (SELECT doc_id, CAST(o // 512 AS BIGINT) AS s,
+        |         CAST((o + n_tok - 1) // 512 AS BIGINT) AS e
+        |       FROM off),
+        |tw AS (SELECT CAST(max(e) + 1 AS BIGINT) AS total FROM pw),
+        |aw AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS affected
+        |       FROM (SELECT unnest(generate_series(s, e)) AS w
+        |             FROM pw JOIN t USING (doc_id) WHERE t.tomb)),
+        |ed AS (SELECT CAST(count(*) AS BIGINT) AS affected FROM embeddings e
+        |       JOIN t ON e.vec_id = t.doc_id WHERE t.tomb),
+        |et AS (SELECT CAST(count(*) AS BIGINT) AS total FROM embeddings),
+        |dd AS (SELECT
+        |        CAST(sum(CASE WHEN tomb THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS affected,
+        |        CAST(count(*) AS BIGINT) AS total FROM t)
+        |SELECT artifact, affected, total,
+        |  CAST(affected AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM (
+        |  SELECT 'documents' AS artifact, affected, total FROM dd
+        |  UNION ALL SELECT 'dup_groups_erased', erased, groups FROM ga
+        |  UNION ALL SELECT 'dup_groups_recanonicalized', recanon, groups
+        |    FROM ga
+        |  UNION ALL SELECT 'packed_windows', aw.affected, tw.total
+        |    FROM aw CROSS JOIN tw
+        |  UNION ALL SELECT 'embeddings', ed.affected, et.total
+        |    FROM ed CROSS JOIN et)
+        |ORDER BY artifact""".stripMargin,
+      "Tombstone-cascade audit — the right-to-be-forgotten impact table a compliance review demands BEFORE executing a deletion: given a deterministic tombstone set (md5 bucket of doc_id, ~1/8 of the corpus — wide enough that the erased-group outcome is exercised, not vestigial, at test scale — in production, the actual deletion requests), how far the deletion propagates through every derived artifact. Reported per artifact: raw documents to drop; exact-dup groups ERASED outright (every member tombstoned — their fingerprint leaves the dedup state) vs groups needing RE-CANONICALIZATION (the kept min-doc_id representative is tombstoned but survivors exist — q32's keep rule must re-elect, and anything keyed on the old canonical goes stale); 512-token packed training windows overlapping any tombstoned doc (q145's ledger rows to invalidate — fragmentation means one deletion can poison two windows); and embedding rows (1:1 on vec_id). The audit universe is the q32 id-shifted doubled corpus, which makes all three group outcomes provably exercised at test scale (twin survives -> re-canonicalize; both twins drawn -> erased; neither -> untouched). All legs are exact integer counts over existing machinery (q32 fingerprints, q145 offsets); shares are one IEEE division each. Scale: the group leg is one fingerprint-key agg, the window leg one prefix-sum + a distinct over the TOMBSTONED docs' window ids only (|tombstones| x spans, never the corpus), embeddings a semi-join on 8-byte ids.") {
+      (s, d) =>
+        tombstoneCascade(Tables.documents(s, d), Tables.embeddings(s, d))
+    },
   )
+
+  /** q153: right-to-be-forgotten cascade accounting over the doubled
+    * (q32-fixture) corpus — one row per derived artifact with the
+    * affected/total counts a deletion would touch. */
+  def tombstoneCascade(docs: DataFrame, embs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val doubled = base.union(
+      base.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+    val t = doubled.withColumn("tomb",
+      substring(md5(col("doc_id").cast("string")), 1, 1) < "2")
+      .localCheckpoint(true) // read by four legs
+    def row(label: String, affected: Column, total: Column)(src: DataFrame) =
+      src.select(lit(label).as("artifact"), affected.cast("bigint").as("affected"),
+        total.cast("bigint").as("total"))
+    // documents
+    val dd = row("documents", col("a"), col("n"))(
+      t.agg(sum(when(col("tomb"), 1L).otherwise(0L)).as("a"),
+        count(lit(1)).as("n")))
+    // exact-dup groups (q32's fingerprint)
+    val g = t.select(col("doc_id"), col("tomb"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+          .as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("tomb"), 1L).otherwise(0L)).as("nt"),
+        min(col("doc_id")).as("mn"),
+        min(when(col("tomb"), col("doc_id"))).as("mnt"))
+    val ga = g.agg(
+      sum(when(col("nt") === col("n"), 1L).otherwise(0L)).as("erased"),
+      sum(when(col("nt") > 0 && col("nt") < col("n")
+        && col("mn") === col("mnt"), 1L).otherwise(0L)).as("recanon"),
+      count(lit(1)).as("groups"))
+      .localCheckpoint(true) // one row, two artifact readers
+    val ge = row("dup_groups_erased", col("erased"), col("groups"))(ga)
+    val gr = row("dup_groups_recanonicalized", col("recanon"), col("groups"))(ga)
+    // packed windows (q145's offsets over the doubled corpus)
+    val packed = Sampling.contextPacking(doubled, windowTokens = 512,
+        bucketDocs = 64)
+      .select(col("doc_id"), col("start_window"), col("end_window"))
+      .localCheckpoint(true)
+    val tw = packed.agg((max(col("end_window")) + 1).as("tot"))
+    val aw = packed
+      .join(t.filter(col("tomb")).select(col("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .select(explode(sequence(col("start_window"), col("end_window")))
+        .as("w"))
+      .agg(countDistinct(col("w")).as("aff"))
+    val pwRow = row("packed_windows", col("aff"), col("tot"))(
+      aw.crossJoin(broadcast(tw)))
+    // embeddings (1:1 on vec_id)
+    val ea = embs.select(col("vec_id"))
+      .join(t.filter(col("tomb")).select(col("doc_id")),
+        col("vec_id") === col("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("aff"))
+    val et = embs.agg(count(lit(1)).as("tot"))
+    val eRow = row("embeddings", col("aff"), col("tot"))(
+      ea.crossJoin(broadcast(et)))
+    dd.unionByName(ge).unionByName(gr).unionByName(pwRow).unionByName(eRow)
+      .select(col("artifact"), col("affected"), col("total"),
+        (col("affected").cast("double") / col("total").cast("double"))
+          .as("share"))
+      .orderBy(col("artifact"))
+  }
 }

@@ -287,6 +287,36 @@ class CorpusAssemblySpec extends SparkSpec {
     }
   }
 
+  // ---- q153 tombstone cascade ---------------------------------------------
+
+  test("tombstone cascade: legs reconcile with independent recomputations") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val out = Dedup.tombstoneCascade(docs, Tables.embeddings(spark, sf0001))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def tomb(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      f"${md(0) & 0xff}%02x".charAt(0) < '2'
+    }
+    val ids = docs.select($"doc_id").collect().map(_.getLong(0))
+    val origTomb = ids.count(tomb)
+    val twinTomb = ids.count(i => tomb(i + 1000000L))
+    val bothTomb = ids.count(i => tomb(i) && tomb(i + 1000000L))
+    assert(out("documents") == (origTomb + twinTomb, 2L * ids.length))
+    // corpus has no natural exact dups, so each doubled group is a twin
+    // pair: erased == both twins drawn; recanonicalized == original drawn
+    // but twin not (min id is always the original)
+    assert(out("dup_groups_erased") == (bothTomb, ids.length.toLong))
+    assert(out("dup_groups_recanonicalized") ==
+      (origTomb - bothTomb, ids.length.toLong))
+    assert(out("embeddings") == (origTomb, ids.length.toLong))
+    val (aw, tw) = out("packed_windows")
+    assert(aw > 0 && aw <= tw)
+    // all three group outcomes must be exercised at this scale
+    assert(bothTomb > 0 && origTomb - bothTomb > 0)
+  }
+
   // ---- q147 source JS divergence -----------------------------------------
 
   test("js divergence: identical sources diverge by (at most) quantization noise") {

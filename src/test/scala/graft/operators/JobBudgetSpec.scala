@@ -89,6 +89,8 @@ class JobBudgetSpec extends SparkSpec {
       (37, "observed 29: q49's Lloyd chain + list checkpoint, within-list kNN join + window, in-degree + histogram aggs"),
     "q139_ivf_list_stats" ->
       (35, "observed 28: q49's Lloyd chain, centroid join + cosine agg, one-row total broadcast"),
+    "q150_bitext_margin" ->
+      (49, "observed 39: autoNlist count, Lloyd chain, lists + pairs checkpoints, two kNN windows, best-pick join"),
   )
 
   budgets.foreach { case (name, (budget, makeup)) =>

@@ -435,7 +435,10 @@ class PlanSpec extends SparkSpec {
       // two bounded-key aggs + union sort
       "q151_k_anonymity" -> 6,
       // one |label|x3 agg + one-row total + sort
-      "q152_split_balance" -> 5)
+      "q152_split_balance" -> 5,
+      // observed 7: five legs off three checkpoints — doc agg, fp-group
+      // agg + one-row fold, window distinct, embeddings semi-join, sort
+      "q153_tombstone_cascade" -> 9)
     bounds.foreach { case (name, bound) =>
       val p = planOf(name)
       val n = p.collect { case s: ShuffleExchangeLike => s }.size
