@@ -404,6 +404,30 @@ object Dedup {
           .as("survivor"))
   }
 
+  /** q154: near-dup survivor election by QUALITY (type-token ratio, the
+    * q105 gate's richness signal) compared against q81's by-length rule —
+    * per cluster, both winners and whether the election flips. */
+  def qualitySurvivors(docs: DataFrame, maxHamming: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val pairs = simhashNearDupPairsCapped(docs, maxHamming, maxBucket)
+      .select(col("d1"), col("d2"))
+    val scored = docs.select(col("doc_id"), col("n_chars"),
+      (size(array_distinct(wsTokens(lower(col("text"))))).cast("double")
+        / size(wsTokens(col("text")))).as("ttr"))
+    connectedComponents(pairs)
+      .join(scored, Seq("doc_id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).cast("bigint").as("n_members"),
+        max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+          .as("survivor_len"),
+        max_by(col("doc_id"), struct(col("ttr"), -col("doc_id")))
+          .as("survivor_ttr"))
+      .select(col("component"), col("n_members"), col("survivor_len"),
+        col("survivor_ttr"),
+        (col("survivor_len") =!= col("survivor_ttr")).as("flipped"))
+      .orderBy(col("component"))
+  }
+
   /** Quality×duplication lift (q127): for each q105 gate reason, the
     * near-dup membership rate (any simhash hamming ≤ `maxHamming` pair)
     * among flagged vs clean docs, with the lift ratio. Flags come from
@@ -1299,6 +1323,47 @@ object Dedup {
       (s, d) =>
         nearDupSurvivors(Tables.documents(s, d), maxHamming = 8)
           .orderBy(col("component"))
+    },
+
+    Q("q154_quality_survivors",
+      SimhashBandCte + """,
+        |pairs AS (
+        |  SELECT c.d1, c.d2 FROM cand c
+        |  JOIN nibs n1 ON n1.doc_id = c.d1
+        |  JOIN nibs n2 ON n2.doc_id = c.d2 AND n2.p = n1.p
+        |  GROUP BY c.d1, c.d2 HAVING sum(bit_count(xor(n1.nv, n2.nv))) <= 8),
+        |edges AS (
+        |  SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS v FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(v, l) AS (
+        |    SELECT v, v FROM nodes
+        |    UNION
+        |    SELECT e.b, r.l FROM r JOIN edges e ON r.v = e.a)
+        |  SELECT v, min(l) AS component FROM r GROUP BY v),
+        |sized AS (
+        |  SELECT r.v AS doc_id, r.component, d.n_chars,
+        |    CAST(len(list_distinct(
+        |        string_split_regex(trim(lower(d.text)), '\s+'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(d.text), '\s+')) AS ttr
+        |  FROM reach r JOIN documents d ON r.v = d.doc_id),
+        |rl AS (SELECT component, doc_id, row_number() OVER (
+        |         PARTITION BY component ORDER BY n_chars DESC, doc_id ASC)
+        |         AS rn FROM sized),
+        |rq AS (SELECT component, doc_id, row_number() OVER (
+        |         PARTITION BY component ORDER BY ttr DESC, doc_id ASC)
+        |         AS rn FROM sized),
+        |g AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+        |      FROM sized GROUP BY component),
+        |sl AS (SELECT component, doc_id AS survivor_len FROM rl WHERE rn = 1),
+        |sq AS (SELECT component, doc_id AS survivor_ttr FROM rq WHERE rn = 1)
+        |SELECT g.component, g.n_members, sl.survivor_len, sq.survivor_ttr,
+        |  sl.survivor_len <> sq.survivor_ttr AS flipped
+        |FROM g JOIN sl USING (component) JOIN sq USING (component)
+        |ORDER BY g.component""".stripMargin,
+      "Quality-aware canonical election — the curation decision q81 leaves on the table: within each near-dup cluster, which member should SURVIVE? q81's by-length rule (the common default) is compared head-to-head with election by type-token ratio (the q105 gate's lexical-richness signal: among near-identical pages, the member with the least boilerplate padding), reporting both winners per cluster and whether the election FLIPS — the fraction of clusters where keep-the-longest quietly keeps the more templated copy, which is the number that justifies (or kills) a quality-aware canonicalization pass in a pipeline. Same capped banded candidates, hamming re-rank, and true-connected-components as q81 (the oracle's recursive-CTE closure); the TTR is one IEEE division of exact integer token counts per member (the q127 flags definition verbatim), so BOTH elections order deterministically cross-engine (ties to smallest doc_id); survivors are max_by structs, no per-cluster sort. Scale: q81's plan plus one more max_by in the same aggregate — no new shuffle, no new join.") {
+      (s, d) =>
+        qualitySurvivors(Tables.documents(s, d), maxHamming = 8)
     },
 
     Q("q129_template_prefixes",

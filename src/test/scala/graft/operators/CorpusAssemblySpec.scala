@@ -317,6 +317,24 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(bothTomb > 0 && origTomb - bothTomb > 0)
   }
 
+  // ---- q154 quality survivors ---------------------------------------------
+
+  test("quality survivors: same clusters as q81, elections well-formed, flips exercised") {
+    val docs = Tables.documents(spark, sf0001)
+    val q81 = Dedup.nearDupSurvivors(docs, maxHamming = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val out = Dedup.qualitySurvivors(docs, maxHamming = 8).collect()
+    assert(out.map(_.getLong(0)).toSet == q81.keySet, "cluster sets diverged")
+    for (r <- out) {
+      val (comp, n, sLen, sTtr, flip) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert((n, sLen) == q81(comp), "by-length election diverged from q81")
+      assert(flip == (sLen != sTtr))
+    }
+    // both outcomes must be exercised, or the comparison is vestigial
+    assert(out.exists(_.getBoolean(4)) && out.exists(!_.getBoolean(4)))
+  }
+
   // ---- q147 source JS divergence -----------------------------------------
 
   test("js divergence: identical sources diverge by (at most) quantization noise") {
