@@ -1293,6 +1293,13 @@ object Similarity {
         bitextMarginMining(Tables.embeddings(s, d), Tables.documents(s, d),
           langX = "en", langY = "es", k = 4, portableMeans = true)
     },
+
+    Q("q155_hard_negatives", q155OracleSql(stride = 50),
+      "Hard-negative mining for contrastive retrieval training — the training-PAIR construction step (not a diagnostic): per query vector, its top same-label positive and its HARDEST different-label negative (highest cosine) among IVF-list co-members, with the confusable flag when the negative outranks the positive — exactly the (anchor, positive, hard-negative) triples an embedding fine-tune consumes, and the well-known lever that separates in-batch-random from hard-negative training (Karpukhin et al. 2020, DPR). Candidates bounded to the query's coarse-quantizer list (the q112/q138/q150 SemDeDup bound — at scale this IS how hard negatives are mined, from the ANN index's own neighborhoods); queries are a deterministic stride sample (vec_id % 50). Both elections run over exact integer micro-cosines via null-ordered max_by structs (non-matching labels contribute null ordering keys and drop out), ties to the smaller candidate id — replay-identical to the oracle's partitioned windows; queries lacking a positive or negative in-list are excluded by the rider counts. Scale: the Lloyd chain + one within-list join off the checkpointed list table, one |queries|-key aggregate; the stride keeps the query side a sample, the list bound keeps candidates n·B. The synthetic corpus's labels are weak clusters, so every verify-scale query is confusable (hard negative outranks the positive — itself the realistic regime that motivates hard-negative training); the non-confusable branch is spec-pinned on a separated-cluster fixture.") {
+      (s, d) =>
+        hardNegatives(Tables.embeddings(s, d), queryStride = 50,
+          portableMeans = true)
+    },
   )
 
   /** q150: margin-based cross-lingual pair mining (Artetxe & Schwenk 2019)
@@ -1395,6 +1402,103 @@ object Similarity {
        |        ORDER BY margin DESC, dst) AS rn FROM sc) t
        |JOIN cnt USING (src)
        |WHERE rn = 1 ORDER BY src""".stripMargin
+  }
+
+  /** q155: hard-negative mining for contrastive retrieval training —
+    * per query vector, the top same-label positive and the hardest
+    * different-label negative among its IVF-list co-members, with the
+    * confusable flag (negative outranks the positive). */
+  def hardNegatives(embeddings: DataFrame, queryStride: Long, k: Int = 0,
+      iters: Int = 3, portableMeans: Boolean = false): DataFrame = {
+    // k <= 0 = auto: hold the per-list size as the corpus grows (the
+    // q138/q150 rule — exactly the oracle's 8 lists at verify scale)
+    val chosen = if (k > 0) k else autoNlist(embeddings.count())
+    val centroids = kmeansCentroids(embeddings, chosen, iters, portableMeans)
+    val dv = embeddings.select(col("vec_id"), col("label"),
+      graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+    val lists = assign(dv.select(col("vec_id"), col("v")), centroids)
+      .join(dv.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("cid"), col("vec_id"), col("label"), col("v"),
+        sqrt(graft.expressions.VecDot(col("v"), col("v"))).as("nrm"))
+      .localCheckpoint(true)
+    val qs = lists.filter(col("vec_id") % queryStride === 0)
+      .select(col("cid"), col("vec_id").as("query_id"),
+        col("label").as("q_label"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = qs.join(
+        lists.select(col("cid").as("cidc"), col("vec_id").as("cand"),
+          col("label").as("c_label"), col("v").as("cv"), col("nrm").as("cn")),
+        col("cid") === col("cidc") && col("query_id") =!= col("cand"))
+      .select(col("query_id"), col("q_label"), col("cand"), col("c_label"),
+        round(graft.expressions.VecDot(col("qv"), col("cv"))
+          / (col("qn") * col("cn")) * lit(1e6d), 0).cast("bigint")
+          .as("cos_micro"))
+    scored.groupBy(col("query_id"), col("q_label"))
+      .agg(
+        max_by(struct(col("cand").as("id"), col("cos_micro").as("cm")),
+          when(col("c_label") === col("q_label"),
+            struct(col("cos_micro"), -col("cand")))).as("pos"),
+        max_by(struct(col("cand").as("id"), col("cos_micro").as("cm")),
+          when(col("c_label") =!= col("q_label"),
+            struct(col("cos_micro"), -col("cand")))).as("neg"),
+        sum(when(col("c_label") === col("q_label"), 1L).otherwise(0L))
+          .cast("bigint").as("n_pos"),
+        sum(when(col("c_label") =!= col("q_label"), 1L).otherwise(0L))
+          .cast("bigint").as("n_neg"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("query_id"), col("q_label"),
+        col("pos").getField("id").as("top_pos_id"),
+        (col("pos").getField("cm").cast("double") * lit(1e-6d))
+          .as("top_pos_cos"),
+        col("neg").getField("id").as("hard_neg_id"),
+        (col("neg").getField("cm").cast("double") * lit(1e-6d))
+          .as("hard_neg_cos"),
+        col("n_pos"), col("n_neg"),
+        (col("neg").getField("cm") > col("pos").getField("cm"))
+          .as("confusable"))
+      .orderBy(col("query_id"))
+  }
+
+  private def q155OracleSql(stride: Long): String = {
+    def dot(a: String, b: String) = dotSql(a, b)
+    s"""WITH $kmeansListsCtes,
+       |ll AS (
+       |  SELECT l.cid, l.vec_id, l.v, sqrt(${dot("l.v", "l.v")}) AS nrm,
+       |    e.label
+       |  FROM lists l JOIN embeddings e USING (vec_id)),
+       |sc AS (
+       |  SELECT q.vec_id AS query_id, q.label AS q_label,
+       |    c.vec_id AS cand, c.label AS c_label,
+       |    CAST(round(${dot("q.v", "c.v")} / (q.nrm * c.nrm) * 1e6, 0)
+       |      AS BIGINT) AS cos_micro
+       |  FROM ll q JOIN ll c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % $stride = 0),
+       |pos AS (
+       |  SELECT query_id, q_label, cand, cos_micro FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_micro DESC, cand ASC) AS rn
+       |    FROM sc WHERE c_label = q_label) t WHERE rn = 1),
+       |neg AS (
+       |  SELECT query_id, cand, cos_micro FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_micro DESC, cand ASC) AS rn
+       |    FROM sc WHERE c_label <> q_label) t WHERE rn = 1),
+       |cnt AS (
+       |  SELECT query_id,
+       |    CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_pos,
+       |    CAST(sum(CASE WHEN c_label <> q_label THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_neg
+       |  FROM sc GROUP BY query_id)
+       |SELECT p.query_id, p.q_label,
+       |  p.cand AS top_pos_id,
+       |  CAST(p.cos_micro AS DOUBLE) * 1e-6 AS top_pos_cos,
+       |  n.cand AS hard_neg_id,
+       |  CAST(n.cos_micro AS DOUBLE) * 1e-6 AS hard_neg_cos,
+       |  c.n_pos, c.n_neg,
+       |  n.cos_micro > p.cos_micro AS confusable
+       |FROM pos p JOIN neg n USING (query_id) JOIN cnt c USING (query_id)
+       |WHERE c.n_pos > 0 AND c.n_neg > 0
+       |ORDER BY p.query_id""".stripMargin
   }
 
   /** q148: one power-iteration step y = Gᵀ(G·x0) of uncentered PCA on the

@@ -335,6 +335,41 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(out.exists(_.getBoolean(4)) && out.exists(!_.getBoolean(4)))
   }
 
+  // ---- q155 hard negatives ------------------------------------------------
+
+  test("hard negatives: separated clusters yield non-confusable pairs (the branch the corpus never hits)") {
+    import spark.implicits._
+    // two tight, well-separated clusters: positives ~0.99 cosine,
+    // negatives ~0 — every query's positive must outrank its negative
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.01f, 0f, 0f), 0), (1L, Seq(1.0f, 0.02f, 0f, 0f), 0),
+      (2L, Seq(1.0f, 0.03f, 0f, 0f), 0), (3L, Seq(0f, 0.01f, 1.0f, 0f), 1),
+      (4L, Seq(0f, 0.02f, 1.0f, 0f), 1), (5L, Seq(0f, 0.03f, 1.0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(vecs, queryStride = 1, k = 1)
+      .collect()
+    assert(out.length == 6)
+    for (r <- out) {
+      assert(r.getDouble(3) > 0.9, "positive should be in-cluster")
+      assert(r.getDouble(5) < 0.1, "negative should be cross-cluster")
+      assert(!r.getBoolean(8), "separated clusters must not be confusable")
+    }
+  }
+
+  test("hard negatives: real-corpus rows are well-formed") {
+    val out = Similarity.hardNegatives(
+      Tables.embeddings(spark, sf0001), queryStride = 50,
+      portableMeans = true).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      assert(r.getLong(0) % 50 == 0)
+      assert(r.getLong(2) != r.getLong(0) && r.getLong(4) != r.getLong(0))
+      assert(r.getDouble(3) >= -1.000001 && r.getDouble(3) <= 1.000001)
+      assert(r.getBoolean(8) == (r.getDouble(5) > r.getDouble(3)))
+      assert(r.getLong(6) >= 1 && r.getLong(7) >= 1)
+    }
+  }
+
   // ---- q147 source JS divergence -----------------------------------------
 
   test("js divergence: identical sources diverge by (at most) quantization noise") {
