@@ -58,6 +58,15 @@ object Bench {
     val results = SparkEntry.all
       .filter(q => only.forall(_.contains(q.name)))
       .map { q =>
+      // Drop the previous queries' leftover localCheckpoint blocks before
+      // timing: checkpointed RDDs stay in the BlockManager until their RDD
+      // objects happen to be GC'd, so by late queries the accumulated
+      // blocks of 100+ earlier queries squeeze execution memory and the
+      // checkpoint-heavy pipelines spill (q150 measured 11.2 s in-bench vs
+      // ~3 s in a fresh JVM before this). Between queries nothing is
+      // running, so unpersisting everything persistent is safe.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val t =
         try {
           val warm = runOnce(q) // untimed warmup: plan compile + codegen
