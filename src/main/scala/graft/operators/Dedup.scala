@@ -428,6 +428,48 @@ object Dedup {
       .orderBy(col("component"))
   }
 
+  /** q156: the dataset datasheet — one (metric, value) row per headline
+    * number a data card quotes, each recomputed from its family's single
+    * source of truth (gateFlags, capped simhash pairs, template prefixes). */
+  def datasetDatasheet(docs: DataFrame,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    import graft.functions.TextFunctions.wsTokens
+    def rows(src: DataFrame)(pairs: (String, Column)*): DataFrame =
+      src.select(explode(array(pairs.map { case (m, v) =>
+          struct(lit(m).as("metric"), v.cast("double").as("value")) }: _*))
+        .as("r"))
+        .select(col("r.metric").as("metric"), col("r.value").as("value"))
+    val t = docs
+      .select(size(wsTokens(col("text"))).cast("long").as("nt"),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+    val tRows = rows(t)(
+      "n_docs" -> col("n_docs"), "n_tokens" -> col("n_tokens"),
+      "n_langs" -> col("n_langs"), "n_sources" -> col("n_sources"),
+      "mean_tokens_per_doc" ->
+        (col("n_tokens").cast("double") / col("n_docs").cast("double")))
+    val v = docs.select(explode(wsTokens(lower(col("text")))).as("w"))
+      .agg(countDistinct(xxhash64(col("w"))).as("vocab"))
+    val fl = TextAnalysis.gateFlags(docs)
+      .agg(sum(when(col("f_short") || col("f_low_ttr") || col("f_bad_len")
+        || col("f_dup"), 1L).otherwise(0L)).as("flagged"))
+    val pairs = simhashNearDupPairsCapped(docs, maxHamming = 8, maxBucket)
+    val nd = pairs.select(col("d1").as("doc_id"))
+      .union(pairs.select(col("d2").as("doc_id"))).distinct()
+      .agg(count(lit(1)).as("members"))
+    val tpl = docs.groupBy(substring(col("text"), 1, 80))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("tdocs"))
+    tRows
+      .unionByName(rows(v)("vocab_size" -> col("vocab")))
+      .unionByName(rows(fl)("flagged_docs" -> col("flagged")))
+      .unionByName(rows(nd)("neardup_member_docs" -> col("members")))
+      .unionByName(rows(tpl)("template_docs" -> col("tdocs")))
+      .orderBy(col("metric"))
+  }
+
   /** Quality×duplication lift (q127): for each q105 gate reason, the
     * near-dup membership rate (any simhash hamming ≤ `maxHamming` pair)
     * among flagged vs clean docs, with the lift ratio. Flags come from
@@ -1364,6 +1406,66 @@ object Dedup {
       "Quality-aware canonical election — the curation decision q81 leaves on the table: within each near-dup cluster, which member should SURVIVE? q81's by-length rule (the common default) is compared head-to-head with election by type-token ratio (the q105 gate's lexical-richness signal: among near-identical pages, the member with the least boilerplate padding), reporting both winners per cluster and whether the election FLIPS — the fraction of clusters where keep-the-longest quietly keeps the more templated copy, which is the number that justifies (or kills) a quality-aware canonicalization pass in a pipeline. Same capped banded candidates, hamming re-rank, and true-connected-components as q81 (the oracle's recursive-CTE closure); the TTR is one IEEE division of exact integer token counts per member (the q127 flags definition verbatim), so BOTH elections order deterministically cross-engine (ties to smallest doc_id); survivors are max_by structs, no per-cluster sort. Scale: q81's plan plus one more max_by in the same aggregate — no new shuffle, no new join.") {
       (s, d) =>
         qualitySurvivors(Tables.documents(s, d), maxHamming = 8)
+    },
+
+    Q("q156_dataset_datasheet",
+      SimhashBandCte + """,
+        |pairs AS (
+        |  SELECT c.d1, c.d2 FROM cand c
+        |  JOIN nibs n1 ON n1.doc_id = c.d1
+        |  JOIN nibs n2 ON n2.doc_id = c.d2 AND n2.p = n1.p
+        |  GROUP BY c.d1, c.d2 HAVING sum(bit_count(xor(n1.nv, n2.nv))) <= 8),
+        |members AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT d1 AS doc_id FROM pairs UNION ALL SELECT d2 FROM pairs)),
+        |dtok AS (SELECT len(string_split_regex(trim(text), '\s+')) AS nt,
+        |          lang, source FROM documents),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |        CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |      FROM dtok),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab
+        |      FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+        |              '\s+')) AS w FROM documents)),
+        |fl AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) < 20 AS f_short,
+        |    CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')) < CAST(0.32 AS DOUBLE) AS f_low_ttr,
+        |    (CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |       / len(string_split_regex(trim(text), '\s+')) < CAST(4.0 AS DOUBLE)
+        |     OR CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |       / len(string_split_regex(trim(text), '\s+')) > CAST(5.0 AS DOUBLE)) AS f_bad_len,
+        |    (len(sh) > 0 AND len(sh) > len(list_distinct(sh))) AS f_dup
+        |  FROM (SELECT doc_id, text,
+        |          [array_to_string(toks[i:i+2], ' ')
+        |           for i in generate_series(1, len(toks)-2)] AS sh
+        |        FROM (SELECT doc_id, text,
+        |                string_split_regex(
+        |                  regexp_replace(text, '^\s+|\s+$', '', 'g'),
+        |                  '\s+') AS toks FROM documents))),
+        |fcnt AS (SELECT CAST(count(*) FILTER (WHERE f_short OR f_low_ttr
+        |           OR f_bad_len OR f_dup) AS BIGINT) AS flagged FROM fl),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM members),
+        |tpl AS (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS tdocs
+        |        FROM (SELECT count(*) AS n FROM documents
+        |              GROUP BY substr(text, 1, 80) HAVING count(*) >= 2))
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM t
+        |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM t
+        |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM t
+        |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM t
+        |  UNION ALL SELECT 'mean_tokens_per_doc',
+        |    CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM t
+        |  UNION ALL SELECT 'vocab_size', CAST(vocab AS DOUBLE) FROM v
+        |  UNION ALL SELECT 'flagged_docs', CAST(flagged AS DOUBLE) FROM fcnt
+        |  UNION ALL SELECT 'neardup_member_docs', CAST(nd AS DOUBLE) FROM m
+        |  UNION ALL SELECT 'template_docs', CAST(tdocs AS DOUBLE) FROM tpl)
+        |ORDER BY metric""".stripMargin,
+      "The dataset datasheet — the one-page table a data card or release review quotes, assembled as ONE oracle-checked query: corpus size (docs, tokens, langs, sources, mean doc length), vocabulary size, quality-gate exposure (docs tripping ANY q105 flag), near-dup exposure (distinct members of the capped simhash pair set — q76/q81's machinery), and template exposure (docs inside q129's >= 2-doc identical-80-prefix families). Every number is recomputed from its family's SINGLE source of truth (gateFlags verbatim, simhashNearDupPairsCapped, the q129 grouping), so the datasheet can never drift from the queries that explain it — the composition-over-copy principle the q127 lift table established, extended to the whole release summary. Counts are exact integers surfaced as doubles (exactly representable), the one ratio a single IEEE division; vocab counts 8-byte lowered-token hashes on the engine side vs strings in the oracle (the family 2^-64 trade). Scale: each leg is an independent bounded-key aggregate over one corpus scan — they parallelize as sibling stages, nothing joins wider than the capped pair table.") {
+      (s, d) =>
+        datasetDatasheet(Tables.documents(s, d))
     },
 
     Q("q129_template_prefixes",

@@ -370,6 +370,26 @@ class CorpusAssemblySpec extends SparkSpec {
     }
   }
 
+  // ---- q156 dataset datasheet ---------------------------------------------
+
+  test("datasheet: every number reconciles with its source-of-truth query") {
+    val docs = Tables.documents(spark, sf0001)
+    val m = Dedup.datasetDatasheet(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m.size == 9)
+    assert(m("n_docs") == docs.count().toDouble)
+    assert(m("flagged_docs") == TextAnalysis.gateFlags(docs)
+      .filter(col("f_short") || col("f_low_ttr") || col("f_bad_len")
+        || col("f_dup")).count().toDouble)
+    val q129docs = graft.SparkEntry.queries("q129_template_prefixes")(
+        spark, sf0001)
+      .agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    assert(m("template_docs") == q129docs.toDouble)
+    assert(m("mean_tokens_per_doc") == m("n_tokens") / m("n_docs"))
+    assert(m("neardup_member_docs") > 0 && m("vocab_size") > 0)
+    assert(m("n_langs") == 5 && m("n_sources") == 20)
+  }
+
   // ---- q147 source JS divergence -----------------------------------------
 
   test("js divergence: identical sources diverge by (at most) quantization noise") {
