@@ -230,6 +230,38 @@ object Dedup {
     jaccardScored(ex, rare, threshold)
   }
 
+  /** q157: containment pairs — Broder's asymmetric resemblance
+    * C = |A∩B| / min(|A|,|B|) over the df-cut inverted index, with the
+    * symmetric jaccard alongside and a partial-containment flag. */
+  def containmentPairs(docs: DataFrame, minContain: Double,
+      maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
+    val ex = hashedShingles(docs)
+    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFreq)
+      .select(col("h"))
+    val rare = ex.join(broadcast(hot), Seq("h"), "left_anti")
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = rare.as("a").join(rare.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("n", "n2"), "d2")
+      .withColumn("containment",
+        col("inter") * lit(1.0d) / least(col("n1"), col("n2")))
+      .withColumn("jaccard",
+        col("inter") * lit(1.0d) / (col("n1") + col("n2") - col("inter")))
+      .filter(col("containment") >= minContain)
+      .select(col("d1"), col("d2"),
+        col("n1").cast("bigint").as("n1"), col("n2").cast("bigint").as("n2"),
+        col("containment"), col("jaccard"),
+        (col("containment") - col("jaccard") >= lit(0.1d)).as("partial"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** MinHash signatures, one row per doc with a k-element signature
     * array — computed per-row by [[graft.expressions.MinHashSig]]: no
     * explode, no shuffle; signature construction is embarrassingly
@@ -1036,6 +1068,33 @@ object Dedup {
       (s, d) =>
         ngramJaccardPairsCapped(Tables.documents(s, d), 0.3, DefaultMaxDocFreq)
           .orderBy(col("d1"), col("d2"))
+    },
+
+    Q("q157_containment_pairs",
+      """WITH ws AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
+        |  FROM ws),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |          FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, s1.n AS n1, s2.n AS n2,
+        |  i * 1.0 / least(s1.n, s2.n) AS containment,
+        |  i * 1.0 / (s1.n + s2.n - i) AS jaccard,
+        |  i * 1.0 / least(s1.n, s2.n) - i * 1.0 / (s1.n + s2.n - i) >= 0.1
+        |    AS partial
+        |FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+        |  JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE i * 1.0 / least(s1.n, s2.n) >= 0.2
+        |ORDER BY d1, d2""".stripMargin,
+      "Containment pairs — Broder's ASYMMETRIC resemblance C = |A∩B| / min(|A|,|B|), the measure symmetric Jaccard structurally cannot express: a short document fully quoted inside a much longer one scores C ~ 1 but Jaccard ~ |A|/|B| ~ 0, so a symmetric threshold never fires — yet that superset/quotation/expanded-revision relationship is exactly what licensing review, provenance tracing, and revision-chain dedup need to see. Reported per co-shingle pair over the q33 inverted index (df-cut form, same 8-byte hash keys): both sizes, containment, the symmetric jaccard alongside, and a partial flag (C − J >= 0.1) separating true partial containments from plain near-dups — both flag outcomes exercised at verify scale (the corpus's 4 quote-overlap pairs vs its 25 twin pairs — q33's 0.3-Jaccard gate sees none of those 4). The min-size denominator makes the score exact from the same integer intersection counts; one IEEE division each. Scale: identical plan family to q33 — inverted-index self-join on hashed shingles with the document-frequency cut keeping the hot tail from going quadratic (DedupScaleSpec's bound applies verbatim).") {
+      (s, d) =>
+        containmentPairs(Tables.documents(s, d), minContain = 0.2)
     },
 
     Q("q34_minhash_lsh",

@@ -390,6 +390,31 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(m("n_langs") == 5 && m("n_sources") == 20)
   }
 
+  // ---- q157 containment pairs ---------------------------------------------
+
+  test("containment pairs: asymmetric measure dominates jaccard, both flag outcomes live") {
+    val out = Dedup.containmentPairs(
+      Tables.documents(spark, sf0001), minContain = 0.2).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (c, j, p) = (r.getDouble(4), r.getDouble(5), r.getBoolean(6))
+      assert(c >= 0.2 && c <= 1.0000001)
+      assert(c >= j - 1e-12, "containment can never be below jaccard")
+      assert(p == (c - j >= 0.1))
+    }
+    assert(out.exists(_.getBoolean(6)) && out.exists(!_.getBoolean(6)),
+      "both partial-containment outcomes must be exercised")
+    // the measure's reason to exist: at least one asymmetric pair is
+    // invisible to q33's symmetric 0.3 gate (a high-jaccard pair can be
+    // BOTH partial and symmetric-visible — that overlap is fine)
+    val q33 = graft.SparkEntry.queries("q33_ngram_jaccard")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val partials = out.filter(_.getBoolean(6))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(partials.nonEmpty && partials.exists(!q33.contains(_)),
+      "every partial-containment pair was already symmetric-visible")
+  }
+
   // ---- q147 source JS divergence -----------------------------------------
 
   test("js divergence: identical sources diverge by (at most) quantization noise") {

@@ -91,6 +91,8 @@ class JobBudgetSpec extends SparkSpec {
       (35, "observed 28: q49's Lloyd chain, centroid join + cosine agg, one-row total broadcast"),
     "q150_bitext_margin" ->
       (49, "observed 39: autoNlist count, Lloyd chain, lists + pairs checkpoints, two kNN windows, best-pick join"),
+    "q154_quality_survivors" ->
+      (160, "observed 132: q81's chain (observed 128) + the extra max_by (same aggregate)"),
   )
 
   budgets.foreach { case (name, (budget, makeup)) =>
