@@ -487,9 +487,11 @@ object Dedup {
     val fl = TextAnalysis.gateFlags(docs)
       .agg(sum(when(col("f_short") || col("f_low_ttr") || col("f_bad_len")
         || col("f_dup"), 1L).otherwise(0L)).as("flagged"))
-    val pairs = simhashNearDupPairsCapped(docs, maxHamming = 8, maxBucket)
-    val nd = pairs.select(col("d1").as("doc_id"))
-      .union(pairs.select(col("d2").as("doc_id"))).distinct()
+    // both endpoints in ONE pass over the pair table — a union of two
+    // selects would replicate the whole banded-join subtree (plan-pin
+    // catch, r9)
+    val nd = simhashNearDupPairsCapped(docs, maxHamming = 8, maxBucket)
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
       .agg(count(lit(1)).as("members"))
     val tpl = docs.groupBy(substring(col("text"), 1, 80))
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2)

@@ -438,7 +438,11 @@ class PlanSpec extends SparkSpec {
       "q152_split_balance" -> 5,
       // observed 7: five legs off three checkpoints — doc agg, fp-group
       // agg + one-row fold, window distinct, embeddings semi-join, sort
-      "q153_tombstone_cascade" -> 9)
+      "q153_tombstone_cascade" -> 9,
+      // sibling one-row aggregate legs + the capped pair leg + union sort
+      "q156_dataset_datasheet" -> 14,
+      // q33's inverted-index family: df cut, index self-join, sizes, sort
+      "q157_containment_pairs" -> 10)
     bounds.foreach { case (name, bound) =>
       val p = planOf(name)
       val n = p.collect { case s: ShuffleExchangeLike => s }.size
