@@ -165,14 +165,14 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("component"))
   }
 
-  /** Shared Jaccard scoring over an inverted index: self-join
-    * `interIndex` on the shingle hash for intersection counts, then
-    * union denominators from the FULL index `ex` — one definition for
-    * the capped and uncapped paths (a scoring change landing in only
-    * one would silently break DedupScaleSpec's cut-inertness
-    * byte-identity). */
-  private def jaccardScored(
-      ex: DataFrame, interIndex: DataFrame, threshold: Double): DataFrame = {
+  /** Shared overlap core for every inverted-index resemblance measure:
+    * self-join `interIndex` on the shingle hash for intersection counts,
+    * then set sizes from the FULL index `ex` — ONE definition for the
+    * capped, uncapped, jaccard (q33), and containment (q157) paths (a
+    * scoring change landing in only one would silently break
+    * DedupScaleSpec's cut-inertness byte-identity). Returns
+    * (d1, d2, inter, n1, n2); callers project their measure. */
+  private def pairOverlap(ex: DataFrame, interIndex: DataFrame): DataFrame = {
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = interIndex.as("a").join(interIndex.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -181,10 +181,24 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+  }
+
+  private def jaccardScored(
+      ex: DataFrame, interIndex: DataFrame, threshold: Double): DataFrame =
+    pairOverlap(ex, interIndex)
       .withColumn("jaccard",
         col("inter") * lit(1.0d) / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
+
+  /** The document-frequency stop-term cut shared by q33 and q157: drop
+    * hot shingles (df > maxDocFreq) from the INTERSECTION side only —
+    * the hot tail is broadcast-size by construction. */
+  private def dfCut(ex: DataFrame, maxDocFreq: Int): DataFrame = {
+    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFreq)
+      .select(col("h"))
+    ex.join(broadcast(hot), Seq("h"), "left_anti")
   }
 
   /** Near-duplicate pairs by n-gram Jaccard ≥ threshold, via the
@@ -223,11 +237,7 @@ object Dedup {
     // |index|/maxDocFreq — broadcast-size at any corpus size, usually
     // empty — so the cut is a broadcast ANTI join, not a co-partitioned
     // join of the full index against its (nearly-as-large) rare subset.
-    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > maxDocFreq)
-      .select(col("h"))
-    val rare = ex.join(broadcast(hot), Seq("h"), "left_anti")
-    jaccardScored(ex, rare, threshold)
+    jaccardScored(ex, dfCut(ex, maxDocFreq), threshold)
   }
 
   /** q157: containment pairs — Broder's asymmetric resemblance
@@ -236,20 +246,7 @@ object Dedup {
   def containmentPairs(docs: DataFrame, minContain: Double,
       maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
     val ex = hashedShingles(docs)
-    val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > maxDocFreq)
-      .select(col("h"))
-    val rare = ex.join(broadcast(hot), Seq("h"), "left_anti")
-    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = rare.as("a").join(rare.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "d1")
-        .withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2")
-        .withColumnRenamed("n", "n2"), "d2")
+    pairOverlap(ex, dfCut(ex, maxDocFreq))
       .withColumn("containment",
         col("inter") * lit(1.0d) / least(col("n1"), col("n2")))
       .withColumn("jaccard",
@@ -465,7 +462,6 @@ object Dedup {
     * source of truth (gateFlags, capped simhash pairs, template prefixes). */
   def datasetDatasheet(docs: DataFrame,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    import graft.functions.TextFunctions.wsTokens
     def rows(src: DataFrame)(pairs: (String, Column)*): DataFrame =
       src.select(explode(array(pairs.map { case (m, v) =>
           struct(lit(m).as("metric"), v.cast("double").as("value")) }: _*))

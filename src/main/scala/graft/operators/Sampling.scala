@@ -620,20 +620,31 @@ object Sampling {
     // level 2: parallel within-bucket running sum + broadcast bucket base
     val local = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    windowSpans(
+      tok.join(broadcast(bktOff), "bkt")
+        .withColumn("tok_offset",
+          (coalesce(sum(col("n_tok")).over(local), lit(0L)) + col("bkt_off"))
+            .cast("bigint"))
+        .select(col("doc_id"), col("n_tok"), col("tok_offset")),
+      windowTokens)
+  }
+
+  /** Window-span projection over a (doc_id, n_tok, tok_offset) frame —
+    * ONE definition for the batch query (q145) and the streaming
+    * ledger reader (PackingStream.windows), so the span math cannot
+    * silently diverge between them. */
+  def windowSpans(offsets: org.apache.spark.sql.DataFrame,
+      windowTokens: Int): org.apache.spark.sql.DataFrame = {
     val wt = windowTokens
-    tok.join(broadcast(bktOff), "bkt")
-      .withColumn("tok_offset",
-        (coalesce(sum(col("n_tok")).over(local), lit(0L)) + col("bkt_off"))
-          .cast("bigint"))
-      .select(col("doc_id"), col("n_tok"), col("tok_offset"),
-        expr(s"tok_offset div $wt").cast("bigint").as("start_window"),
-        expr(s"(tok_offset + n_tok - 1) div $wt").cast("bigint")
-          .as("end_window"),
-        (expr(s"(tok_offset + n_tok - 1) div $wt")
-          - expr(s"tok_offset div $wt") + lit(1L)).cast("bigint")
-          .as("n_windows"),
-        (expr(s"(tok_offset + n_tok - 1) div $wt")
-          > expr(s"tok_offset div $wt")).as("fragmented"))
+    offsets.select(col("doc_id"), col("n_tok"), col("tok_offset"),
+      expr(s"tok_offset div $wt").cast("bigint").as("start_window"),
+      expr(s"(tok_offset + n_tok - 1) div $wt").cast("bigint")
+        .as("end_window"),
+      (expr(s"(tok_offset + n_tok - 1) div $wt")
+        - expr(s"tok_offset div $wt") + lit(1L)).cast("bigint")
+        .as("n_windows"),
+      (expr(s"(tok_offset + n_tok - 1) div $wt")
+        > expr(s"tok_offset div $wt")).as("fragmented"))
       .orderBy(col("doc_id"))
   }
 }

@@ -42,7 +42,7 @@ object CorpusStateStream {
     StructField("text", StringType),
     StructField("source", StringType)))
 
-  private def stateDf(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+  private[streaming] def stateDf(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a dangling .old with the table dir MISSING means compactState
@@ -112,7 +112,21 @@ object CorpusStateStream {
       checkpointDir: String,
       availableNow: Boolean = false,
       triggerSeconds: Int = 10,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    startDocStream(spark, docsDir, checkpointDir, availableNow,
+      triggerSeconds, maxFilesPerTrigger)(update(stateDir) _)
+
+  /** Shared file-source starter for the foreachBatch maintenance
+    * streams (this one and PackingStream) — one definition of the
+    * reader/trigger/checkpoint wiring. */
+  private[streaming] def startDocStream(
+      spark: SparkSession,
+      docsDir: String,
+      checkpointDir: String,
+      availableNow: Boolean,
+      triggerSeconds: Int,
+      maxFilesPerTrigger: Option[Int])(
+      fn: (DataFrame, Long) => Unit): StreamingQuery = {
     val reader = spark.readStream.schema(docSchema)
     maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
     reader
@@ -122,7 +136,7 @@ object CorpusStateStream {
         if (availableNow) Trigger.AvailableNow()
         else Trigger.ProcessingTime(s"$triggerSeconds seconds"))
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(update(stateDir) _)
+      .foreachBatch(fn)
       .start()
   }
 

@@ -414,7 +414,7 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("corpus-assembly queries (q145-q152): no cartesian; shuffle budgets hold") {
+  test("corpus-assembly queries (q145-q157): no cartesian; shuffle budgets hold") {
     val bounds = Map(
       // bucket agg + tiny bucket cumulate + within-bucket window + sort
       "q145_context_packing" -> 6,

@@ -72,6 +72,52 @@ class PackingStreamSpec extends SparkSpec {
     }
   }
 
+  test("crash windows: stale staging is reclaimed; a compacted-away marker still replays to a no-op") {
+    val root = Files.createTempDirectory("graft-packing4").toString
+    val stateDir = s"$root/state"
+    val b1 = docsSlice(col("doc_id") < 60)
+    // simulate a crash AFTER staging, BEFORE promote: junk staging dir
+    val stage = new java.io.File(s"$stateDir/ledger_stage_000000000")
+    stage.mkdirs()
+    Files.write(java.nio.file.Paths.get(stage.getPath, "junk.parquet"),
+      Array[Byte](1, 2, 3))
+    PackingStream.update(stateDir)(b1, 0L)
+    assert(!stage.exists(), "staging dir must be reclaimed after promote")
+    val n1 = PackingStream.ledgerState(spark, stateDir).count()
+    assert(n1 == b1.count())
+    // simulate compaction folding the per-batch marker file away, then a
+    // replay of the same batch: the doc_id guard must make it a no-op
+    val ledgerDir = new java.io.File(s"$stateDir/ledger")
+    val marker = ledgerDir.listFiles().find(_.getName.startsWith("batch-")).get
+    val renamed = new java.io.File(ledgerDir, "compacted-00000.parquet")
+    assert(marker.renameTo(renamed))
+    PackingStream.update(stateDir)(b1, 0L) // marker gone, rows present
+    assert(PackingStream.ledgerState(spark, stateDir).count() == n1,
+      "marker-less replay must not duplicate rows")
+    // and the high-water mark still continues correctly afterwards
+    PackingStream.update(stateDir)(docsSlice(
+      col("doc_id") >= 60 && col("doc_id") < 90), 1L)
+    val led = PackingStream.ledgerState(spark, stateDir)
+      .orderBy(col("tok_offset")).collect()
+    var expect = 0L
+    for (r <- led) {
+      assert(r.getLong(2) == expect); expect = r.getLong(2) + r.getLong(1)
+    }
+  }
+
+  test("a dangling compaction .old fails loudly instead of reading as empty state") {
+    val root = Files.createTempDirectory("graft-packing5").toString
+    val stateDir = s"$root/state"
+    PackingStream.update(stateDir)(docsSlice(col("doc_id") < 30), 0L)
+    // simulate compactState dying between its two renames
+    val dir = new java.io.File(s"$stateDir/ledger")
+    assert(dir.renameTo(new java.io.File(s"$stateDir/ledger.old")))
+    val e = intercept[IllegalStateException] {
+      PackingStream.ledgerState(spark, stateDir).count()
+    }
+    assert(e.getMessage.contains("compaction crashed"))
+  }
+
   test("at-least-once within one batch: duplicate doc rows assign once") {
     val root = Files.createTempDirectory("graft-packing3").toString
     val stateDir = s"$root/state"
