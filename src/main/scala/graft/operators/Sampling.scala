@@ -537,6 +537,48 @@ object Sampling {
         contextPacking(Tables.documents(s, d), windowTokens = 512, bucketDocs = 64)
     },
 
+    Q("q158_window_provenance",
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |off AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS o
+        |  FROM tok),
+        |pw AS (SELECT doc_id, source, CAST(o // 512 AS BIGINT) AS s,
+        |         CAST((o + n_tok - 1) // 512 AS BIGINT) AS e
+        |       FROM off),
+        |wx AS (SELECT unnest(generate_series(s, e)) AS window_id,
+        |         doc_id, source FROM pw)
+        |SELECT window_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  count(DISTINCT source) > 1 AS mixed_source,
+        |  min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
+        |FROM wx GROUP BY window_id ORDER BY window_id""".stripMargin,
+      "Window provenance — q145 inverted: for each 512-token training window, WHICH documents occupy it (count, id range) and whether they come from more than one source. This is the cross-doc-attention contamination audit behind the packing decision q119 prices: concat-and-chunk packing lets attention flow across document boundaries inside a window, and a window mixing SOURCES (or, in production, licensing classes / languages / safety tiers) is the case packing policies actually restrict — the mixed_source share is the number that decides per-source packing streams vs one global stream. Also the lineage table an eval-contamination probe joins against (which windows saw holdout docs — q153's window leg per doc, here per window). Derivation rides q145's scalable prefix sum (same two-level plan; the oracle states the naive window), then one explode of each doc's 1-2 window ids (bounded by spans, ∝ corpus, 8-byte rows) and a map-side-combined |windows|-key aggregate; all counts exact integers. At sf0.01: 54 windows, every one multi-doc, 53/54 mixed-source — the packing default is maximally contaminating, which is exactly the point of measuring it.") {
+      (s, d) =>
+        val spans = contextPacking(Tables.documents(s, d),
+          windowTokens = 512, bucketDocs = 64)
+          .select(col("doc_id"), col("start_window"), col("end_window"))
+        spans
+          .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+            "doc_id")
+          .select(col("doc_id"), col("source"),
+            explode(sequence(col("start_window"), col("end_window")))
+              .as("window_id"))
+          .groupBy(col("window_id"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            countDistinct(col("source")).cast("bigint").as("n_sources"),
+            (countDistinct(col("source")) > 1).as("mixed_source"),
+            min(col("doc_id")).as("first_doc_id"),
+            max(col("doc_id")).as("last_doc_id"))
+          .orderBy(col("window_id"))
+    },
+
     Q("q152_split_balance",
       """WITH s AS (
         |  SELECT label,

@@ -332,6 +332,47 @@ object TextAnalysis {
           .orderBy(col("predicted_lang"))
     },
 
+    Q("q159_langid_confusion",
+      """WITH p AS (
+        |  SELECT lang, CASE
+        |    WHEN cjk > 0 THEN 'zh'
+        |    WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+        |    WHEN es >= de AND es >= fr THEN 'es'
+        |    WHEN de >= fr THEN 'de'
+        |    ELSE 'fr' END AS predicted_lang
+        |  FROM (SELECT lang,
+        |    len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|is|of|and|to|in)\b')) AS en,
+        |    len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los)\b')) AS es,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b')) AS de,
+        |    len(regexp_extract_all(lower(text), '\b(le|les|des|et|une|dans)\b')) AS fr
+        |  FROM documents)),
+        |t AS (SELECT lang, CAST(count(*) AS BIGINT) AS lang_total
+        |      FROM p GROUP BY lang)
+        |SELECT p.lang, p.predicted_lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs, t.lang_total,
+        |  CAST(count(*) AS DOUBLE) / CAST(t.lang_total AS DOUBLE) AS share,
+        |  p.lang = p.predicted_lang AS correct
+        |FROM p JOIN t USING (lang)
+        |GROUP BY p.lang, p.predicted_lang, t.lang_total
+        |ORDER BY p.lang, p.predicted_lang""".stripMargin,
+      "Language-ID confusion matrix — the EVALUATION of q30's stopword-profile classifier against the corpus's lang labels, which q30's prediction-count table cannot express (it shows marginals; errors hide when over- and under-prediction cancel): per (actual, predicted) cell the count, the actual-class total, the within-class share (row-normalized recall decomposition), and the correct flag. The table a curator reads before trusting the classifier to route a new crawl — the off-diagonal cells name WHICH confusions happen (Romance-language stopword overlap is the classic one) and the diagonal shares are per-class recall. Exactly the q30 predictor (same CASE fold, same profiles — one definition, so the eval cannot drift from the classifier it scores); counts exact integers from one map-side-combined |langs|²-bounded aggregate + a broadcast per-class total join; shares one IEEE division each. Both outcomes of the correct flag are exercised at every SF — and at verify scale the matrix surfaces a total collapse: every document predicts 'en' (accuracy 218/500), because the synthetic corpus's lang column is metadata-only (the texts carry English-like tokens regardless of label). That degenerate row IS the eval's point: q30's marginal table shows a plausible-looking count while the confusion matrix proves the classifier is inert on this corpus — the exact failure a curator needs surfaced before routing a crawl with it.") {
+      (s, d) =>
+        val p = Tables.documents(s, d)
+          .select(col("lang"), langId(col("text")).as("predicted_lang"))
+        val t = p.groupBy(col("lang"))
+          .agg(count(lit(1)).cast("bigint").as("lang_total"))
+        p.groupBy(col("lang"), col("predicted_lang"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"))
+          .join(broadcast(t), "lang")
+          .select(col("lang"), col("predicted_lang"), col("n_docs"),
+            col("lang_total"),
+            (col("n_docs").cast("double") / col("lang_total").cast("double"))
+              .as("share"),
+            (col("lang") === col("predicted_lang")).as("correct"))
+          .orderBy(col("lang"), col("predicted_lang"))
+    },
+
     Q("q31_rolling_fingerprint",
       """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
         |  doc_id

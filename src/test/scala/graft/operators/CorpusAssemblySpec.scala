@@ -415,6 +415,47 @@ class CorpusAssemblySpec extends SparkSpec {
       "every partial-containment pair was already symmetric-visible")
   }
 
+  // ---- q158 window provenance ---------------------------------------------
+
+  test("window provenance: occupancy reconciles with the packing spans") {
+    val packed = Sampling.contextPacking(
+      Tables.documents(spark, sf0001), 512, 64).collect()
+    val out = graft.SparkEntry.queries("q158_window_provenance")(
+      spark, sf0001).collect()
+    assert(out.length == packed.map(_.getLong(4)).max + 1,
+      "every window up to the last end_window must appear")
+    // each doc occupies exactly n_windows windows
+    assert(out.map(_.getLong(1)).sum == packed.map(_.getLong(5)).sum)
+    for (r <- out) {
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1))
+      assert(r.getBoolean(3) == (r.getLong(2) > 1))
+      assert(r.getLong(4) <= r.getLong(5))
+    }
+    assert(out.exists(_.getBoolean(3)), "mixed-source windows must exist")
+  }
+
+  // ---- q159 language-ID confusion -----------------------------------------
+
+  test("langid confusion: rows reconcile with class totals and the q30 marginals") {
+    val out = graft.SparkEntry.queries("q159_langid_confusion")(
+      spark, sf0001).collect()
+    val byLang = out.groupBy(_.getString(0))
+    for ((_, rows) <- byLang) {
+      val tot = rows.head.getLong(3)
+      assert(rows.map(_.getLong(2)).sum == tot, "cells must sum to the class total")
+      assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+      rows.foreach(r =>
+        assert(r.getBoolean(5) == (r.getString(0) == r.getString(1))))
+    }
+    assert(out.exists(_.getBoolean(5)) && out.exists(!_.getBoolean(5)))
+    // predicted marginals equal q30's table (one predictor definition)
+    val q30 = graft.SparkEntry.queries("q30_lang_id")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val marginals = out.groupBy(_.getString(1))
+      .map { case (p, rows) => p -> rows.map(_.getLong(2)).sum }
+    assert(marginals == q30)
+  }
+
   // ---- q147 source JS divergence -----------------------------------------
 
   test("js divergence: identical sources diverge by (at most) quantization noise") {
