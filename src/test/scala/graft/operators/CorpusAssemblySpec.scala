@@ -456,6 +456,35 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(marginals == q30)
   }
 
+  // ---- q160 token waterfill -----------------------------------------------
+
+  test("waterfill: allocations sum exactly to the budget and respect capacities") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = Sampling.tokenWaterfill(docs, budget = 25000L).collect()
+    assert(out.map(_.getLong(2)).sum == 25000L, "integer budget identity")
+    for (r <- out) {
+      val (cap, alloc, sat) = (r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(alloc <= cap, "allocation can never exceed capacity")
+      assert(sat == (alloc == cap) || !sat,
+        "saturated sources keep exactly their capacity")
+      if (sat) assert(alloc == cap)
+    }
+    assert(out.exists(_.getBoolean(3)) && out.exists(!_.getBoolean(3)))
+    // unsaturated allocations differ by at most 1 (level + remainder)
+    val unsat = out.filter(!_.getBoolean(3)).map(_.getLong(2))
+    assert(unsat.max - unsat.min <= 1)
+    // every saturated capacity is below every unsaturated allocation
+    val satCaps = out.filter(_.getBoolean(3)).map(_.getLong(1))
+    assert(satCaps.forall(_ <= unsat.min))
+  }
+
+  test("waterfill: a budget above total capacity saturates everyone") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = Sampling.tokenWaterfill(docs, budget = 10000000L).collect()
+    assert(out.forall(_.getBoolean(3)))
+    assert(out.forall(r => r.getLong(2) == r.getLong(1)))
+  }
+
   // ---- q147 source JS divergence -----------------------------------------
 
   test("js divergence: identical sources diverge by (at most) quantization noise") {
