@@ -559,14 +559,10 @@ object Sampling {
         |  count(DISTINCT source) > 1 AS mixed_source,
         |  min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
         |FROM wx GROUP BY window_id ORDER BY window_id""".stripMargin,
-      "Window provenance — q145 inverted: for each 512-token training window, WHICH documents occupy it (count, id range) and whether they come from more than one source. This is the cross-doc-attention contamination audit behind the packing decision q119 prices: concat-and-chunk packing lets attention flow across document boundaries inside a window, and a window mixing SOURCES (or, in production, licensing classes / languages / safety tiers) is the case packing policies actually restrict — the mixed_source share is the number that decides per-source packing streams vs one global stream. Also the lineage table an eval-contamination probe joins against (which windows saw holdout docs — q153's window leg per doc, here per window). Derivation rides q145's scalable prefix sum (same two-level plan; the oracle states the naive window), then one explode of each doc's 1-2 window ids (bounded by spans, ∝ corpus, 8-byte rows) and a map-side-combined |windows|-key aggregate; all counts exact integers. At sf0.01: 54 windows, every one multi-doc, 53/54 mixed-source — the packing default is maximally contaminating, which is exactly the point of measuring it.") {
+      "Window provenance — q145 inverted: for each 512-token training window, WHICH documents occupy it (count, id range) and whether they come from more than one source. This is the cross-doc-attention contamination audit behind the packing decision q119 prices: concat-and-chunk packing lets attention flow across document boundaries inside a window, and a window mixing SOURCES (or, in production, licensing classes / languages / safety tiers) is the case packing policies actually restrict — the mixed_source share is the number that decides per-source packing streams vs one global stream. Also the lineage table an eval-contamination probe joins against (which windows saw holdout docs — q153's window leg per doc, here per window). Derivation rides q145's scalable prefix sum (same two-level plan; the oracle states the naive window) with source riding contextPacking's carry — one documents scan, no doc-key join — then one explode of each doc's 1-2 window ids (bounded by spans, ∝ corpus, 8-byte rows) and a map-side-combined |windows|-key aggregate; all counts exact integers. At sf0.01: 54 windows, every one multi-doc, 53/54 mixed-source — the packing default is maximally contaminating, which is exactly the point of measuring it.") {
       (s, d) =>
-        val spans = contextPacking(Tables.documents(s, d),
-          windowTokens = 512, bucketDocs = 64)
-          .select(col("doc_id"), col("start_window"), col("end_window"))
-        spans
-          .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
-            "doc_id")
+        contextPacking(Tables.documents(s, d),
+          windowTokens = 512, bucketDocs = 64, carry = Seq("source"))
           .select(col("doc_id"), col("source"),
             explode(sequence(col("start_window"), col("end_window")))
               .as("window_id"))
@@ -724,10 +720,13 @@ object Sampling {
     * two-level prefix sum (per-bucket subtotals → serial cumulate over the
     * tiny bucket frame → parallel within-bucket windows). */
   def contextPacking(docsIn: org.apache.spark.sql.DataFrame,
-      windowTokens: Int, bucketDocs: Int): org.apache.spark.sql.DataFrame = {
+      windowTokens: Int, bucketDocs: Int,
+      carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val carryCols = carry.map(col)
     val tok = docsIn
-      .select(col("doc_id"), nTokens(col("text")).as("n_tok"),
-        expr(s"doc_id div $bucketDocs").cast("bigint").as("bkt"))
+      .select(col("doc_id") +: nTokens(col("text")).as("n_tok") +:
+        expr(s"doc_id div $bucketDocs").cast("bigint").as("bkt") +:
+        carryCols: _*)
     // level 1: per-bucket totals, cumulated over the tiny bucket frame
     val bktOff = tok.groupBy(col("bkt"))
       .agg(sum(col("n_tok")).as("bkt_tok"))
@@ -744,8 +743,9 @@ object Sampling {
         .withColumn("tok_offset",
           (coalesce(sum(col("n_tok")).over(local), lit(0L)) + col("bkt_off"))
             .cast("bigint"))
-        .select(col("doc_id"), col("n_tok"), col("tok_offset")),
-      windowTokens)
+        .select(col("doc_id") +: col("n_tok") +: col("tok_offset") +:
+          carryCols: _*),
+      windowTokens, carry)
   }
 
   /** Window-span projection over a (doc_id, n_tok, tok_offset) frame —
@@ -753,9 +753,10 @@ object Sampling {
     * ledger reader (PackingStream.windows), so the span math cannot
     * silently diverge between them. */
   def windowSpans(offsets: org.apache.spark.sql.DataFrame,
-      windowTokens: Int): org.apache.spark.sql.DataFrame = {
+      windowTokens: Int,
+      carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     val wt = windowTokens
-    offsets.select(col("doc_id"), col("n_tok"), col("tok_offset"),
+    offsets.select(Seq(col("doc_id"), col("n_tok"), col("tok_offset"),
       expr(s"tok_offset div $wt").cast("bigint").as("start_window"),
       expr(s"(tok_offset + n_tok - 1) div $wt").cast("bigint")
         .as("end_window"),
@@ -764,6 +765,7 @@ object Sampling {
         .as("n_windows"),
       (expr(s"(tok_offset + n_tok - 1) div $wt")
         > expr(s"tok_offset div $wt")).as("fragmented"))
+      ++ carry.map(col): _*)
       .orderBy(col("doc_id"))
   }
 }

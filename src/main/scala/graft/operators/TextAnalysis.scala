@@ -356,15 +356,17 @@ object TextAnalysis {
         |FROM p JOIN t USING (lang)
         |GROUP BY p.lang, p.predicted_lang, t.lang_total
         |ORDER BY p.lang, p.predicted_lang""".stripMargin,
-      "Language-ID confusion matrix — the EVALUATION of q30's stopword-profile classifier against the corpus's lang labels, which q30's prediction-count table cannot express (it shows marginals; errors hide when over- and under-prediction cancel): per (actual, predicted) cell the count, the actual-class total, the within-class share (row-normalized recall decomposition), and the correct flag. The table a curator reads before trusting the classifier to route a new crawl — the off-diagonal cells name WHICH confusions happen (Romance-language stopword overlap is the classic one) and the diagonal shares are per-class recall. Exactly the q30 predictor (same CASE fold, same profiles — one definition, so the eval cannot drift from the classifier it scores); counts exact integers from one map-side-combined |langs|²-bounded aggregate + a broadcast per-class total join; shares one IEEE division each. Both outcomes of the correct flag are exercised at every SF — and at verify scale the matrix surfaces a total collapse: every document predicts 'en' (accuracy 218/500), because the synthetic corpus's lang column is metadata-only (the texts carry English-like tokens regardless of label). That degenerate row IS the eval's point: q30's marginal table shows a plausible-looking count while the confusion matrix proves the classifier is inert on this corpus — the exact failure a curator needs surfaced before routing a crawl with it.") {
+      "Language-ID confusion matrix — the EVALUATION of q30's stopword-profile classifier against the corpus's lang labels, which q30's prediction-count table cannot express (it shows marginals; errors hide when over- and under-prediction cancel): per (actual, predicted) cell the count, the actual-class total, the within-class share (row-normalized recall decomposition), and the correct flag. The table a curator reads before trusting the classifier to route a new crawl — the off-diagonal cells name WHICH confusions happen (Romance-language stopword overlap is the classic one) and the diagonal shares are per-class recall. Exactly the q30 predictor (same CASE fold, same profiles — one definition, so the eval cannot drift from the classifier it scores); counts exact integers from ONE map-side-combined |langs|²-bounded corpus aggregate, per-class totals folded from that tiny cell frame by a window (no second scan, no join); shares one IEEE division each. Both outcomes of the correct flag are exercised at every SF — and at verify scale the matrix surfaces a total collapse: every document predicts 'en' (accuracy 218/500), because the synthetic corpus's lang column is metadata-only (the texts carry English-like tokens regardless of label). That degenerate row IS the eval's point: q30's marginal table shows a plausible-looking count while the confusion matrix proves the classifier is inert on this corpus — the exact failure a curator needs surfaced before routing a crawl with it.") {
       (s, d) =>
-        val p = Tables.documents(s, d)
+        // one corpus pass: per-class totals fold from the tiny |langs|²
+        // cell frame (window over cells), never a second scan + join
+        Tables.documents(s, d)
           .select(col("lang"), langId(col("text")).as("predicted_lang"))
-        val t = p.groupBy(col("lang"))
-          .agg(count(lit(1)).cast("bigint").as("lang_total"))
-        p.groupBy(col("lang"), col("predicted_lang"))
+          .groupBy(col("lang"), col("predicted_lang"))
           .agg(count(lit(1)).cast("bigint").as("n_docs"))
-          .join(broadcast(t), "lang")
+          .withColumn("lang_total",
+            sum(col("n_docs")).over(Window.partitionBy(col("lang")))
+              .cast("bigint"))
           .select(col("lang"), col("predicted_lang"), col("n_docs"),
             col("lang_total"),
             (col("n_docs").cast("double") / col("lang_total").cast("double"))

@@ -465,10 +465,21 @@ class CorpusAssemblySpec extends SparkSpec {
     for (r <- out) {
       val (cap, alloc, sat) = (r.getLong(1), r.getLong(2), r.getBoolean(3))
       assert(alloc <= cap, "allocation can never exceed capacity")
-      assert(sat == (alloc == cap) || !sat,
+      if (sat) assert(alloc == cap,
         "saturated sources keep exactly their capacity")
-      if (sat) assert(alloc == cap)
     }
+    // the saturated set itself, recomputed from first principles in plain
+    // Scala (rank prefix in (capacity, source) order where
+    // capacity·(sources remaining) fits the remaining budget)
+    val ranked = out.sortBy(r => (r.getLong(1), r.getString(0)))
+    var prefix = 0L
+    val expectSat = ranked.zipWithIndex.map { case (r, idx) =>
+      val cap = r.getLong(1); prefix += cap
+      r.getString(0) -> (cap * (ranked.length - idx) <= 25000L - (prefix - cap))
+    }.toMap
+    for (r <- out)
+      assert(r.getBoolean(3) == expectSat(r.getString(0)),
+        s"saturated-set membership for ${r.getString(0)}")
     assert(out.exists(_.getBoolean(3)) && out.exists(!_.getBoolean(3)))
     // unsaturated allocations differ by at most 1 (level + remainder)
     val unsat = out.filter(!_.getBoolean(3)).map(_.getLong(2))

@@ -452,6 +452,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("closing trio (q158-q160): no cartesian; shuffle budgets hold") {
+    val bounds = Map(
+      // observed 7: q145's packing shuffles + window-key agg + sort;
+      // source rides contextPacking's carry — no second scan, no doc join
+      "q158_window_provenance" -> 8,
+      // observed 3: one |langs|²-key agg + per-class cell window + sort
+      "q159_langid_confusion" -> 5,
+      // observed 8: |sources| capacity agg + tiny-frame windows/cut + sort
+      "q160_token_waterfill" -> 8)
+    bounds.foreach { case (name, bound) =>
+      val p = planOf(name)
+      val n = p.collect { case s: ShuffleExchangeLike => s }.size
+      info(s"$name: $n shuffles (bound $bound)")
+      assert(n <= bound, s"$name has $n shuffles (bound $bound)")
+      assert(!p.toString.contains("CartesianProduct"), s"$name went cartesian")
+    }
+  }
+
+  test("q159 totals fold from the cell frame: no join, one corpus aggregate") {
+    val s = planString("q159_langid_confusion")
+    assert(!s.contains("Join"), "q159 grew a join — totals must come from the cell window")
+    // exactly one aggregate pair (partial+final) over the corpus: the
+    // |langs|² cell count; lang_total is a window over those cells
+    assert(s.contains("Window"), "q159 lost the per-class total window")
+  }
+
+  test("q158 carries source through the packing: no doc-key sort-merge join") {
+    val s = planString("q158_window_provenance")
+    assert(!s.contains("SortMergeJoin"),
+      "q158 re-grew the doc_id join — source must ride contextPacking's carry")
+  }
+
   test("q146 argmin runs in-row: no per-vector shuffle, no window, no join on vec_id") {
     val s = planString("q146_lloyd_step")
     assert(!s.contains("Window"), "q146 grew a window — the in-row argmin was lost")
