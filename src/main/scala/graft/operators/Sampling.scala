@@ -562,7 +562,8 @@ object Sampling {
       "Window provenance — q145 inverted: for each 512-token training window, WHICH documents occupy it (count, id range) and whether they come from more than one source. This is the cross-doc-attention contamination audit behind the packing decision q119 prices: concat-and-chunk packing lets attention flow across document boundaries inside a window, and a window mixing SOURCES (or, in production, licensing classes / languages / safety tiers) is the case packing policies actually restrict — the mixed_source share is the number that decides per-source packing streams vs one global stream. Also the lineage table an eval-contamination probe joins against (which windows saw holdout docs — q153's window leg per doc, here per window). Derivation rides q145's scalable prefix sum (same two-level plan; the oracle states the naive window) with source riding contextPacking's carry — one documents scan, no doc-key join — then one explode of each doc's 1-2 window ids (bounded by spans, ∝ corpus, 8-byte rows) and a map-side-combined |windows|-key aggregate; all counts exact integers. At sf0.01: 54 windows, every one multi-doc, 53/54 mixed-source — the packing default is maximally contaminating, which is exactly the point of measuring it.") {
       (s, d) =>
         contextPacking(Tables.documents(s, d),
-          windowTokens = 512, bucketDocs = 64, carry = Seq("source"))
+          windowTokens = 512, bucketDocs = 64, carry = Seq("source"),
+          sorted = false)
           .select(col("doc_id"), col("source"),
             explode(sequence(col("start_window"), col("end_window")))
               .as("window_id"))
@@ -721,7 +722,8 @@ object Sampling {
     * tiny bucket frame → parallel within-bucket windows). */
   def contextPacking(docsIn: org.apache.spark.sql.DataFrame,
       windowTokens: Int, bucketDocs: Int,
-      carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+      carry: Seq[String] = Nil,
+      sorted: Boolean = true): org.apache.spark.sql.DataFrame = {
     val carryCols = carry.map(col)
     val tok = docsIn
       .select(col("doc_id") +: nTokens(col("text")).as("n_tok") +:
@@ -745,7 +747,7 @@ object Sampling {
             .cast("bigint"))
         .select(col("doc_id") +: col("n_tok") +: col("tok_offset") +:
           carryCols: _*),
-      windowTokens, carry)
+      windowTokens, carry, sorted)
   }
 
   /** Window-span projection over a (doc_id, n_tok, tok_offset) frame —
@@ -754,9 +756,10 @@ object Sampling {
     * silently diverge between them. */
   def windowSpans(offsets: org.apache.spark.sql.DataFrame,
       windowTokens: Int,
-      carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+      carry: Seq[String] = Nil,
+      sorted: Boolean = true): org.apache.spark.sql.DataFrame = {
     val wt = windowTokens
-    offsets.select(Seq(col("doc_id"), col("n_tok"), col("tok_offset"),
+    val spans = offsets.select(Seq(col("doc_id"), col("n_tok"), col("tok_offset"),
       expr(s"tok_offset div $wt").cast("bigint").as("start_window"),
       expr(s"(tok_offset + n_tok - 1) div $wt").cast("bigint")
         .as("end_window"),
@@ -766,6 +769,8 @@ object Sampling {
       (expr(s"(tok_offset + n_tok - 1) div $wt")
         > expr(s"tok_offset div $wt")).as("fragmented"))
       ++ carry.map(col): _*)
-      .orderBy(col("doc_id"))
+    // aggregate consumers (q158) skip the presentation sort — a global
+    // range shuffle of the corpus frame their groupBy would discard
+    if (sorted) spans.orderBy(col("doc_id")) else spans
   }
 }

@@ -454,9 +454,10 @@ class PlanSpec extends SparkSpec {
 
   test("closing trio (q158-q160): no cartesian; shuffle budgets hold") {
     val bounds = Map(
-      // observed 7: q145's packing shuffles + window-key agg + sort;
-      // source rides contextPacking's carry — no second scan, no doc join
-      "q158_window_provenance" -> 8,
+      // observed 6: q145's packing shuffles + window-key agg + sort;
+      // source rides contextPacking's carry (no second scan, no doc join)
+      // and the spans' presentation sort is skipped (sorted = false)
+      "q158_window_provenance" -> 7,
       // observed 3: one |langs|²-key agg + per-class cell window + sort
       "q159_langid_confusion" -> 5,
       // observed 8: |sources| capacity agg + tiny-frame windows/cut + sort
