@@ -1245,9 +1245,10 @@ object Dedup {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    / CAST(sum(n_pairs) OVER () AS DOUBLE) AS cum_frac
         |FROM hist ORDER BY hamming""".stripMargin,
-      "Near-dup threshold tuning curve: the hamming-distance histogram of SimHash band-sharing candidate pairs, with cumulative counts — the curve a curator reads to PICK the cutoff the q76/q97/q81 family applies (true near-dups pile up at low hamming, the unrelated-pairs mass starts where the curve's second mode rises; the valley between is the threshold). Runs over the same banded candidate generation as q76 (constant-size (band, 16-bit) keys, never all pairs) with NO hamming cut, so the whole candidate distribution is visible; the known sampling bias is stated rather than hidden — band-sharing pairs are pigeonhole-complete only to hamming ≤ 3 (wider-distance pairs appear only when they happen to share a band), which is exactly the population the production cutoff selects from. Counts are exact integers; the cumulative windows run over a frame bounded by 65 distinct hamming values, and cum_frac is one IEEE division per row.") {
+      "Near-dup threshold tuning curve: the hamming-distance histogram of SimHash band-sharing candidate pairs, with cumulative counts — the curve a curator reads to PICK the cutoff the q76/q97/q81 family applies (true near-dups pile up at low hamming, the unrelated-pairs mass starts where the curve's second mode rises; the valley between is the threshold). Runs over the same banded candidate generation as q76 — the CAPPED stage (simhashNearDupPairsCapped, DefaultMaxBucket=1000, inert on testdata, hub-star linear under a mega-bucket) with NO hamming cut, so the whole candidate distribution is visible; the known sampling bias is stated rather than hidden — band-sharing pairs are pigeonhole-complete only to hamming ≤ 3 (wider-distance pairs appear only when they happen to share a band), which is exactly the population the production cutoff selects from. Counts are exact integers; the cumulative windows run over a frame bounded by 65 distinct hamming values, and cum_frac is one IEEE division per row.") {
       (s, d) =>
-        val hist = simhashNearDupPairs(Tables.documents(s, d), maxHamming = 64)
+        val hist = simhashNearDupPairsCapped(Tables.documents(s, d),
+            maxHamming = 64, maxBucket = DefaultMaxBucket)
           .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
         val wc = Window.orderBy(col("hamming"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1356,9 +1357,10 @@ object Dedup {
       SimhashHamCte + """
         |SELECT d1, d2, hamming FROM ham WHERE hamming <= 8
         |ORDER BY d1, d2""".stripMargin,
-      "SimHash-banded near-dup: per-doc 64-bit signature (codegen'd single pass, md5-derived so the twin re-derives it bit-exactly), candidates from a (band, 16-bit value) equi-join — |docs|*4 constant-size keys, never all pairs — then exact hamming <= 8 re-rank via bit_count(xor). Completes the near-dup family: q33 keys on shingles (grows with text), q34 on MinHash set-similarity bands, this one on a single long per doc. The DuckDB twin rebuilds the signature nibble-wise from md5 hex (the q35 machinery), slices the same four bands, and counts differing bits nibble-by-nibble.") {
+      "SimHash-banded near-dup: per-doc 64-bit signature (codegen'd single pass, md5-derived so the twin re-derives it bit-exactly), candidates from a (band, 16-bit value) equi-join — |docs|*4 constant-size keys, never all pairs — then exact hamming <= 8 re-rank via bit_count(xor). Completes the near-dup family: q33 keys on shingles (grows with text), q34 on MinHash set-similarity bands, this one on a single long per doc. The registered candidate stage is the CAPPED one (simhashNearDupPairsCapped, DefaultMaxBucket=1000 — inert on testdata where no band bucket approaches the cap, hub-star linear under a mega-bucket), so the query a user copies is the one that survives a boilerplate-heavy corpus. The DuckDB twin rebuilds the signature nibble-wise from md5 hex (the q35 machinery), slices the same four bands, and counts differing bits nibble-by-nibble.") {
       (s, d) =>
-        simhashNearDupPairs(Tables.documents(s, d), maxHamming = 8)
+        simhashNearDupPairsCapped(Tables.documents(s, d), maxHamming = 8,
+            maxBucket = DefaultMaxBucket)
           .orderBy(col("d1"), col("d2"))
     },
 

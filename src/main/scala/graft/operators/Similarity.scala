@@ -175,17 +175,83 @@ object Similarity {
     * retrieved pool). Runs entirely on the top-`fromN` candidate set —
     * the production shape, where re-ranking cost is bounded by the
     * retrieved page (|queries|·fromN rows, fromN² pair sims), never the
-    * corpus. The k greedy rounds are k tiny DataFrame steps over a
-    * localCheckpoint'ed candidate table — bounded work per round, no
-    * driver-side loop over data.
+    * corpus.
+    *
+    * The k greedy rounds run IN-ROW: each query's page is collected to
+    * one array of ≤ fromN candidate structs and the greedy selection is
+    * a single higher-order fold over `sequence(1, k)` — each step
+    * filters out already-selected candidates and reduces to the argmax
+    * of `λ·rel − (1−λ)·max_sel sim` (pair cosines computed on demand
+    * inside the lambda; ≤ fromN·k per step, interpreted, trivially
+    * bounded). The round-9 formulation ran the same rounds as k
+    * DataFrame steps with a localCheckpoint barrier each — ~7 scheduling
+    * barriers (~4 s wall-clock) for page-bounded data; the fold removes
+    * every barrier while [[mmrTopKRounds]] keeps the DataFrame-step
+    * formulation as the spec's semantic pin (MmrFoldSpec: fold ==
+    * rounds, row for row).
     *
     * Determinism: relevance and pair sims are the family's round-6
     * cosines; the score is one IEEE expression over them with ties
-    * broken on (score DESC, vec_id), so the greedy argmax chain is
-    * engine-portable and the DuckDB twin (k unrolled CTE steps) is a
-    * full value-hash oracle. */
+    * broken on (score DESC, vec_id) — the fold's keep-better reduction
+    * applies the same strict total order, so the winner is independent
+    * of array order and identical to the rounds/oracle formulation. */
   def mmrTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
       fromN: Int = 20, lambda: Double = 0.7): DataFrame = {
+    val selStructDdl =
+      "struct<vec_id:bigint,step:int,relevance:double,mmr_score:double,v:array<double>>"
+    // one row per query: the retrieved page as an array of candidate
+    // structs (vector carried as double[] so in-row pair cosines are
+    // bit-identical to the pair-table formulation)
+    val pages = bruteForceTopK(embeddings, queryIds, fromN)
+      .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("vec_id").as("vec_id"),
+        col("cosine").as("cosine"),
+        graft.functions.VectorOps.asDouble(col("embedding")).as("v")))
+        .as("cands"))
+    def pairSim(a: Column, b: Column): Column =
+      round(graft.expressions.VecDot(a, b) /
+        (sqrt(graft.expressions.VecDot(a, a)) *
+          sqrt(graft.expressions.VecDot(b, b))), 6)
+    // argmax over unselected candidates by (score DESC, vec_id ASC) —
+    // a keep-better reduction under a strict total order (vec_ids are
+    // distinct), so the result does not depend on array order
+    def pick(cands: Column, sel: Column, step: Column): Column = {
+      val avail = filter(cands, c =>
+        !exists(sel, s => s("vec_id") === c("vec_id")))
+      aggregate(avail, lit(null).cast(selStructDdl), (acc, c) => {
+        val pen = coalesce(
+          aggregate(sel, lit(null).cast("double"),
+            (m, s) => greatest(m, pairSim(c("v"), s("v")))),
+          lit(0.0d))
+        val score = lit(lambda) * c("cosine") - lit(1.0d - lambda) * pen
+        val cand = struct(c("vec_id").as("vec_id"),
+          step.cast("int").as("step"), c("cosine").as("relevance"),
+          score.as("mmr_score"), c("v").as("v"))
+        when(acc.isNull || score > acc("mmr_score") ||
+          (score === acc("mmr_score") && c("vec_id") < acc("vec_id")), cand)
+          .otherwise(acc)
+      })
+    }
+    val folded = aggregate(sequence(lit(1), lit(k)),
+      array().cast(s"array<$selStructDdl>"),
+      (sel, step) => concat(sel, array(pick(col("cands"), sel, step))))
+    pages
+      // a page smaller than k yields null picks past its size — drop them
+      .select(col("query_id"),
+        explode(filter(folded, s => s.isNotNull)).as("p"))
+      .select(col("query_id"), col("p.vec_id").as("vec_id"),
+        col("p.step").as("step"), col("p.relevance").as("relevance"),
+        col("p.mmr_score").as("mmr_score"))
+  }
+
+  /** The round-9 DataFrame-rounds formulation of [[mmrTopK]] — k greedy
+    * rounds as k bounded DataFrame steps (anti-join unselected, max-sim
+    * penalty join, argmax window), a localCheckpoint barrier per round.
+    * Kept as the semantic pin for the in-row fold (MmrFoldSpec proves
+    * fold == rounds row for row); the registered q136 ships the fold. */
+  private[graft] def mmrTopKRounds(embeddings: DataFrame, queryIds: Seq[Long],
+      k: Int = 5, fromN: Int = 20, lambda: Double = 0.7): DataFrame = {
     // the greedy rounds only need (query_id, vec_id, cosine) — vectors
     // feed the pair-sim table once and never enter the k anti-join/
     // window rounds (carrying them through each round's shuffle was the
@@ -436,11 +502,17 @@ object Similarity {
     * size B makes the compute n·B, not n²); the cluster equi-join
     * shuffles (cid, vec) rows once and never materializes non-matching
     * pairs (the threshold lives in the join condition, the q38 trick).
+    * nlist <= 0 (the default, and the registered q112 form) AUTO-SCALES
+    * via [[autoNlist]] — per-list size held near [[HubnessTargetList]],
+    * floored at the oracle's 8, the exact fix q138 measured (fixed
+    * nlist=8 was 2.1x wall-clock on 5x data here; auto restores the n·B
+    * contract). The count behind auto is a bounded metadata action.
     * The signature table is localCheckpoint-ed: both join sides and the
     * size aggregate reuse it without re-running the Lloyd chain. */
-  def semanticDedup(embeddings: DataFrame, threshold: Double, nlist: Int = 8,
+  def semanticDedup(embeddings: DataFrame, threshold: Double, nlist: Int = 0,
       iters: Int = 3, portableMeans: Boolean = false): DataFrame = {
-    val centroids = kmeansCentroids(embeddings, nlist, iters, portableMeans)
+    val chosen = if (nlist > 0) nlist else autoNlist(embeddings.count())
+    val centroids = kmeansCentroids(embeddings, chosen, iters, portableMeans)
     val dv = embeddings.select(col("vec_id"),
       graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
     val lists = assign(dv, centroids)
@@ -1065,7 +1137,7 @@ object Similarity {
     },
 
     Q("q112_semantic_dedup", q112OracleSql,
-      "SemDeDup-shape semantic deduplication (the published recipe for embedding-level dedup at corpus scale): cluster the corpus with the q49 coarse quantizer, run exact cosine ONLY inside a cluster, drop any vector with a smaller-id in-cluster neighbor at cosine >= 0.3, report per-cluster kept/dropped. Registered with portableMeans=true, so the k-means iterations themselves replay bit-identically in the DuckDB twin (the q49 machinery — decimal-sum centroid means, larger-cid argmax ties) and the round-6 cosine threshold test mirrors exactly: a full value-hash oracle for an 'approximate' dedup method. Greedy keep-lowest-id is deterministic; its chain-overdrop bias is documented on the operator, with the q69/q81 connected-components machinery as the in-repo exact alternative. Scale: the cluster equi-join bounds pairwise work to n·B (B = target cluster size, nlist grows with the corpus), the threshold lives in the join condition so non-matches never materialize (the q38 trick), and the checkpointed signature table is the only thing read twice — never the Lloyd chain.") {
+      "SemDeDup-shape semantic deduplication (the published recipe for embedding-level dedup at corpus scale): cluster the corpus with the q49 coarse quantizer, run exact cosine ONLY inside a cluster, drop any vector with a smaller-id in-cluster neighbor at cosine >= 0.3, report per-cluster kept/dropped. Registered with portableMeans=true, so the k-means iterations themselves replay bit-identically in the DuckDB twin (the q49 machinery — decimal-sum centroid means, larger-cid argmax ties) and the round-6 cosine threshold test mirrors exactly: a full value-hash oracle for an 'approximate' dedup method. Greedy keep-lowest-id is deterministic; its chain-overdrop bias is documented on the operator, with the q69/q81 connected-components machinery as the in-repo exact alternative. Scale: the registered query AUTO-SCALES nlist (per-list size held near 63, floored at the oracle's 8 — exactly 8 lists at verify scale so the unrolled DuckDB twin matches; the q138 fix, under which fixed nlist=8 measured 2.1x wall-clock on 5x data), the cluster equi-join bounds pairwise work to n·B, the threshold lives in the join condition so non-matches never materialize (the q38 trick), and the checkpointed signature table is the only thing read twice — never the Lloyd chain.") {
       (s, d) =>
         semanticDedup(Tables.embeddings(s, d), threshold = 0.3,
           portableMeans = true)

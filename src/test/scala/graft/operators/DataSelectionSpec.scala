@@ -93,7 +93,8 @@ class DataSelectionSpec extends SparkSpec {
     val big = Tables.embeddings(spark, sf001)
     val (nS, nB) = (small.count(), big.count())
     // same corpus: holding target cluster size ~8 (nlist = n/8) must cut
-    // the pair mass sharply vs the fixed nlist=8 registration
+    // the pair mass sharply vs a fixed nlist=8 run (the pre-round-10
+    // registration; the registered q112 now auto-scales — pinned below)
     val (fixedMass, _, _) = pairMass(big, 8)
     val (scaledMass, maxB, total) = pairMass(big, (nB / 8).toInt)
     assert(total == nB)
@@ -107,6 +108,28 @@ class DataSelectionSpec extends SparkSpec {
     val perVecBig = scaledMass.toDouble / nB
     assert(perVecBig < perVecSmall * 6 && perVecSmall < perVecBig * 6,
       s"per-vector pair work must stay flat: $perVecSmall vs $perVecBig")
+  }
+
+  test("REGISTERED q112 auto-scales nlist (default call = q112's call shape)") {
+    import org.apache.spark.sql.functions._
+    // q112 registers semanticDedup with NO explicit nlist; the default is
+    // now auto (the q138 fix). Pin it on a corpus big enough that auto
+    // diverges from the old fixed 8: 4x sf0.01 re-keyed copies.
+    val base = Tables.embeddings(spark, sf001)
+    val big = (0 until 4).map(k =>
+        base.withColumn("vec_id", col("vec_id") + lit(k * 1000000L)))
+      .reduce(_ unionAll _)
+    val n = big.count()
+    val expected = Similarity.autoNlist(n)
+    assert(expected > 8, s"test corpus too small to distinguish auto: $expected")
+    val rows = Similarity.semanticDedup(big, threshold = 0.3).collect()
+    // k-means may leave a list empty (only non-empty cids surface), so
+    // pin the fan-out band, not exact equality
+    assert(rows.length > 8 && rows.length <= expected,
+      s"default semanticDedup must open ~autoNlist($n)=$expected lists, got ${rows.length}")
+    assert(rows.map(_.getLong(1)).sum == n)
+    // at verify scale auto floors to the oracle's 8 — the hash-green invariant
+    assert(Similarity.autoNlist(base.count()) == 8)
   }
 
   test("embedding outliers: bounded per label, ascending cosine, valid range") {

@@ -134,6 +134,14 @@ class DedupScaleSpec extends SparkSpec {
     val p33 = q33.queryExecution.analyzed.toString
     assert(p33.contains("_df"),
       "q33 must run through ngramJaccardPairsCapped (df-cut stage missing)")
+    // round-9 verdict: q76/q117 were the last registered uncapped band
+    // joins — both now ship the hub-star cap stage
+    for (name <- Seq("q76_simhash_neardup", "q117_neardup_threshold_curve")) {
+      val p = graft.SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.analyzed.toString
+      assert(p.contains("_hub") && p.contains("_n"),
+        s"$name must run through simhashNearDupPairsCapped (cap stage missing)")
+    }
     // q81 iterates components eagerly at construction, so pin its capped
     // default at the function level twice: (a) on the real corpus the
     // default cap is INERT — capped output byte-equals uncapped; (b) on
