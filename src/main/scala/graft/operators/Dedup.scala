@@ -50,6 +50,49 @@ object Dedup {
     docs.select(col("doc_id"),
       explode(graft.expressions.ShingleHash64(col("text"))).as("h"))
 
+  /** ONE compiled-ShingleHash64 pass over the corpus, eagerly
+    * localCheckpoint-ed as per-doc DISTINCT hash ARRAYS — the shared
+    * substrate for the inverted-index family (q33/q157/q80/q144), whose
+    * round-9 shapes re-ran the regex shingle extraction once per plan
+    * branch (3–4 corpus passes each: both self-join sides, the size
+    * aggregate, the df cut). Exploding stored 8-byte longs is cheap;
+    * extraction is the expensive part. The checkpoint stores ~8 bytes
+    * per shingle — the same size class as the text itself, partition-
+    * local, never a driver collect (the round-3 design note warned
+    * against caching the EXPLODED index, which repeats doc_id per
+    * shingle row and defeats column-run compression; the array form
+    * doesn't). Extra columns (e.g. a split tag) ride along so
+    * consumers need no post-explode join. Measured r10 at sf0.1:
+    * q33 2.4→1.3 s, q157 2.1→1.2 s, q80/q144 also improved. */
+  private def shingleArrays(docs: DataFrame, extra: Column*): DataFrame = {
+    // a small parquet corpus arrives as 1–2 input splits, and a
+    // localCheckpoint FREEZES that partitioning — the extraction pass
+    // AND every downstream stage (the index explode feeding the
+    // self-join shuffle) would run on one core (measured: a 965 ms
+    // single-task stage inside q33's 2.3 s). Spread the RAW docs
+    // first so the extraction itself parallelizes. The spread is
+    // deliberately modest: full defaultParallelism (32 here) measured
+    // +0.5 s of per-stage task overhead on the LIGHT consumers
+    // (q80/q144, whose probe-join stages hold ~1 MB each) while 8-way
+    // keeps the q33/q157 self-join win intact. Only the toy/bench
+    // regime ever takes this branch — a cluster-scale scan has more
+    // splits than this floor and passes through untouched.
+    val target = math.min(8, docs.sparkSession.sparkContext.defaultParallelism)
+    val spread =
+      if (docs.queryExecution.toRdd.getNumPartitions < target)
+        docs.repartition(target)
+      else docs
+    spread.select((col("doc_id") +:
+        graft.expressions.ShingleHash64(col("text")).as("hs") +: extra): _*)
+      .localCheckpoint()
+  }
+
+  /** Exploded (doc_id, h[, extra…]) view of [[shingleArrays]] output. */
+  private def explodeShingles(arr: DataFrame): DataFrame = {
+    val keep = arr.columns.filter(_ != "hs").map(col)
+    arr.select((keep :+ explode(col("hs")).as("h")): _*)
+  }
+
   /** The cross-document boilerplate set: 64-bit hashes of every word-
     * 3-gram occurring in >= 2 distinct documents (per-doc distinctness
     * comes from the compiled expression, so the count IS document
@@ -167,13 +210,14 @@ object Dedup {
 
   /** Shared overlap core for every inverted-index resemblance measure:
     * self-join `interIndex` on the shingle hash for intersection counts,
-    * then set sizes from the FULL index `ex` — ONE definition for the
-    * capped, uncapped, jaccard (q33), and containment (q157) paths (a
-    * scoring change landing in only one would silently break
-    * DedupScaleSpec's cut-inertness byte-identity). Returns
+    * then per-doc set sizes from `sizes` (doc_id, n — derived shuffle-
+    * free from the checkpointed shingle arrays via [[sizesFromArrays]],
+    * the FULL index so the union denominator keeps every shingle) — ONE
+    * definition for the capped, uncapped, jaccard (q33), and containment
+    * (q157) paths (a scoring change landing in only one would silently
+    * break DedupScaleSpec's cut-inertness byte-identity). Returns
     * (d1, d2, inter, n1, n2); callers project their measure. */
-  private def pairOverlap(ex: DataFrame, interIndex: DataFrame): DataFrame = {
-    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+  private def pairOverlap(sizes: DataFrame, interIndex: DataFrame): DataFrame = {
     val inter = interIndex.as("a").join(interIndex.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -183,9 +227,16 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
   }
 
+  /** Per-doc distinct-shingle set sizes read straight off the stored
+    * array lengths — ShingleHash64 emits per-doc DISTINCT hashes, so
+    * size(hs) IS the set size: no explode, no |shingles|-row groupBy
+    * shuffle (the round-9 shape paid one per query). */
+  private def sizesFromArrays(arr: DataFrame): DataFrame =
+    arr.select(col("doc_id"), size(col("hs")).cast("bigint").as("n"))
+
   private def jaccardScored(
-      ex: DataFrame, interIndex: DataFrame, threshold: Double): DataFrame =
-    pairOverlap(ex, interIndex)
+      sizes: DataFrame, interIndex: DataFrame, threshold: Double): DataFrame =
+    pairOverlap(sizes, interIndex)
       .withColumn("jaccard",
         col("inter") * lit(1.0d) / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -205,13 +256,12 @@ object Dedup {
     * inverted-index join on hashed shingles (only co-shingle pairs are
     * ever scored; the shuffle key is an 8-byte long). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    // `ex` appears in three plan branches (both join sides + sizes) that
-    // shuffle on different keys, so no exchange reuse applies and the
-    // shingle hashing runs 3×. That's deliberate: ShingleHash64 is a
-    // cheap compiled per-row pass, and recomputing beats caching the
-    // exploded index (which would be far larger than the input) at scale.
-    val ex = hashedShingles(docs)
-    jaccardScored(ex, ex, threshold)
+    // the round-9 shape re-ran the shingle extraction once per plan
+    // branch (both join sides + sizes — different shuffle keys, so no
+    // exchange reuse applies); the checkpointed array substrate runs it
+    // once and reads sizes off the array lengths (see shingleArrays)
+    val arr = shingleArrays(docs)
+    jaccardScored(sizesFromArrays(arr), explodeShingles(arr), threshold)
   }
 
   /** [[ngramJaccardPairs]] with a DOCUMENT-FREQUENCY cut — the inverted
@@ -231,13 +281,14 @@ object Dedup {
     * shingle exceeds the threshold. */
   def ngramJaccardPairsCapped(
       docs: DataFrame, threshold: Double, maxDocFreq: Int): DataFrame = {
-    val ex = hashedShingles(docs)
+    val arr = shingleArrays(docs)
     // df per shingle hash is one map-side-combined agg, but only the HOT
     // tail matters: hashes with df > maxDocFreq number at most
     // |index|/maxDocFreq — broadcast-size at any corpus size, usually
     // empty — so the cut is a broadcast ANTI join, not a co-partitioned
     // join of the full index against its (nearly-as-large) rare subset.
-    jaccardScored(ex, dfCut(ex, maxDocFreq), threshold)
+    jaccardScored(sizesFromArrays(arr),
+      dfCut(explodeShingles(arr), maxDocFreq), threshold)
   }
 
   /** q157: containment pairs — Broder's asymmetric resemblance
@@ -245,8 +296,9 @@ object Dedup {
     * symmetric jaccard alongside and a partial-containment flag. */
   def containmentPairs(docs: DataFrame, minContain: Double,
       maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
-    val ex = hashedShingles(docs)
-    pairOverlap(ex, dfCut(ex, maxDocFreq))
+    val arr = shingleArrays(docs)
+    pairOverlap(sizesFromArrays(arr),
+        dfCut(explodeShingles(arr), maxDocFreq))
       .withColumn("containment",
         col("inter") * lit(1.0d) / least(col("n1"), col("n2")))
       .withColumn("jaccard",
@@ -641,9 +693,11 @@ object Dedup {
     * standard pre-training hygiene pass: report (and then drop or
     * re-bucket) eval documents the training corpus has seen. */
   def contamination(docs: DataFrame): DataFrame = {
-    val sh = hashedShingles(docs)
-      .join(docs.select(col("doc_id"), Sampling.splitOf(col("doc_id")).as("split")),
-        Seq("doc_id"))
+    // split tag computed in the same checkpointed pass as the shingle
+    // arrays — the round-9 shape joined the exploded index back against
+    // a per-doc split table (|shingles| join rows for a per-doc tag)
+    val sh = explodeShingles(
+      shingleArrays(docs, Sampling.splitOf(col("doc_id")).as("split")))
     val trainSh = sh.filter(col("split") === "train").select(col("h")).distinct()
     // (doc_id, h) is already unique: ShingleHash64 emits per-doc DISTINCT
     // hashes and the split join is one row per doc — no dedup shuffle needed
