@@ -64,7 +64,12 @@ object Bench {
       // blocks of 100+ earlier queries squeeze execution memory and the
       // checkpoint-heavy pipelines spill (q150 measured 11.2 s in-bench vs
       // ~3 s in a fresh JVM before this). Between queries nothing is
-      // running, so unpersisting everything persistent is safe.
+      // running, so unpersisting everything persistent is safe — WITH ONE
+      // STANDING CONTRACT: localCheckpoint truncates lineage, so a frame
+      // checkpointed by query N and reused by query N+1 would fail with
+      // missing-block errors here (not recompute). No cross-query shared
+      // cached/checkpointed table may ever be introduced in Tables or
+      // SparkEntry; every query derives its state from its own run.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       val t =

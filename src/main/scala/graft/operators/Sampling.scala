@@ -608,7 +608,7 @@ object Sampling {
         |    END AS BIGINT) AS allocation,
         |  saturated
         |FROM s CROSS JOIN cut ORDER BY source""".stripMargin,
-      "Token-budget waterfilling — the allocation SOLVE behind mixture design, where q94/q124/q149 produce weights and something must turn them into per-source token grants that respect each source's actual capacity: every source receives min(capacity, level) with the water level chosen so grants sum EXACTLY to the 25k budget (capacity-poor sources saturate and keep everything; the surplus redistributes to the rest — the capped-upsampling rule that stops a tiny source being asked for tokens it does not have). Entirely EXACT integer arithmetic, including the classic fractional-level problem: instead of a float level, the integer level is (budget − saturated_capacity) div (n − k) with the division remainder granted as +1 to the first r unsaturated sources in (capacity, source) order — so Σ allocation == budget holds as an integer identity, spec-pinned, with no rounding drift anywhere. The saturation test is per-row and monotone (capacity·(remaining sources) ≤ remaining budget), so the cut needs no iteration — one window pass finds it. Scale: capacities are one map-side-combined |sources| aggregate; every window/join after runs on that bounded frame (the single-partition window touches |sources| rows, never the corpus). Both saturation outcomes exercised at verify scale (2 of 20 sources saturate at the 25k budget; the remainder grants land on the lowest-capacity unsaturated source).") {
+      "Token-budget waterfilling — the allocation SOLVE behind mixture design, where q94/q124/q149 produce weights and something must turn them into per-source token grants that respect each source's actual capacity: every source receives min(capacity, level) with the water level chosen so grants sum EXACTLY to the 25k budget (capacity-poor sources saturate and keep everything; the surplus redistributes to the rest — the capped-upsampling rule that stops a tiny source being asked for tokens it does not have). Entirely EXACT integer arithmetic, including the classic fractional-level problem: instead of a float level, the integer level is (budget − saturated_capacity) div (n − k) with the division remainder granted as +1 to the first r unsaturated sources in (capacity, source) order — so Σ allocation == budget holds as an integer identity for any budget <= Σ capacity (beyond that every source saturates and the grant is the capacity vector — the corpus cannot supply more; the n > k guard makes the div/(n-k) branch structurally unreachable there), spec-pinned, with no rounding drift anywhere. The saturation test is per-row and monotone (capacity·(remaining sources) ≤ remaining budget), so the cut needs no iteration — one window pass finds it. Scale: capacities are one map-side-combined |sources| aggregate; every window/join after runs on that bounded frame (the single-partition window touches |sources| rows, never the corpus). Both saturation outcomes exercised at verify scale (2 of 20 sources saturate at the 25k budget; the remainder grants land on the lowest-capacity unsaturated source).") {
       (s, d) =>
         tokenWaterfill(Tables.documents(s, d), budget = 25000L)
     },
@@ -680,7 +680,16 @@ object Sampling {
   /** q160: exact integer waterfilling of a token budget across sources —
     * every source gets min(capacity, level) with the level chosen so the
     * allocations sum EXACTLY to the budget (integer remainder spread over
-    * the first unsaturated sources in capacity order). */
+    * the first unsaturated sources in capacity order).
+    *
+    * Identity scope: `sum(allocation) == budget` holds for
+    * budget <= sum(capacity). A budget at or above total capacity
+    * saturates every source and the allocation IS the capacity vector
+    * (sum == capacity, the most the corpus can supply) — there is no
+    * level that could manufacture the missing tokens. In that regime
+    * k == n and the unsaturated div/(n-k) branch is unreachable; the
+    * explicit n > k guard below keeps that a structural fact instead
+    * of a bet on lazy CASE evaluation across engines. */
   def tokenWaterfill(docs: org.apache.spark.sql.DataFrame,
       budget: Long): org.apache.spark.sql.DataFrame = {
     val caps = docs
@@ -707,7 +716,12 @@ object Sampling {
     ranked.crossJoin(broadcast(cut))
       .withColumn("alloc",
         when(col("saturated"), col("capacity"))
-          .otherwise(
+          // n > k: an unsaturated row cannot exist when everything
+          // saturated (budget >= total capacity), so this branch is
+          // unreachable in that regime — the guard makes the zero
+          // divisor structurally impossible rather than relying on
+          // lazy CASE evaluation
+          .when(col("n") > col("k"),
             expr(s"($budget - satcap) div (n - k)")
               + when(col("i") - col("k")
                   <= expr(s"($budget - satcap) % (n - k)"), 1L)

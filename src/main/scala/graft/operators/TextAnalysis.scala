@@ -1159,35 +1159,51 @@ object TextAnalysis {
       .select(col("s1"), col("s2"),
         coalesce(col("a"), lit(0L)).as("a"),
         coalesce(col("b"), lit(0L)).as("b"))
+    // the w*floor(ln w * 1e6) ledger: w can reach 2*ta*tb ~ (corpus
+    // tokens)^2, whose micro-nat product wraps int64 near W ~ 3.5e11
+    // mixture mass — SILENTLY on the engine side while the DuckDB
+    // twin's HUGEINT sum would not, i.e. engine and oracle would
+    // diverge exactly where the corpus grows. The whole ledger
+    // (per-term products AND the three sums) therefore runs in
+    // decimal(38,0) unconditionally: at |pairs| x |vocab| keys the
+    // decimal adds are noise, every value at verify scale is integer-
+    // exact in both representations (bit-identical doubles after the
+    // final cast), and 38 digits hold any physically reachable W.
+    val dec = "decimal(38,0)"
     val term = u.join(broadcast(pairs), Seq("s1", "s2"))
-      .withColumn("w", col("a") * col("tb") + col("b") * col("ta"))
+      .withColumn("w", col("a").cast(dec) * col("tb") + col("b").cast(dec) * col("ta"))
       .withColumn("wlnw", col("w") *
-        floor(log(col("w").cast("double")) * lit(1e6d)).cast("bigint"))
-      .withColumn("alna", when(col("a") > 0, col("a") *
-        floor(log(col("a").cast("double")) * lit(1e6d)).cast("bigint"))
-        .otherwise(lit(0L)))
-      .withColumn("blnb", when(col("b") > 0, col("b") *
-        floor(log(col("b").cast("double")) * lit(1e6d)).cast("bigint"))
-        .otherwise(lit(0L)))
+        floor(log(col("w").cast("double")) * lit(1e6d)).cast(dec))
+      .withColumn("alna", when(col("a") > 0, col("a").cast(dec) *
+        floor(log(col("a").cast("double")) * lit(1e6d)).cast(dec))
+        .otherwise(lit(0L).cast(dec)))
+      .withColumn("blnb", when(col("b") > 0, col("b").cast(dec) *
+        floor(log(col("b").cast("double")) * lit(1e6d)).cast(dec))
+        .otherwise(lit(0L).cast(dec)))
+    // 2*ta*tb likewise leaves int64 arithmetic: ta/tb are exact in
+    // double far beyond any real corpus (2^53 tokens), so the ln arg
+    // and the divisor are double products — identical values at any
+    // scale the long form could represent, defined beyond it
+    val dtt = lit(2.0d) * col("ta").cast("double") * col("tb").cast("double")
     term.groupBy(col("s1"), col("s2"), col("ta"), col("tb"))
       .agg(count(lit(1)).cast("bigint").as("n_terms"),
         sum(when(col("a") > 0 && col("b") > 0, lit(1L)).otherwise(lit(0L)))
           .cast("bigint").as("n_shared"),
-        sum(col("wlnw")).cast("bigint").as("sw"),
-        sum(col("alna")).cast("bigint").as("sa"),
-        sum(col("blnb")).cast("bigint").as("sb"))
+        sum(col("wlnw")).cast(dec).as("sw"),
+        sum(col("alna")).cast(dec).as("sa"),
+        sum(col("blnb")).cast(dec).as("sb"))
       .select(col("s1"), col("s2"), col("n_terms"), col("n_shared"),
         (col("n_shared").cast("double") / col("n_terms").cast("double"))
           .as("shared_frac"),
-        ((floor(log((lit(2L) * col("ta") * col("tb")).cast("double"))
-            * lit(1e6d)).cast("bigint") * lit(1e-6d)
-          - (col("sw") * lit(1e-6d)) / (lit(2L) * col("ta") * col("tb")))
+        ((floor(log(dtt) * lit(1e6d)).cast("bigint") * lit(1e-6d)
+          - (col("sw").cast("double") * lit(1e-6d)) / dtt)
           - lit(0.5d) * (floor(log(col("ta").cast("double")) * lit(1e6d))
               .cast("bigint") * lit(1e-6d)
-            - (col("sa") * lit(1e-6d)) / col("ta"))
+            - (col("sa").cast("double") * lit(1e-6d)) / col("ta").cast("double"))
           - lit(0.5d) * (floor(log(col("tb").cast("double")) * lit(1e6d))
               .cast("bigint") * lit(1e-6d)
-            - (col("sb") * lit(1e-6d)) / col("tb"))).as("js_nats"))
+            - (col("sb").cast("double") * lit(1e-6d)) / col("tb").cast("double")))
+          .as("js_nats"))
       .orderBy(col("s1"), col("s2"))
   }
 }
