@@ -123,7 +123,7 @@ object Similarity {
     * itself). `array_max` over struct(sim, cid) keeps the exact ordering
     * semantics of the old max(struct): highest similarity, ties to the
     * larger cid. */
-  private def assign(dv: DataFrame, centroids: DataFrame): DataFrame = {
+  private[graft] def assign(dv: DataFrame, centroids: DataFrame): DataFrame = {
     val carr = centroids.agg(collect_list(struct(col("cid"), col("cvec"))).as("cs"))
     dv.crossJoin(broadcast(carr))
       .select(col("vec_id"), col("v"),
@@ -146,6 +146,20 @@ object Similarity {
     val lists = assign(dv, centroids)
     val queries = lists.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    ivfTopKFromIndex(lists, centroids, queries, k, nprobe)
+  }
+
+  /** The probe/score/top-k consumption path over a PREBUILT inverted
+    * file — `lists` (vec_id, v, cid) and `centroids` (cid, cvec) come
+    * from the caller, so the same code serves the one-shot [[ivfTopK]]
+    * (which builds both per run) and the maintained-index read path
+    * ([[graft.streaming.IvfStateStream.topKFromState]], where both are
+    * persisted state and NO Lloyd chain runs at query time — the
+    * production serving shape). One definition of probe ranking,
+    * cosine scoring, and tie-breaks: the served answer cannot drift
+    * from the batch operator. */
+  def ivfTopKFromIndex(lists: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     // per query: nprobe closest centroids
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("sim", graft.expressions.VecDot(col("qv"), col("cvec")))
@@ -675,7 +689,16 @@ object Similarity {
     val centroids = kmeansCentroids(embeddings, nlist, iters, portableMeans)
     val dv = embeddings.select(col("vec_id"),
       graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
-    val mc = assign(dv, centroids)
+    ivfListStatsFromIndex(assign(dv, centroids), centroids, nlist)
+  }
+
+  /** q139's health table over a PREBUILT inverted file — the
+    * [[ivfListStats]] body with `lists`/`centroids` supplied by the
+    * caller (one-shot build there, persisted state in
+    * [[graft.streaming.IvfStateStream.listStatsFromState]]). */
+  def ivfListStatsFromIndex(lists: DataFrame, centroids: DataFrame,
+      nlist: Int): DataFrame = {
+    val mc = lists
       .join(broadcast(centroids), Seq("cid"))
       .select(col("cid"),
         round(graft.expressions.VecDot(col("v"), col("cvec")) /

@@ -125,9 +125,10 @@ object CorpusStateStream {
       checkpointDir: String,
       availableNow: Boolean,
       triggerSeconds: Int,
-      maxFilesPerTrigger: Option[Int])(
+      maxFilesPerTrigger: Option[Int],
+      schema: StructType = docSchema)(
       fn: (DataFrame, Long) => Unit): StreamingQuery = {
-    val reader = spark.readStream.schema(docSchema)
+    val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
     reader
       .parquet(docsDir)

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.operators.Similarity
+
+/** The maintained IVF index: persisted inverted lists must equal the
+  * batch assignment of every delivered vector under the frozen
+  * quantizer — across restarts and replays — and the state-served reads
+  * (top-k, list stats) must equal their one-shot batch twins built over
+  * the same corpus with the same parameters. */
+class IvfStateStreamSpec extends SparkSpec {
+
+  private val nlist = 8
+
+  private def embSlice(pred: org.apache.spark.sql.Column) =
+    Tables.embeddings(spark, sf0001)
+      .filter(pred)
+      .select(col("vec_id"), col("embedding"), col("label"))
+
+  /** Batch twin of the fold: assign a corpus under the persisted
+    * quantizer (the pure function state must reproduce). */
+  private def batchAssign(stateDir: String,
+      emb: org.apache.spark.sql.DataFrame) = {
+    val dv = emb.select(col("vec_id"),
+      graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+    Similarity.assign(dv, IvfStateStream.centroidState(spark, stateDir))
+      .select(col("vec_id"), col("cid").cast("int").as("cid"), col("v"))
+  }
+
+  test("drain + restart: inverted lists equal the batch assignment") {
+    val root = Files.createTempDirectory("graft-ivfstate").toString
+    val embDir = s"$root/emb"; val stateDir = s"$root/state"
+    val ckpt = s"$root/ckpt"
+
+    // quantizer trained ONCE on the full corpus (the seed), then the
+    // corpus arrives in two waves
+    IvfStateStream.train(embSlice(lit(true)), stateDir, nlist)
+
+    embSlice(col("vec_id") % 10 < 8).write.parquet(embDir)
+    IvfStateStream.start(spark, embDir, stateDir, ckpt,
+      availableNow = true).awaitTermination()
+
+    val wave1 = batchAssign(stateDir, embSlice(col("vec_id") % 10 < 8))
+    val st1 = IvfStateStream.listState(spark, stateDir)
+    assert(st1.exceptAll(wave1).isEmpty && wave1.exceptAll(st1).isEmpty,
+      "wave-1 lists diverged from batch assignment")
+
+    // wave 2 arrives; restart from the same checkpoint — only new files
+    embSlice(col("vec_id") % 10 >= 8).write.mode("append").parquet(embDir)
+    IvfStateStream.start(spark, embDir, stateDir, ckpt,
+      availableNow = true).awaitTermination()
+
+    val all = batchAssign(stateDir, embSlice(lit(true)))
+    val st = IvfStateStream.listState(spark, stateDir)
+    assert(st.exceptAll(all).isEmpty && all.exceptAll(st).isEmpty,
+      "post-restart lists diverged from batch assignment")
+    assert(st.count() == embSlice(lit(true)).count(),
+      "one list row per delivered vector")
+  }
+
+  test("a replayed micro-batch is a state no-op; in-batch dup vec_ids collapse") {
+    val root = Files.createTempDirectory("graft-ivfstate-replay").toString
+    val stateDir = s"$root/state"
+    IvfStateStream.train(embSlice(lit(true)), stateDir, nlist)
+
+    // at-least-once: the same vector delivered twice in ONE trigger
+    val batch = embSlice(col("vec_id") < 50)
+      .unionAll(embSlice(col("vec_id") < 10))
+    IvfStateStream.update(stateDir)(batch, 0L)
+    val rows1 = IvfStateStream.listState(spark, stateDir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows1.length == 50, s"dup vec_ids must collapse: ${rows1.length}")
+
+    // crash-replay shape: same batch delivered again
+    IvfStateStream.update(stateDir)(batch, 0L)
+    val rows2 = IvfStateStream.listState(spark, stateDir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows1.map(_.toString).sameElements(rows2.map(_.toString)),
+      "replayed batch changed the inverted lists")
+  }
+
+  test("crash window healing: partial append before the sink commit") {
+    val root = Files.createTempDirectory("graft-ivfstate-crash").toString
+    val stateDir = s"$root/state"
+    IvfStateStream.train(embSlice(lit(true)), stateDir, nlist)
+    // batch 0 committed
+    IvfStateStream.update(stateDir)(embSlice(col("vec_id") < 30), 0L)
+    // batch 1 appended its rows, then the job died BEFORE the sink
+    // commit — the file source redelivers batch 1 in full
+    IvfStateStream.update(stateDir)(embSlice(col("vec_id").between(30, 59)), 1L)
+    IvfStateStream.update(stateDir)(embSlice(col("vec_id").between(30, 59)), 1L)
+    val st = IvfStateStream.listState(spark, stateDir)
+    assert(st.count() == 60, "healed replay must not duplicate state rows")
+    val twin = batchAssign(stateDir, embSlice(col("vec_id") < 60))
+    assert(st.exceptAll(twin).isEmpty && twin.exceptAll(st).isEmpty)
+  }
+
+  test("state-served top-k equals the one-shot batch ivfTopK") {
+    val root = Files.createTempDirectory("graft-ivfstate-topk").toString
+    val stateDir = s"$root/state"
+    val emb = embSlice(lit(true))
+    IvfStateStream.train(emb, stateDir, nlist, portableMeans = true)
+    IvfStateStream.update(stateDir)(emb.filter(col("vec_id") % 2 === 0), 0L)
+    IvfStateStream.update(stateDir)(emb.filter(col("vec_id") % 2 === 1), 1L)
+
+    val qids = Seq(0L, 100L, 200L)
+    val served = IvfStateStream.topKFromState(spark, stateDir, qids,
+      k = 10, nprobe = 3)
+    val batch = Similarity.ivfTopK(emb, qids, k = 10, nlist = nlist,
+      nprobe = 3, portableMeans = true)
+    assert(served.exceptAll(batch).isEmpty && batch.exceptAll(served).isEmpty,
+      "state-served top-k diverged from the one-shot batch operator")
+    assert(served.count() == qids.size * 10L)
+  }
+
+  test("state-served list stats equal the one-shot batch ivfListStats") {
+    val root = Files.createTempDirectory("graft-ivfstate-stats").toString
+    val stateDir = s"$root/state"
+    val emb = embSlice(lit(true))
+    IvfStateStream.train(emb, stateDir, nlist, portableMeans = true)
+    IvfStateStream.update(stateDir)(emb, 0L)
+
+    val served = IvfStateStream.listStatsFromState(spark, stateDir)
+    val batch = Similarity.ivfListStats(emb, nlist = nlist,
+      portableMeans = true)
+    assert(served.exceptAll(batch).isEmpty && batch.exceptAll(served).isEmpty,
+      "state-served list stats diverged from the one-shot batch operator")
+  }
+
+  test("train refuses to overwrite an existing quantizer") {
+    val root = Files.createTempDirectory("graft-ivfstate-train").toString
+    val stateDir = s"$root/state"
+    IvfStateStream.train(embSlice(lit(true)), stateDir, nlist)
+    val e = intercept[IllegalArgumentException] {
+      IvfStateStream.train(embSlice(lit(true)), stateDir, nlist)
+    }
+    assert(e.getMessage.contains("fresh stateDir"))
+  }
+
+  test("lists compaction shrinks files without changing the index") {
+    val root = Files.createTempDirectory("graft-ivfstate-compact").toString
+    val stateDir = s"$root/state"
+    IvfStateStream.train(embSlice(lit(true)), stateDir, nlist)
+    (0 until 4).foreach { i =>
+      IvfStateStream.update(stateDir)(
+        embSlice(col("vec_id") % 4 === i), i.toLong)
+    }
+    val before = IvfStateStream.listState(spark, stateDir)
+      .collect().map(_.toString).sorted
+    val (nb, na) = CorpusStateStream.compactState(spark, stateDir, "lists")
+    assert(na < nb, s"compaction did not shrink files: $nb -> $na")
+    val after = IvfStateStream.listState(spark, stateDir)
+      .collect().map(_.toString).sorted
+    assert(before.sameElements(after), "compaction changed the index")
+  }
+}
