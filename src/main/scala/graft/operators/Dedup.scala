@@ -884,6 +884,157 @@ object Dedup {
     * the q76 and q97 oracles so the nibble-xor derivation cannot drift. */
   private val SimhashHamCte: String = SimhashBandCte + SimhashHamTail
 
+  /** q161: the dedup SAVINGS curve — for every hamming threshold h in
+    * [0, maxHamming], how many documents and tokens sit inside the
+    * near-dup pair graph at that cutoff. This is the table a curator
+    * reads to PRICE a dedup pass before running it: the q117 threshold
+    * curve says where the pair-count knee is; this one converts each
+    * cutoff into corpus mass (exposure, the upper bound on what a
+    * survivor election could remove). Per doc the MINIMUM pair hamming
+    * decides the first threshold that exposes it, so one pass over the
+    * capped pair table yields the whole cumulative curve — never one
+    * components run per threshold.
+    *
+    * Scale: the capped band join dominates (the registered q76
+    * machinery); everything after is an 8-byte-key min-aggregate, a
+    * |docs|-key token join, and a (maxHamming+1)-row cumulative frame.
+    * All counts exact integers; fractions one IEEE division per row. */
+  def dedupSavingsCurve(docs: DataFrame, maxHamming: Int = 8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val pairs = simhashNearDupPairsCapped(docs, maxHamming, maxBucket)
+    val hmin = pairs
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id"), col("hamming"))
+      .groupBy(col("doc_id")).agg(min(col("hamming")).as("hmin"))
+    val tok = docs.select(col("doc_id"), Sampling.nTokens(col("text")).as("nt"))
+    val per = hmin.join(tok, Seq("doc_id"))
+      .groupBy(col("hmin"))
+      .agg(count(lit(1)).as("nd"), sum(col("nt")).cast("bigint").as("toks"))
+    val tot = tok.agg(count(lit(1)).cast("bigint").as("total_docs"),
+      sum(col("nt")).cast("bigint").as("total_tokens"))
+    val levels = docs.sparkSession.range(0, maxHamming + 1)
+      .select(col("id").cast("int").as("max_hamming"))
+    levels.join(per, col("hmin") <= col("max_hamming"), "left")
+      .groupBy(col("max_hamming"))
+      .agg(coalesce(sum(col("nd")), lit(0L)).cast("bigint").as("docs_exposed"),
+        coalesce(sum(col("toks")), lit(0L)).cast("bigint").as("tokens_exposed"))
+      .crossJoin(broadcast(tot))
+      .select(col("max_hamming"), col("docs_exposed"), col("tokens_exposed"),
+        (col("docs_exposed").cast("double") / col("total_docs").cast("double"))
+          .as("frac_docs"),
+        (col("tokens_exposed").cast("double") / col("total_tokens").cast("double"))
+          .as("frac_tokens"))
+      .orderBy(col("max_hamming"))
+  }
+
+  /** q162: eval-leakage matrix — near-dup pairs (simhash hamming ≤
+    * `maxHamming`, the registered capped stage) crossing the
+    * train/val/test split boundary. q80 measures leakage as exact
+    * shingle CONTAINMENT; this is its near-dup complement: a test doc
+    * that is a near-duplicate of a train doc inflates eval scores even
+    * when no shingle is shared verbatim. The q141 matrix shape applied
+    * to the split dimension (least/greatest normalization, distinct-doc
+    * counts per cell); the off-diagonal train↔test cell is the number a
+    * decontamination pass must drive to zero. */
+  def splitLeakageMatrix(docs: DataFrame, maxHamming: Int = 8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val pairs = simhashNearDupPairsCapped(docs, maxHamming, maxBucket)
+      .select(col("d1"), col("d2"))
+    val sp = docs.select(col("doc_id"), Sampling.splitOf(col("doc_id")).as("split"))
+    val tagged = pairs
+      .join(sp.select(col("doc_id").as("d1"), col("split").as("sp1")), Seq("d1"))
+      .join(sp.select(col("doc_id").as("d2"), col("split").as("sp2")), Seq("d2"))
+      .select(least(col("sp1"), col("sp2")).as("s1"),
+        greatest(col("sp1"), col("sp2")).as("s2"), col("d1"), col("d2"))
+    val np = tagged.groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"))
+    val nd = tagged
+      .select(col("s1"), col("s2"),
+        explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .distinct()
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"))
+    np.join(nd, Seq("s1", "s2"))
+      .select(col("s1"), col("s2"), col("n_pairs"), col("n_docs"),
+        (col("s1") =!= col("s2")).as("cross_split"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  /** q166: MinHash banding planner — for every (bands, rows-per-band)
+    * factorization of the k-element signature, the MEASURED candidate
+    * pair count on this corpus next to the CLOSED-FORM S-curve capture
+    * probability 1−(1−s^r)^b at three reference similarities. This is
+    * the table that picks the q34 operating point: more rows per band →
+    * sharper threshold, fewer false candidates; the measured column
+    * shows what each theoretical curve actually costs in verification
+    * work here. The S-curve values are computed ONCE on the driver and
+    * embedded as literals in BOTH engines' plans (no cross-engine pow()
+    * parity bet — the values are the same bytes by construction).
+    *
+    * Scale: ONE compiled-MinHashSig pass (checkpointed, the q143
+    * lesson) feeds all four band derivations; each candidate count is
+    * the capped band self-join (registered-cap principle) collapsed to
+    * one row. Four bounded joins over the same 16-byte/doc signature
+    * table — never a corpus rescan per configuration. */
+  def minhashBandPlanner(docs: DataFrame, k: Int = 8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val refSims = Seq(0.3, 0.5, 0.7)
+    val sigs = minhashSignatures(docs, k).localCheckpoint()
+    Seq(1, 2, 4, 8).map { r =>
+      val b = k / r
+      def capture(s: Double): Double =
+        1.0d - math.pow(1.0d - math.pow(s, r), b)
+      minhashCappedFromBands(minhashBandsFromSigs(sigs, k, r), maxBucket)
+        .agg(count(lit(1)).cast("bigint").as("n_candidate_pairs"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_candidate_pairs"),
+          lit(capture(0.3)).as("p_capture_s30"),
+          lit(capture(0.5)).as("p_capture_s50"),
+          lit(capture(0.7)).as("p_capture_s70"))
+    }.reduce(_ unionAll _).orderBy(col("rows_per_band"))
+  }
+
+  /** The q166 oracle: per configuration, the DISTINCT band-sharing pair
+    * count over the q34/q143 minhash CTE machinery, with the S-curve
+    * literals injected from the SAME driver-side computation the engine
+    * embeds. */
+  private def q166OracleSql(k: Int): String = {
+    val configs = Seq(1, 2, 4, 8)
+    val ctes = configs.map { r =>
+      s"""bands_$r AS (
+         |  SELECT doc_id, seed // $r AS band,
+         |    string_agg(seed || ':' || mh, ',' ORDER BY seed || ':' || mh) AS sig
+         |  FROM mh GROUP BY doc_id, band),
+         |cand_$r AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT DISTINCT a.doc_id, b.doc_id
+         |    FROM bands_$r a JOIN bands_$r b
+         |      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id))""".stripMargin
+    }.mkString(",\n")
+    val rows = configs.map { r =>
+      val b = k / r
+      def capture(s: Double): Double =
+        1.0d - math.pow(1.0d - math.pow(s, r), b)
+      s"""SELECT $b AS bands, $r AS rows_per_band, n AS n_candidate_pairs,
+         |  CAST(${capture(0.3)} AS DOUBLE) AS p_capture_s30,
+         |  CAST(${capture(0.5)} AS DOUBLE) AS p_capture_s50,
+         |  CAST(${capture(0.7)} AS DOUBLE) AS p_capture_s70
+         |FROM cand_$r""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
+       |  FROM ws),
+       |mh AS (
+       |  SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS mh
+       |  FROM sh CROSS JOIN (SELECT unnest(range($k)) AS seed)
+       |  GROUP BY doc_id, seed),
+       |$ctes
+       |$rows
+       |ORDER BY rows_per_band""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("q32_exact_dedup",
@@ -1819,6 +1970,71 @@ object Dedup {
       "Tombstone-cascade audit — the right-to-be-forgotten impact table a compliance review demands BEFORE executing a deletion: given a deterministic tombstone set (md5 bucket of doc_id, ~1/8 of the corpus — wide enough that the erased-group outcome is exercised, not vestigial, at test scale — in production, the actual deletion requests), how far the deletion propagates through every derived artifact. Reported per artifact: raw documents to drop; exact-dup groups ERASED outright (every member tombstoned — their fingerprint leaves the dedup state) vs groups needing RE-CANONICALIZATION (the kept min-doc_id representative is tombstoned but survivors exist — q32's keep rule must re-elect, and anything keyed on the old canonical goes stale); 512-token packed training windows overlapping any tombstoned doc (q145's ledger rows to invalidate — fragmentation means one deletion can poison two windows); and embedding rows (1:1 on vec_id). The audit universe is the q32 id-shifted doubled corpus, which makes all three group outcomes provably exercised at test scale (twin survives -> re-canonicalize; both twins drawn -> erased; neither -> untouched). All legs are exact integer counts over existing machinery (q32 fingerprints, q145 offsets); shares are one IEEE division each. Scale: the group leg is one fingerprint-key agg, the window leg one prefix-sum + a distinct over the TOMBSTONED docs' window ids only (|tombstones| x spans, never the corpus), embeddings a semi-join on 8-byte ids.") {
       (s, d) =>
         tombstoneCascade(Tables.documents(s, d), Tables.embeddings(s, d))
+    },
+
+    Q("q161_dedup_savings_curve",
+      SimhashHamCte + """,
+        |memh AS (
+        |  SELECT doc_id, min(hamming) AS hmin FROM (
+        |    SELECT d1 AS doc_id, hamming FROM ham WHERE hamming <= 8
+        |    UNION ALL SELECT d2 AS doc_id, hamming FROM ham WHERE hamming <= 8)
+        |  GROUP BY doc_id),
+        |dtok AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+        |toth AS (SELECT CAST(count(*) AS BIGINT) AS total_docs,
+        |    CAST(sum(nt) AS BIGINT) AS total_tokens FROM dtok),
+        |perh AS (SELECT hmin, count(*) AS nd, CAST(sum(nt) AS BIGINT) AS toks
+        |  FROM memh JOIN dtok USING (doc_id) GROUP BY hmin),
+        |lvh AS (SELECT unnest(range(9)) AS h)
+        |SELECT CAST(lvh.h AS INTEGER) AS max_hamming,
+        |  COALESCE(CAST(sum(nd) AS BIGINT), 0) AS docs_exposed,
+        |  COALESCE(CAST(sum(toks) AS BIGINT), 0) AS tokens_exposed,
+        |  CAST(COALESCE(sum(nd), 0) AS DOUBLE) / CAST(total_docs AS DOUBLE)
+        |    AS frac_docs,
+        |  CAST(COALESCE(sum(toks), 0) AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+        |    AS frac_tokens
+        |FROM lvh LEFT JOIN perh ON perh.hmin <= lvh.h CROSS JOIN toth
+        |GROUP BY lvh.h, total_docs, total_tokens
+        |ORDER BY max_hamming""".stripMargin,
+      "Dedup SAVINGS curve — the cost/benefit table a curator reads to PRICE a near-dup pass before running it: for every hamming cutoff h in [0, 8], how many documents and how much token mass sit inside the pair graph at that threshold (exposure — the upper bound on what a survivor election could remove). Complements q117 (pair counts per hamming: where the knee is) by converting each cutoff into CORPUS MASS, which is what storage and training-token budgets are denominated in. One pass: each doc's MINIMUM pair hamming decides the first threshold exposing it, so the cumulative curve falls out of a single min-aggregate over the registered capped pair table (simhashNearDupPairsCapped, DefaultMaxBucket inert at test scale) — never one components run per threshold. Counts exact integers; the two fractions are one IEEE division each against one-row corpus totals; the 9-level frame joins a <= 9-row hmin histogram, so the curve costs nothing beyond the band join every sibling query already pays.") {
+      (s, d) =>
+        dedupSavingsCurve(Tables.documents(s, d), maxHamming = 8)
+    },
+
+    Q("q162_split_leakage",
+      SimhashHamCte + """,
+        |pairs AS (SELECT d1, d2 FROM ham WHERE hamming <= 8),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |tagged AS (
+        |  SELECT least(a.split, b.split) AS s1, greatest(a.split, b.split) AS s2,
+        |    p.d1, p.d2
+        |  FROM pairs p
+        |  JOIN sp a ON p.d1 = a.doc_id
+        |  JOIN sp b ON p.d2 = b.doc_id),
+        |np AS (SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_pairs
+        |       FROM tagged GROUP BY s1, s2),
+        |nd AS (SELECT s1, s2, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |       FROM (SELECT s1, s2, d1 AS doc_id FROM tagged
+        |             UNION ALL SELECT s1, s2, d2 FROM tagged) u
+        |       GROUP BY s1, s2)
+        |SELECT np.s1, np.s2, np.n_pairs, nd.n_docs,
+        |  np.s1 <> np.s2 AS cross_split
+        |FROM np JOIN nd ON np.s1 = nd.s1 AND np.s2 = nd.s2
+        |ORDER BY np.s1, np.s2""".stripMargin,
+      "Eval-leakage matrix — near-dup pairs (simhash hamming <= 8, the registered capped q76 stage) tallied per train/val/test split cell: the near-dup COMPLEMENT of q80's exact shingle-containment decontamination. A test document that is a near-duplicate of a train document inflates every benchmark it appears in even when no shingle matches verbatim — the leakage class verbatim decontamination provably misses, and the reason eval suites deduplicate against pretraining corpora with fuzzy matching. The q141 matrix shape applied to the split dimension: least/greatest cell normalization so train-test and test-train land in one upper-triangular cell on both engines, distinct-doc counts per cell from the same bounded pair set, and the off-diagonal train/test row is the number a decontamination pass must drive to zero. Splits are the family's stateless md5-bucket membership (no split table exists to join); counts exact integers; the pair-tagging joins are two |docs|-key probes of an 8-byte pair table.") {
+      (s, d) =>
+        splitLeakageMatrix(Tables.documents(s, d), maxHamming = 8)
+    },
+
+    Q("q166_minhash_band_planner", q166OracleSql(k = 8),
+      "MinHash banding PLANNER — the (bands x rows-per-band) operating-point table behind every LSH dedup deployment: for each factorization of the k=8 signature, the closed-form S-curve capture probability 1-(1-s^r)^b at reference similarities 0.3/0.5/0.7 NEXT TO the measured candidate-pair count on this corpus. Theory picks the threshold shape (r=1 catches nearly everything incl. junk; r=8 demands all-8 agreement), the measured column prices it in verification work — the pair of numbers q34 (which ships b=4, r=2) and q143 (which calibrates what agreement MEANS) both presuppose. Determinism: the S-curve values are computed once on the driver and embedded as identical literals in BOTH plans — no cross-engine pow() parity bet; candidate counts ride the q143-pinned equivalence of the engine's positional band signatures and the oracle's seed-tagged string_agg bands. Scale: ONE compiled-MinHashSig pass (checkpointed) feeds all four band derivations; each count is the CAPPED band self-join (registered-cap principle, inert at test scale) collapsed to one row — four bounded joins over a 16-byte/doc table, never a corpus rescan per configuration.") {
+      (s, d) =>
+        minhashBandPlanner(Tables.documents(s, d), k = 8)
     },
   )
 

@@ -264,8 +264,8 @@ object EventWindows {
         val c = stage("click", v, "t1", "t2")
         val p = stage("purchase", c, "t2", "t3")
         v.agg(count(lit(1)).as("n_view"))
-          .crossJoin(c.agg(count(lit(1)).as("n_click")))
-          .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+          .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
+          .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
     },
 
     Q("q73_retention_cohorts",

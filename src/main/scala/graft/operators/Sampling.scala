@@ -162,6 +162,39 @@ object Sampling {
       .orderBy(col("rn"))
   }
 
+  /** q164: the epoch plan — per source, how many PASSES over its
+    * capacity a token budget implies under temperature-τ=0.5 mixture
+    * weights (weight ∝ √capacity, the q124 flattening applied to token
+    * mass). target_tokens is the integer grant budget·w_i/Σw; epochs =
+    * target/capacity is the repeat factor a data loader must schedule —
+    * epochs > 1 IS upsampling (the source repeats within one budget
+    * epoch), the regime q160's waterfill refuses by construction (it
+    * caps at capacity) and real mixtures routinely enter for scarce
+    * high-quality sources. The product budget·weight runs in
+    * decimal(38,0) unconditionally (the q147 lesson: an int64 product
+    * wraps silently at planetary budgets while the oracle's HUGEINT
+    * does not). Scale: one map-side-combined |sources| aggregate; all
+    * windows/joins on that bounded frame. */
+  def epochPlan(docs: org.apache.spark.sql.DataFrame,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    val caps = docs
+      .select(col("source"), nTokens(col("text")).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).cast("bigint").as("capacity"))
+      .select(col("source"), col("capacity"),
+        floor(sqrt(col("capacity").cast("double")) * lit(1e6d)).cast("bigint")
+          .as("weight_micro"))
+    val tot = caps.agg(sum(col("weight_micro")).cast("bigint").as("wt"))
+    caps.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        expr(s"CAST((CAST($budget AS DECIMAL(38,0)) * weight_micro) div wt AS BIGINT)"))
+      .select(col("source"), col("capacity"), col("weight_micro"),
+        col("target_tokens"),
+        (col("target_tokens").cast("double") / col("capacity").cast("double"))
+          .as("epochs"),
+        (col("target_tokens") > col("capacity")).as("upsampled"))
+      .orderBy(col("source"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("q61_hash_split",
@@ -674,6 +707,31 @@ object Sampling {
             (term("n_train", "gt") + term("n_val", "gv")
               + term("n_test", "gs")).as("chi2"))
           .orderBy(col("label"))
+    },
+
+    Q("q164_epoch_plan",
+      """WITH caps AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS capacity
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, capacity,
+        |    CAST(floor(sqrt(CAST(capacity AS DOUBLE)) * 1e6) AS BIGINT)
+        |      AS weight_micro
+        |  FROM caps),
+        |tot AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS wt FROM w),
+        |tgt AS (
+        |  SELECT source, capacity, weight_micro,
+        |    CAST((CAST(26500 AS HUGEINT) * weight_micro) // wt AS BIGINT)
+        |      AS target_tokens
+        |  FROM w CROSS JOIN tot)
+        |SELECT source, capacity, weight_micro, target_tokens,
+        |  CAST(target_tokens AS DOUBLE) / CAST(capacity AS DOUBLE) AS epochs,
+        |  target_tokens > capacity AS upsampled
+        |FROM tgt ORDER BY source""".stripMargin,
+      "The epoch plan — the data-loader schedule implied by a token budget under temperature-tau=0.5 mixture weights (weight proportional to sqrt of token capacity — q124's flattening applied to token mass instead of doc counts): per source its integer token grant budget*w_i/sum(w) and epochs = grant/capacity, the repeat factor. epochs > 1 IS upsampling — the source repeats inside one budget pass, the regime q160's waterfill refuses by construction (it caps every grant at capacity) and real mixtures deliberately enter for scarce high-quality sources; this table and q160 are the two allocation policies a mixture designer compares. Both regimes are exercised at verify scale (the 26.5k budget ~ corpus size, and sqrt-flattening pushes the 4 scarcest sources above 1 epoch while the other 16 stay below). Determinism: capacities and the micro-quantized weights are exact integers; the budget*weight product runs in decimal(38,0) against the oracle's HUGEINT (the q147 wrap lesson — int64 dies silently at planetary budgets); epochs is one IEEE division. Scale: one map-side-combined |sources| aggregate, everything after on that bounded frame.") {
+      (s, d) =>
+        epochPlan(Tables.documents(s, d), budget = 26500L)
     },
   )
 

@@ -937,6 +937,95 @@ object Similarity {
        |FROM per, tot ORDER BY cid""".stripMargin
   }
 
+  /** q165: kNN label-agreement — the standard INTRINSIC eval of an
+    * embedding space when labels exist: for every vector, its k nearest
+    * in-list neighbors (the q138 production-index bound — pairwise work
+    * n·B inside the coarse quantizer's lists, never n²) vote on its
+    * label; per true label, how often the majority vote agrees. High
+    * agreement means the space clusters semantically — the property
+    * retrieval, SemDeDup, and hard-negative mining all silently assume,
+    * here MEASURED instead of hoped. Majority ties break to the
+    * smallest label (max count, then min label — one strict order on
+    * both engines); vectors with no in-list neighbor (singleton lists)
+    * are counted in n_vecs but not n_scored, never silently dropped.
+    * Scale: q138's exact plan (checkpointed list table with per-row
+    * norms, bounded top-k window, 8-byte-key aggregates) plus one
+    * |labels|-key closing join. */
+  def knnLabelEval(embeddings: DataFrame, k: Int = 5, nlist: Int = 8,
+      iters: Int = 3, portableMeans: Boolean = false): DataFrame = {
+    val centroids = kmeansCentroids(embeddings, nlist, iters, portableMeans)
+    val dv = embeddings.select(col("vec_id"),
+      graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+    val lists = assign(dv, centroids)
+      .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("cid"), col("vec_id"), col("v"), col("label"),
+        sqrt(graft.expressions.VecDot(col("v"), col("v"))).as("nrm"))
+      .localCheckpoint(true)
+    val a = lists.select(col("cid"), col("vec_id").as("src"),
+      col("label").as("own"), col("v").as("va"), col("nrm").as("na"))
+    val b = lists.select(col("cid").as("cidb"), col("vec_id").as("dst"),
+      col("label").as("nlabel"), col("v").as("vb"), col("nrm").as("nb"))
+    val scored = a.join(b, col("cid") === col("cidb") && col("src") =!= col("dst"))
+      .select(col("src"), col("own"), col("dst"), col("nlabel"),
+        round(graft.expressions.VecDot(col("va"), col("vb")) /
+          (col("na") * col("nb")), 6).as("cosine"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+    val knn = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    val pred = knn.groupBy(col("src"), col("own"), col("nlabel"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("src"), col("own"))
+      .agg(max_by(col("nlabel"), struct(col("c"), -col("nlabel"))).as("pred"))
+    val perLabel = lists.groupBy(col("label"))
+      .agg(count(lit(1)).cast("bigint").as("n_vecs"))
+    val acc = pred.groupBy(col("own"))
+      .agg(count(lit(1)).cast("bigint").as("n_scored"),
+        sum(when(col("pred") === col("own"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_correct"))
+    perLabel.join(acc, col("label") === col("own"), "left")
+      .select(col("label"), col("n_vecs"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"),
+        when(coalesce(col("n_scored"), lit(0L)) > 0,
+          coalesce(col("n_correct"), lit(0L)).cast("double")
+            / col("n_scored").cast("double")).as("knn_accuracy"))
+      .orderBy(col("label"))
+  }
+
+  private def q165OracleSql(k: Int): String = {
+    def dot(a: String, b: String) = dotSql(a, b)
+    s"""WITH $kmeansListsCtes,
+       |lb AS (
+       |  SELECT l.cid, l.vec_id, l.v, e.label, sqrt(${dot("l.v", "l.v")}) AS nrm
+       |  FROM lists l JOIN embeddings e ON l.vec_id = e.vec_id),
+       |sc AS (
+       |  SELECT a.vec_id AS src, a.label AS own, b.vec_id AS dst,
+       |    b.label AS nlabel,
+       |    round(${dot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
+       |  FROM lb a JOIN lb b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+       |knn AS (SELECT src, own, nlabel FROM (
+       |  SELECT src, own, nlabel, row_number() OVER (PARTITION BY src
+       |    ORDER BY cosine DESC, dst) AS rn FROM sc) t WHERE rn <= $k),
+       |vote AS (SELECT src, own, nlabel, count(*) AS c
+       |         FROM knn GROUP BY src, own, nlabel),
+       |pred AS (SELECT src, own, nlabel AS pred FROM (
+       |  SELECT src, own, nlabel, row_number() OVER (PARTITION BY src
+       |    ORDER BY c DESC, nlabel) AS rn FROM vote) t WHERE rn = 1),
+       |per AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+       |        FROM lb GROUP BY label),
+       |acc AS (SELECT own, CAST(count(*) AS BIGINT) AS n_scored,
+       |          CAST(sum(CASE WHEN pred = own THEN 1 ELSE 0 END) AS BIGINT)
+       |            AS n_correct
+       |        FROM pred GROUP BY own)
+       |SELECT per.label, per.n_vecs,
+       |  COALESCE(acc.n_scored, 0) AS n_scored,
+       |  COALESCE(acc.n_correct, 0) AS n_correct,
+       |  CASE WHEN COALESCE(acc.n_scored, 0) > 0
+       |    THEN CAST(acc.n_correct AS DOUBLE) / CAST(acc.n_scored AS DOUBLE)
+       |  END AS knn_accuracy
+       |FROM per LEFT JOIN acc ON per.label = acc.own
+       |ORDER BY per.label""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("q36_cosine_topk",
@@ -1394,6 +1483,12 @@ object Similarity {
       (s, d) =>
         hardNegatives(Tables.embeddings(s, d), queryStride = 50,
           portableMeans = true)
+    },
+
+    Q("q165_knn_label_eval", q165OracleSql(k = 5),
+      "kNN label-agreement — the standard INTRINSIC eval of an embedding space when labels exist, and the measured version of the property every downstream consumer here silently assumes (retrieval quality in q36/q49, SemDeDup validity in q112, hard-negative informativeness in q155): each vector's 5 nearest in-list neighbors vote on its label; reported per true label as majority-vote accuracy. Neighborhoods are bounded to IVF-list co-membership (the q138 production-index bound — pairwise work n*B, never n^2), which is ALSO what a deployed index would serve, so the eval measures the space as retrieval will actually see it. Majority ties break (max count, then smallest label) — one strict order on both engines; singleton-list vectors have no neighbors and are counted in n_vecs but not n_scored, never silently dropped (the q138 orphan convention). Registered with portableMeans=true: lists, round-6 cosines, votes, and the tie-broken argmax all replay bit-identically in the DuckDB twin — a full value-hash oracle for a model-quality metric. Scale: q138's exact plan (checkpointed list table with per-row norms, bounded per-list top-k window, 8-byte-key aggregates) plus one |labels|-key closing join.") {
+      (s, d) =>
+        knnLabelEval(Tables.embeddings(s, d), k = 5, portableMeans = true)
     },
   )
 

@@ -268,6 +268,38 @@ object TextAnalysis {
         (col("n_fingerprints").cast("double") / col("n_windows").cast("double"))
           .as("density"))
 
+  /** q163: the curriculum grid — corpus mass binned by quality tier
+    * (how many q105 gate flags a document trips, 0..4) × length bucket
+    * (fixed integer thresholds: <32 / <128 / <512 / rest whitespace
+    * tokens). This is the table a curriculum or mixture schedule is
+    * built FROM: "start on clean short documents, phase in long-tail"
+    * needs exactly this occupancy grid, and the same two axes drive
+    * packing efficiency (q145) and gate tuning (q105). Flags reuse
+    * [[gateFlags]] verbatim — one source of truth with the gate and the
+    * q127 lift monitor. Length buckets are integer comparisons, never
+    * floor(log(n)) (a power-of-two boundary value could round across
+    * engines). Scale: one corpus scan into a ≤ 5×4-key map-side-
+    * combined aggregate; the token-share divisor is a one-row broadcast. */
+  def curriculumGrid(docs: DataFrame): DataFrame = {
+    val nf = (col("f_short").cast("int") + col("f_low_ttr").cast("int")
+      + col("f_bad_len").cast("int") + col("f_dup").cast("int")).as("n_flags")
+    val t = docs.select(col("doc_id"),
+      size(wsTokens(col("text"))).cast("long").as("nt"))
+    val bucket = when(col("nt") < 32, "xs").when(col("nt") < 128, "s")
+      .when(col("nt") < 512, "m").otherwise("l")
+    val g = gateFlags(docs).join(t, Seq("doc_id"))
+      .select(nf, bucket.as("len_bucket"), col("nt"))
+      .groupBy(col("n_flags"), col("len_bucket"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("nt")).cast("bigint").as("tokens"))
+    val tot = t.agg(sum(col("nt")).cast("bigint").as("total_tokens"))
+    g.crossJoin(broadcast(tot))
+      .select(col("n_flags"), col("len_bucket"), col("n_docs"), col("tokens"),
+        (col("tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("token_share"))
+      .orderBy(col("n_flags"), col("len_bucket"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("q28_token_stats",
@@ -1080,6 +1112,45 @@ object TextAnalysis {
       "One multiplicative-weights domain-reweighting step, the DoReMi shape (Xie et al. 2023, 'Doremi: Optimizing Data Mixtures Speeds Up Language Model Pretraining'): per source its average NLL under the corpus unigram LM, the EXCESS over the corpus-wide average (the hard-domain signal a proxy-model loss provides in the full method — the corpus LM stands in the way src0 stands in for the curated target in q111), and the renormalized mixture weight w_i proportional to exp(eta * excess_i) at eta = 1 from a uniform start (the uniform factor cancels in the normalizer). Upweights the sources the current model-proxy finds hardest — the opposite corrective to q124's temperature flattening, and the two tables TOGETHER are the mixture designer's dashboard. Determinism: the NLL legs are q103/q140's exact integer micro-nat ledgers aggregated per SOURCE; excess is a subtraction of two deterministic doubles; the one exp per source is immediately floor-quantized to integer micro-units so the normalizer is an exact integer sum and each weight one IEEE division (the q147 ln-parity trade extended to exp, |sources| evaluations total). Scale: q103's plan — token explode to map-side-combined 8-byte-key counts, vocab ln once per entry, then everything folds to |sources| rows; the two one-row totals broadcast.") {
       (s, d) =>
         doremiStep(Tables.documents(s, d))
+    },
+
+    Q("q163_curriculum_grid",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) < 20 AS INTEGER)
+        |      + CAST(CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE)
+        |          / len(string_split_regex(trim(text), '\s+')) < CAST(0.32 AS DOUBLE) AS INTEGER)
+        |      + CAST((CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |            / len(string_split_regex(trim(text), '\s+')) < CAST(4.0 AS DOUBLE)
+        |          OR CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |            / len(string_split_regex(trim(text), '\s+')) > CAST(5.0 AS DOUBLE)) AS INTEGER)
+        |      + CAST((len(sh) > 0 AND len(sh) > len(list_distinct(sh))) AS INTEGER)
+        |      AS n_flags
+        |  FROM (SELECT doc_id, text,
+        |          [array_to_string(toks[i:i+2], ' ')
+        |           for i in generate_series(1, len(toks)-2)] AS sh
+        |        FROM (SELECT doc_id, text,
+        |                string_split_regex(
+        |                  regexp_replace(text, '^\s+|\s+$', '', 'g'),
+        |                  '\s+') AS toks FROM documents))),
+        |b AS (
+        |  SELECT n_flags,
+        |    CASE WHEN nt < 32 THEN 'xs' WHEN nt < 128 THEN 's'
+        |         WHEN nt < 512 THEN 'm' ELSE 'l' END AS len_bucket,
+        |    nt
+        |  FROM f),
+        |tot AS (SELECT CAST(sum(nt) AS BIGINT) AS total_tokens FROM b)
+        |SELECT n_flags, len_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS tokens,
+        |  CAST(sum(nt) AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share
+        |FROM b CROSS JOIN tot
+        |GROUP BY n_flags, len_bucket, total_tokens
+        |ORDER BY n_flags, len_bucket""".stripMargin,
+      "Curriculum occupancy grid — corpus mass binned by quality tier (how many q105 gate flags a document trips, 0..4 — the EXACT gateFlags definition, one source of truth with the gate and the q127 lift monitor) x length bucket (fixed integer thresholds <32/<128/<512/rest whitespace tokens). This is the table a curriculum or sampling schedule is built FROM: 'start on clean short documents, phase in the long tail' needs exactly this occupancy count, and the same axes drive packing efficiency (q145) and gate tuning (q105). Length buckets are integer comparisons by design, never floor(log n) — a power-of-two boundary value could round to different buckets across engines. Determinism: flag arithmetic is the q105 oracle's own comparisons cast to integers and summed; counts and token sums exact; token_share one IEEE division against a one-row total. Scale: one corpus scan into a <= 5x4-key map-side-combined aggregate; the share divisor broadcasts.") {
+      (s, d) =>
+        curriculumGrid(Tables.documents(s, d))
     },
   )
 

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Properties of the round-10 curation operators (q161–q166): internal
+  * consistency each table must satisfy regardless of corpus. */
+class CurationOpsSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf001)
+
+  test("savings curve: cumulative, bounded, and anchored to the pair set") {
+    val rows = Dedup.dedupSavingsCurve(docs, maxHamming = 8).collect()
+    assert(rows.length == 9)
+    val de = rows.sortBy(_.getInt(0)).map(_.getLong(1))
+    assert(de.zip(de.tail).forall { case (a, b) => a <= b },
+      "docs_exposed must be non-decreasing in the threshold")
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // the h=8 endpoint counts exactly the distinct pair members
+    val members = Dedup.simhashNearDupPairsCapped(docs, 8, Dedup.DefaultMaxBucket)
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .distinct().count()
+    assert(de.last == members,
+      s"curve endpoint ${de.last} != distinct pair members $members")
+  }
+
+  test("split leakage: cells are ordered, pair mass reconciles") {
+    val m = Dedup.splitLeakageMatrix(docs, maxHamming = 8).collect()
+    m.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "cells must be s1 <= s2")
+      assert(r.getBoolean(4) == (r.getString(0) != r.getString(1)))
+    }
+    val totalPairs = Dedup.simhashNearDupPairsCapped(docs, 8, Dedup.DefaultMaxBucket)
+      .count()
+    assert(m.map(_.getLong(2)).sum == totalPairs,
+      "matrix pair mass must equal the pair-set size")
+  }
+
+  test("curriculum grid partitions the corpus; token shares sum to 1") {
+    val g = TextAnalysis.curriculumGrid(docs).collect()
+    assert(g.map(_.getLong(2)).sum == docs.count(),
+      "grid cells must partition the documents")
+    val shares = g.map(_.getDouble(4)).sum
+    assert(math.abs(shares - 1.0) < 1e-9, s"token shares sum to $shares")
+    assert(g.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 4))
+  }
+
+  test("epoch plan: grants cover the budget up to floor loss; flags consistent") {
+    val budget = 26500L
+    val p = Sampling.epochPlan(docs, budget).collect()
+    val granted = p.map(_.getLong(3)).sum
+    assert(granted <= budget && budget - granted < p.length,
+      s"integer floor loss must be < n_sources: granted=$granted")
+    p.foreach { r =>
+      assert(r.getBoolean(5) == (r.getLong(3) > r.getLong(1)))
+      assert(r.getBoolean(5) == (r.getDouble(4) > 1.0))
+    }
+    assert(p.exists(_.getBoolean(5)) && p.exists(!_.getBoolean(5)),
+      "verify scale must exercise both the upsampled and undersampled regimes")
+  }
+
+  test("knn label eval: scored within vecs, accuracy bounded, corpus covered") {
+    val e = Similarity.knnLabelEval(Tables.embeddings(spark, sf001), k = 5,
+      portableMeans = true).collect()
+    assert(e.map(_.getLong(1)).sum == Tables.embeddings(spark, sf001).count())
+    e.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_scored <= n_vecs")
+      assert(r.getLong(3) <= r.getLong(2), "n_correct <= n_scored")
+      if (!r.isNullAt(4))
+        assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("band planner: candidates shrink as rows-per-band grows; r=2 row = q34") {
+    val p = Dedup.minhashBandPlanner(docs, k = 8).collect().sortBy(_.getInt(1))
+    assert(p.map(_.getInt(1)).toSeq == Seq(1, 2, 4, 8))
+    val cands = p.map(_.getLong(2))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a >= b },
+      s"candidate count must be non-increasing in r: ${cands.toSeq}")
+    // capture probability is monotone in s for every config, and the
+    // r=1 config dominates every other at each s
+    p.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(5))
+    }
+    val q34 = Dedup.minhashCandidatesCapped(docs, k = 8, rowsPerBand = 2,
+      maxBucket = Dedup.DefaultMaxBucket).count()
+    assert(p.find(_.getInt(1) == 2).get.getLong(2) == q34,
+      "the (4,2) planner row must equal q34's candidate count")
+  }
+}
