@@ -525,7 +525,7 @@ object Similarity {
     * size aggregate reuse it without re-running the Lloyd chain. */
   def semanticDedup(embeddings: DataFrame, threshold: Double, nlist: Int = 0,
       iters: Int = 3, portableMeans: Boolean = false): DataFrame = {
-    val chosen = if (nlist > 0) nlist else autoNlist(embeddings.count())
+    val chosen = resolveNlist(embeddings, nlist)
     val centroids = kmeansCentroids(embeddings, chosen, iters, portableMeans)
     val dv = embeddings.select(col("vec_id"),
       graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
@@ -639,6 +639,15 @@ object Similarity {
   def autoNlist(n: Long): Int =
     math.max(8, math.ceil(n.toDouble / HubnessTargetList).toInt)
 
+  /** The ONE auto-nlist resolution every auto-capable operator routes
+    * through (semanticDedup, knnHubness, knnLabelEval, bitext/hard-
+    * negative mining): nlist <= 0 means auto. A second inline copy of
+    * this conditional is how a future operator would silently ship the
+    * fixed-nlist pathology back in — CurationOpsSpec pins the resolver
+    * itself. The count is a bounded metadata action (q38-guard style). */
+  private[graft] def resolveNlist(embeddings: DataFrame, nlist: Int): Int =
+    if (nlist > 0) nlist else autoNlist(embeddings.count())
+
   def knnHubness(embeddings: DataFrame, k: Int = 10, nlist: Int = 0,
       iters: Int = 3, portableMeans: Boolean = false): DataFrame = {
     // nlist <= 0 = auto: hold the per-list size near HubnessTargetList so
@@ -646,7 +655,7 @@ object Similarity {
     // nlist measured 7x on 5x data; auto restores ~linear). The count is
     // a bounded metadata action, the q38-guard style of driver probe.
     val chosen =
-      if (nlist > 0) nlist else autoNlist(embeddings.count())
+      resolveNlist(embeddings, nlist)
     val centroids = kmeansCentroids(embeddings, chosen, iters, portableMeans)
     val dv = embeddings.select(col("vec_id"),
       graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
@@ -951,9 +960,14 @@ object Similarity {
     * Scale: q138's exact plan (checkpointed list table with per-row
     * norms, bounded top-k window, 8-byte-key aggregates) plus one
     * |labels|-key closing join. */
-  def knnLabelEval(embeddings: DataFrame, k: Int = 5, nlist: Int = 8,
+  def knnLabelEval(embeddings: DataFrame, k: Int = 5, nlist: Int = 0,
       iters: Int = 3, portableMeans: Boolean = false): DataFrame = {
-    val centroids = kmeansCentroids(embeddings, nlist, iters, portableMeans)
+    // nlist <= 0 = auto (the q138/q112 contract): hold per-list size so
+    // the within-list join stays n·B — fixed 8 measured 2.0x on 5x data
+    // during round-10 bring-up, auto restores ~linear; floors at the
+    // oracle's 8 lists at verify scale
+    val chosen = resolveNlist(embeddings, nlist)
+    val centroids = kmeansCentroids(embeddings, chosen, iters, portableMeans)
     val dv = embeddings.select(col("vec_id"),
       graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
     val lists = assign(dv, centroids)
@@ -1486,7 +1500,7 @@ object Similarity {
     },
 
     Q("q165_knn_label_eval", q165OracleSql(k = 5),
-      "kNN label-agreement — the standard INTRINSIC eval of an embedding space when labels exist, and the measured version of the property every downstream consumer here silently assumes (retrieval quality in q36/q49, SemDeDup validity in q112, hard-negative informativeness in q155): each vector's 5 nearest in-list neighbors vote on its label; reported per true label as majority-vote accuracy. Neighborhoods are bounded to IVF-list co-membership (the q138 production-index bound — pairwise work n*B, never n^2), which is ALSO what a deployed index would serve, so the eval measures the space as retrieval will actually see it. Majority ties break (max count, then smallest label) — one strict order on both engines; singleton-list vectors have no neighbors and are counted in n_vecs but not n_scored, never silently dropped (the q138 orphan convention). Registered with portableMeans=true: lists, round-6 cosines, votes, and the tie-broken argmax all replay bit-identically in the DuckDB twin — a full value-hash oracle for a model-quality metric. Scale: q138's exact plan (checkpointed list table with per-row norms, bounded per-list top-k window, 8-byte-key aggregates) plus one |labels|-key closing join.") {
+      "kNN label-agreement — the standard INTRINSIC eval of an embedding space when labels exist, and the measured version of the property every downstream consumer here silently assumes (retrieval quality in q36/q49, SemDeDup validity in q112, hard-negative informativeness in q155): each vector's 5 nearest in-list neighbors vote on its label; reported per true label as majority-vote accuracy. Neighborhoods are bounded to IVF-list co-membership (the q138 production-index bound — pairwise work n*B, never n^2) with AUTO-SCALED nlist (per-list size held near 63, floored at the oracle's 8 so verify scale replays the 8-list chain; fixed-8 measured 2.0x on 5x data during bring-up, auto restores ~linear), which is ALSO what a deployed index would serve, so the eval measures the space as retrieval will actually see it. Majority ties break (max count, then smallest label) — one strict order on both engines; singleton-list vectors have no neighbors and are counted in n_vecs but not n_scored, never silently dropped (the q138 orphan convention). Registered with portableMeans=true: lists, round-6 cosines, votes, and the tie-broken argmax all replay bit-identically in the DuckDB twin — a full value-hash oracle for a model-quality metric. Scale: q138's exact plan (checkpointed list table with per-row norms, bounded per-list top-k window, 8-byte-key aggregates) plus one |labels|-key closing join.") {
       (s, d) =>
         knnLabelEval(Tables.embeddings(s, d), k = 5, portableMeans = true)
     },
@@ -1501,7 +1515,7 @@ object Similarity {
       langX: String, langY: String, k: Int = 4, nlist: Int = 0,
       iters: Int = 3, portableMeans: Boolean = false): DataFrame = {
     val chosen =
-      if (nlist > 0) nlist else autoNlist(embeddings.count())
+      resolveNlist(embeddings, nlist)
     val centroids = kmeansCentroids(embeddings, chosen, iters, portableMeans)
     val dv = embeddings.select(col("vec_id"),
       graft.functions.VectorOps.asDouble(col("embedding")).as("v"))

@@ -75,6 +75,27 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("knn label eval auto-scales nlist (the q138/q112 contract)") {
+    // fixed nlist=8 measured 2.0x wall-clock on 5x data during round-10
+    // bring-up; q165's default (nlist = 0) routes through the ONE
+    // resolveNlist definition, pinned here: above the floor it opens
+    // autoNlist(n) lists, and at verify scale it floors to the oracle's 8
+    val base = Tables.embeddings(spark, sf001)
+    val big = (0 until 4).map(k =>
+        base.withColumn("vec_id", col("vec_id") + lit(k * 1000000L)))
+      .reduce(_ unionAll _)
+    val n = big.count()
+    assert(Similarity.autoNlist(n) > 8)
+    assert(Similarity.resolveNlist(big, 0) == Similarity.autoNlist(n))
+    assert(Similarity.resolveNlist(base, 0) == 8,
+      "verify scale must replay the oracle's 8-list chain")
+    assert(Similarity.resolveNlist(big, 3) == 3, "explicit nlist wins")
+    // and the big-corpus eval still partitions the corpus under auto
+    val rows = Similarity.knnLabelEval(big, k = 5).collect()
+    assert(rows.map(_.getLong(1)).sum == n)
+    assert(rows.map(_.getLong(2)).sum > 0)
+  }
+
   test("band planner: candidates shrink as rows-per-band grows; r=2 row = q34") {
     val p = Dedup.minhashBandPlanner(docs, k = 8).collect().sortBy(_.getInt(1))
     assert(p.map(_.getInt(1)).toSeq == Seq(1, 2, 4, 8))
