@@ -884,6 +884,36 @@ object Dedup {
     * the q76 and q97 oracles so the nibble-xor derivation cannot drift. */
   private val SimhashHamCte: String = SimhashBandCte + SimhashHamTail
 
+  /** q168: formatting-variant audit — how much of the exact-dup mass is
+    * FORMATTING NOISE (same content after q32 normalization, different
+    * raw bytes) vs true byte-identical copies. The distinction decides
+    * the fix: byte dups are storage/crawl bugs (dedupe at the blob
+    * layer, q133's territory); formatting variants are extraction
+    * artifacts (fix the normalizer, or they reappear with every crawl).
+    * Audited on the q32-convention fixture corpus (original + a
+    * byte-identical id-shifted copy + a punctuation-perturbed copy —
+    * both group outcomes provably exercised at test scale). Output is
+    * the (group size, raw-variant count) histogram over groups with
+    * ≥ 2 members. One fingerprint-key aggregate then a ≤ |distinct
+    * (n_docs, n_raw)| aggregate — the q32 plan with one extra
+    * countDistinct. */
+  def formattingVariants(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("text"))
+    val variants = base
+      .unionAll(base) // byte-identical twin
+      .unionAll(base.select(concat(col("text"), lit(" .")).as("text")))
+    variants
+      .select(fingerprint(col("text")).as("fp"), md5(col("text")).as("raw"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("raw")).as("n_raw_variants"))
+      .filter(col("n_docs") >= 2)
+      .groupBy(col("n_docs"), col("n_raw_variants"))
+      .agg(count(lit(1)).cast("bigint").as("n_groups"))
+      .select(col("n_docs"), col("n_raw_variants"), col("n_groups"),
+        (col("n_raw_variants") > 1).as("has_formatting_variants"))
+      .orderBy(col("n_docs"), col("n_raw_variants"))
+  }
+
   /** q161: the dedup SAVINGS curve — for every hamming threshold h in
     * [0, maxHamming], how many documents and tokens sit inside the
     * near-dup pair graph at that cutoff. This is the table a curator
@@ -2035,6 +2065,33 @@ object Dedup {
       "MinHash banding PLANNER — the (bands x rows-per-band) operating-point table behind every LSH dedup deployment: for each factorization of the k=8 signature, the closed-form S-curve capture probability 1-(1-s^r)^b at reference similarities 0.3/0.5/0.7 NEXT TO the measured candidate-pair count on this corpus. Theory picks the threshold shape (r=1 catches nearly everything incl. junk; r=8 demands all-8 agreement), the measured column prices it in verification work — the pair of numbers q34 (which ships b=4, r=2) and q143 (which calibrates what agreement MEANS) both presuppose. Determinism: the S-curve values are computed once on the driver and embedded as identical literals in BOTH plans — no cross-engine pow() parity bet; candidate counts ride the q143-pinned equivalence of the engine's positional band signatures and the oracle's seed-tagged string_agg bands. Scale: ONE compiled-MinHashSig pass (checkpointed) feeds all four band derivations; each count is the CAPPED band self-join (registered-cap principle, inert at test scale) collapsed to one row — four bounded joins over a 16-byte/doc table, never a corpus rescan per configuration.") {
       (s, d) =>
         minhashBandPlanner(Tables.documents(s, d), k = 8)
+    },
+
+    Q("q168_formatting_variants",
+      """WITH c AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        |    md5(text) AS raw
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))),
+        |    md5(text)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT md5(trim(regexp_replace(lower(text || ' .'), '[^a-z0-9]+', ' ', 'g'))),
+        |    md5(text || ' .')
+        |  FROM documents),
+        |g AS (
+        |  SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT raw) AS BIGINT) AS n_raw_variants
+        |  FROM c GROUP BY fp)
+        |SELECT n_docs, n_raw_variants, CAST(count(*) AS BIGINT) AS n_groups,
+        |  n_raw_variants > 1 AS has_formatting_variants
+        |FROM g WHERE n_docs >= 2
+        |GROUP BY n_docs, n_raw_variants
+        |ORDER BY n_docs, n_raw_variants""".stripMargin,
+      "Formatting-variant audit — splits the exact-dup mass q32 collapses into its two REAL populations: byte-identical copies (same raw md5 — storage/crawl bugs, dedupe at the blob layer, q133's machinery) vs FORMATTING VARIANTS (same content after the q32 normalization, different raw bytes — extraction artifacts that reappear with every crawl until the normalizer is fixed). The distinction decides which team gets the ticket, which is why data-quality audits report it separately. Runs on the q32-convention fixture corpus (original + byte-identical twin + a punctuation-perturbed copy whose ' .' suffix the normalizer provably erases), so BOTH outcomes are exercised at test scale: every group carries >= 3 members with exactly 2 raw variants, plus whatever natural dup structure the corpus adds. Output is the (group size, raw-variant count) histogram over groups with >= 2 members — bounded by the distinct size pairs, never per-group rows. Determinism: both fingerprints are md5 over identically-normalized strings (the q32 parity already proven cross-engine); counts exact. Scale: one fingerprint-key map-side-combined aggregate (the q32 plan) with one extra countDistinct riding the same shuffle, then a tiny histogram aggregate.") {
+      (s, d) =>
+        formattingVariants(Tables.documents(s, d))
     },
   )
 

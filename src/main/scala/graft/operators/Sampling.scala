@@ -195,6 +195,36 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** q167: retrieval-corpus chunking with OVERLAP — the RAG/embedding
+    * ingestion shape q145's packing deliberately is not: q145 tiles
+    * disjoint training windows across a global token ledger; a
+    * retrieval corpus instead cuts each document independently into
+    * `windowTokens`-token chunks every `stride` tokens (overlap =
+    * window − stride), so no boundary sentence is unembeddable. Chunks
+    * start at multiples of the stride and emission stops with the
+    * first chunk whose end reaches the document end (nchunks =
+    * ceil((n−W)/S)+1, floored at 1 — the standard splitter rule; no
+    * fully-contained tail chunks). Pure projection + bounded per-doc
+    * explode (≈ n/S rows per doc): zero body shuffles, fuses with any
+    * scan — the 100 TB shape for a chunker. All columns exact
+    * integers. */
+  def overlapChunks(docs: org.apache.spark.sql.DataFrame,
+      windowTokens: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(stride > 0 && stride <= windowTokens,
+      s"stride $stride must be in (0, windowTokens=$windowTokens]")
+    val nchunks = when(col("nt") <= windowTokens, lit(1L))
+      .otherwise(
+        expr(s"((nt - $windowTokens + $stride - 1) div $stride) + 1"))
+    docs.select(col("doc_id"), nTokens(col("text")).as("nt"))
+      .withColumn("i", explode(sequence(lit(0L), nchunks - 1)))
+      .select(col("doc_id"), col("i").cast("int").as("chunk_id"),
+        (col("i") * stride).cast("bigint").as("tok_start"),
+        least(col("i") * stride + windowTokens, col("nt")).cast("bigint")
+          .as("tok_end"))
+      .withColumn("n_tokens", col("tok_end") - col("tok_start"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("q61_hash_split",
@@ -732,6 +762,27 @@ object Sampling {
       "The epoch plan — the data-loader schedule implied by a token budget under temperature-tau=0.5 mixture weights (weight proportional to sqrt of token capacity — q124's flattening applied to token mass instead of doc counts): per source its integer token grant budget*w_i/sum(w) and epochs = grant/capacity, the repeat factor. epochs > 1 IS upsampling — the source repeats inside one budget pass, the regime q160's waterfill refuses by construction (it caps every grant at capacity) and real mixtures deliberately enter for scarce high-quality sources; this table and q160 are the two allocation policies a mixture designer compares. Both regimes are exercised at verify scale (the 26.5k budget ~ corpus size, and sqrt-flattening pushes the 4 scarcest sources above 1 epoch while the other 16 stay below). Determinism: capacities and the micro-quantized weights are exact integers; the budget*weight product runs in decimal(38,0) against the oracle's HUGEINT (the q147 wrap lesson — int64 dies silently at planetary budgets); epochs is one IEEE division. Scale: one map-side-combined |sources| aggregate, everything after on that bounded frame.") {
       (s, d) =>
         epochPlan(Tables.documents(s, d), budget = 26500L)
+    },
+
+    Q("q167_overlap_chunks",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |nc AS (
+        |  SELECT doc_id, nt,
+        |    CASE WHEN nt <= 32 THEN 1
+        |         ELSE (nt - 32 + 23) // 24 + 1 END AS n
+        |  FROM tok),
+        |ex AS (SELECT doc_id, nt, unnest(range(n)) AS i FROM nc)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+        |  CAST(i * 24 AS BIGINT) AS tok_start,
+        |  CAST(least(i * 24 + 32, nt) AS BIGINT) AS tok_end,
+        |  CAST(least(i * 24 + 32, nt) - i * 24 AS BIGINT) AS n_tokens
+        |FROM ex ORDER BY doc_id, chunk_id""".stripMargin,
+      "Retrieval-corpus chunking with OVERLAP (window 32 tokens, stride 24 — 8-token overlap): the RAG/embedding ingestion shape q145's packing deliberately is NOT. Packing tiles disjoint training windows across a global token ledger (documents fragment at arbitrary offsets); a retrieval corpus instead cuts each document INDEPENDENTLY with overlapping windows so no boundary sentence is unembeddable — the splitter every vector-store ingest runs before q36/q49 can serve it. Chunks start at stride multiples; emission stops with the first chunk whose end reaches the document end (nchunks = ceil((n-W)/S)+1 floored at 1 — the standard splitter rule, so no fully-contained tail chunks; the two integer-division forms, Spark div on a guarded-positive numerator and DuckDB floor-//, agree exactly where evaluated). Every column is exact integer arithmetic on the family's one token count. Scale: a pure projection plus a bounded per-doc explode (~n/S rows per doc) — ZERO body shuffles; at 100 TB this fuses into whatever scan feeds the embedder, which is the entire point of expressing it declaratively.") {
+      (s, d) =>
+        overlapChunks(Tables.documents(s, d), windowTokens = 32, stride = 24)
     },
   )
 

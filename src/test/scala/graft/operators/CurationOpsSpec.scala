@@ -96,6 +96,53 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum > 0)
   }
 
+  test("overlap chunks: full coverage, strictly advancing ends, no contained tails") {
+    val W = 32; val S = 24
+    val ch = Sampling.overlapChunks(docs, W, S).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    val nts = docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ch.keySet == nts.keySet, "every document must be chunked")
+    ch.foreach { case (id, rows) =>
+      val nt = nts(id)
+      assert(rows.head.getLong(2) == 0, "first chunk starts at 0")
+      assert(rows.last.getLong(3) == nt, "last chunk ends at the doc end")
+      rows.foreach { r =>
+        assert(r.getLong(3) - r.getLong(2) == r.getLong(4))
+        assert(r.getLong(3) <= nt && r.getLong(4) > 0)
+      }
+      // consecutive chunks: starts advance by the stride, ends strictly
+      // advance (no fully-contained tail chunks)
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(2) - a.getLong(2) == S)
+          assert(b.getLong(3) > a.getLong(3), s"contained tail in doc $id")
+        case _ =>
+      }
+    }
+  }
+
+  test("formatting variants: fixture groups carry the byte-twin and the perturbed copy") {
+    val h = Dedup.formattingVariants(docs).collect()
+    assert(h.nonEmpty)
+    h.foreach { r =>
+      // fixture = original + byte twin + ' .' variant per doc: every
+      // group holds at least one full triple and at least 2 raw variants
+      assert(r.getLong(0) >= 3, s"group size ${r.getLong(0)} < fixture triple")
+      assert(r.getLong(1) >= 2 && r.getBoolean(3),
+        "the perturbed copy must register as a raw variant")
+      assert(r.getLong(1) <= r.getLong(0))
+    }
+    // group mass reconciles with the distinct normalized fingerprints
+    val nFp = docs.select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.trim(regexp_replace(lower(col("text")),
+          "[^a-z0-9]+", " "))).as("fp"))
+      .distinct().count()
+    assert(h.map(_.getLong(2)).sum == nFp,
+      "every normalized fingerprint must land in exactly one histogram cell")
+  }
+
   test("band planner: candidates shrink as rows-per-band grows; r=2 row = q34") {
     val p = Dedup.minhashBandPlanner(docs, k = 8).collect().sortBy(_.getInt(1))
     assert(p.map(_.getInt(1)).toSeq == Seq(1, 2, 4, 8))
