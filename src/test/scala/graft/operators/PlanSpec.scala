@@ -471,6 +471,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-10 curation family (q161-q168): no cartesian; shuffle budgets hold") {
+    val bounds = Map(
+      // observed 9: capped band join (hot agg + self-join) + hmin agg +
+      // token join + 9-row level frame + sort
+      "q161_dedup_savings_curve" -> 11,
+      // observed 12: band join + two split-tag joins + pair/doc aggs + sort
+      "q162_split_leakage" -> 14,
+      // observed 3: flags/token join collapses into one scan; grid agg +
+      // broadcast total + sort
+      "q163_curriculum_grid" -> 5,
+      // observed 4: |sources| capacity agg + tiny-frame broadcast + sort
+      "q164_epoch_plan" -> 6,
+      // observed 20: four band-join legs (hot agg + self-join + count)
+      // off ONE checkpointed signature table + the 4-row union sort
+      "q166_minhash_band_planner" -> 24,
+      // observed 1: the zero-body-shuffle claim — only the presentation
+      // sort exchanges; a second shuffle appearing means the chunker
+      // stopped fusing with the scan
+      "q167_overlap_chunks" -> 1,
+      // observed 4: fingerprint agg (partial/final) + histogram agg + sort
+      "q168_formatting_variants" -> 5)
+    bounds.foreach { case (name, bound) =>
+      val p = planOf(name)
+      val n = p.collect { case s: ShuffleExchangeLike => s }.size
+      info(s"$name: $n shuffles (bound $bound)")
+      assert(n <= bound, s"$name has $n shuffles (bound $bound)")
+      assert(!p.toString.contains("CartesianProduct"), s"$name went cartesian")
+    }
+  }
+
   test("q159 totals fold from the cell frame: no join, one corpus aggregate") {
     val s = planString("q159_langid_confusion")
     assert(!s.contains("Join"), "q159 grew a join — totals must come from the cell window")
