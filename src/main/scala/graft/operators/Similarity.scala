@@ -208,7 +208,14 @@ object Similarity {
     * cosines; the score is one IEEE expression over them with ties
     * broken on (score DESC, vec_id) — the fold's keep-better reduction
     * applies the same strict total order, so the winner is independent
-    * of array order and identical to the rounds/oracle formulation. */
+    * of array order and identical to the rounds/oracle formulation.
+    * That holds even for NaN scores (a NaN-valued input embedding — a
+    * zero-norm vector instead fails LOUDLY under ANSI's divide-by-zero,
+    * never silently): Spark SQL's `>` and `===` on doubles use the
+    * TOTAL order (NaN greater than everything, NaN = NaN true — the
+    * same order the rounds window sort applies), not IEEE partial
+    * comparison, so a NaN candidate wins deterministically in both
+    * formulations (MmrFoldSpec's NaN case pins this). */
   def mmrTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
       fromN: Int = 20, lambda: Double = 0.7): DataFrame = {
     val selStructDdl =
@@ -648,31 +655,61 @@ object Similarity {
   private[graft] def resolveNlist(embeddings: DataFrame, nlist: Int): Int =
     if (nlist > 0) nlist else autoNlist(embeddings.count())
 
-  def knnHubness(embeddings: DataFrame, k: Int = 10, nlist: Int = 0,
-      iters: Int = 3, portableMeans: Boolean = false): DataFrame = {
-    // nlist <= 0 = auto: hold the per-list size near HubnessTargetList so
-    // the within-list self-join stays n·B as the corpus grows (fixed
-    // nlist measured 7x on 5x data; auto restores ~linear). The count is
-    // a bounded metadata action, the q38-guard style of driver probe.
-    val chosen =
-      resolveNlist(embeddings, nlist)
+  /** The ONE in-list exact-kNN scaffold shared by [[knnHubness]] (q138)
+    * and [[knnLabelEval]] (q165): auto-resolved nlist → Lloyd chain →
+    * map-side assignment → checkpointed list table with per-row norms →
+    * within-list self-join → round-6 cosine → bounded top-k window.
+    * Factored for the same reason as resolveNlist/gateFlags — two inline
+    * copies of the neighborhood definition would let a tie-break or
+    * rounding fix land in one operator and silently desynchronize the
+    * other's neighbor sets. `riders` carries extra per-vector columns
+    * (e.g. q165's label) from `embeddings` into the returned frames as
+    * `src_<r>` / `dst_<r>` on the edges and `<r>` on the list table.
+    *
+    * nlist <= 0 = auto: hold the per-list size near HubnessTargetList so
+    * the within-list self-join stays n·B as the corpus grows (fixed
+    * nlist measured 7x on 5x data for q138, 2.0x for q165; auto restores
+    * ~linear). The count inside resolveNlist is a bounded metadata
+    * action, the q38-guard style of driver probe.
+    *
+    * Returns (lists, knn): the checkpointed per-vector list table
+    * (cid, vec_id, v, riders*, nrm) and the kNN edge table
+    * (src, dst, cosine, src_riders*, dst_riders*, rn <= k). */
+  private[graft] def inListKnn(embeddings: DataFrame, k: Int, nlist: Int,
+      iters: Int, portableMeans: Boolean,
+      riders: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    val chosen = resolveNlist(embeddings, nlist)
     val centroids = kmeansCentroids(embeddings, chosen, iters, portableMeans)
     val dv = embeddings.select(col("vec_id"),
       graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
-    val lists = assign(dv, centroids)
-      .select(col("cid"), col("vec_id"), col("v"),
-        sqrt(graft.expressions.VecDot(col("v"), col("v"))).as("nrm"))
+    val assigned = assign(dv, centroids)
+    val withRiders =
+      if (riders.isEmpty) assigned
+      else assigned.join(
+        embeddings.select(col("vec_id") +: riders.map(col): _*), Seq("vec_id"))
+    val lists = withRiders
+      .select(Seq(col("cid"), col("vec_id"), col("v")) ++ riders.map(col) :+
+        sqrt(graft.expressions.VecDot(col("v"), col("v"))).as("nrm"): _*)
       .localCheckpoint(true)
-    val a = lists.select(col("cid"), col("vec_id").as("src"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = lists.select(col("cid").as("cidb"), col("vec_id").as("dst"),
-      col("v").as("vb"), col("nrm").as("nb"))
+    val a = lists.select(Seq(col("cid"), col("vec_id").as("src"),
+      col("v").as("va"), col("nrm").as("na")) ++
+      riders.map(r => col(r).as(s"src_$r")): _*)
+    val b = lists.select(Seq(col("cid").as("cidb"), col("vec_id").as("dst"),
+      col("v").as("vb"), col("nrm").as("nb")) ++
+      riders.map(r => col(r).as(s"dst_$r")): _*)
     val scored = a.join(b, col("cid") === col("cidb") && col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
+      .select(Seq(col("src"), col("dst"),
         round(graft.expressions.VecDot(col("va"), col("vb")) /
-          (col("na") * col("nb")), 6).as("cosine"))
+          (col("na") * col("nb")), 6).as("cosine")) ++
+        riders.flatMap(r => Seq(col(s"src_$r"), col(s"dst_$r"))): _*)
     val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
-    val knn = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    (lists, scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k))
+  }
+
+  def knnHubness(embeddings: DataFrame, k: Int = 10, nlist: Int = 0,
+      iters: Int = 3, portableMeans: Boolean = false): DataFrame = {
+    val (lists, knn) =
+      inListKnn(embeddings, k, nlist, iters, portableMeans)
     val indeg = lists.select(col("vec_id"))
       .join(knn.groupBy(col("dst")).agg(count(lit(1)).as("c")),
         col("vec_id") === col("dst"), "left")
@@ -962,29 +999,13 @@ object Similarity {
     * |labels|-key closing join. */
   def knnLabelEval(embeddings: DataFrame, k: Int = 5, nlist: Int = 0,
       iters: Int = 3, portableMeans: Boolean = false): DataFrame = {
-    // nlist <= 0 = auto (the q138/q112 contract): hold per-list size so
-    // the within-list join stays n·B — fixed 8 measured 2.0x on 5x data
-    // during round-10 bring-up, auto restores ~linear; floors at the
-    // oracle's 8 lists at verify scale
-    val chosen = resolveNlist(embeddings, nlist)
-    val centroids = kmeansCentroids(embeddings, chosen, iters, portableMeans)
-    val dv = embeddings.select(col("vec_id"),
-      graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
-    val lists = assign(dv, centroids)
-      .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
-      .select(col("cid"), col("vec_id"), col("v"), col("label"),
-        sqrt(graft.expressions.VecDot(col("v"), col("v"))).as("nrm"))
-      .localCheckpoint(true)
-    val a = lists.select(col("cid"), col("vec_id").as("src"),
-      col("label").as("own"), col("v").as("va"), col("nrm").as("na"))
-    val b = lists.select(col("cid").as("cidb"), col("vec_id").as("dst"),
-      col("label").as("nlabel"), col("v").as("vb"), col("nrm").as("nb"))
-    val scored = a.join(b, col("cid") === col("cidb") && col("src") =!= col("dst"))
-      .select(col("src"), col("own"), col("dst"), col("nlabel"),
-        round(graft.expressions.VecDot(col("va"), col("vb")) /
-          (col("na") * col("nb")), 6).as("cosine"))
-    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
-    val knn = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    // the q138 scaffold verbatim (ONE neighborhood definition — see
+    // inListKnn) with the label carried through as a rider column
+    val (lists, edges) =
+      inListKnn(embeddings, k, nlist, iters, portableMeans,
+        riders = Seq("label"))
+    val knn = edges.select(col("src"), col("src_label").as("own"),
+      col("dst"), col("dst_label").as("nlabel"))
     val pred = knn.groupBy(col("src"), col("own"), col("nlabel"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("src"), col("own"))

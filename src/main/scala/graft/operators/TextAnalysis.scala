@@ -188,10 +188,15 @@ object TextAnalysis {
   }
 
   /** The q105 quality-gate flags, per document — ONE definition shared by
-    * the per-source gate report (q105) and the quality×duplication lift
-    * monitor (q127), so the cross-signal analysis can never drift from
-    * the gate it explains. Returns (doc_id, source, f_short, f_low_ttr,
-    * f_bad_len, f_dup). */
+    * the per-source gate report (q105), the quality×duplication lift
+    * monitor (q127), and the curriculum grid (q163), so the cross-signal
+    * analyses can never drift from the gate they explain. Returns
+    * (doc_id, source, nt, f_short, f_low_ttr, f_bad_len, f_dup); `nt` is
+    * the whitespace token count the thresholds are computed FROM, emitted
+    * as a rider so consumers that also need it (q163's length buckets and
+    * token mass) don't rescan the corpus and re-join on doc_id to
+    * recompute a value this projection already holds — consumers that
+    * don't use it get it column-pruned for free. */
   def gateFlags(docs: DataFrame): DataFrame = {
     val ws = wsTokens(col("text"))
     val wsl = wsTokens(lower(col("text")))
@@ -199,6 +204,7 @@ object TextAnalysis {
     val mtl = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok
     val nShingles = size(split(regexp_replace(col("text"), "^\\s+|\\s+$", ""), "\\s+")) - 2
     docs.select(col("doc_id"), col("source"),
+      nTok.cast("long").as("nt"),
       (nTok < 20).as("f_short"),
       (size(array_distinct(wsl)).cast("double") / nTok < 0.32d).as("f_low_ttr"),
       (mtl < 4.0d || mtl > 5.0d).as("f_bad_len"),
@@ -276,26 +282,26 @@ object TextAnalysis {
     * needs exactly this occupancy grid, and the same two axes drive
     * packing efficiency (q145) and gate tuning (q105). Flags reuse
     * [[gateFlags]] verbatim — one source of truth with the gate and the
-    * q127 lift monitor. Length buckets are integer comparisons, never
+    * q127 lift monitor; its `nt` rider supplies the token count, so the
+    * whole grid is ONE corpus scan (no second tokenizing scan, no doc_id
+    * re-join). Length buckets are integer comparisons, never
     * floor(log(n)) (a power-of-two boundary value could round across
-    * engines). Scale: one corpus scan into a ≤ 5×4-key map-side-
-    * combined aggregate; the token-share divisor is a one-row broadcast. */
+    * engines). Every document lands in exactly one cell, so the
+    * token-share divisor is the grid's own token sum — a window over the
+    * ≤ 5×4 aggregated rows, not a second pass over the corpus. */
   def curriculumGrid(docs: DataFrame): DataFrame = {
     val nf = (col("f_short").cast("int") + col("f_low_ttr").cast("int")
       + col("f_bad_len").cast("int") + col("f_dup").cast("int")).as("n_flags")
-    val t = docs.select(col("doc_id"),
-      size(wsTokens(col("text"))).cast("long").as("nt"))
     val bucket = when(col("nt") < 32, "xs").when(col("nt") < 128, "s")
       .when(col("nt") < 512, "m").otherwise("l")
-    val g = gateFlags(docs).join(t, Seq("doc_id"))
+    val g = gateFlags(docs)
       .select(nf, bucket.as("len_bucket"), col("nt"))
       .groupBy(col("n_flags"), col("len_bucket"))
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         sum(col("nt")).cast("bigint").as("tokens"))
-    val tot = t.agg(sum(col("nt")).cast("bigint").as("total_tokens"))
-    g.crossJoin(broadcast(tot))
-      .select(col("n_flags"), col("len_bucket"), col("n_docs"), col("tokens"),
-        (col("tokens").cast("double") / col("total_tokens").cast("double"))
+    g.select(col("n_flags"), col("len_bucket"), col("n_docs"), col("tokens"),
+        (col("tokens").cast("double") /
+          sum(col("tokens")).over(Window.partitionBy()).cast("double"))
           .as("token_share"))
       .orderBy(col("n_flags"), col("len_bucket"))
   }
@@ -1148,10 +1154,11 @@ object TextAnalysis {
         |FROM b CROSS JOIN tot
         |GROUP BY n_flags, len_bucket, total_tokens
         |ORDER BY n_flags, len_bucket""".stripMargin,
-      "Curriculum occupancy grid — corpus mass binned by quality tier (how many q105 gate flags a document trips, 0..4 — the EXACT gateFlags definition, one source of truth with the gate and the q127 lift monitor) x length bucket (fixed integer thresholds <32/<128/<512/rest whitespace tokens). This is the table a curriculum or sampling schedule is built FROM: 'start on clean short documents, phase in the long tail' needs exactly this occupancy count, and the same axes drive packing efficiency (q145) and gate tuning (q105). Length buckets are integer comparisons by design, never floor(log n) — a power-of-two boundary value could round to different buckets across engines. Determinism: flag arithmetic is the q105 oracle's own comparisons cast to integers and summed; counts and token sums exact; token_share one IEEE division against a one-row total. Scale: one corpus scan into a <= 5x4-key map-side-combined aggregate; the share divisor broadcasts.") {
+      "Curriculum occupancy grid — corpus mass binned by quality tier (how many q105 gate flags a document trips, 0..4 — the EXACT gateFlags definition, one source of truth with the gate and the q127 lift monitor) x length bucket (fixed integer thresholds <32/<128/<512/rest whitespace tokens). This is the table a curriculum or sampling schedule is built FROM: 'start on clean short documents, phase in the long tail' needs exactly this occupancy count, and the same axes drive packing efficiency (q145) and gate tuning (q105). Length buckets are integer comparisons by design, never floor(log n) — a power-of-two boundary value could round to different buckets across engines. Determinism: flag arithmetic is the q105 oracle's own comparisons cast to integers and summed; counts and token sums exact; token_share one IEEE division against the grid's own token total (every document lands in exactly one cell, so the corpus total IS the cell sum). Scale: ONE corpus scan (gateFlags' nt rider — no token re-scan, no doc_id join) into a <= 5x4-key map-side-combined aggregate; the share divisor is a window over those aggregated rows, never a second pass.") {
       (s, d) =>
         curriculumGrid(Tables.documents(s, d))
     },
+
   )
 
   /** q149: one multiplicative-weights (DoReMi-style) domain reweighting

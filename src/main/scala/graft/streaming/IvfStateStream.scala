@@ -33,6 +33,11 @@ import graft.operators.Similarity
   *     ever receives appends of NEW vec_ids; compaction is
   *     [[CorpusStateStream.compactState]] on "lists" (pure file-level
   *     maintenance, same contract).
+  *   - `meta/` — (nlist): the CONFIGURED list count, written by
+  *     [[train]] before the centroids. Kept separately because the
+  *     centroid table is not a reliable witness: a Lloyd iteration that
+  *     empties a cluster drops its cid from `centroids/`, while skew in
+  *     the health table is defined against the configured count.
   *
   * Exactly-once story, inherited from the corpus stream: the file
   * source's checkpoint delivers each file once per committed batch; a
@@ -62,6 +67,9 @@ object IvfStateStream {
     StructField("cid", IntegerType),
     StructField("v", ArrayType(DoubleType))))
 
+  private val metaSchema = StructType(Seq(
+    StructField("nlist", IntegerType)))
+
   /** The persisted coarse quantizer. */
   def centroidState(spark: SparkSession, stateDir: String): DataFrame =
     CorpusStateStream.stateDf(spark, s"$stateDir/centroids", centroidSchema)
@@ -74,7 +82,13 @@ object IvfStateStream {
     * the one-time (per index generation) build step. Refuses to
     * overwrite an existing quantizer: lists already folded under the
     * old centroids would silently stop matching (retrain into a FRESH
-    * stateDir instead). Returns nlist actually written. */
+    * stateDir instead). Returns the configured nlist, which is ALSO
+    * persisted as index metadata (`meta/`): a Lloyd iteration can empty
+    * a cluster, so the stored centroid COUNT may come out below nlist —
+    * readers that need the configured list count (skew in
+    * [[listStatsFromState]]) must use [[storedNlist]], never
+    * `centroids.count()`, or they drift from the batch twin by exactly
+    * count/nlist on every skew row. */
   def train(seed: DataFrame, stateDir: String, nlist: Int, iters: Int = 3,
       portableMeans: Boolean = false): Int = {
     val spark = seed.sparkSession
@@ -84,11 +98,27 @@ object IvfStateStream {
     require(!fs.exists(p),
       s"$dir already holds a quantizer; retrain into a fresh stateDir " +
       "(in-place centroid swap would orphan every folded list)")
+    // meta BEFORE centroids: a crash between the two writes leaves the
+    // centroids dir absent, so a re-run of train() passes the guard and
+    // overwrites the orphan meta — whereas centroids-then-meta would
+    // strand a quantizer with no recorded nlist behind a guard that now
+    // refuses to re-run
+    spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(Integer.valueOf(nlist))), metaSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/meta")
     Similarity.kmeansCentroids(seed, nlist, iters, portableMeans)
       .select(col("cid").cast("int").as("cid"), col("cvec"))
       .write.mode("errorifexists").parquet(dir)
     nlist
   }
+
+  /** The CONFIGURED nlist of the stored quantizer — index metadata
+    * written by [[train]], distinct from the stored centroid count
+    * (which shrinks when a Lloyd iteration empties a cluster). */
+  def storedNlist(spark: SparkSession, stateDir: String): Int =
+    CorpusStateStream.stateDf(spark, s"$stateDir/meta", metaSchema)
+      .head().getInt(0)
 
   /** One micro-batch: assign arriving vectors against the FROZEN
     * quantizer and append exactly the new (vec_id, cid, v) rows.
@@ -148,8 +178,12 @@ object IvfStateStream {
     * without ever rebuilding the index it is monitoring. */
   def listStatsFromState(spark: SparkSession, stateDir: String): DataFrame = {
     val centroids = centroidState(spark, stateDir)
-    // nlist is a property of the stored quantizer, not a caller guess
-    val nlist = centroids.count().toInt
+    // nlist is a property of the stored quantizer, not a caller guess —
+    // and it is the CONFIGURED count from the index metadata, not
+    // centroids.count(): an emptied cluster drops out of the centroid
+    // table, but skew is defined against the configured list count
+    // (the batch twin ivfListStats(emb, nlist) uses the requested nlist)
+    val nlist = storedNlist(spark, stateDir)
     Similarity.ivfListStatsFromIndex(listState(spark, stateDir), centroids, nlist)
   }
 }

@@ -478,11 +478,17 @@ class PlanSpec extends SparkSpec {
       "q161_dedup_savings_curve" -> 11,
       // observed 12: band join + two split-tag joins + pair/doc aggs + sort
       "q162_split_leakage" -> 14,
-      // observed 3: flags/token join collapses into one scan; grid agg +
-      // broadcast total + sort
+      // observed 3: ONE scan into the grid agg (gateFlags' nt rider —
+      // no token re-scan, no doc_id join) + the share window over the
+      // ≤20 aggregated rows + sort
       "q163_curriculum_grid" -> 5,
       // observed 4: |sources| capacity agg + tiny-frame broadcast + sort
       "q164_epoch_plan" -> 6,
+      // observed 7: the q138 scaffold (within-list self-join + top-k
+      // window, Lloyd chain behind checkpoints) + vote/accuracy aggs +
+      // label join + sort — the family's most expensive query, pinned
+      // like its siblings
+      "q165_knn_label_eval" -> 9,
       // observed 20: four band-join legs (hot agg + self-join + count)
       // off ONE checkpointed signature table + the 4-row union sort
       "q166_minhash_band_planner" -> 24,

@@ -131,6 +131,34 @@ class IvfStateStreamSpec extends SparkSpec {
       "state-served list stats diverged from the one-shot batch operator")
   }
 
+  test("configured nlist survives an emptied cluster: stats match the batch twin") {
+    // vec 1 duplicates vec 0, so seeds c0 and c1 are identical; every
+    // point's similarity ties between them and the tie-break ("larger
+    // cid wins") starves c0 — the Lloyd recompute then DROPS cid 0 from
+    // the centroid table. skew is defined against the CONFIGURED list
+    // count, so listStatsFromState must read the persisted metadata,
+    // not count the surviving centroids (count/nlist drift otherwise).
+    import spark.implicits._
+    val emb = (0L until 40L).map { i =>
+      val th = (if (i == 1) 0L else i).toDouble * 0.37
+      (i, Array(math.cos(th).toFloat, math.sin(th).toFloat), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+
+    val root = Files.createTempDirectory("graft-ivfstate-meta").toString
+    val stateDir = s"$root/state"
+    val k = 4
+    IvfStateStream.train(emb, stateDir, k, portableMeans = true)
+    assert(IvfStateStream.centroidState(spark, stateDir).count() < k,
+      "fixture must actually empty a cluster")
+    assert(IvfStateStream.storedNlist(spark, stateDir) == k)
+
+    IvfStateStream.update(stateDir)(emb, 0L)
+    val served = IvfStateStream.listStatsFromState(spark, stateDir)
+    val batch = Similarity.ivfListStats(emb, nlist = k, portableMeans = true)
+    assert(served.exceptAll(batch).isEmpty && batch.exceptAll(served).isEmpty,
+      "state-served stats diverged from the batch twin under an emptied cluster")
+  }
+
   test("train refuses to overwrite an existing quantizer") {
     val root = Files.createTempDirectory("graft-ivfstate-train").toString
     val stateDir = s"$root/state"
