@@ -176,15 +176,27 @@ object Sampling {
     * does not). Scale: one map-side-combined |sources| aggregate; all
     * windows/joins on that bounded frame. */
   def epochPlan(docs: org.apache.spark.sql.DataFrame,
+      budget: Long): org.apache.spark.sql.DataFrame =
+    epochPlanFromCaps(
+      docs.select(col("source"), nTokens(col("text")).as("nt"))
+        .groupBy(col("source"))
+        .agg(sum(col("nt")).cast("bigint").as("capacity")),
+      budget)
+
+  /** The τ=0.5 planner body over a PREBUILT (source, capacity) frame —
+    * [[epochPlan]] aggregates raw documents into it; the dedup-aware
+    * replan (q170) feeds it capacities measured on UNIQUE content
+    * instead. One definition of the weight quantization, the
+    * decimal(38,0) grant arithmetic, and the epoch division, so the two
+    * plans a mixture designer compares can never drift in anything but
+    * their capacity input. */
+  def epochPlanFromCaps(caps: org.apache.spark.sql.DataFrame,
       budget: Long): org.apache.spark.sql.DataFrame = {
-    val caps = docs
-      .select(col("source"), nTokens(col("text")).as("nt"))
-      .groupBy(col("source")).agg(sum(col("nt")).cast("bigint").as("capacity"))
-      .select(col("source"), col("capacity"),
-        floor(sqrt(col("capacity").cast("double")) * lit(1e6d)).cast("bigint")
-          .as("weight_micro"))
-    val tot = caps.agg(sum(col("weight_micro")).cast("bigint").as("wt"))
-    caps.crossJoin(broadcast(tot))
+    val w = caps.select(col("source"), col("capacity"),
+      floor(sqrt(col("capacity").cast("double")) * lit(1e6d)).cast("bigint")
+        .as("weight_micro"))
+    val tot = w.agg(sum(col("weight_micro")).cast("bigint").as("wt"))
+    w.crossJoin(broadcast(tot))
       .withColumn("target_tokens",
         expr(s"CAST((CAST($budget AS DECIMAL(38,0)) * weight_micro) div wt AS BIGINT)"))
       .select(col("source"), col("capacity"), col("weight_micro"),
@@ -192,6 +204,55 @@ object Sampling {
         (col("target_tokens").cast("double") / col("capacity").cast("double"))
           .as("epochs"),
         (col("target_tokens") > col("capacity")).as("upsampled"))
+      .orderBy(col("source"))
+  }
+
+  /** q170: the dedup × mixture interaction — the nominal τ=0.5 epoch
+    * plan next to the plan REPLANNED on unique content, where unique
+    * capacity keeps one document per exact content fingerprint (the
+    * q32 keeper election: min doc_id per [[Dedup.exactDedup]]
+    * fingerprint, cross-source). Planning a mixture on raw capacities
+    * silently spends budget re-reading duplicated mass; this table
+    * quantifies both failure modes at once: `epochs_on_unique` is what
+    * the NOMINAL grant really does to unique content (the hidden
+    * upsampling a loader executes when dedup runs after planning), and
+    * `target_replanned`/`epochs_replanned` is the grant the designer
+    * should have issued. Both legs run through [[epochPlanFromCaps]] —
+    * one planner definition, capacities the only difference.
+    *
+    * Determinism: capacities, keeper election, and grants are exact
+    * integer/decimal arithmetic (the q164 decimal(38,0) convention);
+    * the two epoch ratios are single IEEE divisions. Scale: one corpus
+    * scan to token counts, one fingerprint aggregate (md5 keys,
+    * map-side combined) + a doc_id semi-join for keepers, then
+    * everything on |sources|-row frames. */
+  def dedupAwareEpochPlan(docs: org.apache.spark.sql.DataFrame,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col("doc_id"), col("source"),
+        nTokens(col("text")).as("nt"))
+      .localCheckpoint(true)
+    val capsAll = tok.groupBy(col("source"))
+      .agg(sum(col("nt")).cast("bigint").as("capacity"))
+    val keepers = Dedup.exactDedup(docs)
+      .select(col("keep_doc_id").as("doc_id"))
+    val capsUnique = tok.join(keepers, Seq("doc_id"), "left_semi")
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).cast("bigint").as("capacity"))
+    val nominal = epochPlanFromCaps(capsAll, budget)
+      .select(col("source"), col("capacity"),
+        col("target_tokens").as("target_nominal"),
+        col("epochs").as("epochs_nominal"))
+    val replanned = epochPlanFromCaps(capsUnique, budget)
+      .select(col("source"), col("capacity").as("unique_capacity"),
+        col("target_tokens").as("target_replanned"),
+        col("epochs").as("epochs_replanned"))
+    nominal.join(replanned, Seq("source"))
+      .select(col("source"), col("capacity"), col("unique_capacity"),
+        (col("capacity") - col("unique_capacity")).as("dup_tokens"),
+        col("target_nominal"), col("epochs_nominal"),
+        (col("target_nominal").cast("double")
+          / col("unique_capacity").cast("double")).as("epochs_on_unique"),
+        col("target_replanned"), col("epochs_replanned"))
       .orderBy(col("source"))
   }
 
@@ -783,6 +844,68 @@ object Sampling {
       "Retrieval-corpus chunking with OVERLAP (window 32 tokens, stride 24 — 8-token overlap): the RAG/embedding ingestion shape q145's packing deliberately is NOT. Packing tiles disjoint training windows across a global token ledger (documents fragment at arbitrary offsets); a retrieval corpus instead cuts each document INDEPENDENTLY with overlapping windows so no boundary sentence is unembeddable — the splitter every vector-store ingest runs before q36/q49 can serve it. Chunks start at stride multiples; emission stops with the first chunk whose end reaches the document end (nchunks = ceil((n-W)/S)+1 floored at 1 — the standard splitter rule, so no fully-contained tail chunks; the two integer-division forms, Spark div on a guarded-positive numerator and DuckDB floor-//, agree exactly where evaluated). Every column is exact integer arithmetic on the family's one token count. Scale: a pure projection plus a bounded per-doc explode (~n/S rows per doc) — ZERO body shuffles; at 100 TB this fuses into whatever scan feeds the embedder, which is the entire point of expressing it declaratively.") {
       (s, d) =>
         overlapChunks(Tables.documents(s, d), windowTokens = 32, stride = 24)
+    },
+
+    Q("q170_dedup_aware_epochs",
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, text FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM corpus),
+        |caps AS (
+        |  SELECT source, CAST(sum(nt) AS BIGINT) AS capacity
+        |  FROM tok GROUP BY source),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM (
+        |    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        |      doc_id
+        |    FROM corpus)
+        |  GROUP BY fp),
+        |ucaps AS (
+        |  SELECT source, CAST(sum(nt) AS BIGINT) AS capacity
+        |  FROM tok JOIN keep USING (doc_id) GROUP BY source),
+        |wn AS (
+        |  SELECT source, capacity,
+        |    CAST(floor(sqrt(CAST(capacity AS DOUBLE)) * 1e6) AS BIGINT) AS wm
+        |  FROM caps),
+        |wu AS (
+        |  SELECT source, capacity,
+        |    CAST(floor(sqrt(CAST(capacity AS DOUBLE)) * 1e6) AS BIGINT) AS wm
+        |  FROM ucaps),
+        |tn AS (SELECT CAST(sum(wm) AS BIGINT) AS wt FROM wn),
+        |tu AS (SELECT CAST(sum(wm) AS BIGINT) AS wt FROM wu),
+        |pn AS (
+        |  SELECT source, capacity,
+        |    CAST((CAST(26500 AS HUGEINT) * wm) // wt AS BIGINT) AS target_nominal
+        |  FROM wn CROSS JOIN tn),
+        |pu AS (
+        |  SELECT source, capacity AS unique_capacity,
+        |    CAST((CAST(26500 AS HUGEINT) * wm) // wt AS BIGINT) AS target_replanned
+        |  FROM wu CROSS JOIN tu)
+        |SELECT p.source, p.capacity, u.unique_capacity,
+        |  p.capacity - u.unique_capacity AS dup_tokens,
+        |  p.target_nominal,
+        |  CAST(p.target_nominal AS DOUBLE) / CAST(p.capacity AS DOUBLE)
+        |    AS epochs_nominal,
+        |  CAST(p.target_nominal AS DOUBLE) / CAST(u.unique_capacity AS DOUBLE)
+        |    AS epochs_on_unique,
+        |  u.target_replanned,
+        |  CAST(u.target_replanned AS DOUBLE) / CAST(u.unique_capacity AS DOUBLE)
+        |    AS epochs_replanned
+        |FROM pn p JOIN pu u USING (source) ORDER BY p.source""".stripMargin,
+      "The dedup x mixture interaction — q164's nominal tau=0.5 epoch plan next to the plan REPLANNED on unique content, where unique capacity keeps one document per exact content fingerprint (the q32 keeper election verbatim: min doc_id per Dedup.exactDedup fingerprint, cross-source; the corpus is unioned with a shifted copy of every third document, the q32/q85 fixture convention, so ~1/4 of each source's mass is provably duplicated). Planning on raw capacities silently spends budget re-reading duplicated mass; this table quantifies BOTH failure modes: epochs_on_unique is what the nominal grant really does to unique content (the hidden upsampling a loader executes when dedup runs after planning), and target_replanned/epochs_replanned is the grant the designer should have issued. Both legs run through epochPlanFromCaps — ONE planner definition (weight quantization, decimal(38,0) grant arithmetic, epoch division), capacities the only difference, the composition-over-copy principle. Determinism: capacities/keepers/grants exact integer+decimal arithmetic against the oracle's HUGEINT; the epoch ratios are single IEEE divisions. Scale: one corpus scan to token counts (checkpointed, shared by both capacity legs), one map-side-combined md5-fingerprint aggregate + doc_id semi-join for keepers, then everything on |sources|-row frames.") {
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(
+          col("doc_id"), col("source"), col("text"))
+        val corpus = docs.unionAll(
+          docs.filter(col("doc_id") % 3 === 0).select(
+            (col("doc_id") + 1000000).as("doc_id"), col("source"), col("text")))
+        dedupAwareEpochPlan(corpus, budget = 26500L)
+      }
     },
   )
 

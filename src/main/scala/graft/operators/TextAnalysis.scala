@@ -234,6 +234,27 @@ object TextAnalysis {
       .orderBy(col("rn"))
   }
 
+  /** The positional word-3-gram hash stream — (doc_id, pos, h) with one
+    * row per shingle start position and h the 60-bit md5-derived hash of
+    * the shingle text (the q35/q126 cross-engine convention: 15 lowercase
+    * hex chars parsed as an integer). ONE definition feeding winnowing
+    * (q126) and the repeated-passage cut list (q169): both need the same
+    * positions and the same hash values, and a second inline copy is how
+    * their span/window semantics would silently diverge. The lead()
+    * shingle assembly and every downstream window share one
+    * (doc_id, pos) sort partitioning. */
+  private[operators] def shingleHashStream(docs: DataFrame): DataFrame = {
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("w1", lead(col("w"), 1).over(wp))
+      .withColumn("w2", lead(col("w"), 2).over(wp))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(concat_ws(" ", col("w"), col("w1"), col("w2"))), 1, 15),
+          16, 10).cast("long").as("h"))
+  }
+
   /** Winnowing window minima (q126 core): one row per complete 4-shingle
     * window — (doc_id, pos, wmin) where wmin is the min 60-bit md5-derived
     * hash of the word-3-gram shingles in the window. All three window
@@ -241,17 +262,110 @@ object TextAnalysis {
     * single sort-shuffle of 8-byte hashes. */
   def winnowedMins(docs: DataFrame): DataFrame = {
     val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    shingleHashStream(docs)
+      .withColumn("wmin", min(col("h")).over(wp.rowsBetween(0, 3)))
+      .withColumn("tail3", lead(col("h"), 3).over(wp))
+  }
+
+  /** q169: the cross-document repeated-passage CUT LIST — per document,
+    * the maximal token intervals covered by word-3-gram shingles that
+    * occur in at least `dfMin` DISTINCT documents. q106/q110 cut a
+    * curated phrase blacklist and q100 measures INTRA-doc repetition;
+    * this is the remaining granularity a substring-level dedup pass
+    * (the Lee et al. 2022 recipe, approximated at shingle resolution)
+    * actually executes on: "these exact token ranges also appear
+    * elsewhere — cut them, keep the rest of the document". Spans merge
+    * whenever their 3-token windows touch or overlap (next start −
+    * prev start ≤ 3), so each output row is one contiguous cut.
+    *
+    * Determinism: positions and counts are exact integers; the shingle
+    * hash is the family's md5-60-bit convention ([[shingleHashStream]]
+    * — VALUES agree bit-exactly cross-engine, so df thresholds and
+    * span boundaries cannot drift). A null lag (each doc's first
+    * repeated position) falls to the otherwise(1) branch on both
+    * engines — NULL ≤ 3 is NULL, not true.
+    *
+    * Scale: strictly linear, no pairwise stage anywhere — ONE
+    * (doc_id, pos) sort shared by shingle assembly and the island
+    * windows, one 8-byte-hash df aggregate (map-side combined), one
+    * membership semi-join of positions against the df-qualified hash
+    * set (never doc×doc), and a (doc_id, island)-key aggregate that
+    * rides the doc partitioning. At 100 TB each stage is an
+    * embarrassingly parallel shuffle on 8-byte keys; the df table is
+    * shingle-vocabulary-sized and prunes to qualifying hashes before
+    * the join. */
+  /** The df-qualified repeated shingle START positions — (doc_id, pos)
+    * where the word-3-gram at pos occurs in at least `dfMin` DISTINCT
+    * documents. The shared detection core of the cut-list REPORT
+    * (q169, [[repeatedPassages]]) and the cut APPLICATION (q171,
+    * [[passageCutApply]]) — one definition of "repeated here", so the
+    * report can never disagree with the transform it describes. The
+    * two shingle-stream consumers (df aggregate + membership probe)
+    * dedupe to one corpus tokenization via AQE exchange reuse
+    * (PlanSpec pins it). */
+  private[operators] def repeatedPositions(docs: DataFrame, dfMin: Int): DataFrame = {
+    val sh = shingleHashStream(docs)
+    val hot = sh.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= dfMin)
+      .select(col("h"))
+    sh.join(hot, Seq("h"), "left_semi").select(col("doc_id"), col("pos"))
+  }
+
+  def repeatedPassages(docs: DataFrame, dfMin: Int = 2): DataFrame = {
+    val rep = repeatedPositions(docs, dfMin)
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = rep
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wp) <= 3, 0).otherwise(1))
+      .withColumn("island", sum(col("brk")).over(wp))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("bigint").as("span_start"),
+        (max(col("pos")) + 2).cast("bigint").as("span_end"),
+        count(lit(1)).cast("bigint").as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_grams"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** q171: APPLY the q169 cut list — the dedup transform itself, not
+    * its report: every token covered by a cross-document-repeated
+    * word-3-gram (the shingle's three positions, [[repeatedPositions]]
+    * verbatim) is cut, the survivors are reassembled in order, and each
+    * document is emitted with its before/after accounting and the md5
+    * fingerprint of its cleaned text (the bounded stand-in for the
+    * rewritten corpus — production writes the kept tokens themselves;
+    * the fingerprint keeps the oracle row small while still pinning the
+    * VALUE of the reassembled text, not just its length). Every
+    * document appears exactly once, including unshingleable (< 3
+    * token) and untouched ones (n_cut = 0, clean_fp = the full text's
+    * token fingerprint) and fully-covered ones (n_kept = 0, clean_fp =
+    * md5 of the empty string on both engines).
+    *
+    * Scale: linear end to end — coverage is |repeated starts|×3
+    * exploded then deduped on (doc_id, pos), the cut decision is ONE
+    * left join of the token stream against it on the composite 12-byte
+    * key (never a per-doc range probe), and reassembly is one
+    * (doc_id)-key aggregate whose collect_list is the document itself —
+    * the inherent cost of a transform whose OUTPUT is the document. */
+  def passageCutApply(docs: DataFrame, dfMin: Int = 2): DataFrame = {
+    val cov = repeatedPositions(docs, dfMin)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + 2)).as("pos"))
+      .distinct()
+      .withColumn("c", lit(1))
     val toks = docs
       .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "w")))
-    val sh = toks
-      .withColumn("w1", lead(col("w"), 1).over(wp))
-      .withColumn("w2", lead(col("w"), 2).over(wp))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), col("pos"),
-        conv(substring(md5(concat_ws(" ", col("w"), col("w1"), col("w2"))), 1, 15),
-          16, 10).cast("long").as("h"))
-    sh.withColumn("wmin", min(col("h")).over(wp.rowsBetween(0, 3)))
-      .withColumn("tail3", lead(col("h"), 3).over(wp))
+    toks.join(cov, Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+        count(col("c")).cast("bigint").as("n_cut"),
+        (count(lit(1)) - count(col("c"))).cast("bigint").as("n_kept"),
+        md5(concat_ws(" ",
+          expr("transform(array_sort(collect_list(CASE WHEN c IS NULL " +
+            "THEN struct(pos, w) END)), s -> s.w)"))).as("clean_fp"))
+      .orderBy(col("doc_id"))
   }
 
   /** Per-doc winnowing fingerprint SET — the thing a fingerprint index
@@ -1159,6 +1273,89 @@ object TextAnalysis {
         curriculumGrid(Tables.documents(s, d))
     },
 
+    Q("q169_repeated_passages",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |ti AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(1, len(toks) - 2)) AS i
+        |  FROM t WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    CAST('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM ti),
+        |hot AS (
+        |  SELECT h FROM (
+        |    SELECT h, count(DISTINCT doc_id) AS df FROM sh GROUP BY h)
+        |  WHERE df >= 2),
+        |rep AS (SELECT s.doc_id, s.pos FROM sh s JOIN hot USING (h)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 3
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM rep),
+        |isl2 AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS island
+        |  FROM isl)
+        |SELECT doc_id,
+        |  CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 2 AS BIGINT) AS span_end,
+        |  CAST(max(pos) + 2 - min(pos) + 1 AS BIGINT) AS span_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_grams
+        |FROM isl2 GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+      "Cross-document repeated-passage CUT LIST — per document, the maximal token intervals covered by word-3-gram shingles occurring in >= 2 DISTINCT documents: the transform a substring-granularity dedup pass (the Lee et al. 2022 'Deduplicating Training Data' recipe, approximated at shingle resolution) actually executes — cut exactly these ranges, keep the rest of the document, instead of dropping whole documents (q32/q81) or matching a curated blacklist (q106/q110); q100 measures the INTRA-doc complement. Spans merge whenever their 3-token windows touch or overlap (next start - prev start <= 3), so each row is one contiguous cut with its covering-shingle count. Determinism: positions/counts exact integers; the shingle hash is the family's md5-60-bit convention (values bit-equal cross-engine via shingleHashStream — ONE definition with q126's winnowing), so df thresholds and span boundaries cannot drift; the first-position NULL lag falls to the new-island branch identically on both engines (NULL <= 3 is NULL, not true). Scale: strictly linear, no pairwise stage — one (doc_id,pos) sort shared by shingle assembly and the island windows, one map-side-combined 8-byte-hash df aggregate, one membership semi-join of positions against the df-qualified hashes (never doc x doc), and a (doc_id,island) aggregate riding the doc partitioning; at 100 TB every stage shuffles 8-byte keys and the df table prunes before the join.") {
+      (s, d) =>
+        repeatedPassages(Tables.documents(s, d), dfMin = 2)
+    },
+
+    Q("q171_passage_cut_apply",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |ti AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(1, len(toks) - 2)) AS i
+        |  FROM t WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    CAST('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM ti),
+        |hot AS (
+        |  SELECT h FROM (
+        |    SELECT h, count(DISTINCT doc_id) AS df FROM sh GROUP BY h)
+        |  WHERE df >= 2),
+        |rep AS (SELECT s.doc_id, s.pos FROM sh s JOIN hot USING (h)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT doc_id, pos + unnest([0, 1, 2]) AS pos FROM rep)),
+        |tk AS (
+        |  SELECT doc_id, i - 1 AS pos, toks[i] AS w FROM (
+        |    SELECT doc_id, toks,
+        |      unnest(generate_series(1, len(toks))) AS i
+        |    FROM t)),
+        |fl AS (
+        |  SELECT tk.doc_id, tk.pos, tk.w, cov.pos AS cpos
+        |  FROM tk LEFT JOIN cov
+        |    ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(cpos) AS BIGINT) AS n_cut,
+        |  CAST(count(*) - count(cpos) AS BIGINT) AS n_kept,
+        |  md5(coalesce(array_to_string(
+        |    list(w ORDER BY pos) FILTER (WHERE cpos IS NULL), ' '), ''))
+        |    AS clean_fp
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "APPLY the q169 cut list — the substring-granularity dedup TRANSFORM itself, not its report: every token covered by a cross-document-repeated word-3-gram (the shingle's three positions, repeatedPositions verbatim — ONE detection definition with q169, so the report can never disagree with the transform it describes) is cut, survivors reassemble in order, and each document emits its before/after token accounting plus the md5 fingerprint of the cleaned text — the bounded stand-in for the rewritten corpus (production writes the kept tokens; the fingerprint pins the VALUE of the reassembled text, not just its length, while keeping rows small). Every document appears exactly once: unshingleable (< 3 tokens) and untouched docs at n_cut = 0 with the full-text token fingerprint, fully-covered docs at n_kept = 0 with md5('') — identical on both engines via the empty-reassembly coalesce. Determinism: counts exact integers; the fingerprint input is the identical space-joined token sequence (array_sort over (pos, token) structs vs ORDER BY pos — pos is unique per doc, so one total order). Scale: linear end to end — coverage is |repeated starts| x 3 exploded then deduped on (doc_id, pos), the cut decision is ONE left join of the token stream on the composite 12-byte key (never a per-doc range probe), and reassembly is one doc-key aggregate whose collect_list IS the document — the inherent cost of a transform whose output is the document itself.") {
+      (s, d) =>
+        passageCutApply(Tables.documents(s, d), dfMin = 2)
+    },
   )
 
   /** q149: one multiplicative-weights (DoReMi-style) domain reweighting

@@ -159,4 +159,122 @@ class CurationOpsSpec extends SparkSpec {
     assert(p.find(_.getInt(1) == 2).get.getLong(2) == q34,
       "the (4,2) planner row must equal q34's candidate count")
   }
+
+  test("repeated passages: spans disjoint, internally consistent, merge correctly") {
+    import spark.implicits._
+    // d0/d1 share "alpha beta gamma delta" (two overlapping repeated
+    // 3-grams -> ONE merged 4-token span); d0/d2 share a separate
+    // passage far inside d0; d3 is all-unique -> no rows
+    val docs = Seq(
+      (0L, "alpha beta gamma delta u1 u2 u3 u4 red green blue cyan end0"),
+      (1L, "x1 x2 alpha beta gamma delta y1 y2 y3"),
+      (2L, "z1 z2 z3 red green blue cyan z4"),
+      (3L, "only unique words appear in this document")
+    ).toDF("doc_id", "text")
+    val spans = TextAnalysis.repeatedPassages(docs, dfMin = 2).collect()
+    // d0: [0,3] (alpha..delta) and [8,11] (red..cyan); gap of 4 > 3 so
+    // they must NOT merge. d1: [2,5]. d2: [3,6]. d3: nothing.
+    val byDoc = spans.groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1).toSeq).toMap
+    assert(byDoc.keySet == Set(0L, 1L, 2L),
+      s"unexpected docs with spans: ${byDoc.keySet}")
+    assert(byDoc(0L) == Seq((0L, 3L, 4L, 2L), (8L, 11L, 4L, 2L)),
+      s"d0 spans: ${byDoc(0L)}")
+    assert(byDoc(1L) == Seq((2L, 5L, 4L, 2L)), s"d1 spans: ${byDoc(1L)}")
+    assert(byDoc(2L) == Seq((3L, 6L, 4L, 2L)), s"d2 spans: ${byDoc(2L)}")
+    // generic invariants on the real corpus: disjoint ordered spans,
+    // width identity, gram count bounded by the shingle positions
+    val real = TextAnalysis.repeatedPassages(
+      Tables.documents(spark, sf001), dfMin = 2).collect()
+    assert(real.nonEmpty, "sf0.01 corpus must contain repeated passages")
+    real.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      val s = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      s.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) =>
+          assert(s2 > e1 + 1, s"doc $id spans touch or overlap — must merge")
+        case _ =>
+      }
+      rows.foreach { r =>
+        assert(r.getLong(3) == r.getLong(2) - r.getLong(1) + 1)
+        assert(r.getLong(3) >= 3 && r.getLong(4) <= r.getLong(3) - 2)
+      }
+    }
+  }
+
+  test("passage cut apply: reconciles with the q169 report; untouched docs keep their text") {
+    import spark.implicits._
+    val fix = Seq(
+      (0L, "alpha beta gamma delta u1 u2 u3 u4 red green blue cyan end0"),
+      (1L, "x1 x2 alpha beta gamma delta y1 y2 y3"),
+      (2L, "z1 z2 z3 red green blue cyan z4"),
+      (3L, "only unique words appear in this document")
+    ).toDF("doc_id", "text")
+    val cut = TextAnalysis.passageCutApply(fix, dfMin = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toMap
+    // d0 loses [0,3] and [8,11] (8 of 13 tokens); d3 is untouched
+    assert(cut(0L)._1 == 13 && cut(0L)._2 == 8 && cut(0L)._3 == 5)
+    assert(cut(0L)._4 == org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      "u1 u2 u3 u4 end0"), "d0's reassembled text must be the kept tokens")
+    assert(cut(3L)._2 == 0 && cut(3L)._4 ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        "only unique words appear in this document"),
+      "an untouched doc must fingerprint its full text")
+    // every document appears exactly once, with consistent accounting
+    val real = TextAnalysis.passageCutApply(docs, dfMin = 2).collect()
+    assert(real.length == docs.count())
+    real.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3)))
+    // THE reconciliation: per doc, tokens cut == the q169 report's span
+    // mass (spans are disjoint and tile exactly the covered positions)
+    val spans = TextAnalysis.repeatedPassages(docs, dfMin = 2).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(3)).sum).toMap
+    real.foreach { r =>
+      assert(r.getLong(2) == spans.getOrElse(r.getLong(0), 0L),
+        s"doc ${r.getLong(0)}: n_cut ${r.getLong(2)} != q169 span mass")
+    }
+  }
+
+  test("dedup-aware epochs: identities hold; nominal grant always upsamples unique content") {
+    val base = docs.select(col("doc_id"), col("source"), col("text"))
+    val corpus = base.unionAll(base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("source"),
+        col("text")))
+    val p = Sampling.dedupAwareEpochPlan(corpus, budget = 26500L).collect()
+    assert(p.nonEmpty)
+    p.foreach { r =>
+      val (cap, ucap, dup) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ucap <= cap && dup == cap - ucap && ucap > 0,
+        "unique capacity must be positive and bounded by raw capacity")
+      assert(dup > 0, "the shifted-third fixture must duplicate every source")
+      // same numerator, smaller denominator: the nominal grant repeats
+      // unique content strictly more than the raw-capacity ratio admits
+      assert(r.getDouble(6) > r.getDouble(5),
+        "epochs_on_unique must exceed epochs_nominal")
+      assert(r.getDouble(8) ==
+        r.getLong(7).toDouble / ucap.toDouble, "replanned epoch identity")
+    }
+    // both planner legs keep the q164 floor-loss bound
+    val gn = p.map(_.getLong(4)).sum; val gu = p.map(_.getLong(7)).sum
+    assert(gn <= 26500L && 26500L - gn < p.length)
+    assert(gu <= 26500L && 26500L - gu < p.length)
+    // when the ORIGINAL corpus is exact-dup-free (it is at sf0.01 —
+    // checked, not assumed), every shifted copy loses its keeper
+    // election to the original doc_id, so unique capacity == original
+    // source mass exactly
+    val nFp = base.select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.trim(regexp_replace(lower(col("text")),
+          "[^a-z0-9]+", " "))).as("fp")).distinct().count()
+    if (nFp == base.count()) {
+      val orig = base.select(col("source"),
+          org.apache.spark.sql.functions.size(split(col("text"), " "))
+            .cast("long").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("cap"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      p.foreach { r =>
+        assert(r.getLong(2) == orig(r.getString(0)),
+          s"unique capacity of ${r.getString(0)} must equal its original mass")
+      }
+    }
+  }
 }

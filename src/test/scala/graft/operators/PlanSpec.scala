@@ -497,7 +497,18 @@ class PlanSpec extends SparkSpec {
       // stopped fusing with the scan
       "q167_overlap_chunks" -> 1,
       // observed 4: fingerprint agg (partial/final) + histogram agg + sort
-      "q168_formatting_variants" -> 5)
+      "q168_formatting_variants" -> 5,
+      // observed ~7: ONE (doc_id,pos) sort reused by both shingle legs
+      // (ReusedExchange — pinned below), hash df agg, membership join,
+      // island window re-sort + island agg + sort
+      "q169_repeated_passages" -> 9,
+      // observed ~8: token agg x2 off the checkpointed tok frame,
+      // fingerprint agg + keeper join, two |sources| planner legs
+      // (one-row totals broadcast), source join + sort
+      "q170_dedup_aware_epochs" -> 11,
+      // observed ~7: q169's detection shuffles + the coverage distinct,
+      // the (doc_id,pos) cut join, the doc-key reassembly agg + sort
+      "q171_passage_cut_apply" -> 10)
     bounds.foreach { case (name, bound) =>
       val p = planOf(name)
       val n = p.collect { case s: ShuffleExchangeLike => s }.size
@@ -505,6 +516,24 @@ class PlanSpec extends SparkSpec {
       assert(n <= bound, s"$name has $n shuffles (bound $bound)")
       assert(!p.toString.contains("CartesianProduct"), s"$name went cartesian")
     }
+  }
+
+  test("q169 shares ONE shingle stream: the df leg reuses the positions exchange") {
+    // shingleHashStream feeds both the hash-df aggregate and the
+    // membership probe; the identical (doc_id, pos) shuffle subtree
+    // must dedupe via AQE stage reuse, not tokenize the corpus twice —
+    // the declarative alternative to checkpointing a corpus-sized
+    // positional stream (which at 100 TB would materialize the corpus).
+    // Reuse only appears in the FINAL adaptive plan, so execute first.
+    val df = graft.SparkEntry.queries("q169_repeated_passages")(spark, sf001)
+    // collect THIS frame (count() would build a different QueryExecution
+    // and leave this one's adaptive plan unfinalized)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("ReusedExchange") || s.contains("ReusedQueryStage"),
+      "q169 lost exchange reuse — the corpus is being tokenized twice:\n" +
+        s.take(1200))
+    assert(!s.contains("CartesianProduct"))
   }
 
   test("q159 totals fold from the cell frame: no join, one corpus aggregate") {
