@@ -312,8 +312,14 @@ object TextAnalysis {
     sh.join(hot, Seq("h"), "left_semi").select(col("doc_id"), col("pos"))
   }
 
-  def repeatedPassages(docs: DataFrame, dfMin: Int = 2): DataFrame = {
-    val rep = repeatedPositions(docs, dfMin)
+  /** Islands merge of covered 3-gram START positions (doc_id, pos) into
+    * maximal token spans — ONE definition of the q169 merge rule
+    * (starts ≤ 3 apart means the 3-token windows touch or overlap, so
+    * the union is one contiguous cut), shared by the batch cut list
+    * (q169/q171) and the streaming arrival read
+    * ([[graft.streaming.CorpusStateStream.arrivalCutList]]). Both
+    * windows and the closing aggregate ride one (doc_id) partitioning. */
+  private[graft] def mergeCoveredSpans(rep: DataFrame): DataFrame = {
     val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val islands = rep
       .withColumn("brk",
@@ -328,6 +334,9 @@ object TextAnalysis {
         col("n_grams"))
       .orderBy(col("doc_id"), col("span_start"))
   }
+
+  def repeatedPassages(docs: DataFrame, dfMin: Int = 2): DataFrame =
+    mergeCoveredSpans(repeatedPositions(docs, dfMin))
 
   /** q171: APPLY the q169 cut list — the dedup transform itself, not
     * its report: every token covered by a cross-document-repeated

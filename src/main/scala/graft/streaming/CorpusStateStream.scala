@@ -102,6 +102,36 @@ object CorpusStateStream {
       .write.mode("append").parquet(s"$stateDir/sigs")
   }
 
+  /** Span-granularity arrival novelty served FROM the maintained state —
+    * the streaming sibling of q169's cut list. q118 answers "how novel
+    * is each arriving document"; this answers "WHICH of its token
+    * ranges are not": for a batch of arriving documents, the maximal
+    * token intervals covered by 3-gram shingles already present in the
+    * persisted distinct-shingle set, merged under q169's exact islands
+    * rule ([[graft.operators.TextAnalysis.mergeCoveredSpans]] — one
+    * span-merge definition across batch and stream). Deliberately
+    * state-only: two arriving documents repeating EACH OTHER but
+    * nothing in the corpus produce no spans here (that's the batch
+    * q169's job after they fold in) — the read is "what does the
+    * existing corpus already contain", the question an ingest gate
+    * asks BEFORE admitting the batch.
+    *
+    * Scale: |batch| compiled shingle derivation + ONE semi-join of its
+    * (pos, h) stream against state read with pushdown on the 8-byte
+    * key — the old corpus text is never rescanned; spans merge on the
+    * batch's own (doc_id) partitioning. */
+  def arrivalCutList(spark: SparkSession, stateDir: String,
+      batch: DataFrame): DataFrame = {
+    // ShingleHash64.all, not the deduping default: posexplode indices
+    // are shingle START positions only when repeats are kept
+    val sh = batch.select(col("doc_id"),
+      posexplode(graft.expressions.ShingleHash64.all(col("text"), 3))
+        .as(Seq("pos", "h")))
+    val rep = sh.join(shingleState(spark, stateDir), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    graft.operators.TextAnalysis.mergeCoveredSpans(rep)
+  }
+
   /** Start the maintenance stream over a directory of arriving document
     * parquet files. `availableNow = true` drains the backlog and stops
     * (tests, catch-up); the default is a processing-time trigger. */

@@ -150,6 +150,42 @@ class CorpusStateStreamSpec extends SparkSpec {
     assert(post == 0L, "after folding the batch into state nothing is novel")
   }
 
+  test("arrival cut list served from state: batch-twin equal, state-only by design") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-corpstate-cutlist").toString
+    val stateDir = s"$root/state"
+    val existing = docsSlice(col("doc_id") % 10 < 8)
+    CorpusStateStream.update(stateDir)(existing, 0L)
+
+    val arrivals = docsSlice(col("doc_id") % 10 >= 8)
+    val served = CorpusStateStream.arrivalCutList(spark, stateDir, arrivals)
+    // batch twin: arriving positions whose shingle lives in the OLD
+    // corpus's distinct set, merged by the same rule
+    val rep = arrivals.select(col("doc_id"),
+        posexplode(graft.expressions.ShingleHash64.all(col("text"), 3))
+          .as(Seq("pos", "h")))
+      .join(batchShingles(existing), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val twin = graft.operators.TextAnalysis.mergeCoveredSpans(rep)
+    assert(served.exceptAll(twin).isEmpty && twin.exceptAll(served).isEmpty,
+      "state-served cut list diverged from the batch twin")
+    // the read is state-only BY CONTRACT: two arriving docs repeating
+    // each other but nothing in the corpus produce no spans (that is
+    // the batch q169's job once they fold in)
+    val intra = Seq(
+      (900001L, "zq1 zq2 zq3 zq4 zq5", "s"),
+      (900002L, "zq1 zq2 zq3 zq4 zq5", "s")).toDF("doc_id", "text", "source")
+    assert(CorpusStateStream.arrivalCutList(spark, stateDir, intra).count() == 0,
+      "intra-batch repeats must not produce spans from a state-only probe")
+    // after folding, the same pair IS covered end to end
+    CorpusStateStream.update(stateDir)(intra.limit(1), 1L)
+    val post = CorpusStateStream.arrivalCutList(spark, stateDir,
+      intra.filter(col("doc_id") === 900002L)).collect()
+    assert(post.length == 1 && post.head.getLong(1) == 0L &&
+      post.head.getLong(2) == 4L,
+      s"folded twin must cover the whole 5-token doc: ${post.toSeq}")
+  }
+
   test("delta near-dup served from state equals the q97 batch operator") {
     val root = Files.createTempDirectory("graft-corpstate-neardup").toString
     val stateDir = s"$root/state"
