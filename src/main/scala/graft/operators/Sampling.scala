@@ -201,7 +201,12 @@ object Sampling {
         expr(s"CAST((CAST($budget AS DECIMAL(38,0)) * weight_micro) div wt AS BIGINT)"))
       .select(col("source"), col("capacity"), col("weight_micro"),
         col("target_tokens"),
-        (col("target_tokens").cast("double") / col("capacity").cast("double"))
+        // guarded: ANSI mode throws on double division by zero, and the
+        // q170 replan leg legitimately feeds capacity-0 rows (a fully
+        // duplicated source); q164's raw capacities are always positive,
+        // so the guard is inert there
+        when(col("capacity") > 0,
+          col("target_tokens").cast("double") / col("capacity").cast("double"))
           .as("epochs"),
         (col("target_tokens") > col("capacity")).as("upsampled"))
       .orderBy(col("source"))
@@ -218,7 +223,11 @@ object Sampling {
     * upsampling a loader executes when dedup runs after planning), and
     * `target_replanned`/`epochs_replanned` is the grant the designer
     * should have issued. Both legs run through [[epochPlanFromCaps]] —
-    * one planner definition, capacities the only difference.
+    * one planner definition, capacities the only difference. A source
+    * whose EVERY document loses the keeper election — the case this
+    * replan exists to surface — stays in the table at
+    * unique_capacity = 0 (grant 0, epoch ratios NULL), never silently
+    * dropped.
     *
     * Determinism: capacities, keeper election, and grants are exact
     * integer/decimal arithmetic (the q164 decimal(38,0) convention);
@@ -235,24 +244,35 @@ object Sampling {
       .agg(sum(col("nt")).cast("bigint").as("capacity"))
     val keepers = Dedup.exactDedup(docs)
       .select(col("keep_doc_id").as("doc_id"))
-    val capsUnique = tok.join(keepers, Seq("doc_id"), "left_semi")
-      .groupBy(col("source"))
-      .agg(sum(col("nt")).cast("bigint").as("capacity"))
+    // LEFT join from the full source list, coalescing to 0: a source
+    // whose EVERY document loses the cross-source keeper election — the
+    // most pathological case a dedup-aware replan exists to surface —
+    // must appear as unique_capacity = 0, never silently vanish (an
+    // inner join on the unique-side aggregate would drop it)
+    val capsUnique = capsAll.select(col("source"))
+      .join(tok.join(keepers, Seq("doc_id"), "left_semi")
+          .groupBy(col("source"))
+          .agg(sum(col("nt")).cast("bigint").as("ucap")),
+        Seq("source"), "left")
+      .select(col("source"), coalesce(col("ucap"), lit(0L)).as("capacity"))
     val nominal = epochPlanFromCaps(capsAll, budget)
       .select(col("source"), col("capacity"),
         col("target_tokens").as("target_nominal"),
         col("epochs").as("epochs_nominal"))
     val replanned = epochPlanFromCaps(capsUnique, budget)
       .select(col("source"), col("capacity").as("unique_capacity"),
-        col("target_tokens").as("target_replanned"),
-        col("epochs").as("epochs_replanned"))
+        col("target_tokens").as("target_replanned"))
     nominal.join(replanned, Seq("source"))
       .select(col("source"), col("capacity"), col("unique_capacity"),
         (col("capacity") - col("unique_capacity")).as("dup_tokens"),
         col("target_nominal"), col("epochs_nominal"),
-        (col("target_nominal").cast("double")
-          / col("unique_capacity").cast("double")).as("epochs_on_unique"),
-        col("target_replanned"), col("epochs_replanned"))
+        when(col("unique_capacity") > 0,
+          col("target_nominal").cast("double")
+            / col("unique_capacity").cast("double")).as("epochs_on_unique"),
+        col("target_replanned"),
+        when(col("unique_capacity") > 0,
+          col("target_replanned").cast("double")
+            / col("unique_capacity").cast("double")).as("epochs_replanned"))
       .orderBy(col("source"))
   }
 
@@ -866,8 +886,11 @@ object Sampling {
         |    FROM corpus)
         |  GROUP BY fp),
         |ucaps AS (
-        |  SELECT source, CAST(sum(nt) AS BIGINT) AS capacity
-        |  FROM tok JOIN keep USING (doc_id) GROUP BY source),
+        |  SELECT c.source, COALESCE(u.capacity, 0) AS capacity
+        |  FROM caps c LEFT JOIN (
+        |    SELECT source, CAST(sum(nt) AS BIGINT) AS capacity
+        |    FROM tok JOIN keep USING (doc_id) GROUP BY source) u
+        |  ON c.source = u.source),
         |wn AS (
         |  SELECT source, capacity,
         |    CAST(floor(sqrt(CAST(capacity AS DOUBLE)) * 1e6) AS BIGINT) AS wm
@@ -891,13 +914,15 @@ object Sampling {
         |  p.target_nominal,
         |  CAST(p.target_nominal AS DOUBLE) / CAST(p.capacity AS DOUBLE)
         |    AS epochs_nominal,
-        |  CAST(p.target_nominal AS DOUBLE) / CAST(u.unique_capacity AS DOUBLE)
-        |    AS epochs_on_unique,
+        |  CASE WHEN u.unique_capacity > 0 THEN
+        |    CAST(p.target_nominal AS DOUBLE) / CAST(u.unique_capacity AS DOUBLE)
+        |  END AS epochs_on_unique,
         |  u.target_replanned,
-        |  CAST(u.target_replanned AS DOUBLE) / CAST(u.unique_capacity AS DOUBLE)
-        |    AS epochs_replanned
+        |  CASE WHEN u.unique_capacity > 0 THEN
+        |    CAST(u.target_replanned AS DOUBLE) / CAST(u.unique_capacity AS DOUBLE)
+        |  END AS epochs_replanned
         |FROM pn p JOIN pu u USING (source) ORDER BY p.source""".stripMargin,
-      "The dedup x mixture interaction — q164's nominal tau=0.5 epoch plan next to the plan REPLANNED on unique content, where unique capacity keeps one document per exact content fingerprint (the q32 keeper election verbatim: min doc_id per Dedup.exactDedup fingerprint, cross-source; the corpus is unioned with a shifted copy of every third document, the q32/q85 fixture convention, so ~1/4 of each source's mass is provably duplicated). Planning on raw capacities silently spends budget re-reading duplicated mass; this table quantifies BOTH failure modes: epochs_on_unique is what the nominal grant really does to unique content (the hidden upsampling a loader executes when dedup runs after planning), and target_replanned/epochs_replanned is the grant the designer should have issued. Both legs run through epochPlanFromCaps — ONE planner definition (weight quantization, decimal(38,0) grant arithmetic, epoch division), capacities the only difference, the composition-over-copy principle. Determinism: capacities/keepers/grants exact integer+decimal arithmetic against the oracle's HUGEINT; the epoch ratios are single IEEE divisions. Scale: one corpus scan to token counts (checkpointed, shared by both capacity legs), one map-side-combined md5-fingerprint aggregate + doc_id semi-join for keepers, then everything on |sources|-row frames.") {
+      "The dedup x mixture interaction — q164's nominal tau=0.5 epoch plan next to the plan REPLANNED on unique content, where unique capacity keeps one document per exact content fingerprint (the q32 keeper election verbatim: min doc_id per Dedup.exactDedup fingerprint, cross-source; the corpus is unioned with a shifted copy of every third document, the q32/q85 fixture convention, so ~1/4 of each source's mass is provably duplicated). Planning on raw capacities silently spends budget re-reading duplicated mass; this table quantifies BOTH failure modes: epochs_on_unique is what the nominal grant really does to unique content (the hidden upsampling a loader executes when dedup runs after planning), and target_replanned/epochs_replanned is the grant the designer should have issued. Both legs run through epochPlanFromCaps — ONE planner definition (weight quantization, decimal(38,0) grant arithmetic, epoch division), capacities the only difference, the composition-over-copy principle. A source whose every document loses the keeper election stays in the table at unique_capacity 0 with NULL epoch ratios (guarded identically on both engines — ANSI Spark throws on the raw division), never silently dropped. Determinism: capacities/keepers/grants exact integer+decimal arithmetic against the oracle's HUGEINT; the epoch ratios are single IEEE divisions. Scale: one corpus scan to token counts (checkpointed, shared by both capacity legs), one map-side-combined md5-fingerprint aggregate + doc_id semi-join for keepers, then everything on |sources|-row frames.") {
       (s, d) => {
         val docs = Tables.documents(s, d).select(
           col("doc_id"), col("source"), col("text"))

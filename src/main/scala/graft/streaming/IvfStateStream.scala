@@ -115,10 +115,21 @@ object IvfStateStream {
 
   /** The CONFIGURED nlist of the stored quantizer — index metadata
     * written by [[train]], distinct from the stored centroid count
-    * (which shrinks when a Lloyd iteration empties a cluster). */
-  def storedNlist(spark: SparkSession, stateDir: String): Int =
-    CorpusStateStream.stateDf(spark, s"$stateDir/meta", metaSchema)
-      .head().getInt(0)
+    * (which shrinks when a Lloyd iteration empties a cluster). Fails
+    * with an actionable message on a quantizer trained before the
+    * metadata existed — falling back to `centroids.count()` would
+    * silently reintroduce the emptied-cluster skew drift this
+    * metadata exists to prevent. */
+  def storedNlist(spark: SparkSession, stateDir: String): Int = {
+    val meta = CorpusStateStream.stateDf(spark, s"$stateDir/meta", metaSchema)
+      .take(1)
+    require(meta.nonEmpty,
+      s"$stateDir/meta is missing or empty — this quantizer predates the " +
+      "nlist metadata. Write a one-row meta/ parquet with the CONFIGURED " +
+      "nlist (NOT the stored centroid count, which undercounts when a " +
+      "Lloyd iteration emptied a cluster), or retrain into a fresh stateDir")
+    meta.head.getInt(0)
+  }
 
   /** One micro-batch: assign arriving vectors against the FROZEN
     * quantizer and append exactly the new (vec_id, cid, v) rows.

@@ -20,8 +20,11 @@ object ReuseProbe {
     spark.sparkContext.setLogLevel("ERROR")
     graft.GraftExtensions.register(spark)
     val df = graft.SparkEntry.queries(args(0))(spark, args(1))
-    df.count()
-    println("=== EXECUTED FINAL PLAN ===")
+    // collect THIS frame: count() would build a separate QueryExecution
+    // and leave df's own adaptive plan unfinalized (isFinalPlan=false,
+    // no reuse nodes) — the exact pitfall this tool exists to avoid
+    val n = df.collect().length
+    println(s"=== EXECUTED FINAL PLAN ($n rows) ===")
     println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }

@@ -202,6 +202,29 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup-aware epochs: a fully-duplicated source stays in the table at zero") {
+    import spark.implicits._
+    // every 'mirror' doc duplicates an 'a' doc at a HIGHER doc_id, so
+    // mirror loses every keeper election — the pathological case the
+    // replan exists to surface must appear at zero, not vanish
+    val a = Seq(
+      (1L, "a", "alpha beta gamma delta epsilon"),
+      (2L, "a", "one two three four five six")).toDF("doc_id", "source", "text")
+    val corpus = a.unionAll(a.select((col("doc_id") + 100).as("doc_id"),
+      lit("mirror").as("source"), col("text")))
+    val p = Sampling.dedupAwareEpochPlan(corpus, budget = 1000L).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("a", "mirror"), s"sources: ${p.keySet}")
+    val m = p("mirror")
+    assert(m.getLong(2) == 0L, "mirror's unique capacity must be 0")
+    assert(m.getLong(3) == m.getLong(1), "mirror is ALL duplicate mass")
+    assert(m.getLong(7) == 0L, "a zero-capacity source gets a zero grant")
+    assert(m.isNullAt(6) && m.isNullAt(8),
+      "epoch ratios over zero unique capacity must be NULL, not an error")
+    // and 'a' keeps its full mass: it wins every election
+    assert(p("a").getLong(2) == p("a").getLong(1))
+  }
+
   test("passage cut apply: reconciles with the q169 report; untouched docs keep their text") {
     import spark.implicits._
     val fix = Seq(
@@ -259,12 +282,11 @@ class CurationOpsSpec extends SparkSpec {
     assert(gn <= 26500L && 26500L - gn < p.length)
     assert(gu <= 26500L && 26500L - gu < p.length)
     // when the ORIGINAL corpus is exact-dup-free (it is at sf0.01 —
-    // checked, not assumed), every shifted copy loses its keeper
-    // election to the original doc_id, so unique capacity == original
-    // source mass exactly
-    val nFp = base.select(org.apache.spark.sql.functions.md5(
-        org.apache.spark.sql.functions.trim(regexp_replace(lower(col("text")),
-          "[^a-z0-9]+", " "))).as("fp")).distinct().count()
+    // checked through the SAME keeper definition the operator uses,
+    // never a hand-copied normalization), every shifted copy loses its
+    // keeper election to the original doc_id, so unique capacity ==
+    // original source mass exactly
+    val nFp = Dedup.exactDedup(base).count()
     if (nFp == base.count()) {
       val orig = base.select(col("source"),
           org.apache.spark.sql.functions.size(split(col("text"), " "))
