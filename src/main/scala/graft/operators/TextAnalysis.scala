@@ -242,17 +242,21 @@ object TextAnalysis {
     * positions and the same hash values, and a second inline copy is how
     * their span/window semantics would silently diverge. The lead()
     * shingle assembly and every downstream window share one
-    * (doc_id, pos) sort partitioning. */
-  private[operators] def shingleHashStream(docs: DataFrame): DataFrame = {
+    * (doc_id, pos) sort partitioning. `riders` carries extra per-doc
+    * columns through the stream (q172's source), saving consumers a
+    * |positions|-row join back to the corpus. */
+  private[operators] def shingleHashStream(docs: DataFrame,
+      riders: Seq[String] = Nil): DataFrame = {
     val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     docs
-      .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "w")))
+      .select(Seq(col("doc_id")) ++ riders.map(col) :+
+        posexplode(wsTokens(col("text"))).as(Seq("pos", "w")): _*)
       .withColumn("w1", lead(col("w"), 1).over(wp))
       .withColumn("w2", lead(col("w"), 2).over(wp))
       .filter(col("w2").isNotNull)
-      .select(col("doc_id"), col("pos"),
+      .select(Seq(col("doc_id"), col("pos"),
         conv(substring(md5(concat_ws(" ", col("w"), col("w1"), col("w2"))), 1, 15),
-          16, 10).cast("long").as("h"))
+          16, 10).cast("long").as("h")) ++ riders.map(col): _*)
   }
 
   /** Winnowing window minima (q126 core): one row per complete 4-shingle
@@ -337,6 +341,37 @@ object TextAnalysis {
 
   def repeatedPassages(docs: DataFrame, dfMin: Int = 2): DataFrame =
     mergeCoveredSpans(repeatedPositions(docs, dfMin))
+
+  /** q172: the cross-source passage-sharing matrix — for every source
+    * pair (s1 ≤ s2), how many DISTINCT word-3-gram shingles the two
+    * share; the diagonal counts shingles repeated across ≥ 2 distinct
+    * documents of the SAME source (intra-source boilerplate). q141
+    * answers "which source pairs exchange near-duplicate DOCUMENTS";
+    * this is the passage-granularity complement — the table that shows
+    * boilerplate FLOW (a shared scraper template, syndicated wire text)
+    * before it is large enough to register as document-level near-dups.
+    *
+    * Scale: one shingle stream with source as a rider (no corpus
+    * re-join), one (h, source)-key distinct-doc aggregate, then a
+    * self-join on the 8-byte hash whose per-hash fanout is bounded by
+    * |sources|² — never doc×doc — into a ≤ |sources|²-cell aggregate.
+    * Determinism: counts of exact hash matches; the md5-60-bit shingle
+    * convention makes the shared-shingle sets bit-identical
+    * cross-engine. */
+  def crossSourcePassages(docs: DataFrame): DataFrame = {
+    val hsrc = shingleHashStream(docs, riders = Seq("source"))
+      .groupBy(col("h"), col("source"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val a = hsrc.select(col("h"), col("source").as("s1"), col("nd").as("nd1"))
+    val b = hsrc.select(col("h").as("hb"), col("source").as("s2"))
+    a.join(b, col("h") === col("hb") &&
+        (col("s1") < col("s2") || (col("s1") === col("s2") && col("nd1") >= 2)))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).cast("bigint").as("n_shared_shingles"))
+      .select(col("s1"), col("s2"), col("n_shared_shingles"),
+        (col("s1") =!= col("s2")).as("cross_source"))
+      .orderBy(col("s1"), col("s2"))
+  }
 
   /** q171: APPLY the q169 cut list — the dedup transform itself, not
     * its report: every token covered by a cross-document-repeated
@@ -1364,6 +1399,36 @@ object TextAnalysis {
       "APPLY the q169 cut list — the substring-granularity dedup TRANSFORM itself, not its report: every token covered by a cross-document-repeated word-3-gram (the shingle's three positions, repeatedPositions verbatim — ONE detection definition with q169, so the report can never disagree with the transform it describes) is cut, survivors reassemble in order, and each document emits its before/after token accounting plus the md5 fingerprint of the cleaned text — the bounded stand-in for the rewritten corpus (production writes the kept tokens; the fingerprint pins the VALUE of the reassembled text, not just its length, while keeping rows small). Every document appears exactly once: unshingleable (< 3 tokens) and untouched docs at n_cut = 0 with the full-text token fingerprint, fully-covered docs at n_kept = 0 with md5('') — identical on both engines via the empty-reassembly coalesce. Determinism: counts exact integers; the fingerprint input is the identical space-joined token sequence (array_sort over (pos, token) structs vs ORDER BY pos — pos is unique per doc, so one total order). Scale: linear end to end — coverage is |repeated starts| x 3 exploded then deduped on (doc_id, pos), the cut decision is ONE left join of the token stream on the composite 12-byte key (never a per-doc range probe), and reassembly is one doc-key aggregate whose collect_list IS the document — the inherent cost of a transform whose output is the document itself.") {
       (s, d) =>
         passageCutApply(Tables.documents(s, d), dfMin = 2)
+    },
+
+    Q("q172_crosssource_passages",
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |ti AS (
+        |  SELECT doc_id, source, toks,
+        |    unnest(generate_series(1, len(toks) - 2)) AS i
+        |  FROM t WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    CAST('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM ti),
+        |hsrc AS (
+        |  SELECT h, source, count(DISTINCT doc_id) AS nd
+        |  FROM sh GROUP BY h, source),
+        |pr AS (
+        |  SELECT a.h, a.source AS s1, b.source AS s2
+        |  FROM hsrc a JOIN hsrc b ON a.h = b.h
+        |    AND (a.source < b.source
+        |      OR (a.source = b.source AND a.nd >= 2)))
+        |SELECT s1, s2,
+        |  CAST(count(*) AS BIGINT) AS n_shared_shingles,
+        |  s1 <> s2 AS cross_source
+        |FROM pr GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin,
+      "Cross-source passage-sharing matrix — for every source pair (s1 <= s2), the number of DISTINCT word-3-gram shingles the two share, with the diagonal counting shingles repeated across >= 2 distinct documents of the SAME source (intra-source boilerplate). q141 answers which source pairs exchange near-duplicate DOCUMENTS; this is the passage-granularity complement — the table that shows boilerplate FLOW (a shared scraper template, syndicated wire text) before it is large enough to register as document-level near-dups, and the source-pair rollup of the q169 cut list. Determinism: exact counts over bit-identical md5-60-bit shingle hashes (the family convention); the pair condition is one strict string comparison per row on both engines. Scale: one shingle stream with source carried as a rider column (no |positions|-row corpus re-join), one map-side-combined (h, source)-key distinct-doc aggregate, then a self-join on the 8-byte hash whose per-hash fanout is bounded by |sources|^2 — never doc x doc — into a <= |sources|^2-cell aggregate; every shuffle key is 8 bytes + a short string.") {
+      (s, d) =>
+        crossSourcePassages(Tables.documents(s, d))
     },
   )
 

@@ -258,6 +258,41 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("cross-source passages: fixture cells exact; pair mass reconciles with C(k,2)") {
+    import spark.implicits._
+    // A and B share one 4-token passage (2 shingles); C repeats a
+    // 3-token phrase in two of its own docs (1 diagonal shingle);
+    // nothing else collides
+    val fix = Seq(
+      (1L, "A", "alpha beta gamma delta qa1 qa2 qa3"),
+      (2L, "B", "qb1 qb2 alpha beta gamma delta qb3"),
+      (3L, "C", "red green blue qc1 qc2 qc3"),
+      (4L, "C", "qc4 qc5 red green blue qc6")
+    ).toDF("doc_id", "source", "text")
+    val m = TextAnalysis.crossSourcePassages(fix).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(m == Map(("A", "B") -> (2L, true), ("C", "C") -> (1L, false)),
+      s"fixture matrix: $m")
+    // real corpus: cross-cell mass == sum over hashes of C(k,2) where k
+    // is the hash's distinct-source count — an independent derivation
+    // of the same quantity through a different aggregation shape
+    val real = TextAnalysis.crossSourcePassages(docs).collect()
+    val crossMass = real.filter(_.getBoolean(3)).map(_.getLong(2)).sum
+    val expected = TextAnalysis.shingleHashStream(
+        docs.select(col("doc_id"), col("source"), col("text")),
+        riders = Seq("source"))
+      .select(col("h"), col("source")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("k"))
+      .select(sum(expr("k * (k - 1) div 2"))).collect().head.getLong(0)
+    assert(crossMass == expected,
+      s"cross-cell mass $crossMass != sum of C(k,2) = $expected")
+    real.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "cells must be s1 <= s2")
+      assert(r.getBoolean(3) == (r.getString(0) != r.getString(1)))
+    }
+  }
+
   test("dedup-aware epochs: identities hold; nominal grant always upsamples unique content") {
     val base = docs.select(col("doc_id"), col("source"), col("text"))
     val corpus = base.unionAll(base.filter(col("doc_id") % 3 === 0)

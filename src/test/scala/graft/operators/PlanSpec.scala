@@ -508,7 +508,10 @@ class PlanSpec extends SparkSpec {
       "q170_dedup_aware_epochs" -> 11,
       // observed ~7: q169's detection shuffles + the coverage distinct,
       // the (doc_id,pos) cut join, the doc-key reassembly agg + sort
-      "q171_passage_cut_apply" -> 10)
+      "q171_passage_cut_apply" -> 10,
+      // observed ~6: (doc_id,pos) shingle sort, (h,source) distinct-doc
+      // agg, hash self-join exchanges, cell agg + sort
+      "q172_crosssource_passages" -> 9)
     bounds.foreach { case (name, bound) =>
       val p = planOf(name)
       val n = p.collect { case s: ShuffleExchangeLike => s }.size
