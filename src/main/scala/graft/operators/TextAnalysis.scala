@@ -342,14 +342,18 @@ object TextAnalysis {
   def repeatedPassages(docs: DataFrame, dfMin: Int = 2): DataFrame =
     mergeCoveredSpans(repeatedPositions(docs, dfMin))
 
-  /** q172: the cross-source passage-sharing matrix — for every source
-    * pair (s1 ≤ s2), how many DISTINCT word-3-gram shingles the two
-    * share; the diagonal counts shingles repeated across ≥ 2 distinct
-    * documents of the SAME source (intra-source boilerplate). q141
-    * answers "which source pairs exchange near-duplicate DOCUMENTS";
-    * this is the passage-granularity complement — the table that shows
-    * boilerplate FLOW (a shared scraper template, syndicated wire text)
-    * before it is large enough to register as document-level near-dups.
+  /** q172: the source-pair rollup of the q169 cut list — for every
+    * source pair (s1 ≤ s2), how many DISTINCT word-3-gram shingles the
+    * two share; the DIAGONAL counts shingles repeated across ≥ 2
+    * distinct documents of the SAME source (intra-source boilerplate).
+    * Positioning in the family: q96 reports the cross-source
+    * set-overlap COEFFICIENT (off-diagonal only — within-source
+    * repetition is invisible to its per-source distinct sets by
+    * construction) and q141 the document-level near-dup matrix; q172's
+    * deltas are the intra-source diagonal — the cell a scraper-template
+    * audit reads first — and the q169 hash convention (the positional
+    * md5-60-bit stream), so its cells reconcile exactly with the cut
+    * list they roll up.
     *
     * Scale: one shingle stream with source as a rider (no corpus
     * re-join), one (h, source)-key distinct-doc aggregate, then a
@@ -1426,7 +1430,7 @@ object TextAnalysis {
         |  CAST(count(*) AS BIGINT) AS n_shared_shingles,
         |  s1 <> s2 AS cross_source
         |FROM pr GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin,
-      "Cross-source passage-sharing matrix — for every source pair (s1 <= s2), the number of DISTINCT word-3-gram shingles the two share, with the diagonal counting shingles repeated across >= 2 distinct documents of the SAME source (intra-source boilerplate). q141 answers which source pairs exchange near-duplicate DOCUMENTS; this is the passage-granularity complement — the table that shows boilerplate FLOW (a shared scraper template, syndicated wire text) before it is large enough to register as document-level near-dups, and the source-pair rollup of the q169 cut list. Determinism: exact counts over bit-identical md5-60-bit shingle hashes (the family convention); the pair condition is one strict string comparison per row on both engines. Scale: one shingle stream with source carried as a rider column (no |positions|-row corpus re-join), one map-side-combined (h, source)-key distinct-doc aggregate, then a self-join on the 8-byte hash whose per-hash fanout is bounded by |sources|^2 — never doc x doc — into a <= |sources|^2-cell aggregate; every shuffle key is 8 bytes + a short string.") {
+      "Source-pair rollup of the q169 cut list — for every source pair (s1 <= s2), the number of DISTINCT word-3-gram shingles the two share, with the DIAGONAL counting shingles repeated across >= 2 distinct documents of the SAME source (intra-source boilerplate). Family positioning: q96 reports the cross-source set-overlap coefficient and is blind to within-source repetition by construction (per-source distinct sets); q141 is the document-level near-dup matrix; q172's deltas are the intra-source diagonal — the cell a scraper-template audit reads first — and the q169 positional hash convention, so these cells reconcile exactly with the cut list they roll up (the spec's Sigma-C(k,2) check). Determinism: exact counts over bit-identical md5-60-bit shingle hashes (the family convention); the pair condition is one strict string comparison per row on both engines. Scale: one shingle stream with source carried as a rider column (no |positions|-row corpus re-join), one map-side-combined (h, source)-key distinct-doc aggregate, then a self-join on the 8-byte hash whose per-hash fanout is bounded by |sources|^2 — never doc x doc — into a <= |sources|^2-cell aggregate; every shuffle key is 8 bytes + a short string.") {
       (s, d) =>
         crossSourcePassages(Tables.documents(s, d))
     },
