@@ -212,6 +212,49 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** q173: soft-dedup sampling — keep each document with probability
+    * 1/|its exact-dup cluster|, so every duplicate cluster contributes
+    * ONE document in expectation without a keeper election. This is
+    * the dedup-by-reweighting alternative to q32's hard keeper: where
+    * the keeper rule always keeps min doc_id (biasing survivors toward
+    * old crawls), the soft sampler keeps an unbiased representative —
+    * the standard trick when duplicates carry metadata worth mixing
+    * over (crawl date, source). The decision is DETERMINISTIC and
+    * engine-portable: u = the first 12 hex chars of md5(doc_id) read as
+    * an integer in [0, 2^48), keep iff u · n_copies < 2^48 — pure
+    * integer arithmetic, no rand(), reproducible on any cluster (the
+    * q61 split-function convention applied to inclusion sampling).
+    * Cluster sizes come from the SAME fingerprint definition as
+    * q32/q168 ([[graft.functions.TextFunctions.fingerprint]] via
+    * [[Dedup.exactDedup]]). Report is per cluster-size: clusters,
+    * docs, kept, realized kept_rate vs the 1/n expectation; the n=1
+    * row is the exactness anchor (u < 2^48 always — kept_rate 1.0).
+    *
+    * Scale: one fingerprint projection, one md5-key cluster-size
+    * aggregate (map-side combined), one fp-key join back, one
+    * bounded-key (|distinct sizes|) aggregate — all linear, keys are
+    * 32-char md5s and 8-byte ints. u · n_copies stays < 2^48 · |docs|,
+    * far inside int64. */
+  def softDedupSample(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val fp = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val clusters = Dedup.exactDedup(docs).select(col("fp"), col("n_copies"))
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val tagged = fp.join(clusters, Seq("fp"))
+      .select(col("fp"), col("n_copies"),
+        (u * col("n_copies") < lit(1L << 48)).as("kept"))
+    tagged.groupBy(col("n_copies").cast("bigint").as("n_copies"))
+      .agg(countDistinct(col("fp")).cast("bigint").as("n_clusters"),
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("kept").cast("long")).cast("bigint").as("n_kept"))
+      .select(col("n_copies"), col("n_clusters"), col("n_docs"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_docs").cast("double"))
+          .as("kept_rate"),
+        (lit(1.0d) / col("n_copies").cast("double")).as("expected_rate"))
+      .orderBy(col("n_copies"))
+  }
+
   /** q170: the dedup × mixture interaction — the nominal τ=0.5 epoch
     * plan next to the plan REPLANNED on unique content, where unique
     * capacity keeps one document per exact content fingerprint (the
@@ -930,6 +973,42 @@ object Sampling {
           docs.filter(col("doc_id") % 3 === 0).select(
             (col("doc_id") + 1000000).as("doc_id"), col("source"), col("text")))
         dedupAwareEpochPlan(corpus, budget = 26500L)
+      }
+    },
+
+    Q("q173_soft_dedup_sample",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 4 = 0),
+        |fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |  FROM corpus),
+        |cl AS (SELECT fp, count(*) AS n_copies FROM fp GROUP BY fp),
+        |tagged AS (
+        |  SELECT f.fp, c.n_copies,
+        |    CAST('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+        |      * c.n_copies < 281474976710656 AS kept
+        |  FROM fp f JOIN cl c USING (fp))
+        |SELECT CAST(n_copies AS BIGINT) AS n_copies,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_clusters,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CAST(kept AS INTEGER)) AS BIGINT) AS n_kept,
+        |  CAST(sum(CAST(kept AS INTEGER)) AS DOUBLE) / count(*) AS kept_rate,
+        |  CAST(1.0 AS DOUBLE) / n_copies AS expected_rate
+        |FROM tagged GROUP BY n_copies ORDER BY n_copies""".stripMargin,
+      "Soft-dedup sampling — keep each document with probability 1/|its exact-dup cluster|, so every duplicate cluster contributes ONE document in expectation WITHOUT a keeper election: the dedup-by-reweighting alternative to q32's hard min-doc_id keeper (which biases survivors toward old crawls), used when duplicates carry metadata worth mixing over. The decision is deterministic and engine-portable: u = first 12 hex chars of md5(doc_id) as an integer in [0, 2^48), keep iff u * n_copies < 2^48 — pure int64 arithmetic, no rand(), the q61 split-function convention applied to inclusion sampling; cluster sizes come from the exact q32/q168 fingerprint (one normalization definition). The fixture is the shifted-union convention (every 2nd doc doubled, every 4th tripled) so sizes 1/2/3 are all provably exercised; the n=1 row anchors exactness (u < 2^48 always, kept_rate exactly 1.0) and size-2/3 rows realize ~1/2 and ~1/3. Determinism: counts exact; kept_rate integer/integer IEEE division; expected_rate double-cast before dividing (a bare 1.0/n would run DECIMAL division in the oracle engine). Scale: one fingerprint projection + one md5-key map-side-combined cluster aggregate + one fp-key join + a |distinct sizes|-key aggregate — all linear on bounded keys, never pairwise.") {
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val corpus = docs
+          .unionAll(docs.filter(col("doc_id") % 2 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+          .unionAll(docs.filter(col("doc_id") % 4 === 0)
+            .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+        softDedupSample(corpus)
       }
     },
   )

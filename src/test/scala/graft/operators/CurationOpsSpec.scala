@@ -258,6 +258,38 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("soft dedup sample: n=1 anchors at 1.0; realized rates track 1/n; identities hold") {
+    val base = docs.select(col("doc_id"), col("text"))
+    val corpus = base
+      .unionAll(base.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .unionAll(base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+    val rows = Sampling.softDedupSample(corpus).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L), s"sizes: ${rows.keySet}")
+    rows.values.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) * r.getLong(0),
+        "n_docs must equal n_clusters * n_copies")
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(r.getDouble(5) == 1.0 / r.getLong(0))
+    }
+    assert(rows(1L).getDouble(4) == 1.0,
+      "singletons must ALL be kept (u < 2^48 unconditionally)")
+    // ~250 clusters of size 2 and ~125 of size 3: the realized rate is
+    // binomial around 1/n with sd < 0.05 — a loose band catches a
+    // broken hash or comparison without flaking
+    assert(math.abs(rows(2L).getDouble(4) - 0.5) < 0.15,
+      s"size-2 kept_rate ${rows(2L).getDouble(4)} far from 1/2")
+    assert(math.abs(rows(3L).getDouble(4) - 1.0 / 3) < 0.15,
+      s"size-3 kept_rate ${rows(3L).getDouble(4)} far from 1/3")
+    // deterministic: a second evaluation is bit-identical
+    val again = Sampling.softDedupSample(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rows.keys.forall(k => again(k) == rows(k).getLong(3)),
+      "the sampler must be a pure function of (doc_id, n_copies)")
+  }
+
   test("cross-source passages: fixture cells exact; pair mass reconciles with C(k,2)") {
     import spark.implicits._
     // A and B share one 4-token passage (2 shingles); C repeats a

@@ -511,7 +511,10 @@ class PlanSpec extends SparkSpec {
       "q171_passage_cut_apply" -> 10,
       // observed ~6: (doc_id,pos) shingle sort, (h,source) distinct-doc
       // agg, hash self-join exchanges, cell agg + sort
-      "q172_crosssource_passages" -> 9)
+      "q172_crosssource_passages" -> 9,
+      // observed ~5: fingerprint cluster agg, fp join exchanges,
+      // size-key agg + sort
+      "q173_soft_dedup_sample" -> 8)
     bounds.foreach { case (name, bound) =>
       val p = planOf(name)
       val n = p.collect { case s: ShuffleExchangeLike => s }.size
