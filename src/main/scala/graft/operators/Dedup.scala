@@ -884,6 +884,13 @@ object Dedup {
     * the q76 and q97 oracles so the nibble-xor derivation cannot drift. */
   private val SimhashHamCte: String = SimhashBandCte + SimhashHamTail
 
+  /** The simhash hamming CTE chain WITHOUT the leading `WITH `, for
+    * oracles that compose it after other CTEs (q174's agreement table
+    * prepends the k-means chain) — same text, so the derivations still
+    * cannot drift. */
+  private[operators] def simhashHamCtesNoWith: String =
+    SimhashHamCte.stripPrefix("WITH ")
+
   /** q168: formatting-variant audit — how much of the exact-dup mass is
     * FORMATTING NOISE (same content after q32 normalization, different
     * raw bytes) vs true byte-identical copies. The distinction decides

@@ -530,8 +530,17 @@ object Similarity {
     * contract). The count behind auto is a bounded metadata action.
     * The signature table is localCheckpoint-ed: both join sides and the
     * size aggregate reuse it without re-running the Lloyd chain. */
-  def semanticDedup(embeddings: DataFrame, threshold: Double, nlist: Int = 0,
-      iters: Int = 3, portableMeans: Boolean = false): DataFrame = {
+  /** The q112 in-cluster cosine pair stage — coarse-quantize, then
+    * exact round-6 cosine ONLY inside a cluster, with the threshold in
+    * the join condition so non-matches never materialize. Factored so
+    * the SemDeDup report ([[semanticDedup]]) and the lexical-vs-
+    * semantic agreement table (q174) share one definition of "these
+    * two embeddings are semantic near-dups" — the same
+    * single-source-of-truth shape as simhashNearDupPairsCapped on the
+    * lexical side. Returns (lists, pairs(cid, d1 < d2)). */
+  private[graft] def semanticPairStage(embeddings: DataFrame,
+      threshold: Double, nlist: Int, iters: Int,
+      portableMeans: Boolean): (DataFrame, DataFrame) = {
     val chosen = resolveNlist(embeddings, nlist)
     val centroids = kmeansCentroids(embeddings, chosen, iters, portableMeans)
     val dv = embeddings.select(col("vec_id"),
@@ -547,8 +556,15 @@ object Similarity {
     val pairs = a.join(b, col("cid") === col("cidb") && col("d1") < col("d2") &&
         round(graft.expressions.VecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
           >= threshold)
-      .select(col("cid"), col("d2"))
-    val dropped = pairs.distinct()
+      .select(col("cid"), col("d1"), col("d2"))
+    (lists, pairs)
+  }
+
+  def semanticDedup(embeddings: DataFrame, threshold: Double, nlist: Int = 0,
+      iters: Int = 3, portableMeans: Boolean = false): DataFrame = {
+    val (lists, pairs) =
+      semanticPairStage(embeddings, threshold, nlist, iters, portableMeans)
+    val dropped = pairs.select(col("cid"), col("d2")).distinct()
       .groupBy(col("cid")).agg(count(lit(1)).as("n_dropped"))
     lists.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
       .join(dropped, Seq("cid"), "left")
@@ -864,6 +880,110 @@ object Similarity {
     * the shared k-means `lists` CTEs, then the same in-cluster pair
     * predicate (round-6 cosine in the join condition) and greedy
     * smaller-id drop rule. */
+  /** q174: the lexical × semantic near-dup AGREEMENT table — the two
+    * dedup modalities the engine ships (q76's simhash band pairs over
+    * text, q112's in-cluster cosine pairs over embeddings) compared on
+    * the id universe both cover, as one contingency row: pair counts
+    * per modality, the overlap, each modality's exclusive mass, and the
+    * Jaccard of the two pair sets. This is the table that decides
+    * WHICH dedup pass a corpus needs: semantic-only mass is
+    * paraphrase-duplication lexical banding cannot see, lexical-only
+    * mass is near-verbatim text whose embeddings drifted apart, and a
+    * low Jaccard says the two passes are complements, not substitutes.
+    * Both pair sets come from their family's single source of truth
+    * (simhashNearDupPairsCapped, semanticPairStage) — the agreement
+    * can never drift from the operators it compares.
+    *
+    * Determinism: exact pair-set arithmetic over deterministic pair
+    * derivations (the q76 and q112 machinery, portableMeans on the
+    * registered query); jaccard = |both| / |union| is one guarded IEEE
+    * division. Scale: each leg is its family's bounded candidate
+    * machinery (banded, never all-pairs; in-cluster, never all-pairs);
+    * the endpoint restriction is two semi-joins against the
+    * checkpointed id intersection; the comparison is one full-outer
+    * join on 16-byte pair keys into a single-row aggregate. */
+  def lexicalSemanticAgreement(docs: DataFrame, embeddings: DataFrame,
+      maxHamming: Int = 8, threshold: Double = 0.3, nlist: Int = 0,
+      iters: Int = 3, portableMeans: Boolean = false): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+      .join(embeddings.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+      .localCheckpoint(true)
+    def restrict(p: DataFrame): DataFrame = p
+      .join(ids.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
+      .join(ids.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
+    val lex = restrict(
+      Dedup.simhashNearDupPairsCapped(docs, maxHamming, Dedup.DefaultMaxBucket)
+        .select(col("d1"), col("d2")))
+    val sem = restrict(
+      semanticPairStage(embeddings, threshold, nlist, iters, portableMeans)
+        ._2.select(col("d1"), col("d2")))
+    val m = lex.withColumn("in_lex", lit(true))
+      .join(sem.withColumn("in_sem", lit(true)), Seq("d1", "d2"), "full_outer")
+      .select(coalesce(col("in_lex"), lit(false)).as("in_lex"),
+        coalesce(col("in_sem"), lit(false)).as("in_sem"))
+    m.agg(
+        coalesce(sum(col("in_lex").cast("long")), lit(0L)).cast("bigint")
+          .as("n_lexical"),
+        coalesce(sum(col("in_sem").cast("long")), lit(0L)).cast("bigint")
+          .as("n_semantic"),
+        coalesce(sum((col("in_lex") && col("in_sem")).cast("long")), lit(0L))
+          .cast("bigint").as("n_both"),
+        coalesce(sum((col("in_lex") && !col("in_sem")).cast("long")), lit(0L))
+          .cast("bigint").as("n_lexical_only"),
+        coalesce(sum((!col("in_lex") && col("in_sem")).cast("long")), lit(0L))
+          .cast("bigint").as("n_semantic_only"),
+        count(lit(1)).cast("bigint").as("_union"))
+      .select(col("n_lexical"), col("n_semantic"), col("n_both"),
+        col("n_lexical_only"), col("n_semantic_only"),
+        when(col("_union") > 0,
+          col("n_both").cast("double") / col("_union").cast("double"))
+          .as("pair_jaccard"))
+  }
+
+  private def q174OracleSql: String = {
+    def dot(a: String, b: String) = dotSql(a, b)
+    s"""WITH $kmeansListsCtes,
+       |sides AS (
+       |  SELECT cid, vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM lists),
+       |sempairs AS (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM sides a JOIN sides b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |    AND round(${dot("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= 0.3),
+       |${Dedup.simhashHamCtesNoWith},
+       |lexpairs AS (SELECT d1, d2 FROM ham WHERE hamming <= 8),
+       |ids AS (
+       |  SELECT d.doc_id FROM documents d
+       |  JOIN embeddings e ON e.vec_id = d.doc_id),
+       |lexu AS (
+       |  SELECT l.d1, l.d2 FROM lexpairs l
+       |  JOIN ids i1 ON l.d1 = i1.doc_id
+       |  JOIN ids i2 ON l.d2 = i2.doc_id),
+       |semu AS (
+       |  SELECT s.d1, s.d2 FROM sempairs s
+       |  JOIN ids i1 ON s.d1 = i1.doc_id
+       |  JOIN ids i2 ON s.d2 = i2.doc_id),
+       |m AS (
+       |  SELECT
+       |    l.d1 IS NOT NULL AS in_lex,
+       |    s.d1 IS NOT NULL AS in_sem
+       |  FROM lexu l FULL JOIN semu s
+       |    ON l.d1 = s.d1 AND l.d2 = s.d2)
+       |SELECT
+       |  CAST(COALESCE(sum(CAST(in_lex AS INT)), 0) AS BIGINT) AS n_lexical,
+       |  CAST(COALESCE(sum(CAST(in_sem AS INT)), 0) AS BIGINT) AS n_semantic,
+       |  CAST(COALESCE(sum(CAST(in_lex AND in_sem AS INT)), 0) AS BIGINT)
+       |    AS n_both,
+       |  CAST(COALESCE(sum(CAST(in_lex AND NOT in_sem AS INT)), 0) AS BIGINT)
+       |    AS n_lexical_only,
+       |  CAST(COALESCE(sum(CAST(NOT in_lex AND in_sem AS INT)), 0) AS BIGINT)
+       |    AS n_semantic_only,
+       |  CASE WHEN count(*) > 0 THEN
+       |    CAST(COALESCE(sum(CAST(in_lex AND in_sem AS INT)), 0) AS DOUBLE)
+       |      / count(*)
+       |  END AS pair_jaccard
+       |FROM m""".stripMargin
+  }
+
   private def q112OracleSql: String = {
     def dot(a: String, b: String) = dotSql(a, b)
     s"""WITH $kmeansListsCtes,
@@ -1524,6 +1644,13 @@ object Similarity {
       "kNN label-agreement — the standard INTRINSIC eval of an embedding space when labels exist, and the measured version of the property every downstream consumer here silently assumes (retrieval quality in q36/q49, SemDeDup validity in q112, hard-negative informativeness in q155): each vector's 5 nearest in-list neighbors vote on its label; reported per true label as majority-vote accuracy. Neighborhoods are bounded to IVF-list co-membership (the q138 production-index bound — pairwise work n*B, never n^2) with AUTO-SCALED nlist (per-list size held near 63, floored at the oracle's 8 so verify scale replays the 8-list chain; fixed-8 measured 2.0x on 5x data during bring-up, auto restores ~linear), which is ALSO what a deployed index would serve, so the eval measures the space as retrieval will actually see it. Majority ties break (max count, then smallest label) — one strict order on both engines; singleton-list vectors have no neighbors and are counted in n_vecs but not n_scored, never silently dropped (the q138 orphan convention). Registered with portableMeans=true: lists, round-6 cosines, votes, and the tie-broken argmax all replay bit-identically in the DuckDB twin — a full value-hash oracle for a model-quality metric. Scale: q138's exact plan (checkpointed list table with per-row norms, bounded per-list top-k window, 8-byte-key aggregates) plus one |labels|-key closing join.") {
       (s, d) =>
         knnLabelEval(Tables.embeddings(s, d), k = 5, portableMeans = true)
+    },
+
+    Q("q174_lexical_semantic_agreement", q174OracleSql,
+      "Lexical x semantic near-dup AGREEMENT — the two dedup modalities the engine ships (q76's simhash band pairs over text, q112's in-cluster cosine pairs over embeddings) compared on the id universe both cover, as one contingency row: per-modality pair counts, the overlap, each modality's exclusive mass, and the Jaccard of the two pair sets. This is the table that decides WHICH dedup pass a corpus needs: semantic-only mass is paraphrase duplication lexical banding cannot see, lexical-only mass is near-verbatim text whose embeddings drifted apart, and a low Jaccard says the passes are complements, not substitutes (on this synthetic corpus, where embeddings are independent of text, the table honestly reports near-zero agreement — the q159 degenerate-result-surfaced convention). Both pair sets come from their family's single source of truth (simhashNearDupPairsCapped; semanticPairStage, ALSO q112's pair stage — factored, not copied) with portableMeans=true, so the whole contingency row is value-hash exact. Determinism: exact pair-set arithmetic; jaccard = |both|/|union| one guarded IEEE division (NULL when both pair sets are empty, identically on both engines). Scale: each leg is its family's bounded candidate machinery (banded / in-cluster, never all-pairs), the endpoint restriction two semi-joins against the checkpointed id intersection, the comparison one full-outer join on 16-byte pair keys into a single-row aggregate.") {
+      (s, d) =>
+        lexicalSemanticAgreement(Tables.documents(s, d),
+          Tables.embeddings(s, d), portableMeans = true)
     },
   )
 

@@ -258,6 +258,30 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("lexical-semantic agreement: planted twins land in BOTH; identities hold") {
+    // twin every doc AND its embedding at +1e6: each (id, id+1e6) pair
+    // is hamming-0 lexically AND cosine-1.0 semantically (identical
+    // vectors assign to the same cluster), so the 'both' cell must
+    // count at least every planted twin
+    val d0 = docs.select(col("doc_id"), col("text"))
+    val e0 = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val d2 = d0.unionAll(d0.select((col("doc_id") + 1000000).as("doc_id"),
+      col("text")))
+    val e2 = e0.unionAll(e0.select((col("vec_id") + 1000000).as("vec_id"),
+      col("embedding"), col("label")))
+    val n = d0.count()
+    val r = Similarity.lexicalSemanticAgreement(d2, e2,
+      portableMeans = true).collect().head
+    assert(r.getLong(2) >= n,
+      s"both=${r.getLong(2)} must cover the $n planted twin pairs")
+    // contingency identities + jaccard definition
+    assert(r.getLong(0) == r.getLong(2) + r.getLong(3), "lex = both + lex_only")
+    assert(r.getLong(1) == r.getLong(2) + r.getLong(4), "sem = both + sem_only")
+    val union = r.getLong(2) + r.getLong(3) + r.getLong(4)
+    assert(r.getDouble(5) == r.getLong(2).toDouble / union.toDouble)
+  }
+
   test("soft dedup sample: n=1 anchors at 1.0; realized rates track 1/n; identities hold") {
     val base = docs.select(col("doc_id"), col("text"))
     val corpus = base

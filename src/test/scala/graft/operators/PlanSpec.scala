@@ -514,7 +514,11 @@ class PlanSpec extends SparkSpec {
       "q172_crosssource_passages" -> 9,
       // observed ~5: fingerprint cluster agg, fp join exchanges,
       // size-key agg + sort
-      "q173_soft_dedup_sample" -> 8)
+      "q173_soft_dedup_sample" -> 8,
+      // observed ~12: the q76 band-join legs + the q112 in-cluster legs
+      // (Lloyd chain behind checkpoints) + id semi-joins + the pair
+      // full-outer + the single-row aggregate
+      "q174_lexical_semantic_agreement" -> 16)
     bounds.foreach { case (name, bound) =>
       val p = planOf(name)
       val n = p.collect { case s: ShuffleExchangeLike => s }.size
