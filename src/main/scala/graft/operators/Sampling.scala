@@ -221,9 +221,13 @@ object Sampling {
     * the standard trick when duplicates carry metadata worth mixing
     * over (crawl date, source). The decision is DETERMINISTIC and
     * engine-portable: u = the first 12 hex chars of md5(doc_id) read as
-    * an integer in [0, 2^48), keep iff u · n_copies < 2^48 — pure
-    * integer arithmetic, no rand(), reproducible on any cluster (the
-    * q61 split-function convention applied to inclusion sampling).
+    * an integer in [0, 2^48), keep iff u ≤ (2^48 − 1) div n_copies —
+    * pure integer arithmetic, no rand(), reproducible on any cluster
+    * (the q61 split-function convention applied to inclusion
+    * sampling). The div form is exactly u · n < 2^48 for integer u
+    * but cannot overflow: the product form wraps int64 once a cluster
+    * exceeds 2^15 copies (boilerplate pages at web scale do), silently
+    * flipping keep decisions; the quotient is always ≤ 2^48 − 1.
     * Cluster sizes come from the SAME fingerprint definition as
     * q32/q168 ([[graft.functions.TextFunctions.fingerprint]] via
     * [[Dedup.exactDedup]]). Report is per cluster-size: clusters,
@@ -233,8 +237,7 @@ object Sampling {
     * Scale: one fingerprint projection, one md5-key cluster-size
     * aggregate (map-side combined), one fp-key join back, one
     * bounded-key (|distinct sizes|) aggregate — all linear, keys are
-    * 32-char md5s and 8-byte ints. u · n_copies stays < 2^48 · |docs|,
-    * far inside int64. */
+    * 32-char md5s and 8-byte ints; no expression can exceed 2^48. */
   def softDedupSample(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val fp = docs.select(col("doc_id"),
       graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
@@ -243,7 +246,8 @@ object Sampling {
       .cast("long")
     val tagged = fp.join(clusters, Seq("fp"))
       .select(col("fp"), col("n_copies"),
-        (u * col("n_copies") < lit(1L << 48)).as("kept"))
+        (u <= expr(s"CAST(${(1L << 48) - 1} AS BIGINT) div n_copies"))
+          .as("kept"))
     tagged.groupBy(col("n_copies").cast("bigint").as("n_copies"))
       .agg(countDistinct(col("fp")).cast("bigint").as("n_clusters"),
         count(lit(1)).cast("bigint").as("n_docs"),
@@ -991,7 +995,7 @@ object Sampling {
         |tagged AS (
         |  SELECT f.fp, c.n_copies,
         |    CAST('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 12) AS BIGINT)
-        |      * c.n_copies < 281474976710656 AS kept
+        |      <= 281474976710655 // c.n_copies AS kept
         |  FROM fp f JOIN cl c USING (fp))
         |SELECT CAST(n_copies AS BIGINT) AS n_copies,
         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_clusters,
@@ -1000,7 +1004,7 @@ object Sampling {
         |  CAST(sum(CAST(kept AS INTEGER)) AS DOUBLE) / count(*) AS kept_rate,
         |  CAST(1.0 AS DOUBLE) / n_copies AS expected_rate
         |FROM tagged GROUP BY n_copies ORDER BY n_copies""".stripMargin,
-      "Soft-dedup sampling — keep each document with probability 1/|its exact-dup cluster|, so every duplicate cluster contributes ONE document in expectation WITHOUT a keeper election: the dedup-by-reweighting alternative to q32's hard min-doc_id keeper (which biases survivors toward old crawls), used when duplicates carry metadata worth mixing over. The decision is deterministic and engine-portable: u = first 12 hex chars of md5(doc_id) as an integer in [0, 2^48), keep iff u * n_copies < 2^48 — pure int64 arithmetic, no rand(), the q61 split-function convention applied to inclusion sampling; cluster sizes come from the exact q32/q168 fingerprint (one normalization definition). The fixture is the shifted-union convention (every 2nd doc doubled, every 4th tripled) so sizes 1/2/3 are all provably exercised; the n=1 row anchors exactness (u < 2^48 always, kept_rate exactly 1.0) and size-2/3 rows realize ~1/2 and ~1/3. Determinism: counts exact; kept_rate integer/integer IEEE division; expected_rate double-cast before dividing (a bare 1.0/n would run DECIMAL division in the oracle engine). Scale: one fingerprint projection + one md5-key map-side-combined cluster aggregate + one fp-key join + a |distinct sizes|-key aggregate — all linear on bounded keys, never pairwise.") {
+      "Soft-dedup sampling — keep each document with probability 1/|its exact-dup cluster|, so every duplicate cluster contributes ONE document in expectation WITHOUT a keeper election: the dedup-by-reweighting alternative to q32's hard min-doc_id keeper (which biases survivors toward old crawls), used when duplicates carry metadata worth mixing over. The decision is deterministic and engine-portable: u = first 12 hex chars of md5(doc_id) as an integer in [0, 2^48), keep iff u <= (2^48 - 1) div n_copies — exactly u * n < 2^48 for integer u but overflow-free at any cluster size (the product form wraps int64 past 2^15 copies), pure int64 arithmetic, no rand(), the q61 split-function convention applied to inclusion sampling; cluster sizes come from the exact q32/q168 fingerprint (one normalization definition). The fixture is the shifted-union convention (every 2nd doc doubled, every 4th tripled) so sizes 1/2/3 are all provably exercised; the n=1 row anchors exactness (u < 2^48 always, kept_rate exactly 1.0) and size-2/3 rows realize ~1/2 and ~1/3. Determinism: counts exact; kept_rate integer/integer IEEE division; expected_rate double-cast before dividing (a bare 1.0/n would run DECIMAL division in the oracle engine). Scale: one fingerprint projection + one md5-key map-side-combined cluster aggregate + one fp-key join + a |distinct sizes|-key aggregate — all linear on bounded keys, never pairwise.") {
       (s, d) => {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
         val corpus = docs

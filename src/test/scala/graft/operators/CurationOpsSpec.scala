@@ -314,6 +314,27 @@ class CurationOpsSpec extends SparkSpec {
       "the sampler must be a pure function of (doc_id, n_copies)")
   }
 
+  test("soft dedup sample: a cluster past 2^15 copies keeps exactly the BigInt-rule docs") {
+    import spark.implicits._
+    // 40000 copies of one document: u * n_copies would exceed int64
+    // (2^48 * 40000 ≈ 2^63.3) — the registered quotient form must
+    // match the overflow-free BigInt product rule doc for doc
+    val n = 40000
+    val corpus = spark.range(1, n + 1)
+      .select(col("id").as("doc_id"), lit("overflow cluster payload").as("text"))
+    val row = Sampling.softDedupSample(corpus).collect().head
+    assert(row.getLong(0) == n.toLong && row.getLong(2) == n.toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = (1 to n).count { id =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      BigInt(hex, 16) * n < (BigInt(1) << 48)
+    }
+    assert(row.getLong(3) == expected.toLong,
+      s"n_kept ${row.getLong(3)} != BigInt ground truth $expected")
+    assert(row.getLong(3) >= 1, "≈1 expected survivor; zero suggests a broken rule")
+  }
+
   test("cross-source passages: fixture cells exact; pair mass reconciles with C(k,2)") {
     import spark.implicits._
     // A and B share one 4-token passage (2 shingles); C repeats a
