@@ -780,6 +780,160 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** Product quantization (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search"): split each 64-dim vector into `m`
+    * contiguous subvectors and vector-quantize EACH subspace with its own
+    * `ksub`-centroid codebook, so a vector stores as m small codes
+    * (m=4, ksub=16 → 16 bits) instead of 64 floats (2048 bits) — the
+    * 128× compression that makes a 100 TB embedding corpus fit an ANN
+    * index's memory budget at all. This is the missing tier of the IVF
+    * story: q49's coarse quantizer prunes WHICH vectors to score,
+    * PQ compresses HOW each vector is stored and scored.
+    *
+    * The m per-subspace Lloyd chains are NOT a driver loop of m kmeans
+    * builds: the subspace id rides every key, so all m codebooks train
+    * in ONE keyed chain — per iteration exactly one shuffle keyed
+    * (sub, cid, pos) plus a tiny (m·ksub rows) checkpoint, identical
+    * barrier count to a single [[kmeansCentroids]] run at any m. Seeds
+    * follow the kmeansCentroids convention (the ksub lowest vec_ids,
+    * sliced — a LIMIT on the corpus, never a per-subspace corpus sort);
+    * assignment is the [[assign]] convention (argmax dot, ties to the
+    * larger cid) applied per subspace as a broadcast map-side argmax.
+    *
+    * Returns (codebooks(sub, cid, cvec), codes(vec_id, sub, sv, cid));
+    * `sv` is retained on codes so consumers (distortion, recon checks)
+    * never re-join the corpus. */
+  private[graft] def pqStage(embeddings: DataFrame, m: Int, ksub: Int,
+      iters: Int, portableMeans: Boolean): (DataFrame, DataFrame) = {
+    require(64 % m == 0, s"m=$m must divide the 64-dim embedding")
+    val subDim = 64 / m
+    val mean: Column => Column =
+      if (portableMeans) DetAgg.davg else avg(_)
+    // one projection: each vector → m (sub, subvector) rows, no shuffle
+    def subv(df: DataFrame): DataFrame = df.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)), s =>
+        slice(graft.functions.VectorOps.asDouble(col("embedding")),
+          s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")))
+    val dvs = subv(embeddings)
+    var codebooks = subv(embeddings.orderBy(col("vec_id")).limit(ksub))
+      .withColumn("cid", row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col("vec_id"))) - 1)
+      .select(col("sub"), col("cid"), col("sv").as("cvec"))
+      .localCheckpoint(true)
+    (0 until iters).foreach { _ =>
+      codebooks = assignSub(dvs, codebooks)
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cid"), col("pos")).agg(mean(col("x")).as("mv"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+        .select(col("sub"), col("cid"), expr("transform(pm, s -> s.mv)").as("cvec"))
+        .localCheckpoint(true)
+    }
+    (codebooks, assignSub(dvs, codebooks))
+  }
+
+  /** Per-subspace nearest-codeword assignment, the [[assign]] shape keyed
+    * by subspace: codebooks fold into m broadcast array rows, the per-row
+    * argmax (highest dot, ties to the larger cid) runs inside transform +
+    * array_max — the exploded corpus is never shuffled for assignment. */
+  private def assignSub(dvs: DataFrame, codebooks: DataFrame): DataFrame = {
+    val carr = codebooks.groupBy(col("sub"))
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("cs"))
+    dvs.join(broadcast(carr), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("sv"),
+        array_max(transform(col("cs"), c =>
+          struct(
+            graft.expressions.VecDot(col("sv"), c.getField("cvec")).as("sim"),
+            c.getField("cid").as("cid"))))
+          .getField("cid").as("cid"))
+  }
+
+  /** q175: the PQ codebook health + distortion report — per subspace:
+    * corpus rows, codewords actually used, the hottest codeword's mass,
+    * and the mean squared reconstruction error. This is the table a PQ
+    * deployment reads before trusting its codes: dead codewords waste
+    * bits (codes_used < ksub says shrink ksub or retrain), a hot
+    * codeword (top_code_share → 1) says that subspace carries no
+    * information and ADC scores there are noise, and avg_sq_error is
+    * the quantization distortion that bounds ADC's score error.
+    *
+    * Determinism: sqerr = ||sv − cvec||² as a dot of the difference
+    * vector with itself (every fold term ≥ 0, so no sign-of-zero hazard
+    * at round(·,6)), summed via DetAgg decimal sums; counts exact.
+    * Scale: the keyed Lloyd chain + one broadcast codeword join, one
+    * (sub, cid)-key map-side-combined aggregate (m·ksub groups), one
+    * m-key rollup — never pairwise. */
+  def pqCodebookReport(embeddings: DataFrame, m: Int = 4, ksub: Int = 16,
+      iters: Int = 3, portableMeans: Boolean = false): DataFrame = {
+    val (codebooks, codes) = pqStage(embeddings, m, ksub, iters, portableMeans)
+    val diff = zip_with(col("sv"), col("cvec"), (a, b) => a - b)
+    val perCode = codes.join(broadcast(codebooks), Seq("sub", "cid"))
+      .select(col("sub"), col("cid"),
+        round(graft.expressions.VecDot(diff, diff), 6).as("sqerr"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(count(lit(1)).as("n"), DetAgg.dsum(col("sqerr")).as("se"))
+    perCode.groupBy(col("sub"))
+      .agg(sum(col("n")).cast("bigint").as("n_vecs"),
+        count(lit(1)).cast("bigint").as("codes_used"),
+        max(col("n")).cast("bigint").as("top_code_n"),
+        (max(col("n")).cast("double") / sum(col("n")).cast("double"))
+          .as("top_code_share"),
+        (sum(col("se")).cast("double") / sum(col("n")).cast("double"))
+          .as("avg_sq_error"))
+      .select(col("sub").cast("int").as("sub"), col("n_vecs"),
+        col("codes_used"), col("top_code_n"), col("top_code_share"),
+        col("avg_sq_error"))
+      .orderBy(col("sub"))
+  }
+
+  /** q176: ADC recall@k — the PQ index-quality eval. Each corpus vector
+    * is replaced by its reconstruction (the concatenation of its m
+    * codewords) and scored against the UNCOMPRESSED query: that is
+    * asymmetric distance computation (the dot decomposes over subspace
+    * concatenation, so cosine(q, recon) ≡ the Σ_s table-lookup a
+    * production PQ scorer runs — algebraically identical, here written
+    * as one cosine so the eval shares q36's scoring convention). Per
+    * query: |ADC top-k ∩ exact top-k| / k, the q128 recall shape for
+    * the compression tier instead of the candidate tier.
+    *
+    * Determinism: reconstructions are portable decimal-mean codewords;
+    * both rankings total-order on (round-6 cosine DESC, vec_id); the
+    * hit count is an exact join count. Scale: the keyed Lloyd chain +
+    * one |corpus| groupBy(vec_id) reassembly (m rows per key), then the
+    * q36 broadcast-queries pass over reconstructions — the eval runs on
+    * a query SAMPLE by construction; the corpus side stays one pass. */
+  def pqAdcRecall(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      m: Int = 4, ksub: Int = 16, iters: Int = 3,
+      portableMeans: Boolean = false): DataFrame = {
+    val (codebooks, codes) = pqStage(embeddings, m, ksub, iters, portableMeans)
+    val recon = codes.join(broadcast(codebooks), Seq("sub", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("cvec")))).as("sc"))
+      .select(col("vec_id"), flatten(expr("transform(sc, s -> s.cvec)")).as("rv"))
+    val queries = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"),
+        graft.functions.VectorOps.asDouble(col("embedding")).as("qv"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cosine").desc, col("vec_id"))
+    val adcTop = recon.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("rv"), col("qv")).as("adc_cosine"))
+      .withColumn("rn", row_number().over(wa)).filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val exact = bruteForceTopK(embeddings, queryIds, k)
+      .select(col("query_id"), col("vec_id"))
+    val hits = adcTop.join(exact, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).cast("bigint").as("n_hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), lit(k.toLong).as("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(range(64), j -> $a[j+1] * $b[j+1]))"
 
@@ -820,6 +974,122 @@ object Similarity {
        |${recomputeCte("a3", "c3")},
        |${assignCte("c3", "lists")}""".stripMargin
   }
+
+  /** Shared DuckDB CTE chain for the PQ family (q175, q176): the twin of
+    * pqStage(m = 4, ksub = 16, iters = 3, portableMeans = true). The
+    * subspace id rides every CTE's key exactly as it rides every engine
+    * shuffle key — the m codebooks train in one keyed chain here too,
+    * not m unrolled copies. Ends at `codes`(vec_id, sub, sv, cid) and
+    * `cb3`(sub, cid, cvec). */
+  private def pqCtes(m: Int, ksub: Int): String = {
+    val sd = 64 / m
+    def dotSub(a: String, b: String) =
+      s"list_sum(list_transform(range($sd), j -> $a[j+1] * $b[j+1]))"
+    def assignCte(prev: String, out: String) =
+      s"""${out}_sim AS (
+         |  SELECT d.vec_id, d.sub, d.sv, c.cid, ${dotSub("d.sv", "c.cvec")} AS sim
+         |  FROM dvs d JOIN $prev c ON c.sub = d.sub),
+         |$out AS (
+         |  SELECT vec_id, sub, sv, cid FROM (
+         |    SELECT vec_id, sub, sv, cid,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |        ORDER BY sim DESC, cid DESC) AS rn
+         |    FROM ${out}_sim) t WHERE rn = 1)""".stripMargin
+    def recomputeCte(assigned: String, out: String) =
+      s"""${out}_m AS (
+         |  SELECT sub, cid, p.j AS j,
+         |    CAST(CAST(sum(CAST(sv[p.j + 1] AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+         |      / count(*) AS mv
+         |  FROM $assigned CROSS JOIN (SELECT unnest(range($sd)) AS j) p
+         |  GROUP BY sub, cid, p.j),
+         |$out AS (
+         |  SELECT sub, cid, list(mv ORDER BY j) AS cvec
+         |  FROM ${out}_m GROUP BY sub, cid)""".stripMargin
+    s"""dv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |subs AS (SELECT unnest(range($m)) AS sub),
+       |dvs AS (
+       |  SELECT vec_id, sub, list_slice(v, sub*$sd+1, sub*$sd+$sd) AS sv
+       |  FROM dv CROSS JOIN subs),
+       |cb0 AS (
+       |  SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS cid,
+       |    list_slice(v, sub*$sd+1, sub*$sd+$sd) AS cvec
+       |  FROM (SELECT vec_id, v FROM dv ORDER BY vec_id LIMIT $ksub) t
+       |  CROSS JOIN subs),
+       |${assignCte("cb0", "a1")},
+       |${recomputeCte("a1", "cb1")},
+       |${assignCte("cb1", "a2")},
+       |${recomputeCte("a2", "cb2")},
+       |${assignCte("cb2", "a3")},
+       |${recomputeCte("a3", "cb3")},
+       |${assignCte("cb3", "codes")}""".stripMargin
+  }
+
+  /** DuckDB twin of pqCodebookReport(m=4, ksub=16, portableMeans=true). */
+  private def q175OracleSql: String = {
+    val sd = 64 / 4
+    s"""WITH ${pqCtes(4, 16)},
+       |wc AS (
+       |  SELECT a.sub, a.cid,
+       |    round(list_sum(list_transform(range($sd), j ->
+       |      (a.sv[j+1] - c.cvec[j+1]) * (a.sv[j+1] - c.cvec[j+1]))), 6) AS sqerr
+       |  FROM codes a JOIN cb3 c ON c.sub = a.sub AND c.cid = a.cid),
+       |per AS (
+       |  SELECT sub, cid, count(*) AS n, sum(CAST(sqerr AS DECIMAL(38,6))) AS se
+       |  FROM wc GROUP BY sub, cid)
+       |SELECT CAST(sub AS INT) AS sub,
+       |  CAST(sum(n) AS BIGINT) AS n_vecs,
+       |  CAST(count(*) AS BIGINT) AS codes_used,
+       |  CAST(max(n) AS BIGINT) AS top_code_n,
+       |  CAST(max(n) AS DOUBLE) / sum(n) AS top_code_share,
+       |  CAST(CAST(sum(se) AS VARCHAR) AS DOUBLE) / sum(n) AS avg_sq_error
+       |FROM per GROUP BY sub ORDER BY sub""".stripMargin
+  }
+
+  /** DuckDB twin of pqAdcRecall(m=4, ksub=16, k=10, portableMeans=true):
+    * reconstruction = the sub-ordered concatenation of each vector's
+    * codewords; ADC ranking = round-6 cosine against the reconstruction;
+    * exact ranking = the q36 text verbatim. */
+  private def q176OracleSql: String =
+    s"""WITH ${pqCtes(4, 16)},
+       |jc AS (
+       |  SELECT a.vec_id, a.sub, c.cvec FROM codes a
+       |  JOIN cb3 c ON c.sub = a.sub AND c.cid = a.cid),
+       |recon AS (
+       |  SELECT vec_id, flatten(list(cvec ORDER BY sub)) AS rv
+       |  FROM jc GROUP BY vec_id),
+       |queries AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM dv
+       |  WHERE vec_id IN (0, 100, 200)),
+       |adctop AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, r.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(r.rv, q.qv), 6) DESC,
+       |          r.vec_id) AS rn
+       |    FROM recon r CROSS JOIN queries q WHERE r.vec_id <> q.query_id) t
+       |  WHERE rn <= 10),
+       |exact AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosineSql("e.embedding", "q.embedding")} DESC,
+       |          e.vec_id) AS rn
+       |    FROM embeddings e JOIN embeddings q
+       |      ON q.vec_id IN (0, 100, 200) AND e.vec_id <> q.vec_id) t
+       |  WHERE rn <= 10),
+       |hits AS (
+       |  SELECT a.query_id, count(*) AS n_hits
+       |  FROM adctop a JOIN exact x
+       |    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+       |  GROUP BY a.query_id)
+       |SELECT q.query_id, CAST(10 AS BIGINT) AS k,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10 AS recall
+       |FROM (SELECT DISTINCT query_id FROM exact) q
+       |LEFT JOIN hits h ON h.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
 
   /** DuckDB twin of ivfTopK(portableMeans = true): the three Lloyd
     * iterations unroll into chained assign/recompute CTE rounds (the
@@ -1651,6 +1921,20 @@ object Similarity {
       (s, d) =>
         lexicalSemanticAgreement(Tables.documents(s, d),
           Tables.embeddings(s, d), portableMeans = true)
+    },
+
+    Q("q175_pq_codebook_report", q175OracleSql,
+      "Product-quantization codebook health + distortion (Jegou et al. 2011): split each 64-dim vector into 4 contiguous 16-dim subspaces, train a 16-codeword codebook PER subspace (so a vector stores as 4x4 = 16 bits instead of 2048 — the 128x compression that lets a 100 TB embedding corpus fit an ANN index's memory budget), and report per subspace: corpus rows, codewords actually used, the hottest codeword's mass, and mean squared reconstruction error. The table a PQ deployment reads before trusting its codes: dead codewords waste bits, a hot codeword says the subspace carries no information, avg_sq_error bounds ADC's score error. The 4 Lloyd chains are NOT a driver loop: the subspace id rides every shuffle key, so all 4 codebooks train in ONE keyed chain — per iteration exactly one (sub,cid,pos)-keyed shuffle plus a tiny m*ksub checkpoint, the same barrier count as a single q49 kmeans build at ANY m (the oracle's CTEs are keyed identically, not unrolled per subspace). Determinism: seeds/assignment/means follow the q49 portable conventions (lowest-vec_id seeds, argmax-dot ties to larger cid, DetAgg decimal means); sqerr = dot(sv - cvec, sv - cvec) — every fold term >= 0, so round-6 has no sign-of-zero hazard; distortion sums are DetAgg decimals. Scale: keyed Lloyd chain + one broadcast codeword join + one (sub,cid)-key map-side-combined aggregate (64 groups) + one 4-key rollup — never pairwise, and the corpus is scanned once per iteration regardless of m.") {
+      (s, d) =>
+        pqCodebookReport(Tables.embeddings(s, d), m = 4, ksub = 16,
+          portableMeans = true)
+    },
+
+    Q("q176_pq_adc_recall", q176OracleSql,
+      "PQ asymmetric-distance recall@10 — the index-quality eval of the COMPRESSION tier (q128 evals the candidate tier): each corpus vector is replaced by its reconstruction (the sub-ordered concatenation of its 4 codewords from q175's codebooks) and ranked against the UNCOMPRESSED query by round-6 cosine; reported per query as |ADC top-10 ∩ exact top-10| / 10 against q36's brute-force text verbatim. cosine(q, recon) IS asymmetric distance computation: the dot decomposes over subspace concatenation, so this single cosine equals the sum-of-table-lookups a production PQ scorer runs — written as one expression so the eval shares q36's scoring convention, with the serving shape noted rather than re-derived. Determinism: reconstructions are portable decimal-mean codewords (the keyed Lloyd chain replays bit-identically in the oracle), both rankings total-order on (round-6 cosine DESC, vec_id) — vectors sharing all 4 codes have IDENTICAL reconstructions and resolve by the id tiebreak on both engines — and the hit count is an exact join count. Scale: the keyed Lloyd chain + one |corpus| groupBy(vec_id) reassembly (4 rows/key) + the q36 broadcast-queries pass over reconstructions; the eval runs on a query sample by construction and the corpus side stays one pass.") {
+      (s, d) =>
+        pqAdcRecall(Tables.embeddings(s, d), QueryIds, k = 10, m = 4,
+          ksub = 16, portableMeans = true)
     },
   )
 

@@ -518,7 +518,14 @@ class PlanSpec extends SparkSpec {
       // observed ~12: the q76 band-join legs + the q112 in-cluster legs
       // (Lloyd chain behind checkpoints) + id semi-joins + the pair
       // full-outer + the single-row aggregate
-      "q174_lexical_semantic_agreement" -> 16)
+      "q174_lexical_semantic_agreement" -> 16,
+      // observed ~4: the Lloyd chain hides behind checkpoints, so the
+      // query plan is: broadcast codeword join (map-side), (sub,cid)
+      // aggregate, 4-key rollup, sort — ONE corpus-sized exchange
+      "q175_pq_codebook_report" -> 6,
+      // observed ~9: recon groupBy(vec_id) + ADC window + exact-leg
+      // window + hit agg + closing join/sort, both score legs broadcast
+      "q176_pq_adc_recall" -> 11)
     bounds.foreach { case (name, bound) =>
       val p = planOf(name)
       val n = p.collect { case s: ShuffleExchangeLike => s }.size
