@@ -934,6 +934,92 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** q177: PQ codes as DEDUP BANDS — the serving index's own codes
+    * reused as an LSH candidate generator, closing the loop between the
+    * compression tier and the dedup family: a pair is a candidate if it
+    * agrees on ALL codes of ANY band (band 0 = subspaces 0-1, band 1 =
+    * subspaces 2-3 → two 8-bit band keys per vector — the OR-of-ANDs
+    * amplification q34/q39/q76 use, here with signatures the index
+    * already stores for free). Candidates get one exact round-6 cosine
+    * and the report is the candidate-generator quality row: pair count,
+    * semantic mass at the q112 threshold, precision, and mean pair
+    * cosine — the number that decides whether PQ buckets can replace a
+    * dedicated signature pass for semantic dedup on an already-indexed
+    * corpus.
+    *
+    * Determinism: the code chain is the portable keyed Lloyd (q175);
+    * band keys are exact integers; cosines round-6; the mean is a
+    * DetAgg decimal sum — all guarded identically on both engines when
+    * the candidate set is empty. Scale: one |corpus| code-pivot
+    * aggregate, a band-key equi-join (2·|corpus| rows, 8-bit keys
+    * within the band id — never all-pairs), then one exact-rerank join
+    * per candidate into a single-row aggregate; candidate mass is
+    * bounded by bucket occupancy exactly like the q76 band join, and
+    * the bucket histogram is q175's top_code_share early warning. */
+  def pqCodeNearDup(embeddings: DataFrame, threshold: Double = 0.3,
+      m: Int = 4, ksub: Int = 16, iters: Int = 3,
+      portableMeans: Boolean = false): DataFrame = {
+    require(m == 4, "band layout below assumes 4 subspaces, 2 per band")
+    val (_, codes) = pqStage(embeddings, m, ksub, iters, portableMeans)
+    val keys = codes.groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
+      .select(col("vec_id"), expr("transform(sc, s -> s.cid)").as("cs"))
+      .select(col("vec_id"), posexplode(array(
+        col("cs")(0) * ksub + col("cs")(1),
+        col("cs")(2) * ksub + col("cs")(3))).as(Seq("band", "bkey")))
+    val cand = keys.alias("a")
+      .join(keys.alias("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+      .distinct() // a pair may agree on both bands
+    val e1 = embeddings.select(col("vec_id").as("d1"), col("embedding").as("v1"))
+    val e2 = embeddings.select(col("vec_id").as("d2"), col("embedding").as("v2"))
+    cand.join(e1, Seq("d1")).join(e2, Seq("d2"))
+      .select(cosine(col("v1"), col("v2")).as("cos"))
+      .agg(count(lit(1)).cast("bigint").as("n_candidate_pairs"),
+        coalesce(sum((col("cos") >= threshold).cast("long")), lit(0L))
+          .cast("bigint").as("n_semantic"),
+        DetAgg.dsum(col("cos")).as("_s"))
+      .select(col("n_candidate_pairs"), col("n_semantic"),
+        when(col("n_candidate_pairs") > 0,
+          col("n_semantic").cast("double") /
+            col("n_candidate_pairs").cast("double")).as("precision"),
+        when(col("n_candidate_pairs") > 0,
+          col("_s").cast("double") / col("n_candidate_pairs").cast("double"))
+          .as("avg_pair_cosine"))
+  }
+
+  /** DuckDB twin of pqCodeNearDup(threshold=0.3, portableMeans=true). */
+  private def q177OracleSql: String =
+    s"""WITH ${pqCtes(4, 16)},
+       |ck AS (
+       |  SELECT vec_id, list(cid ORDER BY sub) AS cs FROM codes GROUP BY vec_id),
+       |bk AS (
+       |  SELECT vec_id, b.band,
+       |    CASE WHEN b.band = 0 THEN cs[1] * 16 + cs[2]
+       |         ELSE cs[3] * 16 + cs[4] END AS bkey
+       |  FROM ck CROSS JOIN (SELECT unnest(range(2)) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM bk a JOIN bk b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+       |sc AS (
+       |  SELECT ${cosineSql("x.embedding", "y.embedding")} AS cos
+       |  FROM cand c
+       |  JOIN embeddings x ON x.vec_id = c.d1
+       |  JOIN embeddings y ON y.vec_id = c.d2)
+       |SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+       |  CAST(COALESCE(sum(CAST(cos >= 0.3 AS INT)), 0) AS BIGINT) AS n_semantic,
+       |  CASE WHEN count(*) > 0 THEN
+       |    CAST(COALESCE(sum(CAST(cos >= 0.3 AS INT)), 0) AS DOUBLE) / count(*)
+       |  END AS precision,
+       |  CASE WHEN count(*) > 0 THEN
+       |    CAST(CAST(sum(CAST(cos AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+       |      / count(*)
+       |  END AS avg_pair_cosine
+       |FROM sc""".stripMargin
+
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(range(64), j -> $a[j+1] * $b[j+1]))"
 
@@ -1934,6 +2020,13 @@ object Similarity {
       "PQ asymmetric-distance recall@10 — the index-quality eval of the COMPRESSION tier (q128 evals the candidate tier): each corpus vector is replaced by its reconstruction (the sub-ordered concatenation of its 4 codewords from q175's codebooks) and ranked against the UNCOMPRESSED query by round-6 cosine; reported per query as |ADC top-10 ∩ exact top-10| / 10 against q36's brute-force text verbatim. cosine(q, recon) IS asymmetric distance computation: the dot decomposes over subspace concatenation, so this single cosine equals the sum-of-table-lookups a production PQ scorer runs — written as one expression so the eval shares q36's scoring convention, with the serving shape noted rather than re-derived. Determinism: reconstructions are portable decimal-mean codewords (the keyed Lloyd chain replays bit-identically in the oracle), both rankings total-order on (round-6 cosine DESC, vec_id) — vectors sharing all 4 codes have IDENTICAL reconstructions and resolve by the id tiebreak on both engines — and the hit count is an exact join count. Scale: the keyed Lloyd chain + one |corpus| groupBy(vec_id) reassembly (4 rows/key) + the q36 broadcast-queries pass over reconstructions; the eval runs on a query sample by construction and the corpus side stays one pass.") {
       (s, d) =>
         pqAdcRecall(Tables.embeddings(s, d), QueryIds, k = 10, m = 4,
+          ksub = 16, portableMeans = true)
+    },
+
+    Q("q177_pq_code_neardup", q177OracleSql,
+      "PQ codes as dedup bands — the serving index's own 16-bit codes reused as an LSH candidate generator, closing the loop between the compression tier (q175/q176) and the dedup family: a pair is a candidate if it agrees on ALL codewords of ANY band (band 0 = subspaces 0-1, band 1 = subspaces 2-3 — two 8-bit band keys per vector, the OR-of-ANDs amplification q34/q39/q76 use, with signatures the index already stores for free). Candidates get one exact round-6 cosine; the single-row report is the candidate-generator quality table: pair count, semantic mass at the q112 threshold (0.3), precision, mean pair cosine — the number that decides whether PQ buckets can replace a dedicated signature pass for semantic dedup on an already-indexed corpus. Determinism: the portable keyed Lloyd chain (q175's oracle CTEs verbatim), exact integer band keys, round-6 cosines, DetAgg decimal mean — empty-candidate-set guards identical on both engines (NULL precision/mean). Scale: one |corpus| code-pivot aggregate + a band-key equi-join (2|corpus| rows, 8-bit keys — never all-pairs, bucket-bounded exactly like the q76 band join with q175's top_code_share as the hot-bucket early warning) + one exact-rerank join into a single-row aggregate.") {
+      (s, d) =>
+        pqCodeNearDup(Tables.embeddings(s, d), threshold = 0.3, m = 4,
           ksub = 16, portableMeans = true)
     },
   )

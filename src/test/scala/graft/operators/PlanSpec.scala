@@ -525,7 +525,10 @@ class PlanSpec extends SparkSpec {
       "q175_pq_codebook_report" -> 6,
       // observed ~9: recon groupBy(vec_id) + ADC window + exact-leg
       // window + hit agg + closing join/sort, both score legs broadcast
-      "q176_pq_adc_recall" -> 11)
+      "q176_pq_adc_recall" -> 11,
+      // observed ~5: code-pivot agg, band self-join exchanges, pair
+      // distinct, two embedding rerank joins, single-row agg
+      "q177_pq_code_neardup" -> 7)
     bounds.foreach { case (name, bound) =>
       val p = planOf(name)
       val n = p.collect { case s: ShuffleExchangeLike => s }.size

@@ -108,4 +108,31 @@ class PqSpec extends SparkSpec {
     // queries — zero everywhere means the reconstruction path is broken
     assert(rows.map(_.getLong(2)).sum > 0, "ADC retrieved nothing at all")
   }
+
+  test("q177 code bands: identities hold; planted twins are all candidates AND semantic") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val base = Similarity.pqCodeNearDup(e, threshold = 0.3,
+      portableMeans = true).collect().head
+    assert(base.getLong(1) <= base.getLong(0), "semantic mass bounded by candidates")
+    if (base.getLong(0) > 0) {
+      assert(base.getDouble(2) ==
+        base.getLong(1).toDouble / base.getLong(0).toDouble)
+      assert(math.abs(base.getDouble(3)) <= 1.0, "mean cosine out of range")
+    }
+    // twin every vector at +10000: identical subvectors → identical codes
+    // (Lloyd means are invariant under uniform duplication — decimal sums
+    // and counts both double), so every (v, twin) pair agrees on both
+    // bands and scores cosine 1.0: candidates AND semantic mass must each
+    // grow by at least the n planted pairs
+    val n = e.count()
+    val twinned = e.unionAll(e.select((col("vec_id") + 10000).as("vec_id"),
+      col("embedding")))
+    val t = Similarity.pqCodeNearDup(twinned, threshold = 0.3,
+      portableMeans = true).collect().head
+    assert(t.getLong(0) >= base.getLong(0) + n,
+      s"candidates ${t.getLong(0)} must cover the $n planted twin pairs")
+    assert(t.getLong(1) >= base.getLong(1) + n,
+      s"semantic ${t.getLong(1)} must count every cosine-1.0 twin pair")
+  }
 }
