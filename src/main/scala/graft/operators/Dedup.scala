@@ -638,8 +638,19 @@ object Dedup {
     * exceeds the cap, and an unchanged survivor set for the
     * near-identical mass. */
   def simhashNearDupPairsCapped(
-      docs: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
-    val bands = simhashBands(simhashSigs(docs))
+      docs: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame =
+    simhashNearDupPairsCappedFromSigs(simhashSigs(docs), maxHamming, maxBucket)
+
+  /** The capped pair stage over a PREBUILT (doc_id, sig) table — split
+    * out so consumers that already hold persisted signatures (the
+    * datasheet-from-state read in
+    * [[graft.streaming.DatasheetStateStream]]) derive pairs from 16
+    * bytes/doc of state without rescanning text. [[simhashSigs]] is the
+    * only other producer of that shape, so batch and state-served pairs
+    * share one banding/cap/verify definition. */
+  private[graft] def simhashNearDupPairsCappedFromSigs(
+      sigs: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
+    val bands = simhashBands(sigs)
     val hot = hotBuckets(bands, Seq("band", "bv"), Seq("doc_id", "sig"), maxBucket)
     val marked = bands.join(broadcast(hot), Seq("band", "bv"), "left")
     val cool = marked.filter(col("_n").isNull)
