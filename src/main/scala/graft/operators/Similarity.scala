@@ -934,6 +934,51 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  // ------------------------------------------------------------------
+  // q108's centroid machinery, factored into its three stages so the
+  // incremental monitor (streaming.CentroidStateStream) composes the
+  // SAME definitions: the (source, dim) micro-unit sums are additive
+  // exact integers — the state a streaming maintenance job persists —
+  // and centroid/drift are pure functions of those sums.
+
+  /** (source, dim) → (sq = Σ floor(v·1e6), n) over a (source, embedding)
+    * frame — q108's quantized sum stage. Both outputs are exact
+    * integers, hence batch-additive: sums over a union equal summed
+    * per-batch sums, which is what makes the centroid state stream's
+    * delta log exact rather than approximate. */
+  private[graft] def centroidSums(srcVec: DataFrame): DataFrame =
+    srcVec
+      .select(col("source"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("source"), col("dim"),
+        floor(col("v").cast("double") * lit(1e6d)).cast("bigint").as("q"))
+      .groupBy(col("source"), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+
+  /** Integer micro-unit centroid from the sums: floor of the IEEE
+    * quotient, identical on both engines (q108's determinism note). */
+  private[graft] def centroidFromSums(sums: DataFrame): DataFrame =
+    sums.select(col("source"), col("dim"),
+      floor(col("sq").cast("double") / col("n")).cast("bigint").as("c"))
+
+  /** The pairwise drift matrix over a (source, dim, c) centroid table —
+    * q108's tail: 64 exact integer products per source pair, one IEEE
+    * cosine expression. */
+  private[graft] def centroidDriftFromCent(cent: DataFrame): DataFrame = {
+    val a = cent.select(col("source").as("s1"), col("dim"), col("c").as("ca"))
+    val b = cent.select(col("source").as("s2"), col("dim").as("dimb"),
+      col("c").as("cb"))
+    a.join(broadcast(b), col("dim") === col("dimb") && col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(sum(col("ca") * col("cb")).as("sab"),
+        sum(col("ca") * col("ca")).as("saa"),
+        sum(col("cb") * col("cb")).as("sbb"))
+      .select(col("s1"), col("s2"),
+        (col("sab").cast("double") /
+          (sqrt(col("saa").cast("double")) * sqrt(col("sbb").cast("double"))))
+          .as("centroid_cosine"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   /** q177: PQ codes as DEDUP BANDS — the serving index's own codes
     * reused as an LSH candidate generator, closing the loop between the
     * compression tier and the dedup family: a pair is a candidate if it
@@ -1736,27 +1781,10 @@ object Similarity {
       (s, d) =>
         val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
         val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-        val qd = docs.join(emb, docs("doc_id") === emb("vec_id"))
-          .select(col("source"), posexplode(col("embedding")).as(Seq("dim", "v")))
-          .select(col("source"), col("dim"),
-            floor(col("v").cast("double") * lit(1e6d)).cast("bigint").as("q"))
-        val cent = qd.groupBy(col("source"), col("dim"))
-          .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
-          .select(col("source"), col("dim"),
-            floor(col("sq").cast("double") / col("n")).cast("bigint").as("c"))
-        val a = cent.select(col("source").as("s1"), col("dim"), col("c").as("ca"))
-        val b = cent.select(col("source").as("s2"), col("dim").as("dimb"),
-          col("c").as("cb"))
-        a.join(broadcast(b), col("dim") === col("dimb") && col("s1") < col("s2"))
-          .groupBy(col("s1"), col("s2"))
-          .agg(sum(col("ca") * col("cb")).as("sab"),
-            sum(col("ca") * col("ca")).as("saa"),
-            sum(col("cb") * col("cb")).as("sbb"))
-          .select(col("s1"), col("s2"),
-            (col("sab").cast("double") /
-              (sqrt(col("saa").cast("double")) * sqrt(col("sbb").cast("double"))))
-              .as("centroid_cosine"))
-          .orderBy(col("s1"), col("s2"))
+        val srcVec = docs.join(emb, docs("doc_id") === emb("vec_id"))
+          .select(col("source"), col("embedding"))
+        centroidDriftFromCent(
+          centroidFromSums(centroidSums(srcVec)))
     },
 
     Q("q112_semantic_dedup", q112OracleSql,

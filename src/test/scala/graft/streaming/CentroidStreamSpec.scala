@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Incremental centroid state: additive integer micro-unit sums make the
+  * state-served q108 drift matrix EXACTLY the batch recompute, and the
+  * arrival-drift read is the crawl-over-crawl alarm. */
+class CentroidStreamSpec extends SparkSpec {
+
+  private def srcVecs(pred: org.apache.spark.sql.Column) =
+    Tables.documents(spark, sf0001).select(col("doc_id"), col("source"))
+      .join(Tables.embeddings(spark, sf0001)
+        .select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+      .filter(pred)
+      .select(col("vec_id"), col("embedding"), col("source"))
+
+  private def collectMatrix(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toSeq
+
+  test("state-served drift matrix == the registered q108 over all deliveries") {
+    val root = Files.createTempDirectory("graft-centstate").toString
+    val state = s"$root/state"
+    CentroidStateStream.update(state)(srcVecs(col("vec_id") % 2 === 0), 0L)
+    CentroidStateStream.update(state)(srcVecs(col("vec_id") % 2 === 1), 1L)
+    val served = collectMatrix(
+      CentroidStateStream.driftMatrixFromState(spark, state))
+    // the REGISTERED oracle-checked query is the ground truth — the
+    // stream must reproduce the exact hash-checked artifact
+    val batch = collectMatrix(
+      graft.SparkEntry.queries("q108_centroid_drift")(spark, sf0001))
+    assert(served == batch,
+      s"state-served matrix diverged from q108:\n$served\nvs\n$batch")
+  }
+
+  test("replayed batch is a no-op; split points don't matter (additivity)") {
+    val rootA = Files.createTempDirectory("graft-centA").toString
+    val rootB = Files.createTempDirectory("graft-centB").toString
+    // A: two batches split by parity, batch 0 replayed once
+    CentroidStateStream.update(s"$rootA/s")(srcVecs(col("vec_id") % 2 === 0), 0L)
+    CentroidStateStream.update(s"$rootA/s")(srcVecs(col("vec_id") % 2 === 0), 0L)
+    CentroidStateStream.update(s"$rootA/s")(srcVecs(col("vec_id") % 2 === 1), 1L)
+    // B: three batches split by mod 3
+    (0 until 3).foreach(i => CentroidStateStream.update(s"$rootB/s")(
+      srcVecs(col("vec_id") % 3 === i), i.toLong))
+    val a = collectMatrix(CentroidStateStream.driftMatrixFromState(spark, s"$rootA/s"))
+    val b = collectMatrix(CentroidStateStream.driftMatrixFromState(spark, s"$rootB/s"))
+    assert(a == b, "matrix must be independent of delivery batching and replay")
+  }
+
+  test("arrival drift: same distribution ≈ 1, negated vectors ≈ -1, no history = null") {
+    val root = Files.createTempDirectory("graft-centdrift").toString
+    val state = s"$root/state"
+    val hist = srcVecs(lit(true))
+    CentroidStateStream.update(state)(hist, 0L)
+    // the SAME vectors arriving again: drift ≈ 1 (exact up to sqrt(x)*sqrt(x) ulp)
+    val same = CentroidStateStream.arrivalDriftAgainstState(state, hist)
+      .collect()
+    assert(same.nonEmpty)
+    same.foreach { r =>
+      assert(r.getBoolean(1), s"${r.getString(0)} lost its history")
+      assert(r.getDouble(2) > 0.999999, s"${r.getString(0)}: ${r.getDouble(2)}")
+    }
+    // negated vectors: drift ≈ -1 (floor asymmetry on negatives keeps it
+    // from exactly -1) — the alarm fires hard on a flipped distribution
+    val negated = hist.select(col("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"), col("source"))
+    val neg = CentroidStateStream.arrivalDriftAgainstState(state, negated)
+      .collect()
+    neg.foreach(r => assert(r.getDouble(2) < -0.99,
+      s"${r.getString(0)}: ${r.getDouble(2)}"))
+    // an unseen source surfaces with null cosine, not a dropped row
+    val novel = hist.limit(5)
+      .select(col("vec_id"), col("embedding"), lit("brand_new_src").as("source"))
+    val nv = CentroidStateStream.arrivalDriftAgainstState(state, novel)
+      .collect()
+    assert(nv.length == 1 && !nv.head.getBoolean(1) && nv.head.isNullAt(2),
+      "unseen source must surface with has_history=false and null cosine")
+  }
+
+  test("streamed drain through the file source matches the direct updates") {
+    val root = Files.createTempDirectory("graft-centdrain").toString
+    val vecsDir = s"$root/vecs"; val state = s"$root/state"
+    srcVecs(lit(true)).write.parquet(vecsDir)
+    CentroidStateStream.start(spark, vecsDir, state, s"$root/ckpt",
+      availableNow = true).awaitTermination()
+    val served = collectMatrix(
+      CentroidStateStream.driftMatrixFromState(spark, state))
+    val batch = collectMatrix(
+      graft.SparkEntry.queries("q108_centroid_drift")(spark, sf0001))
+    assert(served == batch)
+  }
+}
