@@ -160,13 +160,7 @@ object Similarity {
     * from the batch operator. */
   def ivfTopKFromIndex(lists: DataFrame, centroids: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    // per query: nprobe closest centroids
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("sim", graft.expressions.VecDot(col("qv"), col("cvec")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cid"))))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cid"))
+    val probes = ivfProbes(queries, centroids, nprobe)
     val scored = lists.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -175,6 +169,19 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
+
+  /** The probe stage — per query, the `nprobe` most similar centroids
+    * (ties to the smaller cid): ONE definition shared by the float
+    * serving path ([[ivfTopKFromIndex]]) and the PQ serving path
+    * ([[graft.streaming.IvfStateStream.adcTopKFromState]]). */
+  private[graft] def ivfProbes(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame =
+    queries.crossJoin(broadcast(centroids))
+      .withColumn("sim", graft.expressions.VecDot(col("qv"), col("cvec")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
 
   private val QueryIds = Seq(0L, 100L, 200L)
 
@@ -806,16 +813,10 @@ object Similarity {
   private[graft] def pqStage(embeddings: DataFrame, m: Int, ksub: Int,
       iters: Int, portableMeans: Boolean): (DataFrame, DataFrame) = {
     require(64 % m == 0, s"m=$m must divide the 64-dim embedding")
-    val subDim = 64 / m
     val mean: Column => Column =
       if (portableMeans) DetAgg.davg else avg(_)
-    // one projection: each vector → m (sub, subvector) rows, no shuffle
-    def subv(df: DataFrame): DataFrame = df.select(col("vec_id"),
-      posexplode(transform(sequence(lit(0), lit(m - 1)), s =>
-        slice(graft.functions.VectorOps.asDouble(col("embedding")),
-          s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")))
-    val dvs = subv(embeddings)
-    var codebooks = subv(embeddings.orderBy(col("vec_id")).limit(ksub))
+    val dvs = pqSubvectors(embeddings, m)
+    var codebooks = pqSubvectors(embeddings.orderBy(col("vec_id")).limit(ksub), m)
       .withColumn("cid", row_number().over(
         Window.partitionBy(col("sub")).orderBy(col("vec_id"))) - 1)
       .select(col("sub"), col("cid"), col("sv").as("cvec"))
@@ -832,11 +833,39 @@ object Similarity {
     (codebooks, assignSub(dvs, codebooks))
   }
 
+  /** One projection: each vector → m (sub, subvector) rows, no shuffle —
+    * the slicing convention shared by training ([[pqStage]]) and
+    * encoding against a frozen codebook ([[pqEncode]]). */
+  private[graft] def pqSubvectors(df: DataFrame, m: Int): DataFrame = {
+    val subDim = 64 / m
+    df.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)), s =>
+        slice(graft.functions.VectorOps.asDouble(col("embedding")),
+          s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")))
+  }
+
+  /** Encode vectors against a FROZEN codebook table — the maintained
+    * IVF-PQ index's per-batch fold ([[graft.streaming.IvfStateStream]]):
+    * same slicing, same argmax convention as training, no Lloyd work. */
+  private[graft] def pqEncode(embeddings: DataFrame,
+      codebooks: DataFrame, m: Int): DataFrame =
+    assignSub(pqSubvectors(embeddings, m), codebooks)
+      .select(col("vec_id"), col("sub"), col("cid"))
+
+  /** (vec_id, rv): each vector's reconstruction — the sub-ordered
+    * concatenation of its codewords; ONE definition for the q176 eval
+    * and the state-served ADC read. */
+  private[graft] def pqRecon(codes: DataFrame, codebooks: DataFrame): DataFrame =
+    codes.join(broadcast(codebooks), Seq("sub", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("cvec")))).as("sc"))
+      .select(col("vec_id"), flatten(expr("transform(sc, s -> s.cvec)")).as("rv"))
+
   /** Per-subspace nearest-codeword assignment, the [[assign]] shape keyed
     * by subspace: codebooks fold into m broadcast array rows, the per-row
     * argmax (highest dot, ties to the larger cid) runs inside transform +
     * array_max — the exploded corpus is never shuffled for assignment. */
-  private def assignSub(dvs: DataFrame, codebooks: DataFrame): DataFrame = {
+  private[graft] def assignSub(dvs: DataFrame, codebooks: DataFrame): DataFrame = {
     val carr = codebooks.groupBy(col("sub"))
       .agg(collect_list(struct(col("cid"), col("cvec"))).as("cs"))
     dvs.join(broadcast(carr), Seq("sub"))
@@ -906,10 +935,8 @@ object Similarity {
       m: Int = 4, ksub: Int = 16, iters: Int = 3,
       portableMeans: Boolean = false): DataFrame = {
     val (codebooks, codes) = pqStage(embeddings, m, ksub, iters, portableMeans)
-    val recon = codes.join(broadcast(codebooks), Seq("sub", "cid"))
-      .groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("sub"), col("cvec")))).as("sc"))
-      .select(col("vec_id"), flatten(expr("transform(sc, s -> s.cvec)")).as("rv"))
+    val recon = pqRecon(codes.select(col("vec_id"), col("sub"), col("cid")),
+      codebooks)
     val queries = embeddings.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"),
         graft.functions.VectorOps.asDouble(col("embedding")).as("qv"))

@@ -197,4 +197,144 @@ object IvfStateStream {
     val nlist = storedNlist(spark, stateDir)
     Similarity.ivfListStatsFromIndex(listState(spark, stateDir), centroids, nlist)
   }
+
+  // ------------------------------------------------------------------
+  // PQ tier: the maintained index as FULL IVF-PQ. The coarse quantizer
+  // prunes WHICH lists a query probes; the per-subspace codebooks
+  // compress HOW each member is stored and scored (q175/q176's 16-bit
+  // codes instead of 2048-bit vectors). At 100 TB the `lists/` table's
+  // full-precision vectors are exactly what PQ eliminates from the
+  // serving path: the ADC read below touches only `codes/` (2 bytes/vec)
+  // for candidate scoring — `lists/` degrades to the (vec_id, cid)
+  // membership map plus the query-vector lookup, and a deployment that
+  // accepts external query vectors drops its `v` column from the read
+  // path entirely.
+
+  private val codebookSchema = StructType(Seq(
+    StructField("sub", IntegerType),
+    StructField("cid", IntegerType),
+    StructField("cvec", ArrayType(DoubleType))))
+
+  private val codeSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("sub", IntegerType),
+    StructField("cid", IntegerType)))
+
+  private val pqMetaSchema = StructType(Seq(
+    StructField("m", IntegerType),
+    StructField("ksub", IntegerType)))
+
+  /** The persisted per-subspace codebooks (sub, cid, cvec). */
+  def codebookState(spark: SparkSession, stateDir: String): DataFrame =
+    CorpusStateStream.stateDf(spark, s"$stateDir/codebooks", codebookSchema)
+
+  /** The persisted PQ codes (vec_id, sub, cid). */
+  def codeState(spark: SparkSession, stateDir: String): DataFrame =
+    CorpusStateStream.stateDf(spark, s"$stateDir/codes", codeSchema)
+
+  /** The CONFIGURED (m, ksub) of the stored codebooks — the
+    * [[storedNlist]] rationale applied to the PQ tier (a dead codeword
+    * shrinks the codebook table, so counting rows would mis-derive m). */
+  def storedPqShape(spark: SparkSession, stateDir: String): (Int, Int) = {
+    val meta = CorpusStateStream.stateDf(spark, s"$stateDir/pqmeta", pqMetaSchema)
+      .take(1)
+    require(meta.nonEmpty,
+      s"$stateDir/pqmeta is missing or empty — run trainPq() before " +
+      "folding or reading PQ codes")
+    (meta.head.getInt(0), meta.head.getInt(1))
+  }
+
+  /** Train the per-subspace codebooks from a seed corpus and persist
+    * them — the PQ sibling of [[train]], same freeze/overwrite contract
+    * (codes folded under old codebooks would silently stop matching)
+    * and the same meta-before-table crash ordering. */
+  def trainPq(seed: DataFrame, stateDir: String, m: Int = 4, ksub: Int = 16,
+      iters: Int = 3, portableMeans: Boolean = false): Unit = {
+    val spark = seed.sparkSession
+    val dir = s"$stateDir/codebooks"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p),
+      s"$dir already holds codebooks; retrain into a fresh stateDir " +
+      "(an in-place swap would orphan every folded code)")
+    spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(Integer.valueOf(m), Integer.valueOf(ksub))),
+        pqMetaSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/pqmeta")
+    Similarity.pqStage(seed, m, ksub, iters, portableMeans)._1
+      .select(col("sub").cast("int").as("sub"), col("cid").cast("int").as("cid"),
+        col("cvec"))
+      .write.mode("errorifexists").parquet(dir)
+  }
+
+  /** One micro-batch of the FULL IVF-PQ fold: the coarse-list append
+    * ([[update]]) plus encoding the batch against the frozen codebooks
+    * and appending exactly the new (vec_id, sub, cid) rows. Idempotent
+    * under replay (both appends anti-join on vec_id). */
+  def updatePq(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    update(stateDir)(batch, batchId)
+    val (m, _) = storedPqShape(spark, stateDir)
+    val vecs = batch.select(col("vec_id"), col("embedding"))
+      .dropDuplicates("vec_id")
+    Similarity.pqEncode(vecs, codebookState(spark, stateDir), m)
+      .select(col("vec_id"), col("sub").cast("int").as("sub"),
+        col("cid").cast("int").as("cid"))
+      .join(codeState(spark, stateDir).select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      .write.mode("append").parquet(s"$stateDir/codes")
+  }
+
+  /** Start the IVF-PQ maintenance stream ([[train]] AND [[trainPq]]
+    * must have run first). */
+  def startPq(
+      spark: SparkSession,
+      embDir: String,
+      stateDir: String,
+      checkpointDir: String,
+      availableNow: Boolean = false,
+      triggerSeconds: Int = 10,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    require(centroidState(spark, stateDir).limit(1).count() > 0,
+      s"no quantizer under $stateDir/centroids — run train() first")
+    require(codebookState(spark, stateDir).limit(1).count() > 0,
+      s"no codebooks under $stateDir/codebooks — run trainPq() first")
+    CorpusStateStream.startDocStream(spark, embDir, checkpointDir,
+      availableNow, triggerSeconds, maxFilesPerTrigger,
+      schema = embSchema)(updatePq(stateDir) _)
+  }
+
+  /** IVF-PQ serving: probe `nprobe` lists through the SAME probe stage
+    * as the float path ([[Similarity.ivfProbes]]), then score the
+    * probed lists' members by ADC — round-6 cosine of the UNCOMPRESSED
+    * query against each member's codeword reconstruction
+    * ([[Similarity.pqRecon]], q176's definition) — and take the per-
+    * query top-k (ties to the smaller vec_id, the family order).
+    * Candidate scoring never touches `lists/.v`: the reconstruction
+    * comes from 2 bytes/vec of codes plus the broadcast codebooks, the
+    * membership map is (vec_id, cid), and only the QUERY vector is read
+    * at full precision — the asymmetric-distance serving shape that
+    * makes a 100 TB corpus scoreable from an in-memory index. */
+  def adcTopKFromState(spark: SparkSession, stateDir: String,
+      queryIds: Seq[Long], k: Int, nprobe: Int = 3): DataFrame = {
+    val lists = listState(spark, stateDir)
+    val queries = lists.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probes = Similarity.ivfProbes(queries,
+      centroidState(spark, stateDir), nprobe)
+    val members = lists.select(col("vec_id"), col("cid"))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"))
+    val recon = Similarity.pqRecon(codeState(spark, stateDir),
+      codebookState(spark, stateDir))
+    val scored = members.join(recon, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorOps.cosine(col("rv"), col("qv")).as("adc_cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_cosine").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
 }

@@ -185,4 +185,92 @@ class IvfStateStreamSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(before.sameElements(after), "compaction changed the index")
   }
+
+  test("pq fold: codes state equals the batch encoding; replay is a no-op") {
+    val root = Files.createTempDirectory("graft-ivfpq-fold").toString
+    val stateDir = s"$root/state"
+    val emb = embSlice(lit(true))
+    IvfStateStream.train(emb, stateDir, nlist, portableMeans = true)
+    IvfStateStream.trainPq(emb, stateDir, m = 4, ksub = 16,
+      portableMeans = true)
+    IvfStateStream.updatePq(stateDir)(emb.filter(col("vec_id") % 2 === 0), 0L)
+    IvfStateStream.updatePq(stateDir)(emb.filter(col("vec_id") % 2 === 1), 1L)
+    val st = IvfStateStream.codeState(spark, stateDir)
+    val twin = Similarity.pqEncode(emb.select(col("vec_id"), col("embedding")),
+        IvfStateStream.codebookState(spark, stateDir), m = 4)
+      .select(col("vec_id"), col("sub").cast("int").as("sub"),
+        col("cid").cast("int").as("cid"))
+    assert(st.exceptAll(twin).isEmpty && twin.exceptAll(st).isEmpty,
+      "codes state diverged from the batch encoding")
+    assert(st.count() == emb.count() * 4, "one code per (vector, subspace)")
+    // crash-replay: the same batch again is a no-op
+    IvfStateStream.updatePq(stateDir)(emb.filter(col("vec_id") % 2 === 0), 0L)
+    assert(IvfStateStream.codeState(spark, stateDir).count() == emb.count() * 4,
+      "replayed pq fold duplicated code rows")
+  }
+
+  test("state-served ADC top-k verified against a driver-side recomputation") {
+    val root = Files.createTempDirectory("graft-ivfpq-adc").toString
+    val stateDir = s"$root/state"
+    val emb = embSlice(lit(true))
+    IvfStateStream.train(emb, stateDir, nlist, portableMeans = true)
+    IvfStateStream.trainPq(emb, stateDir, m = 4, ksub = 16,
+      portableMeans = true)
+    IvfStateStream.updatePq(stateDir)(emb, 0L)
+
+    val qids = Seq(0L, 100L, 200L); val k = 5; val nprobe = 3
+    val served = IvfStateStream.adcTopKFromState(spark, stateDir, qids,
+        k = k, nprobe = nprobe)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+
+    // independent recomputation in plain Scala: same sequential fold
+    // order as VecDot, same HALF_UP round-6, same tie orders
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0d; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = IvfStateStream.centroidState(spark, stateDir).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val lists = IvfStateStream.listState(spark, stateDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Double](2)))).toMap
+    val cb = IvfStateStream.codebookState(spark, stateDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val recon = IvfStateStream.codeState(spark, stateDir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (vid, rows) =>
+        vid -> rows.sortBy(_.getInt(1)).flatMap(r => cb((r.getInt(1), r.getInt(2)))).toSeq
+      }
+    qids.foreach { q =>
+      val qv = lists(q)._2
+      val probed = cents.toSeq
+        .map { case (cid, cv) => (dot(qv, cv), cid) }
+        .sortBy { case (sim, cid) => (-sim, cid) }
+        .take(nprobe).map(_._2).toSet
+      val expected = lists.toSeq
+        .collect { case (vid, (cid, _)) if probed(cid) && vid != q =>
+          (round6(dot(recon(vid), qv) /
+            (math.sqrt(dot(recon(vid), recon(vid))) * math.sqrt(dot(qv, qv)))),
+            vid)
+        }
+        .sortBy { case (c, vid) => (-c, vid) }
+        .take(k).map(_._2)
+      expected.zipWithIndex.foreach { case (vid, i) =>
+        assert(served((q, i + 1)) == vid,
+          s"query $q rank ${i + 1}: served ${served((q, i + 1))}, expected $vid")
+      }
+    }
+  }
+
+  test("trainPq refuses to overwrite existing codebooks") {
+    val root = Files.createTempDirectory("graft-ivfpq-guard").toString
+    val stateDir = s"$root/state"
+    val emb = embSlice(col("vec_id") < 64)
+    IvfStateStream.trainPq(emb, stateDir)
+    val e = intercept[IllegalArgumentException] {
+      IvfStateStream.trainPq(emb, stateDir)
+    }
+    assert(e.getMessage.contains("fresh stateDir"))
+  }
 }
