@@ -34,9 +34,13 @@ object TimeIvfState {
     val nlist = graft.operators.Similarity.autoNlist(n)
     IvfStateStream.train(emb, s"$root/state", nlist)
     val trainSecs = (System.nanoTime() - tTrain0) / 1e9
+    val tPq0 = System.nanoTime()
+    IvfStateStream.trainPq(emb, s"$root/state")
+    val pqTrainSecs = (System.nanoTime() - tPq0) / 1e9
+    println(f"[timeivf] trainPq(m=4, ksub=16): $pqTrainSecs%.1f s")
 
     val t0 = System.nanoTime()
-    IvfStateStream.start(spark, s"$root/emb", s"$root/state",
+    IvfStateStream.startPq(spark, s"$root/emb", s"$root/state",
       s"$root/ckpt", availableNow = true, maxFilesPerTrigger = Some(1))
       .awaitTermination()
     val secs = (System.nanoTime() - t0) / 1e9
@@ -58,6 +62,10 @@ object TimeIvfState {
     }
     timed("listStatsFromState") {
       IvfStateStream.listStatsFromState(spark, s"$root/state").count()
+    }
+    timed("adcTopKFromState (codes + codebooks only)") {
+      IvfStateStream.adcTopKFromState(spark, s"$root/state",
+        Seq(0L, 100L, 200L), k = 10).count()
     }
     timed("one-shot ivfTopK (pays the chain)") {
       graft.operators.Similarity.ivfTopK(emb, Seq(0L, 100L, 200L), k = 10,
