@@ -377,6 +377,62 @@ object TextAnalysis {
       .orderBy(col("s1"), col("s2"))
   }
 
+  /** The longest consecutive same-token run of a token array, as ONE
+    * in-row higher-order fold: carry (prev token, current run, max run)
+    * through a single pass — no posexplode, no per-token shuffle, no
+    * window sort. The initial prev is NULL, so the first token (and the
+    * empty-text single "" token) opens a run of 1 via null-comparison
+    * semantics (NULL === x is NULL → otherwise-branch). */
+  private[operators] def maxRunCol(toks: Column): Column =
+    aggregate(toks,
+      struct(lit(null).cast("string").as("prev"), lit(0).as("cur"),
+        lit(0).as("mx")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("cur") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("cur"),
+          greatest(acc.getField("mx"), run).as("mx"))
+      },
+      acc => acc.getField("mx"))
+
+  /** The gaps-and-islands formulation of the same statistic (pos minus
+    * per-token row_number — the oracle's shape), kept as the spec twin
+    * that pins [[maxRunCol]]'s fold semantics; it costs a |tokens|-row
+    * sort per doc, which is exactly why the registered query uses the
+    * fold. */
+  private[operators] def maxRunIslands(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      posexplode(wsTokens(col("text"))).as(Seq("pos", "w")))
+    val grp = tok.withColumn("grp", col("pos") -
+      row_number().over(Window.partitionBy(col("doc_id"), col("w"))
+        .orderBy(col("pos"))))
+    grp.groupBy(col("doc_id"), col("w"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run_len")).cast("int").as("max_run"))
+  }
+
+  /** q178: the degenerate-repetition audit — per source, documents
+    * whose longest same-token run reaches 3, their share, the worst
+    * run, and the mean max-run. See the registration text for the
+    * curation rationale; the engine-side max-run is [[maxRunCol]]'s
+    * zero-shuffle fold. */
+  def repetitionRuns(docs: DataFrame, flagAt: Int = 3): DataFrame =
+    docs.select(col("source"), maxRunCol(wsTokens(col("text"))).as("max_run"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        coalesce(sum((col("max_run") >= flagAt).cast("long")), lit(0L))
+          .cast("bigint").as("n_flagged"),
+        max(col("max_run")).cast("bigint").as("max_run"),
+        sum(col("max_run")).as("_smr"))
+      .select(col("source"), col("n_docs"), col("n_flagged"),
+        (col("n_flagged").cast("double") / col("n_docs").cast("double"))
+          .as("flag_share"),
+        col("max_run"),
+        (col("_smr").cast("double") / col("n_docs").cast("double"))
+          .as("mean_max_run"))
+      .orderBy(col("source"))
+
   /** q171: APPLY the q169 cut list — the dedup transform itself, not
     * its report: every token covered by a cross-document-repeated
     * word-3-gram (the shingle's three positions, [[repeatedPositions]]
@@ -1433,6 +1489,38 @@ object TextAnalysis {
       "Source-pair rollup of the q169 cut list — for every source pair (s1 <= s2), the number of DISTINCT word-3-gram shingles the two share, with the DIAGONAL counting shingles repeated across >= 2 distinct documents of the SAME source (intra-source boilerplate). Family positioning: q96 reports the cross-source set-overlap coefficient and is blind to within-source repetition by construction (per-source distinct sets); q141 is the document-level near-dup matrix; q172's deltas are the intra-source diagonal — the cell a scraper-template audit reads first — and the q169 positional hash convention, so these cells reconcile exactly with the cut list they roll up (the spec's Sigma-C(k,2) check). Determinism: exact counts over bit-identical md5-60-bit shingle hashes (the family convention); the pair condition is one strict string comparison per row on both engines. Scale: one shingle stream with source carried as a rider column (no |positions|-row corpus re-join), one map-side-combined (h, source)-key distinct-doc aggregate, then a self-join on the 8-byte hash whose per-hash fanout is bounded by |sources|^2 — never doc x doc — into a <= |sources|^2-cell aggregate; every shuffle key is 8 bytes + a short string.") {
       (s, d) =>
         crossSourcePassages(Tables.documents(s, d))
+    },
+
+    Q("q178_repetition_runs",
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, source, unnest(toks) AS w,
+        |    generate_subscripts(toks, 1) AS pos
+        |  FROM t),
+        |runs AS (
+        |  SELECT doc_id, source, w,
+        |    pos - row_number() OVER (PARTITION BY doc_id, w ORDER BY pos) AS grp
+        |  FROM tok),
+        |rl AS (
+        |  SELECT doc_id, source, count(*) AS run_len
+        |  FROM runs GROUP BY doc_id, source, w, grp),
+        |mr AS (
+        |  SELECT doc_id, source, max(run_len) AS max_run
+        |  FROM rl GROUP BY doc_id, source)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(sum(CAST(max_run >= 3 AS INT)), 0) AS BIGINT)
+        |    AS n_flagged,
+        |  CAST(COALESCE(sum(CAST(max_run >= 3 AS INT)), 0) AS DOUBLE)
+        |    / count(*) AS flag_share,
+        |  CAST(max(max_run) AS BIGINT) AS max_run,
+        |  CAST(sum(max_run) AS DOUBLE) / count(*) AS mean_max_run
+        |FROM mr GROUP BY source ORDER BY source""".stripMargin,
+      "Degenerate-repetition audit — per source, the longest consecutive SAME-TOKEN run per document rolled up to the curation signal (docs with a run >= 3, their share, the worst run, the mean): the stuck-loop detector that catches model-generated 'la la la la' degeneration, scraper pagination echoes, and markup flattened into token stutter — the within-doc repetition axis q100's duplicated-3-gram fraction does not isolate (a long run IS distinct shingles at every offset when tokens differ; a 3-gram fraction cannot say 'one token repeated 40 times'). Engine shape: the max-run is computed IN-ROW by a single higher-order aggregate fold over the token array (carry (prev, current-run, max) through one pass — zero body shuffles, the q100/q167 pure-projection rail), then one |sources|-key aggregate; the oracle expresses identical semantics as the classic gaps-and-islands window (pos minus per-token row_number), and RepetitionRunsSpec pins fold == islands on the engine side too. Determinism: run lengths and flags are exact integers; the two shares are single IEEE divisions of exact ints. Scale: the corpus is scanned once with NO per-token shuffle at all — the islands formulation would sort |tokens| rows per doc; the fold touches each token once in place — followed by a bounded |sources|-key aggregate.") {
+      (s, d) =>
+        repetitionRuns(Tables.documents(s, d))
     },
   )
 

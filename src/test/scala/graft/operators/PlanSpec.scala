@@ -528,7 +528,11 @@ class PlanSpec extends SparkSpec {
       "q176_pq_adc_recall" -> 11,
       // observed ~5: code-pivot agg, band self-join exchanges, pair
       // distinct, two embedding rerank joins, single-row agg
-      "q177_pq_code_neardup" -> 7)
+      "q177_pq_code_neardup" -> 7,
+      // observed ~2: the zero-body-shuffle claim — the max-run fold is
+      // an in-row projection, so only the |sources|-key aggregate and
+      // the presentation sort exchange
+      "q178_repetition_runs" -> 3)
     bounds.foreach { case (name, bound) =>
       val p = planOf(name)
       val n = p.collect { case s: ShuffleExchangeLike => s }.size
