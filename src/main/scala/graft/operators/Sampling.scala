@@ -259,6 +259,75 @@ object Sampling {
       .orderBy(col("n_copies"))
   }
 
+  /** q179: which corpus statistics can a block sample honestly
+    * estimate? At 100 TB nobody profiles the full corpus first — they
+    * profile a deterministic 1/16 sample (q123's md5-prefix convention)
+    * and extrapolate. This query VALIDATES that recipe per statistic:
+    * exact value, sample value, 16× extrapolation, and relative error,
+    * for four metrics chosen to span the three sampling regimes:
+    *   - n_docs / n_tokens: LINEAR — extrapolation is unbiased, the
+    *     recipe works;
+    *   - vocab_size: SUBLINEAR (Heaps' law — the sample already holds
+    *     most of the vocabulary, so ×16 wildly overestimates);
+    *   - dup_docs (docs in exact-dup clusters ≥ 2): SUPERLINEAR in the
+    *     sampling sense — a pair survives only if BOTH members sample
+    *     (p² = 1/256), so ×16 wildly underestimates.
+    * The table is the checklist a profiling job consults before
+    * trusting a sampled number — the two biased rows are the point,
+    * not a defect (the q159 surfaced-degeneracy convention).
+    *
+    * Determinism: the sample is a pure function of doc_id (identical
+    * md5 text both engines); every exact/sample/extrapolated value is
+    * an exact integer; rel_err is one guarded IEEE division. Scale:
+    * ONE corpus scan feeding three aggregates (count/sum pair, a
+    * two-sided countDistinct over one exploded token stream, one
+    * fingerprint-key aggregate carrying both the full and sample
+    * counts) — the sample column rides the same pass, nothing is
+    * scanned twice; in production the exact columns drop away and the
+    * probe touches 1/16 of the data. */
+  def sampleExtrapolation(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextFunctions.wsTokens
+    val inS = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    val base = docs.select(col("doc_id"), col("text"), inS.as("s"))
+    def rows(src: org.apache.spark.sql.DataFrame)(
+        triples: (String, Column, Column)*): org.apache.spark.sql.DataFrame =
+      src.select(explode(array(triples.map { case (m, e, sm) =>
+          struct(lit(m).as("metric"), e.cast("bigint").as("exact"),
+            sm.cast("bigint").as("sample")) }: _*)).as("r"))
+        .select(col("r.metric").as("metric"), col("r.exact").as("exact"),
+          col("r.sample").as("sample"))
+    val counts = base.select(col("s"), size(wsTokens(col("text"))).as("nt"))
+      .agg(count(lit(1)).as("nd"), sum(when(col("s"), 1L).otherwise(0L)).as("nds"),
+        sum(col("nt")).as("tk"),
+        sum(when(col("s"), col("nt")).otherwise(0L)).as("tks"))
+    val cRows = rows(counts)(
+      ("n_docs", col("nd"), col("nds")),
+      ("n_tokens", col("tk"), col("tks")))
+    val vocab = base
+      .select(col("s"), explode(wsTokens(lower(col("text")))).as("w"))
+      .select(col("s"), xxhash64(col("w")).as("h"))
+      .agg(countDistinct(col("h")).as("v"),
+        countDistinct(when(col("s"), col("h"))).as("vs"))
+    val vRows = rows(vocab)(("vocab_size", col("v"), col("vs")))
+    val dup = base
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"),
+        col("s"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("na"), sum(when(col("s"), 1L).otherwise(0L)).as("ns"))
+      .agg(coalesce(sum(when(col("na") >= 2, col("na")).otherwise(0L)), lit(0L))
+          .as("d"),
+        coalesce(sum(when(col("ns") >= 2, col("ns")).otherwise(0L)), lit(0L))
+          .as("ds"))
+    val dRows = rows(dup)(("dup_docs", col("d"), col("ds")))
+    cRows.unionByName(vRows).unionByName(dRows)
+      .select(col("metric"), col("exact"), col("sample"),
+        (col("sample") * 16L).cast("bigint").as("extrapolated"),
+        when(col("exact") > 0,
+          (col("sample") * 16L - col("exact")).cast("double") /
+            col("exact").cast("double")).as("rel_err"))
+      .orderBy(col("metric"))
+  }
+
   /** q170: the dedup × mixture interaction — the nominal τ=0.5 epoch
     * plan next to the plan REPLANNED on unique content, where unique
     * capacity keeps one document per exact content fingerprint (the
