@@ -1084,6 +1084,59 @@ object Sampling {
         softDedupSample(corpus)
       }
     },
+
+    Q("q179_sample_extrapolation",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0),
+        |base AS (
+        |  SELECT doc_id, text,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS s
+        |  FROM corpus),
+        |cnt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS nds,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tk,
+        |    CAST(sum(CASE WHEN s THEN len(string_split_regex(trim(text), '\s+'))
+        |             ELSE 0 END) AS BIGINT) AS tks
+        |  FROM base),
+        |voc AS (
+        |  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v,
+        |    CAST(count(DISTINCT CASE WHEN s THEN w END) AS BIGINT) AS vs
+        |  FROM (SELECT s, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |        FROM base)),
+        |dup AS (
+        |  SELECT coalesce(CAST(sum(CASE WHEN na >= 2 THEN na ELSE 0 END) AS BIGINT),
+        |           0) AS dd,
+        |    coalesce(CAST(sum(CASE WHEN ns >= 2 THEN ns ELSE 0 END) AS BIGINT),
+        |           0) AS dds
+        |  FROM (
+        |    SELECT count(*) AS na, sum(CASE WHEN s THEN 1 ELSE 0 END) AS ns
+        |    FROM (SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+        |                  'g'))) AS fp, s
+        |          FROM base) t
+        |    GROUP BY fp) g),
+        |m AS (
+        |  SELECT 'n_docs' AS metric, nd AS exact, nds AS sample FROM cnt
+        |  UNION ALL SELECT 'n_tokens', tk, tks FROM cnt
+        |  UNION ALL SELECT 'vocab_size', v, vs FROM voc
+        |  UNION ALL SELECT 'dup_docs', dd, dds FROM dup)
+        |SELECT metric, exact, sample,
+        |  CAST(sample * 16 AS BIGINT) AS extrapolated,
+        |  CASE WHEN exact > 0
+        |    THEN CAST(sample * 16 - exact AS DOUBLE) / CAST(exact AS DOUBLE)
+        |  END AS rel_err
+        |FROM m ORDER BY metric""".stripMargin,
+      "Sampled-profiling validation table — which corpus statistics can a deterministic 1/16 block sample (the q123 md5-prefix convention) honestly estimate? At 100 TB nobody profiles the full corpus before acting on it; they profile a sample and extrapolate, and this table is the checklist that says per statistic whether that recipe is sound: exact value, sample value, 16x extrapolation, relative error, for four metrics spanning the three sampling regimes. n_docs/n_tokens are LINEAR (extrapolation unbiased — the recipe works); vocab_size is SUBLINEAR (Heaps' law: the sample already holds most of the vocabulary, so x16 wildly OVER-estimates); dup_docs (docs in exact-fingerprint clusters >= 2, the q32 definition) is SUPERLINEAR in the sampling sense (a dup pair survives only when BOTH members sample, p^2 = 1/256, so x16 wildly UNDER-estimates — the reason sampled dedup audits lie). The two biased rows are the point, not a defect (the q159 surfaced-degeneracy convention). Runs on the q170-convention fixture corpus (every 3rd doc doubled under a shifted id, built in the registration body — the operator itself profiles whatever corpus it is given) so the dup row is provably non-zero at test scale. Determinism: sample membership is a pure function of doc_id (identical md5 text both engines); every exact/sample/extrapolated value is an exact integer; rel_err one guarded IEEE division (NULL at exact = 0 identically on both engines); vocab counts distinct 64-bit token hashes vs the oracle's distinct strings — the family's 2^-64 collision trade, policed by this oracle. Scale: ONE corpus scan feeding three bounded aggregates (a count/sum pair, a two-sided countDistinct over one exploded token stream, one md5-fingerprint-key map-side-combined aggregate carrying full and sample counts together) — the sample column rides the same pass, nothing is scanned twice; in production the exact columns drop away and the probe touches 1/16 of the data.") {
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val corpus = docs.unionAll(
+          docs.filter(col("doc_id") % 3 === 0).select(
+            (col("doc_id") + 1000000).as("doc_id"), col("text")))
+        sampleExtrapolation(corpus)
+      }
+    },
   )
 
   /** q160: exact integer waterfilling of a token budget across sources —

@@ -411,4 +411,51 @@ class CurationOpsSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- q179 sample extrapolation -----------------------------------------
+
+  test("sample extrapolation: the three sampling regimes surface as signed bias") {
+    val base = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    // the registered fixture: every 3rd doc doubled under a shifted id,
+    // so the dup row is provably non-zero
+    val corpus = base.unionAll(base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val rows = Sampling.sampleExtrapolation(corpus).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("n_docs", "n_tokens", "vocab_size", "dup_docs"))
+    // structural identities on every row
+    rows.values.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "sample can never exceed exact")
+      assert(r.getLong(3) == 16L * r.getLong(2), "extrapolated = 16 x sample")
+      if (r.getLong(1) > 0)
+        assert(math.abs(r.getDouble(4) -
+          (16.0 * r.getLong(2) - r.getLong(1)) / r.getLong(1)) < 1e-12)
+    }
+    // the n_docs row recomputed from first principles: sample membership
+    // is md5(doc_id) first hex char '0', through java's MessageDigest,
+    // never the operator's own expression
+    val ids = corpus.select(col("doc_id")).collect().map(_.getLong(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def inSample(id: Long): Boolean =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.startsWith("0")
+    val nd = rows("n_docs")
+    assert(nd.getLong(1) == ids.length.toLong)
+    assert(nd.getLong(2) == ids.count(inSample).toLong)
+    // the LINEAR rows: a 1/16 block sample extrapolates n_docs/n_tokens
+    // to within sampling noise of the truth
+    assert(math.abs(rows("n_docs").getDouble(4)) < 0.5)
+    assert(math.abs(rows("n_tokens").getDouble(4)) < 0.5)
+    // the SUBLINEAR row (Heaps' law): the sample already holds most of
+    // the vocabulary, so x16 over-extrapolates hard — the biased row
+    // this table exists to surface
+    assert(rows("vocab_size").getDouble(4) > 2.0,
+      s"vocab over-extrapolation = ${rows("vocab_size").getDouble(4)}")
+    // the SUPERLINEAR row: a dup pair survives sampling only when BOTH
+    // members do (p^2 = 1/256), so x16 under-extrapolates — the dup
+    // mass is real (fixture) but the sampled estimate collapses
+    assert(rows("dup_docs").getLong(1) > 0, "fixture dup mass must exist")
+    assert(rows("dup_docs").getDouble(4) < -0.5,
+      s"dup under-extrapolation = ${rows("dup_docs").getDouble(4)}")
+  }
 }
