@@ -908,19 +908,18 @@ object Dedup {
     * the fix: byte dups are storage/crawl bugs (dedupe at the blob
     * layer, q133's territory); formatting variants are extraction
     * artifacts (fix the normalizer, or they reappear with every crawl).
-    * Audited on the q32-convention fixture corpus (original + a
-    * byte-identical id-shifted copy + a punctuation-perturbed copy —
-    * both group outcomes provably exercised at test scale). Output is
-    * the (group size, raw-variant count) histogram over groups with
+    * Audits WHATEVER corpus it is given — on a dup-free corpus the
+    * histogram is honestly empty (no group reaches 2 members); the
+    * registered q168 feeds it the q32-convention fixture (original +
+    * byte-identical twin + punctuation-perturbed copy, built in the
+    * registration body like every sibling fixture query) so both group
+    * outcomes are provably exercised at test scale. Output is the
+    * (group size, raw-variant count) histogram over groups with
     * ≥ 2 members. One fingerprint-key aggregate then a ≤ |distinct
     * (n_docs, n_raw)| aggregate — the q32 plan with one extra
     * countDistinct. */
   def formattingVariants(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("text"))
-    val variants = base
-      .unionAll(base) // byte-identical twin
-      .unionAll(base.select(concat(col("text"), lit(" .")).as("text")))
-    variants
+    docs
       .select(fingerprint(col("text")).as("fp"), md5(col("text")).as("raw"))
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("raw")).as("n_raw_variants"))
@@ -2107,9 +2106,14 @@ object Dedup {
         |FROM g WHERE n_docs >= 2
         |GROUP BY n_docs, n_raw_variants
         |ORDER BY n_docs, n_raw_variants""".stripMargin,
-      "Formatting-variant audit — splits the exact-dup mass q32 collapses into its two REAL populations: byte-identical copies (same raw md5 — storage/crawl bugs, dedupe at the blob layer, q133's machinery) vs FORMATTING VARIANTS (same content after the q32 normalization, different raw bytes — extraction artifacts that reappear with every crawl until the normalizer is fixed). The distinction decides which team gets the ticket, which is why data-quality audits report it separately. Runs on the q32-convention fixture corpus (original + byte-identical twin + a punctuation-perturbed copy whose ' .' suffix the normalizer provably erases), so BOTH outcomes are exercised at test scale: every group carries >= 3 members with exactly 2 raw variants, plus whatever natural dup structure the corpus adds. Output is the (group size, raw-variant count) histogram over groups with >= 2 members — bounded by the distinct size pairs, never per-group rows. Determinism: both fingerprints are md5 over identically-normalized strings (the q32 parity already proven cross-engine); counts exact. Scale: one fingerprint-key map-side-combined aggregate (the q32 plan) with one extra countDistinct riding the same shuffle, then a tiny histogram aggregate.") {
-      (s, d) =>
-        formattingVariants(Tables.documents(s, d))
+      "Formatting-variant audit — splits the exact-dup mass q32 collapses into its two REAL populations: byte-identical copies (same raw md5 — storage/crawl bugs, dedupe at the blob layer, q133's machinery) vs FORMATTING VARIANTS (same content after the q32 normalization, different raw bytes — extraction artifacts that reappear with every crawl until the normalizer is fixed). The distinction decides which team gets the ticket, which is why data-quality audits report it separately. The operator fingerprints whatever corpus it is given (on a dup-free corpus the histogram is honestly empty); the registration feeds it the q32-convention fixture corpus (original + byte-identical twin + a punctuation-perturbed copy whose ' .' suffix the normalizer provably erases — built in the registration body, the sibling-fixture convention of q32/q85/q170/q173), so BOTH outcomes are exercised at test scale: every group carries >= 3 members with exactly 2 raw variants, plus whatever natural dup structure the corpus adds. Output is the (group size, raw-variant count) histogram over groups with >= 2 members — bounded by the distinct size pairs, never per-group rows. Determinism: both fingerprints are md5 over identically-normalized strings (the q32 parity already proven cross-engine); counts exact. Scale: one fingerprint-key map-side-combined aggregate (the q32 plan) with one extra countDistinct riding the same shuffle, then a tiny histogram aggregate.") {
+      (s, d) => {
+        val base = Tables.documents(s, d).select(col("text"))
+        val fixture = base
+          .unionAll(base) // byte-identical twin
+          .unionAll(base.select(concat(col("text"), lit(" .")).as("text")))
+        formattingVariants(fixture)
+      }
     },
   )
 

@@ -124,7 +124,13 @@ class CurationOpsSpec extends SparkSpec {
   }
 
   test("formatting variants: fixture groups carry the byte-twin and the perturbed copy") {
-    val h = Dedup.formattingVariants(docs).collect()
+    // the registered fixture shape, built OUTSIDE the operator: the
+    // operator itself must fingerprint the corpus it is handed
+    val base = docs.select(col("text"))
+    val fixture = base.unionAll(base)
+      .unionAll(base.select(org.apache.spark.sql.functions.concat(col("text"),
+        org.apache.spark.sql.functions.lit(" .")).as("text")))
+    val h = Dedup.formattingVariants(fixture).collect()
     assert(h.nonEmpty)
     h.foreach { r =>
       // fixture = original + byte twin + ' .' variant per doc: every
@@ -141,6 +147,15 @@ class CurationOpsSpec extends SparkSpec {
       .distinct().count()
     assert(h.map(_.getLong(2)).sum == nFp,
       "every normalized fingerprint must land in exactly one histogram cell")
+  }
+
+  test("formatting variants: a dup-free corpus yields an honestly empty audit") {
+    // the operator must not fabricate its own dup mass (the fixture
+    // lives in the registration body, not in the operator): on a corpus
+    // with no repeated fingerprints, no group reaches 2 members
+    if (Dedup.exactDedup(docs).count() == docs.count())
+      assert(Dedup.formattingVariants(docs).collect().isEmpty,
+        "formattingVariants invented duplicate mass on a clean corpus")
   }
 
   test("band planner: candidates shrink as rows-per-band grows; r=2 row = q34") {
