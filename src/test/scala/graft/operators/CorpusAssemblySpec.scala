@@ -538,4 +538,38 @@ class CorpusAssemblySpec extends SparkSpec {
       assert(r.getLong(3) <= r.getLong(2))
     }
   }
+
+  test("js divergence: the micro-nat ledger survives past the int64 wrap bound") {
+    // Two identical sources of 5e5 tokens each over ONE vocab term:
+    // the mixture weight w = a*tb + b*ta = 2*(5e5)^2 = 5e11, whose
+    // micro-nat product w*floor(ln(w)*1e6) ~ 1.3e19 exceeds
+    // Long.MaxValue (9.2e18) — an int64 ledger would wrap SILENTLY here
+    // and js_nats would come out garbage. The decimal(38,0) ledger must
+    // keep the identical-distribution divergence at quantization noise.
+    val T = 500L * 1000L // tokens per source: 1000 docs x 500 tokens
+    val w = BigInt(2) * BigInt(T) * BigInt(T)
+    val wlnw = w * BigInt(math.floor(math.log(w.toDouble) * 1e6).toLong)
+    assert(wlnw > BigInt(Long.MaxValue),
+      s"fixture must sit past the int64 bound, got $wlnw")
+    val txt = Array.fill(500)("tok").mkString(" ")
+    val docs = spark.range(2000).select(
+      col("id").as("doc_id"), lit(txt).as("text"), lit("en").as("lang"),
+      when(col("id") % 2 === 0, "sA").otherwise("sB").as("source"),
+      lit(0L).as("n_chars"))
+    val r = TextAnalysis.sourceJsDivergence(docs).collect()
+    assert(r.length == 1)
+    val js = r.head.getDouble(5)
+    assert(math.abs(js) < 2e-6,
+      s"identical distributions past the wrap bound: js = $js (wrapped ledger?)")
+    // the exact expected value, recomputed from first principles with
+    // BigInt ledgers and the operator's own quantization formula
+    val sa = BigInt(T) * BigInt(math.floor(math.log(T.toDouble) * 1e6).toLong)
+    val dtt = 2.0 * T.toDouble * T.toDouble
+    def leg(tot: Double, ledger: BigInt): Double =
+      math.floor(math.log(tot) * 1e6) * 1e-6 - (ledger.toDouble * 1e-6) / tot
+    val expected = leg(dtt, wlnw) - 0.5 * leg(T.toDouble, sa) -
+      0.5 * leg(T.toDouble, sa)
+    assert(math.abs(js - expected) < 1e-12,
+      s"ledger value drifted from the BigInt recomputation: $js vs $expected")
+  }
 }
