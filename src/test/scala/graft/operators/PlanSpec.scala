@@ -560,6 +560,24 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("q141/q162 two-branch matrices reuse the band join via AQE stage reuse") {
+    // both queries consume the capped simhash pair table in TWO aggregate
+    // branches (n_pairs and distinct n_docs) with no checkpoint: the
+    // identical band-join subtree must dedupe at runtime (ReusedExchange /
+    // ReusedQueryStage in the FINAL adaptive plan), or a Spark upgrade
+    // could silently run the band join twice. Reuse is only visible after
+    // execution of THIS QueryExecution, so collect the frame itself
+    // (count() would build a separate execution — the ReuseProbe pitfall).
+    for (name <- Seq("q141_crosssource_neardup", "q162_split_leakage")) {
+      val df = SparkEntry.queries(name)(spark, sf001)
+      df.collect()
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("ReusedExchange") || s.contains("ReusedQueryStage"),
+        s"$name lost exchange reuse — the band join runs twice:\n" + s.take(1200))
+      assert(!s.contains("CartesianProduct"))
+    }
+  }
+
   test("q159 totals fold from the cell frame: no join, one corpus aggregate") {
     val s = planString("q159_langid_confusion")
     assert(!s.contains("Join"), "q159 grew a join — totals must come from the cell window")
