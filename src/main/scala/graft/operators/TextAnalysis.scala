@@ -1295,7 +1295,7 @@ object TextAnalysis {
         |  - 0.5 * (CAST(floor(ln(CAST(tb AS DOUBLE)) * 1e6) AS BIGINT) * 1e-6
         |     - (sb * 1e-6) / tb) AS js_nats
         |FROM m ORDER BY s1, s2""".stripMargin,
-      "Pairwise Jensen-Shannon divergence between per-source unigram distributions — the source-redundancy matrix a mixture designer reads next to q124's temperature weights (two sources with near-zero JS are the same crawl twice: merge them before weighting, or the mixture double-counts their distribution; a high-JS outlier source is the one worth upweighting for coverage). The determinism problem JS adds over q103/q122 entropy is the MIXTURE M = (P+Q)/2 having non-integer masses; solved by the common-denominator identity: weight w = a*B + b*A over W = 2AB keeps every mass an exact integer, and JS = H_W - (H_A + H_B)/2 where each H is the family's ln(T) - sum(c*ln c)/T on integer counts, ln once per GROUP floor-quantized to integer micro-nats, every distributed sum exact-int64. Int64 headroom is proven not assumed: sum(w*floor(ln w * 1e6)) <= W*ln(W)*1e6, safe to W ~ 3.5e11 (per-source ~4e5 tokens — 25x over sf0.1); beyond that the ledger flips to decimal(38) sums on both engines, same shape. Scale: ONE token explode folds to map-side-combined (source, xxhash64(term)) counts — term strings never cross a shuffle (engine-side hash keys; 2^-64 per-pair collision, the q96/q100 family trade — the oracle groups the strings themselves), the pair expansion ships only 8-byte hashes and counts bounded by |pairs| x |vocab|, and the closing aggregate runs at |pairs| keys. shared_frac (vocab overlap) rides along as the cheap first-look signal.") {
+      "Pairwise Jensen-Shannon divergence between per-source unigram distributions — the source-redundancy matrix a mixture designer reads next to q124's temperature weights (two sources with near-zero JS are the same crawl twice: merge them before weighting, or the mixture double-counts their distribution; a high-JS outlier source is the one worth upweighting for coverage). The determinism problem JS adds over q103/q122 entropy is the MIXTURE M = (P+Q)/2 having non-integer masses; solved by the common-denominator identity: weight w = a*B + b*A over W = 2AB keeps every mass an exact integer, and JS = H_W - (H_A + H_B)/2 where each H is the family's ln(T) - sum(c*ln c)/T on integer counts, ln once per GROUP floor-quantized to integer micro-nats, every distributed sum exact-int64. The w*floor(ln w * 1e6) products wrap int64 near W ~ 3.5e11 mixture mass (per-source ~4e5 tokens — only 25x over sf0.1), so the whole ledger (per-term products AND the three sums) runs UNCONDITIONALLY in decimal(38,0) on both engines — spec-proven past the int64 wrap bound with a 5e11-mass BigInt-replayed fixture; 38 digits hold any physically reachable W. Scale: ONE token explode folds to map-side-combined (source, xxhash64(term)) counts — term strings never cross a shuffle (engine-side hash keys; 2^-64 per-pair collision, the q96/q100 family trade — the oracle groups the strings themselves), the pair expansion ships only 8-byte hashes and counts bounded by |pairs| x |vocab|, and the closing aggregate runs at |pairs| keys. shared_frac (vocab overlap) rides along as the cheap first-look signal.") {
       (s, d) =>
         sourceJsDivergence(Tables.documents(s, d))
     },

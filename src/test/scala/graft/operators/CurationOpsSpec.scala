@@ -151,11 +151,18 @@ class CurationOpsSpec extends SparkSpec {
 
   test("formatting variants: a dup-free corpus yields an honestly empty audit") {
     // the operator must not fabricate its own dup mass (the fixture
-    // lives in the registration body, not in the operator): on a corpus
-    // with no repeated fingerprints, no group reaches 2 members
-    if (Dedup.exactDedup(docs).count() == docs.count())
-      assert(Dedup.formattingVariants(docs).collect().isEmpty,
-        "formattingVariants invented duplicate mass on a clean corpus")
+    // lives in the registration body, not in the operator). The corpus
+    // is PROVABLY dup-free by construction — one distinct alphanumeric
+    // token per row, so every normalized fingerprint is unique — not
+    // gated on the shared sf0.01 fixture staying duplicate-free (a
+    // conditional assert would silently skip the moment that fixture
+    // gained a natural dup, and this guard would be gone).
+    val clean = spark.range(10)
+      .selectExpr("id AS doc_id", "concat('uniquetoken', id) AS text")
+    assert(Dedup.exactDedup(clean).count() == 10,
+      "fixture self-check: the inline corpus must be dup-free")
+    assert(Dedup.formattingVariants(clean).collect().isEmpty,
+      "formattingVariants invented duplicate mass on a clean corpus")
   }
 
   test("band planner: candidates shrink as rows-per-band grows; r=2 row = q34") {
