@@ -382,7 +382,12 @@ object TextAnalysis {
     * through a single pass — no posexplode, no per-token shuffle, no
     * window sort. The initial prev is NULL, so the first token (and the
     * empty-text single "" token) opens a run of 1 via null-comparison
-    * semantics (NULL === x is NULL → otherwise-branch). */
+    * semantics (NULL === x is NULL → otherwise-branch).
+    *
+    * SEMANTIC PIN ONLY: the registered q178 runs the compiled
+    * [[graft.expressions.MaxTokenRun]] (one eval per row, no per-element
+    * interpreted tree, none of this fold's 7.4 s cold codegen compile);
+    * RepetitionRunsSpec proves compiled == fold == islands. */
   private[operators] def maxRunCol(toks: Column): Column =
     aggregate(toks,
       struct(lit(null).cast("string").as("prev"), lit(0).as("cur"),
@@ -415,10 +420,12 @@ object TextAnalysis {
   /** q178: the degenerate-repetition audit — per source, documents
     * whose longest same-token run reaches 3, their share, the worst
     * run, and the mean max-run. See the registration text for the
-    * curation rationale; the engine-side max-run is [[maxRunCol]]'s
-    * zero-shuffle fold. */
+    * curation rationale; the engine-side max-run is the compiled
+    * [[graft.expressions.MaxTokenRun]] (zero shuffle, one eval per
+    * row; [[maxRunCol]] and [[maxRunIslands]] are its semantic pins). */
   def repetitionRuns(docs: DataFrame, flagAt: Int = 3): DataFrame =
-    docs.select(col("source"), maxRunCol(wsTokens(col("text"))).as("max_run"))
+    docs.select(col("source"),
+        graft.expressions.MaxTokenRun(col("text")).as("max_run"))
       .groupBy(col("source"))
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         coalesce(sum((col("max_run") >= flagAt).cast("long")), lit(0L))

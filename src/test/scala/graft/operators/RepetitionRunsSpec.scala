@@ -9,15 +9,45 @@ import graft.{SparkSpec, Tables}
   * hand-built degenerate fixtures. */
 class RepetitionRunsSpec extends SparkSpec {
 
-  test("in-row fold == gaps-and-islands windows on the corpus") {
+  test("compiled == in-row fold == gaps-and-islands windows on the corpus") {
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text"))
     val fold = docs.select(col("doc_id"),
         TextAnalysis.maxRunCol(graft.functions.TextFunctions.wsTokens(col("text")))
           .as("max_run"))
+    val compiled = docs.select(col("doc_id"),
+        graft.expressions.MaxTokenRun(col("text")).as("max_run"))
     val islands = TextAnalysis.maxRunIslands(docs)
     assert(fold.exceptAll(islands).isEmpty && islands.exceptAll(fold).isEmpty,
       "fold and islands formulations disagree")
+    assert(compiled.exceptAll(fold).isEmpty && fold.exceptAll(compiled).isEmpty,
+      "compiled MaxTokenRun and the fold disagree")
+  }
+
+  test("compiled tokenization edges match split(trim(text), \\s+) exactly") {
+    import spark.implicits._
+    // trim strips 0x20 only; split keeps leading/trailing empty tokens
+    // (limit -1); empty text is one "" token. These are the rows where
+    // a hand-rolled tokenizer would silently drift from the fold.
+    val fix = Seq(
+      (1L, ""),              // [""] → 1
+      (2L, "   "),           // spaces trim to "" → [""] → 1
+      (3L, "\ta a"),         // leading tab: ["", "a", "a"] → 2
+      (4L, "a a\n"),         // trailing newline: ["a", "a", ""] → 2
+      (5L, "a\t\ta b"),      // multi-ws separator is ONE split → run 2
+      (6L, " \n \n "),       // trims to "\n \n" = ONE ws run → ["", ""] → 2
+      (7L, "x X x")          // case-sensitive: run 1
+    ).toDF("doc_id", "text")
+    val fold = fix.select(col("doc_id"),
+      TextAnalysis.maxRunCol(graft.functions.TextFunctions.wsTokens(col("text")))
+        .as("max_run"))
+    val compiled = fix.select(col("doc_id"),
+      graft.expressions.MaxTokenRun(col("text")).as("max_run"))
+    assert(compiled.exceptAll(fold).isEmpty && fold.exceptAll(compiled).isEmpty,
+      "compiled MaxTokenRun drifts from the fold on whitespace edges")
+    val got = compiled.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 2, 6L -> 2,
+      7L -> 1), s"unexpected runs: $got")
   }
 
   test("hand fixtures: runs counted exactly, flag threshold honored") {
