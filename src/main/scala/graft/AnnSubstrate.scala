@@ -5,8 +5,10 @@ import scala.collection.mutable
 import org.apache.spark.sql.SparkSession
 
 /** Session-scoped memo for shared, eagerly-checkpointed index substrates —
-  * the IVF coarse quantizer (centroids + assigned lists) and the PQ tier
-  * (codebooks + codes) that the ANN query family reads.
+  * the IVF coarse quantizer (centroids + assigned lists) and PQ tier
+  * (codebooks + codes) the ANN query family reads, and the dedup family's
+  * capped simhash pair table + its connected-component labeling
+  * (Dedup.nearDupPairsShared / nearDupComponentsShared).
   *
   * Why this exists: the registered batch queries
   * q49/q112/q138/q139/q142/q150/q155/q165/q174/q175–q177 all consume the

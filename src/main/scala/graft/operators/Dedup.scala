@@ -93,6 +93,22 @@ object Dedup {
     arr.select((keep :+ explode(col("hs")).as("h")): _*)
   }
 
+  /** [[shingleArrays]] (no extras) memoized per corpus via
+    * [[graft.AnnSubstrate]] — the within-query checkpoint promoted to a
+    * cross-query substrate, the nearDupPairsShared contract: the four
+    * registered inverted-index consumers (q33/q157/q80/q144) extract
+    * the identical per-doc hash arrays and each used to re-run the
+    * compiled extraction pass per query. Extras stay per-consumer:
+    * every rider in the tree is a pure function of doc_id (q80's split
+    * tag), so it derives ON the checkpointed frame without a join. */
+  private def shingleArraysShared(docs: DataFrame,
+      corpusKey: Option[String]): DataFrame =
+    corpusKey match {
+      case Some(ck) => graft.AnnSubstrate.getOrBuild(docs.sparkSession,
+        s"shinglearrays|$ck")(shingleArrays(docs))
+      case None => shingleArrays(docs)
+    }
+
   /** The cross-document boilerplate set: 64-bit hashes of every word-
     * 3-gram occurring in >= 2 distinct documents (per-doc distinctness
     * comes from the compiled expression, so the count IS document
@@ -106,6 +122,17 @@ object Dedup {
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
       .select(col("h"))
+
+  /** [[boilerplateHashes]] memoized per corpus (|vocab|-bounded, tiny
+    * checkpoint): q107's accounting and q110's removal transform read
+    * the identical df>=2 blacklist. */
+  private def boilerplateHashesShared(docs: DataFrame,
+      corpusKey: Option[String]): DataFrame =
+    corpusKey match {
+      case Some(ck) => graft.AnnSubstrate.getOrBuild(docs.sparkSession,
+        s"boilerplate|$ck")(boilerplateHashes(docs).localCheckpoint(true))
+      case None => boilerplateHashes(docs)
+    }
 
   /** Exact dedup: keep the lowest doc_id per normalized-content
     * fingerprint, count copies. */
@@ -280,8 +307,9 @@ object Dedup {
     * the linear bound on a hot-shingle corpus and cut-inertness when no
     * shingle exceeds the threshold. */
   def ngramJaccardPairsCapped(
-      docs: DataFrame, threshold: Double, maxDocFreq: Int): DataFrame = {
-    val arr = shingleArrays(docs)
+      docs: DataFrame, threshold: Double, maxDocFreq: Int,
+      corpusKey: Option[String] = None): DataFrame = {
+    val arr = shingleArraysShared(docs, corpusKey)
     // df per shingle hash is one map-side-combined agg, but only the HOT
     // tail matters: hashes with df > maxDocFreq number at most
     // |index|/maxDocFreq — broadcast-size at any corpus size, usually
@@ -295,8 +323,9 @@ object Dedup {
     * C = |A∩B| / min(|A|,|B|) over the df-cut inverted index, with the
     * symmetric jaccard alongside and a partial-containment flag. */
   def containmentPairs(docs: DataFrame, minContain: Double,
-      maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
-    val arr = shingleArrays(docs)
+      maxDocFreq: Int = DefaultMaxDocFreq,
+      corpusKey: Option[String] = None): DataFrame = {
+    val arr = shingleArraysShared(docs, corpusKey)
     pairOverlap(sizesFromArrays(arr),
         dfCut(explodeShingles(arr), maxDocFreq))
       .withColumn("containment",
@@ -319,6 +348,17 @@ object Dedup {
     docs.select(col("doc_id"),
       graft.expressions.MinHashSig(col("text"), k).as("sig"))
 
+  /** [[minhashSignatures]] memoized per (corpus, k) and checkpointed —
+    * q34's band join, q143's calibration, and q166's planner all derive
+    * from the identical compiled-MinHashSig pass. */
+  private def minhashSignaturesShared(docs: DataFrame, k: Int,
+      corpusKey: Option[String]): DataFrame =
+    corpusKey match {
+      case Some(ck) => graft.AnnSubstrate.getOrBuild(docs.sparkSession,
+        s"minhashsigs|$ck|$k")(minhashSignatures(docs, k).localCheckpoint())
+      case None => minhashSignatures(docs, k)
+    }
+
   /** MinHash calibration table (q143): for the banded candidate pairs,
     * the estimator (signature agreement fraction) against the TRUE
     * distinct-3-gram-shingle Jaccard, bucketed by agreement count —
@@ -334,10 +374,15 @@ object Dedup {
     * hashes then probes d2's — |pairs|·S̄ shuffled 8-byte rows, the
     * q33 inverted-probe shape restricted to candidates. */
   def minhashCalibration(docs: DataFrame, k: Int = 8,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      corpusKey: Option[String] = None): DataFrame = {
     // ONE compiled-MinHashSig pass feeds both the band join and the
-    // agreement count (a second pass measured ~1 s of the query's cost)
-    val sigs = minhashSignatures(docs, k).localCheckpoint()
+    // agreement count (a second pass measured ~1 s of the query's cost);
+    // keyed, it is the cross-query shared table
+    val sigs = corpusKey match {
+      case Some(_) => minhashSignaturesShared(docs, k, corpusKey)
+      case None => minhashSignatures(docs, k).localCheckpoint()
+    }
     val withSig = minhashCappedFromBands(
         minhashBandsFromSigs(sigs, k, 2), maxBucket)
       .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), Seq("d1"))
@@ -393,8 +438,10 @@ object Dedup {
   /** LSH candidate pairs: documents agreeing on at least one band of
     * `rowsPerBand` consecutive minhashes (k/rowsPerBand bands). The
     * bucket join key is (band, concatenated band signature). */
-  def minhashCandidates(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val bands = minhashBands(docs, k, rowsPerBand)
+  def minhashCandidates(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 2,
+      corpusKey: Option[String] = None): DataFrame = {
+    val bands = minhashBandsFromSigs(
+      minhashSignaturesShared(docs, k, corpusKey), k, rowsPerBand)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -474,10 +521,9 @@ object Dedup {
     * iterative min-label components; survivor selection is a single
     * max_by aggregate over (n_chars, -doc_id), no window sort. */
   def nearDupSurvivors(docs: DataFrame, maxHamming: Int,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val pairs = simhashNearDupPairsCapped(docs, maxHamming, maxBucket)
-      .select(col("d1"), col("d2"))
-    connectedComponents(pairs)
+      maxBucket: Int = DefaultMaxBucket,
+      corpusKey: Option[String] = None): DataFrame = {
+    nearDupComponentsShared(docs, maxHamming, maxBucket, corpusKey)
       .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"),
@@ -489,13 +535,12 @@ object Dedup {
     * q105 gate's richness signal) compared against q81's by-length rule —
     * per cluster, both winners and whether the election flips. */
   def qualitySurvivors(docs: DataFrame, maxHamming: Int,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val pairs = simhashNearDupPairsCapped(docs, maxHamming, maxBucket)
-      .select(col("d1"), col("d2"))
+      maxBucket: Int = DefaultMaxBucket,
+      corpusKey: Option[String] = None): DataFrame = {
     val scored = docs.select(col("doc_id"), col("n_chars"),
       (size(array_distinct(wsTokens(lower(col("text"))))).cast("double")
         / size(wsTokens(col("text")))).as("ttr"))
-    connectedComponents(pairs)
+    nearDupComponentsShared(docs, maxHamming, maxBucket, corpusKey)
       .join(scored, Seq("doc_id"))
       .groupBy(col("component"))
       .agg(count(lit(1)).cast("bigint").as("n_members"),
@@ -513,7 +558,8 @@ object Dedup {
     * number a data card quotes, each recomputed from its family's single
     * source of truth (gateFlags, capped simhash pairs, template prefixes). */
   def datasetDatasheet(docs: DataFrame,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      corpusKey: Option[String] = None): DataFrame = {
     def rows(src: DataFrame)(pairs: (String, Column)*): DataFrame =
       src.select(explode(array(pairs.map { case (m, v) =>
           struct(lit(m).as("metric"), v.cast("double").as("value")) }: _*))
@@ -538,7 +584,7 @@ object Dedup {
     // both endpoints in ONE pass over the pair table — a union of two
     // selects would replicate the whole banded-join subtree (plan-pin
     // catch, r9)
-    val nd = simhashNearDupPairsCapped(docs, maxHamming = 8, maxBucket)
+    val nd = nearDupPairsShared(docs, maxHamming = 8, maxBucket, corpusKey)
       .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
       .agg(count(lit(1)).as("members"))
     val tpl = docs.groupBy(substring(col("text"), 1, 80))
@@ -558,8 +604,9 @@ object Dedup {
     * [[TextAnalysis.gateFlags]] — the SAME definition q105 reports — so
     * the cross-signal monitor cannot drift from the gate it explains. */
   def qualityDupLift(docs: DataFrame, maxHamming: Int,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val pairs = simhashNearDupPairsCapped(docs, maxHamming, maxBucket)
+      maxBucket: Int = DefaultMaxBucket,
+      corpusKey: Option[String] = None): DataFrame = {
+    val pairs = nearDupPairsShared(docs, maxHamming, maxBucket, corpusKey)
       .select(col("d1"), col("d2"))
     val members = pairs.select(col("d1").as("doc_id"))
       .union(pairs.select(col("d2").as("doc_id"))).distinct()
@@ -641,6 +688,46 @@ object Dedup {
       docs: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame =
     simhashNearDupPairsCappedFromSigs(simhashSigs(docs), maxHamming, maxBucket)
 
+  /** The SHARED capped pair table — [[simhashNearDupPairsCapped]]
+    * memoized per (corpus, maxHamming, maxBucket) via
+    * [[graft.AnnSubstrate]] when `corpusKey` names the corpus (the
+    * registered queries pass the testdata path). Nine registered
+    * queries (q76/q81/q117/q127/q154/q156/q161/q162/q172, plus q174's
+    * lexical leg) consume the IDENTICAL (docs, 8, 1000) pair set and
+    * each used to re-run the signature scan + band self-join + xor
+    * verify per query; production persists the pair table of a corpus
+    * snapshot once — DatasheetStateStream's persisted-signature read is
+    * the streaming twin of this memo. Without a key: a fresh build,
+    * pure function (tests, ad-hoc frames, split-tagged sub-corpora). */
+  private[graft] def nearDupPairsShared(docs: DataFrame, maxHamming: Int,
+      maxBucket: Int, corpusKey: Option[String] = None): DataFrame =
+    corpusKey match {
+      case Some(ck) => graft.AnnSubstrate.getOrBuild(docs.sparkSession,
+        s"simhashpairs|$ck|$maxHamming|$maxBucket")(
+          simhashNearDupPairsCapped(docs, maxHamming, maxBucket)
+            .localCheckpoint(true))
+      case None => simhashNearDupPairsCapped(docs, maxHamming, maxBucket)
+    }
+
+  /** The SHARED component labeling of the pair graph — q81 and q154 run
+    * [[connectedComponents]] over the identical pair set (q154 is q81's
+    * clusters under a different election); the iterative min-label
+    * chain is the bench's single most expensive stage, so it runs once
+    * per (corpus, maxHamming, maxBucket) key. Same memo contract as
+    * [[nearDupPairsShared]]. */
+  private[graft] def nearDupComponentsShared(docs: DataFrame, maxHamming: Int,
+      maxBucket: Int, corpusKey: Option[String] = None): DataFrame = {
+    def build() = connectedComponents(
+      nearDupPairsShared(docs, maxHamming, maxBucket, corpusKey)
+        .select(col("d1"), col("d2")))
+    corpusKey match {
+      case Some(ck) => graft.AnnSubstrate.getOrBuild(docs.sparkSession,
+        s"simhashcomponents|$ck|$maxHamming|$maxBucket")(
+          build().localCheckpoint(true))
+      case None => build()
+    }
+  }
+
   /** The capped pair stage over a PREBUILT (doc_id, sig) table — split
     * out so consumers that already hold persisted signatures (the
     * datasheet-from-state read in
@@ -703,12 +790,19 @@ object Dedup {
     * an inverted-index probe, never a doc×doc comparison. This is the
     * standard pre-training hygiene pass: report (and then drop or
     * re-bucket) eval documents the training corpus has seen. */
-  def contamination(docs: DataFrame): DataFrame = {
-    // split tag computed in the same checkpointed pass as the shingle
-    // arrays — the round-9 shape joined the exploded index back against
-    // a per-doc split table (|shingles| join rows for a per-doc tag)
-    val sh = explodeShingles(
-      shingleArrays(docs, Sampling.splitOf(col("doc_id")).as("split")))
+  def contamination(docs: DataFrame,
+      corpusKey: Option[String] = None): DataFrame = {
+    // split tag computed on (keyed: after) the checkpointed shingle
+    // pass — a pure doc_id function, so the shared substrate needs no
+    // rider baked in and no join brings it back (the round-9 shape
+    // joined the exploded index against a per-doc split table)
+    val base = corpusKey match {
+      case Some(_) => shingleArraysShared(docs, corpusKey)
+        .withColumn("split", Sampling.splitOf(col("doc_id")))
+      case None =>
+        shingleArrays(docs, Sampling.splitOf(col("doc_id")).as("split"))
+    }
+    val sh = explodeShingles(base)
     val trainSh = sh.filter(col("split") === "train").select(col("h")).distinct()
     // (doc_id, h) is already unique: ShingleHash64 emits per-doc DISTINCT
     // hashes and the split join is one row per doc — no dedup shuffle needed
@@ -735,13 +829,14 @@ object Dedup {
     * machinery verbatim — membership is the md5-bucket function (no
     * split table), the overlap probe is the inverted-index hash join,
     * and the close is one |sources|-key aggregate. */
-  def cleanHoldout(docs: DataFrame): DataFrame = {
+  def cleanHoldout(docs: DataFrame,
+      corpusKey: Option[String] = None): DataFrame = {
     val testDocs = docs
       .select(col("doc_id"), col("source"),
         Sampling.splitOf(col("doc_id")).as("split"))
       .filter(col("split") === "test")
       .drop("split")
-    val bad = contamination(docs)
+    val bad = contamination(docs, corpusKey)
       .select(col("doc_id")).withColumn("bad", lit(true))
     testDocs.join(bad, Seq("doc_id"), "left")
       .groupBy(col("source"))
@@ -869,9 +964,10 @@ object Dedup {
     * |docs|-key joins of the 8-byte pair table, the matrix aggregate is
     * |sources|²-key map-side-combined. */
   def crossSourceNearDup(docs: DataFrame, maxHamming: Int,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      corpusKey: Option[String] = None): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    val tagged = simhashNearDupPairsCapped(docs, maxHamming, maxBucket)
+    val tagged = nearDupPairsShared(docs, maxHamming, maxBucket, corpusKey)
       .select(col("d1"), col("d2"))
       .join(src.select(col("doc_id").as("d1"), col("source").as("src1")), Seq("d1"))
       .join(src.select(col("doc_id").as("d2"), col("source").as("src2")), Seq("d2"))
@@ -947,8 +1043,9 @@ object Dedup {
     * |docs|-key token join, and a (maxHamming+1)-row cumulative frame.
     * All counts exact integers; fractions one IEEE division per row. */
   def dedupSavingsCurve(docs: DataFrame, maxHamming: Int = 8,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val pairs = simhashNearDupPairsCapped(docs, maxHamming, maxBucket)
+      maxBucket: Int = DefaultMaxBucket,
+      corpusKey: Option[String] = None): DataFrame = {
+    val pairs = nearDupPairsShared(docs, maxHamming, maxBucket, corpusKey)
     val hmin = pairs
       .select(explode(array(col("d1"), col("d2"))).as("doc_id"), col("hamming"))
       .groupBy(col("doc_id")).agg(min(col("hamming")).as("hmin"))
@@ -983,8 +1080,9 @@ object Dedup {
     * counts per cell); the off-diagonal train↔test cell is the number a
     * decontamination pass must drive to zero. */
   def splitLeakageMatrix(docs: DataFrame, maxHamming: Int = 8,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val pairs = simhashNearDupPairsCapped(docs, maxHamming, maxBucket)
+      maxBucket: Int = DefaultMaxBucket,
+      corpusKey: Option[String] = None): DataFrame = {
+    val pairs = nearDupPairsShared(docs, maxHamming, maxBucket, corpusKey)
       .select(col("d1"), col("d2"))
     val sp = docs.select(col("doc_id"), Sampling.splitOf(col("doc_id")).as("split"))
     val tagged = pairs
@@ -1023,9 +1121,13 @@ object Dedup {
     * one row. Four bounded joins over the same 16-byte/doc signature
     * table — never a corpus rescan per configuration. */
   def minhashBandPlanner(docs: DataFrame, k: Int = 8,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      corpusKey: Option[String] = None): DataFrame = {
     val refSims = Seq(0.3, 0.5, 0.7)
-    val sigs = minhashSignatures(docs, k).localCheckpoint()
+    val sigs = corpusKey match {
+      case Some(_) => minhashSignaturesShared(docs, k, corpusKey)
+      case None => minhashSignatures(docs, k).localCheckpoint()
+    }
     Seq(1, 2, 4, 8).map { r =>
       val b = k / r
       def capture(s: Double): Double =
@@ -1081,6 +1183,10 @@ object Dedup {
        |$rows
        |ORDER BY rows_per_band""".stripMargin
   }
+
+  /** The [[graft.AnnSubstrate]] memo key for the registered corpus —
+    * explicit path identity, the Similarity.embKey convention. */
+  private def docKey(d: String): Option[String] = Some(s"$d/documents.parquet")
 
   val queries: Seq[Q] = Seq(
 
@@ -1216,7 +1322,8 @@ object Dedup {
         val docs = Tables.documents(s, d)
         val inst = docs.select(col("doc_id"), col("source"),
           explode_outer(graft.expressions.ShingleHash64.all(col("text"), 3)).as("h"))
-        val bl = boilerplateHashes(docs).select(col("h").as("blh"))
+        val bl = boilerplateHashesShared(docs, docKey(d))
+          .select(col("h").as("blh"))
         inst.join(broadcast(bl), inst("h") === bl("blh"), "left")
           .groupBy(col("doc_id"), col("source"))
           .agg(count(col("h")).as("n_sh"), count(col("blh")).as("n_boiler"))
@@ -1264,7 +1371,8 @@ object Dedup {
       "Boilerplate span REMOVAL — the C4-family transform q106/q107 prepare for, actually applied: every token covered by at least one cross-document repeated 3-gram (the SAME `boilerplateHashes` set q107 accounts against — one definition, so the impact report and the transform cannot diverge) is dropped, and each document is reassembled from its surviving tokens with before/after token counts. The membership join runs on 8-byte positional shingle hashes against the broadcast |vocab|-bounded blacklist (never text, never doc x doc); covered START positions collect per document (a bounded int set, <= tokens per doc) and the reconstruction is IN-ROW: a filter-with-index over the token array testing coverage by any of the three starts that could span it — per-row work is O(tokens x covered), zero extra shuffles, and document text crosses exactly one join keyed by doc_id. At 100 TB this is one scan + one broadcast probe + one |docs|-key shuffle — the same budget as q85's chunk dedup. On the synthetic word-salad corpus the cut is brutal by construction (most 3-grams recur at sf0.1 — survivor counts stay >0 at the smaller SFs); real corpora sit far below, which only shrinks cov. The hash-vs-text blacklist is the family 2^-64 collision trade (q96 note) — here a collision would surface as a one-token text diff and a hash-compare failure, so the oracle gate itself polices it.") {
       (s, d) =>
         val docs = Tables.documents(s, d)
-        val bl = boilerplateHashes(docs).select(col("h").as("blh"))
+        val bl = boilerplateHashesShared(docs, docKey(d))
+          .select(col("h").as("blh"))
         val inst = docs.select(col("doc_id"),
           posexplode(graft.expressions.ShingleHash64.all(col("text"), 3))
             .as(Seq("pos", "h")))
@@ -1316,7 +1424,8 @@ object Dedup {
         |ORDER BY d1, d2""".stripMargin,
       "Near-dup pairs by 3-gram Jaccard >= 0.3 via inverted-index join — only co-shingle pairs are ever scored. The registered form carries the document-frequency cut (ngramJaccardPairsCapped, DefaultMaxDocFreq=1000 — inert on testdata where max df is 25, and the guard that keeps one boilerplate shingle from making the index join quadratic at corpus scale).") {
       (s, d) =>
-        ngramJaccardPairsCapped(Tables.documents(s, d), 0.3, DefaultMaxDocFreq)
+        ngramJaccardPairsCapped(Tables.documents(s, d), 0.3, DefaultMaxDocFreq,
+          corpusKey = docKey(d))
           .orderBy(col("d1"), col("d2"))
     },
 
@@ -1344,7 +1453,8 @@ object Dedup {
         |ORDER BY d1, d2""".stripMargin,
       "Containment pairs — Broder's ASYMMETRIC resemblance C = |A∩B| / min(|A|,|B|), the measure symmetric Jaccard structurally cannot express: a short document fully quoted inside a much longer one scores C ~ 1 but Jaccard ~ |A|/|B| ~ 0, so a symmetric threshold never fires — yet that superset/quotation/expanded-revision relationship is exactly what licensing review, provenance tracing, and revision-chain dedup need to see. Reported per co-shingle pair over the q33 inverted index (df-cut form, same 8-byte hash keys): both sizes, containment, the symmetric jaccard alongside, and a partial flag (C − J >= 0.1) separating true partial containments from plain near-dups — both flag outcomes exercised at verify scale (the corpus's 4 quote-overlap pairs vs its 25 twin pairs — q33's 0.3-Jaccard gate sees none of those 4). The min-size denominator makes the score exact from the same integer intersection counts; one IEEE division each. Scale: identical plan family to q33 — inverted-index self-join on hashed shingles with the document-frequency cut keeping the hot tail from going quadratic (DedupScaleSpec's bound applies verbatim).") {
       (s, d) =>
-        containmentPairs(Tables.documents(s, d), minContain = 0.2)
+        containmentPairs(Tables.documents(s, d), minContain = 0.2,
+          corpusKey = docKey(d))
     },
 
     Q("q34_minhash_lsh",
@@ -1368,7 +1478,8 @@ object Dedup {
         |ORDER BY d1, d2""".stripMargin,
       "MinHash-LSH candidate pairs (k=8 md5-derived minhashes, 4 bands x 2 rows): the scale path — shuffle is |docs|x|bands| fixed-size keys, never all pairs.") {
       (s, d) =>
-        minhashCandidates(Tables.documents(s, d)).orderBy(col("d1"), col("d2"))
+        minhashCandidates(Tables.documents(s, d), corpusKey = docKey(d))
+          .orderBy(col("d1"), col("d2"))
     },
 
     Q("q65_incremental_dedup",
@@ -1499,8 +1610,9 @@ object Dedup {
         |FROM hist ORDER BY hamming""".stripMargin,
       "Near-dup threshold tuning curve: the hamming-distance histogram of SimHash band-sharing candidate pairs, with cumulative counts — the curve a curator reads to PICK the cutoff the q76/q97/q81 family applies (true near-dups pile up at low hamming, the unrelated-pairs mass starts where the curve's second mode rises; the valley between is the threshold). Runs over the same banded candidate generation as q76 — the CAPPED stage (simhashNearDupPairsCapped, DefaultMaxBucket=1000, inert on testdata, hub-star linear under a mega-bucket) with NO hamming cut, so the whole candidate distribution is visible; the known sampling bias is stated rather than hidden — band-sharing pairs are pigeonhole-complete only to hamming ≤ 3 (wider-distance pairs appear only when they happen to share a band), which is exactly the population the production cutoff selects from. Counts are exact integers; the cumulative windows run over a frame bounded by 65 distinct hamming values, and cum_frac is one IEEE division per row.") {
       (s, d) =>
-        val hist = simhashNearDupPairsCapped(Tables.documents(s, d),
-            maxHamming = 64, maxBucket = DefaultMaxBucket)
+        val hist = nearDupPairsShared(Tables.documents(s, d),
+            maxHamming = 64, maxBucket = DefaultMaxBucket,
+            corpusKey = docKey(d))
           .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
         val wc = Window.orderBy(col("hamming"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1611,8 +1723,8 @@ object Dedup {
         |ORDER BY d1, d2""".stripMargin,
       "SimHash-banded near-dup: per-doc 64-bit signature (codegen'd single pass, md5-derived so the twin re-derives it bit-exactly), candidates from a (band, 16-bit value) equi-join — |docs|*4 constant-size keys, never all pairs — then exact hamming <= 8 re-rank via bit_count(xor). Completes the near-dup family: q33 keys on shingles (grows with text), q34 on MinHash set-similarity bands, this one on a single long per doc. The registered candidate stage is the CAPPED one (simhashNearDupPairsCapped, DefaultMaxBucket=1000 — inert on testdata where no band bucket approaches the cap, hub-star linear under a mega-bucket), so the query a user copies is the one that survives a boilerplate-heavy corpus. The DuckDB twin rebuilds the signature nibble-wise from md5 hex (the q35 machinery), slices the same four bands, and counts differing bits nibble-by-nibble.") {
       (s, d) =>
-        simhashNearDupPairsCapped(Tables.documents(s, d), maxHamming = 8,
-            maxBucket = DefaultMaxBucket)
+        nearDupPairsShared(Tables.documents(s, d), maxHamming = 8,
+            maxBucket = DefaultMaxBucket, corpusKey = docKey(d))
           .orderBy(col("d1"), col("d2"))
     },
 
@@ -1642,7 +1754,8 @@ object Dedup {
         |ORDER BY tot.doc_id""".stripMargin,
       "Train/test contamination (decontamination hygiene pass): test-split docs sharing >= 1 three-gram shingle with the train corpus, with shared count and contamination rate. Membership comes from the md5-bucket split function (q61 — no split table), overlap from an equi-join of 8-byte shingle hashes against the DISTINCT train hashes: an inverted-index probe that scales like q33's join, never doc x doc. The rate is an integer/integer division — exact in both engines.") {
       (s, d) =>
-        contamination(Tables.documents(s, d)).orderBy(col("doc_id"))
+        contamination(Tables.documents(s, d), corpusKey = docKey(d))
+          .orderBy(col("doc_id"))
     },
 
     Q("q81_neardup_survivors",
@@ -1674,7 +1787,8 @@ object Dedup {
         |FROM ranked r GROUP BY r.component ORDER BY r.component""".stripMargin,
       "The COMPLETE near-dup dedup pipeline as one query: simhash signatures -> banded candidates -> exact hamming <= 8 pairs -> connected components -> one canonical survivor per cluster (longest n_chars, ties to smallest doc_id). Unlike q69 (whose oracle shortcuts components by grouping on the exact fingerprint), near-dup clusters have no such shortcut, so the DuckDB twin computes TRUE connected components with a recursive CTE (transitive min-label closure) — an independent formulation of the same graph result the iterative Spark join-propagation produces. Survivor selection is a max_by over (n_chars, -doc_id), no per-cluster sort at scale. The candidate stage the registered pipeline ships is the CAPPED one (simhashNearDupPairsCapped, DefaultMaxBucket=1000 — inert on testdata, hub-star linear under a mega-bucket; the star keeps hot buckets connected so components/survivors are preserved).") {
       (s, d) =>
-        nearDupSurvivors(Tables.documents(s, d), maxHamming = 8)
+        nearDupSurvivors(Tables.documents(s, d), maxHamming = 8,
+          corpusKey = docKey(d))
           .orderBy(col("component"))
     },
 
@@ -1716,7 +1830,8 @@ object Dedup {
         |ORDER BY g.component""".stripMargin,
       "Quality-aware canonical election — the curation decision q81 leaves on the table: within each near-dup cluster, which member should SURVIVE? q81's by-length rule (the common default) is compared head-to-head with election by type-token ratio (the q105 gate's lexical-richness signal: among near-identical pages, the member with the least boilerplate padding), reporting both winners per cluster and whether the election FLIPS — the fraction of clusters where keep-the-longest quietly keeps the more templated copy, which is the number that justifies (or kills) a quality-aware canonicalization pass in a pipeline. Same capped banded candidates, hamming re-rank, and true-connected-components as q81 (the oracle's recursive-CTE closure); the TTR is one IEEE division of exact integer token counts per member (the q127 flags definition verbatim), so BOTH elections order deterministically cross-engine (ties to smallest doc_id); survivors are max_by structs, no per-cluster sort. Scale: q81's plan plus one more max_by in the same aggregate — no new shuffle, no new join.") {
       (s, d) =>
-        qualitySurvivors(Tables.documents(s, d), maxHamming = 8)
+        qualitySurvivors(Tables.documents(s, d), maxHamming = 8,
+          corpusKey = docKey(d))
     },
 
     Q("q156_dataset_datasheet",
@@ -1776,7 +1891,7 @@ object Dedup {
         |ORDER BY metric""".stripMargin,
       "The dataset datasheet — the one-page table a data card or release review quotes, assembled as ONE oracle-checked query: corpus size (docs, tokens, langs, sources, mean doc length), vocabulary size, quality-gate exposure (docs tripping ANY q105 flag), near-dup exposure (distinct members of the capped simhash pair set — q76/q81's machinery), and template exposure (docs inside q129's >= 2-doc identical-80-prefix families). Every number is recomputed from its family's SINGLE source of truth (gateFlags verbatim, simhashNearDupPairsCapped, the q129 grouping), so the datasheet can never drift from the queries that explain it — the composition-over-copy principle the q127 lift table established, extended to the whole release summary. Counts are exact integers surfaced as doubles (exactly representable), the one ratio a single IEEE division; vocab counts 8-byte lowered-token hashes on the engine side vs strings in the oracle (the family 2^-64 trade). Scale: each leg is an independent bounded-key aggregate over one corpus scan — they parallelize as sibling stages, nothing joins wider than the capped pair table.") {
       (s, d) =>
-        datasetDatasheet(Tables.documents(s, d))
+        datasetDatasheet(Tables.documents(s, d), corpusKey = docKey(d))
     },
 
     Q("q129_template_prefixes",
@@ -1853,7 +1968,8 @@ object Dedup {
         |FROM a ORDER BY reason""".stripMargin,
       "Quality × duplication cross-signal monitor — the curation question behind the 'duplicates are disproportionately low-quality' folklore, MEASURED: for each q105 gate reason, the near-dup membership rate (any simhash hamming ≤ 8 pair, the q76 candidate machinery) among flagged docs vs clean docs, with the lift ratio. This is the table that decides pipeline ORDER at 100 TB — if flagged docs carry most of the duplication (lift ≫ 1), running the cheap quality gate BEFORE near-dup dedup shrinks the expensive banded join's input; if lift ≈ 1 the two passes are independent and commute. Flags reuse TextAnalysis.gateFlags (the exact q105 definition — one source of truth) and pair generation reuses the q76 band join; the per-doc membership flag is a left join against the DISTINCT pair-member set (|members| ≤ 2·|pairs|, tiny). Determinism: all counts exact integers; rates and lift are the identical IEEE division shapes on both engines, null-guarded where a denominator can be zero. Scale: the band join is the dominant cost and is q76's machinery running through simhashNearDupPairsCapped — the hot-bucket star cap is ON in the registered query (DefaultMaxBucket=1000, inert on testdata, linear under a mega-bucket); everything after runs on |docs| flag rows + a broadcast-size member set, and the unpivot-aggregate is one |reasons|-key map-side-combined shuffle.") {
       (s, d) =>
-        qualityDupLift(Tables.documents(s, d), maxHamming = 8)
+        qualityDupLift(Tables.documents(s, d), maxHamming = 8,
+          corpusKey = docKey(d))
     },
 
     Q("q141_crosssource_neardup",
@@ -1876,7 +1992,8 @@ object Dedup {
         |ORDER BY np.s1, np.s2""".stripMargin,
       "Cross-source near-duplication matrix — WHERE the duplication lives: per (source, source) pair, the count of simhash hamming <= 8 near-dup pairs whose members span those sources, plus the distinct documents involved. The diagonal (s1 = s2) is within-source duplication (template churn — fix the source's own extraction); off-diagonal mass is MIRRORING (one source republishing another — fix by dropping one side wholesale, far cheaper than pairwise dedup). This is the q96 shingle-overlap matrix upgraded from token-set overlap to verified near-dup pairs, and the table a curator reads to decide crawl-source precedence before spending the full q81 components pass. Pair generation is the registered capped q76 machinery (simhashNearDupPairsCapped, DefaultMaxBucket inert at test scale); the source tags arrive by two |docs|-key joins of an 8-byte pair table against (doc_id, source), the matrix aggregate is |sources|^2-key map-side-combined, and the distinct-doc count works on the same bounded pair set. least/greatest normalization makes the matrix upper-triangular so A->B and B->A mirroring land in one cell on both engines; all counts exact integers, full value-hash oracle against the uncapped pair semantics.") {
       (s, d) =>
-        crossSourceNearDup(Tables.documents(s, d), maxHamming = 8)
+        crossSourceNearDup(Tables.documents(s, d), maxHamming = 8,
+          corpusKey = docKey(d))
     },
 
     Q("q143_minhash_calibration",
@@ -1926,7 +2043,7 @@ object Dedup {
         |FROM j GROUP BY n_agree, est_jaccard ORDER BY n_agree""".stripMargin,
       "MinHash estimator calibration — what an 'agreeing' signature actually MEANS: for the banded candidate pairs (the population the dedup pipeline acts on), the k=8 signature-agreement fraction vs the TRUE distinct-3-gram Jaccard, bucketed by agreement count with pair counts, mean true Jaccard, and mean |estimate − truth|. This is the table that turns the LSH threshold from folklore into a measured operating point (estimator stderr ≈ 1/√k ≈ 0.35 at k=8 — the measured per-bucket error shows exactly how much, and raising k is the production fix this query prices). Candidate generation is the CAPPED band join (registered 100 TB semantics, inert on testdata); signatures are the compiled per-row MinHashSig (md5-derived, so the twin re-derives them string-identically and even the agreement counts are engine-exact); the true-Jaccard leg is the q33 inverted-probe restricted to candidates — |pairs|·S̄ 8-byte rows, never all pairs (hash-vs-string counting is the family's 2^-64 collision trade, policed by this oracle). Integer agreement buckets, exact integer Jaccard ratios, DetAgg decimal averages: full value-hash oracle.") {
       (s, d) =>
-        minhashCalibration(Tables.documents(s, d))
+        minhashCalibration(Tables.documents(s, d), corpusKey = docKey(d))
     },
 
     Q("q144_clean_holdout",
@@ -1956,7 +2073,7 @@ object Dedup {
         |GROUP BY s.source ORDER BY s.source""".stripMargin,
       "Decontaminated holdout constructor — the step AFTER q80's contamination report: per source, how much of the md5-bucket test split SURVIVES decontamination (zero 3-gram-shingle overlap with the train split) and is actually usable for evaluation. The clean count is the denominator every eval metric on this corpus should quote, and a source whose clean_frac collapses cannot be evaluated at all (its test docs are all seen in training — the practical outcome of mirrored sources that q141 localizes). Composes q61's engine-portable split function with q80's inverted-index overlap probe (8-byte shingle hashes vs the DISTINCT train set — never doc×doc; string-vs-hash counting is the family's 2^-64 trade); docs too short for a complete shingle are trivially clean on both engines. One |sources|-key aggregate closes it: exact integer counts, one IEEE division, full value-hash oracle.") {
       (s, d) =>
-        cleanHoldout(Tables.documents(s, d))
+        cleanHoldout(Tables.documents(s, d), corpusKey = docKey(d))
     },
 
     Q("q153_tombstone_cascade",
@@ -2045,7 +2162,8 @@ object Dedup {
         |ORDER BY max_hamming""".stripMargin,
       "Dedup SAVINGS curve — the cost/benefit table a curator reads to PRICE a near-dup pass before running it: for every hamming cutoff h in [0, 8], how many documents and how much token mass sit inside the pair graph at that threshold (exposure — the upper bound on what a survivor election could remove). Complements q117 (pair counts per hamming: where the knee is) by converting each cutoff into CORPUS MASS, which is what storage and training-token budgets are denominated in. One pass: each doc's MINIMUM pair hamming decides the first threshold exposing it, so the cumulative curve falls out of a single min-aggregate over the registered capped pair table (simhashNearDupPairsCapped, DefaultMaxBucket inert at test scale) — never one components run per threshold. Counts exact integers; the two fractions are one IEEE division each against one-row corpus totals; the 9-level frame joins a <= 9-row hmin histogram, so the curve costs nothing beyond the band join every sibling query already pays.") {
       (s, d) =>
-        dedupSavingsCurve(Tables.documents(s, d), maxHamming = 8)
+        dedupSavingsCurve(Tables.documents(s, d), maxHamming = 8,
+          corpusKey = docKey(d))
     },
 
     Q("q162_split_leakage",
@@ -2075,13 +2193,15 @@ object Dedup {
         |ORDER BY np.s1, np.s2""".stripMargin,
       "Eval-leakage matrix — near-dup pairs (simhash hamming <= 8, the registered capped q76 stage) tallied per train/val/test split cell: the near-dup COMPLEMENT of q80's exact shingle-containment decontamination. A test document that is a near-duplicate of a train document inflates every benchmark it appears in even when no shingle matches verbatim — the leakage class verbatim decontamination provably misses, and the reason eval suites deduplicate against pretraining corpora with fuzzy matching. The q141 matrix shape applied to the split dimension: least/greatest cell normalization so train-test and test-train land in one upper-triangular cell on both engines, distinct-doc counts per cell from the same bounded pair set, and the off-diagonal train/test row is the number a decontamination pass must drive to zero. Splits are the family's stateless md5-bucket membership (no split table exists to join); counts exact integers; the pair-tagging joins are two |docs|-key probes of an 8-byte pair table.") {
       (s, d) =>
-        splitLeakageMatrix(Tables.documents(s, d), maxHamming = 8)
+        splitLeakageMatrix(Tables.documents(s, d), maxHamming = 8,
+          corpusKey = docKey(d))
     },
 
     Q("q166_minhash_band_planner", q166OracleSql(k = 8),
       "MinHash banding PLANNER — the (bands x rows-per-band) operating-point table behind every LSH dedup deployment: for each factorization of the k=8 signature, the closed-form S-curve capture probability 1-(1-s^r)^b at reference similarities 0.3/0.5/0.7 NEXT TO the measured candidate-pair count on this corpus. Theory picks the threshold shape (r=1 catches nearly everything incl. junk; r=8 demands all-8 agreement), the measured column prices it in verification work — the pair of numbers q34 (which ships b=4, r=2) and q143 (which calibrates what agreement MEANS) both presuppose. Determinism: the S-curve values are computed once on the driver and embedded as identical literals in BOTH plans — no cross-engine pow() parity bet; candidate counts ride the q143-pinned equivalence of the engine's positional band signatures and the oracle's seed-tagged string_agg bands. Scale: ONE compiled-MinHashSig pass (checkpointed) feeds all four band derivations; each count is the CAPPED band self-join (registered-cap principle, inert at test scale) collapsed to one row — four bounded joins over a 16-byte/doc table, never a corpus rescan per configuration.") {
       (s, d) =>
-        minhashBandPlanner(Tables.documents(s, d), k = 8)
+        minhashBandPlanner(Tables.documents(s, d), k = 8,
+          corpusKey = docKey(d))
     },
 
     Q("q168_formatting_variants",

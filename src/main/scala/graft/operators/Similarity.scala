@@ -1405,7 +1405,8 @@ object Similarity {
   def lexicalSemanticAgreement(docs: DataFrame, embeddings: DataFrame,
       maxHamming: Int = 8, threshold: Double = 0.3, nlist: Int = 0,
       iters: Int = 3, portableMeans: Boolean = false,
-      corpusKey: Option[String] = None): DataFrame = {
+      corpusKey: Option[String] = None,
+      docsKey: Option[String] = None): DataFrame = {
     val ids = docs.select(col("doc_id"))
       .join(embeddings.select(col("vec_id").as("doc_id")), Seq("doc_id"))
       .localCheckpoint(true)
@@ -1413,7 +1414,8 @@ object Similarity {
       .join(ids.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
       .join(ids.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
     val lex = restrict(
-      Dedup.simhashNearDupPairsCapped(docs, maxHamming, Dedup.DefaultMaxBucket)
+      Dedup.nearDupPairsShared(docs, maxHamming, Dedup.DefaultMaxBucket,
+          docsKey)
         .select(col("d1"), col("d2")))
     val sem = restrict(
       semanticPairStage(embeddings, threshold, nlist, iters, portableMeans,
@@ -2142,7 +2144,7 @@ object Similarity {
       (s, d) =>
         lexicalSemanticAgreement(Tables.documents(s, d),
           Tables.embeddings(s, d), portableMeans = true,
-          corpusKey = embKey(d))
+          corpusKey = embKey(d), docsKey = Some(s"$d/documents.parquet"))
     },
 
     Q("q175_pq_codebook_report", q175OracleSql,

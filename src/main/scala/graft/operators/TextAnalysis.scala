@@ -259,14 +259,41 @@ object TextAnalysis {
           16, 10).cast("long").as("h")) ++ riders.map(col): _*)
   }
 
+  /** [[shingleHashStream]] memoized per corpus via
+    * [[graft.AnnSubstrate]] (the Dedup.nearDupPairsShared contract):
+    * the four registered positional-shingle consumers
+    * (q126/q169/q171/q172) tokenize and hash the identical corpus and
+    * each used to pay the posexplode + per-doc sort per query (q169 and
+    * q171 twice per plan, deduped only by AQE exchange reuse). The
+    * `source` rider is ALWAYS baked into the shared frame — it is not
+    * derivable from doc_id, q172 needs it join-free, and the other
+    * consumers project it away for free.
+    *
+    * The 100 TB trade, explicit: keyed use MATERIALIZES the positional
+    * stream (~16 bytes per token, disk-backed blocks) — the posting
+    * stream a production passage-dedup system persists anyway, amortized
+    * here across four sibling queries; unkeyed use keeps the
+    * declarative one-shot shape where the duplicate subtree dedupes via
+    * AQE exchange reuse instead (PlanSpec pins both regimes). */
+  private def shingleHashStreamShared(docs: DataFrame,
+      corpusKey: Option[String]): DataFrame =
+    corpusKey match {
+      case Some(ck) => graft.AnnSubstrate.getOrBuild(docs.sparkSession,
+        s"shinglestream|$ck")(
+          shingleHashStream(docs, riders = Seq("source")).localCheckpoint(true))
+      case None => shingleHashStream(docs)
+    }
+
   /** Winnowing window minima (q126 core): one row per complete 4-shingle
     * window — (doc_id, pos, wmin) where wmin is the min 60-bit md5-derived
     * hash of the word-3-gram shingles in the window. All three window
     * functions share one (doc_id, pos) sort, so the whole stream is a
     * single sort-shuffle of 8-byte hashes. */
-  def winnowedMins(docs: DataFrame): DataFrame = {
+  def winnowedMins(docs: DataFrame,
+      corpusKey: Option[String] = None): DataFrame = {
     val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    shingleHashStream(docs)
+    shingleHashStreamShared(docs, corpusKey)
+      .select(col("doc_id"), col("pos"), col("h"))
       .withColumn("wmin", min(col("h")).over(wp.rowsBetween(0, 3)))
       .withColumn("tail3", lead(col("h"), 3).over(wp))
   }
@@ -307,8 +334,10 @@ object TextAnalysis {
     * two shingle-stream consumers (df aggregate + membership probe)
     * dedupe to one corpus tokenization via AQE exchange reuse
     * (PlanSpec pins it). */
-  private[operators] def repeatedPositions(docs: DataFrame, dfMin: Int): DataFrame = {
-    val sh = shingleHashStream(docs)
+  private[operators] def repeatedPositions(docs: DataFrame, dfMin: Int,
+      corpusKey: Option[String] = None): DataFrame = {
+    val sh = shingleHashStreamShared(docs, corpusKey)
+      .select(col("doc_id"), col("pos"), col("h"))
     val hot = sh.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= dfMin)
@@ -339,8 +368,9 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
-  def repeatedPassages(docs: DataFrame, dfMin: Int = 2): DataFrame =
-    mergeCoveredSpans(repeatedPositions(docs, dfMin))
+  def repeatedPassages(docs: DataFrame, dfMin: Int = 2,
+      corpusKey: Option[String] = None): DataFrame =
+    mergeCoveredSpans(repeatedPositions(docs, dfMin, corpusKey))
 
   /** q172: the source-pair rollup of the q169 cut list — for every
     * source pair (s1 ≤ s2), how many DISTINCT word-3-gram shingles the
@@ -362,8 +392,15 @@ object TextAnalysis {
     * Determinism: counts of exact hash matches; the md5-60-bit shingle
     * convention makes the shared-shingle sets bit-identical
     * cross-engine. */
-  def crossSourcePassages(docs: DataFrame): DataFrame = {
-    val hsrc = shingleHashStream(docs, riders = Seq("source"))
+  def crossSourcePassages(docs: DataFrame,
+      corpusKey: Option[String] = None): DataFrame = {
+    // unkeyed builds must request the source rider themselves — the
+    // shared substrate always bakes it in, a fresh stream does not
+    val stream = corpusKey match {
+      case Some(_) => shingleHashStreamShared(docs, corpusKey)
+      case None => shingleHashStream(docs, riders = Seq("source"))
+    }
+    val hsrc = stream
       .groupBy(col("h"), col("source"))
       .agg(countDistinct(col("doc_id")).as("nd"))
     val a = hsrc.select(col("h"), col("source").as("s1"), col("nd").as("nd1"))
@@ -460,8 +497,9 @@ object TextAnalysis {
     * key (never a per-doc range probe), and reassembly is one
     * (doc_id)-key aggregate whose collect_list is the document itself —
     * the inherent cost of a transform whose OUTPUT is the document. */
-  def passageCutApply(docs: DataFrame, dfMin: Int = 2): DataFrame = {
-    val cov = repeatedPositions(docs, dfMin)
+  def passageCutApply(docs: DataFrame, dfMin: Int = 2,
+      corpusKey: Option[String] = None): DataFrame = {
+    val cov = repeatedPositions(docs, dfMin, corpusKey)
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + 2)).as("pos"))
       .distinct()
@@ -481,13 +519,15 @@ object TextAnalysis {
 
   /** Per-doc winnowing fingerprint SET — the thing a fingerprint index
     * stores; the spec's overlap-guarantee check reads these values. */
-  def winnowingFingerprints(docs: DataFrame): DataFrame =
-    winnowedMins(docs).filter(col("tail3").isNotNull)
+  def winnowingFingerprints(docs: DataFrame,
+      corpusKey: Option[String] = None): DataFrame =
+    winnowedMins(docs, corpusKey).filter(col("tail3").isNotNull)
       .select(col("doc_id"), col("wmin").as("fp")).distinct()
 
   /** q126's report: per-doc shingle/window/fingerprint counts + density. */
-  def winnowingStats(docs: DataFrame): DataFrame =
-    winnowedMins(docs).groupBy(col("doc_id"))
+  def winnowingStats(docs: DataFrame,
+      corpusKey: Option[String] = None): DataFrame =
+    winnowedMins(docs, corpusKey).groupBy(col("doc_id"))
       .agg(count(col("h")).cast("bigint").as("n_shingles"),
         sum(when(col("tail3").isNotNull, 1L).otherwise(0L)).cast("bigint")
           .as("n_windows"),
@@ -530,6 +570,10 @@ object TextAnalysis {
           .as("token_share"))
       .orderBy(col("n_flags"), col("len_bucket"))
   }
+
+  /** The [[graft.AnnSubstrate]] memo key for the registered corpus —
+    * explicit path identity, the Similarity.embKey convention. */
+  private def docKey(d: String): Option[String] = Some(s"$d/documents.parquet")
 
   val queries: Seq[Q] = Seq(
 
@@ -1180,7 +1224,8 @@ object TextAnalysis {
         |FROM wm WHERE len(mins) > 0 ORDER BY doc_id""".stripMargin,
       "MOSS winnowing (Schleimer/Wilkerson/Aiken 2003) — the fingerprint-SELECTION algorithm the plagiarism/overlap-detection literature layers on top of rolling hashes: hash every word-3-gram, slide a window of 4 consecutive shingle hashes, keep each window's MINIMUM, and the distinct kept values are the document's fingerprints. The guarantee (any shared run of >= 6 tokens produces at least one shared fingerprint) with an expected density of 2/(w+1) is what makes it the principled downsampling of q31's full rolling-hash stream — this query reports per-doc fingerprint counts and realized density, the storage-budget row for a fingerprint index. Plan shape: posexplode tokens once, then lead() to assemble shingles, md5-derived 60-bit hashes (codegen'd AFTER the explode — one hash per shingle ROW, not an interpreted per-element lambda), min() over a 4-row following frame, and a count-distinct — ALL windows share one (doc_id, pos) partitioning, so the whole query is a single sort-shuffle of 8-byte hashes; at 100 TB each doc's stream lives in one partition and never leaves it. Cross-engine hash parity is the q35 playbook: 15 lowercase hex chars of md5 of the identical shingle text, parsed as the identical 60-bit integer (conv here, 0x-cast in the twin), so window minima — VALUES, not just counts — agree bit-exactly.") {
       (s, d) =>
-        winnowingStats(Tables.documents(s, d)).orderBy(col("doc_id"))
+        winnowingStats(Tables.documents(s, d), corpusKey = docKey(d))
+          .orderBy(col("doc_id"))
     },
 
     Q("q130_bigram_lm_score",
@@ -1422,7 +1467,8 @@ object TextAnalysis {
         |ORDER BY doc_id, span_start""".stripMargin,
       "Cross-document repeated-passage CUT LIST — per document, the maximal token intervals covered by word-3-gram shingles occurring in >= 2 DISTINCT documents: the transform a substring-granularity dedup pass (the Lee et al. 2022 'Deduplicating Training Data' recipe, approximated at shingle resolution) actually executes — cut exactly these ranges, keep the rest of the document, instead of dropping whole documents (q32/q81) or matching a curated blacklist (q106/q110); q100 measures the INTRA-doc complement. Spans merge whenever their 3-token windows touch or overlap (next start - prev start <= 3), so each row is one contiguous cut with its covering-shingle count. Determinism: positions/counts exact integers; the shingle hash is the family's md5-60-bit convention (values bit-equal cross-engine via shingleHashStream — ONE definition with q126's winnowing), so df thresholds and span boundaries cannot drift; the first-position NULL lag falls to the new-island branch identically on both engines (NULL <= 3 is NULL, not true). Scale: strictly linear, no pairwise stage — one (doc_id,pos) sort shared by shingle assembly and the island windows, one map-side-combined 8-byte-hash df aggregate, one membership semi-join of positions against the df-qualified hashes (never doc x doc), and a (doc_id,island) aggregate riding the doc partitioning; at 100 TB every stage shuffles 8-byte keys and the df table prunes before the join.") {
       (s, d) =>
-        repeatedPassages(Tables.documents(s, d), dfMin = 2)
+        repeatedPassages(Tables.documents(s, d), dfMin = 2,
+          corpusKey = docKey(d))
     },
 
     Q("q171_passage_cut_apply",
@@ -1465,7 +1511,8 @@ object TextAnalysis {
         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "APPLY the q169 cut list — the substring-granularity dedup TRANSFORM itself, not its report: every token covered by a cross-document-repeated word-3-gram (the shingle's three positions, repeatedPositions verbatim — ONE detection definition with q169, so the report can never disagree with the transform it describes) is cut, survivors reassemble in order, and each document emits its before/after token accounting plus the md5 fingerprint of the cleaned text — the bounded stand-in for the rewritten corpus (production writes the kept tokens; the fingerprint pins the VALUE of the reassembled text, not just its length, while keeping rows small). Every document appears exactly once: unshingleable (< 3 tokens) and untouched docs at n_cut = 0 with the full-text token fingerprint, fully-covered docs at n_kept = 0 with md5('') — identical on both engines via the empty-reassembly coalesce. Determinism: counts exact integers; the fingerprint input is the identical space-joined token sequence (array_sort over (pos, token) structs vs ORDER BY pos — pos is unique per doc, so one total order). Scale: linear end to end — coverage is |repeated starts| x 3 exploded then deduped on (doc_id, pos), the cut decision is ONE left join of the token stream on the composite 12-byte key (never a per-doc range probe), and reassembly is one doc-key aggregate whose collect_list IS the document — the inherent cost of a transform whose output is the document itself.") {
       (s, d) =>
-        passageCutApply(Tables.documents(s, d), dfMin = 2)
+        passageCutApply(Tables.documents(s, d), dfMin = 2,
+          corpusKey = docKey(d))
     },
 
     Q("q172_crosssource_passages",
@@ -1495,7 +1542,7 @@ object TextAnalysis {
         |FROM pr GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin,
       "Source-pair rollup of the q169 cut list — for every source pair (s1 <= s2), the number of DISTINCT word-3-gram shingles the two share, with the DIAGONAL counting shingles repeated across >= 2 distinct documents of the SAME source (intra-source boilerplate). Family positioning: q96 reports the cross-source set-overlap coefficient and is blind to within-source repetition by construction (per-source distinct sets); q141 is the document-level near-dup matrix; q172's deltas are the intra-source diagonal — the cell a scraper-template audit reads first — and the q169 positional hash convention, so these cells reconcile exactly with the cut list they roll up (the spec's Sigma-C(k,2) check). Determinism: exact counts over bit-identical md5-60-bit shingle hashes (the family convention); the pair condition is one strict string comparison per row on both engines. Scale: one shingle stream with source carried as a rider column (no |positions|-row corpus re-join), one map-side-combined (h, source)-key distinct-doc aggregate, then a self-join on the 8-byte hash whose per-hash fanout is bounded by |sources|^2 — never doc x doc — into a <= |sources|^2-cell aggregate; every shuffle key is 8 bytes + a short string.") {
       (s, d) =>
-        crossSourcePassages(Tables.documents(s, d))
+        crossSourcePassages(Tables.documents(s, d), corpusKey = docKey(d))
     },
 
     Q("q178_repetition_runs",

@@ -126,22 +126,33 @@ class DedupScaleSpec extends SparkSpec {
     // The cap's fingerprints in the analyzed plan: the hot-bucket
     // aggregate's columns (_n/_hub) for the simhash star cap, the _df
     // document-frequency attribute for the inverted-index cut.
-    val q127 = graft.SparkEntry.queries("q127_quality_dup_lift")(spark, sf0001)
-    val p127 = q127.queryExecution.analyzed.toString
-    assert(p127.contains("_hub") && p127.contains("_n"),
-      "q127 must run through simhashNearDupPairsCapped (bucket-stats window missing)")
+    // Since round 12 the registered simhash consumers read the SHARED
+    // pair substrate (nearDupPairsShared): the cap stage executes once
+    // inside the substrate build, and a warm-memo query plan is a
+    // checkpointed-table read. The pin therefore has two halves: (a)
+    // the BUILDER the memo executes — same function, corpusKey = None —
+    // carries the cap fingerprints (_n/_hub from the hot-bucket
+    // aggregate); (b) every registered consumer's plan either inlines
+    // that capped stage (cold path) or reads the substrate checkpoint
+    // (LogicalRDD) — never an uncapped inline band join.
+    val docsReg = graft.Tables.documents(spark, sf0001)
+    val builder = Dedup.nearDupPairsShared(docsReg, 8, Dedup.DefaultMaxBucket)
+      .queryExecution.analyzed.toString
+    assert(builder.contains("_hub") && builder.contains("_n"),
+      "the shared pair-substrate builder must run simhashNearDupPairsCapped")
+    for (name <- Seq("q127_quality_dup_lift", "q76_simhash_neardup",
+        "q117_neardup_threshold_curve")) {
+      val p = graft.SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.analyzed.toString
+      assert((p.contains("_hub") && p.contains("_n")) ||
+          p.contains("LogicalRDD"),
+        s"$name must consume the capped pair stage (inline or via the " +
+          "checkpointed substrate)")
+    }
     val q33 = graft.SparkEntry.queries("q33_ngram_jaccard")(spark, sf0001)
     val p33 = q33.queryExecution.analyzed.toString
     assert(p33.contains("_df"),
       "q33 must run through ngramJaccardPairsCapped (df-cut stage missing)")
-    // round-9 verdict: q76/q117 were the last registered uncapped band
-    // joins — both now ship the hub-star cap stage
-    for (name <- Seq("q76_simhash_neardup", "q117_neardup_threshold_curve")) {
-      val p = graft.SparkEntry.queries(name)(spark, sf0001)
-        .queryExecution.analyzed.toString
-      assert(p.contains("_hub") && p.contains("_n"),
-        s"$name must run through simhashNearDupPairsCapped (cap stage missing)")
-    }
     // q81 iterates components eagerly at construction, so pin its capped
     // default at the function level twice: (a) on the real corpus the
     // default cap is INERT — capped output byte-equals uncapped; (b) on

@@ -544,19 +544,32 @@ class PlanSpec extends SparkSpec {
 
   test("q169 shares ONE shingle stream: the df leg reuses the positions exchange") {
     // shingleHashStream feeds both the hash-df aggregate and the
-    // membership probe; the identical (doc_id, pos) shuffle subtree
-    // must dedupe via AQE stage reuse, not tokenize the corpus twice —
-    // the declarative alternative to checkpointing a corpus-sized
-    // positional stream (which at 100 TB would materialize the corpus).
+    // membership probe. Two regimes, both pinned:
+    //  - UNKEYED (ad-hoc frames): the identical (doc_id, pos) shuffle
+    //    subtree must dedupe via AQE stage reuse, not tokenize the
+    //    corpus twice — the declarative shape for one-shot use, where
+    //    materializing a corpus-sized positional stream would be waste.
+    //  - REGISTERED (since r12): the query reads the corpus-keyed
+    //    checkpointed stream substrate (LogicalRDD) — the deliberate
+    //    index-build materialization four sibling queries amortize; the
+    //    tokenize-twice risk is structurally gone.
     // Reuse only appears in the FINAL adaptive plan, so execute first.
-    val df = graft.SparkEntry.queries("q169_repeated_passages")(spark, sf001)
+    val adhoc = TextAnalysis.repeatedPassages(
+      graft.Tables.documents(spark, sf001), dfMin = 2)
     // collect THIS frame (count() would build a different QueryExecution
     // and leave this one's adaptive plan unfinalized)
+    adhoc.collect()
+    val sa = adhoc.queryExecution.executedPlan.toString
+    assert(sa.contains("ReusedExchange") || sa.contains("ReusedQueryStage"),
+      "unkeyed q169 lost exchange reuse — the corpus is tokenized twice:\n" +
+        sa.take(1200))
+    val df = graft.SparkEntry.queries("q169_repeated_passages")(spark, sf001)
     df.collect()
     val s = df.queryExecution.executedPlan.toString
-    assert(s.contains("ReusedExchange") || s.contains("ReusedQueryStage"),
-      "q169 lost exchange reuse — the corpus is being tokenized twice:\n" +
-        s.take(1200))
+    assert(s.contains("ReusedExchange") || s.contains("ReusedQueryStage") ||
+        s.contains("Scan ExistingRDD"),
+      "registered q169 must read the shared stream substrate or reuse " +
+        "the exchange:\n" + s.take(1200))
     assert(!s.contains("CartesianProduct"))
   }
 
