@@ -605,6 +605,20 @@ class PlanSpec extends SparkSpec {
       "q158 re-grew the doc_id join — source must ride contextPacking's carry")
   }
 
+  test("q181's serving read never rescans the corpus: no documents.parquet in the plan") {
+    // the state-served datasheet's WHOLE point is that the corpus text is
+    // scanned at arrival (the fold), never at read time — the read plan
+    // touches only the state tables under the temp stateDir
+    val df = SparkEntry.queries("q181_datasheet_state_served")(spark, sf001)
+    val s = df.queryExecution.analyzed.toString +
+      df.queryExecution.executedPlan.toString
+    assert(!s.contains("documents.parquet"),
+      "q181's read plan scans the corpus — the maintained-state contract is broken:\n" +
+        s.take(1200))
+    assert(s.contains("graft_ds_state"),
+      "q181's read plan does not reference the on-disk state dir")
+  }
+
   test("q146 argmin runs in-row: no per-vector shuffle, no window, no join on vec_id") {
     val s = planString("q146_lloyd_step")
     assert(!s.contains("Window"), "q146 grew a window — the in-row argmin was lost")
