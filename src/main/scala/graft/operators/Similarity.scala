@@ -2174,6 +2174,14 @@ object Similarity {
         graft.streaming.IvfStateStream.listStatsFromState(s,
           servedIvfStateDir(s, d))
     },
+
+    Q("q182_ann_topk_state_served", q49OracleSql,
+      "The ANN SEARCH itself served FROM the maintained IVF index — q180 priced the monitoring read, this is the read an application actually issues: top-10 by cosine for the q49 query set, answered by IvfStateStream.topKFromState as one pushdown scan of the persisted lists/ + centroids/ through ivfTopKFromIndex — the EXACT probe/score/top-k path q49 executes, with zero Lloyd-chain or corpus-assignment work in the query plan. The oracle twin is q49's SQL verbatim (portable-chain CTEs and all), so the driver's hash gate proves end-to-end that the served search answer and the batch-rebuilt answer are value-identical — the strongest form of the IvfStateStreamSpec state==batch contract, re-checked by an independent engine. The state dir is the SAME build-once (session, corpus) index q180 reads (train = the frozen portable quantizer, one fold through the maintenance stream's own micro-batch update); a timed run pays |lists probed| x broadcast-probe scoring + one per-query top-k window. Scale: this is the deployed-ANN serving cost model — nprobe/nlist bound the candidates (n x B, never n^2), the Lloyd chain is amortized into index maintenance, and the corpus is never rescanned at query time.") {
+      (s, d) =>
+        graft.streaming.IvfStateStream.topKFromState(s,
+          servedIvfStateDir(s, d), QueryIds, k = 10)
+          .orderBy(col("query_id"), col("rn"))
+    },
   )
 
   /** Build-once on-disk IVF state for the state-served read (q180):
