@@ -1211,14 +1211,19 @@ object Similarity {
     * shuffle key — the m codebooks train in one keyed chain here too,
     * not m unrolled copies. Ends at `codes`(vec_id, sub, sv, cid) and
     * `cb3`(sub, cid, cvec). */
-  private def pqCtes(m: Int, ksub: Int): String = {
+  private def pqCtes(m: Int, ksub: Int, prefix: String = ""): String = {
+    // `prefix` namespaces every CTE so the chain can coexist with
+    // kmeansListsCtes (which also defines dv/a1..a3) in one oracle —
+    // the q183 merge; with the default "" the emitted SQL is byte-equal
+    // to the historical q175/q176/q177 twins
+    def n(x: String) = prefix + x
     val sd = 64 / m
     def dotSub(a: String, b: String) =
       s"list_sum(list_transform(range($sd), j -> $a[j+1] * $b[j+1]))"
     def assignCte(prev: String, out: String) =
       s"""${out}_sim AS (
          |  SELECT d.vec_id, d.sub, d.sv, c.cid, ${dotSub("d.sv", "c.cvec")} AS sim
-         |  FROM dvs d JOIN $prev c ON c.sub = d.sub),
+         |  FROM ${n("dvs")} d JOIN $prev c ON c.sub = d.sub),
          |$out AS (
          |  SELECT vec_id, sub, sv, cid FROM (
          |    SELECT vec_id, sub, sv, cid,
@@ -1235,25 +1240,25 @@ object Similarity {
          |$out AS (
          |  SELECT sub, cid, list(mv ORDER BY j) AS cvec
          |  FROM ${out}_m GROUP BY sub, cid)""".stripMargin
-    s"""dv AS (
+    s"""${n("dv")} AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
-       |subs AS (SELECT unnest(range($m)) AS sub),
-       |dvs AS (
+       |${n("subs")} AS (SELECT unnest(range($m)) AS sub),
+       |${n("dvs")} AS (
        |  SELECT vec_id, sub, list_slice(v, sub*$sd+1, sub*$sd+$sd) AS sv
-       |  FROM dv CROSS JOIN subs),
-       |cb0 AS (
+       |  FROM ${n("dv")} CROSS JOIN ${n("subs")}),
+       |${n("cb0")} AS (
        |  SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS cid,
        |    list_slice(v, sub*$sd+1, sub*$sd+$sd) AS cvec
-       |  FROM (SELECT vec_id, v FROM dv ORDER BY vec_id LIMIT $ksub) t
-       |  CROSS JOIN subs),
-       |${assignCte("cb0", "a1")},
-       |${recomputeCte("a1", "cb1")},
-       |${assignCte("cb1", "a2")},
-       |${recomputeCte("a2", "cb2")},
-       |${assignCte("cb2", "a3")},
-       |${recomputeCte("a3", "cb3")},
-       |${assignCte("cb3", "codes")}""".stripMargin
+       |  FROM (SELECT vec_id, v FROM ${n("dv")} ORDER BY vec_id LIMIT $ksub) t
+       |  CROSS JOIN ${n("subs")}),
+       |${assignCte(n("cb0"), n("a1"))},
+       |${recomputeCte(n("a1"), n("cb1"))},
+       |${assignCte(n("cb1"), n("a2"))},
+       |${recomputeCte(n("a2"), n("cb2"))},
+       |${assignCte(n("cb2"), n("a3"))},
+       |${recomputeCte(n("a3"), n("cb3"))},
+       |${assignCte(n("cb3"), n("codes"))}""".stripMargin
   }
 
   /** DuckDB twin of pqCodebookReport(m=4, ksub=16, portableMeans=true). */
@@ -1350,6 +1355,47 @@ object Similarity {
        |SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rn FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= 10
+       |ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** DuckDB twin of adcTopKFromState(k=10, nprobe=3) over the state
+    * index trained with the portable chains: q49's coarse-quantizer
+    * CTEs (dv/lists/c3) merged with the PQ chain under the pq_ prefix,
+    * then probe selection (dot-ranked, ties to smaller cid),
+    * reconstruction from codes x codebooks, and the round-6 ADC cosine
+    * in q49's explicit dot/sqrt form. */
+  private def q183OracleSql: String = {
+    def dot(a: String, b: String) = dotSql(a, b)
+    s"""WITH $kmeansListsCtes,
+       |${pqCtes(4, 16, prefix = "pq_")},
+       |jc AS (
+       |  SELECT a.vec_id, a.sub, c.cvec FROM pq_codes a
+       |  JOIN pq_cb3 c ON c.sub = a.sub AND c.cid = a.cid),
+       |recon AS (
+       |  SELECT vec_id, flatten(list(cvec ORDER BY sub)) AS rv
+       |  FROM jc GROUP BY vec_id),
+       |queries AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM lists WHERE vec_id IN (0, 100, 200)),
+       |probes AS (
+       |  SELECT query_id, qv, cid FROM (
+       |    SELECT q.query_id, q.qv, b.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${dot("q.qv", "b.cvec")} DESC, b.cid) AS rn
+       |    FROM queries q CROSS JOIN c3 b) t
+       |  WHERE rn <= 3),
+       |scored AS (
+       |  SELECT p.query_id, l.vec_id,
+       |    round(${dot("r.rv", "p.qv")} /
+       |      (sqrt(${dot("r.rv", "r.rv")}) * sqrt(${dot("p.qv", "p.qv")})), 6)
+       |      AS adc_cosine
+       |  FROM lists l
+       |  JOIN probes p ON l.cid = p.cid AND l.vec_id <> p.query_id
+       |  JOIN recon r ON r.vec_id = l.vec_id)
+       |SELECT query_id, vec_id, adc_cosine, CAST(rn AS INT) AS rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_cosine DESC, vec_id) AS rn
        |  FROM scored) t
        |WHERE rn <= 10
        |ORDER BY query_id, rn""".stripMargin
@@ -2182,6 +2228,14 @@ object Similarity {
           servedIvfStateDir(s, d), QueryIds, k = 10)
           .orderBy(col("query_id"), col("rn"))
     },
+
+    Q("q183_pq_adc_state_served", q183OracleSql,
+      "IVF-PQ asymmetric-distance search served FROM the maintained index — the compressed-tier sibling of q182, and the read shape that makes a 100 TB corpus scoreable from an in-memory index: probe 3 of 8 lists through the SHARED ivfProbes stage, then score every probed member by ADC — round-6 cosine of the uncompressed query against the member's codeword reconstruction (pqRecon, q176's definition) — touching 2 bytes/vec of persisted codes plus the broadcast codebooks; the full-precision lists/.v column is read for the QUERY VECTORS ONLY, never for candidates. The oracle twin merges q49's portable coarse-quantizer CTEs with q176's portable PQ chain (namespaced pq_*) and replays probe selection, reconstruction, and the round-6 ADC cosine exactly — so the hash gate proves the served COMPRESSED-tier answer bit-equals an independent engine's replay of the whole IVF-PQ pipeline: quantizer, codebooks, codes, probes, scores, ranks. The state dir is the same build-once (session, corpus) index q180/q182 read (train + trainPq + one updatePq fold). Scale: candidates bounded by nprobe lists (n x B), reconstruction is a broadcast join on 2-byte codes, and neither the Lloyd chain nor the corpus is touched at query time.") {
+      (s, d) =>
+        graft.streaming.IvfStateStream.adcTopKFromState(s,
+          servedIvfStateDir(s, d), QueryIds, k = 10)
+          .orderBy(col("query_id"), col("rn"))
+    },
   )
 
   /** Build-once on-disk IVF state for the state-served read (q180):
@@ -2201,7 +2255,11 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
       graft.streaming.IvfStateStream.train(emb, dir, nlist = 8,
         portableMeans = true)
-      graft.streaming.IvfStateStream.update(dir)(emb, 0L)
+      // the PQ tier trains into the same state dir (q183's ADC read);
+      // updatePq folds lists AND codes in one pass
+      graft.streaming.IvfStateStream.trainPq(emb, dir, m = 4, ksub = 16,
+        portableMeans = true)
+      graft.streaming.IvfStateStream.updatePq(dir)(emb, 0L)
       dir
     }
 
