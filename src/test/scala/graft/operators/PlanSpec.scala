@@ -619,6 +619,27 @@ class PlanSpec extends SparkSpec {
       "q181's read plan does not reference the on-disk state dir")
   }
 
+  test("q183 ADC candidates are scored from codes, not full-precision vectors") {
+    // the asymmetric-distance claim, pinned on the plan: of the scans of
+    // the persisted lists/ table, only the QUERY-VECTOR leg may read the
+    // full-precision column `v` — candidate scoring goes through the
+    // 2-byte codes + broadcast codebooks (pqRecon), so exactly one
+    // lists/ scan carries v in its ReadSchema
+    val df = SparkEntry.queries("q183_pq_adc_state_served")(spark, sf001)
+    val s = df.queryExecution.executedPlan.toString
+    // count lists/-backed scans whose pruned ReadSchema still includes v
+    val listScans = s.linesIterator
+      .filter(l => l.contains("graft_ivf_state") && l.contains("/lists"))
+      .toSeq
+    assert(listScans.nonEmpty,
+      "no lists/ scan rendered in the plan — the pin went vacuous:\n" +
+        s.take(1500))
+    val vListScans = listScans.count(_.contains("v:array"))
+    assert(vListScans <= 1,
+      s"$vListScans lists/ scans read the full-precision vectors — ADC " +
+        "candidate scoring must touch only codes:\n" + s.take(1500))
+  }
+
   test("q146 argmin runs in-row: no per-vector shuffle, no window, no join on vec_id") {
     val s = planString("q146_lloyd_step")
     assert(!s.contains("Window"), "q146 grew a window — the in-row argmin was lost")
