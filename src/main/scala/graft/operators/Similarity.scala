@@ -1732,6 +1732,30 @@ object Similarity {
        |ORDER BY per.label""".stripMargin
   }
 
+  /** q108's oracle SQL — shared VERBATIM with q184's state-served
+    * read. */
+  private val q108OracleSql: String =
+      """WITH qd AS (
+        |  SELECT d.source,
+        |    generate_subscripts(e.embedding, 1) AS dim,
+        |    CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |cent AS (
+        |  SELECT source, dim,
+        |    CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS c
+        |  FROM qd GROUP BY source, dim),
+        |st AS (
+        |  SELECT a.source AS s1, b.source AS s2,
+        |    CAST(sum(a.c * b.c) AS BIGINT) AS sab,
+        |    CAST(sum(a.c * a.c) AS BIGINT) AS saa,
+        |    CAST(sum(b.c * b.c) AS BIGINT) AS sbb
+        |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.source < b.source
+        |  GROUP BY s1, s2)
+        |SELECT s1, s2,
+        |  CAST(sab AS DOUBLE) / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE)))
+        |    AS centroid_cosine
+        |FROM st ORDER BY s1, s2""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     Q("q36_cosine_topk",
@@ -1907,27 +1931,7 @@ object Similarity {
           .orderBy(col("query_id"), col("rn"))
     },
 
-    Q("q108_centroid_drift",
-      """WITH qd AS (
-        |  SELECT d.source,
-        |    generate_subscripts(e.embedding, 1) AS dim,
-        |    CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
-        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
-        |cent AS (
-        |  SELECT source, dim,
-        |    CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS c
-        |  FROM qd GROUP BY source, dim),
-        |st AS (
-        |  SELECT a.source AS s1, b.source AS s2,
-        |    CAST(sum(a.c * b.c) AS BIGINT) AS sab,
-        |    CAST(sum(a.c * a.c) AS BIGINT) AS saa,
-        |    CAST(sum(b.c * b.c) AS BIGINT) AS sbb
-        |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.source < b.source
-        |  GROUP BY s1, s2)
-        |SELECT s1, s2,
-        |  CAST(sab AS DOUBLE) / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE)))
-        |    AS centroid_cosine
-        |FROM st ORDER BY s1, s2""".stripMargin,
+    Q("q108_centroid_drift", q108OracleSql,
       "Per-source embedding centroid drift matrix — the embedding-space twin of q96's shingle overlap and q99's column drift: pairwise cosine between source centroids flags a source whose content has shifted away from (or collapsed onto) the rest of the corpus BEFORE any pairwise-document work is attempted, and at production scale the same shape compares this week's crawl centroid to last week's. Determinism is the family playbook made aggregate-safe: each float component is quantized to integer micro-units (floor, after an exact float→double widen) so the per-(source,dim) centroid is an exact integer sum; the centroid itself stays integer (floor of the double-exact sum/count quotient — sums ≲1e9 are exactly representable, and Spark's `div` truncation vs DuckDB's floor `//` on negatives is sidestepped by flooring the IEEE quotient identically on both engines), and cosine is scale-invariant so the unnormalized micro-unit centroid loses nothing. The pair stage sums 64 exact integer products per pair (c ≤ 6e5 → products ≤ 4e11, 64-dim sums ≤ 3e13: overflow-free under ANSI at ANY corpus size, because dividing by n bounds c by the VALUE range, not the corpus). Scale: one map-side-combined shuffle at |source|×64 keys; the |sources|²×64 pair stage is corpus-size-independent and its small side broadcasts; document vectors are read once and never pairwise-joined.") {
       (s, d) =>
         val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
@@ -2236,7 +2240,38 @@ object Similarity {
           servedIvfStateDir(s, d), QueryIds, k = 10)
           .orderBy(col("query_id"), col("rn"))
     },
+
+    Q("q184_centroid_drift_state_served", q108OracleSql,
+      "q108's cross-source centroid-drift matrix served FROM maintained state — the monitoring family's serving read, completing the q180-q183 set: per-(source, dim) micro-unit sums fold in per arrival batch as EXACT batch-additive integers (the CentroidStateStream delta-ledger protocol — quantize-then-sum means no float reassociation exists anywhere, so state == batch is an integer identity, not an epsilon claim), and the read is q108's own factored stages (centroidFromSums -> centroidDriftFromCent — the registered query's code, not a copy) over the |sources| x 64 aggregated sums. The oracle twin is q108's SQL verbatim, so the hash gate proves the drift matrix a monitoring dashboard reads from state equals the full-corpus batch recompute. The state dir is built once per (session, corpus) by folding the source-tagged embeddings in two doc_id-parity waves through the SAME micro-batch update the maintenance stream runs. Scale: this is the crawl-over-crawl drift alarm shape — per batch one |batch| x 64 map-side-combined aggregate + one append; the read aggregates |sources| x 64 x |batches| delta rows and the corpus vectors are never rescanned at read time.") {
+      (s, d) =>
+        graft.streaming.CentroidStateStream.driftMatrixFromState(s,
+          servedCentroidStateDir(s, d))
+    },
   )
+
+  /** Build-once on-disk centroid-sum state for the state-served drift
+    * read (q184): fold the source-tagged embeddings through the SAME
+    * micro-batch update the monitoring stream runs — two doc_id-parity
+    * waves, so the ledger-protocol idempotence paths execute — into a
+    * fresh temp stateDir, memoized per (session, corpus). protectNew =
+    * false: the durable product is the on-disk delta log (the
+    * servedIvfStateDir contract). */
+  private def servedCentroidStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"centstate|$d/embeddings.parquet",
+        protectNew = false) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_cent_state").toString
+      val vecs = Tables.embeddings(s, d)
+        .join(Tables.documents(s, d)
+          .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("source"))
+      graft.streaming.CentroidStateStream.update(dir)(
+        vecs.filter(col("vec_id") % 2 === 0), 0L)
+      graft.streaming.CentroidStateStream.update(dir)(
+        vecs.filter(col("vec_id") % 2 === 1), 1L)
+      dir
+    }
 
   /** Build-once on-disk IVF state for the state-served read (q180):
     * train the frozen quantizer from the corpus and fold the corpus
