@@ -207,6 +207,67 @@ object Multimodal {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The (mime, fp, n_bytes) → storage-reclamation report stage — ONE
+    * definition shared by q133 (fresh digests over the fixture corpus)
+    * and the state-served read (q185, persisted digests from
+    * [[graft.streaming.AssetStateStream]]), so the served report cannot
+    * drift from the batch one. */
+  def payloadDedupReport(digests: DataFrame): DataFrame =
+    digests.groupBy(col("mime"), col("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col("n_bytes")).as("n_bytes"))
+      .filter(col("n_copies") >= 2)
+      .groupBy(col("mime"))
+      .agg(count(lit(1)).as("n_dup_groups"),
+        sum(col("n_copies")).as("n_dup_assets"),
+        sum((col("n_copies") - 1) * col("n_bytes")).as("bytes_reclaimable"))
+      .orderBy(col("mime"))
+
+  /** Build-once on-disk asset state for the state-served payload-dedup
+    * read (q185): the q133 doubled-corpus fixture — shifted by 3000000
+    * (a MULTIPLE OF 3, so the stream's own doc_id-derived mime agrees
+    * with the original copy's and byte-twins land in the same
+    * (mime, fp) group) — folded through AssetStateStream.update in two
+    * parity waves. Memoized per (session, corpus); protectNew = false
+    * (the durable product is the on-disk digest/signature state). */
+  private def servedAssetStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"assetstate|$d/documents.parquet",
+        protectNew = false) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_asset_state").toString
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val doubled = docs.union(
+        docs.select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      graft.streaming.AssetStateStream.update(dir)(
+        doubled.filter(col("doc_id") % 2 === 0), 0L)
+      graft.streaming.AssetStateStream.update(dir)(
+        doubled.filter(col("doc_id") % 2 === 1), 1L)
+      dir
+    }
+
+  private val q185OracleSql: String =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/jpeg'
+      |      WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+      |    md5(text) AS fp, octet_length(encode(text)) AS n_bytes
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000,
+      |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/jpeg'
+      |      WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+      |    md5(text) AS fp, octet_length(encode(text)) AS n_bytes
+      |  FROM documents),
+      |grp AS (
+      |  SELECT mime, fp, count(*) AS n_copies, min(n_bytes) AS n_bytes
+      |  FROM a GROUP BY mime, fp)
+      |SELECT mime,
+      |  CAST(count(*) AS BIGINT) AS n_dup_groups,
+      |  CAST(sum(n_copies) AS BIGINT) AS n_dup_assets,
+      |  CAST(sum((n_copies - 1) * n_bytes) AS BIGINT) AS bytes_reclaimable
+      |FROM grp WHERE n_copies >= 2
+      |GROUP BY mime ORDER BY mime""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     Q("q40_multimodal_bytes",
@@ -355,14 +416,7 @@ object Multimodal {
           md5(to_binary(col("text"), lit("utf-8"))).as("fp"),
           length(to_binary(col("text"), lit("utf-8"))).as("n_bytes"))
         val a = one.union(one.withColumn("doc_id", col("doc_id") + 1000000L))
-        a.groupBy(col("mime"), col("fp"))
-          .agg(count(lit(1)).as("n_copies"), min(col("n_bytes")).as("n_bytes"))
-          .filter(col("n_copies") >= 2)
-          .groupBy(col("mime"))
-          .agg(count(lit(1)).as("n_dup_groups"),
-            sum(col("n_copies")).as("n_dup_assets"),
-            sum((col("n_copies") - 1) * col("n_bytes")).as("bytes_reclaimable"))
-          .orderBy(col("mime"))
+        payloadDedupReport(a.select(col("mime"), col("fp"), col("n_bytes")))
     },
 
     Q("q134_payload_neardup",
@@ -405,6 +459,13 @@ object Multimodal {
       (s, d) =>
         frameNearDupPairs(assets(Tables.documents(s, d)).toDF())
           .orderBy(col("d1"), col("d2"))
+    },
+
+    Q("q185_payload_dedup_state_served", q185OracleSql,
+      "q133's payload storage-reclamation report served FROM the maintained asset state — the multimodal family's serving read (q180-q184's pattern): every arriving payload is digested ONCE at ingest (AssetStateStream's anti-join-idempotent fold — md5 digest, mime, byte count; chunk simhash rides the same pass for the q134-shape probes), and the report a storage-review meeting reads is reassembled from |assets| rows of (mime, 16-byte fp, n_bytes) state through the SAME payloadDedupReport stage as q133 — one shared definition, so served and batch reports cannot drift. The corpus is the q133 doubled-fixture shape shifted by a multiple of 3 (so the stream's own doc_id-derived mime keeps byte-twins in one (mime, fp) group), folded in two parity waves; the oracle replays that fixture and q133's aggregation verbatim, so the driver's hash gate proves the state-served reclamation numbers equal an independent full recompute. Scale: the read is corpus-text-free — payload bytes are touched once at arrival, and the report costs one map-side-combined (mime, digest) aggregate over fixed-width state rows however large the blobs are.") {
+      (s, d) =>
+        graft.streaming.AssetStateStream.payloadDedupFromState(s,
+          servedAssetStateDir(s, d))
     },
   )
 }

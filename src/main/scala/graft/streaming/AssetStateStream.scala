@@ -108,6 +108,18 @@ object AssetStateStream {
     * Within-batch self-duplication is q133's batch job, not this probe:
     * against state, each arrival answers only "have we stored these
     * bytes before". */
+  /** q133's storage-reclamation report served FROM the persisted digest
+    * table — the full-corpus accounting read (the delta probes below
+    * answer per-arrival questions), through the SAME
+    * [[graft.operators.Multimodal.payloadDedupReport]] stage as the
+    * batch query, so the served report cannot drift from it. Payloads
+    * are digested once at arrival; the read touches |assets| rows of
+    * (mime, 16-byte fp, n_bytes) and never the blobs. */
+  def payloadDedupFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.Multimodal.payloadDedupReport(
+      digestState(spark, stateDir)
+        .select(col("mime"), col("fp"), col("n_bytes")))
+
   def exactDupAgainstState(stateDir: String, arrivals: DataFrame): DataFrame = {
     val spark = arrivals.sparkSession
     val arr = digestsOf(assetView(arrivals).dropDuplicates("doc_id"))
