@@ -54,6 +54,24 @@ class AssetStateStreamSpec extends SparkSpec {
       "signature state diverged from batch recomputation")
   }
 
+  test("state-served reclamation report == the batch report over all deliveries") {
+    // the q185 contract at spec scale: fold two waves, then the served
+    // report must equal payloadDedupReport over a fresh batch digest of
+    // everything delivered (the q133 stage — one shared definition)
+    val root = Files.createTempDirectory("graft-assetstate-report").toString
+    val stateDir = s"$root/state"
+    AssetStateStream.update(stateDir)(docsSlice(col("doc_id") % 2 === 0), 0L)
+    AssetStateStream.update(stateDir)(docsSlice(col("doc_id") % 2 === 1), 1L)
+    val all = docsSlice(lit(true))
+    val twin = Multimodal.payloadDedupReport(all.select(
+      Multimodal.mimeOf(col("doc_id")).as("mime"),
+      md5(to_binary(col("text"), lit("utf-8"))).as("fp"),
+      length(to_binary(col("text"), lit("utf-8"))).cast("bigint").as("n_bytes")))
+    val served = AssetStateStream.payloadDedupFromState(spark, stateDir)
+    assert(served.exceptAll(twin).isEmpty && twin.exceptAll(served).isEmpty,
+      "state-served reclamation report diverged from the batch report")
+  }
+
   test("a replayed micro-batch is a state no-op (restart recovery contract)") {
     val root = Files.createTempDirectory("graft-assetstate-replay").toString
     val stateDir = s"$root/state"
