@@ -236,6 +236,15 @@ object Multimodal {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_asset_state").toString
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // the shift must clear the corpus id range: a corpus holding both
+      // doc_id x and x+3000000 would put two different rows under one id
+      // in the doubled frame, and update's dropDuplicates("doc_id") would
+      // keep one nondeterministically while the oracle's UNION ALL keeps
+      // both — assert the precondition instead of drifting silently
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      require(maxId < 3000000L,
+        s"servedAssetStateDir: max doc_id $maxId reaches the +3000000 " +
+        "byte-twin shift — raise the shift beyond the id range")
       val doubled = docs.union(
         docs.select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
       graft.streaming.AssetStateStream.update(dir)(

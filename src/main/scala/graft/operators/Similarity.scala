@@ -2291,9 +2291,11 @@ object Similarity {
       graft.streaming.IvfStateStream.train(emb, dir, nlist = 8,
         portableMeans = true)
       // the PQ tier trains into the same state dir (q183's ADC read);
-      // updatePq folds lists AND codes in one pass
+      // updatePq folds lists AND codes in one pass. corpusKey shares
+      // the q175–q177 memo, so the per-subspace Lloyd chain is not
+      // rebuilt when the batch PQ trio already trained it this session
       graft.streaming.IvfStateStream.trainPq(emb, dir, m = 4, ksub = 16,
-        portableMeans = true)
+        portableMeans = true, corpusKey = embKey(d))
       graft.streaming.IvfStateStream.updatePq(dir)(emb, 0L)
       dir
     }

@@ -247,9 +247,13 @@ object IvfStateStream {
   /** Train the per-subspace codebooks from a seed corpus and persist
     * them — the PQ sibling of [[train]], same freeze/overwrite contract
     * (codes folded under old codebooks would silently stop matching)
-    * and the same meta-before-table crash ordering. */
+    * and the same meta-before-table crash ordering. `corpusKey` rides
+    * through to [[Similarity.pqStage]]'s session memo: a session that
+    * runs both the batch PQ trio (q175–q177) and this state build then
+    * trains the per-subspace Lloyd chain ONCE, not twice. */
   def trainPq(seed: DataFrame, stateDir: String, m: Int = 4, ksub: Int = 16,
-      iters: Int = 3, portableMeans: Boolean = false): Unit = {
+      iters: Int = 3, portableMeans: Boolean = false,
+      corpusKey: Option[String] = None): Unit = {
     val spark = seed.sparkSession
     val dir = s"$stateDir/codebooks"
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -262,7 +266,7 @@ object IvfStateStream {
           org.apache.spark.sql.Row(Integer.valueOf(m), Integer.valueOf(ksub))),
         pqMetaSchema)
       .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/pqmeta")
-    Similarity.pqStage(seed, m, ksub, iters, portableMeans)._1
+    Similarity.pqStage(seed, m, ksub, iters, portableMeans, corpusKey)._1
       .select(col("sub").cast("int").as("sub"), col("cid").cast("int").as("cid"),
         col("cvec"))
       .write.mode("errorifexists").parquet(dir)

@@ -625,8 +625,7 @@ class PlanSpec extends SparkSpec {
     // full-precision column `v` — candidate scoring goes through the
     // 2-byte codes + broadcast codebooks (pqRecon), so exactly one
     // lists/ scan carries v in its ReadSchema
-    val df = SparkEntry.queries("q183_pq_adc_state_served")(spark, sf001)
-    val s = df.queryExecution.executedPlan.toString
+    val s = planString("q183_pq_adc_state_served")
     // count lists/-backed scans whose pruned ReadSchema still includes v
     val listScans = s.linesIterator
       .filter(l => l.contains("graft_ivf_state") && l.contains("/lists"))

@@ -203,10 +203,23 @@ class JdbcSinksSpec extends SparkSpec {
     finally c.close()
     // single partition: DuckDB holds a per-process file lock, so the
     // executor-side writers must not race separate database instances
+    // one count probe per step: a single end-state assert cannot say
+    // WHICH upsert lost a row (this test failed once under full-suite
+    // load with 3 != 4 and no way to tell the in-batch dedup, the
+    // replay, and the new-key insert apart)
+    def countRows(): Long = {
+      val cc = DriverManager.getConnection(duckUrl, duckCfg.connectionProperties)
+      try {
+        val rs = cc.createStatement().executeQuery("SELECT count(*) FROM pg_t")
+        rs.next(); rs.getLong(1)
+      } finally cc.close()
+    }
     val df = withHash(sample).coalesce(1)
     val dup = df.union(df).coalesce(1) // duplicate keys INSIDE one batch
     Sinks.jdbcUpsert(dup, "pg_t", duckCfg) // production default dialect
+    assert(countRows() == 3, "in-batch dedup: 6 rows with 3 distinct keys")
     Sinks.jdbcUpsert(df, "pg_t", duckCfg)  // replay: must be a no-op
+    assert(countRows() == 3, "replaying the same batch must add no rows")
     import spark.implicits._
     val more = withHash(Seq((4L, "delta", 40.0)).toDF("id", "name", "score"))
       .coalesce(1)
@@ -216,7 +229,7 @@ class JdbcSinksSpec extends SparkSpec {
       val rs = c2.createStatement().executeQuery(
         """SELECT count(*), count(DISTINCT "row_hash") FROM pg_t""")
       rs.next()
-      assert(rs.getLong(1) == 4, "expected 3 distinct sample keys + 1 new")
+      assert(rs.getLong(1) == 4, "the new key must land after the replays")
       assert(rs.getLong(2) == 4)
     } finally c2.close()
   }

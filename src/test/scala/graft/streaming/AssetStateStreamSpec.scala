@@ -60,13 +60,23 @@ class AssetStateStreamSpec extends SparkSpec {
     // everything delivered (the q133 stage — one shared definition)
     val root = Files.createTempDirectory("graft-assetstate-report").toString
     val stateDir = s"$root/state"
-    AssetStateStream.update(stateDir)(docsSlice(col("doc_id") % 2 === 0), 0L)
-    AssetStateStream.update(stateDir)(docsSlice(col("doc_id") % 2 === 1), 1L)
-    val all = docsSlice(lit(true))
-    val twin = Multimodal.payloadDedupReport(all.select(
+    // the sf0.001 texts are all distinct (a report over the raw corpus
+    // would be empty == empty, a vacuous pass), so double the corpus
+    // with byte-twins shifted by a multiple of 3 — the
+    // servedAssetStateDir convention: the doc_id-derived mime agrees,
+    // twins share a (mime, fp) group, and the report is provably
+    // non-empty
+    val base = docsSlice(lit(true))
+    val doubled = base.union(base.select(
+      (col("doc_id") + 30000L).as("doc_id"), col("text"), col("source")))
+    AssetStateStream.update(stateDir)(doubled.filter(col("doc_id") % 2 === 0), 0L)
+    AssetStateStream.update(stateDir)(doubled.filter(col("doc_id") % 2 === 1), 1L)
+    val twin = Multimodal.payloadDedupReport(doubled.select(
       Multimodal.mimeOf(col("doc_id")).as("mime"),
       md5(to_binary(col("text"), lit("utf-8"))).as("fp"),
       length(to_binary(col("text"), lit("utf-8"))).cast("bigint").as("n_bytes")))
+    assert(twin.count() > 0,
+      "fixture self-check: the doubled corpus must yield a non-empty report")
     val served = AssetStateStream.payloadDedupFromState(spark, stateDir)
     assert(served.exceptAll(twin).isEmpty && twin.exceptAll(served).isEmpty,
       "state-served reclamation report diverged from the batch report")
