@@ -59,6 +59,8 @@ object CentroidStateStream {
   /** One micro-batch: append this batch's (source, dim) micro-unit sum
     * deltas exactly once (the vocab-ledger protocol). */
   def update(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    require(batchId >= 0, "batchId must be non-negative (negative ids " +
+      "are reserved for folded snapshot rows)")
     val spark = batch.sparkSession
     val ledgerDir = s"$stateDir/cent_ledger"
     val seen = stateDf(spark, ledgerDir, ledgerSchema)
@@ -120,6 +122,15 @@ object CentroidStateStream {
           .as("drift_cosine"))
       .orderBy(col("source"))
   }
+
+  /** Fold the committed centroid-sum deltas into one snapshot row per
+    * (source, dim) — [[CorpusStateStream.foldDeltaState]] on the delta
+    * log, bounding state to |sources|·64 rows (plus crash-window
+    * deltas) no matter how many crawls have folded in. Sums are exact
+    * integers (the quantize-then-sum design), so no read changes. */
+  def foldDeltas(spark: SparkSession, stateDir: String): (Long, Long) =
+    CorpusStateStream.foldDeltaState(spark, stateDir, "cent",
+      "cent_ledger", deltaSchema, Seq("source", "dim"), Seq("sq", "n"))
 
   /** Start the maintenance stream over arriving embedding parquet files
     * (the CorpusStateStream wiring with the vector schema). */

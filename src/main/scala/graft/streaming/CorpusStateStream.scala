@@ -183,9 +183,23 @@ object CorpusStateStream {
       spark: SparkSession, stateDir: String, table: String,
       targetFiles: Int = 1): (Int, Int) = {
     val dir = s"$stateDir/$table"
+    val (fs, p) = recoverState(spark, dir)
+    def parquetCount(d: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(d).count(_.getPath.getName.endsWith(".parquet"))
+    val before = parquetCount(p)
+    swapState(spark, dir)(tmp =>
+      spark.read.parquet(dir).repartition(targetFiles)
+        .write.mode("overwrite").parquet(tmp))
+    (before, parquetCount(p))
+  }
+
+  /** Crash-recover a state table dir (promote a dangling `.old` left by
+    * a swap that died between its two renames) and require it exists —
+    * the shared preamble of [[compactState]] and [[foldDeltaState]]. */
+  private def recoverState(spark: SparkSession, dir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
     val old = new org.apache.hadoop.fs.Path(dir + ".old")
     // crash recovery from a previous run: died between the two renames →
     // .old IS the table, promote it back; died after the swap → .old is
@@ -193,19 +207,96 @@ object CorpusStateStream {
     if (!fs.exists(p) && fs.exists(old))
       require(fs.rename(old, p), s"could not recover $old to $dir")
     require(fs.exists(p), s"no state table at $dir")
-    def parquetCount(d: org.apache.hadoop.fs.Path): Int =
-      fs.listStatus(d).count(_.getPath.getName.endsWith(".parquet"))
-    val before = parquetCount(p)
+    (fs, p)
+  }
+
+  /** Write a replacement table via `writeTmp(tmpDir)`, then swap it in
+    * with the two-rename protocol: crash between the renames leaves the
+    * `.old` directory as the recovery copy, never a half-written table
+    * ([[recoverState]] / [[stateDf]] handle both crash windows). */
+  private def swapState(spark: SparkSession, dir: String)
+      (writeTmp: String => Unit): Unit = {
+    val (fs, p) = recoverState(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
     fs.delete(tmp, true); fs.delete(old, true)
-    spark.read.parquet(dir).repartition(targetFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
+    writeTmp(tmp.toString)
     // atomic-enough swap: two renames; crash between them leaves the
     // .old directory as the recovery copy, never a half-written table
     require(fs.rename(p, old), s"could not move $dir aside")
     require(fs.rename(tmp, p), s"could not promote compacted $tmp")
     fs.delete(old, true)
-    (before, parquetCount(p))
   }
+
+  /** The reserved batch_id of folded snapshot rows in an additive
+    * delta-log table. Real batch ids are non-negative (the streaming
+    * engine's epoch counter; the delta writers require it), so a
+    * snapshot row can never collide with a replay probe. */
+  val SnapshotBatchId: Long = -1L
+
+  /** Fold an additive delta-log state table's COMMITTED rows into one
+    * snapshot row per key — the LSM-style merge the delta layout exists
+    * for. [[compactState]] bounds the FILE count but the row count still
+    * grows as |keys|·|batches|; this bounds the rows to |keys| plus any
+    * crash-window deltas. Covers every delta table in the tree: `vocab`
+    * ([[foldVocab]]), the centroid ledger
+    * ([[CentroidStateStream.foldDeltas]]) and the datasheet counters /
+    * template prefixes ([[DatasheetStateStream.foldDeltas]]).
+    *
+    * Correctness hinges on WHICH rows fold:
+    *   - rows whose batch_id is in the ledger (and prior snapshot rows,
+    *     batch_id = [[SnapshotBatchId]]) are aggregate-only — every
+    *     reader sums them ignoring batch_id, and every replay of their
+    *     batch short-circuits on the ledger — so summing them into one
+    *     row per key changes no read and breaks no replay probe;
+    *   - a CRASH-WINDOW delta (log written, ledger append lost) must
+    *     keep its batch_id untouched: the healing replay probes the log
+    *     itself (`batch_id === batchId`), and folding the row away
+    *     would make that probe miss and the replay double-count.
+    * Sums are exact integers throughout the tree, so fold order cannot
+    * perturb any aggregate. Idempotent; same stopped-stream contract as
+    * [[compactState]]. Returns (rows before, rows after). */
+  def foldDeltaState(spark: SparkSession, stateDir: String, table: String,
+      ledgerTable: String, schema: StructType, keyCols: Seq[String],
+      sumCols: Seq[String], targetFiles: Int = 1): (Long, Long) = {
+    val dir = s"$stateDir/$table"
+    recoverState(spark, dir)
+    val deltas = stateDf(spark, dir, schema)
+    val ledger = stateDf(spark, s"$stateDir/$ledgerTable", ledgerSchema)
+      .select(col("batch_id")).distinct()
+    val committed = deltas
+      .join(broadcast(ledger), Seq("batch_id"), "left_semi")
+      .unionByName(deltas.filter(col("batch_id") === SnapshotBatchId))
+    val pending = deltas.filter(col("batch_id") =!= SnapshotBatchId)
+      .join(broadcast(ledger), Seq("batch_id"), "left_anti")
+    val snapshot = committed
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col(sumCols.head)).as(sumCols.head),
+        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+      // a key-less (global) fold over an empty committed set yields one
+      // all-null aggregate row — drop it rather than persist null sums
+      .na.drop("all", sumCols)
+      .select(schema.fieldNames.toSeq.map {
+        case "batch_id" => lit(SnapshotBatchId).as("batch_id")
+        case f => col(f)
+      }: _*)
+    val before = deltas.count()
+    val folded = snapshot
+      .unionByName(pending.select(schema.fieldNames.toSeq.map(col): _*))
+      // one materialized pass BEFORE the swap: the plan reads the live
+      // table, so it must not execute lazily while the dir is renamed
+      .localCheckpoint(true)
+    swapState(spark, dir)(tmp =>
+      folded.repartition(targetFiles).write.mode("overwrite").parquet(tmp))
+    folded.unpersist() // maintenance must not leak checkpoint blocks
+    (before, stateDf(spark, dir, schema).count())
+  }
+
+  /** [[foldDeltaState]] applied to the reference-vocabulary delta log:
+    * |terms|·|batches| count deltas fold to |terms| snapshot rows. */
+  def foldVocab(spark: SparkSession, stateDir: String): (Long, Long) =
+    foldDeltaState(spark, stateDir, "vocab", "vocab_ledger", vocabSchema,
+      Seq("w"), Seq("delta"))
 
   /** q97's delta near-dup served FROM the maintained signature table:
     * arriving documents derive signatures once, the persisted corpus
@@ -239,9 +330,10 @@ object CorpusStateStream {
   // layout instead appends (batch_id, w_hash, delta) DELTA rows plus a
   // one-row-per-batch ledger; replay is dropped by probing the ledger
   // BEFORE appending, and the reader aggregates sum(delta) per term.
-  // Compaction (compactState on "vocab") folds the deltas into fewer
-  // files without changing the aggregate — the same pure file-level
-  // maintenance as the set tables.
+  // Maintenance is two-level: compactState on "vocab" bounds the FILE
+  // count (pure file-level, same as the set tables), and foldVocab
+  // bounds the ROW count — the LSM merge that sums ledger-committed
+  // deltas into one snapshot row per term (foldDeltaState's contract).
 
   private val vocabSchema = StructType(Seq(
     StructField("batch_id", LongType),
@@ -266,6 +358,8 @@ object CorpusStateStream {
     * the log probe finds the deltas already present and skips them, and
     * only the ledger row is healed — counts can never double. */
   def updateVocab(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    require(batchId >= 0, s"batchId $batchId: negative ids are reserved " +
+      s"for folded snapshot rows (SnapshotBatchId = $SnapshotBatchId)")
     val spark = batch.sparkSession
     val ledgerDir = s"$stateDir/vocab_ledger"
     val seen = stateDf(spark, ledgerDir, ledgerSchema)

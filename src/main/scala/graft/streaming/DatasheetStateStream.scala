@@ -82,6 +82,8 @@ object DatasheetStateStream {
     * tables by the ledger protocol, sigs/shingles by the corpus
     * stream's own anti-joins). */
   def update(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    require(batchId >= 0, "batchId must be non-negative (negative ids " +
+      "are reserved for folded snapshot rows)")
     val spark = batch.sparkSession
     val docs = batch
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
@@ -185,6 +187,20 @@ object DatasheetStateStream {
       .unionByName(one("template_docs", tpl))
       .orderBy(col("metric"))
   }
+
+  /** Fold both committed delta logs into snapshots —
+    * [[CorpusStateStream.foldDeltaState]] on the per-batch counters
+    * (one global snapshot row) and the template-prefix counts (one row
+    * per surviving prefix). They share `ds_ledger`, so one fold call
+    * per table with the same ledger. Returns
+    * ((counters before, after), (prefixes before, after)). */
+  def foldDeltas(spark: SparkSession, stateDir: String)
+      : ((Long, Long), (Long, Long)) =
+    (CorpusStateStream.foldDeltaState(spark, stateDir, "ds_counters",
+        "ds_ledger", countersSchema, Seq.empty,
+        Seq("n_docs", "n_tokens", "n_flagged")),
+      CorpusStateStream.foldDeltaState(spark, stateDir, "ds_prefixes",
+        "ds_ledger", prefixesSchema, Seq("prefix"), Seq("delta")))
 
   /** Start the maintenance stream (the CorpusStateStream wiring with the
     * lang-bearing schema). */

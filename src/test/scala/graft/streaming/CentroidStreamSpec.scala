@@ -52,6 +52,27 @@ class CentroidStreamSpec extends SparkSpec {
     assert(a == b, "matrix must be independent of delivery batching and replay")
   }
 
+  test("foldDeltas bounds state to |sources|·64 rows; the drift matrix is bit-unchanged") {
+    val root = Files.createTempDirectory("graft-centfold").toString
+    val state = s"$root/state"
+    (0 until 3).foreach(i => CentroidStateStream.update(state)(
+      srcVecs(col("vec_id") % 3 === i), i.toLong))
+    val pre = collectMatrix(CentroidStateStream.driftMatrixFromState(spark, state))
+    val nKeys = spark.read.parquet(s"$state/cent")
+      .select(col("source"), col("dim")).distinct().count()
+    val (before, after) = CentroidStateStream.foldDeltas(spark, state)
+    assert(before > nKeys, s"fixture vacuous: $before delta rows for $nKeys keys")
+    assert(after == nKeys, s"fold must leave one row per (source, dim), got $after")
+    // integer sums: the served matrix is IDENTICAL, not approximately so
+    val post = collectMatrix(CentroidStateStream.driftMatrixFromState(spark, state))
+    assert(pre == post, "fold changed the served drift matrix")
+    // a replayed folded batch still short-circuits on the ledger
+    CentroidStateStream.update(state)(srcVecs(col("vec_id") % 3 === 0), 0L)
+    assert(pre == collectMatrix(
+      CentroidStateStream.driftMatrixFromState(spark, state)),
+      "replay after fold double-counted")
+  }
+
   test("arrival drift: same distribution ≈ 1, negated vectors ≈ -1, no history = null") {
     val root = Files.createTempDirectory("graft-centdrift").toString
     val state = s"$root/state"

@@ -231,6 +231,59 @@ class CorpusStateStreamSpec extends SparkSpec {
       "compaction changed the vocab aggregate")
   }
 
+  test("foldVocab: rows fold to |terms|, reads unchanged, idempotent, replay still a no-op") {
+    val root = Files.createTempDirectory("graft-corpstate-vocabfold").toString
+    val stateDir = s"$root/state"
+    CorpusStateStream.updateVocab(stateDir)(docsSlice(col("doc_id") % 10 < 8), 0L)
+    CorpusStateStream.updateVocab(stateDir)(docsSlice(col("doc_id") % 10 >= 8), 1L)
+    val exp = batchVocab(docsSlice(lit(true)))
+    val nTerms = exp.count()
+    val (before, after) = CorpusStateStream.foldVocab(spark, stateDir)
+    // two batches share most terms, so the delta log genuinely shrinks
+    assert(before > nTerms, s"fixture vacuous: $before delta rows for $nTerms terms")
+    assert(after == nTerms, s"fold must leave one snapshot row per term, got $after")
+    val st = CorpusStateStream.vocabState(spark, stateDir)
+    assert(st.exceptAll(exp).isEmpty && exp.exceptAll(st).isEmpty,
+      "fold changed the vocab aggregate")
+    // idempotent: a second fold re-aggregates the snapshot into itself
+    val (b2, a2) = CorpusStateStream.foldVocab(spark, stateDir)
+    assert(b2 == nTerms && a2 == nTerms, "re-fold must be a row-level no-op")
+    // a replay of a folded batch short-circuits on the ledger, exactly
+    // as it did pre-fold — the fold only touches ledger-committed rows
+    CorpusStateStream.updateVocab(stateDir)(docsSlice(col("doc_id") % 10 >= 8), 1L)
+    val st2 = CorpusStateStream.vocabState(spark, stateDir)
+    assert(st2.exceptAll(exp).isEmpty && exp.exceptAll(st2).isEmpty,
+      "replay after fold double-counted a folded batch")
+  }
+
+  test("foldVocab keeps crash-window deltas unfolded; the heal still never double-counts") {
+    val root = Files.createTempDirectory("graft-corpstate-vocabfoldcrash").toString
+    val stateDir = s"$root/state"
+    CorpusStateStream.updateVocab(stateDir)(docsSlice(col("doc_id") % 10 < 5), 0L)
+    CorpusStateStream.updateVocab(stateDir)(docsSlice(col("doc_id") % 10 >= 5), 1L)
+    val exp = batchVocab(docsSlice(lit(true)))
+    // simulate the crash window for batch 1: its deltas are in the log
+    // but its ledger row is lost
+    val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/vocab_ledger"), true))
+    spark.range(1).select(lit(0L).as("batch_id"))
+      .write.mode("append").parquet(s"$stateDir/vocab_ledger")
+    CorpusStateStream.foldVocab(spark, stateDir)
+    // batch 1's rows must still carry batch_id = 1 (not the snapshot id):
+    // the healing replay's log probe depends on it
+    assert(spark.read.parquet(s"$stateDir/vocab")
+      .filter(col("batch_id") === 1L).count() > 0,
+      "fold swallowed a crash-window delta")
+    // the healing replay finds the deltas, appends nothing, heals the ledger
+    CorpusStateStream.updateVocab(stateDir)(docsSlice(col("doc_id") % 10 >= 5), 1L)
+    val st = CorpusStateStream.vocabState(spark, stateDir)
+    assert(st.exceptAll(exp).isEmpty && exp.exceptAll(st).isEmpty,
+      "heal after fold double-counted the crash-window batch")
+    assert(spark.read.parquet(s"$stateDir/vocab_ledger")
+      .filter(col("batch_id") === 1L).count() == 1)
+  }
+
   test("vocab crash window: deltas committed + ledger lost heals, never double-counts") {
     val root = Files.createTempDirectory("graft-corpstate-vocabcrash").toString
     val stateDir = s"$root/state"

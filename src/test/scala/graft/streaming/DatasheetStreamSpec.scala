@@ -55,6 +55,21 @@ class DatasheetStreamSpec extends SparkSpec {
     assert(before == collectSheet(Dedup.datasetDatasheet(b1)))
   }
 
+  test("foldDeltas: counters fold to one snapshot row, the datasheet is unchanged") {
+    val root = Files.createTempDirectory("graft-dsfold").toString
+    val state = s"$root/state"
+    (0 until 3).foreach(i => DatasheetStateStream.update(state)(
+      docsSlice(col("doc_id") % 3 === i), i.toLong))
+    val pre = collectSheet(DatasheetStateStream.datasheetFromState(spark, state))
+    val ((cb, ca), (pb, pa)) = DatasheetStateStream.foldDeltas(spark, state)
+    assert(cb == 3 && ca == 1, s"three per-batch counter rows must fold to one ($cb -> $ca)")
+    assert(pa <= pb, s"prefix fold grew the table ($pb -> $pa)")
+    val post = collectSheet(DatasheetStateStream.datasheetFromState(spark, state))
+    assert(pre == post, "fold changed the served datasheet")
+    // and the folded state still equals the batch ground truth
+    assert(post == collectSheet(Dedup.datasetDatasheet(docsSlice(lit(true)))))
+  }
+
   test("crash window heals: deltas present without ledger never double-count") {
     val root = Files.createTempDirectory("graft-dscrash").toString
     val state = s"$root/state"
