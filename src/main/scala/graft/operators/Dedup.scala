@@ -2242,7 +2242,7 @@ object Dedup {
     },
 
     Q("q181_datasheet_state_served", q156OracleSql,
-      "q156's release datasheet served FROM the MAINTAINED corpus state instead of a full-corpus batch pass — the dedup family's half of the q180 posture: the state dir is built once per (session, corpus) by folding the corpus through DatasheetStateStream.update in two arrival waves (the SAME micro-batch fold the maintenance stream runs — additive counters, anti-join-idempotent key sets, the ledger-protocol delta tables, and CorpusStateStream's signature table), and every timed run then pays ONLY the serving read: counters-sum + set-table counts + the capped band join over 16 bytes/doc of PERSISTED signatures (simhashNearDupPairsCappedFromSigs — the q76/q81 definition over state instead of a fresh scan) + a prefix-table aggregate. The oracle twin is q156's SQL verbatim, so a hash match here proves end-to-end that the datasheet a data card quotes from maintained state and the one a batch recompute would produce are value-identical — the DatasheetStreamSpec state==batch contract re-checked by the driver's own harness. Scale: this is THE way a 100 TB corpus quotes its datasheet — the corpus text is scanned once at arrival (amortized into ingest), and the read side touches only state tables bounded by |vocab|, |langs|, |sources|, |prefixes>=2|, and 16 bytes/doc of signatures; no read-time rescan exists in the plan.") {
+      "q156's release datasheet served FROM the MAINTAINED corpus state instead of a full-corpus batch pass — the dedup family's half of the q180 posture: the state dir is built once per (session, corpus) by folding the corpus through DatasheetStateStream.update in two arrival waves (the SAME micro-batch fold the maintenance stream runs — additive counters, anti-join-idempotent key sets, the ledger-protocol delta tables — folded to per-key snapshots before serving, so the hash gate also re-proves fold neutrality cross-engine — and CorpusStateStream's signature table), and every timed run then pays ONLY the serving read: counters-sum + set-table counts + the capped band join over 16 bytes/doc of PERSISTED signatures (simhashNearDupPairsCappedFromSigs — the q76/q81 definition over state instead of a fresh scan) + a prefix-table aggregate. The oracle twin is q156's SQL verbatim, so a hash match here proves end-to-end that the datasheet a data card quotes from maintained state and the one a batch recompute would produce are value-identical — the DatasheetStreamSpec state==batch contract re-checked by the driver's own harness. Scale: this is THE way a 100 TB corpus quotes its datasheet — the corpus text is scanned once at arrival (amortized into ingest), and the read side touches only state tables bounded by |vocab|, |langs|, |sources|, |prefixes>=2|, and 16 bytes/doc of signatures; no read-time rescan exists in the plan.") {
       (s, d) =>
         graft.streaming.DatasheetStateStream.datasheetFromState(s,
           servedDatasheetStateDir(s, d))
@@ -2269,6 +2269,10 @@ object Dedup {
         docs.filter(col("doc_id") % 2 === 0), 0L)
       graft.streaming.DatasheetStateStream.update(dir)(
         docs.filter(col("doc_id") % 2 === 1), 1L)
+      // serve from FOLDED state: the delta logs collapse to per-key
+      // snapshots, so the driver's q181 hash gate re-proves fold
+      // neutrality cross-engine every round (not just in the spec)
+      graft.streaming.DatasheetStateStream.foldDeltas(s, dir)
       dir
     }
 

@@ -2242,7 +2242,7 @@ object Similarity {
     },
 
     Q("q184_centroid_drift_state_served", q108OracleSql,
-      "q108's cross-source centroid-drift matrix served FROM maintained state — the monitoring family's serving read, completing the q180-q183 set: per-(source, dim) micro-unit sums fold in per arrival batch as EXACT batch-additive integers (the CentroidStateStream delta-ledger protocol — quantize-then-sum means no float reassociation exists anywhere, so state == batch is an integer identity, not an epsilon claim), and the read is q108's own factored stages (centroidFromSums -> centroidDriftFromCent — the registered query's code, not a copy) over the |sources| x 64 aggregated sums. The oracle twin is q108's SQL verbatim, so the hash gate proves the drift matrix a monitoring dashboard reads from state equals the full-corpus batch recompute. The state dir is built once per (session, corpus) by folding the source-tagged embeddings in two doc_id-parity waves through the SAME micro-batch update the maintenance stream runs. Scale: this is the crawl-over-crawl drift alarm shape — per batch one |batch| x 64 map-side-combined aggregate + one append; the read aggregates |sources| x 64 x |batches| delta rows and the corpus vectors are never rescanned at read time.") {
+      "q108's cross-source centroid-drift matrix served FROM maintained state — the monitoring family's serving read, completing the q180-q183 set: per-(source, dim) micro-unit sums fold in per arrival batch as EXACT batch-additive integers (the CentroidStateStream delta-ledger protocol — quantize-then-sum means no float reassociation exists anywhere, so state == batch is an integer identity, not an epsilon claim), and the read is q108's own factored stages (centroidFromSums -> centroidDriftFromCent — the registered query's code, not a copy) over the |sources| x 64 aggregated sums. The oracle twin is q108's SQL verbatim, so the hash gate proves the drift matrix a monitoring dashboard reads from state equals the full-corpus batch recompute. The state dir is built once per (session, corpus) by folding the source-tagged embeddings in two doc_id-parity waves through the SAME micro-batch update the maintenance stream runs, then COMPACTED to per-key snapshots (CentroidStateStream.foldDeltas, the LSM merge) — so the hash gate also re-proves fold neutrality cross-engine every round. Scale: this is the crawl-over-crawl drift alarm shape — per batch one |batch| x 64 map-side-combined aggregate + one append; the read aggregates the folded |sources| x 64 snapshot rows (bounded forever, however many crawls arrive) and the corpus vectors are never rescanned at read time.") {
       (s, d) =>
         graft.streaming.CentroidStateStream.driftMatrixFromState(s,
           servedCentroidStateDir(s, d))
@@ -2270,6 +2270,10 @@ object Similarity {
         vecs.filter(col("vec_id") % 2 === 0), 0L)
       graft.streaming.CentroidStateStream.update(dir)(
         vecs.filter(col("vec_id") % 2 === 1), 1L)
+      // serve from FOLDED state (|sources|·64 snapshot rows): the q184
+      // hash gate then re-proves fold neutrality cross-engine every
+      // round — integer sums, so the matrix is bit-identical
+      graft.streaming.CentroidStateStream.foldDeltas(s, dir)
       dir
     }
 
