@@ -133,7 +133,15 @@ object CentroidStateStream {
       "cent_ledger", deltaSchema, Seq("source", "dim"), Seq("sq", "n"))
 
   /** Start the maintenance stream over arriving embedding parquet files
-    * (the CorpusStateStream wiring with the vector schema). */
+    * (the CorpusStateStream wiring with the vector schema).
+    * `foldEvery = Some(n)` runs [[foldDeltas]] from the stream's OWN
+    * quiet window after every n-th committed batch — foreachBatch
+    * micro-batches are strictly sequential and this stream is the
+    * state dir's only writer, so the in-stream fold never races an
+    * append; the stopped-stream caveat on [[foldDeltas]] is about
+    * OTHER processes, which holds here by construction. The log is
+    * then bounded at |sources|·64 + n batches of deltas at all times,
+    * not just after offline maintenance. */
   def start(
       spark: SparkSession,
       vecsDir: String,
@@ -141,8 +149,15 @@ object CentroidStateStream {
       checkpointDir: String,
       availableNow: Boolean = false,
       triggerSeconds: Int = 10,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+      maxFilesPerTrigger: Option[Int] = None,
+      foldEvery: Option[Int] = None): StreamingQuery = {
+    foldEvery.foreach(n => require(n > 0, s"foldEvery must be positive: $n"))
     CorpusStateStream.startDocStream(spark, vecsDir, checkpointDir,
-      availableNow, triggerSeconds, maxFilesPerTrigger, vecSchema)(
-      update(stateDir) _)
+      availableNow, triggerSeconds, maxFilesPerTrigger, vecSchema) {
+      (batch, batchId) =>
+        update(stateDir)(batch, batchId)
+        if (foldEvery.exists(n => (batchId + 1) % n == 0))
+          foldDeltas(batch.sparkSession, stateDir)
+    }
+  }
 }

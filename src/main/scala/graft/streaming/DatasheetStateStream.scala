@@ -203,7 +203,11 @@ object DatasheetStateStream {
         "ds_ledger", prefixesSchema, Seq("prefix"), Seq("delta")))
 
   /** Start the maintenance stream (the CorpusStateStream wiring with the
-    * lang-bearing schema). */
+    * lang-bearing schema). `foldEvery = Some(n)` runs [[foldDeltas]]
+    * from the stream's own quiet window after every n-th committed
+    * batch (the [[CentroidStateStream.start]] contract: sequential
+    * micro-batches + single writer make the in-stream fold race-free),
+    * bounding both delta logs at |keys| + n batches of deltas. */
   def start(
       spark: SparkSession,
       docsDir: String,
@@ -211,8 +215,15 @@ object DatasheetStateStream {
       checkpointDir: String,
       availableNow: Boolean = false,
       triggerSeconds: Int = 10,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+      maxFilesPerTrigger: Option[Int] = None,
+      foldEvery: Option[Int] = None): StreamingQuery = {
+    foldEvery.foreach(n => require(n > 0, s"foldEvery must be positive: $n"))
     CorpusStateStream.startDocStream(spark, docsDir, checkpointDir,
-      availableNow, triggerSeconds, maxFilesPerTrigger, docSchema)(
-      update(stateDir) _)
+      availableNow, triggerSeconds, maxFilesPerTrigger, docSchema) {
+      (batch, batchId) =>
+        update(stateDir)(batch, batchId)
+        if (foldEvery.exists(n => (batchId + 1) % n == 0))
+          foldDeltas(batch.sparkSession, stateDir)
+    }
+  }
 }

@@ -115,4 +115,26 @@ class CentroidStreamSpec extends SparkSpec {
       graft.SparkEntry.queries("q108_centroid_drift")(spark, sf0001))
     assert(served == batch)
   }
+
+  test("in-stream foldEvery: a multi-batch drain keeps the log bounded and the matrix exact") {
+    val root = Files.createTempDirectory("graft-centdrainfold").toString
+    val vecsDir = s"$root/vecs"; val state = s"$root/state"
+    // 6 input files at one file per trigger → 6 micro-batches, folds
+    // fire from inside the stream after batches 2, 4, and 6
+    srcVecs(lit(true)).repartition(6).write.parquet(vecsDir)
+    CentroidStateStream.start(spark, vecsDir, state, s"$root/ckpt",
+      availableNow = true, maxFilesPerTrigger = Some(1),
+      foldEvery = Some(2)).awaitTermination()
+    val served = collectMatrix(
+      CentroidStateStream.driftMatrixFromState(spark, state))
+    val batch = collectMatrix(
+      graft.SparkEntry.queries("q108_centroid_drift")(spark, sf0001))
+    assert(served == batch, "in-stream folds perturbed the drift matrix")
+    // the last fold ran at batch 6, so the log holds exactly the
+    // per-key snapshot — 6 batches of deltas folded away mid-stream
+    val nKeys = spark.read.parquet(s"$state/cent")
+      .select(col("source"), col("dim")).distinct().count()
+    assert(spark.read.parquet(s"$state/cent").count() == nKeys,
+      "delta log not bounded after the in-stream fold")
+  }
 }

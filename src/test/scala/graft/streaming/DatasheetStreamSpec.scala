@@ -109,4 +109,28 @@ class DatasheetStreamSpec extends SparkSpec {
     val batch = collectSheet(Dedup.datasetDatasheet(docsSlice(lit(true))))
     assert(sheet == batch, "post-restart sheet diverged from batch recompute")
   }
+
+  test("in-stream foldEvery: drain + restart with mid-stream folds still matches batch") {
+    val root = Files.createTempDirectory("graft-dsdrainfold").toString
+    val docsDir = s"$root/docs"; val state = s"$root/state"
+    val ckpt = s"$root/ckpt"
+    // 4 files, one per trigger: folds fire after batches 2 and 4; the
+    // restart drain continues the SAME batch-id sequence, so the next
+    // fold lands on schedule after batch 6
+    docsSlice(col("doc_id") % 10 < 7).repartition(4).write.parquet(docsDir)
+    DatasheetStateStream.start(spark, docsDir, state, ckpt,
+      availableNow = true, maxFilesPerTrigger = Some(1),
+      foldEvery = Some(2)).awaitTermination()
+    docsSlice(col("doc_id") % 10 >= 7).repartition(2)
+      .write.mode("append").parquet(docsDir)
+    DatasheetStateStream.start(spark, docsDir, state, ckpt,
+      availableNow = true, maxFilesPerTrigger = Some(1),
+      foldEvery = Some(2)).awaitTermination()
+    val sheet = collectSheet(DatasheetStateStream.datasheetFromState(spark, state))
+    val batch = collectSheet(Dedup.datasetDatasheet(docsSlice(lit(true))))
+    assert(sheet == batch, "mid-stream folds perturbed the datasheet")
+    // last fold ran at batch 6 (the final one): counters are snapshotted
+    assert(spark.read.parquet(s"$state/ds_counters").count() == 1,
+      "counters not snapshotted by the in-stream fold")
+  }
 }
