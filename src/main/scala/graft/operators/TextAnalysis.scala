@@ -108,6 +108,26 @@ object TextAnalysis {
           - (col("slnq") * lit(1e-6d)) / col("n_tokens")).as("avg_nll"))
   }
 
+  /** q103's oracle SQL — shared verbatim with q186, which serves the
+    * same score from the maintained reference-vocabulary state. */
+  private val q103OracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      |  FROM documents),
+      |dt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+      |vocab AS (SELECT w, CAST(sum(c) AS BIGINT) AS cnt FROM dt GROUP BY w),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
+      |v2 AS (SELECT w,
+      |         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS lnq
+      |       FROM vocab),
+      |s AS (SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_tokens,
+      |        CAST(sum(d.c * v.lnq) AS BIGINT) AS slnq
+      |      FROM dt d JOIN v2 v USING (w) GROUP BY d.doc_id)
+      |SELECT doc_id, n_tokens,
+      |  CAST(floor(ln(CAST(t AS DOUBLE)) * 1e6) AS BIGINT) * 1e-6
+      |    - (slnq * 1e-6) / n_tokens AS avg_nll
+      |FROM s, tot ORDER BY doc_id""".stripMargin
+
   /** Per-source RANK-based LM quality gate (q140): the gate the q109
     * calibration table parameterizes — per source, KEEP the lowest
     * `keepShare` fraction of documents by unigram NLL (lowest = most
@@ -893,23 +913,7 @@ object TextAnalysis {
           .orderBy(col("rank"))
     },
 
-    Q("q103_unigram_lm_score",
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-        |  FROM documents),
-        |dt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
-        |vocab AS (SELECT w, CAST(sum(c) AS BIGINT) AS cnt FROM dt GROUP BY w),
-        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
-        |v2 AS (SELECT w,
-        |         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS lnq
-        |       FROM vocab),
-        |s AS (SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_tokens,
-        |        CAST(sum(d.c * v.lnq) AS BIGINT) AS slnq
-        |      FROM dt d JOIN v2 v USING (w) GROUP BY d.doc_id)
-        |SELECT doc_id, n_tokens,
-        |  CAST(floor(ln(CAST(t AS DOUBLE)) * 1e6) AS BIGINT) * 1e-6
-        |    - (slnq * 1e-6) / n_tokens AS avg_nll
-        |FROM s, tot ORDER BY doc_id""".stripMargin,
+    Q("q103_unigram_lm_score", q103OracleSql,
       "Per-document unigram language-model score (average negative log-likelihood of the doc's tokens under the corpus unigram distribution) — the CCNet-family quality/outlier signal: common-word documents score low, documents of rare tokens score high, and at production scale the same shape runs against a REFERENCE corpus LM to rank a new crawl (swap `vocab` for the reference table). Determinism is the q89 playbook: ln runs once per TERM (not per token) and is immediately quantized to integer micro-nats (floor — DuckDB's double→int cast rounds where Spark truncates), so every distributed sum (c, c·lnq) is an exact integer sum; avg_nll = ln(T) − Σ c·ln(cnt)/n is then one identical IEEE expression per row on identical inputs. Scale: explode → map-side-combined (doc,term) counts; the vocab table derives from those counts (second shuffle at |vocab|, not |tokens|); the score join ships 8-byte counts keyed by term, never text; ln cost is |vocab|, not |corpus|. The corpus-total is a one-row broadcast. The rare-token path is exercised: the synthetic corpus's 'dup' token (26/27165 occurrences at sf0.01) scores ~3.5 nats above the common words.") {
       (s, d) =>
         unigramNll(Tables.documents(s, d))
@@ -1576,7 +1580,38 @@ object TextAnalysis {
       (s, d) =>
         repetitionRuns(Tables.documents(s, d))
     },
+
+    Q("q186_lm_score_state_served", q103OracleSql,
+      "q103's per-document unigram LM score served FROM the maintained reference vocabulary (CorpusStateStream.lmScoreAgainstState over vocab state) — the LAST maintained family's serving read, completing q180-q185: the production CCNet shape is scoring an arriving crawl against a REFERENCE corpus LM, and this registers that exact read path with q103's oracle SQL verbatim, so the hash gate proves the state-served score equals the batch self-scored one when the reference IS the corpus (term keys are Md5TokenHash64 word hashes — injective on any real vocabulary, and the expression mimics Spark trim+split exactly, so the hashed-domain aggregation is isomorphic to q103's string-keyed one; with reference == corpus every token is in-vocab, n_scored == n_tokens, and the quantized micro-nat formula is q103's bit-for-bit). The state dir is built once per (session, corpus): two doc_id-parity waves through updateVocab (ledger-protocol delta appends), then FOLDED to one snapshot row per term (foldVocab — so the gate also re-proves the fold neutral cross-engine, the q181/q184 posture). OOV accounting (the reference-vs-crawl case where the two genuinely differ) is spec-pinned on a hand-computed fixture in CorpusStateStreamSpec. Scale: arrivals explode to map-side-combined (doc, term-hash) counts joined against |vocab| persisted 8-byte keys + one broadcast total — the corpus that BUILT the vocabulary is never rescanned at read time.") {
+      (s, d) =>
+        graft.streaming.CorpusStateStream.lmScoreAgainstState(
+            servedVocabStateDir(s, d), Tables.documents(s, d))
+          .select(col("doc_id"), col("n_tokens"), col("avg_nll"))
+          .orderBy(col("doc_id"))
+    },
   )
+
+  /** Build-once on-disk reference-vocabulary state for the state-served
+    * LM score (q186): fold the corpus through updateVocab in two
+    * doc_id-parity waves (the ledger-protocol idempotence paths
+    * execute), then fold the delta log to per-term snapshots —
+    * memoized per (session, corpus); protectNew = false (the durable
+    * product is the on-disk state — the servedIvfStateDir contract). */
+  private def servedVocabStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"vocabstate|$d/documents.parquet",
+        protectNew = false) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_vocab_state").toString
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      graft.streaming.CorpusStateStream.updateVocab(dir)(
+        docs.filter(col("doc_id") % 2 === 0), 0L)
+      graft.streaming.CorpusStateStream.updateVocab(dir)(
+        docs.filter(col("doc_id") % 2 === 1), 1L)
+      graft.streaming.CorpusStateStream.foldVocab(s, dir)
+      dir
+    }
 
   /** q149: one multiplicative-weights (DoReMi-style) domain reweighting
     * step from per-source excess NLL under the corpus unigram LM —

@@ -639,6 +639,20 @@ class PlanSpec extends SparkSpec {
         "candidate scoring must touch only codes:\n" + s.take(1500))
   }
 
+  test("q186 scores arrivals against persisted vocab: one corpus scan, state read present") {
+    // the maintained-reference-LM contract on the plan: the corpus
+    // appears ONCE (as the arrivals being scored) — the vocabulary side
+    // reads the folded state table, never a second corpus pass
+    val s = planString("q186_lm_score_state_served")
+    val corpusScans = s.linesIterator.count(l =>
+      l.contains("documents.parquet") && l.contains("FileScan"))
+    assert(corpusScans == 1,
+      s"$corpusScans corpus scans in q186's plan — the vocab side must " +
+        "come from state:\n" + s.take(1500))
+    assert(s.contains("graft_vocab_state"),
+      "q186's plan does not reference the on-disk vocab state")
+  }
+
   test("q146 argmin runs in-row: no per-vector shuffle, no window, no join on vec_id") {
     val s = planString("q146_lloyd_step")
     assert(!s.contains("Window"), "q146 grew a window — the in-row argmin was lost")
