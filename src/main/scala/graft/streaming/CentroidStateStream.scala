@@ -139,9 +139,11 @@ object CentroidStateStream {
     * micro-batches are strictly sequential and this stream is the
     * state dir's only writer, so the in-stream fold never races an
     * append; the stopped-stream caveat on [[foldDeltas]] is about
-    * OTHER processes, which holds here by construction. The log is
-    * then bounded at |sources|·64 + n batches of deltas at all times,
-    * not just after offline maintenance. */
+    * OTHER processes, which holds here by construction. The DELTA log
+    * is then bounded at |sources|·64 + n batches of rows at all times;
+    * the ledger necessarily keeps one 8-byte row per batch forever
+    * (replay probes need them) but the fold window compacts its FILES,
+    * so the per-trigger ledger probe reads one file, not |batches|. */
   def start(
       spark: SparkSession,
       vecsDir: String,
@@ -150,14 +152,9 @@ object CentroidStateStream {
       availableNow: Boolean = false,
       triggerSeconds: Int = 10,
       maxFilesPerTrigger: Option[Int] = None,
-      foldEvery: Option[Int] = None): StreamingQuery = {
-    foldEvery.foreach(n => require(n > 0, s"foldEvery must be positive: $n"))
+      foldEvery: Option[Int] = None): StreamingQuery =
     CorpusStateStream.startDocStream(spark, vecsDir, checkpointDir,
-      availableNow, triggerSeconds, maxFilesPerTrigger, vecSchema) {
-      (batch, batchId) =>
-        update(stateDir)(batch, batchId)
-        if (foldEvery.exists(n => (batchId + 1) % n == 0))
-          foldDeltas(batch.sparkSession, stateDir)
-    }
-  }
+      availableNow, triggerSeconds, maxFilesPerTrigger, vecSchema,
+      foldEvery, s => { foldDeltas(s, stateDir); () })(
+      update(stateDir) _)
 }

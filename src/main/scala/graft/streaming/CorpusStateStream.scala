@@ -156,8 +156,15 @@ object CorpusStateStream {
       availableNow: Boolean,
       triggerSeconds: Int,
       maxFilesPerTrigger: Option[Int],
-      schema: StructType = docSchema)(
+      schema: StructType = docSchema,
+      foldEvery: Option[Int] = None,
+      fold: SparkSession => Unit = _ => ())(
       fn: (DataFrame, Long) => Unit): StreamingQuery = {
+    // one definition of the in-stream maintenance schedule: after every
+    // n-th committed batch, run `fold` from the stream's own quiet
+    // window — micro-batches are strictly sequential and the stream is
+    // its state dir's only writer, so the fold cannot race an append
+    foldEvery.foreach(n => require(n > 0, s"foldEvery must be positive: $n"))
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
     reader
@@ -167,7 +174,11 @@ object CorpusStateStream {
         if (availableNow) Trigger.AvailableNow()
         else Trigger.ProcessingTime(s"$triggerSeconds seconds"))
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(fn)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        fn(batch, batchId)
+        if (foldEvery.exists(n => (batchId + 1) % n == 0))
+          fold(batch.sparkSession)
+      }
       .start()
   }
 
@@ -261,7 +272,12 @@ object CorpusStateStream {
       sumCols: Seq[String], targetFiles: Int = 1): (Long, Long) = {
     val dir = s"$stateDir/$table"
     recoverState(spark, dir)
-    val deltas = stateDf(spark, dir, schema)
+    val sc = spark.sparkContext
+    val blocksBefore = sc.getPersistentRDDs.keySet
+    // ONE scan of the unfolded log — the multi-GB table whose size
+    // motivated the fold must not be re-read by every branch below
+    // (committed semi-join, snapshot union, pending anti-join, count)
+    val deltas = stateDf(spark, dir, schema).localCheckpoint(true)
     val ledger = stateDf(spark, s"$stateDir/$ledgerTable", ledgerSchema)
       .select(col("batch_id")).distinct()
     val committed = deltas
@@ -281,14 +297,26 @@ object CorpusStateStream {
         case f => col(f)
       }: _*)
     val before = deltas.count()
+    // the write's plan reads the checkpointed deltas (never the live
+    // dir), so executing it inside the swap cannot race the renames
     val folded = snapshot
       .unionByName(pending.select(schema.fieldNames.toSeq.map(col): _*))
-      // one materialized pass BEFORE the swap: the plan reads the live
-      // table, so it must not execute lazily while the dir is renamed
-      .localCheckpoint(true)
     swapState(spark, dir)(tmp =>
       folded.repartition(targetFiles).write.mode("overwrite").parquet(tmp))
-    folded.unpersist() // maintenance must not leak checkpoint blocks
+    // the ledger keeps one ROW per batch forever (replay probes need
+    // them), but without file maintenance it also keeps one FILE per
+    // batch and every trigger's probe pays the listing — compact it in
+    // the same quiet window (file-level only; rows untouched). Guarded:
+    // a fold over pure crash-window deltas may predate the ledger dir
+    val lp = new org.apache.hadoop.fs.Path(s"$stateDir/$ledgerTable")
+    if (lp.getFileSystem(sc.hadoopConfiguration).exists(lp))
+      compactState(spark, stateDir, ledgerTable)
+    // Dataset.unpersist does NOT free localCheckpoint blocks (they are
+    // RDD-level persists, not CacheManager entries — the Bench.scala
+    // lesson); release them at the RDD level, sparing substrate frames
+    (sc.getPersistentRDDs.keySet -- blocksBefore -- graft.AnnSubstrate.protectedRddIds)
+      .foreach(id => sc.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
     (before, stateDf(spark, dir, schema).count())
   }
 

@@ -207,7 +207,8 @@ object DatasheetStateStream {
     * from the stream's own quiet window after every n-th committed
     * batch (the [[CentroidStateStream.start]] contract: sequential
     * micro-batches + single writer make the in-stream fold race-free),
-    * bounding both delta logs at |keys| + n batches of deltas. */
+    * bounding both delta logs at |keys| + n batches of rows; ledger
+    * rows persist (replay probes) but its files compact with the fold. */
   def start(
       spark: SparkSession,
       docsDir: String,
@@ -216,14 +217,9 @@ object DatasheetStateStream {
       availableNow: Boolean = false,
       triggerSeconds: Int = 10,
       maxFilesPerTrigger: Option[Int] = None,
-      foldEvery: Option[Int] = None): StreamingQuery = {
-    foldEvery.foreach(n => require(n > 0, s"foldEvery must be positive: $n"))
+      foldEvery: Option[Int] = None): StreamingQuery =
     CorpusStateStream.startDocStream(spark, docsDir, checkpointDir,
-      availableNow, triggerSeconds, maxFilesPerTrigger, docSchema) {
-      (batch, batchId) =>
-        update(stateDir)(batch, batchId)
-        if (foldEvery.exists(n => (batchId + 1) % n == 0))
-          foldDeltas(batch.sparkSession, stateDir)
-    }
-  }
+      availableNow, triggerSeconds, maxFilesPerTrigger, docSchema,
+      foldEvery, s => { foldDeltas(s, stateDir); () })(
+      update(stateDir) _)
 }

@@ -136,5 +136,14 @@ class CentroidStreamSpec extends SparkSpec {
       .select(col("source"), col("dim")).distinct().count()
     assert(spark.read.parquet(s"$state/cent").count() == nKeys,
       "delta log not bounded after the in-stream fold")
+    // the fold window also compacts the ledger's FILES (rows persist
+    // for replay probes): after the batch-6 fold the probe reads one
+    // file, not one per batch
+    val ledgerFiles = new java.io.File(s"$state/cent_ledger")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(ledgerFiles == 1,
+      s"ledger holds $ledgerFiles parquet files after the in-stream fold")
+    assert(spark.read.parquet(s"$state/cent_ledger").count() == 6,
+      "ledger rows must survive the file compaction")
   }
 }
