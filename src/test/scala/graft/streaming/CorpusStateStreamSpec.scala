@@ -284,6 +284,31 @@ class CorpusStateStreamSpec extends SparkSpec {
       .filter(col("batch_id") === 1L).count() == 1)
   }
 
+  test("a fold that died between its two renames recovers on the next fold") {
+    val root = Files.createTempDirectory("graft-corpstate-foldswapcrash").toString
+    val stateDir = s"$root/state"
+    CorpusStateStream.updateVocab(stateDir)(docsSlice(col("doc_id") % 10 < 8), 0L)
+    CorpusStateStream.updateVocab(stateDir)(docsSlice(col("doc_id") % 10 >= 8), 1L)
+    val exp = batchVocab(docsSlice(lit(true)))
+    // simulate the swap crash window: the table was moved aside but the
+    // compacted replacement never promoted (the PackingStreamSpec
+    // convention for compactState, applied to the fold)
+    val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$stateDir/vocab"),
+      new org.apache.hadoop.fs.Path(s"$stateDir/vocab.old")))
+    // a read in this window must fail loudly, not report empty state
+    intercept[IllegalStateException] {
+      CorpusStateStream.vocabState(spark, stateDir).count()
+    }
+    // the next fold recovers .old and completes normally
+    val (_, after) = CorpusStateStream.foldVocab(spark, stateDir)
+    assert(after == exp.count(), "post-recovery fold lost rows")
+    val st = CorpusStateStream.vocabState(spark, stateDir)
+    assert(st.exceptAll(exp).isEmpty && exp.exceptAll(st).isEmpty,
+      "recovered-then-folded vocab diverged from the batch recomputation")
+  }
+
   test("vocab crash window: deltas committed + ledger lost heals, never double-counts") {
     val root = Files.createTempDirectory("graft-corpstate-vocabcrash").toString
     val stateDir = s"$root/state"
