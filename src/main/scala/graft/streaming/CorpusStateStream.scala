@@ -146,6 +146,25 @@ object CorpusStateStream {
     startDocStream(spark, docsDir, checkpointDir, availableNow,
       triggerSeconds, maxFilesPerTrigger)(update(stateDir) _)
 
+  /** Start the reference-vocabulary maintenance stream — the streaming
+    * driver for [[updateVocab]] (q186's serving state), with the
+    * standard in-stream fold schedule: `foldEvery = Some(n)` runs
+    * [[foldVocab]] after every n-th committed batch, keeping the term
+    * delta log at |terms| + n batches of rows during ingest. */
+  def startVocab(
+      spark: SparkSession,
+      docsDir: String,
+      stateDir: String,
+      checkpointDir: String,
+      availableNow: Boolean = false,
+      triggerSeconds: Int = 10,
+      maxFilesPerTrigger: Option[Int] = None,
+      foldEvery: Option[Int] = None): StreamingQuery =
+    startDocStream(spark, docsDir, checkpointDir, availableNow,
+      triggerSeconds, maxFilesPerTrigger, docSchema,
+      foldEvery, s => { foldVocab(s, stateDir); () })(
+      updateVocab(stateDir) _)
+
   /** Shared file-source starter for the foreachBatch maintenance
     * streams (this one and PackingStream) — one definition of the
     * reader/trigger/checkpoint wiring. */

@@ -284,6 +284,23 @@ class CorpusStateStreamSpec extends SparkSpec {
       .filter(col("batch_id") === 1L).count() == 1)
   }
 
+  test("vocab stream drain with in-stream folds: counts exact, log snapshot-sized") {
+    val root = Files.createTempDirectory("graft-corpstate-vocabdrain").toString
+    val docsDir = s"$root/docs"; val stateDir = s"$root/state"
+    // 4 files at one per trigger → folds fire after batches 2 and 4
+    docsSlice(lit(true)).repartition(4).write.parquet(docsDir)
+    CorpusStateStream.startVocab(spark, docsDir, stateDir, s"$root/ckpt",
+      availableNow = true, maxFilesPerTrigger = Some(1),
+      foldEvery = Some(2)).awaitTermination()
+    val exp = batchVocab(docsSlice(lit(true)))
+    val st = CorpusStateStream.vocabState(spark, stateDir)
+    assert(st.exceptAll(exp).isEmpty && exp.exceptAll(st).isEmpty,
+      "stream-built vocab diverged from the batch recomputation")
+    // last fold ran at batch 4 (the final one): pure snapshot rows
+    assert(spark.read.parquet(s"$stateDir/vocab").count() == exp.count(),
+      "vocab delta log not snapshot-sized after the in-stream fold")
+  }
+
   test("a fold that died between its two renames recovers on the next fold") {
     val root = Files.createTempDirectory("graft-corpstate-foldswapcrash").toString
     val stateDir = s"$root/state"
