@@ -50,6 +50,14 @@ object AnnSubstrate {
     * unpersist sweep. */
   def protectedRddIds: Set[Int] = synchronized { protectedIds.toSet }
 
+  /** Read-only peek at a memoized value (specs use it to prove a
+    * registered query's plan reads the SAME checkpointed frame the
+    * capped builder produced — an identity check no plan-string
+    * fingerprint can fake). Never builds. */
+  def cached[T](spark: SparkSession, key: String): Option[T] = synchronized {
+    cache.get((spark.sparkContext.applicationId, key)).map(_.asInstanceOf[T])
+  }
+
   /** Memoized build: returns the cached value for (session, key) or runs
     * `build` once. New persistent RDDs created by the build are protected
     * (protectNew = true — checkpoint-backed frames the cache hands out) or
@@ -68,6 +76,36 @@ object AnnSubstrate {
       // monitor is reentrant) — never unpersist blocks the nested build
       // just registered
       else (fresh -- protectedIds).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      built
+    }).asInstanceOf[T]
+  }
+
+  /** [[getOrBuild]] for checkpoint-backed frame substrates: protects
+    * ONLY the blocks the returned frames can still read — every
+    * LogicalRDD leaf reachable from their analyzed plans — and frees
+    * all other RDDs the build persisted along the way (signature
+    * checkpoints, component-iteration labels, Lloyd intermediates).
+    * The blanket protectNew = true form pinned those dead
+    * intermediates against Bench's between-query sweep for the whole
+    * session — the exact memory squeeze the sweep exists to prevent.
+    * Safe by construction: anything the final frames still reference
+    * appears as a LogicalRDD leaf in their plans and is kept; an
+    * eagerly-checkpointed final frame references only its own blocks,
+    * so its build inputs free immediately. */
+  def getOrBuildFrames[T](spark: SparkSession, key: String)(build: => T)(
+      frames: T => Seq[org.apache.spark.sql.DataFrame]): T = synchronized {
+    val sc = spark.sparkContext
+    cache.getOrElseUpdate((sc.applicationId, key), {
+      val before = sc.getPersistentRDDs.keySet
+      val built = build
+      val keep = frames(built).flatMap(df =>
+        df.queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+        }).toSet
+      val fresh = sc.getPersistentRDDs.keySet -- before
+      protectedIds ++= fresh & keep
+      (fresh -- protectedIds).foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       built
     }).asInstanceOf[T]

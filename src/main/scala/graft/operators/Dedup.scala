@@ -104,8 +104,8 @@ object Dedup {
   private def shingleArraysShared(docs: DataFrame,
       corpusKey: Option[String]): DataFrame =
     corpusKey match {
-      case Some(ck) => graft.AnnSubstrate.getOrBuild(docs.sparkSession,
-        s"shinglearrays|$ck")(shingleArrays(docs))
+      case Some(ck) => graft.AnnSubstrate.getOrBuildFrames(docs.sparkSession,
+        s"shinglearrays|$ck")(shingleArrays(docs))(Seq(_))
       case None => shingleArrays(docs)
     }
 
@@ -129,8 +129,9 @@ object Dedup {
   private def boilerplateHashesShared(docs: DataFrame,
       corpusKey: Option[String]): DataFrame =
     corpusKey match {
-      case Some(ck) => graft.AnnSubstrate.getOrBuild(docs.sparkSession,
-        s"boilerplate|$ck")(boilerplateHashes(docs).localCheckpoint(true))
+      case Some(ck) => graft.AnnSubstrate.getOrBuildFrames(docs.sparkSession,
+        s"boilerplate|$ck")(
+          boilerplateHashes(docs).localCheckpoint(true))(Seq(_))
       case None => boilerplateHashes(docs)
     }
 
@@ -354,8 +355,9 @@ object Dedup {
   private def minhashSignaturesShared(docs: DataFrame, k: Int,
       corpusKey: Option[String]): DataFrame =
     corpusKey match {
-      case Some(ck) => graft.AnnSubstrate.getOrBuild(docs.sparkSession,
-        s"minhashsigs|$ck|$k")(minhashSignatures(docs, k).localCheckpoint())
+      case Some(ck) => graft.AnnSubstrate.getOrBuildFrames(docs.sparkSession,
+        s"minhashsigs|$ck|$k")(
+          minhashSignatures(docs, k).localCheckpoint())(Seq(_))
       case None => minhashSignatures(docs, k)
     }
 
@@ -692,7 +694,7 @@ object Dedup {
     * memoized per (corpus, maxHamming, maxBucket) via
     * [[graft.AnnSubstrate]] when `corpusKey` names the corpus (the
     * registered queries pass the testdata path). Nine registered
-    * queries (q76/q81/q117/q127/q154/q156/q161/q162/q172, plus q174's
+    * queries (q76/q81/q117/q127/q141/q154/q156/q161/q162, plus q174's
     * lexical leg) consume the IDENTICAL (docs, 8, 1000) pair set and
     * each used to re-run the signature scan + band self-join + xor
     * verify per query; production persists the pair table of a corpus
@@ -702,10 +704,27 @@ object Dedup {
   private[graft] def nearDupPairsShared(docs: DataFrame, maxHamming: Int,
       maxBucket: Int, corpusKey: Option[String] = None): DataFrame =
     corpusKey match {
-      case Some(ck) => graft.AnnSubstrate.getOrBuild(docs.sparkSession,
-        s"simhashpairs|$ck|$maxHamming|$maxBucket")(
-          simhashNearDupPairsCapped(docs, maxHamming, maxBucket)
-            .localCheckpoint(true))
+      case Some(ck) =>
+        // ONE signature scan + band join per (corpus, maxBucket):
+        // candidate generation is independent of maxHamming (the cut
+        // is a pure post-filter in hammingVerified, and hamming of a
+        // 64-bit sig never exceeds 64), so pairs(h) == pairs(64)
+        // WHERE hamming <= h exactly — without this, q117's uncut
+        // curve and the 8-cut family each paid their own corpus pass.
+        // The cut still gets its OWN small checkpoint: at sf0.1 the
+        // uncut table is 10x the <=8 one (188k vs 18k rows), so
+        // pointing the seven 8-cut consumers at the big table taxed
+        // every run (measured +0.1-0.2 s/query) for a once-per-session
+        // saving — derive-and-checkpoint keeps both properties
+        def uncut = graft.AnnSubstrate.getOrBuildFrames(docs.sparkSession,
+          s"simhashpairs|$ck|64|$maxBucket")(
+            simhashNearDupPairsCapped(docs, 64, maxBucket)
+              .localCheckpoint(true))(Seq(_))
+        if (maxHamming >= 64) uncut
+        else graft.AnnSubstrate.getOrBuildFrames(docs.sparkSession,
+          s"simhashpairs|$ck|$maxHamming|$maxBucket")(
+            uncut.filter(col("hamming") <= maxHamming)
+              .localCheckpoint(true))(Seq(_))
       case None => simhashNearDupPairsCapped(docs, maxHamming, maxBucket)
     }
 
@@ -721,9 +740,9 @@ object Dedup {
       nearDupPairsShared(docs, maxHamming, maxBucket, corpusKey)
         .select(col("d1"), col("d2")))
     corpusKey match {
-      case Some(ck) => graft.AnnSubstrate.getOrBuild(docs.sparkSession,
+      case Some(ck) => graft.AnnSubstrate.getOrBuildFrames(docs.sparkSession,
         s"simhashcomponents|$ck|$maxHamming|$maxBucket")(
-          build().localCheckpoint(true))
+          build().localCheckpoint(true))(Seq(_))
       case None => build()
     }
   }
@@ -2268,7 +2287,7 @@ object Dedup {
       graft.streaming.DatasheetStateStream.update(dir)(
         docs.filter(col("doc_id") % 2 === 0), 0L)
       graft.streaming.DatasheetStateStream.update(dir)(
-        docs.filter(col("doc_id") % 2 === 1), 1L)
+        docs.filter(col("doc_id") % 2 =!= 0), 1L)
       // serve from FOLDED state: the delta logs collapse to per-key
       // snapshots, so the driver's q181 hash gate re-proves fold
       // neutrality cross-engine every round (not just in the spec)

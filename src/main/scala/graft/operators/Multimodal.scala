@@ -250,7 +250,7 @@ object Multimodal {
       graft.streaming.AssetStateStream.update(dir)(
         doubled.filter(col("doc_id") % 2 === 0), 0L)
       graft.streaming.AssetStateStream.update(dir)(
-        doubled.filter(col("doc_id") % 2 === 1), 1L)
+        doubled.filter(col("doc_id") % 2 =!= 0), 1L)
       dir
     }
 

@@ -164,8 +164,10 @@ object Similarity {
       (centroids, lists)
     }
     corpusKey match {
-      case Some(ck) => graft.AnnSubstrate.getOrBuild(embeddings.sparkSession,
-        s"ivf|$ck|$nlist|$iters|$portableMeans")(build())
+      case Some(ck) => graft.AnnSubstrate.getOrBuildFrames(
+        embeddings.sparkSession,
+        s"ivf|$ck|$nlist|$iters|$portableMeans")(build())(
+        t => Seq(t._1, t._2))
       case None => build()
     }
   }
@@ -893,8 +895,10 @@ object Similarity {
       (codebooks, if (checkpointCodes) codes.localCheckpoint(true) else codes)
     }
     corpusKey match {
-      case Some(ck) => graft.AnnSubstrate.getOrBuild(embeddings.sparkSession,
-        s"pq|$ck|$m|$ksub|$iters|$portableMeans")(build(checkpointCodes = true))
+      case Some(ck) => graft.AnnSubstrate.getOrBuildFrames(
+        embeddings.sparkSession,
+        s"pq|$ck|$m|$ksub|$iters|$portableMeans")(
+        build(checkpointCodes = true))(t => Seq(t._1, t._2))
       case None => build(checkpointCodes = false)
     }
   }
@@ -2269,7 +2273,7 @@ object Similarity {
       graft.streaming.CentroidStateStream.update(dir)(
         vecs.filter(col("vec_id") % 2 === 0), 0L)
       graft.streaming.CentroidStateStream.update(dir)(
-        vecs.filter(col("vec_id") % 2 === 1), 1L)
+        vecs.filter(col("vec_id") % 2 =!= 0), 1L)
       // serve from FOLDED state (|sources|·64 snapshot rows): the q184
       // hash gate then re-proves fold neutrality cross-engine every
       // round — integer sums, so the matrix is bit-identical

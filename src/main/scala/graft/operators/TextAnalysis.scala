@@ -298,9 +298,10 @@ object TextAnalysis {
   private def shingleHashStreamShared(docs: DataFrame,
       corpusKey: Option[String]): DataFrame =
     corpusKey match {
-      case Some(ck) => graft.AnnSubstrate.getOrBuild(docs.sparkSession,
+      case Some(ck) => graft.AnnSubstrate.getOrBuildFrames(docs.sparkSession,
         s"shinglestream|$ck")(
-          shingleHashStream(docs, riders = Seq("source")).localCheckpoint(true))
+          shingleHashStream(docs, riders = Seq("source"))
+            .localCheckpoint(true))(Seq(_))
       case None => shingleHashStream(docs)
     }
 
@@ -1608,7 +1609,7 @@ object TextAnalysis {
       graft.streaming.CorpusStateStream.updateVocab(dir)(
         docs.filter(col("doc_id") % 2 === 0), 0L)
       graft.streaming.CorpusStateStream.updateVocab(dir)(
-        docs.filter(col("doc_id") % 2 === 1), 1L)
+        docs.filter(col("doc_id") % 2 =!= 0), 1L)
       graft.streaming.CorpusStateStream.foldVocab(s, dir)
       dir
     }

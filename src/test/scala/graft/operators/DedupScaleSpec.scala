@@ -140,15 +140,38 @@ class DedupScaleSpec extends SparkSpec {
       .queryExecution.analyzed.toString
     assert(builder.contains("_hub") && builder.contains("_n"),
       "the shared pair-substrate builder must run simhashNearDupPairsCapped")
-    for (name <- Seq("q127_quality_dup_lift", "q76_simhash_neardup",
-        "q117_neardup_threshold_curve")) {
-      val p = graft.SparkEntry.queries(name)(spark, sf0001)
-        .queryExecution.analyzed.toString
-      assert((p.contains("_hub") && p.contains("_n")) ||
-          p.contains("LogicalRDD"),
-        s"$name must consume the capped pair stage (inline or via the " +
-          "checkpointed substrate)")
+    // identity half: each registered consumer's plan must read the
+    // EXACT checkpointed frame the capped builder memoized — matched by
+    // backing-RDD id, not a plan-string fingerprint (the earlier
+    // "contains LogicalRDD" disjunct was vacuous: simhashSigs'
+    // internal checkpoint puts a LogicalRDD in every simhash plan,
+    // capped or not — review catch, r12)
+    def rddIds(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }.toSet
+    // constructing the consumer frames populates the memos (the
+    // registration bodies call nearDupPairsShared eagerly); the 8-cut
+    // table is derived-and-checkpointed FROM the uncut 64 table, so
+    // each consumer must read ITS cut's checkpoint
+    val consumers = Seq(
+        "q127_quality_dup_lift" -> 8, "q76_simhash_neardup" -> 8,
+        "q117_neardup_threshold_curve" -> 64)
+      .map { case (name, cut) =>
+        (name, cut, graft.SparkEntry.queries(name)(spark, sf0001)) }
+    def subIds(cut: Int): Set[Int] = {
+      val key = s"simhashpairs|$sf0001/documents.parquet|$cut|${Dedup.DefaultMaxBucket}"
+      val frame = graft.AnnSubstrate
+        .cached[org.apache.spark.sql.DataFrame](spark, key)
+        .getOrElse(fail(s"substrate $key not memoized — did the " +
+          "registered consumers stop routing through nearDupPairsShared?"))
+      val ids = rddIds(frame)
+      assert(ids.nonEmpty, s"substrate $key is not checkpoint-backed")
+      ids
     }
+    for ((name, cut, p) <- consumers)
+      assert((rddIds(p) & subIds(cut)).nonEmpty,
+        s"$name does not read the capped pair substrate's checkpoint")
     val q33 = graft.SparkEntry.queries("q33_ngram_jaccard")(spark, sf0001)
     val p33 = q33.queryExecution.analyzed.toString
     assert(p33.contains("_df"),
