@@ -44,11 +44,40 @@ import org.apache.spark.sql.SparkSession
 object AnnSubstrate {
 
   private val cache = mutable.HashMap.empty[(String, String), Any]
-  private val protectedIds = mutable.HashSet.empty[Int]
+  // (applicationId, rddId): RDD ids restart from 0 in a fresh
+  // SparkContext, so a process-global Set[Int] would let stale ids
+  // from a stopped context shield unrelated new blocks from Bench's
+  // sweep (review catch, r12)
+  private val protectedIds = mutable.HashSet.empty[(String, Int)]
 
-  /** Persistent-RDD ids that must survive Bench's between-query
-    * unpersist sweep. */
-  def protectedRddIds: Set[Int] = synchronized { protectedIds.toSet }
+  /** Persistent-RDD ids of THIS application that must survive Bench's
+    * between-query unpersist sweep. */
+  def protectedRddIds(spark: SparkSession): Set[Int] = synchronized {
+    val app = spark.sparkContext.applicationId
+    protectedIds.collect { case (`app`, id) => id }.toSet
+  }
+
+  private val exitDirs = mutable.ArrayBuffer.empty[String]
+  private lazy val exitHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => exitDirs.foreach { d =>
+      scala.util.Try {
+        val root = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+      }
+    }))
+
+  /** Register a session-scoped temp directory (the served-state
+    * builders' on-disk products) for recursive deletion at JVM exit —
+    * without this every bench/test JVM left a corpus-sized
+    * graft_*_state directory under /tmp forever (review catch, r12). */
+  def deleteOnExit(dir: String): String = synchronized {
+    exitHook; exitDirs += dir; dir
+  }
 
   /** Read-only peek at a memoized value (specs use it to prove a
     * registered query's plan reads the SAME checkpointed frame the
@@ -67,15 +96,16 @@ object AnnSubstrate {
   def getOrBuild[T](spark: SparkSession, key: String,
       protectNew: Boolean = true)(build: => T): T = synchronized {
     val sc = spark.sparkContext
-    cache.getOrElseUpdate((sc.applicationId, key), {
+    val app = sc.applicationId
+    cache.getOrElseUpdate((app, key), {
       val before = sc.getPersistentRDDs.keySet
       val built = build
       val fresh = sc.getPersistentRDDs.keySet -- before
-      if (protectNew) protectedIds ++= fresh
+      if (protectNew) protectedIds ++= fresh.map((app, _))
       // a protectNew = false build may nest a protected getOrBuild (the
       // monitor is reentrant) — never unpersist blocks the nested build
       // just registered
-      else (fresh -- protectedIds).foreach(id =>
+      else fresh.filterNot(id => protectedIds((app, id))).foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       built
     }).asInstanceOf[T]
@@ -96,7 +126,8 @@ object AnnSubstrate {
   def getOrBuildFrames[T](spark: SparkSession, key: String)(build: => T)(
       frames: T => Seq[org.apache.spark.sql.DataFrame]): T = synchronized {
     val sc = spark.sparkContext
-    cache.getOrElseUpdate((sc.applicationId, key), {
+    val app = sc.applicationId
+    cache.getOrElseUpdate((app, key), {
       val before = sc.getPersistentRDDs.keySet
       val built = build
       val keep = frames(built).flatMap(df =>
@@ -104,8 +135,8 @@ object AnnSubstrate {
           case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
         }).toSet
       val fresh = sc.getPersistentRDDs.keySet -- before
-      protectedIds ++= fresh & keep
-      (fresh -- protectedIds).foreach(id =>
+      protectedIds ++= (fresh & keep).map((app, _))
+      fresh.filterNot(id => protectedIds((app, id))).foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       built
     }).asInstanceOf[T]

@@ -76,7 +76,7 @@ object Bench {
       // else must derive its state from its own run: any other
       // cross-query cached/checkpointed table in Tables or SparkEntry is
       // still a bug, and dies here by design.
-      val keep = AnnSubstrate.protectedRddIds
+      val keep = AnnSubstrate.protectedRddIds(spark)
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) =>
           if (!keep(id)) rdd.unpersist(blocking = false) }

@@ -2280,8 +2280,8 @@ object Dedup {
   private def servedDatasheetStateDir(s: SparkSession, d: String): String =
     graft.AnnSubstrate.getOrBuild(s, s"dsstate|$d/documents.parquet",
         protectNew = false) {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_ds_state").toString
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_ds_state").toString)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
       graft.streaming.DatasheetStateStream.update(dir)(

@@ -233,8 +233,8 @@ object Multimodal {
       d: String): String =
     graft.AnnSubstrate.getOrBuild(s, s"assetstate|$d/documents.parquet",
         protectNew = false) {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_asset_state").toString
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_asset_state").toString)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       // the shift must clear the corpus id range: a corpus holding both
       // doc_id x and x+3000000 would put two different rows under one id

@@ -153,22 +153,26 @@ object Similarity {
   private[graft] def ivfIndex(embeddings: DataFrame, nlist: Int, iters: Int,
       portableMeans: Boolean,
       corpusKey: Option[String] = None): (DataFrame, DataFrame) = {
-    def build(): (DataFrame, DataFrame) = {
+    // checkpoint: memoized path only — the pqStage checkpointCodes
+    // trade. A keyless (test/ad-hoc) caller reads the index once, so an
+    // eager checkpoint is a pure extra materialization AND a persistent
+    // corpus-sized block nothing sweeps outside Bench; the lazy plan
+    // also lets Catalyst prune the nrm rider for consumers that drop it
+    def build(checkpoint: Boolean): (DataFrame, DataFrame) = {
       val centroids = kmeansCentroids(embeddings, nlist, iters, portableMeans)
       val dv = embeddings.select(col("vec_id"),
         graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
-      val lists = assign(dv, centroids)
+      val plan = assign(dv, centroids)
         .select(col("cid"), col("vec_id"), col("v"),
           sqrt(graft.expressions.VecDot(col("v"), col("v"))).as("nrm"))
-        .localCheckpoint(true)
-      (centroids, lists)
+      (centroids, if (checkpoint) plan.localCheckpoint(true) else plan)
     }
     corpusKey match {
       case Some(ck) => graft.AnnSubstrate.getOrBuildFrames(
         embeddings.sparkSession,
-        s"ivf|$ck|$nlist|$iters|$portableMeans")(build())(
+        s"ivf|$ck|$nlist|$iters|$portableMeans")(build(checkpoint = true))(
         t => Seq(t._1, t._2))
-      case None => build()
+      case None => build(checkpoint = false)
     }
   }
 
@@ -2264,8 +2268,8 @@ object Similarity {
       d: String): String =
     graft.AnnSubstrate.getOrBuild(s, s"centstate|$d/embeddings.parquet",
         protectNew = false) {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_cent_state").toString
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_cent_state").toString)
       val vecs = Tables.embeddings(s, d)
         .join(Tables.documents(s, d)
           .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
@@ -2293,8 +2297,8 @@ object Similarity {
       d: String): String =
     graft.AnnSubstrate.getOrBuild(s, s"ivfstate|$d/embeddings.parquet",
         protectNew = false) {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_ivf_state").toString
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_ivf_state").toString)
       val emb = Tables.embeddings(s, d)
       graft.streaming.IvfStateStream.train(emb, dir, nlist = 8,
         portableMeans = true)

@@ -1602,8 +1602,8 @@ object TextAnalysis {
       d: String): String =
     graft.AnnSubstrate.getOrBuild(s, s"vocabstate|$d/documents.parquet",
         protectNew = false) {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_vocab_state").toString
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_vocab_state").toString)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), col("source"))
       graft.streaming.CorpusStateStream.updateVocab(dir)(

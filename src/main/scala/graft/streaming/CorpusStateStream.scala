@@ -333,7 +333,8 @@ object CorpusStateStream {
     // Dataset.unpersist does NOT free localCheckpoint blocks (they are
     // RDD-level persists, not CacheManager entries — the Bench.scala
     // lesson); release them at the RDD level, sparing substrate frames
-    (sc.getPersistentRDDs.keySet -- blocksBefore -- graft.AnnSubstrate.protectedRddIds)
+    (sc.getPersistentRDDs.keySet -- blocksBefore --
+        graft.AnnSubstrate.protectedRddIds(spark))
       .foreach(id => sc.getPersistentRDDs.get(id)
         .foreach(_.unpersist(blocking = false)))
     (before, stateDf(spark, dir, schema).count())

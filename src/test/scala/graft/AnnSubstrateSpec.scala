@@ -71,7 +71,7 @@ class AnnSubstrateSpec extends SparkSpec {
     val before = keyed.collect()
     // the Bench sweep: unpersist everything persistent EXCEPT the
     // substrate's registered blocks, then re-read the memoized frame
-    val keep = AnnSubstrate.protectedRddIds
+    val keep = AnnSubstrate.protectedRddIds(spark)
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
       if (!keep(id)) rdd.unpersist(blocking = false)
     }

@@ -46,7 +46,14 @@ class S3ObjectStoreSpec extends SparkSpec {
 
   private def endpointReachable: Boolean = {
     val u = URI.create(endpoint)
-    val port = if (u.getPort > 0) u.getPort else 9000
+    // a portless URL means the SCHEME default (443/80 — real S3 and
+    // any standard-port MinIO), not MinIO's dev default: falling back
+    // to 9000 made the gate cancel against exactly the
+    // production-shaped endpoints it exists to prove
+    val port =
+      if (u.getPort > 0) u.getPort
+      else if (u.getScheme == "https") 443
+      else 80
     val s = new Socket()
     try { s.connect(new InetSocketAddress(u.getHost, port), 1500); true }
     catch { case _: Exception => false }
@@ -64,13 +71,21 @@ class S3ObjectStoreSpec extends SparkSpec {
       s"no S3 endpoint at $endpoint — start MinIO (`minio server <dir>`) " +
         "or set GRAFT_S3_ENDPOINT")
 
+    // the hadoopConfiguration is SHARED session state: save the keys we
+    // touch and restore them in the outer finally so later suites in
+    // this JVM never inherit a MinIO endpoint or test credentials
     val conf = spark.sparkContext.hadoopConfiguration
+    val touched = Seq("fs.s3a.endpoint", "fs.s3a.access.key",
+      "fs.s3a.secret.key", "fs.s3a.path.style.access",
+      "fs.s3a.connection.ssl.enabled")
+    val saved = touched.map(k => k -> Option(conf.get(k)))
     conf.set("fs.s3a.endpoint", endpoint)
     conf.set("fs.s3a.access.key", accessKey)
     conf.set("fs.s3a.secret.key", secretKey)
     conf.set("fs.s3a.path.style.access", "true") // MinIO has no DNS buckets
     conf.set("fs.s3a.connection.ssl.enabled",
       String.valueOf(endpoint.startsWith("https")))
+    try {
 
     val bucketRoot = new Path(s"s3a://$bucket/")
     val fs: FileSystem =
@@ -143,6 +158,18 @@ class S3ObjectStoreSpec extends SparkSpec {
         "audit append must produce a date-partitioned JSON object")
     } finally {
       fs.delete(new Path(base), true)
+      // evict the cached s3a instance (keyed by scheme+authority, so a
+      // later suite touching this bucket would otherwise reuse it with
+      // the test credentials baked in); file:// instances untouched
+      fs.close()
+    }
+    } finally {
+      // restore the shared configuration (also runs when an inner
+      // assume/cancel unwinds after the keys were set)
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
     }
   }
 }
