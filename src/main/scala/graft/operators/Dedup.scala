@@ -1207,6 +1207,48 @@ object Dedup {
     * explicit path identity, the Similarity.embKey convention. */
   private def docKey(d: String): Option[String] = Some(s"$d/documents.parquet")
 
+  /** q118's oracle SQL — shared VERBATIM with q188's state-served read,
+    * so a hash match there proves the maintained distinct-shingle set
+    * and a same-query split recompute are value-identical. */
+  private val q118OracleSql: String =
+    """WITH ws AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source, unnest(list_distinct(
+      |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
+      |  FROM ws),
+      |existing AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 < 8),
+      |arr AS (SELECT DISTINCT source, sh FROM sh WHERE doc_id % 10 >= 8)
+      |SELECT a.source, CAST(count(*) AS BIGINT) AS n_shingles,
+      |  CAST(sum(CASE WHEN e.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST(sum(CASE WHEN e.sh IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) AS novelty_frac
+      |FROM arr a LEFT JOIN existing e ON a.sh = e.sh
+      |GROUP BY a.source ORDER BY a.source""".stripMargin
+
+  /** Build-once on-disk corpus state (distinct-shingle set + signature
+    * table) holding exactly q118's `existing` corpus — the doc_id%10<8
+    * split — folded through the SAME micro-batch update the maintenance
+    * stream runs (CorpusStateStream.update, in two parity waves so the
+    * non-empty-state anti-join path executes), for the q188 state-served
+    * novelty read. Memoized per (session, corpus); protectNew = false —
+    * the durable product is the on-disk state (the q181 contract). */
+  private def servedNoveltyStateDir(s: SparkSession, d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"novstate|$d/documents.parquet",
+        protectNew = false) {
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_nov_state").toString)
+      val existing = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 10 < 8)
+      graft.streaming.CorpusStateStream.update(dir)(
+        existing.filter(col("doc_id") % 2 === 0), 0L)
+      graft.streaming.CorpusStateStream.update(dir)(
+        existing.filter(col("doc_id") % 2 =!= 0), 1L)
+      dir
+    }
+
   /** q156's oracle SQL — shared VERBATIM with q181's state-served
     * read, so a hash match there proves the maintained datasheet and
     * the batch recompute are value-identical. */
@@ -1761,22 +1803,7 @@ object Dedup {
           .orderBy(col("frac"))
     },
 
-    Q("q118_arrival_novelty",
-      """WITH ws AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, source, unnest(list_distinct(
-        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
-        |  FROM ws),
-        |existing AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 < 8),
-        |arr AS (SELECT DISTINCT source, sh FROM sh WHERE doc_id % 10 >= 8)
-        |SELECT a.source, CAST(count(*) AS BIGINT) AS n_shingles,
-        |  CAST(sum(CASE WHEN e.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-        |  CAST(sum(CASE WHEN e.sh IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*) AS novelty_frac
-        |FROM arr a LEFT JOIN existing e ON a.sh = e.sh
-        |GROUP BY a.source ORDER BY a.source""".stripMargin,
+    Q("q118_arrival_novelty", q118OracleSql,
       "Arrival-batch content novelty: per source, the fraction of an arriving batch's distinct 3-gram shingles never seen in the existing corpus — the freshness gauge of an incremental ingest (a crawler re-fetching mirrors scores near 0 and can be throttled; a source suddenly at 1.0 changed domain or broke). Complements the q65/q97 incremental-dedup pair: those decide keep/drop per DOCUMENT, this one measures what a batch adds per TOKEN-SPAN, the number a 100 TB pipeline tracks per (source, day) to spend crawl budget where novelty lives. Same split convention as q65 (doc_id%10>=8 arrives), same scale shape as q80/q96: the existing corpus compresses to DISTINCT 8-byte ShingleHash64 keys (the persisted state of an incremental pipeline — the corpus text is NEVER rescanned), arrivals probe it with a left join on the hash, and both sides dedupe in-row before the explode so the shuffles move bounded hash sets (the family-wide md5-64 collision trade is documented at q96). Counts exact integers; one IEEE division per source row.") {
       (s, d) =>
         val sh = Tables.documents(s, d)
@@ -2265,6 +2292,17 @@ object Dedup {
       (s, d) =>
         graft.streaming.DatasheetStateStream.datasheetFromState(s,
           servedDatasheetStateDir(s, d))
+    },
+
+    Q("q188_novelty_state_served", q118OracleSql,
+      "q118's arrival-novelty probe served FROM the MAINTAINED distinct-shingle state instead of a same-query split — the corpus-state family's last unserved read, closing the q180–q187 pattern: every maintained state table in the tree now faces the driver's hash gate through a registered serving query. The state dir is built once per (session, corpus) by folding q118's `existing` corpus (the doc_id%10<8 split) through CorpusStateStream.update in two parity waves — the SAME anti-join-idempotent micro-batch append the maintenance stream runs, with wave 1 probing wave 0's non-empty state — and every timed run then pays ONLY the serving read (CorpusStateStream.noveltyAgainstState, the ingest-gate 'how fresh is this batch' probe run BEFORE admitting it): |arrivals| compiled shingle derivation + ONE left join of the batch's bounded distinct hash set against 8-byte persisted keys with pushdown — the existing corpus TEXT is never rescanned, which is the entire point of maintaining the set. The oracle twin is q118's SQL verbatim, so a hash match proves end-to-end that novelty measured against incrementally-maintained state and against a full-corpus recompute are value-identical — the CorpusStateStreamSpec state==batch contract re-checked by the driver's own harness every round. Scale: at 100 TB the persisted set is the only artifact the probe touches (bounded by |distinct shingles|, bucketable on the hash), and per-batch cost is independent of corpus age.") {
+      (s, d) =>
+        graft.streaming.CorpusStateStream.noveltyAgainstState(
+            servedNoveltyStateDir(s, d),
+            Tables.documents(s, d)
+              .filter(col("doc_id") % 10 >= 8)
+              .select(col("source"), col("text")))
+          .orderBy(col("source"))
     },
   )
 

@@ -422,6 +422,61 @@ object Sampling {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** q145's oracle SQL — shared verbatim with q187, which serves the
+    * same window-assignment table from the maintained packing ledger. */
+  private val q145OracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |off AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS tok_offset
+      |  FROM tok)
+      |SELECT doc_id, n_tok, tok_offset,
+      |  CAST(tok_offset // 512 AS BIGINT) AS start_window,
+      |  CAST((tok_offset + n_tok - 1) // 512 AS BIGINT) AS end_window,
+      |  CAST((tok_offset + n_tok - 1) // 512 - tok_offset // 512 + 1
+      |    AS BIGINT) AS n_windows,
+      |  ((tok_offset + n_tok - 1) // 512 > tok_offset // 512) AS fragmented
+      |FROM off ORDER BY doc_id""".stripMargin
+
+  /** Build-once on-disk packing ledger for the state-served read (q187):
+    * fold the corpus through the SAME micro-batch update the maintenance
+    * stream runs (PackingStream.update — staged write, atomic-rename
+    * commit, anti-join + ledger-high-water idempotence guards), in two
+    * doc_id-RANGE waves so batch 1 continues from batch 0's high-water
+    * mark (range waves, not the datasheet builder's parity waves: the
+    * ledger's offsets are order-dependent, and range boundaries keep the
+    * incremental concatenation order identical to q145's global doc_id
+    * order — exactly how a production ingest arrives, in id-ordered
+    * batches). Batch 1 is then REPLAYED so the commit-marker fast path
+    * executes against real state, not just in specs. Memoized per
+    * (session, corpus); protectNew = false — the durable product is the
+    * on-disk ledger (the q180/q181 servedStateDir contract). */
+  private def servedPackingStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"packstate|$d/documents.parquet",
+        protectNew = false) {
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_pack_state").toString)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // bounded one-row metadata action (parquet footer min/max) to pick
+      // the wave boundary; any split respecting doc_id order would do
+      val mid = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
+      val wave0 = docs.filter(col("doc_id") <= mid)
+      val wave1 = docs.filter(col("doc_id") > mid)
+      graft.streaming.PackingStream.update(dir)(wave0, 0L)
+      graft.streaming.PackingStream.update(dir)(wave1, 1L)
+      // crash-replay of a committed batch: must be a no-op (the dest
+      // file IS the commit marker) — exercised here so the driver's
+      // q187 hash gate re-proves it cross-engine, not just in specs
+      graft.streaming.PackingStream.update(dir)(wave1, 1L)
+      dir
+    }
+
   val queries: Seq[Q] = Seq(
 
     Q("q61_hash_split",
@@ -774,24 +829,7 @@ object Sampling {
           .orderBy(col("o_orderpriority"), col("probe_custkey"))
     },
 
-    Q("q145_context_packing",
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-        |  FROM documents),
-        |off AS (
-        |  SELECT doc_id, n_tok,
-        |    CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |      AS tok_offset
-        |  FROM tok)
-        |SELECT doc_id, n_tok, tok_offset,
-        |  CAST(tok_offset // 512 AS BIGINT) AS start_window,
-        |  CAST((tok_offset + n_tok - 1) // 512 AS BIGINT) AS end_window,
-        |  CAST((tok_offset + n_tok - 1) // 512 - tok_offset // 512 + 1
-        |    AS BIGINT) AS n_windows,
-        |  ((tok_offset + n_tok - 1) // 512 > tok_offset // 512) AS fragmented
-        |FROM off ORDER BY doc_id""".stripMargin,
+    Q("q145_context_packing", q145OracleSql,
       "Concatenate-and-chunk context assignment — the EXECUTION of the packing strategy q119's efficiency table decides: every document gets its global token offset in the deterministic doc_id concatenation order, and from it the 512-token training-window span it lands in (start/end window, windows spanned, whether the doc is fragmented across a window boundary — the rows a contamination-sensitive eval pipeline needs to trace which windows saw which documents). The offset is a GLOBAL prefix sum, and the implementation is the scalable two-level form, not a single-partition window: per-doc counts fold to range-bucket subtotals (doc_id div 64 — at 100 TB the bucket is the ingest partition), the tiny |buckets| frame takes the only serial cumulative pass (|corpus|/64 rows... actually |buckets| rows, broadcastable), and each bucket's interior offsets run as a PARALLEL partitioned window — no stage ever sorts the corpus through one task, the textbook distributed scan pattern. Integer arithmetic end-to-end (ceil-free div identities, the q119 rule), token counts from the shared q94/q102 nTokens definition; the oracle states the same semantics as the naive single window, proving the two-level decomposition exact. Window size 512 with ~55-token docs means roughly every tenth document straddles a window boundary — the fragmented flag is exercised, not vestigial, at sf0.01.") {
       (s, d) =>
         contextPacking(Tables.documents(s, d), windowTokens = 512, bucketDocs = 64)
@@ -1136,6 +1174,13 @@ object Sampling {
             (col("doc_id") + 1000000).as("doc_id"), col("text")))
         sampleExtrapolation(corpus)
       }
+    },
+
+    Q("q187_packing_state_served", q145OracleSql,
+      "q145's concat-and-chunk window assignment served FROM the MAINTAINED packing ledger instead of a full-corpus prefix-sum pass — the packing family's entry in the q180–q186 serving posture, and the read that closes the last maintained-state family without a driver-hash-gated serving twin. The state dir is built once per (session, corpus) by folding the corpus through PackingStream.update in two doc_id-RANGE waves (the SAME staged-write/atomic-rename micro-batch commit the maintenance stream runs; wave 1 continues from wave 0's ledger high-water mark, then REPLAYS so the commit-marker no-op path executes against real state), and every timed run then pays ONLY the serving read: a scan of the 32-byte/doc ledger plus the shared Sampling.windowSpans projection — the corpus TEXT is never touched at read time; tokenization was paid once at arrival. The oracle twin is q145's SQL verbatim, so a hash match proves end-to-end that incremental offset assignment (per-batch two-level prefix sums continued from a persisted high-water mark, across a batch boundary and a replay) and the single-pass batch recompute are value-identical — the PackingStreamSpec state==batch contract re-checked by the driver's own harness every round. Scale: this is how a 100 TB ingest traces training windows — the ledger EXTENDS per batch (|batch| tokenization + an 8-byte anti-join probe + a footer-stats max), and the read side is a pure projection over 32 bytes/doc of state.") {
+      (s, d) =>
+        graft.streaming.PackingStream.windows(s,
+          servedPackingStateDir(s, d), windowTokens = 512)
     },
   )
 
