@@ -47,12 +47,27 @@ object Similarity {
     * fixed-size keys, never all pairs. */
   def annTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       planes: Int = 8, bandBits: Int = 2,
-      portablePlanes: Boolean = false): DataFrame = {
+      portablePlanes: Boolean = false,
+      corpusKey: Option[String] = None): DataFrame = {
     val nBands = planes / bandBits
     val sigFn =
       if (portablePlanes) graft.functions.VectorOps.hyperplaneSignatureMd5 _
       else graft.functions.VectorOps.hyperplaneSignature _
-    val signed = embeddings.withColumn("sig", sigFn(col("embedding"), planes))
+    // keyed path: the signature table is the LSH "hash tables" every
+    // serving read probes — built once per (corpus, planes) and
+    // checkpoint-backed, the same maintained-index posture as ivfIndex.
+    // The signature is 8 interpreted-HOF plane projections per row (HOFs
+    // don't enter whole-stage codegen), so q39/q128/q137 each paid the
+    // full corpus sig pass per run before this. Keyless callers (tests,
+    // ad-hoc frames) still get a pure function.
+    def buildSigned = embeddings.withColumn("sig", sigFn(col("embedding"), planes))
+    val signed = corpusKey match {
+      case Some(key) =>
+        graft.AnnSubstrate.getOrBuildFrames(embeddings.sparkSession,
+            s"lshsig|$key|$planes|$portablePlanes")(
+          buildSigned.localCheckpoint(true))(f => Seq(f))
+      case None => buildSigned
+    }
     val mask = (1L << bandBits) - 1
     val banded = signed.select(col("vec_id"), col("embedding"), col("sig"),
         explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
@@ -453,10 +468,12 @@ object Similarity {
     * max_by over the ranker tag — both engines reduce the same pair),
     * ties on (score DESC, vec_id). */
   def rrfFuse(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
-      fromN: Int = 10, c: Int = 60): DataFrame = {
+      fromN: Int = 10, c: Int = 60,
+      corpusKey: Option[String] = None): DataFrame = {
     val exact = bruteForceTopK(embeddings, queryIds, fromN)
       .select(col("query_id"), col("vec_id"), col("rn"), lit("exact").as("src"))
-    val ann = annTopK(embeddings, queryIds, fromN, portablePlanes = true)
+    val ann = annTopK(embeddings, queryIds, fromN, portablePlanes = true,
+        corpusKey = corpusKey)
       .select(col("query_id"), col("vec_id"), col("rn"), lit("ann").as("src"))
     val fused = exact.union(ann)
       .groupBy(col("query_id"), col("vec_id"))
@@ -1414,10 +1431,12 @@ object Similarity {
     * retrieves — the index-quality eval a production ANN deployment
     * monitors (SimilaritySpec asserts a floor; this registers the
     * measurement itself as an oracle-checked query). */
-  def annRecall(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+  def annRecall(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      corpusKey: Option[String] = None): DataFrame = {
     val exact = bruteForceTopK(embeddings, queryIds, k)
       .select(col("query_id"), col("vec_id"))
-    val ann = annTopK(embeddings, queryIds, k, portablePlanes = true)
+    val ann = annTopK(embeddings, queryIds, k, portablePlanes = true,
+        corpusKey = corpusKey)
       .select(col("query_id"), col("vec_id"))
     val hits = ann.join(exact, Seq("query_id", "vec_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).cast("bigint").as("n_hits"))
@@ -1846,7 +1865,8 @@ object Similarity {
         |ORDER BY query_id, rn""".stripMargin,
       "Hyperplane-LSH ANN top-10 for the same 3 queries: banded signature bucket equi-join + exact re-rank. The q39 registration uses md5-parity planes so the DuckDB twin re-derives the identical signatures (the 'approximate' method is a deterministic function of the corpus — only the recall is approximate, and that is pinned vs q36 in SimilaritySpec); production uses the xxhash64 planes (portablePlanes=false). Both Spark's aggregate and DuckDB's list_sum are strict sequential folds, so the projection sign test agrees to the last ulp.") {
       (s, d) =>
-        annTopK(Tables.embeddings(s, d), QueryIds, 10, portablePlanes = true)
+        annTopK(Tables.embeddings(s, d), QueryIds, 10, portablePlanes = true,
+            corpusKey = embKey(d))
           .orderBy(col("query_id"), col("rn"))
     },
 
@@ -1899,7 +1919,7 @@ object Similarity {
          |ORDER BY e.query_id""".stripMargin,
       "ANN recall@10 — the index-quality EVAL registered as a first-class query (the number an ANN deployment monitors before trusting its index): per query, |LSH top-10 ∩ exact top-10| / 10, from the SAME bruteForceTopK and annTopK(portablePlanes) definitions q36/q39 register, so the eval can never drift from the methods it evaluates. SimilaritySpec's recall floor becomes a measured, oracle-checked artifact. Determinism: both top-k sets are total-ordered (rounded cosine DESC, vec_id) in identical formulations, the hit count is an exact integer join-count, and recall is one IEEE division by the literal k. Scale: cost is one brute-force pass (|corpus|×|queries| broadcast dots — the eval is run on a SAMPLE of queries by construction) plus the banded index probe; at 100 TB the exact side is the expensive leg and is exactly what you'd budget a recall eval's query sample against.") {
       (s, d) =>
-        annRecall(Tables.embeddings(s, d), QueryIds, 10)
+        annRecall(Tables.embeddings(s, d), QueryIds, 10, corpusKey = embKey(d))
     },
 
     Q("q49_ann_ivf_topk", q49OracleSql,
@@ -2091,7 +2111,8 @@ object Similarity {
          |ORDER BY query_id, rank""".stripMargin,
       "Reciprocal rank fusion — the standard hybrid-retrieval combiner (Cormack et al. 2009, c=60): fuse the exact (q36) and LSH-approximate (q39, md5-portable planes) top-10 lists by summing 1/(60+rank) per document, then take the fused top-5. RRF consumes only RANKS, never comparable scores — the reason production stacks reach for it when fusing retrievers with incommensurable scoring (BM25 + dense, exact + ANN); n_rankers records whether both lists carried the doc. Determinism: ranks are exact ints from the family's total-ordered windows; each fused score adds at most two 1/(60+r) doubles in a FIXED order (exact term first on both engines), ties on (score DESC, vec_id). Scale: both inputs are page-bounded top-10s; the fusion is one (query, doc) aggregate plus a bounded top-k window — cost is the page, never the corpus.") {
       (s, d) =>
-        rrfFuse(Tables.embeddings(s, d), QueryIds, k = 5, fromN = 10)
+        rrfFuse(Tables.embeddings(s, d), QueryIds, k = 5, fromN = 10,
+            corpusKey = embKey(d))
           .orderBy(col("query_id"), col("rank"))
     },
 

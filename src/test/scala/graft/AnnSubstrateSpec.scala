@@ -39,6 +39,12 @@ class AnnSubstrateSpec extends SparkSpec {
         corpusKey = Some("spec|cont|a"))) ==
       rows(Dedup.contamination(docs)),
       "contamination diverged keyed vs unkeyed")
+    val embs = Tables.embeddings(spark, sf0001)
+    assert(rows(operators.Similarity.annTopK(embs, Seq(0L, 1L), 10,
+        portablePlanes = true, corpusKey = Some("spec|lsh|a"))) ==
+      rows(operators.Similarity.annTopK(embs, Seq(0L, 1L), 10,
+        portablePlanes = true)),
+      "annTopK diverged keyed vs unkeyed")
   }
 
   test("explicit keys isolate corpora: a second corpus under its own key gets its own build") {

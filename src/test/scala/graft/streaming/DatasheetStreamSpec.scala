@@ -70,6 +70,32 @@ class DatasheetStreamSpec extends SparkSpec {
     assert(post == collectSheet(Dedup.datasetDatasheet(docsSlice(lit(true)))))
   }
 
+  test("fold mid-read-session is value-neutral: interleaved reads all equal, re-fold is a row no-op") {
+    // The serving contract behind q181/q184/q186: a read SESSION holds no
+    // frame across a fold (each read constructs fresh over the swapped-in
+    // files — folds run from quiet windows, per the compactState scaladoc),
+    // and under that contract NO interleaving of reads and folds can change
+    // a served value. Pinned explicitly: read, fold, read, fold-again (no
+    // new data — must be a row-count no-op), read: all three reads equal
+    // each other and the batch ground truth.
+    val root = Files.createTempDirectory("graft-dsfoldmid").toString
+    val state = s"$root/state"
+    (0 until 3).foreach(i => DatasheetStateStream.update(state)(
+      docsSlice(col("doc_id") % 3 === i), i.toLong))
+    val r1 = collectSheet(DatasheetStateStream.datasheetFromState(spark, state))
+    DatasheetStateStream.foldDeltas(spark, state)
+    val r2 = collectSheet(DatasheetStateStream.datasheetFromState(spark, state))
+    val ((cb2, ca2), (pb2, pa2)) = DatasheetStateStream.foldDeltas(spark, state)
+    val r3 = collectSheet(DatasheetStateStream.datasheetFromState(spark, state))
+    assert(r1 == r2, "first fold changed a served value between read sessions")
+    assert(r2 == r3, "idempotent re-fold changed a served value")
+    assert(cb2 == ca2 && pb2 == pa2,
+      s"re-fold without new deltas must not change row counts " +
+        s"(counters $cb2 -> $ca2, prefixes $pb2 -> $pa2)")
+    assert(r3 == collectSheet(Dedup.datasetDatasheet(docsSlice(lit(true)))),
+      "post-fold sheet diverged from batch recompute")
+  }
+
   test("crash window heals: deltas present without ledger never double-count") {
     val root = Files.createTempDirectory("graft-dscrash").toString
     val state = s"$root/state"
