@@ -237,16 +237,18 @@ object Multimodal {
         .createTempDirectory("graft_asset_state").toString)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       // the shift must clear the corpus id range: a corpus holding both
-      // doc_id x and x+3000000 would put two different rows under one id
+      // doc_id x and x+shift would put two different rows under one id
       // in the doubled frame, and update's dropDuplicates("doc_id") would
       // keep one nondeterministically while the oracle's UNION ALL keeps
-      // both — assert the precondition instead of drifting silently
+      // both. Oracle-gated corpora (all gate SFs) stay under the 3000000
+      // literal the oracle embeds; beyond that (scaling probes, no oracle)
+      // the shift grows with the id range — always a multiple of 3, so
+      // the byte twin keeps its doc_id%3 mime class and stays an exact
+      // duplicate of its original under the (mime, fp) group key.
       val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-      require(maxId < 3000000L,
-        s"servedAssetStateDir: max doc_id $maxId reaches the +3000000 " +
-        "byte-twin shift — raise the shift beyond the id range")
+      val shift = math.max(3000000L, (maxId / 3L + 1L) * 3L)
       val doubled = docs.union(
-        docs.select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+        docs.select((col("doc_id") + shift).as("doc_id"), col("text")))
       graft.streaming.AssetStateStream.update(dir)(
         doubled.filter(col("doc_id") % 2 === 0), 0L)
       graft.streaming.AssetStateStream.update(dir)(
