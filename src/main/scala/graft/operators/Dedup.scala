@@ -1227,6 +1227,55 @@ object Dedup {
       |FROM arr a LEFT JOIN existing e ON a.sh = e.sh
       |GROUP BY a.source ORDER BY a.source""".stripMargin
 
+  /** q80's oracle SQL — shared VERBATIM with q190's state-served read,
+    * so a hash match there proves contamination measured against the
+    * maintained train-shingle state and against a same-query split
+    * recompute are value-identical. */
+  private val q80OracleSql: String =
+    """WITH sp AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |ws AS (SELECT doc_id, split, string_split_regex(trim(text), '\s+') AS w FROM sp),
+      |sh AS (
+      |  SELECT doc_id, split, unnest(list_distinct(
+      |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
+      |  FROM ws),
+      |train_sh AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+      |test_sh AS (SELECT doc_id, sh FROM sh WHERE split = 'test'),
+      |tot AS (SELECT doc_id, count(*) AS n_shingles FROM test_sh GROUP BY doc_id),
+      |hit AS (
+      |  SELECT t.doc_id, count(*) AS n_shared
+      |  FROM test_sh t JOIN train_sh tr ON t.sh = tr.sh GROUP BY t.doc_id)
+      |SELECT tot.doc_id AS doc_id, CAST(tot.n_shingles AS BIGINT) AS n_shingles,
+      |  CAST(COALESCE(hit.n_shared, 0) AS BIGINT) AS n_shared,
+      |  COALESCE(hit.n_shared, 0) * 1.0 / tot.n_shingles AS contamination
+      |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+      |WHERE COALESCE(hit.n_shared, 0) > 0
+      |ORDER BY tot.doc_id""".stripMargin
+
+  /** Build-once on-disk corpus state holding exactly q80's TRAIN split
+    * (the md5-bucket membership, Sampling.splitOf) — folded through the
+    * SAME micro-batch update the maintenance stream runs, two parity
+    * waves — for the q190 state-served contamination read. Memoized per
+    * (session, corpus); protectNew = false (the q181 contract). */
+  private def servedTrainShingleStateDir(s: SparkSession, d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"trainshstate|$d/documents.parquet",
+        protectNew = false) {
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_trainsh_state").toString)
+      val train = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .filter(Sampling.splitOf(col("doc_id")) === "train")
+      graft.streaming.CorpusStateStream.update(dir)(
+        train.filter(col("doc_id") % 2 === 0), 0L)
+      graft.streaming.CorpusStateStream.update(dir)(
+        train.filter(col("doc_id") % 2 =!= 0), 1L)
+      dir
+    }
+
   /** Build-once on-disk corpus state (distinct-shingle set + signature
     * table) holding exactly q118's `existing` corpus — the doc_id%10<8
     * split — folded through the SAME micro-batch update the maintenance
@@ -1833,30 +1882,7 @@ object Dedup {
           .orderBy(col("d1"), col("d2"))
     },
 
-    Q("q80_contamination_check",
-      """WITH sp AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
-        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
-        |         ELSE 'test' END AS split
-        |  FROM documents),
-        |ws AS (SELECT doc_id, split, string_split_regex(trim(text), '\s+') AS w FROM sp),
-        |sh AS (
-        |  SELECT doc_id, split, unnest(list_distinct(
-        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
-        |  FROM ws),
-        |train_sh AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
-        |test_sh AS (SELECT doc_id, sh FROM sh WHERE split = 'test'),
-        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM test_sh GROUP BY doc_id),
-        |hit AS (
-        |  SELECT t.doc_id, count(*) AS n_shared
-        |  FROM test_sh t JOIN train_sh tr ON t.sh = tr.sh GROUP BY t.doc_id)
-        |SELECT tot.doc_id AS doc_id, CAST(tot.n_shingles AS BIGINT) AS n_shingles,
-        |  CAST(COALESCE(hit.n_shared, 0) AS BIGINT) AS n_shared,
-        |  COALESCE(hit.n_shared, 0) * 1.0 / tot.n_shingles AS contamination
-        |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
-        |WHERE COALESCE(hit.n_shared, 0) > 0
-        |ORDER BY tot.doc_id""".stripMargin,
+    Q("q80_contamination_check", q80OracleSql,
       "Train/test contamination (decontamination hygiene pass): test-split docs sharing >= 1 three-gram shingle with the train corpus, with shared count and contamination rate. Membership comes from the md5-bucket split function (q61 — no split table), overlap from an equi-join of 8-byte shingle hashes against the DISTINCT train hashes: an inverted-index probe that scales like q33's join, never doc x doc. The rate is an integer/integer division — exact in both engines.") {
       (s, d) =>
         contamination(Tables.documents(s, d), corpusKey = docKey(d))
@@ -2303,6 +2329,17 @@ object Dedup {
               .filter(col("doc_id") % 10 >= 8)
               .select(col("source"), col("text")))
           .orderBy(col("source"))
+    },
+
+    Q("q190_contamination_state_served", q80OracleSql,
+      "q80's train/test contamination report served FROM the MAINTAINED train-shingle state — the decontamination read the way an eval pipeline actually runs it: the training corpus's distinct-shingle set is maintained once at ingest (here folded through CorpusStateStream.update over exactly q80's md5-bucket train split, two parity waves), and every benchmark candidate set is probed against that state — per test doc, shared-shingle count and contamination fraction, contaminated docs only. The read is CorpusStateStream.contaminationAgainstState (the per-doc dual of q188's per-source novelty): |probe| compiled shingle derivation + ONE pushdown semi-join against 8-byte persisted keys — the training corpus text is NEVER rescanned per eval suite, which is what makes decontamination-before-every-release affordable at 100 TB. The oracle twin is q80's SQL verbatim, so the hash gate proves contamination measured against incrementally-maintained state and a full-corpus split recompute are value-identical. Scale: state bounded by |distinct train shingles|; per-probe cost is the eval set's size, independent of corpus age.") {
+      (s, d) =>
+        graft.streaming.CorpusStateStream.contaminationAgainstState(
+            servedTrainShingleStateDir(s, d),
+            Tables.documents(s, d)
+              .select(col("doc_id"), col("text"))
+              .filter(Sampling.splitOf(col("doc_id")) === "test"))
+          .orderBy(col("doc_id"))
     },
   )
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -68,6 +68,17 @@ object Similarity {
           buildSigned.localCheckpoint(true))(f => Seq(f))
       case None => buildSigned
     }
+    annTopKFromSigned(signed, queryIds, k, planes, bandBits)
+  }
+
+  /** The probe/re-rank stage of [[annTopK]] over a PRE-SIGNED frame
+    * (vec_id, embedding, sig) — the one LSH search definition shared by
+    * the batch operator, the in-session memo, and the maintained on-disk
+    * index ([[graft.streaming.LshStateStream.topKFromState]]), so a
+    * state-served answer can never drift from its batch twin. */
+  def annTopKFromSigned(signed: DataFrame, queryIds: Seq[Long], k: Int,
+      planes: Int = 8, bandBits: Int = 2): DataFrame = {
+    val nBands = planes / bandBits
     val mask = (1L << bandBits) - 1
     val banded = signed.select(col("vec_id"), col("embedding"), col("sig"),
         explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
@@ -247,6 +258,63 @@ object Similarity {
     * identity, never DataFrame-plan identity (two in-memory fixtures
     * with one schema must never collide). */
   private def embKey(d: String): Option[String] = Some(s"$d/embeddings.parquet")
+
+  /** q39's oracle SQL — shared VERBATIM with q189's state-served read,
+    * so a hash match there proves the maintained LSH index and a batch
+    * sign-and-search recompute are value-identical. */
+  private val q39OracleSql: String =
+    """WITH sig AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN proj > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM (
+      |    SELECT vec_id, p.p AS p,
+      |      list_sum(list_transform(range(len(embedding)), j ->
+      |        CAST(embedding[j + 1] AS DOUBLE) *
+      |        (CASE WHEN CAST('0x' || substring(md5(p.p || '|' || j), 1, 1) AS INTEGER) % 2 = 0
+      |              THEN 1.0 ELSE -1.0 END))) AS proj
+      |    FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS p) p) t
+      |  GROUP BY vec_id),
+      |banded AS (
+      |  SELECT vec_id, b.b AS band, (sig >> (b.b * 2)) & 3 AS bits
+      |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) b),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, e.vec_id
+      |  FROM banded e JOIN banded q
+      |    ON e.band = q.band AND e.bits = q.bits
+      |   AND q.vec_id IN (0, 100, 200) AND e.vec_id <> q.vec_id),
+      |scored AS (
+      |  SELECT c.query_id, c.vec_id,
+      |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine
+      |  FROM cand c
+      |  JOIN embeddings e ON e.vec_id = c.vec_id
+      |  JOIN embeddings q ON q.vec_id = c.query_id)
+      |SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, vec_id) AS rn
+      |  FROM scored) t
+      |WHERE rn <= 10
+      |ORDER BY query_id, rn""".stripMargin
+
+  /** Build-once on-disk LSH index for the state-served read (q189):
+    * fold the corpus through the SAME micro-batch sign-and-append the
+    * maintenance stream runs (LshStateStream.update, two parity waves so
+    * wave 1's anti-join probes non-empty state, then a REPLAY of wave 1
+    * so the idempotence no-op executes against real state). Memoized per
+    * (session, corpus); protectNew = false — the durable product is the
+    * on-disk index (the q180/q181 servedStateDir contract). */
+  private def servedLshStateDir(s: SparkSession, d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"lshstate|$d/embeddings.parquet",
+        protectNew = false) {
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_lsh_state").toString)
+      val embs = Tables.embeddings(s, d)
+      val wave1 = embs.filter(col("vec_id") % 2 =!= 0)
+      graft.streaming.LshStateStream.update(dir)(
+        embs.filter(col("vec_id") % 2 === 0), 0L)
+      graft.streaming.LshStateStream.update(dir)(wave1, 1L)
+      graft.streaming.LshStateStream.update(dir)(wave1, 1L) // replay no-op
+      dir
+    }
 
   private def cosineSql(a: String, b: String) =
     s"round(list_cosine_similarity($a::DOUBLE[], $b::DOUBLE[]), 6)"
@@ -1831,38 +1899,7 @@ object Similarity {
           .orderBy(col("d1"), col("d2"))
     },
 
-    Q("q39_ann_lsh_topk",
-      """WITH sig AS (
-        |  SELECT vec_id,
-        |    CAST(sum(CASE WHEN proj > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS sig
-        |  FROM (
-        |    SELECT vec_id, p.p AS p,
-        |      list_sum(list_transform(range(len(embedding)), j ->
-        |        CAST(embedding[j + 1] AS DOUBLE) *
-        |        (CASE WHEN CAST('0x' || substring(md5(p.p || '|' || j), 1, 1) AS INTEGER) % 2 = 0
-        |              THEN 1.0 ELSE -1.0 END))) AS proj
-        |    FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS p) p) t
-        |  GROUP BY vec_id),
-        |banded AS (
-        |  SELECT vec_id, b.b AS band, (sig >> (b.b * 2)) & 3 AS bits
-        |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) b),
-        |cand AS (
-        |  SELECT DISTINCT q.vec_id AS query_id, e.vec_id
-        |  FROM banded e JOIN banded q
-        |    ON e.band = q.band AND e.bits = q.bits
-        |   AND q.vec_id IN (0, 100, 200) AND e.vec_id <> q.vec_id),
-        |scored AS (
-        |  SELECT c.query_id, c.vec_id,
-        |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine
-        |  FROM cand c
-        |  JOIN embeddings e ON e.vec_id = c.vec_id
-        |  JOIN embeddings q ON q.vec_id = c.query_id)
-        |SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rn FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cosine DESC, vec_id) AS rn
-        |  FROM scored) t
-        |WHERE rn <= 10
-        |ORDER BY query_id, rn""".stripMargin,
+    Q("q39_ann_lsh_topk", q39OracleSql,
       "Hyperplane-LSH ANN top-10 for the same 3 queries: banded signature bucket equi-join + exact re-rank. The q39 registration uses md5-parity planes so the DuckDB twin re-derives the identical signatures (the 'approximate' method is a deterministic function of the corpus — only the recall is approximate, and that is pinned vs q36 in SimilaritySpec); production uses the xxhash64 planes (portablePlanes=false). Both Spark's aggregate and DuckDB's list_sum are strict sequential folds, so the projection sign test agrees to the last ulp.") {
       (s, d) =>
         annTopK(Tables.embeddings(s, d), QueryIds, 10, portablePlanes = true,
@@ -2275,6 +2312,14 @@ object Similarity {
       (s, d) =>
         graft.streaming.CentroidStateStream.driftMatrixFromState(s,
           servedCentroidStateDir(s, d))
+    },
+
+    Q("q189_lsh_topk_state_served", q39OracleSql,
+      "q39's hyperplane-LSH top-10 served FROM the MAINTAINED on-disk index — the retrieval family's second served search path (q182 serves the IVF index; this serves the LSH one), and the on-disk twin of the in-session signature memo the q39/q128/q137 trio shares: production signs each vector ONCE at ingest (LshStateStream.update — anti-join-idempotent appends of (vec_id, sig, embedding), exercised here in two parity waves plus a replayed wave so the no-op path runs against real state) and every search derives band keys from PERSISTED signatures by shift-and-mask — no signature is recomputed at read time, which is the entire point of an LSH index. The probe and exact re-rank are Similarity.annTopKFromSigned — the ONE search definition the batch operator, the memo, and this read all share — and the embedding rides in state at its original float width (parquet-exact, VecDot widens per element), so the oracle twin is q39's SQL verbatim and a hash match proves end-to-end that searching the incrementally-built index and a batch sign-and-search recompute are value-identical. Scale: the read is one scan of 8+8 bytes/vec of keys (plus the candidate vectors), a |corpus|x4 band equi-join against 3 broadcast queries, and a bounded re-rank; ingest pays |batch| multiply-adds once, amortized forever.") {
+      (s, d) =>
+        graft.streaming.LshStateStream.topKFromState(s,
+            servedLshStateDir(s, d), QueryIds, k = 10)
+          .orderBy(col("query_id"), col("rn"))
     },
   )
 

@@ -464,6 +464,34 @@ object CorpusStateStream {
             - (col("slnq") * lit(1e-6d)) / col("n_scored")).as("avg_nll"))
   }
 
+  /** q80's contamination report served FROM the maintained state instead
+    * of a same-query split: per probe document, how many of its distinct
+    * 3-gram shingles are PRESENT in the persisted set (the decontamination
+    * read an eval pipeline runs against the training corpus's maintained
+    * shingle state before trusting a benchmark — the dual of
+    * [[noveltyAgainstState]], which counts the absent side per source).
+    * Only contaminated docs (n_shared > 0) are returned, q80's shape.
+    * Scale: |probe| compiled shingle derivation + ONE semi-join against
+    * state read with pushdown on the 8-byte key — the training corpus
+    * text is never rescanned, and the probe side (an eval set) is tiny
+    * by construction. */
+  def contaminationAgainstState(stateDir: String, probe: DataFrame): DataFrame = {
+    val spark = probe.sparkSession
+    // ShingleHash64 dedupes per doc, so (doc_id, h) is already unique
+    val sh = probe.select(col("doc_id"),
+      explode(graft.expressions.ShingleHash64(col("text"))).as("h"))
+    val tot = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = sh
+      .join(shingleState(spark, stateDir), Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    tot.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) * lit(1.0d) / col("n_shingles"))
+          .as("contamination"))
+      .filter(col("n_shared") > 0)
+  }
+
   /** q118's novelty probe served FROM the maintained state instead of a
     * same-query split: per source, the fraction of an arrival batch's
     * distinct shingles absent from the persisted set. Run BEFORE folding

@@ -150,6 +150,22 @@ class CorpusStateStreamSpec extends SparkSpec {
     assert(post == 0L, "after folding the batch into state nothing is novel")
   }
 
+  test("contamination served from state matches the q80 batch operator") {
+    val root = Files.createTempDirectory("graft-corpstate-contam").toString
+    val stateDir = s"$root/state"
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val split = graft.operators.Sampling.splitOf(col("doc_id"))
+    CorpusStateStream.update(stateDir)(docs.filter(split === "train"), 0L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id")).collect().map(_.toString).toSeq
+    assert(rows(CorpusStateStream.contaminationAgainstState(stateDir,
+        docs.filter(split === "test"))) ==
+      rows(graft.operators.Dedup.contamination(
+        graft.Tables.documents(spark, sf0001))),
+      "state-served contamination diverged from the q80 batch operator")
+  }
+
   test("arrival cut list served from state: batch-twin equal, state-only by design") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-corpstate-cutlist").toString
