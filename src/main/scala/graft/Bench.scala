@@ -82,7 +82,11 @@ object Bench {
           .rowsBetween(Window.unboundedPreceding, 0)))
         .groupBy(col("k"))
         .agg(sum(col("rs")).as("s"), avg(col("rn")).as("a"),
-          count(lit(1)).as("c"), max(col("u") + col("w")).as("m"))
+          count(lit(1)).as("c"), max(col("u") + col("w")).as("m"),
+          // decimal aggregate path: the DetAgg-style decimal sums the
+          // oracle-parity aggregates run through (q01's plan shape)
+          sum(col("v").cast("decimal(20,6)")).as("ds"),
+          avg(col("v").cast("decimal(20,6)")).as("da"))
         .write.format("noop").mode("overwrite").save()
     }
     Tables.names.foreach(t => Tables.load(spark, sfDir, t).limit(1)

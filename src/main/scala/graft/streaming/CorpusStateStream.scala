@@ -477,18 +477,19 @@ object CorpusStateStream {
     * by construction. */
   def contaminationAgainstState(stateDir: String, probe: DataFrame): DataFrame = {
     val spark = probe.sparkSession
-    // ShingleHash64 dedupes per doc, so (doc_id, h) is already unique
+    // ONE probe scan: shingle once, LEFT-join the state's membership
+    // marker, and fold total + shared counts in the same aggregate (the
+    // noveltyAgainstState plan shape) — a tot/hits two-branch formulation
+    // would scan and shingle the probe twice (PlanSpec pins this)
     val sh = probe.select(col("doc_id"),
       explode(graft.expressions.ShingleHash64(col("text"))).as("h"))
-    val tot = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val hits = sh
-      .join(shingleState(spark, stateDir), Seq("h"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    tot.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        (coalesce(col("n_shared"), lit(0L)) * lit(1.0d) / col("n_shingles"))
-          .as("contamination"))
+    sh.join(shingleState(spark, stateDir).withColumn("seen", lit(1)),
+        Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared") * lit(1.0d) / col("n_shingles")).as("contamination"))
       .filter(col("n_shared") > 0)
   }
 

@@ -285,6 +285,43 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("partial_"), "gate aggregate must combine map-side")
   }
 
+  test("served reads touch state, never rescan what the state replaced") {
+    // the q187–q190 serving contract made a plan property: each read's
+    // executed plan scans its persisted state dir, and the corpus-sized
+    // work the state replaced (tokenization, signature derivation, the
+    // source table the state is FOR) is absent from the read plan — the
+    // claim the scaling rows price, pinned so a refactor that quietly
+    // reattaches a corpus scan fails here and not in a bench regression
+    def occurrences(s: String, sub: String): Int =
+      s.sliding(sub.length).count(_ == sub)
+    // q187: pure projection over the packing ledger — no document scan,
+    // no tokenization anywhere in the plan
+    val pack = planString("q187_packing_state_served")
+    assert(pack.contains("graft_pack_state"), "q187 must read the ledger state")
+    assert(!pack.contains("documents.parquet") && !pack.contains("split("),
+      "q187 must not rescan or retokenize the corpus:\n" + pack.take(800))
+    // q188/q190: ONE documents scan (the probe side), shingle state joined in
+    val nov = planString("q188_novelty_state_served")
+    assert(nov.contains("graft_nov_state"), "q188 must read the shingle state")
+    assert(occurrences(nov, "documents.parquet") == 1,
+      "q188 reads documents exactly once (arrivals): " +
+        occurrences(nov, "documents.parquet"))
+    val cont = planString("q190_contamination_state_served")
+    assert(cont.contains("graft_trainsh_state"), "q190 must read train state")
+    assert(occurrences(cont, "documents.parquet") == 1,
+      "q190 reads documents exactly once (the probe split): " +
+        occurrences(cont, "documents.parquet"))
+    // q189: band keys derive from PERSISTED signatures — no embeddings
+    // scan and no per-row signature recompute (the zip_with/aggregate
+    // HOF chain) anywhere in the read plan
+    val lsh = planString("q189_lsh_topk_state_served")
+    assert(lsh.contains("graft_lsh_state"), "q189 must read the LSH state")
+    assert(!lsh.contains("embeddings.parquet"),
+      "q189 must not rescan the embeddings table:\n" + lsh.take(800))
+    assert(!lsh.contains("zip_with"),
+      "q189 must not recompute signatures at read time:\n" + lsh.take(800))
+  }
+
   test("shuffle counts stay bounded for the headline queries") {
     val maxShuffles = Map(
       "q01_pricing_summary" -> 2, // partial/final agg + sort
