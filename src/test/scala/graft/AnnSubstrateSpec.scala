@@ -70,6 +70,27 @@ class AnnSubstrateSpec extends SparkSpec {
       s"corpus B leaked corpus A's substrate: ${pb.mkString(";")}")
   }
 
+  test("the retrieval trio reads the ONE memoized LSH signature frame (identity pin)") {
+    // the DedupScaleSpec convention: match by backing-RDD id, never a
+    // plan-string fingerprint. Constructing the registered frames
+    // populates the memo (annTopK routes through the keyed path).
+    def rddIds(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }.toSet
+    val trio = Seq("q39_ann_lsh_topk", "q128_ann_recall", "q137_rrf_fusion")
+      .map(n => n -> SparkEntry.queries(n)(spark, sf0001))
+    val frame = AnnSubstrate.cached[org.apache.spark.sql.DataFrame](spark,
+        s"lshsig|$sf0001/embeddings.parquet|8|true")
+      .getOrElse(fail("lshsig substrate not memoized — did the trio stop " +
+        "routing through annTopK(corpusKey)?"))
+    val subIds = rddIds(frame)
+    assert(subIds.nonEmpty, "lshsig substrate is not checkpoint-backed")
+    for ((name, df) <- trio)
+      assert((rddIds(df) & subIds).nonEmpty,
+        s"$name does not read the memoized LSH signature checkpoint")
+  }
+
   test("substrate frames survive an unpersist sweep that honors protectedRddIds") {
     val docs = Tables.documents(spark, sf0001)
     val keyed = Dedup.nearDupSurvivors(docs, maxHamming = 8,
