@@ -1256,6 +1256,45 @@ object Dedup {
       |WHERE COALESCE(hit.n_shared, 0) > 0
       |ORDER BY tot.doc_id""".stripMargin
 
+  /** q106's oracle SQL — shared VERBATIM with q191's state-served read,
+    * so a hash match there proves the maintained boilerplate blacklist
+    * (additive df deltas under the ledger protocol, folded before
+    * serving) and a full-corpus batch recompute are value-identical. */
+  private val q106OracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
+      |  FROM toks),
+      |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+      |nd AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT sh AS phrase, CAST(df AS BIGINT) AS df,
+      |  CAST(df AS DOUBLE) / n_docs AS df_share
+      |FROM df, nd WHERE df >= 2 ORDER BY df DESC, phrase""".stripMargin
+
+  /** Build-once on-disk boilerplate-blacklist state for the q191
+    * state-served read: the corpus folded through BoilerplateStateStream
+    * .update in two doc_id-parity waves (the additive delta-ledger
+    * protocol — a replayed wave exercises the ledger fast path against
+    * real state), then FOLDED to per-phrase snapshots before serving, so
+    * the driver's hash gate re-proves fold neutrality for this fifth
+    * delta table cross-engine every round (the q181 contract). */
+  private def servedBoilerplateStateDir(s: SparkSession, d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"bpstate|$d/documents.parquet",
+        protectNew = false) {
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_bp_state").toString)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val wave1 = docs.filter(col("doc_id") % 2 =!= 0)
+      graft.streaming.BoilerplateStateStream.update(dir)(
+        docs.filter(col("doc_id") % 2 === 0), 0L)
+      graft.streaming.BoilerplateStateStream.update(dir)(wave1, 1L)
+      graft.streaming.BoilerplateStateStream.update(dir)(wave1, 1L) // replay
+      graft.streaming.BoilerplateStateStream.foldDeltas(s, dir)
+      dir
+    }
+
   /** Build-once on-disk corpus state holding exactly q80's TRAIN split
     * (the md5-bucket membership, Sampling.splitOf) — folded through the
     * SAME micro-batch update the maintenance stream runs, two parity
@@ -1432,18 +1471,7 @@ object Dedup {
         sourceOverlap(Tables.documents(s, d)).orderBy(col("s1"), col("s2"))
     },
 
-    Q("q106_boilerplate_phrases",
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
-        |  FROM toks),
-        |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
-        |nd AS (SELECT count(*) AS n_docs FROM documents)
-        |SELECT sh AS phrase, CAST(df AS BIGINT) AS df,
-        |  CAST(df AS DOUBLE) / n_docs AS df_share
-        |FROM df, nd WHERE df >= 2 ORDER BY df DESC, phrase""".stripMargin,
+    Q("q106_boilerplate_phrases", q106OracleSql,
       "Corpus boilerplate phrase table — the C4/RefinedWeb removal list AS AN ARTIFACT: every word-3-gram that occurs in two or more distinct documents, with its document frequency and df-share, ordered hottest first. This is the list a curator reviews (and the q107 accounting consumes) before cross-document spans are stripped from training text; emitting the PHRASE rather than its hash is the point, so the Spark side uses the compiled ShingleText expression — byte-for-byte the ShingleHash64 tokenize/window loop (one virtual call per row, loop in compiled Scala) emitting text instead of hashes, which keeps this query's notion of a shingle identical to the hash the whole dedup family joins on. Scale shape: per-document distinct shingles dedupe IN-ROW before the explode, so the single shuffle is a map-side-combined count at |shingle vocabulary| keys (bounded by vocab^3, ~27k here; at 100 TB the df>=2 cut drops the unique-phrase long tail before anything is collected, and the blacklist that survives is exactly what ships to q107's broadcast). The corpus doc count joins as a one-row broadcast; df and the >=2 cut are exact integers, df_share one IEEE division.") {
       (s, d) =>
         val docs = Tables.documents(s, d)
@@ -2340,6 +2368,13 @@ object Dedup {
               .select(col("doc_id"), col("text"))
               .filter(Sampling.splitOf(col("doc_id")) === "test"))
           .orderBy(col("doc_id"))
+    },
+
+    Q("q191_boilerplate_state_served", q106OracleSql,
+      "q106's C4-style boilerplate blacklist served FROM MAINTAINED state — the artifact's production shape: document frequency per cross-document word-3-gram accumulates as additive (batch_id, phrase, delta) rows under the vocab delta-ledger protocol (deltas append before the ledger row, so a crash-replay can never double a count) as batches arrive, and the reviewed removal list — df >= 2 with its df_share against the accumulated corpus size, hottest first — is a |phrase-vocabulary|-key sum over the persisted counts; the corpus text is scanned ONCE at arrival, never per blacklist refresh, which is what lets a 100 TB curation stack re-quote its removal list per crawl. The state dir is built once per (session, corpus) in two parity waves plus a replayed wave (BoilerplateStateStream.update), then FOLDED to per-phrase snapshots (CorpusStateStream.foldDeltaState, the fifth delta table in the tree) before serving — so the oracle twin, q106's SQL verbatim, makes the driver's hash gate re-prove BOTH incremental-df == batch-df AND fold neutrality cross-engine every round. The phrase TEXT is the state key deliberately: the blacklist is a human-reviewed artifact (hashing the key would defeat review and admit collisions the batch groupBy does not have). Scale: per batch one compiled ShingleText pass into a map-side-combined aggregate; read side bounded by the 3-gram vocabulary with the df cut applied before any ordering.") {
+      (s, d) =>
+        graft.streaming.BoilerplateStateStream.phraseTableFromState(s,
+          servedBoilerplateStateDir(s, d))
     },
   )
 

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The incrementally maintained boilerplate blacklist: the state-served
+  * q106 phrase table must equal the batch recompute over all delivered
+  * documents — across batches, a replayed batch, a crash window between
+  * a delta append and its ledger row, and a fold. */
+class BoilerplateStreamSpec extends SparkSpec {
+
+  private def docsSlice(pred: org.apache.spark.sql.Column) =
+    Tables.documents(spark, sf0001)
+      .filter(pred)
+      .select(col("doc_id"), col("text"), col("source"))
+
+  /** The q106 batch operator over an arbitrary corpus slice. */
+  private def batchTable(docs: org.apache.spark.sql.DataFrame) = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(
+        explode(graft.expressions.ShingleText(col("text"), 3)).as("phrase"))
+      .groupBy(col("phrase")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .crossJoin(broadcast(nDocs))
+      .select(col("phrase"), col("df"),
+        (col("df").cast("double") / col("n_docs").cast("double")).as("df_share"))
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy(col("df").desc, col("phrase"))
+      .collect().map(_.toString).toSeq
+
+  test("state-served blacklist == batch q106 across batches, replay, crash window") {
+    val root = Files.createTempDirectory("graft-bpstate").toString
+    val state = s"$root/state"
+    val b1 = docsSlice(col("doc_id") % 3 === 0)
+    val b2 = docsSlice(col("doc_id") % 3 === 1)
+    val b3 = docsSlice(col("doc_id") % 3 === 2)
+    BoilerplateStateStream.update(state)(b1, 0L)
+    // mid-stream read must already be exact over what has arrived
+    assert(rows(BoilerplateStateStream.phraseTableFromState(spark, state)) ==
+      rows(batchTable(docsSlice(col("doc_id") % 3 === 0))),
+      "mid-stream blacklist diverged from batch")
+    BoilerplateStateStream.update(state)(b2, 1L)
+    BoilerplateStateStream.update(state)(b2, 1L) // crash-and-replay delivery
+    // crash window: batch 2's phrase deltas land but its ledger row is
+    // lost — the normal-path replay must heal without double-counting
+    b3.select(explode(graft.expressions.ShingleText(col("text"), 3)).as("phrase"))
+      .groupBy(col("phrase")).agg(count(lit(1)).as("delta"))
+      .select(lit(2L).as("batch_id"), col("phrase"), col("delta"))
+      .write.mode("append").parquet(s"$state/bp_phrases")
+    BoilerplateStateStream.update(state)(b3, 2L)
+    val served = rows(BoilerplateStateStream.phraseTableFromState(spark, state))
+    assert(served == rows(batchTable(docsSlice(lit(true)))),
+      "final blacklist diverged from batch (replay or crash window double-counted)")
+    assert(served.nonEmpty, "fixture produced an empty blacklist")
+  }
+
+  test("fold is value-neutral and bounds the delta log; drain with foldEvery matches batch") {
+    val root = Files.createTempDirectory("graft-bpfold").toString
+    val state = s"$root/state"
+    (0 until 3).foreach(i => BoilerplateStateStream.update(state)(
+      docsSlice(col("doc_id") % 3 === i), i.toLong))
+    val pre = rows(BoilerplateStateStream.phraseTableFromState(spark, state))
+    val ((pb, pa), (cb, ca)) = BoilerplateStateStream.foldDeltas(spark, state)
+    assert(ca == 1, s"three counter rows must fold to one ($cb -> $ca)")
+    assert(pa <= pb, s"phrase fold grew the table ($pb -> $pa)")
+    assert(pre == rows(BoilerplateStateStream.phraseTableFromState(spark, state)),
+      "fold changed the served blacklist")
+    // streamed drain through the file source with in-stream folds
+    val root2 = Files.createTempDirectory("graft-bpdrain").toString
+    val docsDir = s"$root2/docs"; val state2 = s"$root2/state"
+    docsSlice(lit(true)).repartition(4).write.parquet(docsDir)
+    BoilerplateStateStream.start(spark, docsDir, state2, s"$root2/ckpt",
+      availableNow = true, maxFilesPerTrigger = Some(1),
+      foldEvery = Some(2)).awaitTermination()
+    assert(rows(BoilerplateStateStream.phraseTableFromState(spark, state2)) ==
+      rows(batchTable(docsSlice(lit(true)))),
+      "drained blacklist with mid-stream folds diverged from batch")
+  }
+}
