@@ -56,7 +56,7 @@ object Reshape {
         |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
         |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-      "Exact interpolated percentiles (Spark percentile == DuckDB quantile_cont, linear interpolation); the approx_percentile sketch is the 100 TB swap-in. Both price percentiles come from ONE array-percentile buffer — separate aggs would each collect the full column per group.") {
+      "Exact interpolated percentiles (Spark percentile == DuckDB quantile_cont, linear interpolation); the approx_percentile sketch is the 100 TB swap-in. Both price percentiles come from ONE array-percentile buffer — separate aggs would each collect the full column per group. Measured do-not (r13): the buffer-free distributed alternative — melt both columns, rank with a partitioned sort window, equi-join the floor/ceil rows of each p*(n-1) position, interpolate — verified hash-equal but benched 2.6 s vs 1.57 s at sf0.1 (the melt doubles rows and the sort shuffle outweighs the ~1 s of aggregate-map GC it removes), so the buffer form stays registered; the sort form is the documented escape hatch only where a single group's value count breaks the aggregate's memory, and q52's sketch remains the first swap-in.") {
       (s, d) =>
         Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
