@@ -170,10 +170,14 @@ object Bench {
         f"${prior(q.name)}%.2f s — re-measuring")
       q.name -> (first, measure(q))
     }.toMap
+    // the queries map and total take the re-measured median (the honest
+    // steady state), but `detail` KEEPS the first pass's reps/gc/storage —
+    // an anomaly's own measurement is exactly the evidence a diagnosis
+    // needs, and the rerun's detail rides under `outliers` instead
     val results = firstPass.map { case (q, (med, detail)) =>
       outliers.get(q.name) match {
         case Some((first, (rerun, rerunDetail))) if !rerun.isNaN =>
-          (q.name, rerun, rerunDetail, Some(first))
+          (q.name, rerun, detail, Some((first, rerunDetail)))
         case _ => (q.name, med, detail, None)
       }
     }
@@ -186,8 +190,8 @@ object Bench {
     val details = results.map { case (k, _, d, _) =>
       "\"" + k + "\":" + d
     }.mkString("{", ",", "}")
-    val outJson = results.collect { case (k, v, _, Some(first)) =>
-      s""""$k":{"first":${fmt(first)},"rerun":${numOr(v, "-1")}}"""
+    val outJson = results.collect { case (k, v, _, Some((first, rerunDetail))) =>
+      s""""$k":{"first":${fmt(first)},"rerun":${numOr(v, "-1")},"rerun_detail":$rerunDetail}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filterNot(_.isNaN).sum
     // field order matters downstream: the driver's round record keeps only
