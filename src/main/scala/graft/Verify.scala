@@ -14,11 +14,6 @@ object Verify {
     // matches nothing is a hard error, not a silent no-op run.
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
-    only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
-      require(unknown.isEmpty,
-        s"unknown query name(s) in filter: ${unknown.mkString(", ")}")
-    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,6 +24,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark) // SQL fns + levenshtein banded rewrite
+    // Publish the corpus size BEFORE any oracle SQL is rendered: the
+    // auto-nlist oracle builders embed autoNlist(this count) as the
+    // k-means seed literal, so the oracle proves the REGISTERED
+    // (auto-scaled) form at every SF, not just where auto floors to 8
+    // (metadata-only parquet count — one tiny job). MUST precede the
+    // FIRST touch of SparkEntry: the operator modules hold their Q seqs
+    // in vals, so oracle strings freeze at object init — the filter
+    // validation below is deliberately after this line.
+    OracleCtx.setEmbeddingsCount(
+      spark.read.parquet(s"$sfDir/embeddings.parquet").count())
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s) in filter: ${unknown.mkString(", ")}")
+    }
     new java.io.File(outDir).mkdirs()
     // Remove any verify_errors.json a PRIOR run left: the checker treats a
     // recorded failure as authoritative, so a crashed rerun that fixed a

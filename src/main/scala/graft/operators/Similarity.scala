@@ -1260,12 +1260,26 @@ object Similarity {
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(range(64), j -> $a[j+1] * $b[j+1]))"
 
+  /** The oracle-side twin of [[resolveNlist]]: [[autoNlist]] over the
+    * driver-published corpus count ([[graft.OracleCtx]], set by Verify
+    * before any oracle SQL renders), falling back to the historical 8
+    * when no Verify context exists (tests/Bench never consume oracle
+    * SQL). ONE sizing rule on both sides: the engine resolves
+    * autoNlist(count(embeddings)) at run time, the oracle embeds
+    * autoNlist(count(embeddings)) as the seed literal — so the oracle
+    * proves the REGISTERED auto-scaled form at every SF, which closed
+    * the round-13 sf0.1 divergence class (q112/q138/q150/q155/q165/q174). */
+  private[graft] def oracleNlist: Int =
+    graft.OracleCtx.embeddingsCount.map(autoNlist).getOrElse(8)
+
   /** Shared DuckDB CTE chain for the portable k-means family (q49, q112):
     * dv → deterministic seeds c0 → three unrolled Lloyd assign/recompute
     * rounds → final `lists`(vec_id, v, cid) — the twin of
     * kmeansCentroids(portableMeans = true) + assign. Callers prepend
-    * "WITH " and append their own tail CTEs. */
-  private def kmeansListsCtes: String = {
+    * "WITH " and append their own tail CTEs. `nlist` is the seed count:
+    * the fixed-nlist family (q49/q139/q142/q183) passes its registered
+    * literal 8; the auto family passes [[oracleNlist]]. */
+  private def kmeansListsCtes(nlist: Int = 8): String = {
     def dot(a: String, b: String) = dotSql(a, b)
     def assignCte(prev: String, out: String) =
       s"""${out}_sim AS (
@@ -1288,7 +1302,7 @@ object Similarity {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
-       |  FROM (SELECT vec_id, v FROM dv ORDER BY vec_id LIMIT 8) t),
+       |  FROM (SELECT vec_id, v FROM dv ORDER BY vec_id LIMIT $nlist) t),
        |${assignCte("c0", "a1")},
        |${recomputeCte("a1", "c1")},
        |${assignCte("c1", "a2")},
@@ -1430,7 +1444,7 @@ object Similarity {
     * embeddings schema). */
   private def q49OracleSql: String = {
     def dot(a: String, b: String) = dotSql(a, b)
-    s"""WITH $kmeansListsCtes,
+    s"""WITH ${kmeansListsCtes()},
        |queries AS (
        |  SELECT vec_id AS query_id, v AS qv FROM lists WHERE vec_id IN (0, 100, 200)),
        |probes AS (
@@ -1461,7 +1475,7 @@ object Similarity {
     * in q49's explicit dot/sqrt form. */
   private def q183OracleSql: String = {
     def dot(a: String, b: String) = dotSql(a, b)
-    s"""WITH $kmeansListsCtes,
+    s"""WITH ${kmeansListsCtes()},
        |${pqCtes(4, 16, prefix = "pq_")},
        |jc AS (
        |  SELECT a.vec_id, a.sub, c.cvec FROM pq_codes a
@@ -1587,7 +1601,7 @@ object Similarity {
 
   private def q174OracleSql: String = {
     def dot(a: String, b: String) = dotSql(a, b)
-    s"""WITH $kmeansListsCtes,
+    s"""WITH ${kmeansListsCtes(oracleNlist)},
        |sides AS (
        |  SELECT cid, vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM lists),
        |sempairs AS (
@@ -1631,7 +1645,7 @@ object Similarity {
 
   private def q112OracleSql: String = {
     def dot(a: String, b: String) = dotSql(a, b)
-    s"""WITH $kmeansListsCtes,
+    s"""WITH ${kmeansListsCtes(oracleNlist)},
        |sides AS (
        |  SELECT cid, vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM lists),
        |pairs AS (
@@ -1657,7 +1671,7 @@ object Similarity {
     def dot(a: String, b: String) = dotSql(a, b)
     def cos(v: String, q: String) =
       s"round(${dot(v, q)} / (sqrt(${dot(v, v)}) * sqrt(${dot(q, q)})), 6)"
-    s"""WITH $kmeansListsCtes,
+    s"""WITH ${kmeansListsCtes()},
        |queries AS (
        |  SELECT vec_id AS query_id, v AS qv FROM lists
        |  WHERE vec_id IN (${QueryIds.mkString(", ")})),
@@ -1708,7 +1722,7 @@ object Similarity {
     * never-chosen vectors land in the 0 bucket. */
   private def q138OracleSql: String = {
     def dot(a: String, b: String) = dotSql(a, b)
-    s"""WITH $kmeansListsCtes,
+    s"""WITH ${kmeansListsCtes(oracleNlist)},
        |nr AS (SELECT cid, vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM lists),
        |sc AS (
        |  SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -1730,7 +1744,7 @@ object Similarity {
     * cosine, DetAgg decimal average, shares against the one-row total. */
   private def q139OracleSql(nlist: Int): String = {
     def dot(a: String, b: String) = dotSql(a, b)
-    s"""WITH $kmeansListsCtes,
+    s"""WITH ${kmeansListsCtes()},
        |mc AS (
        |  SELECT l.cid,
        |    round(${dot("l.v", "c.cvec")} /
@@ -1794,7 +1808,7 @@ object Similarity {
 
   private def q165OracleSql(k: Int): String = {
     def dot(a: String, b: String) = dotSql(a, b)
-    s"""WITH $kmeansListsCtes,
+    s"""WITH ${kmeansListsCtes(oracleNlist)},
        |lb AS (
        |  SELECT l.cid, l.vec_id, l.v, e.label, sqrt(${dot("l.v", "l.v")}) AS nrm
        |  FROM lists l JOIN embeddings e ON l.vec_id = e.vec_id),
@@ -2440,7 +2454,7 @@ object Similarity {
 
   private def q150OracleSql(langX: String, langY: String, k: Int): String = {
     def dot(a: String, b: String) = dotSql(a, b)
-    s"""WITH $kmeansListsCtes,
+    s"""WITH ${kmeansListsCtes(oracleNlist)},
        |ll AS (
        |  SELECT l.cid, l.vec_id, l.v, sqrt(${dot("l.v", "l.v")}) AS nrm, d.lang
        |  FROM lists l JOIN documents d ON l.vec_id = d.doc_id),
@@ -2532,7 +2546,7 @@ object Similarity {
 
   private def q155OracleSql(stride: Long): String = {
     def dot(a: String, b: String) = dotSql(a, b)
-    s"""WITH $kmeansListsCtes,
+    s"""WITH ${kmeansListsCtes(oracleNlist)},
        |ll AS (
        |  SELECT l.cid, l.vec_id, l.v, sqrt(${dot("l.v", "l.v")}) AS nrm,
        |    e.label

@@ -96,6 +96,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum > 0)
   }
 
+  test("oracle-side nlist resolves through the SAME autoNlist as the engine") {
+    // The round-13 residual: the auto-nlist oracles pinned 8 lists, so
+    // the oracle stopped proving the registered form exactly where
+    // auto-nlist grows (sf0.1). Now Verify publishes the corpus count
+    // (OracleCtx) and the oracle builders embed autoNlist(count) — ONE
+    // sizing rule on both sides. Pin the resolver and its fallback.
+    try {
+      graft.OracleCtx.setEmbeddingsCount(5000L)
+      assert(Similarity.oracleNlist == Similarity.autoNlist(5000L))
+      assert(Similarity.oracleNlist > 8, "must scale past the floor")
+      graft.OracleCtx.setEmbeddingsCount(500L)
+      assert(Similarity.oracleNlist == 8, "gate scale floors to 8")
+    } finally graft.OracleCtx.clear()
+    assert(Similarity.oracleNlist == 8,
+      "no Verify context: historical 8 (tests/Bench never consume oracle SQL)")
+  }
+
   test("overlap chunks: full coverage, strictly advancing ends, no contained tails") {
     val W = 32; val S = 24
     val ch = Sampling.overlapChunks(docs, W, S).collect()
