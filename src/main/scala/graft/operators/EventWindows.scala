@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -130,6 +130,101 @@ object EventWindows {
         kindCount("resurrected"), kindCount("churned"))
   }
 
+  /** q72_funnel's oracle SQL — shared VERBATIM with its state-served
+    * stream read (q192–q196 family), so a hash match there proves the
+    * fMGWS machine's persisted records and the batch recompute are
+    * value-identical (the q118/q188 sharing convention). */
+  private val q72OracleSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |  JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |  JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_click,
+      |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin
+
+  /** q73_retention_cohorts's oracle SQL — shared VERBATIM with its state-served
+    * stream read (q192–q196 family), so a hash match there proves the
+    * fMGWS machine's persisted records and the batch recompute are
+    * value-identical (the q118/q188 sharing convention). */
+  private val q73OracleSql: String =
+    """WITH firstw AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+      |  FROM events GROUP BY user_id),
+      |active AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+      |  FROM events)
+      |SELECT f.cohort AS cohort_week,
+      |  CAST(epoch(a.wk - f.cohort) / 604800 AS INT) AS week_n,
+      |  count(*) AS n_users
+      |FROM active a JOIN firstw f ON a.user_id = f.user_id
+      |GROUP BY cohort_week, week_n
+      |ORDER BY cohort_week, week_n""".stripMargin
+
+  /** q77_ewma_smoothing's oracle SQL — shared VERBATIM with its state-served
+    * stream read (q192–q196 family), so a hash match there proves the
+    * fMGWS machine's persisted records and the batch recompute are
+    * value-identical (the q118/q188 sharing convention). */
+  private val q77OracleSql: String =
+    """WITH g AS (
+      |  SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+      |    list(value ORDER BY ts, event_id) AS vals
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE))
+      |SELECT user_id, day, CAST(len(vals) AS INT) AS n_events,
+      |  list_reduce(vals,
+      |    (acc, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc) AS ewma
+      |FROM g ORDER BY user_id, day""".stripMargin
+
+  /** q98_session_conversion's oracle SQL — shared VERBATIM with its state-served
+    * stream read (q192–q196 family), so a hash match there proves the
+    * fMGWS machine's persisted records and the batch recompute are
+    * value-identical (the q118/q188 sharing convention). */
+  private val q98OracleSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), numbered AS (
+      |  SELECT user_id, ts, event_type,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked),
+      |sessions AS (
+      |  SELECT user_id, sid, min(ts) AS session_start,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      |  FROM numbered GROUP BY user_id, sid)
+      |SELECT CAST(CAST(session_start AS DATE) AS TIMESTAMP) AS day,
+      |  count(*) AS n_sessions,
+      |  CAST(sum(converted) AS BIGINT) AS n_converted,
+      |  CAST(sum(converted) AS DOUBLE) / count(*) AS conversion_rate
+      |FROM sessions GROUP BY day ORDER BY day""".stripMargin
+
+  /** q86_event_transitions's oracle SQL — shared VERBATIM with its state-served
+    * stream read (q192–q196 family), so a hash match there proves the
+    * fMGWS machine's persisted records and the batch recompute are
+    * value-identical (the q118/q188 sharing convention). */
+  private val q86OracleSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events)
+      |SELECT prev, event_type AS next, count(*) AS n,
+      |  CAST(count(*) AS DOUBLE)
+      |    / CAST(sum(count(*)) OVER (PARTITION BY prev) AS DOUBLE) AS p
+      |FROM seq WHERE prev IS NOT NULL
+      |GROUP BY prev, next
+      |ORDER BY prev, next""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     Q("q20_range_frame_window",
@@ -236,21 +331,7 @@ object EventWindows {
           .orderBy(col("user_id"), col("hour"))
     },
 
-    Q("q72_funnel",
-      """WITH v AS (
-        |  SELECT user_id, min(ts) AS t1 FROM events
-        |  WHERE event_type = 'view' GROUP BY user_id),
-        |c AS (
-        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
-        |  JOIN v ON e.user_id = v.user_id
-        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
-        |p AS (
-        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
-        |  JOIN c ON e.user_id = c.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
-        |SELECT (SELECT count(*) FROM v) AS n_view,
-        |       (SELECT count(*) FROM c) AS n_click,
-        |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+    Q("q72_funnel", q72OracleSql,
       "Ordered funnel (first view -> later click -> later purchase): each stage is one per-user min + one user_id-co-partitioned join — never the 3-way event self-join the naive funnel explodes into. Stage frames shrink monotonically, so each join's build side only gets smaller.") {
       (s, d) =>
         val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
@@ -268,19 +349,7 @@ object EventWindows {
           .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
     },
 
-    Q("q73_retention_cohorts",
-      """WITH firstw AS (
-        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
-        |  FROM events GROUP BY user_id),
-        |active AS (
-        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
-        |  FROM events)
-        |SELECT f.cohort AS cohort_week,
-        |  CAST(epoch(a.wk - f.cohort) / 604800 AS INT) AS week_n,
-        |  count(*) AS n_users
-        |FROM active a JOIN firstw f ON a.user_id = f.user_id
-        |GROUP BY cohort_week, week_n
-        |ORDER BY cohort_week, week_n""".stripMargin,
+    Q("q73_retention_cohorts", q73OracleSql,
       "Weekly retention cohorts: users bucketed by first-activity week, counted in each later active week. Two per-user aggregates plus one user_id-co-partitioned join; cohort output cardinality is weeks², independent of event volume.") {
       (s, d) =>
         val ev = Tables.events(s, d)
@@ -296,15 +365,7 @@ object EventWindows {
           .orderBy(col("cohort_week"), col("week_n"))
     },
 
-    Q("q77_ewma_smoothing",
-      """WITH g AS (
-        |  SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
-        |    list(value ORDER BY ts, event_id) AS vals
-        |  FROM events GROUP BY user_id, CAST(ts AS DATE))
-        |SELECT user_id, day, CAST(len(vals) AS INT) AS n_events,
-        |  list_reduce(vals,
-        |    (acc, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc) AS ewma
-        |FROM g ORDER BY user_id, day""".stripMargin,
+    Q("q77_ewma_smoothing", q77OracleSql,
       "Exponentially weighted moving average per (user, day): y_1 = x_1, y_n = 0.3*x_n + 0.7*y_(n-1) over (ts, event_id)-ordered values. The recursion is inherently sequential, so it runs as an aggregate() left fold over each group's collected values — Spark aggregate() and DuckDB list_reduce are BOTH strict sequential left folds, so the doubles compare bit-equal with no rounding (the q35/q49 fold-parity result). Scale: one shuffle on (user, day); the collected array is one group's events, bounded by per-user-per-day volume, never the stream (an unbounded-key variant would stream via flatMapGroupsWithState like FunnelStream). Literals are CAST AS DOUBLE in the twin because bare 0.3 parses as DECIMAL in DuckDB.") {
       (s, d) =>
         val ev = Tables.events(s, d)
@@ -432,28 +493,7 @@ object EventWindows {
       (s, d) => growthLedger(Tables.events(s, d)).orderBy(col("week"))
     },
 
-    Q("q98_session_conversion",
-      """WITH marked AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
-        |         THEN 1 ELSE 0 END AS new_session
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        |), numbered AS (
-        |  SELECT user_id, ts, event_type,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-        |                           ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM marked),
-        |sessions AS (
-        |  SELECT user_id, sid, min(ts) AS session_start,
-        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
-        |  FROM numbered GROUP BY user_id, sid)
-        |SELECT CAST(CAST(session_start AS DATE) AS TIMESTAMP) AS day,
-        |  count(*) AS n_sessions,
-        |  CAST(sum(converted) AS BIGINT) AS n_converted,
-        |  CAST(sum(converted) AS DOUBLE) / count(*) AS conversion_rate
-        |FROM sessions GROUP BY day ORDER BY day""".stripMargin,
+    Q("q98_session_conversion", q98OracleSql,
       "Sessionized conversion rate — the per-day fraction of 5-minute-gap sessions containing a purchase, rounding out the product-analytics family (q23 defines the sessions, q72 funnels across whole histories, this measures conversion WITHIN a visit). Spark's session_window aggregation against the classic gaps-and-islands SQL twin (the q23 parity, extended with a conversion flag); sessions are attributed to their start date; the rate is an exact int/int division. One shuffle on (session, user); the daily rollup is map-side-combined to |days| rows. Both stages live in streaming/SessionStream and run UNCHANGED under Structured Streaming (watermark + append mode) — SessionStreamSpec pins the parity.") {
       (s, d) =>
         graft.streaming.SessionStream.dailyConversion(
@@ -461,17 +501,7 @@ object EventWindows {
           .orderBy(col("day"))
     },
 
-    Q("q86_event_transitions",
-      """WITH seq AS (
-        |  SELECT user_id, event_type,
-        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM events)
-        |SELECT prev, event_type AS next, count(*) AS n,
-        |  CAST(count(*) AS DOUBLE)
-        |    / CAST(sum(count(*)) OVER (PARTITION BY prev) AS DOUBLE) AS p
-        |FROM seq WHERE prev IS NOT NULL
-        |GROUP BY prev, next
-        |ORDER BY prev, next""".stripMargin,
+    Q("q86_event_transitions", q86OracleSql,
       "First-order Markov transition matrix over per-user event sequences: lag() pairs each event with its predecessor (one shuffle on user_id), bigram counts map-side-combine down to |types|² rows, and row-normalized probabilities come from a window over that tiny matrix. The probability is an exact small-integer division, identical IEEE result in both engines. The 100 TB posture: everything after the single user_id exchange is O(|event types|²), independent of event volume.") {
       (s, d) =>
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -537,5 +567,82 @@ object EventWindows {
           .select(col("event_id"), col("event_type"), col("value"), col("z"))
           .orderBy(col("event_id"))
     },
+
+    Q("q192_funnel_state_served", q72OracleSql,
+      "q72's ordered funnel served FROM the records a REAL flatMapGroupsWithState stream persisted — the first of the five fMGWS machines (funnel, retention, EWMA, bigram, sessionizer) to face the driver's hash gate the way every foreachBatch-maintained family does (q180–q191). The build runs FunnelStream as a genuine Structured-Streaming job: file source over the corpus events split into two time waves plus a watermark-draining marker, THREE separate start()s against one checkpoint (each boundary a real restart that reloads fMGWS state), event-time timeouts draining idle users, append-mode parquet sink with commit log. The read is a 3-column conditional-count aggregate over the persisted stage records; the oracle is q72's SQL VERBATIM — so a hash match proves end-to-end, cross-engine, that the stream's exactly-once stage records (including WatermarkBuffer's admission/drain order and the completed-user tombstone) reproduce the batch min/join cascade. Scale: the deployment shape — per-user state is 3 longs + the watermark-horizon buffer, the sink accumulates finalized records once, and the analytic reads RECORDS (|stages| rows), never replaying event history.") {
+      (s, d) =>
+        graft.streaming.ServedEventStreams.records(s, servedFunnelDir(s, d))
+          .agg(
+            coalesce(sum(when(col("stage") === 1, 1L)), lit(0L)).as("n_view"),
+            coalesce(sum(when(col("stage") === 2, 1L)), lit(0L)).as("n_click"),
+            coalesce(sum(when(col("stage") === 3, 1L)), lit(0L)).as("n_purchase"))
+    },
+
+    Q("q193_retention_state_served", q73OracleSql,
+      "q73's weekly retention cohorts served FROM the (user, week) records RetentionStream persisted across the three-leg restart protocol — the cohort table maintained the way a product-analytics deployment runs it: each user's cohort week fixes at their first finalized event (provably min(ts), by the watermark-ordered finalization argument), each later active week emits exactly once, and the restart boundary proves the O(1) per-user state (cohort + last week) survives checkpoint reload. The read is the q73 rollup over persisted records; the oracle is q73's SQL VERBATIM, so the driver re-proves stream == batch — including the Monday-00:00-UTC week truncation twin — cross-engine every round. Scale: state is O(|users|) with no history term; the cohort matrix read is |weeks|² regardless of event volume.") {
+      (s, d) =>
+        graft.streaming.ServedEventStreams.records(s, servedRetentionDir(s, d))
+          .groupBy(col("cohort_week"), col("week_n"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort_week"), col("week_n"))
+    },
+
+    Q("q194_ewma_state_served", q77OracleSql,
+      "q77's per-(user, day) EWMA served FROM the day records EwmaStream persisted — the whole-day-atomic fMGWS machine under the hash gate: a day buffers while open, finalizes EXACTLY once when the watermark passes its end (event-time timeout guaranteeing the close with no further arrivals), and the finalization fold (sort by (ts, event_id), y1 = x1, yn = 0.3xn + 0.7yn-1) is the SAME strict left fold as q77's batch aggregate — so the persisted doubles compare bit-equal with no rounding. The restart boundary reloads open-day buffers from the checkpoint; the oracle is q77's SQL VERBATIM (DuckDB list_reduce is the same strict fold). The read is a pure select over persisted records. Scale: state per key is one open day's events inside the watermark horizon — |users| x O(1 day), never stream history.") {
+      (s, d) =>
+        graft.streaming.ServedEventStreams.records(s, servedEwmaDir(s, d))
+          .select(col("user_id"), col("day"), col("n_events"), col("ewma"))
+          .orderBy(col("user_id"), col("day"))
+    },
+
+    Q("q195_transitions_state_served", q86OracleSql,
+      "q86's Markov transition matrix served FROM the bigram records BigramStream persisted — per-user consecutive-pair records emitted exactly once as each later event finalizes, with ONE carried event per user as long-lived state (the sequence analogue of the funnel tombstone: removing it would swallow a transition at every restart). The three-leg protocol makes the carry cross a genuine restart boundary, and the oracle — q86's SQL VERBATIM — makes the driver prove the persisted pair set equals the batch lag() pairs under the identical (ts, event_id) order, cross-engine. The read aggregates |types|² cells from the records and row-normalizes over that tiny matrix. Scale: everything after the per-user exchange is O(|event types|²), independent of volume; the record sink grows with transitions, not state.") {
+      (s, d) =>
+        val wp = Window.partitionBy(col("prev"))
+        graft.streaming.ServedEventStreams.records(s, servedBigramDir(s, d))
+          .groupBy(col("prev"), col("next"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p",
+            col("n").cast("double") / sum(col("n")).over(wp).cast("double"))
+          .orderBy(col("prev"), col("next"))
+    },
+
+    Q("q196_session_state_served", q98OracleSql,
+      "q98's sessionized conversion rate served FROM the finalized session records the streaming session_window aggregation persisted — the built-in-stateful member of the five-machine family (no custom transition: batch and streaming share the LITERAL q98 first-stage code), run under the same three-leg restart protocol: open sessions survive the checkpoint reload, a (session, user) row commits exactly once when the watermark passes the session close, and the stateless daily rollup runs over the persisted sink. The oracle is q98's SQL VERBATIM, so the driver re-proves the streaming session boundaries (5-minute gap semantics under watermark finalization) against the gaps-and-islands batch twin cross-engine. Scale: state is bounded by concurrently-OPEN sessions, the sink by total sessions; the rollup reads |sessions| rows, never events.") {
+      (s, d) =>
+        graft.streaming.SessionStream.dailyConversion(
+            graft.streaming.ServedEventStreams.records(s, servedSessionDir(s, d)))
+          .orderBy(col("day"))
+    },
   )
+
+  /** Build-once streaming runs behind q192–q196 (one per machine,
+    * memoized per session x corpus): ServedEventStreams' three-leg
+    * restart protocol over the corpus events, each leg a separate
+    * start() against one checkpoint. The served reads above pay only
+    * the record scan. */
+  private def servedFunnelDir(s: SparkSession, d: String): String =
+    graft.streaming.ServedEventStreams.stagesDir(s, d, "funnelstages")(ev =>
+      graft.streaming.FunnelStream.funnelStages(ev,
+        graft.streaming.ServedEventStreams.Delay).toDF())
+
+  private def servedRetentionDir(s: SparkSession, d: String): String =
+    graft.streaming.ServedEventStreams.stagesDir(s, d, "retentionstages")(ev =>
+      graft.streaming.RetentionStream.retentionStages(ev,
+        graft.streaming.ServedEventStreams.Delay).toDF())
+
+  private def servedEwmaDir(s: SparkSession, d: String): String =
+    graft.streaming.ServedEventStreams.stagesDir(s, d, "ewmastages")(ev =>
+      graft.streaming.EwmaStream.ewmaStages(ev,
+        graft.streaming.ServedEventStreams.Delay).toDF())
+
+  private def servedBigramDir(s: SparkSession, d: String): String =
+    graft.streaming.ServedEventStreams.stagesDir(s, d, "bigramstages")(ev =>
+      graft.streaming.BigramStream.bigrams(ev,
+        graft.streaming.ServedEventStreams.Delay).toDF())
+
+  private def servedSessionDir(s: SparkSession, d: String): String =
+    graft.streaming.ServedEventStreams.stagesDir(s, d, "sessionstages")(ev =>
+      graft.streaming.SessionStream.sessions(ev,
+        graft.streaming.ServedEventStreams.Delay))
 }
