@@ -34,8 +34,10 @@ import org.apache.spark.sql.functions._
   *     the between-query sweep, and the protected-RDD count — so a
   *     full-suite anomaly is attributable from the record alone
   *     (GC pause vs storage pressure vs genuinely slow plan);
-  *   - any query whose median exceeds 3× its previous-round median
-  *     (prior medians read from the latest BENCH_r*.json in the repo,
+  *   - any query whose median exceeds 3× its BEST-EVER median (prior
+  *     medians = the per-query MINIMUM across all BENCH_r*.json and
+  *     BENCH_FULL_* records in the repo — a stricter trigger that fires
+  *     more often as best-ever ratchets down, which is the intent;
   *     floor 1 s so sub-second jitter never triggers) is automatically
   *     re-measured at the end of the suite — fresh sweep + warmup +
   *     reps — and BOTH numbers are reported under `outliers`. The
@@ -227,7 +229,11 @@ object Bench {
   /** Compact fixed-point formatting (ms resolution) so 186 queries of
     * rep arrays stay a few KB — and always a legal JSON number. */
   private def fmt(v: Double): String =
-    if (v.isNaN || v.isInfinite) "-1" else f"$v%.3f"
+    if (v.isNaN || v.isInfinite) "-1"
+    // Locale.ROOT: under a comma-decimal default locale f"%.3f" would
+    // emit "3,717", breaking the JSON record AND priorMedians' number
+    // regex (silently disabling outlier re-measurement)
+    else "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
   /** Per-query BEST-EVER medians across all bench records in
     * SPARK_GRAFT_BENCH_PRIOR_DIR (default: the working directory, where

@@ -465,7 +465,10 @@ object Sampling {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       // bounded one-row metadata action (parquet footer min/max) to pick
       // the wave boundary; any split respecting doc_id order would do
-      val mid = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
+      val maxRow = docs.agg(max(col("doc_id"))).collect()(0)
+      require(!maxRow.isNullAt(0),
+        s"documents table at $d is empty — cannot build packing state")
+      val mid = maxRow.getLong(0) / 2
       val wave0 = docs.filter(col("doc_id") <= mid)
       val wave1 = docs.filter(col("doc_id") > mid)
       graft.streaming.PackingStream.update(dir)(wave0, 0L)

@@ -32,9 +32,12 @@ import org.apache.spark.sql.types._
   * [[CorpusStateStream.compactState]] handles files.
   *
   * Identity note: like the datasheet counters, a re-uploaded doc_id
-  * contributes its phrases again — the q106 batch twin over the
-  * concatenated deliveries counts every row too, so state == batch holds
-  * under exactly the delivery the file source makes (each file once).
+  * contributes its phrases again IN A LATER BATCH — the q106 batch twin
+  * over the concatenated deliveries counts every row too, so state ==
+  * batch holds under exactly the delivery the file source makes (each
+  * file once). WITHIN one trigger, duplicates of a doc_id are dropped
+  * before shingling (the CorpusStateStream sig-path hardening), so
+  * at-least-once delivery inside a batch cannot double-count df.
   *
   * Scale: per batch, ONE |batch| compiled ShingleText pass into a
   * map-side-combined (phrase, count) aggregate — the q106 shape over the
@@ -70,7 +73,13 @@ object BoilerplateStateStream {
     val seen = stateDf(spark, ledgerDir, ledgerSchema)
       .filter(col("batch_id") === batchId).limit(1).count() > 0
     if (!seen) {
-      val docs = batch.select(col("text")).localCheckpoint()
+      // within-trigger dedup on doc_id (the CorpusStateStream sig-path
+      // hardening): an at-least-once source delivering a doc twice in
+      // ONE trigger must not double its df/n_docs contribution — only a
+      // genuine re-upload in a LATER batch counts again (identity note
+      // above, matching the batch twin over concatenated deliveries)
+      val docs = batch.dropDuplicates("doc_id").select(col("text"))
+        .localCheckpoint()
       val inPhrases = stateDf(spark, s"$stateDir/bp_phrases", phraseSchema)
         .filter(col("batch_id") === batchId).limit(1).count() > 0
       if (!inPhrases) {
