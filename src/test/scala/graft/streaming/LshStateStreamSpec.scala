@@ -65,6 +65,36 @@ class LshStateStreamSpec extends SparkSpec {
       "a replayed batch must be a state no-op")
   }
 
+  test("sigs compaction shrinks files without changing the served search") {
+    // the IVF lists have this proof (IvfStateStreamSpec); the LSH sigs
+    // table delegates to the same compactState but q189's served read is
+    // the consumer that would break — pin it: file count drops, the
+    // signed corpus is row-identical, and topKFromState is byte-equal
+    val root = Files.createTempDirectory("graft-lshstate-compact").toString
+    val stateDir = s"$root/state"
+    val emb = embSlice(lit(true))
+    (0 until 4).foreach { i =>
+      LshStateStream.update(stateDir)(
+        emb.filter(col("vec_id") % 4 === i), i.toLong)
+    }
+    val qids = Seq(0L, 1L, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("query_id"), col("rn"))
+        .collect().map(_.toString).toSeq
+    val sigsBefore = LshStateStream.sigState(spark, stateDir)
+      .collect().map(_.toString).sorted
+    val topBefore = rows(LshStateStream.topKFromState(spark, stateDir, qids, 10))
+    val (nb, na) = CorpusStateStream.compactState(spark, stateDir, "sigs")
+    assert(na < nb, s"compaction did not shrink files: $nb -> $na")
+    val sigsAfter = LshStateStream.sigState(spark, stateDir)
+      .collect().map(_.toString).sorted
+    assert(sigsBefore.sameElements(sigsAfter),
+      "compaction changed the signed corpus")
+    assert(topBefore == rows(
+        LshStateStream.topKFromState(spark, stateDir, qids, 10)),
+      "compaction changed the served search result")
+  }
+
   test("state-served top-k equals the batch annTopK over the same corpus") {
     val root = Files.createTempDirectory("graft-lshstate-topk").toString
     val stateDir = s"$root/state"
