@@ -30,12 +30,18 @@ object ScaleUp {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val vowels = "aeiou"
-    // at k = 5 the rotation would wrap to identity and copy 5 would be a
-    // byte-identical clone of the base — exactly the mutual-near-dup
-    // corpus this tool exists to avoid; refuse rather than mislead
-    require(copies <= vowels.length,
-      s"copies=$copies > ${vowels.length}: the vowel rotation wraps to " +
+    // per-copy text mutation: rotate the 26-letter alphabet by k (a
+    // Caesar substitution — changes essentially every shingle/signature
+    // while preserving length and whitespace stats). The alphabet is the
+    // wrap bound: at k = 26 the rotation is identity and that copy would
+    // be a byte-identical clone of the base — exactly the mutual-near-dup
+    // corpus this tool exists to avoid; refuse rather than mislead.
+    // (Round 14 widened this from a 5-vowel rotation so a 25x corpus can
+    // exist for the second scaling point; embeddings' cyclic rotation
+    // wraps at the 64-dim width, far above any alphabet-legal k.)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    require(copies <= alpha.length,
+      s"copies=$copies > ${alpha.length}: the alphabet rotation wraps to " +
         "identity and later copies become verbatim near-dup clones")
     def rot(s: String, k: Int): String =
       s.drop(k % s.length) + s.take(k % s.length)
@@ -46,7 +52,7 @@ object ScaleUp {
     unionCopies(docs) { (d, k) =>
       d.withColumn("doc_id", col("doc_id") + lit(k * 100000000L))
         .withColumn("text",
-          if (k == 0) col("text") else translate(col("text"), vowels, rot(vowels, k)))
+          if (k == 0) col("text") else translate(col("text"), alpha, rot(alpha, k)))
     }.write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
     val emb = graft.Tables.embeddings(spark, src)
