@@ -322,6 +322,28 @@ class PlanSpec extends SparkSpec {
       "q189 must not recompute signatures at read time:\n" + lsh.take(800))
   }
 
+  test("stream-served event reads scan their record sink, never the events table") {
+    // the q192–q196 serving contract as a plan property (the q187–q190
+    // convention applied to the fMGWS family): each read's executed plan
+    // scans the persisted stream-sink records and the events table the
+    // stream already consumed is ABSENT — the events scan happens once,
+    // at build time, inside the streaming job. A refactor that quietly
+    // re-derives a stage from raw events would fail here, not in a bench
+    // regression.
+    Seq(
+      "q192_funnel_state_served" -> "graft_funnelstages",
+      "q193_retention_state_served" -> "graft_retentionstages",
+      "q194_ewma_state_served" -> "graft_ewmastages",
+      "q195_transitions_state_served" -> "graft_bigramstages",
+      "q196_session_state_served" -> "graft_sessionstages"
+    ).foreach { case (q, state) =>
+      val s = planString(q)
+      assert(s.contains(state), s"$q must read its stream sink ($state)")
+      assert(!s.contains("events.parquet"),
+        s"$q must not rescan the events table:\n" + s.take(800))
+    }
+  }
+
   test("shuffle counts stay bounded for the headline queries") {
     val maxShuffles = Map(
       "q01_pricing_summary" -> 2, // partial/final agg + sort
