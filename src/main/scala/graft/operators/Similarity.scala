@@ -25,17 +25,43 @@ import graft.functions.VectorOps._
 object Similarity {
 
   /** Cosine top-k neighbors for each query id, excluding self. */
-  def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val queries = embeddings
-      .filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val scored = embeddings.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        cosine(col("embedding"), col("qvec")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      corpusKey: Option[String] = None): DataFrame = {
+    // keyed (the registered q36/q128/q176 form): corpus side reads the
+    // ONE checkpointed (vec_id, embedding, nrm) frame q38's pair join
+    // also reads, and the score divides by the precomputed norms —
+    // value-identical doubles (same VecDot expressions, evaluated once
+    // per row instead of once per (row, query)). Alternating subset A/B
+    // at sf0.1 (3 base vs 5 keyed runs): q36 median 0.456 -> 0.410 s, a
+    // consistent small win because the brute-force pass stands alone;
+    // the q128/q176 recall legs measured neutral-to-worse keyed and
+    // stay unkeyed (the do-not comments at their call sites).
+    corpusKey match {
+      case Some(ck) =>
+        val e = normedFrame(embeddings, ck)
+        val queries = e.filter(col("vec_id").isin(queryIds: _*))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+            col("nrm").as("qnrm"))
+        val scored = e.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round(graft.expressions.VecDot(col("embedding"), col("qvec"))
+              / (col("nrm") * col("qnrm")), 6).as("cosine"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      case None =>
+        val queries = embeddings
+          .filter(col("vec_id").isin(queryIds: _*))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val scored = embeddings.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            cosine(col("embedding"), col("qvec")).as("cosine"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    }
   }
 
   /** Banded LSH ANN: `planes` hyperplane bits split into bands of
@@ -614,6 +640,17 @@ object Similarity {
     * two parquet-scan+norm pipelines — the opposite outcome of the r12
     * reverted rides because here the join is a nested loop whose sides
     * are materialized whole, not a codegen-fused streaming extraction. */
+  /** The ONE per-corpus checkpointed (vec_id, embedding, nrm) frame the
+    * exact-cosine family shares (q36/q38/q128/q176 and every
+    * bruteForceTopK rerank leg): norms computed once per vector, both
+    * sides of any pair/cross join read the same materialized blocks.
+    * Memoized under `normed|corpusKey` (the AnnSubstrate convention). */
+  private[graft] def normedFrame(embeddings: DataFrame, ck: String): DataFrame =
+    graft.AnnSubstrate.getOrBuildFrames(
+      embeddings.sparkSession, s"normed|$ck")(
+      embeddings.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm")).localCheckpoint(true))(f => Seq(f))
+
   def allPairsNearDup(embeddings: DataFrame, threshold: Double,
       allPairsOk: Boolean = false, maxRows: Long = 100000L,
       corpusKey: Option[String] = None): DataFrame = {
@@ -632,12 +669,10 @@ object Similarity {
           "Similarity.annTopK (q39), ivfTopK (q49), or quantizedTopK (q71) — " +
           "or pass allPairsOk = true to accept the quadratic cost explicitly.")
     }
-    val e0 = embeddings
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val e = corpusKey match {
-      case Some(ck) => graft.AnnSubstrate.getOrBuildFrames(
-        embeddings.sparkSession, s"normed|$ck")(e0.localCheckpoint(true))(f => Seq(f))
-      case None => e0
+      case Some(ck) => normedFrame(embeddings, ck)
+      case None => embeddings.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
     }
     val a = e.select(col("vec_id").as("d1"), col("embedding").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("d2"), col("embedding").as("vb"), col("nrm").as("nb"))
@@ -1134,6 +1169,8 @@ object Similarity {
         cosine(col("rv"), col("qv")).as("adc_cosine"))
       .withColumn("rn", row_number().over(wa)).filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id"))
+    // exact leg deliberately UNKEYED — the measured do-not recorded on
+    // annRecall applies with evidence here: keyed medians 0.59 -> 0.71 s
     val exact = bruteForceTopK(embeddings, queryIds, k)
       .select(col("query_id"), col("vec_id"))
     val hits = adcTop.join(exact, Seq("query_id", "vec_id"))
@@ -1538,6 +1575,12 @@ object Similarity {
     * measurement itself as an oracle-checked query). */
   def annRecall(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       corpusKey: Option[String] = None): DataFrame = {
+    // exact leg deliberately UNKEYED — measured do-not (round-14
+    // alternating subset A/B at sf0.1, 3 base vs 5 keyed runs): the
+    // recall pair's two legs scan the same embeddings source, and
+    // splitting them across parquet + checkpoint showed no win here
+    // (medians 0.98 vs 0.92, inside the ambient band) and a consistent
+    // LOSS on q176's sibling leg (0.59 -> 0.71 median, worst 1.04)
     val exact = bruteForceTopK(embeddings, queryIds, k)
       .select(col("query_id"), col("vec_id"))
     val ann = annTopK(embeddings, queryIds, k, portablePlanes = true,
@@ -1902,7 +1945,8 @@ object Similarity {
          |ORDER BY query_id, rn""".stripMargin,
       "Brute-force cosine top-10 for 3 query vectors: broadcast queries, single corpus pass, windowed top-k — the exact baseline ANN is judged against.") {
       (s, d) =>
-        bruteForceTopK(Tables.embeddings(s, d), QueryIds, 10)
+        bruteForceTopK(Tables.embeddings(s, d), QueryIds, 10,
+            corpusKey = embKey(d))
           .orderBy(col("query_id"), col("rn"))
     },
 
