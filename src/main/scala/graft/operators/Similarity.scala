@@ -989,6 +989,141 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** Driver-literal hot-list threshold for [[ivfSplitRebalance]]: the
+    * mean list size ceil(n / nlist), with n published by Verify
+    * (graft.OracleCtx) on the oracle side and resolved from the SAME
+    * memoized corpus count on the engine side — the autoNlist pattern.
+    * Fallback (no Verify context) = ceil(500 / 8) = 63, the gate-scale
+    * value, keeping SQL rendered outside Verify byte-stable. */
+  private[graft] def oracleMaxList(nlist: Int): Int =
+    graft.OracleCtx.embeddingsCount
+      .map(n => math.ceil(n.toDouble / nlist).toInt).getOrElse(63)
+
+  /** ONE split pass over an inverted file's hot lists — the index
+    * maintenance operation q139's health table exists to trigger ("a
+    * list the index should split before recall degrades"): every list
+    * with more than `maxList` members is split by a deterministic
+    * 2-means over ITS members (seeds = the list's two lowest vec_ids;
+    * `iters` keyed Lloyd rounds; assignment ties to the larger child —
+    * the portable q49/q175 conventions), children take cids
+    * parent + child·nlist (collision-free since parent < nlist), cold
+    * lists and their centroids pass through untouched.
+    *
+    * NOT a driver loop: the hot-list id rides every shuffle key, so all
+    * hot lists split in ONE keyed chain — per round exactly one
+    * (cid, child, pos)-keyed decimal-mean shuffle plus a ≤2-rows-per-
+    * member argmax window, the same barrier count as a single 2-means
+    * at ANY hot-list count (the pqStage lesson, keyed by cid instead of
+    * sub). A child that wins no members in an early round simply drops
+    * out of later rounds (the health tail reports non-empty lists only,
+    * the q139 join convention); one pass halves hot lists — children
+    * can still exceed `maxList`, and a deployment reruns the pass until
+    * the health table is quiet (each pass is one more keyed chain).
+    *
+    * Returns (newCentroids (cid, cvec), newLists (cid, vec_id, v,
+    * from_split)). */
+  private[graft] def splitHotLists(lists: DataFrame, centroids: DataFrame,
+      nlist: Int, maxList: Int, iters: Int,
+      portableMeans: Boolean): (DataFrame, DataFrame) = {
+    val mean: Column => Column =
+      if (portableMeans) DetAgg.davg else avg(_)
+    val hot = lists.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxList).select(col("cid"))
+      .localCheckpoint(true) // tiny (≤ nlist rows), read 2·iters+3 times
+    val hm = lists.join(broadcast(hot), Seq("cid"))
+      .select(col("cid"), col("vec_id"), col("v"))
+      .localCheckpoint(true) // both argmax sides + every recompute read it
+    val wSeed = Window.partitionBy(col("cid")).orderBy(col("vec_id"))
+    val seeds = hm.withColumn("rn", row_number().over(wSeed))
+      .filter(col("rn") <= 2)
+      .select(col("cid"), (col("rn") - 1).cast("int").as("child"),
+        col("v").as("ccvec"))
+      .localCheckpoint(true)
+    val wPick = Window.partitionBy(col("cid"), col("vec_id"))
+      .orderBy(col("sim").desc, col("child").desc)
+    def assignKids(kids: DataFrame): DataFrame =
+      hm.join(broadcast(kids), Seq("cid"))
+        .select(col("cid"), col("vec_id"), col("v"), col("child"),
+          graft.expressions.VecDot(col("v"), col("ccvec")).as("sim"))
+        .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+        .select(col("cid"), col("vec_id"), col("v"), col("child"))
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned.select(col("cid"), col("child"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("child"), col("pos"))
+        .agg(mean(col("x")).as("m"))
+        .groupBy(col("cid"), col("child"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), col("child"),
+          expr("transform(pm, s -> s.m)").as("ccvec"))
+        .localCheckpoint(true)
+    var kids = seeds
+    (0 until iters).foreach(_ => kids = recompute(assignKids(kids)))
+    val placed = assignKids(kids)
+    val newLists = lists.join(broadcast(hot), Seq("cid"), "left_anti")
+      .select(col("cid"), col("vec_id"), col("v"), lit(false).as("from_split"))
+      .unionAll(placed.select(
+        (col("cid") + col("child") * lit(nlist)).as("cid"),
+        col("vec_id"), col("v"), lit(true).as("from_split")))
+    val newCents = centroids.join(broadcast(hot), Seq("cid"), "left_anti")
+      .select(col("cid"), col("cvec"))
+      .unionAll(kids.select(
+        (col("cid") + col("child") * lit(nlist)).as("cid"),
+        col("ccvec").as("cvec")))
+    (newCents, newLists)
+  }
+
+  /** q197: the q139 health table AFTER one hot-list split pass — the
+    * operational read that closes q139's own loop (its scaladoc names
+    * the trigger: "a low-cohesion list is one the index should split
+    * before recall degrades"; this is the split, with the post-split
+    * health as the oracle-checked output). maxList <= 0 (the registered
+    * form) resolves to ceil(n/nlist) — the mean list size, so any
+    * above-average list splits — via the driver-literal pattern
+    * (engine: the memoized corpus count; oracle: OracleCtx), identical
+    * at every SF. skew is reported against the POST-split non-empty
+    * list count. Scale: one q139-cost health pass plus the keyed split
+    * chain, whose member universe is only the hot lists' rows. */
+  def ivfSplitRebalance(embeddings: DataFrame, nlist: Int = 8,
+      maxList: Int = 0, iters: Int = 3, portableMeans: Boolean = false,
+      corpusKey: Option[String] = None): DataFrame = {
+    val chosenMax =
+      if (maxList > 0) maxList
+      else {
+        val n = corpusKey match {
+          case Some(ck) => graft.AnnSubstrate.getOrBuild(
+            embeddings.sparkSession, s"count|$ck")(embeddings.count())
+          case None => embeddings.count()
+        }
+        math.ceil(n.toDouble / nlist).toInt
+      }
+    val (centroids, lists) =
+      ivfIndex(embeddings, nlist, iters, portableMeans, corpusKey)
+    val (newCents, newLists) = splitHotLists(
+      lists.select(col("cid"), col("vec_id"), col("v")), centroids,
+      nlist, chosenMax, iters, portableMeans)
+    val mc = newLists
+      .join(broadcast(newCents), Seq("cid"))
+      .select(col("cid"), col("from_split"),
+        round(graft.expressions.VecDot(col("v"), col("cvec")) /
+          (sqrt(graft.expressions.VecDot(col("v"), col("v"))) *
+           sqrt(graft.expressions.VecDot(col("cvec"), col("cvec")))), 6)
+          .as("cc"))
+    val per = mc.groupBy(col("cid"), col("from_split"))
+      .agg(count(lit(1)).as("n_vecs"),
+        DetAgg.davg(col("cc")).as("avg_centroid_cosine"))
+    val tot = per.agg(sum(col("n_vecs")).as("_t"),
+      count(lit(1)).as("_nl"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_vecs"),
+        (col("n_vecs").cast("double") / col("_t").cast("double"))
+          .as("size_share"),
+        (col("n_vecs").cast("double") * col("_nl").cast("double")
+          / col("_t").cast("double")).as("skew"),
+        col("avg_centroid_cosine"), col("from_split"))
+      .orderBy(col("cid"))
+  }
+
   /** Product quantization (Jégou et al. 2011, "Product Quantization for
     * Nearest Neighbor Search"): split each 64-dim vector into `m`
     * contiguous subvectors and vector-quantize EACH subspace with its own
@@ -1808,6 +1943,82 @@ object Similarity {
   /** DuckDB twin of [[ivfListStats]](portableMeans = true): shared
     * k-means lists joined to the final centroids c3, round-6 member
     * cosine, DetAgg decimal average, shares against the one-row total. */
+
+  /** DuckDB twin of ivfSplitRebalance(nlist=8, portableMeans=true): the
+    * shared k-means lists, the hot cut at the driver-literal mean list
+    * size ([[oracleMaxList]] — OracleCtx count, the autoNlist pattern),
+    * the keyed 2-means split chain (seeds = two lowest vec_ids per hot
+    * list, three unrolled assign/recompute rounds in the q49/q175
+    * decimal-mean conventions, ties to the larger child), the
+    * parent + child·nlist remap, and the q139 health tail over the
+    * rebalanced index with the post-split non-empty list count. */
+  private def q197OracleSql: String = {
+    def dot(a: String, b: String) = dotSql(a, b)
+    val nlist = 8
+    val maxList = oracleMaxList(nlist)
+    def assignCte(prev: String, out: String) =
+      s"""${out}_sim AS (
+         |  SELECT m.cid, m.vec_id, m.v, k.child, ${dot("m.v", "k.ccvec")} AS sim
+         |  FROM hm m JOIN $prev k ON k.cid = m.cid),
+         |$out AS (
+         |  SELECT cid, vec_id, v, child FROM (
+         |    SELECT cid, vec_id, v, child,
+         |      row_number() OVER (PARTITION BY cid, vec_id
+         |        ORDER BY sim DESC, child DESC) AS rn
+         |    FROM ${out}_sim) t WHERE rn = 1)""".stripMargin
+    def recomputeCte(assigned: String, out: String) =
+      s"""${out}_m AS (
+         |  SELECT cid, child, p.j AS j,
+         |    CAST(CAST(sum(CAST(v[p.j + 1] AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count(*) AS m
+         |  FROM $assigned CROSS JOIN (SELECT unnest(range(64)) AS j) p
+         |  GROUP BY cid, child, p.j),
+         |$out AS (
+         |  SELECT cid, child, list(m ORDER BY j) AS ccvec
+         |  FROM ${out}_m GROUP BY cid, child)""".stripMargin
+    s"""WITH ${kmeansListsCtes()},
+       |hot AS (
+       |  SELECT cid FROM (SELECT cid, count(*) AS n FROM lists GROUP BY cid) z
+       |  WHERE n > $maxList),
+       |hm AS (SELECT l.cid, l.vec_id, l.v FROM lists l JOIN hot USING (cid)),
+       |k0 AS (
+       |  SELECT cid, CAST(rn - 1 AS INT) AS child, v AS ccvec FROM (
+       |    SELECT cid, vec_id, v,
+       |      row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+       |    FROM hm) t WHERE rn <= 2),
+       |${assignCte("k0", "sp1")},
+       |${recomputeCte("sp1", "k1")},
+       |${assignCte("k1", "sp2")},
+       |${recomputeCte("sp2", "k2")},
+       |${assignCte("k2", "sp3")},
+       |${recomputeCte("sp3", "k3")},
+       |${assignCte("k3", "placed")},
+       |newlists AS (
+       |  SELECT l.cid, l.vec_id, l.v, FALSE AS from_split FROM lists l
+       |  WHERE l.cid NOT IN (SELECT cid FROM hot)
+       |  UNION ALL
+       |  SELECT cid + child * $nlist, vec_id, v, TRUE FROM placed),
+       |newcent AS (
+       |  SELECT c.cid, c.cvec FROM c3 c
+       |  WHERE c.cid NOT IN (SELECT cid FROM hot)
+       |  UNION ALL
+       |  SELECT cid + child * $nlist, ccvec FROM k3),
+       |mc AS (
+       |  SELECT l.cid, l.from_split,
+       |    round(${dot("l.v", "c.cvec")} /
+       |      (sqrt(${dot("l.v", "l.v")}) * sqrt(${dot("c.cvec", "c.cvec")})), 6) AS cc
+       |  FROM newlists l JOIN newcent c ON l.cid = c.cid),
+       |per AS (
+       |  SELECT cid, from_split, count(*) AS n_vecs,
+       |    ${DetAgg.sql.davg("cc")} AS avg_centroid_cosine
+       |  FROM mc GROUP BY cid, from_split),
+       |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS t, count(*) AS nl FROM per)
+       |SELECT CAST(cid AS INT) AS cid, n_vecs,
+       |  CAST(n_vecs AS DOUBLE) / CAST(t AS DOUBLE) AS size_share,
+       |  CAST(n_vecs AS DOUBLE) * nl / CAST(t AS DOUBLE) AS skew,
+       |  avg_centroid_cosine, from_split
+       |FROM per, tot ORDER BY cid""".stripMargin
+  }
+
   private def q139OracleSql(nlist: Int): String = {
     def dot(a: String, b: String) = dotSql(a, b)
     s"""WITH ${kmeansListsCtes()},
@@ -2402,6 +2613,13 @@ object Similarity {
         graft.streaming.LshStateStream.topKFromState(s,
             servedLshStateDir(s, d), QueryIds, k = 10)
           .orderBy(col("query_id"), col("rn"))
+    },
+
+    Q("q197_ivf_split_rebalance", q197OracleSql,
+      "IVF hot-list SPLIT — the index-maintenance operation q139's health table exists to trigger (its own scaladoc names it: a low-cohesion or oversized list is one the index should split before recall degrades), registered with the post-split health table as the oracle-checked output. Every list above the driver-literal mean-size threshold (ceil(n/nlist) — OracleCtx count on the oracle side, the memoized corpus count on the engine side: the autoNlist pattern, identical literals at every SF) splits by a deterministic 2-means over its own members: seeds = the list's two lowest vec_ids, three Lloyd rounds in the portable q49/q175 conventions (decimal-sum means, argmax ties to the larger child), children remapped parent + child*nlist (collision-free below nlist). NOT a driver loop: the hot-list id rides every shuffle key, so ALL hot lists split in one keyed chain — per round one (cid, child, pos)-keyed decimal-mean shuffle plus a <=2-rows-per-member argmax window, the same barrier count at any hot-list count (the pqStage lesson keyed by cid instead of sub). One pass halves hot lists; a child can still exceed the threshold, and a deployment reruns the pass until the health table is quiet — each pass one more keyed chain, never a rescan of cold lists' text. Determinism: the whole chain is the portable-means family, so the rebalanced index replays bit-identically in the unrolled DuckDB twin — a full value-hash oracle for an index maintenance op. Scale: the split universe is only the hot lists' members (skew-proportional, not corpus-proportional); the health tail is q139's cost.") {
+      (s, d) =>
+        ivfSplitRebalance(Tables.embeddings(s, d), nlist = 8,
+          portableMeans = true, corpusKey = embKey(d))
     },
   )
 

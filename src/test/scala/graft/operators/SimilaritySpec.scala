@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.{SparkSpec, Tables}
 
 class SimilaritySpec extends SparkSpec {
@@ -61,6 +63,56 @@ class SimilaritySpec extends SparkSpec {
     val c = Similarity.kmeansCentroids(e, k = 8, iters = 2)
     assert(c.count() == 8)
     assert(c.select(size(col("cvec"))).distinct().head().getInt(0) == 64)
+  }
+
+  test("hot-list split: partition preserved, children bounded, flags and remap exact") {
+    val e = Tables.embeddings(spark, sf0001)
+    val nlist = 8
+    val (cents, lists) = Similarity.ivfIndex(e, nlist, iters = 3,
+      portableMeans = true)
+    val base = lists.select(col("cid"), col("vec_id"), col("v"))
+      .localCheckpoint(true)
+    val n = base.count()
+    val maxList = math.ceil(n.toDouble / nlist).toInt
+    val hot = base.groupBy(col("cid")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > maxList)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(hot.nonEmpty, "fixture must exercise a real split at the mean cut")
+    val (newCents, newLists) =
+      Similarity.splitHotLists(base, cents, nlist, maxList, iters = 3,
+        portableMeans = true)
+    val nl = newLists.localCheckpoint(true)
+    // the rebalanced index still partitions the corpus: every vector in
+    // exactly one list
+    assert(nl.count() == n, "split must not add or drop members")
+    assert(nl.select(col("vec_id")).distinct().count() == n)
+    // cold lists untouched, flags exact; children remap parent+child*nlist
+    val perNew = nl.groupBy(col("cid"), col("from_split"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getInt(0), r.getBoolean(1), r.getLong(2)))
+    perNew.foreach { case (cid, split, cnt) =>
+      val parent = cid % nlist
+      assert(split == hot.contains(parent),
+        s"from_split flag wrong for cid $cid (parent $parent)")
+      if (!split) assert(cid < nlist && cnt <= maxList)
+      else {
+        // each child is a strict subset of its parent unless the sibling
+        // died (the documented empty-child convention)
+        assert(cnt <= hot(parent), s"child $cid larger than its parent")
+      }
+    }
+    // the two children of each hot parent partition the parent's members
+    hot.foreach { case (parent, parentN) =>
+      val kids = perNew.filter { case (cid, split, _) =>
+        split && cid % nlist == parent }
+      assert(kids.map(_._3).sum == parentN,
+        s"children of $parent must hold exactly its $parentN members")
+    }
+    // every child list has a centroid to serve from
+    val centIds = newCents.select(col("cid")).collect().map(_.getInt(0)).toSet
+    perNew.foreach { case (cid, _, _) =>
+      assert(centIds.contains(cid), s"list $cid has no centroid")
+    }
   }
 
   test("allPairsNearDup guard: refuses big input, names the replacements, override works") {
