@@ -244,7 +244,7 @@ object CorpusStateStream {
     * with the two-rename protocol: crash between the renames leaves the
     * `.old` directory as the recovery copy, never a half-written table
     * ([[recoverState]] / [[stateDf]] handle both crash windows). */
-  private def swapState(spark: SparkSession, dir: String)
+  private[streaming] def swapState(spark: SparkSession, dir: String)
       (writeTmp: String => Unit): Unit = {
     val (fs, p) = recoverState(spark, dir)
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")

@@ -198,6 +198,62 @@ object IvfStateStream {
     Similarity.ivfListStatsFromIndex(listState(spark, stateDir), centroids, nlist)
   }
 
+  /** OFFLINE hot-list rebalance of the maintained index — the state
+    * twin of [[graft.operators.Similarity.splitHotLists]] (q197's
+    * operator), and the ONE sanctioned mutation of a frozen quantizer:
+    * every list above `maxList` splits by the keyed deterministic
+    * 2-means over its own members, children take cids
+    * parent + child·nlist, and the index generation advances in place.
+    * Run it the way [[CorpusStateStream.compactState]] runs — in a
+    * maintenance window, no fold stream active.
+    *
+    * Crash ordering (each step leaves a SERVABLE index):
+    *   1. child centroids APPEND to `centroids/` with the parents still
+    *      present — old lists keep resolving; the dead child rows are
+    *      unreadable until lists swap;
+    *   2. `lists/` swaps to the split assignment (two-rename protocol);
+    *      from here reads resolve every member through its child
+    *      centroid. A probe may still rank a parent centroid whose list
+    *      is now empty — degraded recall on that probe, never a wrong
+    *      cosine (the transitional read contract);
+    *   3. parent centroids PRUNE (swap to the cids lists actually use)
+    *      and `meta/` advances to the new configured count. A crash
+    *      before 3 re-runs as a pure cleanup.
+    *
+    * Returns (nlist before, configured list count after). */
+  def rebalance(spark: SparkSession, stateDir: String, maxList: Int,
+      iters: Int = 3, portableMeans: Boolean = false): (Int, Int) = {
+    require(maxList >= 1, "maxList must be >= 1")
+    val nlist = storedNlist(spark, stateDir)
+    val lists0 = listState(spark, stateDir)
+      .select(col("cid"), col("vec_id"), col("v"))
+      .localCheckpoint(true) // the source table is about to be swapped
+    val cents0 = centroidState(spark, stateDir).localCheckpoint(true)
+    val (newCents, newLists) = Similarity.splitHotLists(
+      lists0, cents0, nlist, maxList, iters, portableMeans)
+    val listsOut = newLists
+      .select(col("vec_id"), col("cid").cast("int").as("cid"), col("v"))
+      .localCheckpoint(true)
+    val centsOut = newCents
+      .select(col("cid").cast("int").as("cid"), col("cvec"))
+      .localCheckpoint(true)
+    // 1. children join the centroid table (parents stay for old lists)
+    centsOut.join(cents0.select(col("cid")), Seq("cid"), "left_anti")
+      .write.mode("append").parquet(s"$stateDir/centroids")
+    // 2. the inverted file swaps to the split assignment
+    CorpusStateStream.swapState(spark, s"$stateDir/lists")(tmp =>
+      listsOut.write.mode("overwrite").parquet(tmp))
+    // 3. prune parents (exactly the split-output centroid set) + meta
+    CorpusStateStream.swapState(spark, s"$stateDir/centroids")(tmp =>
+      centsOut.write.mode("overwrite").parquet(tmp))
+    val nNew = centsOut.count().toInt
+    spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(Integer.valueOf(nNew))), metaSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/meta")
+    (nlist, nNew)
+  }
+
   // ------------------------------------------------------------------
   // PQ tier: the maintained index as FULL IVF-PQ. The coarse quantizer
   // prunes WHICH lists a query probes; the per-subspace codebooks

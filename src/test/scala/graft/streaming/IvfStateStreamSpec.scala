@@ -169,6 +169,61 @@ class IvfStateStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("fresh stateDir"))
   }
 
+  test("rebalance splits hot lists in place and equals the batch split") {
+    val root = Files.createTempDirectory("graft-ivfstate-rebal").toString
+    val stateDir = s"$root/state"
+    val emb = embSlice(lit(true))
+    IvfStateStream.train(emb, stateDir, nlist, portableMeans = true)
+    IvfStateStream.update(stateDir)(emb.filter(col("vec_id") % 2 === 0), 0L)
+    IvfStateStream.update(stateDir)(emb.filter(col("vec_id") % 2 =!= 0), 1L)
+    val n = emb.count()
+    val maxList = math.ceil(n.toDouble / nlist).toInt
+    // batch twin over the SAME pre-rebalance state
+    val lists0 = IvfStateStream.listState(spark, stateDir)
+      .select(col("cid"), col("vec_id"), col("v")).localCheckpoint(true)
+    val cents0 = IvfStateStream.centroidState(spark, stateDir)
+      .localCheckpoint(true)
+    val (wantCents, wantLists) = Similarity.splitHotLists(
+      lists0, cents0, nlist, maxList, iters = 3, portableMeans = true)
+    val wantL = wantLists
+      .select(col("vec_id"), col("cid").cast("int").as("cid"), col("v"))
+      .collect().map(_.toString).sorted
+    val wantC = wantCents.select(col("cid").cast("int"), col("cvec"))
+      .collect().map(_.toString).sorted
+
+    val (before, after) =
+      IvfStateStream.rebalance(spark, stateDir, maxList,
+        portableMeans = true)
+    assert(before == nlist && after > nlist,
+      s"rebalance must grow the list count past $nlist (got $after)")
+    // state == batch, both tables
+    val gotL = IvfStateStream.listState(spark, stateDir)
+      .collect().map(_.toString).sorted
+    assert(gotL.sameElements(wantL), "rebalanced lists diverged from batch split")
+    val gotC = IvfStateStream.centroidState(spark, stateDir)
+      .collect().map(_.toString).sorted
+    assert(gotC.sameElements(wantC), "rebalanced centroids diverged")
+    assert(IvfStateStream.storedNlist(spark, stateDir) == after,
+      "meta must advance to the new configured count")
+    // the index still partitions the corpus and still serves
+    assert(IvfStateStream.listState(spark, stateDir).count() == n)
+    val served = IvfStateStream.topKFromState(spark, stateDir,
+      Seq(0L, 1L), k = 5)
+    assert(served.groupBy(col("query_id")).count()
+      .collect().forall(_.getLong(1) == 5), "served top-k must still fill k")
+    // arrivals after rebalance assign against the REBALANCED quantizer
+    val fresh = emb.limit(3)
+      .withColumn("vec_id", col("vec_id") + lit(9000000L))
+    IvfStateStream.update(stateDir)(fresh, 2L)
+    val newCids = IvfStateStream.listState(spark, stateDir)
+      .filter(col("vec_id") >= 9000000L)
+      .select(col("cid")).collect().map(_.getInt(0)).toSet
+    val centIds = IvfStateStream.centroidState(spark, stateDir)
+      .select(col("cid")).collect().map(_.getInt(0)).toSet
+    assert(newCids.subsetOf(centIds),
+      "post-rebalance arrivals must land in rebalanced lists")
+  }
+
   test("lists compaction shrinks files without changing the index") {
     val root = Files.createTempDirectory("graft-ivfstate-compact").toString
     val stateDir = s"$root/state"
