@@ -2621,7 +2621,42 @@ object Similarity {
         ivfSplitRebalance(Tables.embeddings(s, d), nlist = 8,
           portableMeans = true, corpusKey = embKey(d))
     },
+
+    Q("q198_rebalanced_health_state_served", q197OracleSql,
+      "q197's post-split health table served FROM the REBALANCED on-disk index — the q182/q189 serving pattern applied to the maintenance operation itself, closing the rebalance loop end-to-end under the driver's hash gate: the state dir is built once per (session, corpus) by training the frozen quantizer, folding the corpus in two waves plus a replayed wave (IvfStateStream's anti-join idempotence), then mutating the index IN PLACE with IvfStateStream.rebalance (the 3-step servable crash ordering: children append beside parents, lists swap, parents prune) at the SAME driver-literal mean-size threshold q197 embeds — and every timed run then pays ONLY the serving read: one lists scan with broadcast centroid and lineage-log joins, skew against the post-split non-empty list count, from_split from the persisted rebalance log (cid mod nlist0 names a logged parent; exact for one generation, enforced). The oracle is q197's SQL VERBATIM, so a hash match proves the in-place state mutation and the batch split operator produce the value-identical index — the maintenance op's state==batch contract re-checked cross-engine every round, not just in the spec. Scale: the read touches |lists| + |log| rows; the split itself ran once at maintenance time, bounded by the hot lists' members.") {
+      (s, d) =>
+        graft.streaming.IvfStateStream.splitHealthFromState(s,
+          servedRebalancedIvfDir(s, d))
+    },
   )
+
+  /** Build-once REBALANCED IVF state for q198 (the servedIvfStateDir
+    * contract, plus the in-place mutation): train the frozen quantizer
+    * portable, fold the corpus in two parity waves + one replayed wave,
+    * then rebalance at the q197 driver-literal threshold. Memoized per
+    * (session, corpus); timed reps pay only the serving read. */
+  private def servedRebalancedIvfDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"ivfrebal|$d/embeddings.parquet",
+        protectNew = false) {
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_ivfrebal_state").toString)
+      val emb = Tables.embeddings(s, d)
+      graft.streaming.IvfStateStream.train(emb, dir, nlist = 8,
+        portableMeans = true)
+      graft.streaming.IvfStateStream.update(dir)(
+        emb.filter(col("vec_id") % 2 === 0), 0L)
+      graft.streaming.IvfStateStream.update(dir)(
+        emb.filter(col("vec_id") % 2 =!= 0), 1L)
+      // crash-replay of a committed batch must be a state no-op
+      graft.streaming.IvfStateStream.update(dir)(
+        emb.filter(col("vec_id") % 2 =!= 0), 1L)
+      val n = graft.AnnSubstrate.getOrBuild(s,
+        s"count|$d/embeddings.parquet")(emb.count())
+      graft.streaming.IvfStateStream.rebalance(s, dir,
+        maxList = math.ceil(n.toDouble / 8).toInt, portableMeans = true)
+      dir
+    }
 
   /** Build-once on-disk centroid-sum state for the state-served drift
     * read (q184): fold the source-tagged embeddings through the SAME

@@ -70,6 +70,14 @@ object IvfStateStream {
   private val metaSchema = StructType(Seq(
     StructField("nlist", IntegerType)))
 
+  /** One row per split parent per [[rebalance]] run: which list split,
+    * under which pre-split configured count (the child-cid remap
+    * modulus) — the lineage [[splitHealthFromState]] needs to flag
+    * from_split without rescanning anything. */
+  private val rebalSchema = StructType(Seq(
+    StructField("parent_cid", IntegerType),
+    StructField("nlist0", IntegerType)))
+
   /** The persisted coarse quantizer. */
   def centroidState(spark: SparkSession, stateDir: String): DataFrame =
     CorpusStateStream.stateDf(spark, s"$stateDir/centroids", centroidSchema)
@@ -251,7 +259,62 @@ object IvfStateStream {
         java.util.Collections.singletonList(
           org.apache.spark.sql.Row(Integer.valueOf(nNew))), metaSchema)
       .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/meta")
+    // lineage LAST: (parent, remap modulus) per split list — read by
+    // splitHealthFromState's from_split flag; a crash before this write
+    // leaves a correct index whose split lineage must be re-derived
+    // (cid >= nlist0 witnesses child-1 lists; child-0 lists need this log)
+    lists0.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxList)
+      .select(col("cid").as("parent_cid"), lit(nlist).as("nlist0"))
+      .write.mode("append").parquet(s"$stateDir/rebal")
     (nlist, nNew)
+  }
+
+  /** q197's post-split health table served FROM the REBALANCED state —
+    * the q182/q139 serving pattern applied to the maintenance op
+    * itself: lists and centroids come from the mutated index, the
+    * from_split flag from the rebalance lineage log (a member belongs
+    * to a split family iff its cid mod nlist0 names a logged parent —
+    * exact for one rebalance generation, which the read enforces), and
+    * skew is reported against the post-split non-empty list count (the
+    * q197 convention, NOT storedNlist — a dead child keeps a centroid
+    * but holds no list). Nothing here re-runs the split or rescans the
+    * corpus: the read is one lists-scan + broadcast joins. */
+  def splitHealthFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    val log = CorpusStateStream.stateDf(spark, s"$stateDir/rebal", rebalSchema)
+      .localCheckpoint(true)
+    val mods = log.select(col("nlist0")).distinct().collect()
+    require(mods.length == 1,
+      s"$stateDir/rebal holds ${mods.length} rebalance generations; the " +
+      "cid-modulus lineage is exact for one — fold or rebuild the index " +
+      "before serving split health across generations")
+    val nlist0 = mods.head.getInt(0)
+    val parents = log.select(col("parent_cid"))
+    val flagged = listState(spark, stateDir)
+      .withColumn("parent", (col("cid") % nlist0).cast("int"))
+      .join(broadcast(parents.withColumn("fs", lit(true))),
+        col("parent") === col("parent_cid"), "left")
+      .select(col("cid"), col("v"),
+        coalesce(col("fs"), lit(false)).as("from_split"))
+    val mc = flagged
+      .join(broadcast(centroidState(spark, stateDir)), Seq("cid"))
+      .select(col("cid"), col("from_split"),
+        round(graft.expressions.VecDot(col("v"), col("cvec")) /
+          (sqrt(graft.expressions.VecDot(col("v"), col("v"))) *
+           sqrt(graft.expressions.VecDot(col("cvec"), col("cvec")))), 6)
+          .as("cc"))
+    val per = mc.groupBy(col("cid"), col("from_split"))
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.functions.DetAgg.davg(col("cc")).as("avg_centroid_cosine"))
+    val tot = per.agg(sum(col("n_vecs")).as("_t"), count(lit(1)).as("_nl"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_vecs"),
+        (col("n_vecs").cast("double") / col("_t").cast("double"))
+          .as("size_share"),
+        (col("n_vecs").cast("double") * col("_nl").cast("double")
+          / col("_t").cast("double")).as("skew"),
+        col("avg_centroid_cosine"), col("from_split"))
+      .orderBy(col("cid"))
   }
 
   // ------------------------------------------------------------------

@@ -320,6 +320,13 @@ class PlanSpec extends SparkSpec {
       "q189 must not rescan the embeddings table:\n" + lsh.take(800))
     assert(!lsh.contains("zip_with"),
       "q189 must not recompute signatures at read time:\n" + lsh.take(800))
+    // q198: the rebalanced-index health reads the mutated state + the
+    // lineage log — no embeddings rescan, no Lloyd chain at read time
+    val rebal = planString("q198_rebalanced_health_state_served")
+    assert(rebal.contains("graft_ivfrebal_state"),
+      "q198 must read the rebalanced state")
+    assert(!rebal.contains("embeddings.parquet"),
+      "q198 must not rescan the embeddings table:\n" + rebal.take(800))
   }
 
   test("stream-served event reads scan their record sink, never the events table") {
