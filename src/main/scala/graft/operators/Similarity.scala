@@ -1637,7 +1637,15 @@ object Similarity {
     * array_max over struct(sim, cid)) while probe selection breaks ties
     * to the smaller cid (mirroring the orderBy). Dims fixed at 64 (the
     * embeddings schema). */
-  private def q49OracleSql: String = {
+  private def q49OracleSql: String = q49OracleSqlFiltered("")
+
+  /** q49's chain with an optional candidate filter spliced into the
+    * scored join — `""` renders the historical q49/q182 SQL byte-equal;
+    * q199 passes the tombstone-survivor predicate (the forgotten index
+    * still probes the FULL-corpus-trained quantizer, but only surviving
+    * members can score — exactly what [[graft.streaming.IvfStateStream
+    * .forget]] leaves on disk). */
+  private def q49OracleSqlFiltered(candFilter: String): String = {
     def dot(a: String, b: String) = dotSql(a, b)
     s"""WITH ${kmeansListsCtes()},
        |queries AS (
@@ -1653,7 +1661,7 @@ object Similarity {
        |  SELECT p.query_id, l.vec_id,
        |    round(${dot("l.v", "p.qv")} /
        |      (sqrt(${dot("l.v", "l.v")}) * sqrt(${dot("p.qv", "p.qv")})), 6) AS cosine
-       |  FROM lists l JOIN probes p ON l.cid = p.cid AND l.vec_id <> p.query_id)
+       |  FROM lists l JOIN probes p ON l.cid = p.cid AND l.vec_id <> p.query_id$candFilter)
        |SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rn FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY cosine DESC, vec_id) AS rn
@@ -1661,6 +1669,14 @@ object Similarity {
        |WHERE rn <= 10
        |ORDER BY query_id, rn""".stripMargin
   }
+
+  /** The deterministic tombstone rule q199 shares across engines (the
+    * q153 md5-bucket convention): ~1/16 of ids, chosen to exclude the
+    * query set (md5 first hex of 0/100/200 is c/f/3). */
+  private val TombstoneHex = "a"
+
+  private def q199OracleSql: String = q49OracleSqlFiltered(
+    s"\n       |    AND substr(md5(CAST(l.vec_id AS VARCHAR)), 1, 1) <> '$TombstoneHex'")
 
   /** DuckDB twin of adcTopKFromState(k=10, nprobe=3) over the state
     * index trained with the portable chains: q49's coarse-quantizer
@@ -2628,7 +2644,41 @@ object Similarity {
         graft.streaming.IvfStateStream.splitHealthFromState(s,
           servedRebalancedIvfDir(s, d))
     },
+
+    Q("q199_forgotten_search_state_served", q199OracleSql,
+      "The q49 search served from the maintained index AFTER a right-to-be-forgotten pass — q153 audits a deletion's blast radius, IvfStateStream.forget EXECUTES it (tombstoned vec_ids removed from the persisted lists and PQ codes under the two-rename swap; the quantizer stays, a MODEL whose retraining is a policy decision, not an index op), and this read proves the result under the driver's hash gate: the served top-10 over the forgotten index must equal q49's chain with the tombstone survivors as the only scorable candidates — the oracle is q49's SQL with exactly that predicate spliced into the scored join (the full-corpus-trained quantizer still ranks probes; deleted vectors can never appear in a result page). The tombstone rule is the q153 md5-bucket convention (~1/16 of ids, first hex = 'a', provably excluding the query set), identical bytes in both engines. The state dir is built once per (session, corpus): frozen portable train, two fold waves plus a replayed wave, then forget. Scale: deletion cost is a pushdown anti-join over state (never the corpus); the serving read stays the q182 cost model, now provably free of forgotten ids.") {
+      (s, d) =>
+        graft.streaming.IvfStateStream.topKFromState(s,
+          servedForgottenIvfDir(s, d), QueryIds, k = 10)
+          .orderBy(col("query_id"), col("rn"))
+    },
   )
+
+  /** Build-once FORGOTTEN IVF state for q199: the servedRebalancedIvfDir
+    * protocol with IvfStateStream.forget (q153's md5-bucket tombstones)
+    * as the in-place mutation, plus a replayed forget — re-deleting an
+    * already-absent key must be a state no-op, so the driver's hash gate
+    * also re-proves deletion idempotence cross-engine. */
+  private def servedForgottenIvfDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"ivfforget|$d/embeddings.parquet",
+        protectNew = false) {
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_ivfforget_state").toString)
+      val emb = Tables.embeddings(s, d)
+      graft.streaming.IvfStateStream.train(emb, dir, nlist = 8,
+        portableMeans = true)
+      graft.streaming.IvfStateStream.update(dir)(
+        emb.filter(col("vec_id") % 2 === 0), 0L)
+      graft.streaming.IvfStateStream.update(dir)(
+        emb.filter(col("vec_id") % 2 =!= 0), 1L)
+      val tomb = emb.select(col("vec_id")).filter(
+        substring(md5(col("vec_id").cast("string")), 1, 1) === TombstoneHex)
+      graft.streaming.IvfStateStream.forget(s, dir, tomb)
+      // replayed deletion: already-absent keys must be a state no-op
+      graft.streaming.IvfStateStream.forget(s, dir, tomb)
+      dir
+    }
 
   /** Build-once REBALANCED IVF state for q198 (the servedIvfStateDir
     * contract, plus the in-place mutation): train the frozen quantizer

@@ -270,6 +270,40 @@ object IvfStateStream {
     (nlist, nNew)
   }
 
+  /** Right-to-be-forgotten EXECUTION against the maintained index —
+    * the op q153's tombstone-cascade audit prices: remove the tombstoned
+    * vec_ids from every serving artifact under `stateDir` (the inverted
+    * lists, and the PQ codes when the compressed tier exists), via the
+    * two-rename swap protocol so a crash never leaves a half-written
+    * table. The quantizer and codebooks stay — they are MODELS, trained
+    * on data that may include the forgotten rows; whether model
+    * retraining is also required is a policy question (the audit's
+    * 'recanonicalize' class), not an index operation, and retraining
+    * remains train-to-a-fresh-stateDir. Re-running with the same
+    * tombstones is a no-op (anti-join of an already-absent key).
+    * Scale: two pushdown anti-joins on 8-byte keys against a broadcast
+    * tombstone set — cost is the state scan, never the corpus.
+    * Run offline, like [[rebalance]] and compaction. */
+  def forget(spark: SparkSession, stateDir: String,
+      tombstones: DataFrame): Unit = {
+    val tomb = tombstones.select(col("vec_id")).distinct()
+      .localCheckpoint(true) // read once per artifact, after its source swaps
+    val survivors = listState(spark, stateDir)
+      .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true) // materialize before the swap deletes the source
+    CorpusStateStream.swapState(spark, s"$stateDir/lists")(tmp =>
+      survivors.write.mode("overwrite").parquet(tmp))
+    val codesDir = new org.apache.hadoop.fs.Path(s"$stateDir/codes")
+    val fs = codesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(codesDir)) {
+      val codeSurvivors = codeState(spark, stateDir)
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
+      CorpusStateStream.swapState(spark, s"$stateDir/codes")(tmp =>
+        codeSurvivors.write.mode("overwrite").parquet(tmp))
+    }
+  }
+
   /** q197's post-split health table served FROM the REBALANCED state —
     * the q182/q139 serving pattern applied to the maintenance op
     * itself: lists and centroids come from the mutated index, the

@@ -327,6 +327,17 @@ class PlanSpec extends SparkSpec {
       "q198 must read the rebalanced state")
     assert(!rebal.contains("embeddings.parquet"),
       "q198 must not rescan the embeddings table:\n" + rebal.take(800))
+    // q199: search over the FORGOTTEN index — the read plan is q182's
+    // (state scan only); the deletion already happened offline, so no
+    // embeddings rescan and no tombstone filter at read time either
+    val forg = planString("q199_forgotten_search_state_served")
+    assert(forg.contains("graft_ivfforget_state"),
+      "q199 must read the forgotten state")
+    assert(!forg.contains("embeddings.parquet"),
+      "q199 must not rescan the embeddings table:\n" + forg.take(800))
+    assert(!forg.contains("md5"),
+      "q199 must not re-apply the tombstone rule at read time — the " +
+        "deletion is already executed in state:\n" + forg.take(800))
   }
 
   test("stream-served event reads scan their record sink, never the events table") {

@@ -241,6 +241,51 @@ class IvfStateStreamSpec extends SparkSpec {
     assert(before.sameElements(after), "compaction changed the index")
   }
 
+  test("forget removes tombstoned ids from lists AND codes; replay is a no-op") {
+    val root = Files.createTempDirectory("graft-ivf-forget").toString
+    val stateDir = s"$root/state"
+    val emb = embSlice(lit(true))
+    IvfStateStream.train(emb, stateDir, nlist, portableMeans = true)
+    IvfStateStream.trainPq(emb, stateDir, m = 4, ksub = 16,
+      portableMeans = true)
+    IvfStateStream.update(stateDir)(emb, 0L)
+    IvfStateStream.updatePq(stateDir)(emb, 0L)
+
+    val tombPred = col("vec_id") % 7 === 3
+    val tomb = emb.select(col("vec_id")).filter(tombPred)
+    val (nAll, nTomb) = (emb.count(), tomb.count())
+    IvfStateStream.forget(spark, stateDir, tomb)
+
+    // lists: exactly the survivors' assignment under the UNCHANGED
+    // quantizer — deletion must not disturb any surviving row
+    val st = IvfStateStream.listState(spark, stateDir)
+    val twin = batchAssign(stateDir, embSlice(!tombPred))
+    assert(st.exceptAll(twin).isEmpty && twin.exceptAll(st).isEmpty,
+      "forgotten lists diverged from the survivors' batch assignment")
+    assert(st.count() == nAll - nTomb, "lists row count after forget")
+    // the compressed tier honors the same deletion
+    val codes = IvfStateStream.codeState(spark, stateDir)
+    assert(codes.filter(tombPred).isEmpty,
+      "tombstoned codes survived the forget pass")
+    assert(codes.count() == (nAll - nTomb) * 4, "codes row count after forget")
+    // serving: a forgotten id can never appear in a result page (query
+    // ids 0 and 100 are not tombstoned: 0 % 7 = 0, 100 % 7 = 2)
+    val served = IvfStateStream.topKFromState(spark, stateDir,
+      Seq(0L, 100L), k = 10, nprobe = 3)
+    assert(served.filter(tombPred).isEmpty,
+      "a forgotten vec_id surfaced in served top-k")
+    assert(served.count() == 20, "forget must not shrink the result page")
+    // re-deleting already-absent keys is a state no-op (the crash-replay
+    // contract every other maintenance op honors)
+    val before = st.collect().map(_.toString).sorted
+    IvfStateStream.forget(spark, stateDir, tomb)
+    val after = IvfStateStream.listState(spark, stateDir)
+      .collect().map(_.toString).sorted
+    assert(before.sameElements(after), "replayed forget changed the lists")
+    assert(IvfStateStream.codeState(spark, stateDir).count() ==
+      (nAll - nTomb) * 4, "replayed forget changed the codes")
+  }
+
   test("pq fold: codes state equals the batch encoding; replay is a no-op") {
     val root = Files.createTempDirectory("graft-ivfpq-fold").toString
     val stateDir = s"$root/state"
