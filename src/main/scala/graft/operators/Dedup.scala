@@ -1260,18 +1260,30 @@ object Dedup {
     * so a hash match there proves the maintained boilerplate blacklist
     * (additive df deltas under the ledger protocol, folded before
     * serving) and a full-corpus batch recompute are value-identical. */
-  private val q106OracleSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-      |sh AS (
-      |  SELECT doc_id, unnest(list_distinct(
-      |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
-      |  FROM toks),
-      |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
-      |nd AS (SELECT count(*) AS n_docs FROM documents)
-      |SELECT sh AS phrase, CAST(df AS BIGINT) AS df,
-      |  CAST(df AS DOUBLE) / n_docs AS df_share
-      |FROM df, nd WHERE df >= 2 ORDER BY df DESC, phrase""".stripMargin
+  private val q106OracleSql: String = q106OracleSqlOver("documents")
+
+  /** q106's chain over an arbitrary document relation — `"documents"`
+    * renders the historical q106/q191 SQL byte-equal; q200 passes the
+    * tombstone-survivor subquery, because after a document forget the
+    * blacklist must equal a batch recompute over exactly the documents
+    * that still exist (BOTH the per-phrase df and the n_docs
+    * denominator shrink). */
+  private def q106OracleSqlOver(docsRel: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM $docsRel),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
+       |  FROM toks),
+       |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+       |nd AS (SELECT count(*) AS n_docs FROM $docsRel)
+       |SELECT sh AS phrase, CAST(df AS BIGINT) AS df,
+       |  CAST(df AS DOUBLE) / n_docs AS df_share
+       |FROM df, nd WHERE df >= 2 ORDER BY df DESC, phrase""".stripMargin
+
+  private def q200OracleSql: String = q106OracleSqlOver(
+    "(SELECT * FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '" +
+      Sampling.TombstoneHex + "')")
 
   /** Build-once on-disk boilerplate-blacklist state for the q191
     * state-served read: the corpus folded through BoilerplateStateStream
@@ -1291,6 +1303,32 @@ object Dedup {
         docs.filter(col("doc_id") % 2 === 0), 0L)
       graft.streaming.BoilerplateStateStream.update(dir)(wave1, 1L)
       graft.streaming.BoilerplateStateStream.update(dir)(wave1, 1L) // replay
+      graft.streaming.BoilerplateStateStream.foldDeltas(s, dir)
+      dir
+    }
+
+  /** Build-once FORGOTTEN boilerplate state for q200: the
+    * servedBoilerplateStateDir protocol (two parity waves + a replayed
+    * wave, additive ledger), then BoilerplateStateStream.forget appends
+    * the tombstoned documents' contributions NEGATED as one more
+    * ledger-committed batch — plus a replayed forget (ledger no-op, so
+    * the hash gate also re-proves deletion idempotence) — and a final
+    * fold nets deletion against accumulation BEFORE serving, so the
+    * driver's gate proves the negative-delta fold neutral cross-engine,
+    * not just the positive one q191 covers. */
+  private def servedForgottenBpStateDir(s: SparkSession, d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"bpforget|$d/documents.parquet",
+        protectNew = false) {
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_bpforget_state").toString)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.streaming.BoilerplateStateStream.update(dir)(
+        docs.filter(col("doc_id") % 2 === 0), 0L)
+      graft.streaming.BoilerplateStateStream.update(dir)(
+        docs.filter(col("doc_id") % 2 =!= 0), 1L)
+      val tomb = docs.filter(Sampling.tombstoned(col("doc_id")))
+      graft.streaming.BoilerplateStateStream.forget(dir)(tomb, 2L)
+      graft.streaming.BoilerplateStateStream.forget(dir)(tomb, 2L) // replay
       graft.streaming.BoilerplateStateStream.foldDeltas(s, dir)
       dir
     }
@@ -2375,6 +2413,13 @@ object Dedup {
       (s, d) =>
         graft.streaming.BoilerplateStateStream.phraseTableFromState(s,
           servedBoilerplateStateDir(s, d))
+    },
+
+    Q("q200_forgotten_blacklist_state_served", q200OracleSql,
+      "q191's maintained boilerplate blacklist AFTER a right-to-be-forgotten pass — the corpus-state twin of q199, and the payoff of keeping curation state as ADDITIVE DELTAS instead of materialized counts: q153 audits a deletion's blast radius, BoilerplateStateStream.forget EXECUTES it by appending the tombstoned documents' phrase-df and doc-count contributions with a minus sign as one more ledger-committed batch (the request's own documents re-read by id pushdown — |forgotten| rows, never a corpus rescan), the same fold then NETS deletion against accumulation, and the served removal list — df >= 2 over net counts, n_docs denominator shrunk — must hash-equal q106's batch chain over exactly the surviving documents (the oracle is q106's SQL with the tombstone-survivor predicate on the document relation; the q153 md5-bucket rule at ~1/16, identical bytes in both engines). A replayed forget in the builder makes the gate re-prove deletion idempotence; phrases whose net df reaches 0 stay as zero rows in the snapshot (the key-domain residue trade, documented) and can never serve past the df cut. Scale: deletion cost is one ShingleText pass over the FORGOTTEN docs plus two bounded appends; the read stays |phrase-vocabulary|-keyed.") {
+      (s, d) =>
+        graft.streaming.BoilerplateStateStream.phraseTableFromState(s,
+          servedForgottenBpStateDir(s, d))
     },
   )
 

@@ -256,28 +256,67 @@ object Multimodal {
       dir
     }
 
-  private val q185OracleSql: String =
-    """WITH a AS (
-      |  SELECT doc_id,
-      |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/jpeg'
-      |      WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
-      |    md5(text) AS fp, octet_length(encode(text)) AS n_bytes
-      |  FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 3000000,
-      |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/jpeg'
-      |      WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
-      |    md5(text) AS fp, octet_length(encode(text)) AS n_bytes
-      |  FROM documents),
-      |grp AS (
-      |  SELECT mime, fp, count(*) AS n_copies, min(n_bytes) AS n_bytes
-      |  FROM a GROUP BY mime, fp)
-      |SELECT mime,
-      |  CAST(count(*) AS BIGINT) AS n_dup_groups,
-      |  CAST(sum(n_copies) AS BIGINT) AS n_dup_assets,
-      |  CAST(sum((n_copies - 1) * n_bytes) AS BIGINT) AS bytes_reclaimable
-      |FROM grp WHERE n_copies >= 2
-      |GROUP BY mime ORDER BY mime""".stripMargin
+  /** Build-once FORGOTTEN asset state for q203: the servedAssetStateDir
+    * fixture (doubled corpus, two parity waves), then
+    * AssetStateStream.forget with the shared tombstone rule over the
+    * POST-shift asset ids, plus a replayed forget — re-deleting absent
+    * keys must be a state no-op, re-proven by the hash gate. */
+  private def servedForgottenAssetDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"assetforget|$d/documents.parquet",
+        protectNew = false) {
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_assetforget_state").toString)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val shift = math.max(3000000L, (maxId / 3L + 1L) * 3L)
+      val doubled = docs.union(
+        docs.select((col("doc_id") + shift).as("doc_id"), col("text")))
+      graft.streaming.AssetStateStream.update(dir)(
+        doubled.filter(col("doc_id") % 2 === 0), 0L)
+      graft.streaming.AssetStateStream.update(dir)(
+        doubled.filter(col("doc_id") % 2 =!= 0), 1L)
+      val tomb = doubled.select(col("doc_id"))
+        .filter(Sampling.tombstoned(col("doc_id")))
+      graft.streaming.AssetStateStream.forget(s, dir, tomb)
+      graft.streaming.AssetStateStream.forget(s, dir, tomb) // replay no-op
+      dir
+    }
+
+  private val q185OracleSql: String = q185OracleSqlFiltered("")
+
+  /** q185's chain with an optional asset filter on the doubled relation
+    * — `""` renders the historical q185 SQL byte-equal; q203 passes the
+    * tombstone-survivor predicate (over the POST-shift doc_id — a
+    * deletion request names assets, and a byte-twin is its own asset),
+    * because forgetting an asset removes its digest row entirely: it
+    * can neither count in a reclamation group nor anchor one. */
+  private def q185OracleSqlFiltered(assetWhere: String): String =
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/jpeg'
+       |      WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+       |    md5(text) AS fp, octet_length(encode(text)) AS n_bytes
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 3000000,
+       |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/jpeg'
+       |      WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+       |    md5(text) AS fp, octet_length(encode(text)) AS n_bytes
+       |  FROM documents),
+       |grp AS (
+       |  SELECT mime, fp, count(*) AS n_copies, min(n_bytes) AS n_bytes
+       |  FROM a$assetWhere GROUP BY mime, fp)
+       |SELECT mime,
+       |  CAST(count(*) AS BIGINT) AS n_dup_groups,
+       |  CAST(sum(n_copies) AS BIGINT) AS n_dup_assets,
+       |  CAST(sum((n_copies - 1) * n_bytes) AS BIGINT) AS bytes_reclaimable
+       |FROM grp WHERE n_copies >= 2
+       |GROUP BY mime ORDER BY mime""".stripMargin
+
+  private def q203OracleSql: String = q185OracleSqlFiltered(
+    "\n       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '" +
+      Sampling.TombstoneHex + "'")
 
   val queries: Seq[Q] = Seq(
 
@@ -477,6 +516,13 @@ object Multimodal {
       (s, d) =>
         graft.streaming.AssetStateStream.payloadDedupFromState(s,
           servedAssetStateDir(s, d))
+    },
+
+    Q("q203_forgotten_assets_state_served", q203OracleSql,
+      "q185's storage-reclamation report served AFTER a right-to-be-forgotten pass over the maintained asset state — the fifth deletion leg (q199 IVF, q200 blacklist, q201 LM, q202 LSH), covering the MEDIA corpus: AssetStateStream.forget anti-joins the tombstoned asset ids out of both keyed-1:1 tables (digests and chunk-simhash signatures) under the two-rename swap, the half of a deletion the INDEX owns — the blobs live in the object store (state never persisted payload bytes, only 16-byte digests) and are deleted there; this removes every fingerprint that could re-identify them, after which a deleted asset can neither count in a reclamation group nor anchor a near-dup probe. The served report must hash-equal q133's aggregation over exactly the surviving assets of the doubled fixture — the oracle is q185's SQL with the tombstone-survivor predicate over the post-shift asset ids (a deletion request names ASSETS; a byte-twin is its own asset, so groups shrink asymmetrically and some drop below the >= 2 cut, the outcome q153's cascade audit calls erasure). A replayed forget re-proves deletion idempotence under the gate. Scale: deletion is two broadcast anti-joins over fixed-width state rows; payload bytes are never touched.") {
+      (s, d) =>
+        graft.streaming.AssetStateStream.payloadDedupFromState(s,
+          servedForgottenAssetDir(s, d))
     },
   )
 }

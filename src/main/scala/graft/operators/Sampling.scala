@@ -30,6 +30,16 @@ object Sampling {
     when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
   }
 
+  /** The deterministic right-to-be-forgotten tombstone convention the
+    * q199/q200/q201 served-after-deletion reads share across engines:
+    * ~1/16 of keys (first md5 hex = [[TombstoneHex]]), the q153
+    * md5-bucket family. One definition so an engine-side forget and its
+    * oracle's survivor predicate can never disagree on WHO is deleted. */
+  val TombstoneHex = "a"
+
+  def tombstoned(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 1) === TombstoneHex
+
   /** md5-derived uniform in (0,1): first 8 hex chars + 0.5, over 2^32.
     * The engine-portable stand-in for rand() — identical on every run,
     * cluster size, and engine (q87's key, q95's acceptance test). */

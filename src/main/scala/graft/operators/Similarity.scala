@@ -288,8 +288,20 @@ object Similarity {
   /** q39's oracle SQL — shared VERBATIM with q189's state-served read,
     * so a hash match there proves the maintained LSH index and a batch
     * sign-and-search recompute are value-identical. */
-  private val q39OracleSql: String =
-    """WITH sig AS (
+  private val q39OracleSql: String = q39OracleSqlOver("embeddings")
+
+  private def q202OracleSql: String = q39OracleSqlOver(
+    "(SELECT * FROM embeddings WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <> '" +
+      Sampling.TombstoneHex + "')")
+
+  /** q39's chain over an arbitrary embeddings relation — `"embeddings"`
+    * renders the historical q39/q189 SQL byte-equal; q202 passes the
+    * tombstone-survivor subquery, because deleting a vector from the
+    * LSH index removes its signature row entirely: it can neither BAND
+    * (generate candidates) nor SCORE — exactly a batch sign-and-search
+    * over the surviving corpus. */
+  private def q39OracleSqlOver(embRel: String): String =
+    s"""WITH sig AS (
       |  SELECT vec_id,
       |    CAST(sum(CASE WHEN proj > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS sig
       |  FROM (
@@ -298,8 +310,8 @@ object Similarity {
       |        CAST(embedding[j + 1] AS DOUBLE) *
       |        (CASE WHEN CAST('0x' || substring(md5(p.p || '|' || j), 1, 1) AS INTEGER) % 2 = 0
       |              THEN 1.0 ELSE -1.0 END))) AS proj
-      |    FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS p) p) t
-      |  GROUP BY vec_id),
+       |    FROM $embRel CROSS JOIN (SELECT unnest(range(8)) AS p) p) t
+       |  GROUP BY vec_id),
       |banded AS (
       |  SELECT vec_id, b.b AS band, (sig >> (b.b * 2)) & 3 AS bits
       |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) b),
@@ -312,8 +324,8 @@ object Similarity {
       |  SELECT c.query_id, c.vec_id,
       |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine
       |  FROM cand c
-      |  JOIN embeddings e ON e.vec_id = c.vec_id
-      |  JOIN embeddings q ON q.vec_id = c.query_id)
+       |  JOIN $embRel e ON e.vec_id = c.vec_id
+       |  JOIN $embRel q ON q.vec_id = c.query_id)
       |SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rn FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query_id
       |    ORDER BY cosine DESC, vec_id) AS rn
@@ -1670,13 +1682,9 @@ object Similarity {
        |ORDER BY query_id, rn""".stripMargin
   }
 
-  /** The deterministic tombstone rule q199 shares across engines (the
-    * q153 md5-bucket convention): ~1/16 of ids, chosen to exclude the
-    * query set (md5 first hex of 0/100/200 is c/f/3). */
-  private val TombstoneHex = "a"
-
   private def q199OracleSql: String = q49OracleSqlFiltered(
-    s"\n       |    AND substr(md5(CAST(l.vec_id AS VARCHAR)), 1, 1) <> '$TombstoneHex'")
+    "\n       |    AND substr(md5(CAST(l.vec_id AS VARCHAR)), 1, 1) <> '" +
+      Sampling.TombstoneHex + "'")
 
   /** DuckDB twin of adcTopKFromState(k=10, nprobe=3) over the state
     * index trained with the portable chains: q49's coarse-quantizer
@@ -2652,7 +2660,38 @@ object Similarity {
           servedForgottenIvfDir(s, d), QueryIds, k = 10)
           .orderBy(col("query_id"), col("rn"))
     },
+
+    Q("q202_forgotten_lsh_state_served", q202OracleSql,
+      "q189's LSH search served AFTER a right-to-be-forgotten pass over the maintained signature index — the fourth deletion leg (q199 IVF, q200 blacklist, q201 LM), and the layout where deletion is COMPLETE erasure: the index is keyed 1:1 by vec_id with no trained model attached (the planes are a pure function), so LshStateStream.forget is ONE broadcast anti-join over the 16-byte/vector state under the two-rename swap, after which a deleted vector can neither band (it generates no candidates) nor score (it joins no embedding) — the served top-10 must equal q39's batch sign-and-search over exactly the surviving corpus, which is the oracle: q39's SQL with the tombstone-survivor predicate on the embeddings relation (the shared md5-bucket rule). A replayed forget in the builder re-proves deletion idempotence under the gate. Scale: deletion cost is |state| scanned once with a broadcast tombstone probe; the serving read keeps the q189 cost model over a smaller table.") {
+      (s, d) =>
+        graft.streaming.LshStateStream.topKFromState(s,
+          servedForgottenLshDir(s, d), QueryIds, k = 10)
+          .orderBy(col("query_id"), col("rn"))
+    },
   )
+
+  /** Build-once FORGOTTEN LSH index for q202: the servedLshStateDir
+    * protocol (two parity waves + a replayed wave), then
+    * LshStateStream.forget with the shared tombstone rule, plus a
+    * replayed forget — re-deleting absent keys must be a state no-op. */
+  private def servedForgottenLshDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"lshforget|$d/embeddings.parquet",
+        protectNew = false) {
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_lshforget_state").toString)
+      val embs = Tables.embeddings(s, d)
+      val wave1 = embs.filter(col("vec_id") % 2 =!= 0)
+      graft.streaming.LshStateStream.update(dir)(
+        embs.filter(col("vec_id") % 2 === 0), 0L)
+      graft.streaming.LshStateStream.update(dir)(wave1, 1L)
+      graft.streaming.LshStateStream.update(dir)(wave1, 1L) // replay no-op
+      val tomb = embs.select(col("vec_id"))
+        .filter(Sampling.tombstoned(col("vec_id")))
+      graft.streaming.LshStateStream.forget(s, dir, tomb)
+      graft.streaming.LshStateStream.forget(s, dir, tomb) // replay no-op
+      dir
+    }
 
   /** Build-once FORGOTTEN IVF state for q199: the servedRebalancedIvfDir
     * protocol with IvfStateStream.forget (q153's md5-bucket tombstones)
@@ -2672,8 +2711,8 @@ object Similarity {
         emb.filter(col("vec_id") % 2 === 0), 0L)
       graft.streaming.IvfStateStream.update(dir)(
         emb.filter(col("vec_id") % 2 =!= 0), 1L)
-      val tomb = emb.select(col("vec_id")).filter(
-        substring(md5(col("vec_id").cast("string")), 1, 1) === TombstoneHex)
+      val tomb = emb.select(col("vec_id"))
+        .filter(Sampling.tombstoned(col("vec_id")))
       graft.streaming.IvfStateStream.forget(s, dir, tomb)
       // replayed deletion: already-absent keys must be a state no-op
       graft.streaming.IvfStateStream.forget(s, dir, tomb)

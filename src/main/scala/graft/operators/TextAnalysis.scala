@@ -110,23 +110,34 @@ object TextAnalysis {
 
   /** q103's oracle SQL — shared verbatim with q186, which serves the
     * same score from the maintained reference-vocabulary state. */
-  private val q103OracleSql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-      |  FROM documents),
-      |dt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
-      |vocab AS (SELECT w, CAST(sum(c) AS BIGINT) AS cnt FROM dt GROUP BY w),
-      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
-      |v2 AS (SELECT w,
-      |         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS lnq
-      |       FROM vocab),
-      |s AS (SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_tokens,
-      |        CAST(sum(d.c * v.lnq) AS BIGINT) AS slnq
-      |      FROM dt d JOIN v2 v USING (w) GROUP BY d.doc_id)
-      |SELECT doc_id, n_tokens,
-      |  CAST(floor(ln(CAST(t AS DOUBLE)) * 1e6) AS BIGINT) * 1e-6
-      |    - (slnq * 1e-6) / n_tokens AS avg_nll
-      |FROM s, tot ORDER BY doc_id""".stripMargin
+  private val q103OracleSql: String = q103OracleSqlOver("documents")
+
+  /** q103's chain over an arbitrary document relation — `"documents"`
+    * renders the historical q103/q186 SQL byte-equal; q201 passes the
+    * tombstone-survivor subquery, because after a document forget BOTH
+    * the reference vocabulary (counts netted, zeroed terms gone) and
+    * the scored corpus shrink to exactly the surviving documents. */
+  private def q103OracleSqlOver(docsRel: String): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |  FROM $docsRel),
+       |dt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+       |vocab AS (SELECT w, CAST(sum(c) AS BIGINT) AS cnt FROM dt GROUP BY w),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
+       |v2 AS (SELECT w,
+       |         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS lnq
+       |       FROM vocab),
+       |s AS (SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_tokens,
+       |        CAST(sum(d.c * v.lnq) AS BIGINT) AS slnq
+       |      FROM dt d JOIN v2 v USING (w) GROUP BY d.doc_id)
+       |SELECT doc_id, n_tokens,
+       |  CAST(floor(ln(CAST(t AS DOUBLE)) * 1e6) AS BIGINT) * 1e-6
+       |    - (slnq * 1e-6) / n_tokens AS avg_nll
+       |FROM s, tot ORDER BY doc_id""".stripMargin
+
+  private def q201OracleSql: String = q103OracleSqlOver(
+    "(SELECT * FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '" +
+      Sampling.TombstoneHex + "')")
 
   /** Per-source RANK-based LM quality gate (q140): the gate the q109
     * calibration table parameterizes — per source, KEEP the lowest
@@ -1590,6 +1601,17 @@ object TextAnalysis {
           .select(col("doc_id"), col("n_tokens"), col("avg_nll"))
           .orderBy(col("doc_id"))
     },
+
+    Q("q201_forgotten_lm_state_served", q201OracleSql,
+      "q186's reference-LM scoring AFTER a right-to-be-forgotten pass over the maintained vocabulary — the third leg of the deletion family (q199 index, q200 blacklist, q201 LM), and the one where deletion changes the MODEL, not just the candidate set: CorpusStateStream.forgetVocab appends the tombstoned documents' term counts NEGATED as one more ledger-committed batch, the fold nets them out, terms whose net count reaches zero leave the vocabulary through vocabState's cnt > 0 cut (they would otherwise poison the ln table), the total-token normalizer shrinks, and every survivor's micro-nat score shifts — so the hash gate proves the netted LM equals a batch retrain over exactly the surviving corpus (oracle: q103's SQL over the tombstone survivors; scoring the survivors keeps every token in-vocab, the q186 isomorphism argument). A replayed forget in the builder re-proves deletion idempotence under the gate. Scale: deletion cost is one tokenize pass over the FORGOTTEN docs into a |their vocab|-key delta append — the reference corpus is never rescanned, which is the operational difference between 'retrain the LM' and 'net out a deletion'.") {
+      (s, d) =>
+        graft.streaming.CorpusStateStream.lmScoreAgainstState(
+            servedForgottenVocabStateDir(s, d),
+            Tables.documents(s, d)
+              .filter(!Sampling.tombstoned(col("doc_id"))))
+          .select(col("doc_id"), col("n_tokens"), col("avg_nll"))
+          .orderBy(col("doc_id"))
+    },
   )
 
   /** Build-once on-disk reference-vocabulary state for the state-served
@@ -1610,6 +1632,30 @@ object TextAnalysis {
         docs.filter(col("doc_id") % 2 === 0), 0L)
       graft.streaming.CorpusStateStream.updateVocab(dir)(
         docs.filter(col("doc_id") % 2 =!= 0), 1L)
+      graft.streaming.CorpusStateStream.foldVocab(s, dir)
+      dir
+    }
+
+  /** Build-once FORGOTTEN vocabulary state for q201: the
+    * servedVocabStateDir protocol, then forgetVocab appends the
+    * tombstoned documents' counts negated (plus a replayed forget —
+    * ledger no-op, so the gate re-proves deletion idempotence), and a
+    * final fold nets deletion against accumulation before serving. */
+  private def servedForgottenVocabStateDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"vocabforget|$d/documents.parquet",
+        protectNew = false) {
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_vocabforget_state").toString)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      graft.streaming.CorpusStateStream.updateVocab(dir)(
+        docs.filter(col("doc_id") % 2 === 0), 0L)
+      graft.streaming.CorpusStateStream.updateVocab(dir)(
+        docs.filter(col("doc_id") % 2 =!= 0), 1L)
+      val tomb = docs.filter(Sampling.tombstoned(col("doc_id")))
+      graft.streaming.CorpusStateStream.forgetVocab(dir)(tomb, 2L)
+      graft.streaming.CorpusStateStream.forgetVocab(dir)(tomb, 2L) // replay
       graft.streaming.CorpusStateStream.foldVocab(s, dir)
       dir
     }

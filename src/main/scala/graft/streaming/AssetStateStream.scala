@@ -87,6 +87,32 @@ object AssetStateStream {
       .write.mode("append").parquet(s"$stateDir/paysigs")
   }
 
+  /** Right-to-be-forgotten against the maintained asset state — the
+    * [[IvfStateStream.forget]] contract on the two keyed-1:1 tables:
+    * tombstoned doc_ids anti-join out of `digests/` and `paysigs/`
+    * under the two-rename swap, so a deleted asset can neither count in
+    * a reclamation group nor band in a near-dup probe. For a MEDIA
+    * corpus this is the half of a deletion the index owns — the blobs
+    * themselves live in the object store (state never persisted them,
+    * the "never stored twice" contract above) and are deleted there;
+    * this removes every fingerprint that could re-identify them.
+    * Re-running with the same tombstones is a no-op. */
+  def forget(spark: SparkSession, stateDir: String,
+      tombstones: DataFrame): Unit = {
+    val tomb = tombstones.select(col("doc_id")).distinct()
+      .localCheckpoint(true) // read once per artifact, after its source swaps
+    val digSurvivors = digestState(spark, stateDir)
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    CorpusStateStream.swapState(spark, s"$stateDir/digests")(tmp =>
+      digSurvivors.write.mode("overwrite").parquet(tmp))
+    val sigSurvivors = sigState(spark, stateDir)
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    CorpusStateStream.swapState(spark, s"$stateDir/paysigs")(tmp =>
+      sigSurvivors.write.mode("overwrite").parquet(tmp))
+  }
+
   /** Start the maintenance stream over arriving document parquet files
     * (same source shape as [[CorpusStateStream.start]] — one landing
     * directory can feed both maintenance jobs). */

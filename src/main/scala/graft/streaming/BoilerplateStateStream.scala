@@ -65,7 +65,33 @@ object BoilerplateStateStream {
   /** One micro-batch: append this batch's per-phrase df deltas and its
     * doc-count delta exactly once (the vocab-ledger crash protocol).
     * Calling it twice with the same batch is a no-op the second time. */
-  def update(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
+  def update(stateDir: String)(batch: DataFrame, batchId: Long): Unit =
+    appendDeltas(stateDir, batch, batchId, sign = 1L)
+
+  /** Right-to-be-forgotten against the maintained blacklist — the
+    * NEGATIVE-delta twin of [[update]], which is the whole point of
+    * keeping the state as additive deltas rather than materialized
+    * counts: deleting documents is just one more ledger-committed batch
+    * whose phrase-df and doc-count contributions carry a minus sign, so
+    * the same fold, the same crash protocol, and the same replay
+    * idempotence apply unchanged, and the read side ([[
+    * phraseTableFromState]]) nets the deletion out with zero new code.
+    * The caller passes the forgotten documents themselves (a deletion
+    * request names its subjects; re-reading exactly those rows is an
+    * id-pushdown scan bounded by |forgotten|, never the corpus) and they
+    * must be currently counted — forgetting a never-delivered doc would
+    * drive its phrases' net df negative, which the fold preserves
+    * faithfully and the df >= 2 cut hides, but the n_docs denominator
+    * would be silently wrong. A phrase whose net df reaches 0 stays in
+    * the folded snapshot as a zero row (additive tables keep their key
+    * domain); it can never serve — the df >= 2 cut runs before anything
+    * is ordered — and the next fold carries it at |key| cost, the
+    * documented residue trade. */
+  def forget(stateDir: String)(docs: DataFrame, batchId: Long): Unit =
+    appendDeltas(stateDir, docs, batchId, sign = -1L)
+
+  private def appendDeltas(stateDir: String, batch: DataFrame,
+      batchId: Long, sign: Long): Unit = {
     require(batchId >= 0, "batchId must be non-negative (negative ids " +
       "are reserved for folded snapshot rows)")
     val spark = batch.sparkSession
@@ -87,14 +113,14 @@ object BoilerplateStateStream {
         // the count IS a document frequency within the batch
         docs.select(
             explode(graft.expressions.ShingleText(col("text"), 3)).as("phrase"))
-          .groupBy(col("phrase")).agg(count(lit(1)).as("delta"))
+          .groupBy(col("phrase")).agg((count(lit(1)) * sign).as("delta"))
           .select(lit(batchId).as("batch_id"), col("phrase"), col("delta"))
           .write.mode("append").parquet(s"$stateDir/bp_phrases")
       }
       val inCounters = stateDf(spark, s"$stateDir/bp_counters", countersSchema)
         .filter(col("batch_id") === batchId).limit(1).count() > 0
       if (!inCounters) {
-        docs.agg(count(lit(1)).as("n_docs"))
+        docs.agg((count(lit(1)) * sign).as("n_docs"))
           .select(lit(batchId).as("batch_id"), col("n_docs"))
           .write.mode("append").parquet(s"$stateDir/bp_counters")
       }

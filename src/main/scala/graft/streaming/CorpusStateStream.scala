@@ -393,9 +393,15 @@ object CorpusStateStream {
   /** The aggregated (w, cnt) reference-vocabulary view over the delta
     * log — term keys are Md5TokenHash64 word hashes (8 bytes/term, the
     * family's hash-domain trade; text never persists in state). */
+  /** Net term counts. The cnt > 0 cut is load-bearing only after a
+    * [[forgetVocab]] pass: a term whose occurrences were all deleted
+    * nets to a zero row (additive tables keep their key domain), and it
+    * must leave the vocabulary — ln(0) in the LM table would poison
+    * every consumer. Under pure accumulation the filter never fires. */
   def vocabState(spark: SparkSession, stateDir: String): DataFrame =
     stateDf(spark, s"$stateDir/vocab", vocabSchema)
       .groupBy(col("w")).agg(sum(col("delta")).as("cnt"))
+      .filter(col("cnt") > 0)
 
   /** One vocab micro-batch: append this batch's term-count deltas
     * exactly once. The DELTA LOG is the idempotence record (rows carry
@@ -405,7 +411,22 @@ object CorpusStateStream {
     * row: a crash between the two replays the batch, the ledger misses,
     * the log probe finds the deltas already present and skips them, and
     * only the ledger row is healed — counts can never double. */
-  def updateVocab(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
+  def updateVocab(stateDir: String)(batch: DataFrame, batchId: Long): Unit =
+    appendVocabDeltas(stateDir, batch, batchId, sign = 1L)
+
+  /** Right-to-be-forgotten against the maintained vocabulary — the
+    * NEGATIVE-delta twin of [[updateVocab]] (the BoilerplateStateStream
+    * .forget design note applies verbatim: deletion is one more
+    * ledger-committed batch with a minus sign, so fold, crash protocol,
+    * and replay idempotence are all inherited unchanged). The caller
+    * passes the forgotten documents themselves, and they must be
+    * currently counted; terms whose net count reaches 0 leave the
+    * served vocabulary through [[vocabState]]'s cnt > 0 cut. */
+  def forgetVocab(stateDir: String)(docs: DataFrame, batchId: Long): Unit =
+    appendVocabDeltas(stateDir, docs, batchId, sign = -1L)
+
+  private def appendVocabDeltas(stateDir: String, batch: DataFrame,
+      batchId: Long, sign: Long): Unit = {
     require(batchId >= 0, s"batchId $batchId: negative ids are reserved " +
       s"for folded snapshot rows (SnapshotBatchId = $SnapshotBatchId)")
     val spark = batch.sparkSession
@@ -421,7 +442,7 @@ object CorpusStateStream {
               graft.expressions.Md5TokenHash64.words(lower(col("text"))))
             .as("w"))
           .groupBy(col("w"))
-          .agg(count(lit(1)).as("delta"))
+          .agg((count(lit(1)) * sign).as("delta"))
           .select(lit(batchId).as("batch_id"), col("w"), col("delta"))
           .write.mode("append").parquet(s"$stateDir/vocab")
       }

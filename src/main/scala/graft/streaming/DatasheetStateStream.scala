@@ -44,6 +44,22 @@ import graft.functions.TextFunctions.wsTokens
   * (the batch twin over the concatenated deliveries counts rows too)
   * but keeps its FIRST signature, exactly like the corpus stream.
   *
+  * Deletion note: this family has NO forget op, deliberately. The
+  * additive tables (`ds_counters`, `ds_prefixes`) could net a deletion
+  * out exactly as [[BoilerplateStateStream.forget]] and
+  * [[CorpusStateStream.forgetVocab]] do (negative ledger deltas) — but
+  * the datasheet also reads the SET tables (`langs`, `sources`,
+  * `words`, the distinct-shingle set), and a set membership cannot be
+  * un-asserted without knowing whether any SURVIVING document still
+  * holds the key, i.e. without a reference count the set layout chose
+  * not to pay for (16 B/key vs 24 B/key at 100 TB, and anti-join
+  * idempotence instead of a ledger). Executing right-to-be-forgotten
+  * against a datasheet therefore means either upgrading the set tables
+  * to df-counted layouts (then the negative-delta machinery applies
+  * unchanged) or re-deriving them from the surviving signature table —
+  * both corpus-free, neither free; q199/q200/q201 cover the families
+  * where deletion is already exact.
+  *
   * Scale: per batch, one |batch| projection per table family, anti-joins
   * against state read with pushdown on the key column, and one appended
   * counter row; the read side is counters-sum + set-table counts + the

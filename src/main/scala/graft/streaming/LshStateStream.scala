@@ -79,6 +79,26 @@ object LshStateStream {
       .write.mode("append").parquet(s"$stateDir/sigs")
   }
 
+  /** Right-to-be-forgotten against the maintained LSH index — the
+    * [[IvfStateStream.forget]] contract on the signature table: the
+    * layout is keyed 1:1 by vec_id, so deletion is ONE broadcast
+    * anti-join over state (never the corpus) under the two-rename swap,
+    * and a deleted vector can neither band (generate candidates) nor
+    * score. Unlike IVF there is no model to keep or retrain — the
+    * planes are a pure function, so deletion here is COMPLETE erasure.
+    * Re-running with the same tombstones is a no-op. Run offline, like
+    * compaction. */
+  def forget(spark: SparkSession, stateDir: String,
+      tombstones: DataFrame): Unit = {
+    val tomb = tombstones.select(col("vec_id")).distinct()
+      .localCheckpoint(true) // read after the swap deletes its source
+    val survivors = sigState(spark, stateDir)
+      .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true) // materialize before the swap
+    CorpusStateStream.swapState(spark, s"$stateDir/sigs")(tmp =>
+      survivors.write.mode("overwrite").parquet(tmp))
+  }
+
   /** Start the maintenance stream over a directory of arriving
     * embedding parquet files. */
   def start(

@@ -338,6 +338,49 @@ class PlanSpec extends SparkSpec {
     assert(!forg.contains("md5"),
       "q199 must not re-apply the tombstone rule at read time — the " +
         "deletion is already executed in state:\n" + forg.take(800))
+    // q200: the post-forget blacklist read is q191's plan — netted state
+    // sums only, no document scan, no shingling, no tombstone filter
+    val bpf = planString("q200_forgotten_blacklist_state_served")
+    assert(bpf.contains("graft_bpforget_state"),
+      "q200 must read the forgotten blacklist state")
+    assert(!bpf.contains("documents.parquet"),
+      "q200 must not rescan the corpus:\n" + bpf.take(800))
+    assert(!bpf.contains("md5"),
+      "q200 must not re-apply the tombstone rule at read time:\n" +
+        bpf.take(800))
+    // q201: the post-forget LM read scans documents exactly once (the
+    // surviving probe side — the tombstone filter on THAT side is the
+    // read's own predicate, not a deletion re-execution) and the netted
+    // vocab state; the reference corpus is never rescanned
+    val lmf = planString("q201_forgotten_lm_state_served")
+    assert(lmf.contains("graft_vocabforget_state"),
+      "q201 must read the forgotten vocab state")
+    assert(occurrences(lmf, "documents.parquet") == 1,
+      "q201 reads documents exactly once (the surviving probe side): " +
+        occurrences(lmf, "documents.parquet"))
+    // q202: the post-forget LSH read is q189's plan — persisted sigs
+    // only, no embeddings rescan, no re-sign, no tombstone re-execution
+    val lshf = planString("q202_forgotten_lsh_state_served")
+    assert(lshf.contains("graft_lshforget_state"),
+      "q202 must read the forgotten LSH state")
+    assert(!lshf.contains("embeddings.parquet"),
+      "q202 must not rescan the embeddings table:\n" + lshf.take(800))
+    assert(!lshf.contains("zip_with"),
+      "q202 must not recompute signatures at read time:\n" + lshf.take(800))
+    assert(!lshf.contains("md5"),
+      "q202 must not re-apply the tombstone rule at read time:\n" +
+        lshf.take(800))
+    // q203: the post-forget reclamation read aggregates persisted
+    // digests only — no document scan, no re-digesting, no tombstone
+    // re-execution
+    val af = planString("q203_forgotten_assets_state_served")
+    assert(af.contains("graft_assetforget_state"),
+      "q203 must read the forgotten asset state")
+    assert(!af.contains("documents.parquet"),
+      "q203 must not rescan the corpus:\n" + af.take(800))
+    assert(!af.contains("md5"),
+      "q203 must not re-digest payloads or re-apply the tombstone " +
+        "rule at read time:\n" + af.take(800))
   }
 
   test("stream-served event reads scan their record sink, never the events table") {

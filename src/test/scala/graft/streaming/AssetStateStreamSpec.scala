@@ -82,6 +82,45 @@ class AssetStateStreamSpec extends SparkSpec {
       "state-served reclamation report diverged from the batch report")
   }
 
+  test("forget erases both keyed tables; served report == batch over survivors; replay no-op") {
+    val root = Files.createTempDirectory("graft-assetstate-forget").toString
+    val stateDir = s"$root/state"
+    // the doubled fixture so the post-forget report is non-vacuous AND
+    // groups shrink asymmetrically (a tombstoned twin drops its group
+    // below the >= 2 cut while the survivor remains a row of state)
+    val base = docsSlice(lit(true))
+    val doubled = base.union(base.select(
+      (col("doc_id") + 30000L).as("doc_id"), col("text"), col("source")))
+    AssetStateStream.update(stateDir)(doubled.filter(col("doc_id") % 2 === 0), 0L)
+    AssetStateStream.update(stateDir)(doubled.filter(col("doc_id") % 2 === 1), 1L)
+    val tombPred = col("doc_id") % 7 === 3
+    AssetStateStream.forget(spark, stateDir,
+      doubled.select(col("doc_id")).filter(tombPred))
+    val dg = AssetStateStream.digestState(spark, stateDir)
+    val sg = AssetStateStream.sigState(spark, stateDir)
+    assert(dg.filter(tombPred).isEmpty && sg.filter(tombPred).isEmpty,
+      "tombstoned rows survived the forget pass")
+    assert(dg.count() == doubled.filter(!tombPred).count(),
+      "forget disturbed a surviving digest row")
+    val survivors = doubled.filter(!tombPred)
+    val twin = Multimodal.payloadDedupReport(survivors.select(
+      Multimodal.mimeOf(col("doc_id")).as("mime"),
+      md5(to_binary(col("text"), lit("utf-8"))).as("fp"),
+      length(to_binary(col("text"), lit("utf-8"))).cast("bigint").as("n_bytes")))
+    assert(twin.count() > 0,
+      "fixture self-check: the post-forget report must stay non-empty")
+    val served = AssetStateStream.payloadDedupFromState(spark, stateDir)
+    assert(served.exceptAll(twin).isEmpty && twin.exceptAll(served).isEmpty,
+      "post-forget served report diverged from the survivors' batch report")
+    // re-deleting already-absent keys is a state no-op
+    val before = dg.collect().map(_.toString).sorted
+    AssetStateStream.forget(spark, stateDir,
+      doubled.select(col("doc_id")).filter(tombPred))
+    assert(before.sameElements(AssetStateStream.digestState(spark, stateDir)
+        .collect().map(_.toString).sorted),
+      "replayed forget changed the digest state")
+  }
+
   test("a replayed micro-batch is a state no-op (restart recovery contract)") {
     val root = Files.createTempDirectory("graft-assetstate-replay").toString
     val stateDir = s"$root/state"

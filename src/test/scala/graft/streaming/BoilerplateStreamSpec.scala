@@ -81,4 +81,37 @@ class BoilerplateStreamSpec extends SparkSpec {
       rows(batchTable(docsSlice(lit(true)))),
       "drained blacklist with mid-stream folds diverged from batch")
   }
+
+  test("forget nets out the deleted docs; replay is a no-op; zero rows never serve") {
+    val root = Files.createTempDirectory("graft-bpforget").toString
+    val state = s"$root/state"
+    val tombPred = col("doc_id") % 5 === 2
+    BoilerplateStateStream.update(state)(docsSlice(col("doc_id") % 2 === 0), 0L)
+    BoilerplateStateStream.update(state)(docsSlice(col("doc_id") % 2 =!= 0), 1L)
+    // the deletion request carries its own documents (id-pushdown read)
+    BoilerplateStateStream.forget(state)(docsSlice(tombPred), 2L)
+    val served = rows(BoilerplateStateStream.phraseTableFromState(spark, state))
+    assert(served == rows(batchTable(docsSlice(!tombPred))),
+      "post-forget blacklist diverged from the survivors' batch recompute")
+    assert(served.nonEmpty, "fixture produced an empty post-forget blacklist")
+    // a replayed forget (same batch id) is a ledger no-op
+    BoilerplateStateStream.forget(state)(docsSlice(tombPred), 2L)
+    assert(served == rows(BoilerplateStateStream.phraseTableFromState(spark, state)),
+      "replayed forget double-subtracted")
+    // fold nets deletion against accumulation without changing the read;
+    // net-zero phrases persist as snapshot residue but can never serve
+    BoilerplateStateStream.foldDeltas(spark, state)
+    assert(served == rows(BoilerplateStateStream.phraseTableFromState(spark, state)),
+      "fold over mixed-sign deltas changed the served blacklist")
+    val snap = CorpusStateStream.stateDf(spark, s"$state/bp_phrases",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("phrase",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("delta",
+          org.apache.spark.sql.types.LongType))))
+    assert(snap.filter(col("delta") < 0).isEmpty,
+      "net df went negative: forget subtracted a doc that was never counted")
+  }
 }

@@ -247,6 +247,40 @@ class CorpusStateStreamSpec extends SparkSpec {
       "compaction changed the vocab aggregate")
   }
 
+  test("forgetVocab nets deleted docs out; zeroed terms leave the vocabulary; replay is a no-op") {
+    val root = Files.createTempDirectory("graft-corpstate-vforget").toString
+    val stateDir = s"$root/state"
+    val tombPred = col("doc_id") % 5 === 2
+    CorpusStateStream.updateVocab(stateDir)(docsSlice(col("doc_id") % 2 === 0), 0L)
+    CorpusStateStream.updateVocab(stateDir)(docsSlice(col("doc_id") % 2 =!= 0), 1L)
+    CorpusStateStream.forgetVocab(stateDir)(docsSlice(tombPred), 2L)
+    val st = CorpusStateStream.vocabState(spark, stateDir)
+    val exp = batchVocab(docsSlice(!tombPred))
+    assert(st.exceptAll(exp).isEmpty && exp.exceptAll(st).isEmpty,
+      "post-forget vocab diverged from the survivors' batch recomputation")
+    // the cnt > 0 cut: no zero or negative net count may ever serve
+    assert(st.filter(col("cnt") <= 0).isEmpty,
+      "vocabState served a non-positive net count")
+    // a replayed forget (same batch id) is a ledger no-op
+    CorpusStateStream.forgetVocab(stateDir)(docsSlice(tombPred), 2L)
+    val st2 = CorpusStateStream.vocabState(spark, stateDir)
+    assert(st2.exceptAll(exp).isEmpty && exp.exceptAll(st2).isEmpty,
+      "replayed forget double-subtracted")
+    // fold nets mixed-sign deltas without changing the read
+    CorpusStateStream.foldVocab(spark, stateDir)
+    val st3 = CorpusStateStream.vocabState(spark, stateDir)
+    assert(st3.exceptAll(exp).isEmpty && exp.exceptAll(st3).isEmpty,
+      "fold over mixed-sign vocab deltas changed the read")
+    // scoring the survivors against the netted vocab equals scoring
+    // them against a vocab built from scratch over the survivors
+    val fresh = s"$root/fresh"
+    CorpusStateStream.updateVocab(fresh)(docsSlice(!tombPred), 0L)
+    val a = CorpusStateStream.lmScoreAgainstState(stateDir, docsSlice(!tombPred))
+    val b = CorpusStateStream.lmScoreAgainstState(fresh, docsSlice(!tombPred))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "netted-vocab LM scores diverged from a fresh retrain over survivors")
+  }
+
   test("foldVocab: rows fold to |terms|, reads unchanged, idempotent, replay still a no-op") {
     val root = Files.createTempDirectory("graft-corpstate-vocabfold").toString
     val stateDir = s"$root/state"

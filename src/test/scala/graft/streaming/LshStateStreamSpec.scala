@@ -111,4 +111,37 @@ class LshStateStreamSpec extends SparkSpec {
       rows(Similarity.annTopK(emb, qids, 10, portablePlanes = true)),
       "state-served LSH top-k diverged from the batch operator")
   }
+
+  test("forget erases tombstoned ids; served search == batch over survivors; replay no-op") {
+    val root = Files.createTempDirectory("graft-lshstate-forget").toString
+    val stateDir = s"$root/state"
+    val emb = embSlice(lit(true))
+    LshStateStream.update(stateDir)(
+      emb.filter(col("vec_id") % 2 === 0), 0L)
+    LshStateStream.update(stateDir)(
+      emb.filter(col("vec_id") % 2 =!= 0), 1L)
+    val tombPred = col("vec_id") % 7 === 3
+    LshStateStream.forget(spark, stateDir,
+      emb.select(col("vec_id")).filter(tombPred))
+    // complete erasure: no trace of a tombstoned id anywhere in state
+    val sigs = LshStateStream.sigState(spark, stateDir)
+    assert(sigs.filter(tombPred).isEmpty, "tombstoned sigs survived forget")
+    assert(sigs.count() == emb.filter(!tombPred).count(),
+      "forget disturbed a surviving row")
+    // the served search equals a batch sign-and-search over survivors
+    // (query ids 0/1/2 are not tombstoned: 0,1,2 % 7 != 3)
+    val qids = Seq(0L, 1L, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("query_id"), col("rn"))
+        .collect().map(_.toString).toSeq
+    val served = rows(LshStateStream.topKFromState(spark, stateDir, qids, 10))
+    assert(served == rows(Similarity.annTopK(emb.filter(!tombPred), qids, 10,
+        portablePlanes = true)),
+      "post-forget served search diverged from batch over survivors")
+    // re-deleting already-absent keys is a state no-op
+    LshStateStream.forget(spark, stateDir,
+      emb.select(col("vec_id")).filter(tombPred))
+    assert(served == rows(LshStateStream.topKFromState(spark, stateDir, qids, 10)),
+      "replayed forget changed the index")
+  }
 }
