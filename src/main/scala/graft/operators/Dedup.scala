@@ -1231,30 +1231,42 @@ object Dedup {
     * so a hash match there proves contamination measured against the
     * maintained train-shingle state and against a same-query split
     * recompute are value-identical. */
-  private val q80OracleSql: String =
-    """WITH sp AS (
-      |  SELECT doc_id, text,
-      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
-      |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
-      |         ELSE 'test' END AS split
-      |  FROM documents),
-      |ws AS (SELECT doc_id, split, string_split_regex(trim(text), '\s+') AS w FROM sp),
-      |sh AS (
-      |  SELECT doc_id, split, unnest(list_distinct(
-      |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
-      |  FROM ws),
-      |train_sh AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
-      |test_sh AS (SELECT doc_id, sh FROM sh WHERE split = 'test'),
-      |tot AS (SELECT doc_id, count(*) AS n_shingles FROM test_sh GROUP BY doc_id),
-      |hit AS (
-      |  SELECT t.doc_id, count(*) AS n_shared
-      |  FROM test_sh t JOIN train_sh tr ON t.sh = tr.sh GROUP BY t.doc_id)
-      |SELECT tot.doc_id AS doc_id, CAST(tot.n_shingles AS BIGINT) AS n_shingles,
-      |  CAST(COALESCE(hit.n_shared, 0) AS BIGINT) AS n_shared,
-      |  COALESCE(hit.n_shared, 0) * 1.0 / tot.n_shingles AS contamination
-      |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
-      |WHERE COALESCE(hit.n_shared, 0) > 0
-      |ORDER BY tot.doc_id""".stripMargin
+  private val q80OracleSql: String = q80OracleSqlTrainWhere("")
+
+  /** q80's chain with an optional extra predicate on the TRAIN side —
+    * `""` renders the historical q80/q190 SQL byte-equal; q204 passes
+    * the tombstone-survivor conjunct (every tombstoned doc IS train:
+    * first md5 hex 'a' < the 'cc' split boundary), because forgetting
+    * training documents shrinks exactly the shingle set an eval probe
+    * is checked against. */
+  private def q80OracleSqlTrainWhere(trainAnd: String): String =
+    s"""WITH sp AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+       |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |ws AS (SELECT doc_id, split, string_split_regex(trim(text), '\\s+') AS w FROM sp),
+       |sh AS (
+       |  SELECT doc_id, split, unnest(list_distinct(
+       |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
+       |  FROM ws),
+       |train_sh AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'$trainAnd),
+       |test_sh AS (SELECT doc_id, sh FROM sh WHERE split = 'test'),
+       |tot AS (SELECT doc_id, count(*) AS n_shingles FROM test_sh GROUP BY doc_id),
+       |hit AS (
+       |  SELECT t.doc_id, count(*) AS n_shared
+       |  FROM test_sh t JOIN train_sh tr ON t.sh = tr.sh GROUP BY t.doc_id)
+       |SELECT tot.doc_id AS doc_id, CAST(tot.n_shingles AS BIGINT) AS n_shingles,
+       |  CAST(COALESCE(hit.n_shared, 0) AS BIGINT) AS n_shared,
+       |  COALESCE(hit.n_shared, 0) * 1.0 / tot.n_shingles AS contamination
+       |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+       |WHERE COALESCE(hit.n_shared, 0) > 0
+       |ORDER BY tot.doc_id""".stripMargin
+
+  private def q204OracleSql: String = q80OracleSqlTrainWhere(
+    " AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '" +
+      Sampling.TombstoneHex + "'")
 
   /** q106's oracle SQL — shared VERBATIM with q191's state-served read,
     * so a hash match there proves the maintained boilerplate blacklist
@@ -1350,6 +1362,32 @@ object Dedup {
         train.filter(col("doc_id") % 2 === 0), 0L)
       graft.streaming.CorpusStateStream.update(dir)(
         train.filter(col("doc_id") % 2 =!= 0), 1L)
+      dir
+    }
+
+  /** Build-once FORGOTTEN df-counted train-shingle state for q204: the
+    * q190 fixture (q80's train split, two parity waves) folded through
+    * updateShingleDf — the deletion-CAPABLE layout, +8 B/key over the
+    * set table — then forgetShingleDf nets the tombstoned train docs
+    * out (plus a replayed forget, ledger no-op) and foldShingleDf
+    * merges the mixed-sign log before serving. */
+  private def servedForgottenTrainShingleDir(s: SparkSession,
+      d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"trainshforget|$d/documents.parquet",
+        protectNew = false) {
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_trainshforget_state").toString)
+      val train = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .filter(Sampling.splitOf(col("doc_id")) === "train")
+      graft.streaming.CorpusStateStream.updateShingleDf(dir)(
+        train.filter(col("doc_id") % 2 === 0), 0L)
+      graft.streaming.CorpusStateStream.updateShingleDf(dir)(
+        train.filter(col("doc_id") % 2 =!= 0), 1L)
+      val tomb = train.filter(Sampling.tombstoned(col("doc_id")))
+      graft.streaming.CorpusStateStream.forgetShingleDf(dir)(tomb, 2L)
+      graft.streaming.CorpusStateStream.forgetShingleDf(dir)(tomb, 2L) // replay
+      graft.streaming.CorpusStateStream.foldShingleDf(s, dir)
       dir
     }
 
@@ -2413,6 +2451,17 @@ object Dedup {
       (s, d) =>
         graft.streaming.BoilerplateStateStream.phraseTableFromState(s,
           servedBoilerplateStateDir(s, d))
+    },
+
+    Q("q204_forgotten_contamination_state_served", q204OracleSql,
+      "q190's decontamination read AFTER a right-to-be-forgotten pass over the training corpus — the leg that closes the deletion family's one documented gap by PAYING for it: the set-table layout q190 serves from cannot execute a forget (membership cannot un-assert without knowing whether a surviving document still holds the shingle), so this read runs against the df-COUNTED variant (CorpusStateStream.updateShingleDf — per-shingle document frequency as additive ledger deltas, the +8 B/key trade the runbook's deletion table names), where forgetting train docs is the same negative-delta batch as q200/q201, the fold nets it, and membership is net df > 0 — shingles whose every holder was forgotten leave the set, so an eval doc sharing text ONLY with deleted training data correctly reports clean. The oracle is q80's SQL with the tombstone-survivor conjunct on the train side only (every tombstoned doc IS train: first md5 hex 'a' < the 'cc' split boundary — the probe side stays the full test split). A replayed forget re-proves deletion idempotence under the gate. Scale: the probe plan is q190's (one scan, one pushdown join); deletion cost is one shingle pass over the FORGOTTEN docs; state is |distinct train shingles| × 24 B unfolded, snapshot-bounded after folds.") {
+      (s, d) =>
+        graft.streaming.CorpusStateStream.contaminationAgainstDfState(
+            servedForgottenTrainShingleDir(s, d),
+            Tables.documents(s, d)
+              .select(col("doc_id"), col("text"))
+              .filter(Sampling.splitOf(col("doc_id")) === "test"))
+          .orderBy(col("doc_id"))
     },
 
     Q("q200_forgotten_blacklist_state_served", q200OracleSql,

@@ -514,6 +514,93 @@ object CorpusStateStream {
       .filter(col("n_shared") > 0)
   }
 
+  // ——— df-counted shingle state: the deletion-capable variant ———
+  //
+  // The `shingles/` SET table above cannot execute a forget: membership
+  // cannot be un-asserted without knowing whether any SURVIVING document
+  // still holds the key. This variant pays the documented +8 B/key to
+  // keep a per-shingle document-frequency COUNT as an additive delta
+  // table (the vocab-ledger protocol), so deletion is the same negative-
+  // delta batch as everywhere else and membership is `net df > 0`. A
+  // deployment that must serve right-to-be-forgotten against its
+  // decontamination state runs THIS table; one that never deletes keeps
+  // the cheaper set.
+
+  private val shdfSchema = StructType(Seq(
+    StructField("batch_id", LongType),
+    StructField("h", LongType),
+    StructField("delta", LongType)))
+
+  /** Net per-shingle document frequency; df > 0 IS the membership set
+    * (a shingle all of whose holders were forgotten has left it). */
+  def shingleDfState(spark: SparkSession, stateDir: String): DataFrame =
+    stateDf(spark, s"$stateDir/shdf", shdfSchema)
+      .groupBy(col("h")).agg(sum(col("delta")).as("df"))
+      .filter(col("df") > 0)
+
+  /** One micro-batch of df deltas (ledger-committed, replay-safe). */
+  def updateShingleDf(stateDir: String)(batch: DataFrame, batchId: Long): Unit =
+    appendShingleDfDeltas(stateDir, batch, batchId, sign = 1L)
+
+  /** Right-to-be-forgotten against the df-counted shingle state — the
+    * [[forgetVocab]] contract: the forgotten documents' per-shingle df
+    * contributions append negated as one more ledger-committed batch;
+    * the fold nets them; zeroed shingles leave membership through the
+    * df > 0 cut. Docs must be currently counted. */
+  def forgetShingleDf(stateDir: String)(docs: DataFrame, batchId: Long): Unit =
+    appendShingleDfDeltas(stateDir, docs, batchId, sign = -1L)
+
+  private def appendShingleDfDeltas(stateDir: String, batch: DataFrame,
+      batchId: Long, sign: Long): Unit = {
+    require(batchId >= 0, s"batchId $batchId: negative ids are reserved " +
+      s"for folded snapshot rows (SnapshotBatchId = $SnapshotBatchId)")
+    val spark = batch.sparkSession
+    val ledgerDir = s"$stateDir/shdf_ledger"
+    val seen = stateDf(spark, ledgerDir, ledgerSchema)
+      .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (!seen) {
+      val inLog = stateDf(spark, s"$stateDir/shdf", shdfSchema)
+        .filter(col("batch_id") === batchId).limit(1).count() > 0
+      if (!inLog) {
+        // within-trigger dedup on doc_id, then the per-doc-DISTINCT
+        // compiled shingle stream (ShingleHash64 dedupes per doc), so
+        // the count IS a document frequency within the batch
+        batch.dropDuplicates("doc_id").select(col("text"))
+          .select(explode(graft.expressions.ShingleHash64(col("text"))).as("h"))
+          .groupBy(col("h")).agg((count(lit(1)) * sign).as("delta"))
+          .select(lit(batchId).as("batch_id"), col("h"), col("delta"))
+          .write.mode("append").parquet(s"$stateDir/shdf")
+      }
+      spark.range(1).select(lit(batchId).as("batch_id"))
+        .write.mode("append").parquet(ledgerDir)
+    }
+  }
+
+  /** [[foldDeltaState]] applied to the shingle-df delta log. */
+  def foldShingleDf(spark: SparkSession, stateDir: String): (Long, Long) =
+    foldDeltaState(spark, stateDir, "shdf", "shdf_ledger", shdfSchema,
+      Seq("h"), Seq("delta"))
+
+  /** [[contaminationAgainstState]] against the df-counted table — same
+    * probe plan (one scan, one left join, one aggregate), membership =
+    * net df > 0, so a post-forget read answers against exactly the
+    * SURVIVING training corpus. */
+  def contaminationAgainstDfState(stateDir: String,
+      probe: DataFrame): DataFrame = {
+    val spark = probe.sparkSession
+    val sh = probe.select(col("doc_id"),
+      explode(graft.expressions.ShingleHash64(col("text"))).as("h"))
+    sh.join(shingleDfState(spark, stateDir).select(col("h"))
+          .withColumn("seen", lit(1)),
+        Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared") * lit(1.0d) / col("n_shingles")).as("contamination"))
+      .filter(col("n_shared") > 0)
+  }
+
   /** q118's novelty probe served FROM the maintained state instead of a
     * same-query split: per source, the fraction of an arrival batch's
     * distinct shingles absent from the persisted set. Run BEFORE folding

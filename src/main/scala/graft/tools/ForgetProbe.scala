@@ -1,0 +1,103 @@
+// scratch right-to-be-forgotten cost probe:
+//   sbt "runMain graft.tools.ForgetProbe /root/testdata/sf0.1"
+// Prices each forget mechanic against the alternative a deployment
+// would otherwise pay — the numbers behind the runbook's "deletion is
+// an index op, not a corpus rebuild" claim:
+//   - LSH:  forget (anti-join + swap over sigs) vs re-sign REBUILD of
+//     the surviving corpus from scratch;
+//   - IVF:  forget (lists + codes) vs re-train + re-fold rebuild;
+//   - blacklist: negative-delta forget batch (a ShingleText pass over
+//     the FORGOTTEN docs only) vs recount REBUILD over survivors;
+//   - df-shingle: same comparison on the decontamination state.
+// All timings are one-shot wall clock on a warm session — comparative
+// within this run, not cross-round comparable (the TimeQ caveat).
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+import graft.streaming._
+
+object ForgetProbe {
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = Files.createTempDirectory("graft-forgetprobe").toString
+
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val vecTomb = emb.select(col("vec_id"))
+      .filter(Sampling.tombstoned(col("vec_id")))
+    val docTomb = docs.filter(Sampling.tombstoned(col("doc_id")))
+    println(s"[forget] corpus: ${emb.count()} vectors, ${docs.count()} docs; " +
+      s"tombstones: ${vecTomb.count()} vecs, ${docTomb.count()} docs")
+
+    // LSH: forget vs re-sign rebuild
+    val lsh = s"$root/lsh"
+    LshStateStream.update(lsh)(emb, 0L)
+    val (_, tLshForget) = timed(LshStateStream.forget(spark, lsh, vecTomb))
+    val (_, tLshRebuild) = timed {
+      LshStateStream.update(s"$root/lsh_rebuild")(
+        emb.join(vecTomb, Seq("vec_id"), "left_anti"), 0L)
+    }
+    println(f"[forget] LSH:       forget $tLshForget%.2f s vs re-sign rebuild $tLshRebuild%.2f s (${tLshRebuild / tLshForget}%.1fx)")
+
+    // IVF (+PQ codes): forget vs retrain + refold
+    val ivf = s"$root/ivf"
+    IvfStateStream.train(emb, ivf, nlist = 8, portableMeans = true)
+    IvfStateStream.trainPq(emb, ivf, m = 4, ksub = 16, portableMeans = true)
+    IvfStateStream.update(ivf)(emb, 0L)
+    IvfStateStream.updatePq(ivf)(emb, 0L)
+    val (_, tIvfForget) = timed(IvfStateStream.forget(spark, ivf, vecTomb))
+    val (_, tIvfRebuild) = timed {
+      val d2 = s"$root/ivf_rebuild"
+      val surv = emb.join(vecTomb, Seq("vec_id"), "left_anti")
+      IvfStateStream.train(surv, d2, nlist = 8, portableMeans = true)
+      IvfStateStream.trainPq(surv, d2, m = 4, ksub = 16, portableMeans = true)
+      IvfStateStream.update(d2)(surv, 0L)
+      IvfStateStream.updatePq(d2)(surv, 0L)
+    }
+    println(f"[forget] IVF+PQ:    forget $tIvfForget%.2f s vs retrain+refold  $tIvfRebuild%.2f s (${tIvfRebuild / tIvfForget}%.1fx)")
+
+    // Blacklist: negative-delta batch vs recount over survivors. The
+    // fold is timed SEPARATELY — it is amortized maintenance riding the
+    // regular cadence, not part of the deletion's critical path (the
+    // read nets unfolded deltas correctly).
+    val bp = s"$root/bp"
+    BoilerplateStateStream.update(bp)(docs, 0L)
+    val (_, tBpForget) = timed(BoilerplateStateStream.forget(bp)(docTomb, 1L))
+    val (_, tBpFold) = timed(BoilerplateStateStream.foldDeltas(spark, bp))
+    val (_, tBpRebuild) = timed {
+      BoilerplateStateStream.update(s"$root/bp_rebuild")(
+        docs.join(docTomb.select(col("doc_id")), Seq("doc_id"), "left_anti"), 0L)
+    }
+    println(f"[forget] blacklist: forget $tBpForget%.2f s (+fold $tBpFold%.2f s, amortized) vs recount rebuild $tBpRebuild%.2f s (${tBpRebuild / tBpForget}%.1fx)")
+
+    // df-shingle decontamination state: same comparison
+    val sh = s"$root/shdf"
+    CorpusStateStream.updateShingleDf(sh)(docs, 0L)
+    val (_, tShForget) = timed(CorpusStateStream.forgetShingleDf(sh)(docTomb, 1L))
+    val (_, tShFold) = timed(CorpusStateStream.foldShingleDf(spark, sh))
+    val (_, tShRebuild) = timed {
+      CorpusStateStream.updateShingleDf(s"$root/shdf_rebuild")(
+        docs.join(docTomb.select(col("doc_id")), Seq("doc_id"), "left_anti"), 0L)
+    }
+    println(f"[forget] df-shingle: forget $tShForget%.2f s (+fold $tShFold%.2f s, amortized) vs recount rebuild $tShRebuild%.2f s (${tShRebuild / tShForget}%.1fx)")
+
+    spark.stop()
+  }
+}

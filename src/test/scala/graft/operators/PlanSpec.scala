@@ -381,6 +381,14 @@ class PlanSpec extends SparkSpec {
     assert(!af.contains("md5"),
       "q203 must not re-digest payloads or re-apply the tombstone " +
         "rule at read time:\n" + af.take(800))
+    // q204: the post-forget contamination probe is q190's plan shape —
+    // ONE documents scan (the test-split probe side), df state joined in
+    val cf = planString("q204_forgotten_contamination_state_served")
+    assert(cf.contains("graft_trainshforget_state"),
+      "q204 must read the forgotten df-shingle state")
+    assert(occurrences(cf, "documents.parquet") == 1,
+      "q204 reads documents exactly once (the probe split): " +
+        occurrences(cf, "documents.parquet"))
   }
 
   test("stream-served event reads scan their record sink, never the events table") {

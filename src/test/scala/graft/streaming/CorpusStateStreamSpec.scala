@@ -281,6 +281,43 @@ class CorpusStateStreamSpec extends SparkSpec {
       "netted-vocab LM scores diverged from a fresh retrain over survivors")
   }
 
+  test("df-counted shingle state: membership == set state; forget nets; zeroed shingles leave") {
+    val root = Files.createTempDirectory("graft-corpstate-shdf").toString
+    val dfDir = s"$root/dfstate"; val setDir = s"$root/setstate"
+    val tombPred = col("doc_id") % 5 === 2
+    // accumulate the same corpus through both layouts
+    CorpusStateStream.updateShingleDf(dfDir)(docsSlice(col("doc_id") % 2 === 0), 0L)
+    CorpusStateStream.updateShingleDf(dfDir)(docsSlice(col("doc_id") % 2 =!= 0), 1L)
+    CorpusStateStream.update(setDir)(docsSlice(lit(true)), 0L)
+    val dfKeys = CorpusStateStream.shingleDfState(spark, dfDir).select(col("h"))
+    val setKeys = CorpusStateStream.shingleState(spark, setDir)
+    assert(dfKeys.exceptAll(setKeys).isEmpty && setKeys.exceptAll(dfKeys).isEmpty,
+      "df>0 membership diverged from the set table over the same corpus")
+    // forget: membership must equal a set rebuilt over the survivors
+    CorpusStateStream.forgetShingleDf(dfDir)(docsSlice(tombPred), 2L)
+    val survDir = s"$root/survstate"
+    CorpusStateStream.update(survDir)(docsSlice(!tombPred), 0L)
+    val after = CorpusStateStream.shingleDfState(spark, dfDir).select(col("h"))
+    val surv = CorpusStateStream.shingleState(spark, survDir)
+    assert(after.exceptAll(surv).isEmpty && surv.exceptAll(after).isEmpty,
+      "post-forget df>0 membership diverged from a set rebuilt over survivors")
+    // the deletion must actually retire shingles (non-vacuous fixture)
+    assert(after.count() < dfKeys.count(),
+      "fixture self-check: no shingle left membership on forget")
+    // replayed forget is a ledger no-op; fold nets without changing reads
+    CorpusStateStream.forgetShingleDf(dfDir)(docsSlice(tombPred), 2L)
+    CorpusStateStream.foldShingleDf(spark, dfDir)
+    val folded = CorpusStateStream.shingleDfState(spark, dfDir).select(col("h"))
+    assert(folded.exceptAll(surv).isEmpty && surv.exceptAll(folded).isEmpty,
+      "replayed forget or fold changed df membership")
+    // contamination probes agree across layouts on the same corpus
+    val probe = docsSlice(!tombPred).limit(20)
+    val a = CorpusStateStream.contaminationAgainstDfState(dfDir, probe)
+    val b = CorpusStateStream.contaminationAgainstState(survDir, probe)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "df-state contamination diverged from set-state over the same corpus")
+  }
+
   test("foldVocab: rows fold to |terms|, reads unchanged, idempotent, replay still a no-op") {
     val root = Files.createTempDirectory("graft-corpstate-vocabfold").toString
     val stateDir = s"$root/state"
