@@ -134,21 +134,32 @@ object EventWindows {
     * stream read (q192–q196 family), so a hash match there proves the
     * fMGWS machine's persisted records and the batch recompute are
     * value-identical (the q118/q188 sharing convention). */
-  private val q72OracleSql: String =
-    """WITH v AS (
-      |  SELECT user_id, min(ts) AS t1 FROM events
-      |  WHERE event_type = 'view' GROUP BY user_id),
-      |c AS (
-      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
-      |  JOIN v ON e.user_id = v.user_id
-      |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
-      |p AS (
-      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
-      |  JOIN c ON e.user_id = c.user_id
-      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
-      |SELECT (SELECT count(*) FROM v) AS n_view,
-      |       (SELECT count(*) FROM c) AS n_click,
-      |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin
+  private val q72OracleSql: String = q72OracleSqlOver("events")
+
+  /** q72's chain over an arbitrary events relation — `"events"` renders
+    * the historical q72/q192 SQL byte-equal; q205 passes the
+    * tombstone-survivor subquery, because a user-level forget removes
+    * every one of the user's finalized stage records: the funnel must
+    * count as if the user never existed. */
+  private def q72OracleSqlOver(evRel: String): String =
+    s"""WITH v AS (
+       |  SELECT user_id, min(ts) AS t1 FROM $evRel
+       |  WHERE event_type = 'view' GROUP BY user_id),
+       |c AS (
+       |  SELECT e.user_id, min(e.ts) AS t2 FROM $evRel e
+       |  JOIN v ON e.user_id = v.user_id
+       |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+       |p AS (
+       |  SELECT e.user_id, min(e.ts) AS t3 FROM $evRel e
+       |  JOIN c ON e.user_id = c.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+       |SELECT (SELECT count(*) FROM v) AS n_view,
+       |       (SELECT count(*) FROM c) AS n_click,
+       |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin
+
+  private def q205OracleSql: String = q72OracleSqlOver(
+    "(SELECT * FROM events WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <> '" +
+      Sampling.TombstoneHex + "')")
 
   /** q73_retention_cohorts's oracle SQL — shared VERBATIM with its state-served
     * stream read (q192–q196 family), so a hash match there proves the
@@ -614,6 +625,17 @@ object EventWindows {
             graft.streaming.ServedEventStreams.records(s, servedSessionDir(s, d)))
           .orderBy(col("day"))
     },
+
+    Q("q205_forgotten_funnel_state_served", q205OracleSql,
+      "q192's stream-served funnel AFTER a user-level right-to-be-forgotten pass — the deletion family's sixth leg, covering the EVENT-analytics state: a GDPR request names a USER, and what a product deployment must scrub is the finalized per-user records its analytics serve from — ServedEventStreams.forgetUsers anti-joins the tombstoned user_ids out of the persisted stage records under the two-rename swap (the keyed-1:1 mechanic; the swap consumes the retired sink's streaming commit log, the file-sink compaction convention), after which the funnel must count as if those users never existed: the oracle is q72's SQL over the tombstone-survivor events (the shared md5-bucket rule on user_id). The machine's in-flight fMGWS state is bounded per user and expires with the watermark — the records are the durable artifact, and they are what this read proves clean; a replayed forget re-proves deletion idempotence under the gate. The build runs its OWN three-leg stream (never the shared q192 sink — the forget mutates in place). Scale: deletion is one broadcast anti-join over |finalized stages| fixed-width rows — never an event-history replay, which is the entire point of serving analytics from records.") {
+      (s, d) =>
+        graft.streaming.ServedEventStreams.records(s,
+            servedForgottenFunnelDir(s, d))
+          .agg(
+            coalesce(sum(when(col("stage") === 1, 1L)), lit(0L)).as("n_view"),
+            coalesce(sum(when(col("stage") === 2, 1L)), lit(0L)).as("n_click"),
+            coalesce(sum(when(col("stage") === 3, 1L)), lit(0L)).as("n_purchase"))
+    },
   )
 
   /** Build-once streaming runs behind q192–q196 (one per machine,
@@ -625,6 +647,26 @@ object EventWindows {
     graft.streaming.ServedEventStreams.stagesDir(s, d, "funnelstages")(ev =>
       graft.streaming.FunnelStream.funnelStages(ev,
         graft.streaming.ServedEventStreams.Delay).toDF())
+
+  /** Build-once FORGOTTEN funnel record sink for q205: its OWN stream
+    * run (never the shared q192 sink — the forget mutates in place),
+    * then ServedEventStreams.forgetUsers with the shared tombstone rule
+    * plus a replayed forget (no-op, so the hash gate re-proves deletion
+    * idempotence). Memoized so timed reps pay only the record read —
+    * the forget never executes inside a timed rep. */
+  private def servedForgottenFunnelDir(s: SparkSession, d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"funnelforget|$d/events.parquet",
+        protectNew = false) {
+      val dir = graft.streaming.ServedEventStreams.stagesDir(s, d,
+        "funnelforgetstages")(ev =>
+          graft.streaming.FunnelStream.funnelStages(ev,
+            graft.streaming.ServedEventStreams.Delay).toDF())
+      val tomb = Tables.events(s, d).select(col("user_id"))
+        .filter(Sampling.tombstoned(col("user_id"))).distinct()
+      graft.streaming.ServedEventStreams.forgetUsers(s, dir, tomb)
+      graft.streaming.ServedEventStreams.forgetUsers(s, dir, tomb) // replay
+      dir
+    }
 
   private def servedRetentionDir(s: SparkSession, d: String): String =
     graft.streaming.ServedEventStreams.stagesDir(s, d, "retentionstages")(ev =>

@@ -92,6 +92,30 @@ object ServedEventStreams {
   def records(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(dir).filter(col("user_id") >= 0)
 
+  /** Right-to-be-forgotten against a finalized record sink — the
+    * keyed-1:1 deletion mechanic (q199/q202/q203) applied to event
+    * analytics: the tombstoned users' rows anti-join out of the
+    * persisted records under the two-rename swap. The swap rewrites the
+    * sink as plain parquet, CONSUMING the streaming commit log
+    * (_spark_metadata) — deliberate: a forget runs against a RETIRED
+    * sink generation with the stream stopped (the offline-op contract
+    * every forget shares), which is also the file-sink compaction
+    * convention. The machine's in-flight per-user state is bounded and
+    * expires with the watermark; nothing can re-emit a forgotten user
+    * unless new events arrive, and the ingest-side tombstone filter
+    * owns that half. Marker rows (user −1) are never tombstoned and
+    * pass through. Re-running with the same tombstones is a no-op. */
+  def forgetUsers(s: SparkSession, dir: String,
+      tombstones: DataFrame): Unit = {
+    val tomb = tombstones.select(col("user_id")).distinct()
+      .localCheckpoint(true) // read after the swap deletes its source
+    val survivors = s.read.parquet(dir)
+      .join(broadcast(tomb), Seq("user_id"), "left_anti")
+      .localCheckpoint(true) // materialize before the swap
+    CorpusStateStream.swapState(s, dir)(tmp =>
+      survivors.write.mode("overwrite").parquet(tmp))
+  }
+
   /** Shared watermark delay: any value works for the time-split waves
     * (one file = one batch, so admission never races the watermark);
     * 40 days mirrors the stream specs and leaves the +365 d marker a

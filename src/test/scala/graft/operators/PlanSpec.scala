@@ -404,13 +404,19 @@ class PlanSpec extends SparkSpec {
       "q193_retention_state_served" -> "graft_retentionstages",
       "q194_ewma_state_served" -> "graft_ewmastages",
       "q195_transitions_state_served" -> "graft_bigramstages",
-      "q196_session_state_served" -> "graft_sessionstages"
+      "q196_session_state_served" -> "graft_sessionstages",
+      // q205: the post-forget funnel reads the FORGOTTEN sink (its own
+      // stream run, mutated in place) — no events rescan, and no
+      // read-time tombstone re-execution either (checked below)
+      "q205_forgotten_funnel_state_served" -> "graft_funnelforgetstages"
     ).foreach { case (q, state) =>
       val s = planString(q)
       assert(s.contains(state), s"$q must read its stream sink ($state)")
       assert(!s.contains("events.parquet"),
         s"$q must not rescan the events table:\n" + s.take(800))
     }
+    assert(!planString("q205_forgotten_funnel_state_served").contains("md5"),
+      "q205 must not re-apply the tombstone rule at read time")
   }
 
   test("shuffle counts stay bounded for the headline queries") {

@@ -161,4 +161,32 @@ class FunnelStreamSpec extends SparkSpec {
     assert(batchGot == got,
       s"batch TTL run diverged from streaming: $batchGot vs $got")
   }
+
+  test("forgetUsers scrubs a user's records from a finalized sink; replay no-op") {
+    // the record-sink deletion mechanic behind q205: a parquet sink of
+    // stage records (with a streaming-style inert marker row), forget a
+    // user, and the survivors — including the marker — are untouched
+    val dir = Files.createTempDirectory("graft-funnel-forget").toString + "/sink"
+    import spark.implicits._
+    Seq(
+      (1L, 1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, 2, java.sql.Timestamp.valueOf("2024-01-01 01:00:00")),
+      (2L, 1, java.sql.Timestamp.valueOf("2024-01-01 00:30:00")),
+      (3L, 1, java.sql.Timestamp.valueOf("2024-01-01 02:00:00")),
+      (-1L, 1, java.sql.Timestamp.valueOf("2025-01-01 00:00:00")) // marker
+    ).toDF("user_id", "stage", "ts").write.parquet(dir)
+    val tomb = Seq(1L, 99L).toDF("user_id") // 99 was never recorded
+    ServedEventStreams.forgetUsers(spark, dir, tomb)
+    val rows = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows == Set((2L, 1), (3L, 1), (-1L, 1)),
+      s"forget must scrub exactly user 1 and spare the marker: $rows")
+    // served read excludes the marker as always
+    assert(ServedEventStreams.records(spark, dir).count() == 2)
+    // re-deleting (incl. a never-recorded key) is a state no-op
+    ServedEventStreams.forgetUsers(spark, dir, tomb)
+    assert(spark.read.parquet(dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet == rows,
+      "replayed forget changed the sink")
+  }
 }
