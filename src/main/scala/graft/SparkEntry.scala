@@ -25,7 +25,8 @@ object SparkEntry {
     operators.TextAnalysis.queries ++
     operators.Dedup.queries ++
     operators.Similarity.queries ++
-    operators.Multimodal.queries
+    operators.Multimodal.queries ++
+    operators.Forget.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A star join + aggregate touching 5 tables — exercises broadcast dim

@@ -1328,7 +1328,7 @@ object Dedup {
     * fold nets deletion against accumulation BEFORE serving, so the
     * driver's gate proves the negative-delta fold neutral cross-engine,
     * not just the positive one q191 covers. */
-  private def servedForgottenBpStateDir(s: SparkSession, d: String): String =
+  private[operators] def servedForgottenBpStateDir(s: SparkSession, d: String): String =
     graft.AnnSubstrate.getOrBuild(s, s"bpforget|$d/documents.parquet",
         protectNew = false) {
       val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
@@ -1371,7 +1371,7 @@ object Dedup {
     * set table — then forgetShingleDf nets the tombstoned train docs
     * out (plus a replayed forget, ledger no-op) and foldShingleDf
     * merges the mixed-sign log before serving. */
-  private def servedForgottenTrainShingleDir(s: SparkSession,
+  private[operators] def servedForgottenTrainShingleDir(s: SparkSession,
       d: String): String =
     graft.AnnSubstrate.getOrBuild(s, s"trainshforget|$d/documents.parquet",
         protectNew = false) {

@@ -654,7 +654,7 @@ object EventWindows {
     * plus a replayed forget (no-op, so the hash gate re-proves deletion
     * idempotence). Memoized so timed reps pay only the record read —
     * the forget never executes inside a timed rep. */
-  private def servedForgottenFunnelDir(s: SparkSession, d: String): String =
+  private[operators] def servedForgottenFunnelDir(s: SparkSession, d: String): String =
     graft.AnnSubstrate.getOrBuild(s, s"funnelforget|$d/events.parquet",
         protectNew = false) {
       val dir = graft.streaming.ServedEventStreams.stagesDir(s, d,

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+
+/** The deletion CERTIFICATE — the compliance artifact the whole
+  * q199–q205 family exists to produce: after right-to-be-forgotten has
+  * executed against every maintained state layout, one table stating
+  * the surviving population of each artifact, verified cross-engine
+  * against an INDEPENDENT recomputation from the raw corpus with the
+  * tombstone rule applied (q80's chain for the shingle members, q103's
+  * for the vocabulary, q72's for the funnel, q185's doubled fixture for
+  * the assets). A GDPR Article-17 review doesn't take "we ran the
+  * delete" on faith — it takes evidence that what remains is EXACTLY
+  * the survivors, which is a stronger claim than "no tombstoned key
+  * remains" (that alone would pass if the forget had also eaten
+  * innocent rows). Every leg reads a forgotten-state dir the q199–q205
+  * builders already memoized, so the certificate costs eight bounded
+  * state aggregates — the corpus is never rescanned at read time.
+  *
+  * Hash-domain note: the vocabulary and shingle legs count DISTINCT
+  * 64-bit hashes while the oracle counts distinct strings — equal under
+  * the family's documented injectivity convention (Md5TokenHash64 /
+  * ShingleHash64's 2^-64 collision trade, policed by this very gate).
+  * The IVF leg counts `lists/` only — q199's builder maintains no PQ
+  * tier (its deletion is spec-covered separately in
+  * IvfStateStreamSpec's forget case). */
+object Forget {
+
+  private def surv(rel: String, key: String): String =
+    s"(SELECT * FROM $rel WHERE substr(md5(CAST($key AS VARCHAR)), 1, 1) <> '" +
+      Sampling.TombstoneHex + "')"
+
+  private def q206OracleSql: String =
+    s"""WITH sdocs AS (SELECT * FROM ${surv("documents", "doc_id")}),
+       |semb AS (SELECT * FROM ${surv("embeddings", "vec_id")}),
+       |doubled AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 3000000, text FROM documents),
+       |sassets AS (SELECT * FROM ${surv("doubled", "doc_id")}),
+       |strain AS (
+       |  SELECT * FROM sdocs
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'),
+       |sevents AS (SELECT * FROM ${surv("events", "user_id")}),
+       |tsh AS (
+       |  SELECT unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |    for i in range(1, len(w) - 1)])) AS sh
+       |  FROM (SELECT string_split_regex(trim(text), '\\s+') AS w FROM strain)),
+       |vw AS (
+       |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |  FROM sdocs),
+       |fv AS (
+       |  SELECT user_id, min(ts) AS t1 FROM sevents
+       |  WHERE event_type = 'view' GROUP BY user_id),
+       |fc AS (
+       |  SELECT e.user_id, min(e.ts) AS t2 FROM sevents e
+       |  JOIN fv ON e.user_id = fv.user_id
+       |  WHERE e.event_type = 'click' AND e.ts > fv.t1 GROUP BY e.user_id),
+       |fp AS (
+       |  SELECT e.user_id, min(e.ts) AS t3 FROM sevents e
+       |  JOIN fc ON e.user_id = fc.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts > fc.t2 GROUP BY e.user_id)
+       |SELECT artifact, n_rows FROM (
+       |  SELECT 'asset_digests' AS artifact,
+       |    CAST((SELECT count(*) FROM sassets) AS BIGINT) AS n_rows
+       |  UNION ALL SELECT 'asset_paysigs', (SELECT count(*) FROM sassets
+       |    WHERE octet_length(encode(text)) >= 4)
+       |  UNION ALL SELECT 'blacklist_docs', (SELECT count(*) FROM sdocs)
+       |  UNION ALL SELECT 'funnel_stages',
+       |    (SELECT count(*) FROM fv) + (SELECT count(*) FROM fc)
+       |      + (SELECT count(*) FROM fp)
+       |  UNION ALL SELECT 'ivf_lists', (SELECT count(*) FROM semb)
+       |  UNION ALL SELECT 'lsh_sigs', (SELECT count(*) FROM semb)
+       |  UNION ALL SELECT 'shingle_df_members',
+       |    (SELECT count(DISTINCT sh) FROM tsh)
+       |  UNION ALL SELECT 'vocab_terms', (SELECT count(DISTINCT w) FROM vw))
+       |ORDER BY artifact""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q206_deletion_certificate", q206OracleSql,
+      "The deletion CERTIFICATE — what a compliance review actually files after a right-to-be-forgotten execution: one table, per maintained artifact, of the SURVIVING population, hash-verified against an independent cross-engine recomputation from the raw corpus with the tombstone rule applied (q80's shingle chain, q103's tokenizer, q72's funnel cascade, q185's doubled asset fixture). This is deliberately stronger than 'no tombstoned key remains' — that weaker check would pass a forget that also ate innocent rows; matching the exact survivor counts proves the deletion touched precisely its subjects across all eight artifacts at once, closing the q199-q205 family with the artifact a regulator reads. Every leg is a bounded aggregate over a forgotten-state dir the family's builders already memoized (states are built + forgotten once per session; the certificate re-reads them), so the read costs eight state scans and the corpus is never rescanned. Hash-domain legs (vocab, shingles) count distinct 64-bit keys vs the oracle's distinct strings — the family's documented injectivity convention, policed by this gate. Scale: at 100 TB the certificate is eight index-read aggregates over fixed-width state rows — the audit is as cheap as the deletion, which is the operational requirement for running it after EVERY deletion batch, not just at year-end.") {
+      (s, d) => {
+        def leg(name: String, src: DataFrame, n: Column): DataFrame =
+          src.agg(n.cast("bigint").as("n_rows"))
+            .select(lit(name).as("artifact"), col("n_rows"))
+        val rows = count(lit(1))
+        leg("asset_digests", graft.streaming.AssetStateStream.digestState(s,
+            Multimodal.servedForgottenAssetDir(s, d)), rows)
+          .unionAll(leg("asset_paysigs", graft.streaming.AssetStateStream
+            .sigState(s, Multimodal.servedForgottenAssetDir(s, d)), rows))
+          .unionAll(leg("blacklist_docs", graft.streaming.BoilerplateStateStream
+            .docCountFromState(s, Dedup.servedForgottenBpStateDir(s, d)),
+            sum(col("n_docs"))))
+          .unionAll(leg("funnel_stages", graft.streaming.ServedEventStreams
+            .records(s, EventWindows.servedForgottenFunnelDir(s, d)), rows))
+          .unionAll(leg("ivf_lists", graft.streaming.IvfStateStream
+            .listState(s, Similarity.servedForgottenIvfDir(s, d)), rows))
+          .unionAll(leg("lsh_sigs", graft.streaming.LshStateStream
+            .sigState(s, Similarity.servedForgottenLshDir(s, d)), rows))
+          .unionAll(leg("shingle_df_members", graft.streaming.CorpusStateStream
+            .shingleDfState(s, Dedup.servedForgottenTrainShingleDir(s, d)), rows))
+          .unionAll(leg("vocab_terms", graft.streaming.CorpusStateStream
+            .vocabState(s, TextAnalysis.servedForgottenVocabStateDir(s, d)), rows))
+          .orderBy(col("artifact"))
+      }
+    },
+  )
+}

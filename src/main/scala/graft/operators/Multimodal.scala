@@ -261,7 +261,7 @@ object Multimodal {
     * AssetStateStream.forget with the shared tombstone rule over the
     * POST-shift asset ids, plus a replayed forget — re-deleting absent
     * keys must be a state no-op, re-proven by the hash gate. */
-  private def servedForgottenAssetDir(s: org.apache.spark.sql.SparkSession,
+  private[operators] def servedForgottenAssetDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     graft.AnnSubstrate.getOrBuild(s, s"assetforget|$d/documents.parquet",
         protectNew = false) {

@@ -2674,7 +2674,7 @@ object Similarity {
     * protocol (two parity waves + a replayed wave), then
     * LshStateStream.forget with the shared tombstone rule, plus a
     * replayed forget — re-deleting absent keys must be a state no-op. */
-  private def servedForgottenLshDir(s: org.apache.spark.sql.SparkSession,
+  private[operators] def servedForgottenLshDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     graft.AnnSubstrate.getOrBuild(s, s"lshforget|$d/embeddings.parquet",
         protectNew = false) {
@@ -2698,7 +2698,7 @@ object Similarity {
     * as the in-place mutation, plus a replayed forget — re-deleting an
     * already-absent key must be a state no-op, so the driver's hash gate
     * also re-proves deletion idempotence cross-engine. */
-  private def servedForgottenIvfDir(s: org.apache.spark.sql.SparkSession,
+  private[operators] def servedForgottenIvfDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     graft.AnnSubstrate.getOrBuild(s, s"ivfforget|$d/embeddings.parquet",
         protectNew = false) {

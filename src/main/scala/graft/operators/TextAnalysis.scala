@@ -1641,7 +1641,7 @@ object TextAnalysis {
     * tombstoned documents' counts negated (plus a replayed forget —
     * ledger no-op, so the gate re-proves deletion idempotence), and a
     * final fold nets deletion against accumulation before serving. */
-  private def servedForgottenVocabStateDir(
+  private[operators] def servedForgottenVocabStateDir(
       s: org.apache.spark.sql.SparkSession, d: String): String =
     graft.AnnSubstrate.getOrBuild(s, s"vocabforget|$d/documents.parquet",
         protectNew = false) {

@@ -134,9 +134,14 @@ object BoilerplateStateStream {
     * pins it row-for-row equal to the batch operator over all delivered
     * documents, and q191's oracle (q106's SQL verbatim) re-proves it
     * cross-engine every round. */
-  def phraseTableFromState(spark: SparkSession, stateDir: String): DataFrame = {
-    val nd = stateDf(spark, s"$stateDir/bp_counters", countersSchema)
+  /** Net corpus size (the df_share denominator) — counts minus any
+    * [[forget]] batches; the number q206's certificate audits. */
+  def docCountFromState(spark: SparkSession, stateDir: String): DataFrame =
+    stateDf(spark, s"$stateDir/bp_counters", countersSchema)
       .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"))
+
+  def phraseTableFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    val nd = docCountFromState(spark, stateDir)
     stateDf(spark, s"$stateDir/bp_phrases", phraseSchema)
       .groupBy(col("phrase")).agg(sum(col("delta")).as("df"))
       .filter(col("df") >= 2)

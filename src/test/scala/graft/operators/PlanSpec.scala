@@ -389,6 +389,19 @@ class PlanSpec extends SparkSpec {
     assert(occurrences(cf, "documents.parquet") == 1,
       "q204 reads documents exactly once (the probe split): " +
         occurrences(cf, "documents.parquet"))
+    // q206: the deletion certificate is eight STATE aggregates — the
+    // corpus tables appear nowhere in the read plan (the claim that
+    // makes the audit cheap enough to run per deletion batch)
+    val cert = planString("q206_deletion_certificate")
+    Seq("documents.parquet", "embeddings.parquet", "events.parquet")
+      .foreach(t => assert(!cert.contains(t),
+        s"q206 must not rescan $t:\n" + cert.take(800)))
+    Seq("graft_assetforget_state", "graft_bpforget_state",
+        "graft_funnelforgetstages", "graft_ivfforget_state",
+        "graft_lshforget_state", "graft_trainshforget_state",
+        "graft_vocabforget_state")
+      .foreach(st => assert(cert.contains(st),
+        s"q206 must read every forgotten state dir (missing $st)"))
   }
 
   test("stream-served event reads scan their record sink, never the events table") {
