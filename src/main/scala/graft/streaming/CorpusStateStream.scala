@@ -421,7 +421,14 @@ object CorpusStateStream {
     * and replay idempotence are all inherited unchanged). The caller
     * passes the forgotten documents themselves, and they must be
     * currently counted; terms whose net count reaches 0 leave the
-    * served vocabulary through [[vocabState]]'s cnt > 0 cut. */
+    * served vocabulary through [[vocabState]]'s cnt > 0 cut. Unlike
+    * the df-semantics tables there is deliberately NO within-batch
+    * doc_id dedup on either side: term counts are OCCURRENCE counts,
+    * so the forget subtracts exactly the contribution of the rows
+    * passed — a doc_id the corpus counted twice (a re-upload in a
+    * later batch) needs its rows passed twice to be fully forgotten,
+    * and a deduped deletion set (what the builders pass) subtracts a
+    * once-counted doc exactly once. */
   def forgetVocab(stateDir: String)(docs: DataFrame, batchId: Long): Unit =
     appendVocabDeltas(stateDir, docs, batchId, sign = -1L)
 
