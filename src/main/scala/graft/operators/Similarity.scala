@@ -1976,61 +1976,76 @@ object Similarity {
     * decimal-mean conventions, ties to the larger child), the
     * parent + child·nlist remap, and the q139 health tail over the
     * rebalanced index with the post-split non-empty list count. */
-  private def q197OracleSql: String = {
+  /** One hot-list split pass as CTEs producing `newlists$sfx`
+    * (cid, vec_id, v, from_split) and `newcent$sfx` (cid, cvec) from
+    * `listsRel`/`centsRel` — shared by q197's one-pass oracle and
+    * q198's two-pass one. `baseExpr` is the child remap base, mirroring
+    * the engine's max(configured count, 1 + max list cid): the
+    * configured-nlist literal at pass 1 (equal by construction on a
+    * fresh index), a scalar subquery at pass 2. `passThroughFs` is the
+    * from_split value an untouched list carries through: FALSE at pass
+    * 1, the prior pass's own flag afterwards (a pass-1 child a quiet
+    * pass 2 leaves alone STAYS from_split). */
+  private def splitPassCtes(sfx: String, listsRel: String, centsRel: String,
+      maxList: Int, baseExpr: String, passThroughFs: String): String = {
     def dot(a: String, b: String) = dotSql(a, b)
-    val nlist = 8
-    val maxList = oracleMaxList(nlist)
     def assignCte(prev: String, out: String) =
-      s"""${out}_sim AS (
+      s"""${out}_sim AS MATERIALIZED (
          |  SELECT m.cid, m.vec_id, m.v, k.child, ${dot("m.v", "k.ccvec")} AS sim
-         |  FROM hm m JOIN $prev k ON k.cid = m.cid),
-         |$out AS (
+         |  FROM hm$sfx m JOIN $prev k ON k.cid = m.cid),
+         |$out AS MATERIALIZED (
          |  SELECT cid, vec_id, v, child FROM (
          |    SELECT cid, vec_id, v, child,
          |      row_number() OVER (PARTITION BY cid, vec_id
          |        ORDER BY sim DESC, child DESC) AS rn
          |    FROM ${out}_sim) t WHERE rn = 1)""".stripMargin
     def recomputeCte(assigned: String, out: String) =
-      s"""${out}_m AS (
+      s"""${out}_m AS MATERIALIZED (
          |  SELECT cid, child, p.j AS j,
          |    CAST(CAST(sum(CAST(v[p.j + 1] AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count(*) AS m
          |  FROM $assigned CROSS JOIN (SELECT unnest(range(64)) AS j) p
          |  GROUP BY cid, child, p.j),
-         |$out AS (
+         |$out AS MATERIALIZED (
          |  SELECT cid, child, list(m ORDER BY j) AS ccvec
          |  FROM ${out}_m GROUP BY cid, child)""".stripMargin
-    s"""WITH ${kmeansListsCtes()},
-       |hot AS (
-       |  SELECT cid FROM (SELECT cid, count(*) AS n FROM lists GROUP BY cid) z
+    s"""hot$sfx AS MATERIALIZED (
+       |  SELECT cid FROM (SELECT cid, count(*) AS n FROM $listsRel GROUP BY cid) z
        |  WHERE n > $maxList),
-       |hm AS (SELECT l.cid, l.vec_id, l.v FROM lists l JOIN hot USING (cid)),
-       |k0 AS (
+       |hm$sfx AS MATERIALIZED (SELECT l.cid, l.vec_id, l.v FROM $listsRel l JOIN hot$sfx USING (cid)),
+       |k0$sfx AS MATERIALIZED (
        |  SELECT cid, CAST(rn - 1 AS INT) AS child, v AS ccvec FROM (
        |    SELECT cid, vec_id, v,
        |      row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
-       |    FROM hm) t WHERE rn <= 2),
-       |${assignCte("k0", "sp1")},
-       |${recomputeCte("sp1", "k1")},
-       |${assignCte("k1", "sp2")},
-       |${recomputeCte("sp2", "k2")},
-       |${assignCte("k2", "sp3")},
-       |${recomputeCte("sp3", "k3")},
-       |${assignCte("k3", "placed")},
-       |newlists AS (
-       |  SELECT l.cid, l.vec_id, l.v, FALSE AS from_split FROM lists l
-       |  WHERE l.cid NOT IN (SELECT cid FROM hot)
+       |    FROM hm$sfx) t WHERE rn <= 2),
+       |${assignCte(s"k0$sfx", s"sp1$sfx")},
+       |${recomputeCte(s"sp1$sfx", s"k1$sfx")},
+       |${assignCte(s"k1$sfx", s"sp2$sfx")},
+       |${recomputeCte(s"sp2$sfx", s"k2$sfx")},
+       |${assignCte(s"k2$sfx", s"sp3$sfx")},
+       |${recomputeCte(s"sp3$sfx", s"k3$sfx")},
+       |${assignCte(s"k3$sfx", s"placed$sfx")},
+       |newlists$sfx AS MATERIALIZED (
+       |  SELECT l.cid, l.vec_id, l.v, $passThroughFs AS from_split FROM $listsRel l
+       |  WHERE l.cid NOT IN (SELECT cid FROM hot$sfx)
        |  UNION ALL
-       |  SELECT cid + child * $nlist, vec_id, v, TRUE FROM placed),
-       |newcent AS (
-       |  SELECT c.cid, c.cvec FROM c3 c
-       |  WHERE c.cid NOT IN (SELECT cid FROM hot)
+       |  SELECT cid + child * $baseExpr, vec_id, v, TRUE FROM placed$sfx),
+       |newcent$sfx AS MATERIALIZED (
+       |  SELECT c.cid, c.cvec FROM $centsRel c
+       |  WHERE c.cid NOT IN (SELECT cid FROM hot$sfx)
        |  UNION ALL
-       |  SELECT cid + child * $nlist, ccvec FROM k3),
-       |mc AS (
+       |  SELECT cid + child * $baseExpr, ccvec FROM k3$sfx)""".stripMargin
+  }
+
+  /** The q139-shaped health tail over a rebalanced (lists, centroids)
+    * pair — from_split carried per list, skew against the post-split
+    * non-empty list count. */
+  private def splitHealthTailSql(listsRel: String, centsRel: String): String = {
+    def dot(a: String, b: String) = dotSql(a, b)
+    s"""mc AS (
        |  SELECT l.cid, l.from_split,
        |    round(${dot("l.v", "c.cvec")} /
        |      (sqrt(${dot("l.v", "l.v")}) * sqrt(${dot("c.cvec", "c.cvec")})), 6) AS cc
-       |  FROM newlists l JOIN newcent c ON l.cid = c.cid),
+       |  FROM $listsRel l JOIN $centsRel c ON l.cid = c.cid),
        |per AS (
        |  SELECT cid, from_split, count(*) AS n_vecs,
        |    ${DetAgg.sql.davg("cc")} AS avg_centroid_cosine
@@ -2041,6 +2056,37 @@ object Similarity {
        |  CAST(n_vecs AS DOUBLE) * nl / CAST(t AS DOUBLE) AS skew,
        |  avg_centroid_cosine, from_split
        |FROM per, tot ORDER BY cid""".stripMargin
+  }
+
+  private def q197OracleSql: String = {
+    val nlist = 8
+    val maxList = oracleMaxList(nlist)
+    s"""WITH ${kmeansListsCtes()},
+       |${splitPassCtes("", "lists", "c3", maxList, nlist.toString, "FALSE")},
+       |${splitHealthTailSql("newlists", "newcent")}""".stripMargin
+  }
+
+  /** q198's twin: the split pass applied TWICE at the same threshold —
+    * the operational rerun-until-quiet loop's first two iterations,
+    * exactly what the engine's builder executes against the maintained
+    * index. Pass 2's child remap base is the engine's rule as a scalar
+    * subquery (max of the post-pass-1 configured count and 1 + the max
+    * list cid — collision-free where the configured count alone is
+    * not); a quiet pass 2 degrades to the identity (hot2 empty → both
+    * UNION branches pass everything through), so the SQL is correct
+    * whether or not the corpus's pass 1 leaves an over-threshold
+    * child. */
+  private def q198OracleSql: String = {
+    val nlist = 8
+    val maxList = oracleMaxList(nlist)
+    s"""WITH ${kmeansListsCtes()},
+       |${splitPassCtes("", "lists", "c3", maxList, nlist.toString, "FALSE")},
+       |base2 AS MATERIALIZED (
+       |  SELECT greatest(CAST((SELECT count(*) FROM newcent) AS INT),
+       |    (SELECT CAST(max(cid) AS INT) + 1 FROM newlists)) AS b),
+       |${splitPassCtes("2", "newlists", "newcent", maxList,
+            "(SELECT b FROM base2)", "l.from_split")},
+       |${splitHealthTailSql("newlists2", "newcent2")}""".stripMargin
   }
 
   private def q139OracleSql(nlist: Int): String = {
@@ -2646,8 +2692,8 @@ object Similarity {
           portableMeans = true, corpusKey = embKey(d))
     },
 
-    Q("q198_rebalanced_health_state_served", q197OracleSql,
-      "q197's post-split health table served FROM the REBALANCED on-disk index — the q182/q189 serving pattern applied to the maintenance operation itself, closing the rebalance loop end-to-end under the driver's hash gate: the state dir is built once per (session, corpus) by training the frozen quantizer, folding the corpus in two waves plus a replayed wave (IvfStateStream's anti-join idempotence), then mutating the index IN PLACE with IvfStateStream.rebalance (the 3-step servable crash ordering: children append beside parents, lists swap, parents prune) at the SAME driver-literal mean-size threshold q197 embeds — and every timed run then pays ONLY the serving read: one lists scan with broadcast centroid and lineage-log joins, skew against the post-split non-empty list count, from_split from the persisted rebalance log (cid mod nlist0 names a logged parent; exact for one generation, enforced). The oracle is q197's SQL VERBATIM, so a hash match proves the in-place state mutation and the batch split operator produce the value-identical index — the maintenance op's state==batch contract re-checked cross-engine every round, not just in the spec. Scale: the read touches |lists| + |log| rows; the split itself ran once at maintenance time, bounded by the hot lists' members.") {
+    Q("q198_rebalanced_health_state_served", q198OracleSql,
+      "q197's post-split health table served FROM the REBALANCED on-disk index after TWO rebalance passes at the same threshold — the q182/q189 serving pattern applied to the maintenance operation itself, now covering the operational loop q197's scaladoc prescribes (rerun the pass until the health table is quiet; r14 served exactly one generation and refused past it): the state dir is built once per (session, corpus) by training the frozen quantizer, folding the corpus in two waves plus a replayed wave (IvfStateStream's anti-join idempotence), then mutating the index IN PLACE with IvfStateStream.rebalance TWICE at the SAME driver-literal mean-size threshold q197 embeds. Each pass runs the recoverable crash protocol (stage lineage+meta pending -> centroids swap FIRST to the full post-split set, so a crash window can never strand a stale parent mean under a child-0 cid -> lists swap -> promote), logs explicit (child_cid, root_parent) lineage rows exact at any generation count, and remaps children by max(configured count, 1 + max list cid) — collision-free where the configured count alone is not. Every timed run pays ONLY the serving read: one lists scan with broadcast centroid and lineage joins, skew against the post-split non-empty list count, from_split = membership in the logged child set. The oracle is the split chain applied twice (pass 2's remap base as a scalar subquery of pass 1's output; a quiet pass 2 degrades to the identity), so a hash match proves the two in-place state mutations and the batch split chain produce the value-identical index — the maintenance op's state==batch contract re-checked cross-engine every round at TWO generations, not just in the spec. Scale: the read touches |lists| + |log| rows; each split pass ran once at maintenance time, bounded by its hot lists' members.") {
       (s, d) =>
         graft.streaming.IvfStateStream.splitHealthFromState(s,
           servedRebalancedIvfDir(s, d))
@@ -2722,7 +2768,11 @@ object Similarity {
   /** Build-once REBALANCED IVF state for q198 (the servedIvfStateDir
     * contract, plus the in-place mutation): train the frozen quantizer
     * portable, fold the corpus in two parity waves + one replayed wave,
-    * then rebalance at the q197 driver-literal threshold. Memoized per
+    * then rebalance TWICE at the q197 driver-literal threshold — the
+    * rerun-until-quiet operational loop's first two iterations, so the
+    * multi-generation lineage path is what the gate actually checks
+    * (pass 2 splits any over-threshold child; a quiet pass 2 mutates
+    * nothing, matching the oracle's identity degradation). Memoized per
     * (session, corpus); timed reps pay only the serving read. */
   private def servedRebalancedIvfDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
@@ -2742,8 +2792,11 @@ object Similarity {
         emb.filter(col("vec_id") % 2 =!= 0), 1L)
       val n = graft.AnnSubstrate.getOrBuild(s,
         s"count|$d/embeddings.parquet")(emb.count())
-      graft.streaming.IvfStateStream.rebalance(s, dir,
-        maxList = math.ceil(n.toDouble / 8).toInt, portableMeans = true)
+      val maxList = math.ceil(n.toDouble / 8).toInt
+      graft.streaming.IvfStateStream.rebalance(s, dir, maxList,
+        portableMeans = true)
+      graft.streaming.IvfStateStream.rebalance(s, dir, maxList,
+        portableMeans = true)
       dir
     }
 

@@ -70,13 +70,23 @@ object IvfStateStream {
   private val metaSchema = StructType(Seq(
     StructField("nlist", IntegerType)))
 
-  /** One row per split parent per [[rebalance]] run: which list split,
-    * under which pre-split configured count (the child-cid remap
-    * modulus) — the lineage [[splitHealthFromState]] needs to flag
-    * from_split without rescanning anything. */
+  /** One row per split CHILD per [[rebalance]] pass: the child's cid
+    * and the ORIGINAL quantizer cid it ultimately descends from (a pass
+    * that splits a prior pass's child logs the root, not the immediate
+    * parent — the log folds to root-parent form on every pass). Explicit
+    * child rows make [[splitHealthFromState]]'s from_split flag exact at
+    * ANY number of rebalance generations; the r14 cid-modulus inference
+    * was exact for one and refused to serve past it. */
   private val rebalSchema = StructType(Seq(
-    StructField("parent_cid", IntegerType),
-    StructField("nlist0", IntegerType)))
+    StructField("child_cid", IntegerType),
+    StructField("root_parent", IntegerType)))
+
+  /** Pending-pass metadata staged by [[rebalance]] before its swaps:
+    * the post-pass configured list count and the threshold the pass ran
+    * at (so crash recovery can decide whether the swaps completed). */
+  private val pendingMetaSchema = StructType(Seq(
+    StructField("nlist_after", IntegerType),
+    StructField("max_list", IntegerType)))
 
   /** The persisted coarse quantizer. */
   def centroidState(spark: SparkSession, stateDir: String): DataFrame =
@@ -206,67 +216,191 @@ object IvfStateStream {
     Similarity.ivfListStatsFromIndex(listState(spark, stateDir), centroids, nlist)
   }
 
+  /** The persisted rebalance lineage (child_cid, root_parent), duplicate
+    * rows folded — a re-promoted pending pass appends its rows again, so
+    * every reader goes through this distinct. */
+  private[streaming] def rebalState(spark: SparkSession,
+      stateDir: String): DataFrame =
+    CorpusStateStream.stateDf(spark, s"$stateDir/rebal", rebalSchema)
+      .distinct()
+
+  private def pendingPath(stateDir: String) =
+    new org.apache.hadoop.fs.Path(s"$stateDir/rebal_pending")
+
+  /** Promote a staged pending pass: append its lineage rows, swap
+    * `meta/` to the post-pass configured count (two-rename protocol —
+    * the r14 bare overwrite could leave meta/ empty on a crash
+    * mid-write), then clear the pending dir. Every step is idempotent
+    * under re-promotion: duplicate lineage rows fold in [[rebalState]],
+    * the meta swap rewrites the same value. */
+  private def promotePending(spark: SparkSession, stateDir: String): Unit = {
+    val pend = pendingPath(stateDir)
+    spark.read.schema(rebalSchema).parquet(s"$pend/lineage")
+      .coalesce(1).write.mode("append").parquet(s"$stateDir/rebal")
+    val m = spark.read.schema(pendingMetaSchema).parquet(s"$pend/meta")
+      .take(1).head
+    CorpusStateStream.swapState(spark, s"$stateDir/meta")(tmp =>
+      spark.createDataFrame(
+          java.util.Collections.singletonList(
+            org.apache.spark.sql.Row(Integer.valueOf(m.getInt(0)))), metaSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp))
+    val fs = pend.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(pend, true)
+  }
+
+  /** Crash recovery for [[rebalance]] — called at the start of every
+    * pass (and exposed for operators healing an index without running a
+    * new pass). A pending dir witnesses a pass that crashed after
+    * staging its plan:
+    *   - if NO list still exceeds the pending pass's threshold, its
+    *     swaps completed (the pass only staged when hot lists existed)
+    *     and only the promotion was lost → promote it now;
+    *   - otherwise the swaps never finished → discard the plan; the
+    *     next pass recomputes it deterministically from the unchanged
+    *     lists (same seeds, same portable Lloyd rounds).
+    * Run it inside the same maintenance window as the pass it heals —
+    * fold-stream appends between crash and recovery could make a list
+    * hot again and mask a completed pass's pending promotion. */
+  def recoverRebalance(spark: SparkSession, stateDir: String): Unit = {
+    val pend = pendingPath(stateDir)
+    val fs = pend.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // incomplete staging from a crash mid-write is never promotable
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/rebal_pending.tmp"), true)
+    if (!fs.exists(pend)) return
+    val pMaxList = spark.read.schema(pendingMetaSchema)
+      .parquet(s"$pend/meta").take(1).head.getInt(1)
+    val stillHot = listState(spark, stateDir)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > pMaxList).limit(1).count() > 0
+    if (stillHot) fs.delete(pend, true) else promotePending(spark, stateDir)
+  }
+
   /** OFFLINE hot-list rebalance of the maintained index — the state
     * twin of [[graft.operators.Similarity.splitHotLists]] (q197's
     * operator), and the ONE sanctioned mutation of a frozen quantizer:
     * every list above `maxList` splits by the keyed deterministic
     * 2-means over its own members, children take cids
-    * parent + child·nlist, and the index generation advances in place.
-    * Run it the way [[CorpusStateStream.compactState]] runs — in a
-    * maintenance window, no fold stream active.
+    * parent + child·remapBase (remapBase = max(configured count,
+    * 1 + max cid in the inverted file) — equal to the configured nlist
+    * on a fresh index, so generation 1 matches the batch twin exactly,
+    * and collision-free at EVERY later generation, where the configured
+    * count alone is not: after {0..7} splits 3 → {…, 11}, a pass-2
+    * split of list 2 under modulus 9 would collide with list 11).
+    * A quiet pass (no list above `maxList`) mutates nothing. Run it the
+    * way [[CorpusStateStream.compactState]] runs — in a maintenance
+    * window, no fold stream active; rerun until quiet (a child can
+    * still exceed the threshold), which [[splitHealthFromState]] now
+    * serves across generations.
     *
-    * Crash ordering (each step leaves a SERVABLE index):
-    *   1. child centroids APPEND to `centroids/` with the parents still
-    *      present — old lists keep resolving; the dead child rows are
-    *      unreadable until lists swap;
-    *   2. `lists/` swaps to the split assignment (two-rename protocol);
-    *      from here reads resolve every member through its child
-    *      centroid. A probe may still rank a parent centroid whose list
-    *      is now empty — degraded recall on that probe, never a wrong
-    *      cosine (the transitional read contract);
-    *   3. parent centroids PRUNE (swap to the cids lists actually use)
-    *      and `meta/` advances to the new configured count. A crash
-    *      before 3 re-runs as a pure cleanup.
+    * Crash ordering (each step leaves a SERVABLE index, and a re-run
+    * with the SAME maxList recovers every window — [[recoverRebalance]]
+    * runs first):
+    *   0. the pass's lineage rows + post-pass meta stage to
+    *      `rebal_pending/` under an atomic directory rename — no
+    *      serving read consults them yet;
+    *   1. `centroids/` swaps to the FULL post-split set (two-rename
+    *      protocol). Transitional reads resolve every pre-swap list cid
+    *      to a valid centroid — a split parent's cid is its child-0's
+    *      cid, so old lists land on the child-0 mean (a real mean,
+    *      correct cosines; at worst degraded probe ranking). A crash
+    *      here leaves the lists still hot, and the re-run re-splits
+    *      them from the same seeds — the r14 order (children append,
+    *      lists swap, parents prune) lost the child-0 means in its
+    *      step-2/3 crash window and its re-run saw the already-split
+    *      lists as cold, silently serving the stale parent mean forever;
+    *   2. `lists/` swaps to the split assignment;
+    *   3. the pending pass promotes (lineage append → meta swap →
+    *      pending clears). A crash anywhere in 3 re-promotes on the
+    *      next run: the lists are quiet at the pass's threshold, which
+    *      is the recovery witness that the swaps completed.
     *
-    * Returns (nlist before, configured list count after). */
+    * Returns (configured count before, after) — equal iff the pass was
+    * quiet. Crash-re-run determinism holds under portableMeans (the
+    * registered/served form); plain float means re-split validly but
+    * not necessarily bit-identically. */
   def rebalance(spark: SparkSession, stateDir: String, maxList: Int,
-      iters: Int = 3, portableMeans: Boolean = false): (Int, Int) = {
+      iters: Int = 3, portableMeans: Boolean = false): (Int, Int) =
+    rebalanceImpl(spark, stateDir, maxList, iters, portableMeans,
+      crashAfterStep = Int.MaxValue)
+
+  /** Test seam: throw after step `crashAfterStep` (1 = pending staged,
+    * 2 = centroids swapped, 3 = lists swapped) so the spec can prove
+    * every crash window heals on the next run. */
+  private[streaming] def rebalanceImpl(spark: SparkSession, stateDir: String,
+      maxList: Int, iters: Int, portableMeans: Boolean,
+      crashAfterStep: Int): (Int, Int) = {
     require(maxList >= 1, "maxList must be >= 1")
+    def crash(step: Int): Unit =
+      if (crashAfterStep == step)
+        throw new IllegalStateException(s"injected crash after step $step")
+    recoverRebalance(spark, stateDir)
     val nlist = storedNlist(spark, stateDir)
     val lists0 = listState(spark, stateDir)
       .select(col("cid"), col("vec_id"), col("v"))
       .localCheckpoint(true) // the source table is about to be swapped
     val cents0 = centroidState(spark, stateDir).localCheckpoint(true)
+    val hot = lists0.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxList).select(col("cid"))
+      .localCheckpoint(true) // tiny: bounded by the configured list count
+    if (hot.limit(1).count() == 0) return (nlist, nlist)
+    // bounded one-row metadata probe: the remap base (see scaladoc)
+    val maxCid = lists0.agg(max(col("cid"))).collect()(0).getInt(0)
+    val remapBase = math.max(nlist, maxCid + 1)
     val (newCents, newLists) = Similarity.splitHotLists(
-      lists0, cents0, nlist, maxList, iters, portableMeans)
+      lists0, cents0, remapBase, maxList, iters, portableMeans)
     val listsOut = newLists
       .select(col("vec_id"), col("cid").cast("int").as("cid"), col("v"))
       .localCheckpoint(true)
     val centsOut = newCents
       .select(col("cid").cast("int").as("cid"), col("cvec"))
+      // crash-after-centroid-swap re-run: cents0 already holds the
+      // child-1 centroids the recomputed kids re-add (bit-identical
+      // under portableMeans — the served form); fold the duplicates so
+      // the recovered index never double-joins a list. A no-op on the
+      // normal path (hot parents are anti-joined out before the union).
+      .dropDuplicates("cid")
       .localCheckpoint(true)
-    // 1. children join the centroid table (parents stay for old lists)
-    centsOut.join(cents0.select(col("cid")), Seq("cid"), "left_anti")
-      .write.mode("append").parquet(s"$stateDir/centroids")
-    // 2. the inverted file swaps to the split assignment
-    CorpusStateStream.swapState(spark, s"$stateDir/lists")(tmp =>
-      listsOut.write.mode("overwrite").parquet(tmp))
-    // 3. prune parents (exactly the split-output centroid set) + meta
-    CorpusStateStream.swapState(spark, s"$stateDir/centroids")(tmp =>
-      centsOut.write.mode("overwrite").parquet(tmp))
     val nNew = centsOut.count().toInt
+    // lineage in root-parent form: a split of a prior pass's child logs
+    // the original quantizer cid (prior log row), never the immediate
+    // parent — both children of each split list get a row (child-0
+    // keeps the parent's cid, child-1 remaps)
+    val roots = hot
+      .join(rebalState(spark, stateDir)
+          .select(col("child_cid").as("cid"), col("root_parent")),
+        Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("root_parent"), col("cid"))
+        .as("root_parent"))
+    val lineage = roots
+      .select(col("cid").as("child_cid"), col("root_parent"))
+      .unionAll(roots.select(
+        (col("cid") + lit(remapBase)).cast("int").as("child_cid"),
+        col("root_parent")))
+    // 0. stage the pass (atomic dir rename: a half-written pending can
+    //    never be mistaken for a promotable one)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val pend = pendingPath(stateDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/rebal_pending.tmp")
+    val fs = pend.getFileSystem(hconf)
+    fs.delete(tmp, true); fs.delete(pend, true)
+    lineage.coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineage")
     spark.createDataFrame(
         java.util.Collections.singletonList(
-          org.apache.spark.sql.Row(Integer.valueOf(nNew))), metaSchema)
-      .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/meta")
-    // lineage LAST: (parent, remap modulus) per split list — read by
-    // splitHealthFromState's from_split flag; a crash before this write
-    // leaves a correct index whose split lineage must be re-derived
-    // (cid >= nlist0 witnesses child-1 lists; child-0 lists need this log)
-    lists0.groupBy(col("cid")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxList)
-      .select(col("cid").as("parent_cid"), lit(nlist).as("nlist0"))
-      .write.mode("append").parquet(s"$stateDir/rebal")
+          org.apache.spark.sql.Row(Integer.valueOf(nNew),
+            Integer.valueOf(maxList))), pendingMetaSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    require(fs.rename(tmp, pend), s"could not stage rebalance pass to $pend")
+    crash(1)
+    // 1. centroids swap FIRST, to the full post-split set
+    CorpusStateStream.swapState(spark, s"$stateDir/centroids")(t =>
+      centsOut.write.mode("overwrite").parquet(t))
+    crash(2)
+    // 2. the inverted file swaps to the split assignment
+    CorpusStateStream.swapState(spark, s"$stateDir/lists")(t =>
+      listsOut.write.mode("overwrite").parquet(t))
+    crash(3)
+    // 3. promote: lineage append + meta swap + pending clear
+    promotePending(spark, stateDir)
     (nlist, nNew)
   }
 
@@ -304,30 +438,33 @@ object IvfStateStream {
     }
   }
 
-  /** q197's post-split health table served FROM the REBALANCED state —
-    * the q182/q139 serving pattern applied to the maintenance op
-    * itself: lists and centroids come from the mutated index, the
-    * from_split flag from the rebalance lineage log (a member belongs
-    * to a split family iff its cid mod nlist0 names a logged parent —
-    * exact for one rebalance generation, which the read enforces), and
-    * skew is reported against the post-split non-empty list count (the
-    * q197 convention, NOT storedNlist — a dead child keeps a centroid
-    * but holds no list). Nothing here re-runs the split or rescans the
-    * corpus: the read is one lists-scan + broadcast joins. */
+  /** The post-split health table served FROM the REBALANCED state — the
+    * q182/q139 serving pattern applied to the maintenance op itself:
+    * lists and centroids come from the mutated index, the from_split
+    * flag from the explicit (child_cid, root_parent) lineage log — a
+    * list is from_split iff its cid is a logged child, exact at ANY
+    * number of rebalance generations (the r14 cid-modulus inference
+    * refused to serve past one) — and skew is reported against the
+    * post-split non-empty list count (the q197 convention, NOT
+    * storedNlist — a dead child keeps a centroid but holds no list).
+    * Nothing here re-runs the split or rescans the corpus: the read is
+    * one lists-scan + broadcast joins. */
   def splitHealthFromState(spark: SparkSession, stateDir: String): DataFrame = {
-    val log = CorpusStateStream.stateDf(spark, s"$stateDir/rebal", rebalSchema)
-      .localCheckpoint(true)
-    val mods = log.select(col("nlist0")).distinct().collect()
-    require(mods.length == 1,
-      s"$stateDir/rebal holds ${mods.length} rebalance generations; the " +
-      "cid-modulus lineage is exact for one — fold or rebuild the index " +
-      "before serving split health across generations")
-    val nlist0 = mods.head.getInt(0)
-    val parents = log.select(col("parent_cid"))
+    val fs = pendingPath(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(pendingPath(stateDir)),
+      s"$stateDir/rebal_pending exists: a rebalance pass crashed before " +
+      "promoting its lineage — re-run rebalance with the same maxList " +
+      "(or call recoverRebalance) to heal before serving split health")
+    val children = rebalState(spark, stateDir)
+      .select(col("child_cid")).localCheckpoint(true)
+    require(children.limit(1).count() > 0,
+      s"$stateDir/rebal holds no rebalance lineage — run rebalance() " +
+      "before serving split health (a pass that crashed mid-run heals " +
+      "on its next invocation via recoverRebalance)")
     val flagged = listState(spark, stateDir)
-      .withColumn("parent", (col("cid") % nlist0).cast("int"))
-      .join(broadcast(parents.withColumn("fs", lit(true))),
-        col("parent") === col("parent_cid"), "left")
+      .join(broadcast(children.withColumn("fs", lit(true))),
+        col("cid") === col("child_cid"), "left")
       .select(col("cid"), col("v"),
         coalesce(col("fs"), lit(false)).as("from_split"))
     val mc = flagged

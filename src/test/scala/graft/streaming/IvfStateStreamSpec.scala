@@ -224,6 +224,146 @@ class IvfStateStreamSpec extends SparkSpec {
       "post-rebalance arrivals must land in rebalanced lists")
   }
 
+  /** Two-pass batch twin: splitHotLists applied twice with the engine's
+    * remap rule (pass 1: the configured nlist; pass 2: max(post-pass-1
+    * centroid count, 1 + max list cid) — collision-free at any
+    * generation). Returns (lists, cents) after both passes. */
+  private def twoPassBatch(lists0: org.apache.spark.sql.DataFrame,
+      cents0: org.apache.spark.sql.DataFrame, nlist: Int, maxList: Int) = {
+    val (c1, l1raw) = Similarity.splitHotLists(lists0, cents0, nlist, maxList,
+      iters = 3, portableMeans = true)
+    val l1 = l1raw.localCheckpoint(true)
+    val l1c = l1.select(col("cid"), col("vec_id"), col("v"))
+    val c1c = c1.localCheckpoint(true)
+    val base2 = math.max(c1c.count().toInt,
+      l1c.agg(max(col("cid"))).collect()(0).getInt(0) + 1)
+    val (c2, l2raw) = Similarity.splitHotLists(l1c, c1c, base2, maxList,
+      iters = 3, portableMeans = true)
+    // a list pass 2 leaves untouched KEEPS its pass-1 flag — the lineage
+    // semantics (and the q198 oracle's l.from_split pass-through)
+    val f1 = l1.select(col("cid"), col("from_split").as("fs1")).distinct()
+    val l2 = l2raw.join(f1, Seq("cid"), "left")
+      .withColumn("from_split",
+        col("from_split") || coalesce(col("fs1"), lit(false)))
+      .drop("fs1")
+    (l2, c2)
+  }
+
+  test("two rebalance generations: state equals the two-pass batch chain " +
+      "and split health serves across generations") {
+    // controlled geometry: one coarse list of 100 (80 near angle 0 + 20
+    // near 0.35 — seeds 0 and 3 land one in each subcluster, so pass 1
+    // splits 80/20 and the 80-child is still hot), plus cold lists of
+    // 30 and 10. vec_ids 0/1/2 seed the 3-list quantizer, one per
+    // cluster.
+    import spark.implicits._
+    def pt(th: Double) = Array(math.cos(th).toFloat, math.sin(th).toFloat)
+    val pts =
+      Seq((0L, pt(0.0)), (1L, pt(2.0)), (2L, pt(4.0)), (3L, pt(0.35))) ++
+      (0 until 78).map(i => (10L + i, pt(0.001 + (i % 16) * 0.01))) ++
+      (0 until 19).map(i => (200L + i, pt(0.36 + (i % 8) * 0.01))) ++
+      (0 until 29).map(i => (300L + i, pt(2.01 + (i % 8) * 0.01))) ++
+      (0 until 9).map(i => (400L + i, pt(4.01 + (i % 4) * 0.01)))
+    val emb = pts.map { case (id, v) => (id, v, (id % 3).toInt) }
+      .toDF("vec_id", "embedding", "label")
+    val k = 3
+    val root = Files.createTempDirectory("graft-ivfstate-rebal2").toString
+    val stateDir = s"$root/state"
+    IvfStateStream.train(emb, stateDir, k, portableMeans = true)
+    IvfStateStream.update(stateDir)(emb, 0L)
+    // hot at 39: the 100-list (pass 1) and its >=40-member child (pass 2)
+    val maxList = 39
+    val lists0 = IvfStateStream.listState(spark, stateDir)
+      .select(col("cid"), col("vec_id"), col("v")).localCheckpoint(true)
+    val cents0 = IvfStateStream.centroidState(spark, stateDir)
+      .localCheckpoint(true)
+    val (wantLists, wantCents) = twoPassBatch(lists0, cents0, k, maxList)
+    val wantL = wantLists
+      .select(col("vec_id"), col("cid").cast("int").as("cid"), col("v"))
+      .collect().map(_.toString).sorted
+    val wantC = wantCents.select(col("cid").cast("int"), col("cvec"))
+      .collect().map(_.toString).sorted
+
+    val (b1, a1) = IvfStateStream.rebalance(spark, stateDir, maxList,
+      portableMeans = true)
+    val (b2, a2) = IvfStateStream.rebalance(spark, stateDir, maxList,
+      portableMeans = true)
+    assert(a1 > b1, "pass 1 must split")
+    assert(b2 == a1 && a2 > b2,
+      s"fixture must genuinely split at generation 2 (got $b2 -> $a2)")
+    val gotL = IvfStateStream.listState(spark, stateDir)
+      .collect().map(_.toString).sorted
+    assert(gotL.sameElements(wantL),
+      "two-generation lists diverged from the two-pass batch chain")
+    val gotC = IvfStateStream.centroidState(spark, stateDir)
+      .collect().map(_.toString).sorted
+    assert(gotC.sameElements(wantC),
+      "two-generation centroids diverged from the two-pass batch chain")
+    assert(IvfStateStream.storedNlist(spark, stateDir) == a2)
+
+    // the health read serves across BOTH generations: from_split is
+    // true exactly on the lineage's child cids (r14 refused here)
+    val health = IvfStateStream.splitHealthFromState(spark, stateDir)
+    val wantFlags = wantLists.select(col("cid").cast("int"), col("from_split"))
+      .distinct().collect().map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+    val gotFlags = health.select(col("cid"), col("from_split"))
+      .collect().map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+    assert(gotFlags == wantFlags,
+      s"from_split flags diverged across generations: $gotFlags vs $wantFlags")
+    assert(gotFlags.values.exists(identity) && gotFlags.values.exists(!_),
+      "fixture must exercise both flag values")
+  }
+
+  test("every rebalance crash window heals on the next run") {
+    val emb = embSlice(lit(true))
+    val maxList = math.ceil(emb.count().toDouble / nlist).toInt
+
+    def freshState(tag: String): String = {
+      val dir = Files.createTempDirectory(s"graft-rebal-crash-$tag")
+        .toString + "/state"
+      IvfStateStream.train(emb, dir, nlist, portableMeans = true)
+      IvfStateStream.update(stateDir = dir)(emb, 0L)
+      dir
+    }
+    // the uncrashed reference
+    val ref = freshState("ref")
+    IvfStateStream.rebalance(spark, ref, maxList, portableMeans = true)
+    def snapshot(dir: String): (Seq[String], Seq[String], Int, Seq[String]) = (
+      IvfStateStream.listState(spark, dir).collect().map(_.toString).sorted.toSeq,
+      IvfStateStream.centroidState(spark, dir).collect().map(_.toString).sorted.toSeq,
+      IvfStateStream.storedNlist(spark, dir),
+      IvfStateStream.splitHealthFromState(spark, dir)
+        .collect().map(_.toString).toSeq)
+    val want = snapshot(ref)
+
+    Seq(1, 2, 3).foreach { step =>
+      val dir = freshState(s"s$step")
+      val e = intercept[IllegalStateException] {
+        IvfStateStream.rebalanceImpl(spark, dir, maxList, iters = 3,
+          portableMeans = true, crashAfterStep = step)
+      }
+      assert(e.getMessage.contains("injected crash"))
+      // every window leaves a SERVABLE index: valid centroids for every
+      // list cid, correct cosines (the transitional read contract)
+      val served = IvfStateStream.topKFromState(spark, dir, Seq(0L, 100L), k = 5)
+      assert(served.groupBy(col("query_id")).count()
+        .collect().forall(_.getLong(1) == 5),
+        s"crash window $step broke serving")
+      if (step == 3) {
+        // lineage not yet promoted: the health read refuses loudly
+        // rather than serving wrong flags
+        val h = intercept[IllegalArgumentException] {
+          IvfStateStream.splitHealthFromState(spark, dir)
+        }
+        assert(h.getMessage.contains("rebal_pending"))
+      }
+      // the next run heals the window (same threshold, deterministic
+      // portable split) — state converges to the uncrashed reference
+      IvfStateStream.rebalance(spark, dir, maxList, portableMeans = true)
+      assert(snapshot(dir) == want, s"crash window $step did not heal")
+    }
+  }
+
   test("lists compaction shrinks files without changing the index") {
     val root = Files.createTempDirectory("graft-ivfstate-compact").toString
     val stateDir = s"$root/state"
