@@ -432,13 +432,15 @@ object Sampling {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
-  /** q145's oracle SQL — shared verbatim with q187, which serves the
-    * same window-assignment table from the maintained packing ledger. */
-  private val q145OracleSql: String =
-    """WITH tok AS (
+  /** q145's chain over an arbitrary documents relation — `"documents"`
+    * renders the historical q145/q187 SQL byte-equal; q207 passes the
+    * tombstone-survivor subquery, because a repacked ledger must equal
+    * the fresh pack over exactly the survivors in arrival order. */
+  private def q145OracleSqlOver(docRel: String): String =
+    s"""WITH tok AS (
       |  SELECT doc_id,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-      |  FROM documents),
+      |  FROM $docRel),
       |off AS (
       |  SELECT doc_id, n_tok,
       |    CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
@@ -452,6 +454,12 @@ object Sampling {
       |    AS BIGINT) AS n_windows,
       |  ((tok_offset + n_tok - 1) // 512 > tok_offset // 512) AS fragmented
       |FROM off ORDER BY doc_id""".stripMargin
+
+  private val q145OracleSql: String = q145OracleSqlOver("documents")
+
+  private def q207OracleSql: String = q145OracleSqlOver(
+    "(SELECT * FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '" +
+      TombstoneHex + "')")
 
   /** Build-once on-disk packing ledger for the state-served read (q187):
     * fold the corpus through the SAME micro-batch update the maintenance
@@ -487,6 +495,34 @@ object Sampling {
       // file IS the commit marker) — exercised here so the driver's
       // q187 hash gate re-proves it cross-engine, not just in specs
       graft.streaming.PackingStream.update(dir)(wave1, 1L)
+      dir
+    }
+
+  /** Build-once FORGOTTEN packing ledger for q207: its OWN two-range-wave
+    * build (never the shared q187 ledger — the forget mutates in place),
+    * then PackingStream.forget with the shared tombstone rule — the
+    * bounded suffix repack — plus a replayed forget (no tombstoned doc
+    * remains → no-op), so the hash gate re-proves repack idempotence
+    * cross-engine. */
+  private def servedForgottenPackingDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"packforget|$d/documents.parquet",
+        protectNew = false) {
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_packforget_state").toString)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val maxRow = docs.agg(max(col("doc_id"))).collect()(0)
+      require(!maxRow.isNullAt(0),
+        s"documents table at $d is empty — cannot build packing state")
+      val mid = maxRow.getLong(0) / 2
+      graft.streaming.PackingStream.update(dir)(
+        docs.filter(col("doc_id") <= mid), 0L)
+      graft.streaming.PackingStream.update(dir)(
+        docs.filter(col("doc_id") > mid), 1L)
+      val tomb = docs.select(col("doc_id"))
+        .filter(Sampling.tombstoned(col("doc_id")))
+      graft.streaming.PackingStream.forget(s, dir, tomb)
+      graft.streaming.PackingStream.forget(s, dir, tomb) // replay no-op
       dir
     }
 
@@ -1194,6 +1230,13 @@ object Sampling {
       (s, d) =>
         graft.streaming.PackingStream.windows(s,
           servedPackingStateDir(s, d), windowTokens = 512)
+    },
+
+    Q("q207_forgotten_packing_state_served", q207OracleSql,
+      "q187's window-assignment table served AFTER a right-to-be-forgotten pass against the maintained packing ledger — the deletion family's final mutable-state leg, and the ONE layout where deletion cannot be an anti-join: offsets are order-dependent (q153 prices exactly this blast radius), so PackingStream.forget executes a bounded SUFFIX repack — the ledger prefix before the first tombstoned doc's offset is untouched (at 100 TB, with a recent deletion subject, nearly the whole ledger), the suffix drops the tombstoned rows and recomputes offsets in the ledger's own arrival order via the same two-level prefix sum q145 rides (per-bucket subtotals over a tiny ordered bucket frame + parallel within-bucket running sums — never a global window or a re-sort), and the result swaps in under the two-rename protocol. The oracle is q145's SQL over the tombstone-survivor documents (the shared md5-bucket rule), so the hash gate proves the repacked ledger equals a fresh full pack of exactly the survivors — window ids, spans, fragmentation flags and all; the builder REPLAYS the forget (no tombstoned doc remains -> early-return no-op) so the gate also re-proves repack idempotence cross-engine. Scale: deletion cost is one footer-stats min probe + a suffix-bounded repack + a broadcast tombstone anti-join; the corpus text is never touched (token counts live in the 32-byte/doc ledger), and the serving read stays q187's pure projection.") {
+      (s, d) =>
+        graft.streaming.PackingStream.windows(s,
+          servedForgottenPackingDir(s, d), windowTokens = 512)
     },
   )
 

@@ -107,6 +107,78 @@ object PackingStream {
     fs.delete(stageDir, true)
   }
 
+  /** Right-to-be-forgotten EXECUTION against the packing ledger — the
+    * one maintained mutable family where deletion cannot be a plain
+    * anti-join (q153 prices exactly this: offsets are order-dependent,
+    * so removing a document invalidates every window from its offset
+    * on). The op is therefore a bounded SUFFIX rebuild:
+    *   - the ledger PREFIX (rows strictly before the first tombstoned
+    *     doc's offset) is untouched — at 100 TB with a recent deletion
+    *     subject that is almost the whole ledger;
+    *   - the suffix drops the tombstoned rows and recomputes offsets in
+    *     the ledger's own concatenation order (old tok_offset — arrival
+    *     order, NEVER a re-sort by doc_id), continuing from the
+    *     prefix's token total, via the same two-level prefix-sum shape
+    *     as [[graft.operators.Sampling.contextPacking]] (per-bucket
+    *     subtotals cumulated over the tiny bucket frame, then parallel
+    *     within-bucket running sums) — no global window over the
+    *     suffix;
+    *   - the result swaps in under the two-rename protocol; `batch_id`
+    *     provenance rides through unchanged.
+    * The repacked ledger equals the fresh pack over the survivors in
+    * the original arrival order — the q145-oracle-over-survivors
+    * contract q207 checks cross-engine. Re-running with the same
+    * tombstones is a no-op (no tombstoned doc remains → early return).
+    * Run offline, stream stopped (the rebalance/compaction contract). */
+  def forget(spark: SparkSession, stateDir: String,
+      tombstones: DataFrame): Unit = {
+    val tomb = tombstones.select(col("doc_id")).distinct()
+      .localCheckpoint(true) // read on both sides of the swap
+    val led = ledgerState(spark, stateDir).localCheckpoint(true)
+    // bounded one-row probe: the first affected offset (parquet
+    // footer-stats min over the matched rows)
+    val cutRow = led.join(broadcast(tomb), Seq("doc_id"))
+      .agg(min(col("tok_offset"))).collect()(0)
+    if (cutRow.isNullAt(0)) return // nothing to forget — replay no-op
+    val cut = cutRow.getLong(0)
+    val prefix = led.filter(col("tok_offset") < cut)
+    // the ledger is dense (offsets are a running token sum), so the
+    // prefix ends exactly at `cut`; recompute it anyway so a sparse
+    // ledger (never produced today) could not silently corrupt offsets
+    val baseRow = prefix
+      .agg(coalesce(max(col("tok_offset") + col("n_tok")), lit(0L)))
+      .collect()(0)
+    val base = baseRow.getLong(0)
+    val suffix = led.filter(col("tok_offset") >= cut)
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    // two-level prefix sum over the suffix in arrival (old-offset) order
+    val bucketTokens = 32768L
+    val tok = suffix.withColumn("bkt",
+      (col("tok_offset") / bucketTokens).cast("bigint"))
+    val bktOff = tok.groupBy(col("bkt"))
+      .agg(sum(col("n_tok")).as("bkt_tok"))
+      .withColumn("bkt_off",
+        coalesce(sum(col("bkt_tok")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("bkt"))
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("bkt"), col("bkt_off"))
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("tok_offset"))
+      .rowsBetween(Long.MinValue, -1)
+    val repacked = tok.join(broadcast(bktOff), "bkt")
+      .withColumn("new_off",
+        (coalesce(sum(col("n_tok")).over(local), lit(0L))
+          + col("bkt_off") + lit(base)).cast("bigint"))
+      .select(col("doc_id"), col("n_tok"), col("new_off").as("tok_offset"),
+        col("batch_id"))
+    val out = prefix.select(col("doc_id"), col("n_tok"), col("tok_offset"),
+        col("batch_id"))
+      .unionAll(repacked)
+      .localCheckpoint(true) // materialize before the swap drops the source
+    CorpusStateStream.swapState(spark, s"$stateDir/ledger")(tmp =>
+      out.write.mode("overwrite").parquet(tmp))
+  }
+
   /** Start the packing stream over a directory of arriving document
     * parquet files (the shared CorpusStateStream starter). */
   def start(

@@ -118,6 +118,49 @@ class PackingStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("compaction crashed"))
   }
 
+  test("forget: suffix repack equals the survivors' fresh ledger; replay is a no-op") {
+    val root = Files.createTempDirectory("graft-packing-forget").toString
+    val stateDir = s"$root/state"
+    PackingStream.update(stateDir)(docsSlice(col("doc_id") < 250), 0L)
+    PackingStream.update(stateDir)(docsSlice(col("doc_id") >= 250), 1L)
+
+    val tombPred = col("doc_id") % 9 === 4
+    val tomb = docsSlice(tombPred).select(col("doc_id"))
+    PackingStream.forget(spark, stateDir, tomb)
+
+    // the repacked ledger equals a FRESH pack over exactly the survivors
+    // in arrival (doc_id) order — windows, spans, fragmentation and all
+    val got = PackingStream.windows(spark, stateDir)
+    val want = Sampling.contextPacking(
+      Tables.documents(spark, sf0001).filter(!tombPred),
+      windowTokens = 512, bucketDocs = 64)
+    assert(got.count() == want.count(), "survivor row count")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "repacked ledger diverged from the survivors' fresh pack")
+    // the prefix before the first tombstoned offset kept its batch rows;
+    // provenance rides through the repack untouched
+    assert(PackingStream.ledgerState(spark, stateDir)
+      .select(col("batch_id")).distinct().count() == 2,
+      "batch provenance lost in the repack")
+    // offsets stay gapless after the repack
+    val rows = PackingStream.ledgerState(spark, stateDir)
+      .orderBy(col("tok_offset")).collect()
+    var expect = 0L
+    for (r <- rows) {
+      assert(r.getLong(2) == expect, s"offset gap at doc ${r.getLong(0)}")
+      expect = r.getLong(2) + r.getLong(1)
+    }
+    // replayed forget: no tombstoned doc remains — a state no-op
+    val before = rows.map(_.toString)
+    PackingStream.forget(spark, stateDir, tomb)
+    val after = PackingStream.ledgerState(spark, stateDir)
+      .orderBy(col("tok_offset")).collect().map(_.toString)
+    assert(before.sameElements(after), "replayed forget changed the ledger")
+    // an empty tombstone set is also a no-op (the early-return path)
+    PackingStream.forget(spark, stateDir, tomb.limit(0))
+    assert(PackingStream.ledgerState(spark, stateDir).count() == before.length.toLong)
+  }
+
   test("at-least-once within one batch: duplicate doc rows assign once") {
     val root = Files.createTempDirectory("graft-packing3").toString
     val stateDir = s"$root/state"
