@@ -12,12 +12,13 @@ import graft.Q
   * against an INDEPENDENT recomputation from the raw corpus with the
   * tombstone rule applied (q80's chain for the shingle members, q103's
   * for the vocabulary, q72's for the funnel, q185's doubled fixture for
-  * the assets). A GDPR Article-17 review doesn't take "we ran the
+  * the assets, the survivor doc count for the repacked q145/q187
+  * ledger). A GDPR Article-17 review doesn't take "we ran the
   * delete" on faith — it takes evidence that what remains is EXACTLY
   * the survivors, which is a stronger claim than "no tombstoned key
   * remains" (that alone would pass if the forget had also eaten
   * innocent rows). Every leg reads a forgotten-state dir the q199–q205
-  * builders already memoized, so the certificate costs eight bounded
+  * builders already memoized, so the certificate costs nine bounded
   * state aggregates — the corpus is never rescanned at read time.
   *
   * Hash-domain note: the vocabulary and shingle legs count DISTINCT
@@ -73,6 +74,7 @@ object Forget {
        |      + (SELECT count(*) FROM fp)
        |  UNION ALL SELECT 'ivf_lists', (SELECT count(*) FROM semb)
        |  UNION ALL SELECT 'lsh_sigs', (SELECT count(*) FROM semb)
+       |  UNION ALL SELECT 'packing_ledger_docs', (SELECT count(*) FROM sdocs)
        |  UNION ALL SELECT 'shingle_df_members',
        |    (SELECT count(DISTINCT sh) FROM tsh)
        |  UNION ALL SELECT 'vocab_terms', (SELECT count(DISTINCT w) FROM vw))
@@ -80,7 +82,7 @@ object Forget {
 
   val queries: Seq[Q] = Seq(
     Q("q206_deletion_certificate", q206OracleSql,
-      "The deletion CERTIFICATE — what a compliance review actually files after a right-to-be-forgotten execution: one table, per maintained artifact, of the SURVIVING population, hash-verified against an independent cross-engine recomputation from the raw corpus with the tombstone rule applied (q80's shingle chain, q103's tokenizer, q72's funnel cascade, q185's doubled asset fixture). This is deliberately stronger than 'no tombstoned key remains' — that weaker check would pass a forget that also ate innocent rows; matching the exact survivor counts proves the deletion touched precisely its subjects across all eight artifacts at once, closing the q199-q205 family with the artifact a regulator reads. Every leg is a bounded aggregate over a forgotten-state dir the family's builders already memoized (states are built + forgotten once per session; the certificate re-reads them), so the read costs eight state scans and the corpus is never rescanned. Hash-domain legs (vocab, shingles) count distinct 64-bit keys vs the oracle's distinct strings — the family's documented injectivity convention, policed by this gate. Scale: at 100 TB the certificate is eight index-read aggregates over fixed-width state rows — the audit is as cheap as the deletion, which is the operational requirement for running it after EVERY deletion batch, not just at year-end.") {
+      "The deletion CERTIFICATE — what a compliance review actually files after a right-to-be-forgotten execution: one table, per maintained artifact, of the SURVIVING population, hash-verified against an independent cross-engine recomputation from the raw corpus with the tombstone rule applied (q80's shingle chain, q103's tokenizer, q72's funnel cascade, q185's doubled asset fixture). This is deliberately stronger than 'no tombstoned key remains' — that weaker check would pass a forget that also ate innocent rows; matching the exact survivor counts proves the deletion touched precisely its subjects across all nine artifacts at once — including the packing ledger, whose deletion is the bounded suffix repack (q207), the one non-anti-join mechanic in the family — closing the q199-q207 family with the artifact a regulator reads. Every leg is a bounded aggregate over a forgotten-state dir the family's builders already memoized (states are built + forgotten once per session; the certificate re-reads them), so the read costs nine state scans and the corpus is never rescanned. Hash-domain legs (vocab, shingles) count distinct 64-bit keys vs the oracle's distinct strings — the family's documented injectivity convention, policed by this gate. Scale: at 100 TB the certificate is nine index-read aggregates over fixed-width state rows — the audit is as cheap as the deletion, which is the operational requirement for running it after EVERY deletion batch, not just at year-end.") {
       (s, d) => {
         def leg(name: String, src: DataFrame, n: Column): DataFrame =
           src.agg(n.cast("bigint").as("n_rows"))
@@ -99,6 +101,8 @@ object Forget {
             .listState(s, Similarity.servedForgottenIvfDir(s, d)), rows))
           .unionAll(leg("lsh_sigs", graft.streaming.LshStateStream
             .sigState(s, Similarity.servedForgottenLshDir(s, d)), rows))
+          .unionAll(leg("packing_ledger_docs", graft.streaming.PackingStream
+            .ledgerState(s, Sampling.servedForgottenPackingDir(s, d)), rows))
           .unionAll(leg("shingle_df_members", graft.streaming.CorpusStateStream
             .shingleDfState(s, Dedup.servedForgottenTrainShingleDir(s, d)), rows))
           .unionAll(leg("vocab_terms", graft.streaming.CorpusStateStream

@@ -504,7 +504,7 @@ object Sampling {
     * bounded suffix repack — plus a replayed forget (no tombstoned doc
     * remains → no-op), so the hash gate re-proves repack idempotence
     * cross-engine. */
-  private def servedForgottenPackingDir(s: org.apache.spark.sql.SparkSession,
+  private[operators] def servedForgottenPackingDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     graft.AnnSubstrate.getOrBuild(s, s"packforget|$d/documents.parquet",
         protectNew = false) {
