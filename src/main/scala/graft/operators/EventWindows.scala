@@ -157,21 +157,30 @@ object EventWindows {
        |       (SELECT count(*) FROM c) AS n_click,
        |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin
 
-  private def q205OracleSql: String = q72OracleSqlOver(
+  /** The tombstone-survivor events relation (the shared md5-bucket rule
+    * on user_id) — spliced into each machine's batch-twin SQL for the
+    * forgotten-sink reads q205/q208–q211: a user-level forget removes
+    * every finalized record of the user, so each analytic must count as
+    * if the user never existed. */
+  private def survEventsRel: String =
     "(SELECT * FROM events WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <> '" +
-      Sampling.TombstoneHex + "')")
+      Sampling.TombstoneHex + "')"
+
+  private def q205OracleSql: String = q72OracleSqlOver(survEventsRel)
 
   /** q73_retention_cohorts's oracle SQL — shared VERBATIM with its state-served
     * stream read (q192–q196 family), so a hash match there proves the
     * fMGWS machine's persisted records and the batch recompute are
     * value-identical (the q118/q188 sharing convention). */
-  private val q73OracleSql: String =
-    """WITH firstw AS (
+  private val q73OracleSql: String = q73OracleSqlOver("events")
+
+  private def q73OracleSqlOver(evRel: String): String =
+    s"""WITH firstw AS (
       |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
-      |  FROM events GROUP BY user_id),
+      |  FROM $evRel GROUP BY user_id),
       |active AS (
       |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
-      |  FROM events)
+      |  FROM $evRel)
       |SELECT f.cohort AS cohort_week,
       |  CAST(epoch(a.wk - f.cohort) / 604800 AS INT) AS week_n,
       |  count(*) AS n_users
@@ -183,11 +192,13 @@ object EventWindows {
     * stream read (q192–q196 family), so a hash match there proves the
     * fMGWS machine's persisted records and the batch recompute are
     * value-identical (the q118/q188 sharing convention). */
-  private val q77OracleSql: String =
-    """WITH g AS (
+  private val q77OracleSql: String = q77OracleSqlOver("events")
+
+  private def q77OracleSqlOver(evRel: String): String =
+    s"""WITH g AS (
       |  SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
       |    list(value ORDER BY ts, event_id) AS vals
-      |  FROM events GROUP BY user_id, CAST(ts AS DATE))
+      |  FROM $evRel GROUP BY user_id, CAST(ts AS DATE))
       |SELECT user_id, day, CAST(len(vals) AS INT) AS n_events,
       |  list_reduce(vals,
       |    (acc, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc) AS ewma
@@ -197,13 +208,15 @@ object EventWindows {
     * stream read (q192–q196 family), so a hash match there proves the
     * fMGWS machine's persisted records and the batch recompute are
     * value-identical (the q118/q188 sharing convention). */
-  private val q98OracleSql: String =
-    """WITH marked AS (
+  private val q98OracleSql: String = q98OracleSqlOver("events")
+
+  private def q98OracleSqlOver(evRel: String): String =
+    s"""WITH marked AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
       |         THEN 1 ELSE 0 END AS new_session
-      |  FROM events
+      |  FROM $evRel
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
       |), numbered AS (
       |  SELECT user_id, ts, event_type,
@@ -224,11 +237,13 @@ object EventWindows {
     * stream read (q192–q196 family), so a hash match there proves the
     * fMGWS machine's persisted records and the batch recompute are
     * value-identical (the q118/q188 sharing convention). */
-  private val q86OracleSql: String =
-    """WITH seq AS (
+  private val q86OracleSql: String = q86OracleSqlOver("events")
+
+  private def q86OracleSqlOver(evRel: String): String =
+    s"""WITH seq AS (
       |  SELECT user_id, event_type,
       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-      |  FROM events)
+      |  FROM $evRel)
       |SELECT prev, event_type AS next, count(*) AS n,
       |  CAST(count(*) AS DOUBLE)
       |    / CAST(sum(count(*)) OVER (PARTITION BY prev) AS DOUBLE) AS p
@@ -636,6 +651,47 @@ object EventWindows {
             coalesce(sum(when(col("stage") === 2, 1L)), lit(0L)).as("n_click"),
             coalesce(sum(when(col("stage") === 3, 1L)), lit(0L)).as("n_purchase"))
     },
+
+    Q("q208_forgotten_retention_state_served", q73OracleSqlOver(survEventsRel),
+      "q193's retention cohorts served AFTER a user-level right-to-be-forgotten pass — q205 proved the record-sink deletion mechanic on the funnel only; this and q209-q211 close the remaining four machines, so EVERY stream-served event analytic now faces the hash gate over its forgotten sink. The mechanic is the shared ServedEventStreams.forgetUsers (broadcast anti-join of tombstoned user_ids out of the persisted (user, cohort, week) records under the two-rename swap, against a RETIRED sink generation with the stream stopped); the oracle is q73's SQL over the tombstone-survivor events — the forgotten cohort matrix must count as if the users never existed, which for retention means whole cohort ROWS can shrink or vanish, not just totals. Its own three-leg stream run + a replayed forget (idempotence under the gate). Scale: one anti-join over |(user, week)| fixed-width records — never an event-history replay.") {
+      (s, d) =>
+        graft.streaming.ServedEventStreams.records(s,
+            servedForgottenRetentionDir(s, d))
+          .groupBy(col("cohort_week"), col("week_n"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort_week"), col("week_n"))
+    },
+
+    Q("q209_forgotten_ewma_state_served", q77OracleSqlOver(survEventsRel),
+      "q194's per-(user, day) EWMA served AFTER a user-level forget against its record sink — the per-user-keyed machine where deletion is cleanest (every record of a tombstoned user vanishes whole, surviving users' smoothed doubles must ride through BIT-EQUAL: the forget may not perturb a single surviving fold). Same shared forgetUsers mechanic + replayed forget; oracle = q77's SQL over tombstone-survivor events. Scale: one broadcast anti-join over |user-days| records.") {
+      (s, d) =>
+        graft.streaming.ServedEventStreams.records(s,
+            servedForgottenEwmaDir(s, d))
+          .select(col("user_id"), col("day"), col("n_events"), col("ewma"))
+          .orderBy(col("user_id"), col("day"))
+    },
+
+    Q("q210_forgotten_transitions_state_served", q86OracleSqlOver(survEventsRel),
+      "q195's Markov transition matrix served AFTER a user-level forget — the machine where deletion changes DERIVED cells, not just rows: removing a user's bigram records re-normalizes every per-prev probability over the surviving mass, so the oracle (q86's SQL over tombstone-survivor events) proves the renormalization falls out of serving from records rather than needing any recompute. Same shared forgetUsers mechanic + replayed forget. Scale: the anti-join runs over |transitions| records; the matrix rollup stays O(|event types|^2).") {
+      (s, d) =>
+        val wp = Window.partitionBy(col("prev"))
+        graft.streaming.ServedEventStreams.records(s,
+            servedForgottenBigramDir(s, d))
+          .groupBy(col("prev"), col("next"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p",
+            col("n").cast("double") / sum(col("n")).over(wp).cast("double"))
+          .orderBy(col("prev"), col("next"))
+    },
+
+    Q("q211_forgotten_session_state_served", q98OracleSqlOver(survEventsRel),
+      "q196's sessionized daily conversion served AFTER a user-level forget — the built-in-stateful machine (streaming session_window) under the deletion gate: tombstoned users' finalized session records anti-join out whole, and the daily rollup (counts, conversion RATES over the surviving denominator) must equal q98's gaps-and-islands chain over tombstone-survivor events, which is the oracle. Same shared forgetUsers mechanic + replayed forget, its own three-leg stream. Scale: one anti-join over |sessions| records; the rollup never touches events.") {
+      (s, d) =>
+        graft.streaming.SessionStream.dailyConversion(
+            graft.streaming.ServedEventStreams.records(s,
+              servedForgottenSessionDir(s, d)))
+          .orderBy(col("day"))
+    },
   )
 
   /** Build-once streaming runs behind q192–q196 (one per machine,
@@ -648,25 +704,51 @@ object EventWindows {
       graft.streaming.FunnelStream.funnelStages(ev,
         graft.streaming.ServedEventStreams.Delay).toDF())
 
-  /** Build-once FORGOTTEN funnel record sink for q205: its OWN stream
-    * run (never the shared q192 sink — the forget mutates in place),
-    * then ServedEventStreams.forgetUsers with the shared tombstone rule
-    * plus a replayed forget (no-op, so the hash gate re-proves deletion
+  /** Build-once FORGOTTEN record sink for one of the five machines
+    * (q205/q208–q211): its OWN stream run (never the shared q192–q196
+    * sinks — the forget mutates in place), then
+    * ServedEventStreams.forgetUsers with the shared tombstone rule plus
+    * a replayed forget (no-op, so the hash gate re-proves deletion
     * idempotence). Memoized so timed reps pay only the record read —
     * the forget never executes inside a timed rep. */
-  private[operators] def servedForgottenFunnelDir(s: SparkSession, d: String): String =
-    graft.AnnSubstrate.getOrBuild(s, s"funnelforget|$d/events.parquet",
+  private def forgottenStagesDir(s: SparkSession, d: String, name: String)(
+      mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : String =
+    graft.AnnSubstrate.getOrBuild(s, s"$name|$d/events.parquet",
         protectNew = false) {
       val dir = graft.streaming.ServedEventStreams.stagesDir(s, d,
-        "funnelforgetstages")(ev =>
-          graft.streaming.FunnelStream.funnelStages(ev,
-            graft.streaming.ServedEventStreams.Delay).toDF())
+        name + "stages")(mk)
       val tomb = Tables.events(s, d).select(col("user_id"))
         .filter(Sampling.tombstoned(col("user_id"))).distinct()
       graft.streaming.ServedEventStreams.forgetUsers(s, dir, tomb)
       graft.streaming.ServedEventStreams.forgetUsers(s, dir, tomb) // replay
       dir
     }
+
+  private[operators] def servedForgottenFunnelDir(s: SparkSession, d: String): String =
+    forgottenStagesDir(s, d, "funnelforget")(ev =>
+      graft.streaming.FunnelStream.funnelStages(ev,
+        graft.streaming.ServedEventStreams.Delay).toDF())
+
+  private def servedForgottenRetentionDir(s: SparkSession, d: String): String =
+    forgottenStagesDir(s, d, "retentionforget")(ev =>
+      graft.streaming.RetentionStream.retentionStages(ev,
+        graft.streaming.ServedEventStreams.Delay).toDF())
+
+  private def servedForgottenEwmaDir(s: SparkSession, d: String): String =
+    forgottenStagesDir(s, d, "ewmaforget")(ev =>
+      graft.streaming.EwmaStream.ewmaStages(ev,
+        graft.streaming.ServedEventStreams.Delay).toDF())
+
+  private def servedForgottenBigramDir(s: SparkSession, d: String): String =
+    forgottenStagesDir(s, d, "bigramforget")(ev =>
+      graft.streaming.BigramStream.bigrams(ev,
+        graft.streaming.ServedEventStreams.Delay).toDF())
+
+  private def servedForgottenSessionDir(s: SparkSession, d: String): String =
+    forgottenStagesDir(s, d, "sessionforget")(ev =>
+      graft.streaming.SessionStream.sessions(ev,
+        graft.streaming.ServedEventStreams.Delay))
 
   private def servedRetentionDir(s: SparkSession, d: String): String =
     graft.streaming.ServedEventStreams.stagesDir(s, d, "retentionstages")(ev =>

@@ -132,4 +132,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.filter($"segment".isNull).count() ==
       batch.filter($"user_id" % 2 =!= 0).count())
   }
+
+  test("forgetUsers on every machine's record sink: marker passthrough, replay no-op") {
+    // the five stream-served analytics share ServedEventStreams.forgetUsers
+    // verbatim; what differs per machine is the record SCHEMA the sink
+    // holds. One case per machine (funnel's lives in FunnelStreamSpec):
+    // tombstoned users' rows scrub whole, the inert marker row (user -1,
+    // never tombstonable — the tombstone set comes from real events)
+    // passes through, survivors ride untouched, and a replay is a no-op.
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val sinks: Seq[(String, DataFrame)] = Seq(
+      "retention" -> Seq((1L, ts, 0), (2L, ts, 1), (-1L, ts, 0))
+        .toDF("user_id", "cohort_week", "week_n"),
+      "ewma" -> Seq((1L, ts, 2, 1.5), (2L, ts, 1, 2.0), (-1L, ts, 1, 0.0))
+        .toDF("user_id", "day", "n_events", "ewma"),
+      "bigram" -> Seq((1L, "view", "click", ts), (2L, "view", "view", ts),
+          (-1L, "error", "error", ts))
+        .toDF("user_id", "prev", "next", "ts"),
+      "session" -> Seq((ts, 1L, 0), (ts, 2L, 1), (ts, -1L, 0))
+        .toDF("session_start", "user_id", "converted"))
+    val tomb = Seq(1L, 99L).toDF("user_id") // 99 was never recorded
+    sinks.foreach { case (name, df) =>
+      val dir = Files.createTempDirectory(s"graft-$name-forget").toString + "/sink"
+      df.write.parquet(dir)
+      ServedEventStreams.forgetUsers(spark, dir, tomb)
+      val users = spark.read.parquet(dir)
+        .select(org.apache.spark.sql.functions.col("user_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(users == Set(2L, -1L),
+        s"$name: forget must scrub exactly user 1 and spare the marker: $users")
+      assert(ServedEventStreams.records(spark, dir).count() == 1,
+        s"$name: served read excludes the marker")
+      val before = spark.read.parquet(dir).collect().map(_.toString).sorted
+      ServedEventStreams.forgetUsers(spark, dir, tomb)
+      val after = spark.read.parquet(dir).collect().map(_.toString).sorted
+      assert(before.sameElements(after), s"$name: replayed forget changed the sink")
+    }
+  }
 }
