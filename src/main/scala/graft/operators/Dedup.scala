@@ -912,11 +912,13 @@ object Dedup {
       |  JOIN nibs n2 ON n2.doc_id = c.d2 AND n2.p = n1.p
       |  GROUP BY c.d1, c.d2)""".stripMargin
 
-  private val SimhashBandCte: String =
-    """WITH tok AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+  private def simhashBandCteOver(docRel: String): String =
+    raw"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM $docRel),
       |th AS (SELECT doc_id, substring(md5(w), 1, 16) AS hx FROM tok),
       |""".stripMargin + SimhashFromThTail
+
+  private val SimhashBandCte: String = simhashBandCteOver("documents")
 
   /** Incremental near-dup (q97): only NEW arrivals probe the corpus —
     * new bands join all bands, so the candidate set is exactly the pairs
@@ -1416,8 +1418,14 @@ object Dedup {
   /** q156's oracle SQL — shared VERBATIM with q181's state-served
     * read, so a hash match there proves the maintained datasheet and
     * the batch recompute are value-identical. */
-  private val q156OracleSql: String =
-    SimhashBandCte + """,
+  private val q156OracleSql: String = q156OracleSqlOver("documents")
+
+  /** q156's chain over an arbitrary documents relation — `"documents"`
+    * renders the historical q156/q181 SQL byte-equal; q212 passes the
+    * tombstone-survivor subquery, because a forgotten datasheet must
+    * quote the corpus as if the deleted documents never existed. */
+  private def q156OracleSqlOver(docRel: String): String =
+    simhashBandCteOver(docRel) + raw""",
         |pairs AS (
         |  SELECT c.d1, c.d2 FROM cand c
         |  JOIN nibs n1 ON n1.doc_id = c.d1
@@ -1427,7 +1435,7 @@ object Dedup {
         |  SELECT DISTINCT doc_id FROM (
         |    SELECT d1 AS doc_id FROM pairs UNION ALL SELECT d2 FROM pairs)),
         |dtok AS (SELECT len(string_split_regex(trim(text), '\s+')) AS nt,
-        |          lang, source FROM documents),
+        |          lang, source FROM $docRel),
         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |        CAST(sum(nt) AS BIGINT) AS n_tokens,
         |        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
@@ -1435,7 +1443,7 @@ object Dedup {
         |      FROM dtok),
         |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab
         |      FROM (SELECT unnest(string_split_regex(trim(lower(text)),
-        |              '\s+')) AS w FROM documents)),
+        |              '\s+')) AS w FROM $docRel)),
         |fl AS (
         |  SELECT doc_id,
         |    len(string_split_regex(trim(text), '\s+')) < 20 AS f_short,
@@ -1451,13 +1459,13 @@ object Dedup {
         |           for i in generate_series(1, len(toks)-2)] AS sh
         |        FROM (SELECT doc_id, text,
         |                string_split_regex(
-        |                  regexp_replace(text, '^\s+|\s+$', '', 'g'),
-        |                  '\s+') AS toks FROM documents))),
+        |                  regexp_replace(text, '^\s+|\s+$$', '', 'g'),
+        |                  '\s+') AS toks FROM $docRel))),
         |fcnt AS (SELECT CAST(count(*) FILTER (WHERE f_short OR f_low_ttr
         |           OR f_bad_len OR f_dup) AS BIGINT) AS flagged FROM fl),
         |m AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM members),
         |tpl AS (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS tdocs
-        |        FROM (SELECT count(*) AS n FROM documents
+        |        FROM (SELECT count(*) AS n FROM $docRel
         |              GROUP BY substr(text, 1, 80) HAVING count(*) >= 2))
         |SELECT metric, value FROM (
         |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM t
@@ -2121,8 +2129,8 @@ object Dedup {
         |           for i in generate_series(1, len(toks)-2)] AS sh
         |        FROM (SELECT doc_id, text,
         |                string_split_regex(
-        |                  regexp_replace(text, '^\s+|\s+$', '', 'g'),
-        |                  '\s+') AS toks FROM documents))),
+        |                  regexp_replace(text, '^\s+|\s+$$', '', 'g'),
+        |                  '\s+') AS toks FROM $docRel))),
         |j AS (
         |  SELECT f.*, m.doc_id IS NOT NULL AS is_dup
         |  FROM flags f LEFT JOIN members m USING (doc_id)),
@@ -2418,10 +2426,20 @@ object Dedup {
     },
 
     Q("q181_datasheet_state_served", q156OracleSql,
-      "q156's release datasheet served FROM the MAINTAINED corpus state instead of a full-corpus batch pass — the dedup family's half of the q180 posture: the state dir is built once per (session, corpus) by folding the corpus through DatasheetStateStream.update in two arrival waves (the SAME micro-batch fold the maintenance stream runs — additive counters, anti-join-idempotent key sets, the ledger-protocol delta tables — folded to per-key snapshots before serving, so the hash gate also re-proves fold neutrality cross-engine — and CorpusStateStream's signature table), and every timed run then pays ONLY the serving read: counters-sum + set-table counts + the capped band join over 16 bytes/doc of PERSISTED signatures (simhashNearDupPairsCappedFromSigs — the q76/q81 definition over state instead of a fresh scan) + a prefix-table aggregate. The oracle twin is q156's SQL verbatim, so a hash match here proves end-to-end that the datasheet a data card quotes from maintained state and the one a batch recompute would produce are value-identical — the DatasheetStreamSpec state==batch contract re-checked by the driver's own harness. Scale: this is THE way a 100 TB corpus quotes its datasheet — the corpus text is scanned once at arrival (amortized into ingest), and the read side touches only state tables bounded by |vocab|, |langs|, |sources|, |prefixes>=2|, and 16 bytes/doc of signatures; no read-time rescan exists in the plan.") {
+      "q156's release datasheet served FROM the MAINTAINED corpus state instead of a full-corpus batch pass — the dedup family's half of the q180 posture: the state dir is built once per (session, corpus) by folding the corpus through DatasheetStateStream.update in two arrival waves (the SAME micro-batch fold the maintenance stream runs — additive counters and the ledger-protocol delta tables (incl. the df-counted lang/source/word key tables) — folded to per-key snapshots before serving, so the hash gate also re-proves fold neutrality cross-engine — and CorpusStateStream's signature table), and every timed run then pays ONLY the serving read: counters-sum + set-table counts + the capped band join over 16 bytes/doc of PERSISTED signatures (simhashNearDupPairsCappedFromSigs — the q76/q81 definition over state instead of a fresh scan) + a prefix-table aggregate. The oracle twin is q156's SQL verbatim, so a hash match here proves end-to-end that the datasheet a data card quotes from maintained state and the one a batch recompute would produce are value-identical — the DatasheetStreamSpec state==batch contract re-checked by the driver's own harness. Scale: this is THE way a 100 TB corpus quotes its datasheet — the corpus text is scanned once at arrival (amortized into ingest), and the read side touches only state tables bounded by |vocab|, |langs|, |sources|, |prefixes>=2|, and 16 bytes/doc of signatures; no read-time rescan exists in the plan.") {
       (s, d) =>
         graft.streaming.DatasheetStateStream.datasheetFromState(s,
           servedDatasheetStateDir(s, d))
+    },
+
+    Q("q212_forgotten_datasheet_state_served",
+      q156OracleSqlOver(
+        "(SELECT * FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '" +
+          graft.operators.Sampling.TombstoneHex + "')"),
+      "q181's maintained datasheet served AFTER a right-to-be-forgotten pass — the family's last documented-immutable surface EXECUTED instead of only named: r14's datasheet kept langs/sources/words as distinct-key SETS, where membership cannot be un-asserted without knowing whether a surviving document still holds the key; this round upgrades them to df-counted delta tables (+8 B/key, the trade q204's shingle decontamination layout already made), after which deletion is the proven negative-ledger mechanic everywhere: DatasheetStateStream.forget appends the tombstoned documents' counter/prefix/lang/source/word contributions as ONE negative ledger-committed batch (a key whose net reaches 0 leaves the sheet through the > 0 cut — a language whose every document died disappears from n_langs, a word from vocab_size) and swaps the signature table to the doc_id survivors, so the near-dup metric re-serves over exactly the surviving corpus. The oracle is q156's SQL over the tombstone-survivor documents; the builder REPLAYS the forget with the same batchId (ledger no-op) and then FOLDS all five delta logs, so one hash match proves deletion correctness, deletion idempotence, and fold neutrality across a negative batch, cross-engine. Scale: the forget is one |tombstoned|-bounded projection per table + an 8-byte-key anti-join over sigs — never a corpus rescan; the read keeps q181's cost.") {
+      (s, d) =>
+        graft.streaming.DatasheetStateStream.datasheetFromState(s,
+          servedForgottenDatasheetDir(s, d))
     },
 
     Q("q188_novelty_state_served", q118OracleSql,
@@ -2495,6 +2513,31 @@ object Dedup {
       // serve from FOLDED state: the delta logs collapse to per-key
       // snapshots, so the driver's q181 hash gate re-proves fold
       // neutrality cross-engine every round (not just in the spec)
+      graft.streaming.DatasheetStateStream.foldDeltas(s, dir)
+      dir
+    }
+
+  /** Build-once FORGOTTEN datasheet state for q212: the
+    * servedDatasheetStateDir protocol (two parity waves), then
+    * DatasheetStateStream.forget with the shared tombstone rule — the
+    * negative ledger batch across all five delta tables plus the keyed
+    * sigs swap — REPLAYED with the same batchId (ledger no-op), then
+    * folded, so the q212 hash gate re-proves deletion idempotence AND
+    * fold neutrality across a negative batch cross-engine. */
+  private def servedForgottenDatasheetDir(s: SparkSession, d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"dsforget|$d/documents.parquet",
+        protectNew = false) {
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_dsforget_state").toString)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      graft.streaming.DatasheetStateStream.update(dir)(
+        docs.filter(col("doc_id") % 2 === 0), 0L)
+      graft.streaming.DatasheetStateStream.update(dir)(
+        docs.filter(col("doc_id") % 2 =!= 0), 1L)
+      val tomb = docs.filter(graft.operators.Sampling.tombstoned(col("doc_id")))
+      graft.streaming.DatasheetStateStream.forget(dir)(tomb, 2L)
+      graft.streaming.DatasheetStateStream.forget(dir)(tomb, 2L) // replay no-op
       graft.streaming.DatasheetStateStream.foldDeltas(s, dir)
       dir
     }

@@ -7,13 +7,12 @@ import org.apache.spark.sql.types._
 
 import graft.functions.TextFunctions.wsTokens
 
-/** The release datasheet (q156) maintained incrementally — the last
-  * report in the repo that still required a full-corpus batch pass now
-  * serves from persisted state: a `foreachBatch` stream folds each
-  * arriving document batch into additive counters, distinct-key sets,
-  * and the signature table, and [[datasheetFromState]] reassembles the
-  * EXACT q156 (metric, value) table from those — proven row-for-row
-  * equal to `Dedup.datasetDatasheet` over all delivered documents
+/** The release datasheet (q156) maintained incrementally — a
+  * `foreachBatch` stream folds each arriving document batch into
+  * additive counters, df-counted key tables, and the signature table,
+  * and [[datasheetFromState]] reassembles the EXACT q156 (metric,
+  * value) table from those — proven row-for-row equal to
+  * `Dedup.datasetDatasheet` over all delivered documents
   * (DatasheetStreamSpec), so a data card can be quoted per micro-batch
   * without ever rescanning the corpus.
   *
@@ -21,50 +20,60 @@ import graft.functions.TextFunctions.wsTokens
   * this stream COMPOSES its update, so the signature/shingle tables are
   * maintained once and serve both the dedup probes and the datasheet):
   *   - `sigs/`, `shingles/` — via [[CorpusStateStream.update]];
-  *   - `langs/`, `sources/` — distinct-key set tables (anti-join
-  *     idempotent, the shingle-table pattern; nulls filtered exactly as
-  *     countDistinct ignores them);
-  *   - `words/` — distinct xxhash64(lowercased word) set — q156's
-  *     vocab_size hash domain VERBATIM (the md5-domain `vocab/` delta
-  *     table serves the LM family; the two domains collide differently,
-  *     so sharing one would break state==batch bit-equality);
+  *   - `langs/`, `sources/` — df-counted delta tables (batch_id, key,
+  *     delta): delta = documents carrying the key per batch, read as
+  *     net > 0 membership. r14 stored these as anti-join distinct-key
+  *     SETS (16 B/key, no deletion); the df upgrade (+8 B/key — the
+  *     runbook trade q204 made for the shingle state) is what lets
+  *     [[forget]] un-assert a key whose every holder died. Nulls are
+  *     filtered exactly as countDistinct ignores them;
+  *   - `words/` — df deltas keyed by xxhash64(lowercased word) —
+  *     q156's vocab_size hash domain VERBATIM (the md5-domain `vocab/`
+  *     delta table serves the LM family; the two domains collide
+  *     differently, so sharing one would break state==batch
+  *     bit-equality). delta = documents containing the word (per-doc
+  *     distinct), so net > 0 IS vocabulary membership over survivors;
   *   - `ds_counters/` — one (batch_id, n_docs, n_tokens, n_flagged) row
   *     per batch (flags = [[graft.operators.TextAnalysis.gateFlags]],
   *     the q105 definition — per-document, hence batch-additive);
   *   - `ds_prefixes/` — (batch_id, prefix, delta) template-prefix count
   *     deltas, keyed by the RAW 80-code-point prefix (hashing the key
   *     would admit collisions the batch groupBy does not have);
-  *   - `ds_ledger/` — the committed-batch ledger for the two delta
+  *   - `ds_ledger/` — the committed-batch ledger for ALL five delta
   *     tables (the vocab-ledger crash-window protocol: deltas append
-  *     before the ledger row; a replay probes the delta log itself and
+  *     before the ledger row; a replay probes each delta log itself and
   *     only heals the ledger — counts can never double).
   *
+  * State-format note: a deployment state written by the r14 layout
+  * (set-table `langs`/`sources`/`words` with no batch_id/delta columns)
+  * is NOT readable by this version — rebuild by replaying deliveries
+  * (the layouts are value-equivalent under pure accumulation, so the
+  * rebuilt sheet is identical).
+  *
   * Identity note: `doc_id` is the state identity key (the family
-  * convention) — a re-uploaded doc_id contributes its counters again
-  * (the batch twin over the concatenated deliveries counts rows too)
-  * but keeps its FIRST signature, exactly like the corpus stream.
+  * convention) — a re-uploaded doc_id contributes its counters and df
+  * deltas again (the batch twin over the concatenated deliveries counts
+  * rows too) but keeps its FIRST signature, exactly like the corpus
+  * stream. [[forget]] subtracts exactly the contribution of the rows
+  * passed (the forgetVocab occurrence contract): a doc counted twice
+  * needs its rows passed twice to be fully forgotten; the builders pass
+  * deduped deletion sets.
   *
-  * Deletion note: this family has NO forget op, deliberately. The
-  * additive tables (`ds_counters`, `ds_prefixes`) could net a deletion
-  * out exactly as [[BoilerplateStateStream.forget]] and
-  * [[CorpusStateStream.forgetVocab]] do (negative ledger deltas) — but
-  * the datasheet also reads the SET tables (`langs`, `sources`,
-  * `words`, the distinct-shingle set), and a set membership cannot be
-  * un-asserted without knowing whether any SURVIVING document still
-  * holds the key, i.e. without a reference count the set layout chose
-  * not to pay for (16 B/key vs 24 B/key at 100 TB, and anti-join
-  * idempotence instead of a ledger). Executing right-to-be-forgotten
-  * against a datasheet therefore means either upgrading the set tables
-  * to df-counted layouts (then the negative-delta machinery applies
-  * unchanged) or re-deriving them from the surviving signature table —
-  * both corpus-free, neither free; q199/q200/q201 cover the families
-  * where deletion is already exact.
+  * Deletion: [[forget]] executes right-to-be-forgotten as one more
+  * ledger-committed batch with sign = −1 (the BoilerplateStateStream /
+  * forgetVocab design) across the five delta tables, plus a keyed
+  * anti-join swap of the signature table. The only datasheet surface a
+  * forget does NOT rewrite is the `shingles/` distinct-set table the
+  * composed corpus update also maintains — no datasheet metric reads
+  * it (the df-counted decontamination layout, q204, is the
+  * deletion-capable shingle store); a deployment forgetting from a
+  * SHARED corpus-state dir runs forgetShingleDf on that layout.
   *
-  * Scale: per batch, one |batch| projection per table family, anti-joins
-  * against state read with pushdown on the key column, and one appended
-  * counter row; the read side is counters-sum + set-table counts + the
-  * capped band join over 16 bytes/doc of signatures + a |distinct
-  * prefixes|-key aggregate — the corpus text is never rescanned. */
+  * Scale: per batch, one |batch| projection per table family, delta
+  * appends guarded by the ledger, and one appended counter row; the
+  * read side is counters-sum + net>0 key counts + the capped band join
+  * over 16 bytes/doc of signatures + a |distinct prefixes|-key
+  * aggregate — the corpus text is never rescanned. */
 object DatasheetStateStream {
 
   val docSchema: StructType = StructType(Seq(
@@ -84,22 +93,78 @@ object DatasheetStateStream {
     StructField("prefix", StringType),
     StructField("delta", LongType)))
 
+  private def keyDeltaSchema(field: StructField) = StructType(Seq(
+    StructField("batch_id", LongType), field,
+    StructField("delta", LongType)))
+
+  private val langField = StructField("lang", StringType)
+  private val sourceField = StructField("source", StringType)
+  private val wordField = StructField("w", LongType)
+
   private val ledgerSchema = StructType(Seq(StructField("batch_id", LongType)))
 
   private def stateDf(spark: SparkSession, dir: String, s: StructType) =
     CorpusStateStream.stateDf(spark, dir, s)
 
-  private def setState(spark: SparkSession, stateDir: String, table: String,
-      field: StructField): DataFrame =
-    stateDf(spark, s"$stateDir/$table", StructType(Seq(field)))
-
-  /** One micro-batch: fold the arrivals into every datasheet state
-    * table. Idempotent under replay (set tables by anti-join, delta
-    * tables by the ledger protocol, sigs/shingles by the corpus
-    * stream's own anti-joins). */
-  def update(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
+  /** The five delta projections of one batch at a given sign — ONE
+    * definition for the arrival fold (+1) and the forget (−1), so the
+    * negative batch subtracts exactly what the positive one added. */
+  private def appendDeltaTables(stateDir: String, docs: DataFrame,
+      batchId: Long, sign: Long): Unit = {
     require(batchId >= 0, "batchId must be non-negative (negative ids " +
       "are reserved for folded snapshot rows)")
+    val spark = docs.sparkSession
+    val ledgerDir = s"$stateDir/ds_ledger"
+    val seen = stateDf(spark, ledgerDir, ledgerSchema)
+      .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (seen) return
+    def missing(table: String, schema: StructType): Boolean =
+      stateDf(spark, s"$stateDir/$table", schema)
+        .filter(col("batch_id") === batchId).limit(1).count() == 0
+    if (missing("ds_counters", countersSchema)) {
+      graft.operators.TextAnalysis.gateFlags(docs)
+        .select(col("nt"),
+          (col("f_short") || col("f_low_ttr") || col("f_bad_len") ||
+            col("f_dup")).as("f"))
+        .agg(count(lit(1)).as("n_docs"), coalesce(sum(col("nt")), lit(0L))
+            .as("n_tokens"),
+          coalesce(sum(when(col("f"), 1L).otherwise(0L)), lit(0L))
+            .as("n_flagged"))
+        .select(lit(batchId).as("batch_id"), (col("n_docs") * sign).as("n_docs"),
+          (col("n_tokens") * sign).as("n_tokens"),
+          (col("n_flagged") * sign).as("n_flagged"))
+        .write.mode("append").parquet(s"$stateDir/ds_counters")
+    }
+    if (missing("ds_prefixes", prefixesSchema)) {
+      docs.groupBy(substring(col("text"), 1, 80).as("prefix"))
+        .agg((count(lit(1)) * sign).as("delta"))
+        .select(lit(batchId).as("batch_id"), col("prefix"), col("delta"))
+        .write.mode("append").parquet(s"$stateDir/ds_prefixes")
+    }
+    def keyDeltas(table: String, field: StructField, keys: DataFrame): Unit =
+      if (missing(table, keyDeltaSchema(field))) {
+        keys.na.drop()
+          .groupBy(col(field.name))
+          .agg((count(lit(1)) * sign).as("delta"))
+          .select(lit(batchId).as("batch_id"), col(field.name), col("delta"))
+          .write.mode("append").parquet(s"$stateDir/$table")
+      }
+    keyDeltas("langs", langField, docs.select(col("lang")))
+    keyDeltas("sources", sourceField, docs.select(col("source")))
+    // document frequency: per-doc DISTINCT words, so net > 0 is exactly
+    // "some surviving document holds this word"
+    keyDeltas("words", wordField,
+      docs.select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("tok"))
+        .select(col("doc_id"), xxhash64(col("tok")).as("w")).distinct()
+        .select(col("w")))
+    spark.range(1).select(lit(batchId).as("batch_id"))
+      .write.mode("append").parquet(ledgerDir)
+  }
+
+  /** One micro-batch: fold the arrivals into every datasheet state
+    * table. Idempotent under replay (delta tables by the ledger
+    * protocol, sigs/shingles by the corpus stream's own anti-joins). */
+  def update(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val docs = batch
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
@@ -110,51 +175,34 @@ object DatasheetStateStream {
     CorpusStateStream.update(stateDir)(
       docs.select(col("doc_id"), col("text"), col("source")), batchId)
 
-    def appendNewKeys(table: String, field: StructField, keys: DataFrame): Unit =
-      keys.distinct().na.drop()
-        .join(setState(spark, stateDir, table, field), Seq(field.name), "left_anti")
-        .write.mode("append").parquet(s"$stateDir/$table")
+    appendDeltaTables(stateDir, docs, batchId, sign = 1L)
+  }
 
-    appendNewKeys("langs", StructField("lang", StringType),
-      docs.select(col("lang")))
-    appendNewKeys("sources", StructField("source", StringType),
-      docs.select(col("source")))
-    appendNewKeys("words", StructField("w", LongType),
-      docs.select(explode(wsTokens(lower(col("text")))).as("tok"))
-        .select(xxhash64(col("tok")).as("w")))
-
-    // delta tables, vocab-ledger protocol: probe ledger → probe each
-    // delta log → append missing → heal ledger last
-    val ledgerDir = s"$stateDir/ds_ledger"
-    val seen = stateDf(spark, ledgerDir, ledgerSchema)
-      .filter(col("batch_id") === batchId).limit(1).count() > 0
-    if (!seen) {
-      val inCounters = stateDf(spark, s"$stateDir/ds_counters", countersSchema)
-        .filter(col("batch_id") === batchId).limit(1).count() > 0
-      if (!inCounters) {
-        graft.operators.TextAnalysis.gateFlags(docs)
-          .select(col("nt"),
-            (col("f_short") || col("f_low_ttr") || col("f_bad_len") ||
-              col("f_dup")).as("f"))
-          .agg(count(lit(1)).as("n_docs"), coalesce(sum(col("nt")), lit(0L))
-              .as("n_tokens"),
-            coalesce(sum(when(col("f"), 1L).otherwise(0L)), lit(0L))
-              .as("n_flagged"))
-          .select(lit(batchId).as("batch_id"), col("n_docs"),
-            col("n_tokens"), col("n_flagged"))
-          .write.mode("append").parquet(s"$stateDir/ds_counters")
-      }
-      val inPrefixes = stateDf(spark, s"$stateDir/ds_prefixes", prefixesSchema)
-        .filter(col("batch_id") === batchId).limit(1).count() > 0
-      if (!inPrefixes) {
-        docs.groupBy(substring(col("text"), 1, 80).as("prefix"))
-          .agg(count(lit(1)).as("delta"))
-          .select(lit(batchId).as("batch_id"), col("prefix"), col("delta"))
-          .write.mode("append").parquet(s"$stateDir/ds_prefixes")
-      }
-      spark.range(1).select(lit(batchId).as("batch_id"))
-        .write.mode("append").parquet(ledgerDir)
-    }
+  /** Right-to-be-forgotten against the maintained datasheet — the
+    * executed form of the deletion path this object's scaladoc used to
+    * only name: the tombstoned documents (passed as delivered — the
+    * forgetVocab occurrence contract) append as ONE negative
+    * ledger-committed delta batch across counters, prefixes, and the
+    * df-counted lang/source/word tables (a key whose net reaches 0
+    * leaves the served sheet through the > 0 cut), and the signature
+    * table swaps to the doc_id survivors under the two-rename protocol
+    * (keyed 1:1 — the q199/q202 mechanic), so the near-dup metric
+    * re-serves over exactly the surviving corpus. Re-running with the
+    * same batchId is a no-op (ledger probe; the sigs re-swap rewrites
+    * the identical survivor set). Run offline, stream stopped. */
+  def forget(stateDir: String)(docs: DataFrame, batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    val scrubbed = docs
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .localCheckpoint()
+    appendDeltaTables(stateDir, scrubbed, batchId, sign = -1L)
+    val tomb = scrubbed.select(col("doc_id")).distinct()
+      .localCheckpoint(true)
+    val survivors = CorpusStateStream.sigState(spark, stateDir)
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    CorpusStateStream.swapState(spark, s"$stateDir/sigs")(tmp =>
+      survivors.write.mode("overwrite").parquet(tmp))
   }
 
   /** The q156 datasheet table served FROM state — same metrics, same
@@ -171,6 +219,11 @@ object DatasheetStateStream {
     def one(metric: String, v: DataFrame): DataFrame =
       v.select(lit(metric).as("metric"), col(v.columns.head).cast("double")
         .as("value"))
+    def keyCount(table: String, field: StructField): DataFrame =
+      stateDf(spark, s"$stateDir/$table", keyDeltaSchema(field))
+        .groupBy(col(field.name)).agg(sum(col("delta")).as("n"))
+        .filter(col("n") > 0)
+        .agg(count(lit(1)).as("k"))
     val c = stateDf(spark, s"$stateDir/ds_counters", countersSchema)
       .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
         coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
@@ -186,37 +239,42 @@ object DatasheetStateStream {
       .agg(coalesce(sum(col("n")), lit(0L)).as("tdocs"))
     one("n_docs", c.select(col("n_docs")))
       .unionByName(one("n_tokens", c.select(col("n_tokens"))))
-      .unionByName(one("n_langs", setState(spark, stateDir, "langs",
-        StructField("lang", StringType)).agg(count(lit(1)).as("n"))))
-      .unionByName(one("n_sources", setState(spark, stateDir, "sources",
-        StructField("source", StringType)).agg(count(lit(1)).as("n"))))
+      .unionByName(one("n_langs", keyCount("langs", langField)))
+      .unionByName(one("n_sources", keyCount("sources", sourceField)))
       .unionByName(one("mean_tokens_per_doc", c.select(
         // guarded: an empty state reads as NULL rather than an ANSI
         // divide-by-zero (the batch twin never runs on zero docs)
         when(col("n_docs") > 0,
           col("n_tokens").cast("double") / col("n_docs").cast("double"))
           .as("m"))))
-      .unionByName(one("vocab_size", setState(spark, stateDir, "words",
-        StructField("w", LongType)).agg(count(lit(1)).as("n"))))
+      .unionByName(one("vocab_size", keyCount("words", wordField)))
       .unionByName(one("flagged_docs", c.select(col("n_flagged"))))
       .unionByName(one("neardup_member_docs", members))
       .unionByName(one("template_docs", tpl))
       .orderBy(col("metric"))
   }
 
-  /** Fold both committed delta logs into snapshots —
+  /** Fold all five committed delta logs into snapshots —
     * [[CorpusStateStream.foldDeltaState]] on the per-batch counters
-    * (one global snapshot row) and the template-prefix counts (one row
-    * per surviving prefix). They share `ds_ledger`, so one fold call
-    * per table with the same ledger. Returns
-    * ((counters before, after), (prefixes before, after)). */
+    * (one global snapshot row), the template-prefix counts, and the
+    * three df-counted key tables. They share `ds_ledger`, so one fold
+    * call per table with the same ledger. Returns
+    * ((counters before, after), (prefixes before, after)) — the two
+    * tables whose row growth is per-batch rather than per-key. */
   def foldDeltas(spark: SparkSession, stateDir: String)
-      : ((Long, Long), (Long, Long)) =
+      : ((Long, Long), (Long, Long)) = {
+    CorpusStateStream.foldDeltaState(spark, stateDir, "langs",
+      "ds_ledger", keyDeltaSchema(langField), Seq("lang"), Seq("delta"))
+    CorpusStateStream.foldDeltaState(spark, stateDir, "sources",
+      "ds_ledger", keyDeltaSchema(sourceField), Seq("source"), Seq("delta"))
+    CorpusStateStream.foldDeltaState(spark, stateDir, "words",
+      "ds_ledger", keyDeltaSchema(wordField), Seq("w"), Seq("delta"))
     (CorpusStateStream.foldDeltaState(spark, stateDir, "ds_counters",
         "ds_ledger", countersSchema, Seq.empty,
         Seq("n_docs", "n_tokens", "n_flagged")),
       CorpusStateStream.foldDeltaState(spark, stateDir, "ds_prefixes",
         "ds_ledger", prefixesSchema, Seq("prefix"), Seq("delta")))
+  }
 
   /** Start the maintenance stream (the CorpusStateStream wiring with the
     * lang-bearing schema). `foldEvery = Some(n)` runs [[foldDeltas]]

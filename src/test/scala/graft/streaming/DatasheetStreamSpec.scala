@@ -159,4 +159,43 @@ class DatasheetStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$state/ds_counters").count() == 1,
       "counters not snapshotted by the in-stream fold")
   }
+
+  test("forget: sheet equals batch over survivors; a key whose every holder died leaves") {
+    val root = Files.createTempDirectory("graft-dsforget").toString
+    val state = s"$root/state"
+    import spark.implicits._
+    // synthetic fixture: lang "xx" and word "zzqq" exist ONLY in the
+    // tombstoned docs, so the forget must retire them from n_langs and
+    // vocab_size (the un-assertion the r14 set layout could not do)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3, "en", "web"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3, "en", "web"),
+      (3L, "zzqq wwkk yyjj xxhh vvgg uuff ttee ssdd rrcc qqbb " * 3, "xx", "crawl"),
+      (4L, "alpha zzqq beta wwkk gamma yyjj delta xxhh epsilon vvgg " * 3, "xx", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    DatasheetStateStream.update(state)(docs.filter(col("doc_id") <= 2), 0L)
+    DatasheetStateStream.update(state)(docs.filter(col("doc_id") > 2), 1L)
+
+    val tomb = docs.filter(col("doc_id") >= 3)
+    DatasheetStateStream.forget(state)(tomb, 2L)
+    val got = collectSheet(DatasheetStateStream.datasheetFromState(spark, state))
+    val want = collectSheet(Dedup.datasetDatasheet(docs.filter(col("doc_id") < 3)))
+    assert(got == want, s"forgotten sheet diverged from survivors' batch:\n$got\nvs\n$want")
+    val m = got.toMap
+    assert(m("n_langs") == 1.0 && m("n_sources") == 1.0,
+      "a lang/source whose every holder died must leave the sheet")
+    // the retired word is gone from the vocabulary count
+    assert(m("vocab_size") == 10.0, s"vocab must shrink to the survivors' 10 words: $m")
+    // sigs swapped to survivors: the near-dup metric reads 2 members
+    assert(CorpusStateStream.sigState(spark, state).count() == 2)
+
+    // replay with the same batchId: ledger no-op, identical sheet
+    DatasheetStateStream.forget(state)(tomb, 2L)
+    assert(collectSheet(DatasheetStateStream.datasheetFromState(spark, state)) == got,
+      "replayed forget changed the sheet")
+    // fold across the negative batch is value-neutral
+    DatasheetStateStream.foldDeltas(spark, state)
+    assert(collectSheet(DatasheetStateStream.datasheetFromState(spark, state)) == got,
+      "fold across a negative batch changed the sheet")
+  }
 }
