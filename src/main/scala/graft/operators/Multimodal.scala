@@ -260,7 +260,16 @@ object Multimodal {
     * fixture (doubled corpus, two parity waves), then
     * AssetStateStream.forget with the shared tombstone rule over the
     * POST-shift asset ids, plus a replayed forget — re-deleting absent
-    * keys must be a state no-op, re-proven by the hash gate. */
+    * keys must be a state no-op, re-proven by the hash gate.
+    *
+    * The shift here is the FIXED 3000000 literal the q203 and q206
+    * oracles embed, and the builder REFUSES a corpus whose id range
+    * reaches it: this state is always oracle-gated, and the tombstone
+    * rule (md5 of the post-shift id) fires on different ids per shift —
+    * a dynamic shift (the servedAssetStateDir scaling escape hatch)
+    * would silently delete a DIFFERENT asset set than the oracle's
+    * survivor predicate and fail the gate (or worse, skew q206's asset
+    * legs). */
   private[operators] def servedForgottenAssetDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     graft.AnnSubstrate.getOrBuild(s, s"assetforget|$d/documents.parquet",
@@ -269,7 +278,12 @@ object Multimodal {
         .createTempDirectory("graft_assetforget_state").toString)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-      val shift = math.max(3000000L, (maxId / 3L + 1L) * 3L)
+      require(maxId < 3000000L,
+        s"doc_id range reaches $maxId >= 3000000: the q203/q206 oracles " +
+        "hard-code the 3000000 twin shift, so the tombstone rule would " +
+        "fire on different post-shift ids in engine vs oracle — regenerate " +
+        "the oracle SQL with a larger literal before gating this corpus")
+      val shift = 3000000L
       val doubled = docs.union(
         docs.select((col("doc_id") + shift).as("doc_id"), col("text")))
       graft.streaming.AssetStateStream.update(dir)(

@@ -103,7 +103,16 @@ object BoilerplateStateStream {
       // hardening): an at-least-once source delivering a doc twice in
       // ONE trigger must not double its df/n_docs contribution — only a
       // genuine re-upload in a LATER batch counts again (identity note
-      // above, matching the batch twin over concatenated deliveries)
+      // above, matching the batch twin over concatenated deliveries).
+      // State-format compatibility: this dedup landed in r14 — a state
+      // whose history includes a pre-r14 batch that DID carry duplicate
+      // doc_id rows in one file was counted under the old convention,
+      // and replaying that same delivery now yields different deltas;
+      // mixing such a persisted deployment state with post-change
+      // batches drifts from both conventions. The parity/range builders
+      // never produce intra-batch dupes, so every gated state is
+      // unaffected; a real deployment migrating across r14 rebuilds by
+      // replay (the layouts are otherwise unchanged).
       val docs = batch.dropDuplicates("doc_id").select(col("text"))
         .localCheckpoint()
       val inPhrases = stateDf(spark, s"$stateDir/bp_phrases", phraseSchema)
