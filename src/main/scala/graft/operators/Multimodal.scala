@@ -278,12 +278,21 @@ object Multimodal {
         .createTempDirectory("graft_assetforget_state").toString)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-      require(maxId < 3000000L,
-        s"doc_id range reaches $maxId >= 3000000: the q203/q206 oracles " +
-        "hard-code the 3000000 twin shift, so the tombstone rule would " +
-        "fire on different post-shift ids in engine vs oracle — regenerate " +
-        "the oracle SQL with a larger literal before gating this corpus")
-      val shift = 3000000L
+      // oracle-gated context (Verify publishes the corpus count before
+      // any query runs): the shift MUST be the oracle's literal, and an
+      // id range reaching it is refused. Oracle-less runs (Bench/TimeQ
+      // scaling probes over ScaleUp corpora, whose 100M-spaced copy ids
+      // dwarf the literal) keep the dynamic servedAssetStateDir shift.
+      val shift =
+        if (graft.OracleCtx.embeddingsCount.isDefined) {
+          require(maxId < 3000000L,
+            s"doc_id range reaches $maxId >= 3000000: the q203/q206 " +
+            "oracles hard-code the 3000000 twin shift, so the tombstone " +
+            "rule would fire on different post-shift ids in engine vs " +
+            "oracle — regenerate the oracle SQL with a larger literal " +
+            "before gating this corpus")
+          3000000L
+        } else math.max(3000000L, (maxId / 3L + 1L) * 3L)
       val doubled = docs.union(
         docs.select((col("doc_id") + shift).as("doc_id"), col("text")))
       graft.streaming.AssetStateStream.update(dir)(
