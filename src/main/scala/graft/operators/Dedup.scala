@@ -2129,8 +2129,8 @@ object Dedup {
         |           for i in generate_series(1, len(toks)-2)] AS sh
         |        FROM (SELECT doc_id, text,
         |                string_split_regex(
-        |                  regexp_replace(text, '^\s+|\s+$$', '', 'g'),
-        |                  '\s+') AS toks FROM $docRel))),
+        |                  regexp_replace(text, '^\s+|\s+$', '', 'g'),
+        |                  '\s+') AS toks FROM documents))),
         |j AS (
         |  SELECT f.*, m.doc_id IS NOT NULL AS is_dup
         |  FROM flags f LEFT JOIN members m USING (doc_id)),
