@@ -2524,7 +2524,7 @@ object Dedup {
     * sigs swap — REPLAYED with the same batchId (ledger no-op), then
     * folded, so the q212 hash gate re-proves deletion idempotence AND
     * fold neutrality across a negative batch cross-engine. */
-  private def servedForgottenDatasheetDir(s: SparkSession, d: String): String =
+  private[operators] def servedForgottenDatasheetDir(s: SparkSession, d: String): String =
     graft.AnnSubstrate.getOrBuild(s, s"dsforget|$d/documents.parquet",
         protectNew = false) {
       val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files

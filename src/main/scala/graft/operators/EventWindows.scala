@@ -730,22 +730,22 @@ object EventWindows {
       graft.streaming.FunnelStream.funnelStages(ev,
         graft.streaming.ServedEventStreams.Delay).toDF())
 
-  private def servedForgottenRetentionDir(s: SparkSession, d: String): String =
+  private[operators] def servedForgottenRetentionDir(s: SparkSession, d: String): String =
     forgottenStagesDir(s, d, "retentionforget")(ev =>
       graft.streaming.RetentionStream.retentionStages(ev,
         graft.streaming.ServedEventStreams.Delay).toDF())
 
-  private def servedForgottenEwmaDir(s: SparkSession, d: String): String =
+  private[operators] def servedForgottenEwmaDir(s: SparkSession, d: String): String =
     forgottenStagesDir(s, d, "ewmaforget")(ev =>
       graft.streaming.EwmaStream.ewmaStages(ev,
         graft.streaming.ServedEventStreams.Delay).toDF())
 
-  private def servedForgottenBigramDir(s: SparkSession, d: String): String =
+  private[operators] def servedForgottenBigramDir(s: SparkSession, d: String): String =
     forgottenStagesDir(s, d, "bigramforget")(ev =>
       graft.streaming.BigramStream.bigrams(ev,
         graft.streaming.ServedEventStreams.Delay).toDF())
 
-  private def servedForgottenSessionDir(s: SparkSession, d: String): String =
+  private[operators] def servedForgottenSessionDir(s: SparkSession, d: String): String =
     forgottenStagesDir(s, d, "sessionforget")(ev =>
       graft.streaming.SessionStream.sessions(ev,
         graft.streaming.ServedEventStreams.Delay))

@@ -13,21 +13,27 @@ import graft.Q
   * tombstone rule applied (q80's chain for the shingle members, q103's
   * for the vocabulary, q72's for the funnel, q185's doubled fixture for
   * the assets, the survivor doc count for the repacked q145/q187
-  * ledger). A GDPR Article-17 review doesn't take "we ran the
+  * ledger, the per-machine record counts for all five event sinks,
+  * the datasheet's surviving vocabulary, and the IVF index's
+  * compressed PQ-codes tier). A GDPR Article-17 review doesn't take "we ran the
   * delete" on faith — it takes evidence that what remains is EXACTLY
   * the survivors, which is a stronger claim than "no tombstoned key
   * remains" (that alone would pass if the forget had also eaten
   * innocent rows). Every leg reads a forgotten-state dir the q199–q205
-  * builders already memoized, so the certificate costs nine bounded
+  * builders already memoized, so the certificate costs fifteen bounded
   * state aggregates — the corpus is never rescanned at read time.
   *
-  * Hash-domain note: the vocabulary and shingle legs count DISTINCT
-  * 64-bit hashes while the oracle counts distinct strings — equal under
-  * the family's documented injectivity convention (Md5TokenHash64 /
-  * ShingleHash64's 2^-64 collision trade, policed by this very gate).
-  * The IVF leg counts `lists/` only — q199's builder maintains no PQ
-  * tier (its deletion is spec-covered separately in
-  * IvfStateStreamSpec's forget case). */
+  * Hash-domain note: the vocabulary, datasheet-vocabulary and shingle
+  * legs count DISTINCT 64-bit hashes (md5-derived and xxhash64 domains
+  * respectively) while the oracle counts distinct strings — equal under
+  * the family's documented injectivity convention (the 2^-64 collision
+  * trade, policed by this very gate). vocab_terms and datasheet_vocab
+  * deliberately certify the SAME truth (distinct surviving words) from
+  * two independently maintained artifacts in two different hash
+  * domains — a cross-artifact consistency check for free. The IVF index
+  * files two rows: `lists/` survivors and the compressed `codes/` tier
+  * (4 rows/vector — forget must scrub both or ADC serving resurrects
+  * deleted vectors). */
 object Forget {
 
   private def surv(rel: String, key: String): String =
@@ -62,19 +68,35 @@ object Forget {
        |fp AS (
        |  SELECT e.user_id, min(e.ts) AS t3 FROM sevents e
        |  JOIN fc ON e.user_id = fc.user_id
-       |  WHERE e.event_type = 'purchase' AND e.ts > fc.t2 GROUP BY e.user_id)
+       |  WHERE e.event_type = 'purchase' AND e.ts > fc.t2 GROUP BY e.user_id),
+       |smark AS (
+       |  SELECT CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+       |      IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+       |      >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS ns
+       |  FROM sevents)
        |SELECT artifact, n_rows FROM (
        |  SELECT 'asset_digests' AS artifact,
        |    CAST((SELECT count(*) FROM sassets) AS BIGINT) AS n_rows
        |  UNION ALL SELECT 'asset_paysigs', (SELECT count(*) FROM sassets
        |    WHERE octet_length(encode(text)) >= 4)
+       |  UNION ALL SELECT 'bigram_pairs',
+       |    (SELECT count(*) FROM sevents)
+       |      - (SELECT count(DISTINCT user_id) FROM sevents)
        |  UNION ALL SELECT 'blacklist_docs', (SELECT count(*) FROM sdocs)
+       |  UNION ALL SELECT 'datasheet_vocab', (SELECT count(DISTINCT w) FROM vw)
+       |  UNION ALL SELECT 'ewma_days', (SELECT count(*) FROM
+       |    (SELECT DISTINCT user_id, CAST(ts AS DATE) FROM sevents))
        |  UNION ALL SELECT 'funnel_stages',
        |    (SELECT count(*) FROM fv) + (SELECT count(*) FROM fc)
        |      + (SELECT count(*) FROM fp)
+       |  UNION ALL SELECT 'ivf_codes', 4 * (SELECT count(*) FROM semb)
        |  UNION ALL SELECT 'ivf_lists', (SELECT count(*) FROM semb)
        |  UNION ALL SELECT 'lsh_sigs', (SELECT count(*) FROM semb)
        |  UNION ALL SELECT 'packing_ledger_docs', (SELECT count(*) FROM sdocs)
+       |  UNION ALL SELECT 'retention_weeks', (SELECT count(*) FROM
+       |    (SELECT DISTINCT user_id, date_trunc('week', ts) FROM sevents))
+       |  UNION ALL SELECT 'session_records',
+       |    (SELECT CAST(sum(ns) AS BIGINT) FROM smark)
        |  UNION ALL SELECT 'shingle_df_members',
        |    (SELECT count(DISTINCT sh) FROM tsh)
        |  UNION ALL SELECT 'vocab_terms', (SELECT count(DISTINCT w) FROM vw))
@@ -82,7 +104,7 @@ object Forget {
 
   val queries: Seq[Q] = Seq(
     Q("q206_deletion_certificate", q206OracleSql,
-      "The deletion CERTIFICATE — what a compliance review actually files after a right-to-be-forgotten execution: one table, per maintained artifact, of the SURVIVING population, hash-verified against an independent cross-engine recomputation from the raw corpus with the tombstone rule applied (q80's shingle chain, q103's tokenizer, q72's funnel cascade, q185's doubled asset fixture). This is deliberately stronger than 'no tombstoned key remains' — that weaker check would pass a forget that also ate innocent rows; matching the exact survivor counts proves the deletion touched precisely its subjects across all nine artifacts at once — including the packing ledger, whose deletion is the bounded suffix repack (q207), the one non-anti-join mechanic in the family — closing the q199-q207 family with the artifact a regulator reads. Every leg is a bounded aggregate over a forgotten-state dir the family's builders already memoized (states are built + forgotten once per session; the certificate re-reads them), so the read costs nine state scans and the corpus is never rescanned. Hash-domain legs (vocab, shingles) count distinct 64-bit keys vs the oracle's distinct strings — the family's documented injectivity convention, policed by this gate. Scale: at 100 TB the certificate is nine index-read aggregates over fixed-width state rows — the audit is as cheap as the deletion, which is the operational requirement for running it after EVERY deletion batch, not just at year-end.") {
+      "The deletion CERTIFICATE — what a compliance review actually files after a right-to-be-forgotten execution: one table, per maintained artifact, of the SURVIVING population, hash-verified against an independent cross-engine recomputation from the raw corpus with the tombstone rule applied (q80's shingle chain, q103's tokenizer, q72's funnel cascade, q185's doubled asset fixture). This is deliberately stronger than 'no tombstoned key remains' — that weaker check would pass a forget that also ate innocent rows; matching the exact survivor counts proves the deletion touched precisely its subjects across all nine artifacts at once — including the packing ledger, whose deletion is the bounded suffix repack (q207), the one non-anti-join mechanic in the family — closing the q199-q207 family with the artifact a regulator reads. Every leg is a bounded aggregate over a forgotten-state dir the family's builders already memoized (states are built + forgotten once per session; the certificate re-reads them), so the read costs nine state scans and the corpus is never rescanned. Hash-domain legs (vocab, datasheet vocab, shingles) count distinct 64-bit keys vs the oracle's distinct strings — the family's documented injectivity convention, policed by this gate; vocab_terms and datasheet_vocab certify the same truth from two independent artifacts in two hash domains, a free cross-artifact consistency check. Scale: at 100 TB the certificate is fifteen index-read aggregates over fixed-width state rows — the audit is as cheap as the deletion, which is the operational requirement for running it after EVERY deletion batch, not just at year-end.") {
       (s, d) => {
         def leg(name: String, src: DataFrame, n: Column): DataFrame =
           src.agg(n.cast("bigint").as("n_rows"))
@@ -92,17 +114,29 @@ object Forget {
             Multimodal.servedForgottenAssetDir(s, d)), rows)
           .unionAll(leg("asset_paysigs", graft.streaming.AssetStateStream
             .sigState(s, Multimodal.servedForgottenAssetDir(s, d)), rows))
+          .unionAll(leg("bigram_pairs", graft.streaming.ServedEventStreams
+            .records(s, EventWindows.servedForgottenBigramDir(s, d)), rows))
           .unionAll(leg("blacklist_docs", graft.streaming.BoilerplateStateStream
             .docCountFromState(s, Dedup.servedForgottenBpStateDir(s, d)),
             sum(col("n_docs"))))
+          .unionAll(leg("datasheet_vocab", graft.streaming.DatasheetStateStream
+            .vocabularyState(s, Dedup.servedForgottenDatasheetDir(s, d)), rows))
+          .unionAll(leg("ewma_days", graft.streaming.ServedEventStreams
+            .records(s, EventWindows.servedForgottenEwmaDir(s, d)), rows))
           .unionAll(leg("funnel_stages", graft.streaming.ServedEventStreams
             .records(s, EventWindows.servedForgottenFunnelDir(s, d)), rows))
+          .unionAll(leg("ivf_codes", graft.streaming.IvfStateStream
+            .codeState(s, Similarity.servedForgottenIvfDir(s, d)), rows))
           .unionAll(leg("ivf_lists", graft.streaming.IvfStateStream
             .listState(s, Similarity.servedForgottenIvfDir(s, d)), rows))
           .unionAll(leg("lsh_sigs", graft.streaming.LshStateStream
             .sigState(s, Similarity.servedForgottenLshDir(s, d)), rows))
           .unionAll(leg("packing_ledger_docs", graft.streaming.PackingStream
             .ledgerState(s, Sampling.servedForgottenPackingDir(s, d)), rows))
+          .unionAll(leg("retention_weeks", graft.streaming.ServedEventStreams
+            .records(s, EventWindows.servedForgottenRetentionDir(s, d)), rows))
+          .unionAll(leg("session_records", graft.streaming.ServedEventStreams
+            .records(s, EventWindows.servedForgottenSessionDir(s, d)), rows))
           .unionAll(leg("shingle_df_members", graft.streaming.CorpusStateStream
             .shingleDfState(s, Dedup.servedForgottenTrainShingleDir(s, d)), rows))
           .unionAll(leg("vocab_terms", graft.streaming.CorpusStateStream

@@ -2753,9 +2753,14 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
       graft.streaming.IvfStateStream.train(emb, dir, nlist = 8,
         portableMeans = true)
-      graft.streaming.IvfStateStream.update(dir)(
+      // the PQ tier folds too (updatePq = coarse-list append + codes),
+      // so forget's codes leg executes against real state and q206 can
+      // certify the compressed tier's survivors as its own artifact
+      graft.streaming.IvfStateStream.trainPq(emb, dir, m = 4, ksub = 16,
+        portableMeans = true, corpusKey = embKey(d))
+      graft.streaming.IvfStateStream.updatePq(dir)(
         emb.filter(col("vec_id") % 2 === 0), 0L)
-      graft.streaming.IvfStateStream.update(dir)(
+      graft.streaming.IvfStateStream.updatePq(dir)(
         emb.filter(col("vec_id") % 2 =!= 0), 1L)
       val tomb = emb.select(col("vec_id"))
         .filter(Sampling.tombstoned(col("vec_id")))

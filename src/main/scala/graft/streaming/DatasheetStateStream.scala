@@ -205,6 +205,15 @@ object DatasheetStateStream {
       survivors.write.mode("overwrite").parquet(tmp))
   }
 
+  /** Net > 0 word keys — the vocabulary membership set whose count is
+    * the sheet's vocab_size metric; exposed so the deletion certificate
+    * (q206) can file the datasheet's surviving vocabulary as its own
+    * artifact row. */
+  def vocabularyState(spark: SparkSession, stateDir: String): DataFrame =
+    stateDf(spark, s"$stateDir/words", keyDeltaSchema(wordField))
+      .groupBy(col("w")).agg(sum(col("delta")).as("n"))
+      .filter(col("n") > 0)
+
   /** The q156 datasheet table served FROM state — same metrics, same
     * (metric, value) shape, same ordering; DatasheetStreamSpec pins it
     * row-for-row equal to `Dedup.datasetDatasheet` over all delivered
