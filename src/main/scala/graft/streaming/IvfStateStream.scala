@@ -404,6 +404,38 @@ object IvfStateStream {
     (nlist, nNew)
   }
 
+  /** The operational loop [[rebalance]]'s scaladoc prescribes, as an
+    * API: rerun the split pass at the same threshold until a pass is
+    * quiet (a child can still exceed `maxList` after one pass — one
+    * pass halves hot lists). Bounded by `maxPasses` — the theoretical
+    * worst case is ceil(log2(largest list / maxList)) passes, so a
+    * deployment hitting the bound has a skew pathology to look at, not
+    * a bigger budget to grant. Each pass is one keyed chain
+    * (skew-proportional, never corpus-proportional) and each leaves a
+    * servable index under the per-pass crash protocol; the lineage log
+    * and [[splitHealthFromState]] are exact at any pass count. Returns
+    * (configured count before pass 1, after the final pass, passes that
+    * actually split). */
+  def rebalanceUntilQuiet(spark: SparkSession, stateDir: String,
+      maxList: Int, maxPasses: Int = 8, iters: Int = 3,
+      portableMeans: Boolean = false): (Int, Int, Int) = {
+    require(maxPasses >= 1, "maxPasses must be >= 1")
+    val first = storedNlist(spark, stateDir)
+    var passes = 0
+    var last = first
+    var quiet = false
+    while (!quiet && passes < maxPasses) {
+      val (before, after) = rebalance(spark, stateDir, maxList, iters,
+        portableMeans)
+      if (after == before) quiet = true else { passes += 1; last = after }
+    }
+    require(quiet, s"$passes passes at maxList=$maxList did not quiet the " +
+      "index — a list is splitting into children that stay hot, which " +
+      "means near-duplicate vector mass (seeds land on twins and 2-means " +
+      "degenerates); dedup the corpus or raise the threshold")
+    (first, last, passes)
+  }
+
   /** Right-to-be-forgotten EXECUTION against the maintained index —
     * the op q153's tombstone-cascade audit prices: remove the tombstoned
     * vec_ids from every serving artifact under `stateDir` (the inverted

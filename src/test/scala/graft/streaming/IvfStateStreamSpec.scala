@@ -314,6 +314,41 @@ class IvfStateStreamSpec extends SparkSpec {
       "fixture must exercise both flag values")
   }
 
+  test("rebalanceUntilQuiet: loops to a quiet index, health serves, re-run is a no-op") {
+    // same controlled-geometry fixture as the two-generation case: the
+    // 100-member list needs multiple passes at threshold 39 to quiet
+    // (80/20, then ~41/39, then the last hot child)
+    import spark.implicits._
+    def pt(th: Double) = Array(math.cos(th).toFloat, math.sin(th).toFloat)
+    val pts =
+      Seq((0L, pt(0.0)), (1L, pt(2.0)), (2L, pt(4.0)), (3L, pt(0.35))) ++
+      (0 until 78).map(i => (10L + i, pt(0.001 + (i % 16) * 0.01))) ++
+      (0 until 19).map(i => (200L + i, pt(0.36 + (i % 8) * 0.01))) ++
+      (0 until 29).map(i => (300L + i, pt(2.01 + (i % 8) * 0.01))) ++
+      (0 until 9).map(i => (400L + i, pt(4.01 + (i % 4) * 0.01)))
+    val emb = pts.map { case (id, v) => (id, v, (id % 3).toInt) }
+      .toDF("vec_id", "embedding", "label")
+    val root = Files.createTempDirectory("graft-rebal-quiet").toString
+    val stateDir = s"$root/state"
+    IvfStateStream.train(emb, stateDir, 3, portableMeans = true)
+    IvfStateStream.update(stateDir)(emb, 0L)
+    val maxList = 39
+    val (first, last, passes) = IvfStateStream.rebalanceUntilQuiet(
+      spark, stateDir, maxList, portableMeans = true)
+    assert(first == 3 && passes >= 2 && last > first,
+      s"fixture must need MULTIPLE splitting passes to quiet ($first -> $last, $passes)")
+    // quiet means quiet: no list above the threshold
+    val over = IvfStateStream.listState(spark, stateDir)
+      .groupBy(col("cid")).count().filter(col("count") > maxList).count()
+    assert(over == 0, "loop returned with a hot list remaining")
+    // health serves across the generations the loop created
+    assert(IvfStateStream.splitHealthFromState(spark, stateDir).count() > 0)
+    // a re-run is a zero-pass no-op on the already-quiet index
+    val (f2, l2, p2) = IvfStateStream.rebalanceUntilQuiet(
+      spark, stateDir, maxList, portableMeans = true)
+    assert(p2 == 0 && f2 == l2 && f2 == last, "re-run on a quiet index must not mutate")
+  }
+
   test("every rebalance crash window heals on the next run") {
     val emb = embSlice(lit(true))
     val maxList = math.ceil(emb.count().toDouble / nlist).toInt
