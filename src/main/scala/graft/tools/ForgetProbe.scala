@@ -98,6 +98,34 @@ object ForgetProbe {
     }
     println(f"[forget] df-shingle: forget $tShForget%.2f s (+fold $tShFold%.2f s, amortized) vs recount rebuild $tShRebuild%.2f s (${tShRebuild / tShForget}%.1fx)")
 
+    // Packing ledger: bounded suffix repack vs full-ledger rebuild over
+    // survivors (both corpus-text-free on the forget side: the repack
+    // reads the 32-byte/doc ledger; the rebuild re-tokenizes survivors)
+    val pk = s"$root/pack"
+    PackingStream.update(pk)(docs, 0L)
+    val (_, tPkForget) = timed(PackingStream.forget(spark, pk,
+      docTomb.select(col("doc_id"))))
+    val (_, tPkRebuild) = timed {
+      PackingStream.update(s"$root/pack_rebuild")(
+        docs.join(docTomb.select(col("doc_id")), Seq("doc_id"), "left_anti"), 0L)
+    }
+    println(f"[forget] packing:   suffix repack $tPkForget%.2f s vs retokenize rebuild $tPkRebuild%.2f s (${tPkRebuild / tPkForget}%.1fx)")
+
+    // Datasheet: negative ledger batch + sigs swap vs full refold over
+    // survivors (fold amortized, as for the other additive families)
+    val dsDocs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val dsTomb = dsDocs.filter(Sampling.tombstoned(col("doc_id")))
+    val ds = s"$root/ds"
+    DatasheetStateStream.update(ds)(dsDocs, 0L)
+    val (_, tDsForget) = timed(DatasheetStateStream.forget(ds)(dsTomb, 1L))
+    val (_, tDsFold) = timed(DatasheetStateStream.foldDeltas(spark, ds))
+    val (_, tDsRebuild) = timed {
+      DatasheetStateStream.update(s"$root/ds_rebuild")(
+        dsDocs.join(dsTomb.select(col("doc_id")), Seq("doc_id"), "left_anti"), 0L)
+    }
+    println(f"[forget] datasheet: forget $tDsForget%.2f s (+fold $tDsFold%.2f s, amortized) vs refold rebuild $tDsRebuild%.2f s (${tDsRebuild / tDsForget}%.1fx)")
+
     spark.stop()
   }
 }
