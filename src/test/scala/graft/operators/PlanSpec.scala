@@ -389,7 +389,25 @@ class PlanSpec extends SparkSpec {
     assert(occurrences(cf, "documents.parquet") == 1,
       "q204 reads documents exactly once (the probe split): " +
         occurrences(cf, "documents.parquet"))
-    // q206: the deletion certificate is eight STATE aggregates — the
+    // q207: the repacked ledger serves as a pure projection — no
+    // document rescan, no read-time tombstone re-execution
+    val pkf = planString("q207_forgotten_packing_state_served")
+    assert(pkf.contains("graft_packforget_state"),
+      "q207 must read the forgotten packing ledger")
+    assert(!pkf.contains("documents.parquet"),
+      "q207 must not rescan the documents table:\n" + pkf.take(800))
+    assert(!pkf.contains("md5"),
+      "q207 must not re-apply the tombstone rule at read time")
+    // q212: the forgotten datasheet reads ONLY its state tables (the
+    // capped band join runs over persisted survivor sigs)
+    val dsf = planString("q212_forgotten_datasheet_state_served")
+    assert(dsf.contains("graft_dsforget_state"),
+      "q212 must read the forgotten datasheet state")
+    assert(!dsf.contains("documents.parquet"),
+      "q212 must not rescan the documents table:\n" + dsf.take(800))
+    assert(!dsf.contains("md5"),
+      "q212 must not re-apply the tombstone rule at read time")
+    // q206: the deletion certificate is fifteen STATE aggregates — the
     // corpus tables appear nowhere in the read plan (the claim that
     // makes the audit cheap enough to run per deletion batch)
     val cert = planString("q206_deletion_certificate")
@@ -399,7 +417,10 @@ class PlanSpec extends SparkSpec {
     Seq("graft_assetforget_state", "graft_bpforget_state",
         "graft_funnelforgetstages", "graft_ivfforget_state",
         "graft_lshforget_state", "graft_trainshforget_state",
-        "graft_vocabforget_state")
+        "graft_vocabforget_state", "graft_packforget_state",
+        "graft_dsforget_state", "graft_retentionforgetstages",
+        "graft_ewmaforgetstages", "graft_bigramforgetstages",
+        "graft_sessionforgetstages")
       .foreach(st => assert(cert.contains(st),
         s"q206 must read every forgotten state dir (missing $st)"))
   }
@@ -421,15 +442,24 @@ class PlanSpec extends SparkSpec {
       // q205: the post-forget funnel reads the FORGOTTEN sink (its own
       // stream run, mutated in place) — no events rescan, and no
       // read-time tombstone re-execution either (checked below)
-      "q205_forgotten_funnel_state_served" -> "graft_funnelforgetstages"
+      "q205_forgotten_funnel_state_served" -> "graft_funnelforgetstages",
+      "q208_forgotten_retention_state_served" -> "graft_retentionforgetstages",
+      "q209_forgotten_ewma_state_served" -> "graft_ewmaforgetstages",
+      "q210_forgotten_transitions_state_served" -> "graft_bigramforgetstages",
+      "q211_forgotten_session_state_served" -> "graft_sessionforgetstages"
     ).foreach { case (q, state) =>
       val s = planString(q)
       assert(s.contains(state), s"$q must read its stream sink ($state)")
       assert(!s.contains("events.parquet"),
         s"$q must not rescan the events table:\n" + s.take(800))
     }
-    assert(!planString("q205_forgotten_funnel_state_served").contains("md5"),
-      "q205 must not re-apply the tombstone rule at read time")
+    Seq("q205_forgotten_funnel_state_served",
+        "q208_forgotten_retention_state_served",
+        "q209_forgotten_ewma_state_served",
+        "q210_forgotten_transitions_state_served",
+        "q211_forgotten_session_state_served").foreach(q =>
+      assert(!planString(q).contains("md5"),
+        s"$q must not re-apply the tombstone rule at read time"))
   }
 
   test("shuffle counts stay bounded for the headline queries") {
