@@ -53,8 +53,9 @@ object CorpusStateStream {
     val old = new org.apache.hadoop.fs.Path(dir + ".old")
     if (!fs.exists(p) && fs.exists(old))
       throw new IllegalStateException(
-        s"$dir missing but $old exists: compaction crashed mid-swap — " +
-        s"re-run compactState (it recovers .old) before reading state")
+        s"$dir missing but $old exists: a state swap (compaction, rebalance, " +
+        s"or forget) crashed between its two renames — re-run that op (each " +
+        "recovers .old on its next invocation) before reading state")
     if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -115,7 +115,7 @@ class PackingStreamSpec extends SparkSpec {
     val e = intercept[IllegalStateException] {
       PackingStream.ledgerState(spark, stateDir).count()
     }
-    assert(e.getMessage.contains("compaction crashed"))
+    assert(e.getMessage.contains("crashed between its two renames"))
   }
 
   test("forget: suffix repack equals the survivors' fresh ledger; replay is a no-op") {
