@@ -1210,17 +1210,24 @@ object Dedup {
   private def docKey(d: String): Option[String] = Some(s"$d/documents.parquet")
 
   /** q118's oracle SQL — shared VERBATIM with q188's state-served read,
-    * so a hash match there proves the maintained distinct-shingle set
-    * and a same-query split recompute are value-identical. */
-  private val q118OracleSql: String =
-    """WITH ws AS (
-      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+    * so a hash match there proves the maintained df-counted shingle
+    * state and a same-query split recompute are value-identical. */
+  private val q118OracleSql: String = q118OracleSqlExistingWhere("")
+
+  /** q118's chain with an optional extra predicate on the EXISTING
+    * side — `""` renders the historical q118/q188 SQL byte-equal; q214
+    * passes the tombstone-survivor conjunct (the arrival side stays the
+    * full %10>=8 split), because forgetting existing documents shrinks
+    * exactly the shingle set an ingest gate probes freshness against. */
+  private def q118OracleSqlExistingWhere(existAnd: String): String =
+    s"""WITH ws AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id, source, unnest(list_distinct(
       |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS sh
       |  FROM ws),
-      |existing AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 < 8),
+      |existing AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 < 8$existAnd),
       |arr AS (SELECT DISTINCT source, sh FROM sh WHERE doc_id % 10 >= 8)
       |SELECT a.source, CAST(count(*) AS BIGINT) AS n_shingles,
       |  CAST(sum(CASE WHEN e.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
@@ -1228,6 +1235,10 @@ object Dedup {
       |    / count(*) AS novelty_frac
       |FROM arr a LEFT JOIN existing e ON a.sh = e.sh
       |GROUP BY a.source ORDER BY a.source""".stripMargin
+
+  private def q214OracleSql: String = q118OracleSqlExistingWhere(
+    "\n      |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '" +
+      Sampling.TombstoneHex + "'")
 
   /** q80's oracle SQL — shared VERBATIM with q190's state-served read,
     * so a hash match there proves contamination measured against the
@@ -1349,21 +1360,28 @@ object Dedup {
 
   /** Build-once on-disk corpus state holding exactly q80's TRAIN split
     * (the md5-bucket membership, Sampling.splitOf) — folded through the
-    * SAME micro-batch update the maintenance stream runs, two parity
-    * waves — for the q190 state-served contamination read. Memoized per
-    * (session, corpus); protectNew = false (the q181 contract). */
+    * df-counted layout's micro-batch update in two parity waves plus a
+    * replayed wave, then snapshot-folded — for the q190 state-served
+    * contamination read. r15 built this as the forget-free SET table;
+    * serving from the df layout (membership = net df > 0,
+    * value-identical — the oracle doesn't change) makes the SERVED
+    * decontamination read deletion-capable as deployed, which the
+    * runbook's deletion table claims of every served metric. Memoized
+    * per (session, corpus); protectNew = false (the q181 contract). */
   private def servedTrainShingleStateDir(s: SparkSession, d: String): String =
-    graft.AnnSubstrate.getOrBuild(s, s"trainshstate|$d/documents.parquet",
+    graft.AnnSubstrate.getOrBuild(s, s"trainshdfstate|$d/documents.parquet",
         protectNew = false) {
       val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
         .createTempDirectory("graft_trainsh_state").toString)
       val train = Tables.documents(s, d)
         .select(col("doc_id"), col("text"))
         .filter(Sampling.splitOf(col("doc_id")) === "train")
-      graft.streaming.CorpusStateStream.update(dir)(
+      val wave1 = train.filter(col("doc_id") % 2 =!= 0)
+      graft.streaming.CorpusStateStream.updateShingleDf(dir)(
         train.filter(col("doc_id") % 2 === 0), 0L)
-      graft.streaming.CorpusStateStream.update(dir)(
-        train.filter(col("doc_id") % 2 =!= 0), 1L)
+      graft.streaming.CorpusStateStream.updateShingleDf(dir)(wave1, 1L)
+      graft.streaming.CorpusStateStream.updateShingleDf(dir)(wave1, 1L) // replay
+      graft.streaming.CorpusStateStream.foldShingleDf(s, dir)
       dir
     }
 
@@ -1393,25 +1411,54 @@ object Dedup {
       dir
     }
 
-  /** Build-once on-disk corpus state (distinct-shingle set + signature
-    * table) holding exactly q118's `existing` corpus — the doc_id%10<8
-    * split — folded through the SAME micro-batch update the maintenance
-    * stream runs (CorpusStateStream.update, in two parity waves so the
-    * non-empty-state anti-join path executes), for the q188 state-served
-    * novelty read. Memoized per (session, corpus); protectNew = false —
-    * the durable product is the on-disk state (the q181 contract). */
+  /** Build-once on-disk df-counted shingle state holding exactly
+    * q118's `existing` corpus — the doc_id%10<8 split — folded through
+    * the df layout's micro-batch update (two parity waves plus a
+    * replayed wave, the ledger-protocol paths), then snapshot-folded,
+    * for the q188 state-served novelty read. r15 built this as the
+    * forget-free SET table; the df layout (membership = net df > 0,
+    * value-identical under accumulation — the oracle doesn't change)
+    * makes the SERVED novelty gate deletion-capable as deployed, and
+    * q214 then proves the forgotten form under the same gate. Memoized
+    * per (session, corpus); protectNew = false (the q181 contract). */
   private def servedNoveltyStateDir(s: SparkSession, d: String): String =
-    graft.AnnSubstrate.getOrBuild(s, s"novstate|$d/documents.parquet",
+    graft.AnnSubstrate.getOrBuild(s, s"novdfstate|$d/documents.parquet",
         protectNew = false) {
       val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
         .createTempDirectory("graft_nov_state").toString)
       val existing = Tables.documents(s, d)
         .select(col("doc_id"), col("text"))
         .filter(col("doc_id") % 10 < 8)
-      graft.streaming.CorpusStateStream.update(dir)(
+      val wave1 = existing.filter(col("doc_id") % 2 =!= 0)
+      graft.streaming.CorpusStateStream.updateShingleDf(dir)(
         existing.filter(col("doc_id") % 2 === 0), 0L)
-      graft.streaming.CorpusStateStream.update(dir)(
+      graft.streaming.CorpusStateStream.updateShingleDf(dir)(wave1, 1L)
+      graft.streaming.CorpusStateStream.updateShingleDf(dir)(wave1, 1L) // replay
+      graft.streaming.CorpusStateStream.foldShingleDf(s, dir)
+      dir
+    }
+
+  /** Build-once FORGOTTEN novelty state for q214: the q188 fixture
+    * (q118's `existing` split) through the df layout, then
+    * forgetShingleDf nets the tombstoned existing docs out (plus a
+    * replayed forget — ledger no-op) and foldShingleDf merges the
+    * mixed-sign log before serving. */
+  private def servedForgottenNoveltyDir(s: SparkSession, d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"novforget|$d/documents.parquet",
+        protectNew = false) {
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_novforget_state").toString)
+      val existing = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 10 < 8)
+      graft.streaming.CorpusStateStream.updateShingleDf(dir)(
+        existing.filter(col("doc_id") % 2 === 0), 0L)
+      graft.streaming.CorpusStateStream.updateShingleDf(dir)(
         existing.filter(col("doc_id") % 2 =!= 0), 1L)
+      val tomb = existing.filter(Sampling.tombstoned(col("doc_id")))
+      graft.streaming.CorpusStateStream.forgetShingleDf(dir)(tomb, 2L)
+      graft.streaming.CorpusStateStream.forgetShingleDf(dir)(tomb, 2L) // replay
+      graft.streaming.CorpusStateStream.foldShingleDf(s, dir)
       dir
     }
 
@@ -2443,9 +2490,9 @@ object Dedup {
     },
 
     Q("q188_novelty_state_served", q118OracleSql,
-      "q118's arrival-novelty probe served FROM the MAINTAINED distinct-shingle state instead of a same-query split — the corpus-state family's last unserved read, closing the q180–q187 pattern: every maintained state table in the tree now faces the driver's hash gate through a registered serving query. The state dir is built once per (session, corpus) by folding q118's `existing` corpus (the doc_id%10<8 split) through CorpusStateStream.update in two parity waves — the SAME anti-join-idempotent micro-batch append the maintenance stream runs, with wave 1 probing wave 0's non-empty state — and every timed run then pays ONLY the serving read (CorpusStateStream.noveltyAgainstState, the ingest-gate 'how fresh is this batch' probe run BEFORE admitting it): |arrivals| compiled shingle derivation + ONE left join of the batch's bounded distinct hash set against 8-byte persisted keys with pushdown — the existing corpus TEXT is never rescanned, which is the entire point of maintaining the set. The oracle twin is q118's SQL verbatim, so a hash match proves end-to-end that novelty measured against incrementally-maintained state and against a full-corpus recompute are value-identical — the CorpusStateStreamSpec state==batch contract re-checked by the driver's own harness every round. Scale: at 100 TB the persisted set is the only artifact the probe touches (bounded by |distinct shingles|, bucketable on the hash), and per-batch cost is independent of corpus age.") {
+      "q118's arrival-novelty probe served FROM the MAINTAINED shingle state instead of a same-query split — the corpus-state family's last unserved read, closing the q180–q187 pattern: every maintained state table in the tree now faces the driver's hash gate through a registered serving query. The state dir is built once per (session, corpus) by folding q118's `existing` corpus (the doc_id%10<8 split) through the df-counted layout's micro-batch update (CorpusStateStream.updateShingleDf, two parity waves plus a replayed wave — the ledger-protocol idempotence paths), then snapshot-folding, and every timed run then pays ONLY the serving read (CorpusStateStream.noveltyAgainstDfState, the ingest-gate 'how fresh is this batch' probe run BEFORE admitting it): |arrivals| compiled shingle derivation + ONE left join of the batch's bounded distinct hash set against 8-byte persisted keys with pushdown — the existing corpus TEXT is never rescanned, which is the entire point of maintaining the state. Serving from the df layout (membership = net df > 0, value-identical to the r15 set table under accumulation — the oracle twin doesn't change) is what makes the DEPLOYED novelty gate deletion-capable: q214 proves the forgotten form under the same gate, so the runbook's 'every served metric can forget' claim now holds with no set-table exception. The oracle twin is q118's SQL verbatim, so a hash match proves end-to-end that novelty measured against incrementally-maintained state and against a full-corpus recompute are value-identical — the CorpusStateStreamSpec state==batch contract re-checked by the driver's own harness every round. Scale: at 100 TB the persisted set is the only artifact the probe touches (bounded by |distinct shingles|, bucketable on the hash), and per-batch cost is independent of corpus age.") {
       (s, d) =>
-        graft.streaming.CorpusStateStream.noveltyAgainstState(
+        graft.streaming.CorpusStateStream.noveltyAgainstDfState(
             servedNoveltyStateDir(s, d),
             Tables.documents(s, d)
               .filter(col("doc_id") % 10 >= 8)
@@ -2454,9 +2501,9 @@ object Dedup {
     },
 
     Q("q190_contamination_state_served", q80OracleSql,
-      "q80's train/test contamination report served FROM the MAINTAINED train-shingle state — the decontamination read the way an eval pipeline actually runs it: the training corpus's distinct-shingle set is maintained once at ingest (here folded through CorpusStateStream.update over exactly q80's md5-bucket train split, two parity waves), and every benchmark candidate set is probed against that state — per test doc, shared-shingle count and contamination fraction, contaminated docs only. The read is CorpusStateStream.contaminationAgainstState (the per-doc dual of q188's per-source novelty): |probe| compiled shingle derivation + ONE pushdown semi-join against 8-byte persisted keys — the training corpus text is NEVER rescanned per eval suite, which is what makes decontamination-before-every-release affordable at 100 TB. The oracle twin is q80's SQL verbatim, so the hash gate proves contamination measured against incrementally-maintained state and a full-corpus split recompute are value-identical. Scale: state bounded by |distinct train shingles|; per-probe cost is the eval set's size, independent of corpus age.") {
+      "q80's train/test contamination report served FROM the MAINTAINED train-shingle state — the decontamination read the way an eval pipeline actually runs it: the training corpus's shingle state is maintained once at ingest (here folded through the df-counted layout — CorpusStateStream.updateShingleDf over exactly q80's md5-bucket train split, two parity waves plus a replayed wave, then snapshot-folded; membership = net df > 0, value-identical to the r15 set table, so the SERVED decontamination read is deletion-capable as deployed and q204 proves its forgotten form), and every benchmark candidate set is probed against that state — per test doc, shared-shingle count and contamination fraction, contaminated docs only. The read is CorpusStateStream.contaminationAgainstDfState (the per-doc dual of q188's per-source novelty): |probe| compiled shingle derivation + ONE pushdown semi-join against 8-byte persisted keys — the training corpus text is NEVER rescanned per eval suite, which is what makes decontamination-before-every-release affordable at 100 TB. The oracle twin is q80's SQL verbatim, so the hash gate proves contamination measured against incrementally-maintained state and a full-corpus split recompute are value-identical. Scale: state bounded by |distinct train shingles|; per-probe cost is the eval set's size, independent of corpus age.") {
       (s, d) =>
-        graft.streaming.CorpusStateStream.contaminationAgainstState(
+        graft.streaming.CorpusStateStream.contaminationAgainstDfState(
             servedTrainShingleStateDir(s, d),
             Tables.documents(s, d)
               .select(col("doc_id"), col("text"))
@@ -2472,7 +2519,7 @@ object Dedup {
     },
 
     Q("q204_forgotten_contamination_state_served", q204OracleSql,
-      "q190's decontamination read AFTER a right-to-be-forgotten pass over the training corpus — the leg that closes the deletion family's one documented gap by PAYING for it: the set-table layout q190 serves from cannot execute a forget (membership cannot un-assert without knowing whether a surviving document still holds the shingle), so this read runs against the df-COUNTED variant (CorpusStateStream.updateShingleDf — per-shingle document frequency as additive ledger deltas, the +8 B/key trade the runbook's deletion table names), where forgetting train docs is the same negative-delta batch as q200/q201, the fold nets it, and membership is net df > 0 — shingles whose every holder was forgotten leave the set, so an eval doc sharing text ONLY with deleted training data correctly reports clean. The oracle is q80's SQL with the tombstone-survivor conjunct on the train side only (every tombstoned doc IS train: first md5 hex 'a' < the 'cc' split boundary — the probe side stays the full test split). A replayed forget re-proves deletion idempotence under the gate. Scale: the probe plan is q190's (one scan, one pushdown join); deletion cost is one shingle pass over the FORGOTTEN docs; state is |distinct train shingles| × 24 B unfolded, snapshot-bounded after folds.") {
+      "q190's decontamination read AFTER a right-to-be-forgotten pass over the training corpus — the leg that closes the deletion family's one documented gap by PAYING for it: a set-table layout cannot execute a forget (membership cannot un-assert without knowing whether a surviving document still holds the shingle), so q190 and this read both run against the df-COUNTED variant (CorpusStateStream.updateShingleDf — per-shingle document frequency as additive ledger deltas, the +8 B/key trade the runbook's deletion table names), where forgetting train docs is the same negative-delta batch as q200/q201, the fold nets it, and membership is net df > 0 — shingles whose every holder was forgotten leave the set, so an eval doc sharing text ONLY with deleted training data correctly reports clean. The oracle is q80's SQL with the tombstone-survivor conjunct on the train side only (every tombstoned doc IS train: first md5 hex 'a' < the 'cc' split boundary — the probe side stays the full test split). A replayed forget re-proves deletion idempotence under the gate. Scale: the probe plan is q190's (one scan, one pushdown join); deletion cost is one shingle pass over the FORGOTTEN docs; state is |distinct train shingles| × 24 B unfolded, snapshot-bounded after folds.") {
       (s, d) =>
         graft.streaming.CorpusStateStream.contaminationAgainstDfState(
             servedForgottenTrainShingleDir(s, d),
@@ -2487,6 +2534,17 @@ object Dedup {
       (s, d) =>
         graft.streaming.BoilerplateStateStream.phraseTableFromState(s,
           servedForgottenBpStateDir(s, d))
+    },
+
+    Q("q214_forgotten_novelty_state_served", q214OracleSql,
+      "q188's ingest-gate novelty probe AFTER a right-to-be-forgotten pass over the existing corpus — the read that completes the df-shingle family (q188 serves accumulation, q204 the decontamination dual, this the forgotten novelty): CorpusStateStream.forgetShingleDf nets the tombstoned existing documents' per-shingle df contributions out as one negative ledger batch, the fold merges the mixed-sign log, and membership reverts to net df > 0 — so a shingle ALL of whose holders were deleted counts as novel again, which is the operationally correct answer (re-admitting that text re-pays its storage: the corpus genuinely no longer contains it; an index that kept serving 'seen' for deleted text would silently starve re-ingestion forever). The oracle is q118's SQL with the tombstone-survivor conjunct on the EXISTING side only (the arrival side stays the full %10>=8 split — deletion requests target the corpus, not the probe), so the hash gate proves novelty measured against forgotten state equals a full recompute over exactly the surviving corpus. A replayed forget in the builder re-proves deletion idempotence under the gate. Scale: the probe plan is q188's (one arrival scan, one pushdown join); deletion cost is one shingle pass over the FORGOTTEN docs; state stays |distinct shingle| x 24 B, snapshot-bounded after folds.") {
+      (s, d) =>
+        graft.streaming.CorpusStateStream.noveltyAgainstDfState(
+            servedForgottenNoveltyDir(s, d),
+            Tables.documents(s, d)
+              .filter(col("doc_id") % 10 >= 8)
+              .select(col("source"), col("text")))
+          .orderBy(col("source"))
     },
   )
 

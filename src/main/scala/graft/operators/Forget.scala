@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Q
 
 /** The deletion CERTIFICATE — the compliance artifact the whole
-  * q199–q205 family exists to produce: after right-to-be-forgotten has
+  * q199–q213 family exists to produce: after right-to-be-forgotten has
   * executed against every maintained state layout, one table stating
   * the surviving population of each artifact, verified cross-engine
   * against an INDEPENDENT recomputation from the raw corpus with the
@@ -14,13 +14,14 @@ import graft.Q
   * for the vocabulary, q72's for the funnel, q185's doubled fixture for
   * the assets, the survivor doc count for the repacked q145/q187
   * ledger, the per-machine record counts for all five event sinks,
-  * the datasheet's surviving vocabulary, and the IVF index's
-  * compressed PQ-codes tier). A GDPR Article-17 review doesn't take "we ran the
+  * the datasheet's surviving vocabulary, the IVF index's
+  * compressed PQ-codes tier, and the drift alarm's surviving
+  * per-(source, dim) contribution mass). A GDPR Article-17 review doesn't take "we ran the
   * delete" on faith — it takes evidence that what remains is EXACTLY
   * the survivors, which is a stronger claim than "no tombstoned key
   * remains" (that alone would pass if the forget had also eaten
-  * innocent rows). Every leg reads a forgotten-state dir the q199–q205
-  * builders already memoized, so the certificate costs fifteen bounded
+  * innocent rows). Every leg reads a forgotten-state dir the q199–q213
+  * builders already memoized, so the certificate costs sixteen bounded
   * state aggregates — the corpus is never rescanned at read time.
   *
   * Hash-domain note: the vocabulary, datasheet-vocabulary and shingle
@@ -83,6 +84,8 @@ object Forget {
        |    (SELECT count(*) FROM sevents)
        |      - (SELECT count(DISTINCT user_id) FROM sevents)
        |  UNION ALL SELECT 'blacklist_docs', (SELECT count(*) FROM sdocs)
+       |  UNION ALL SELECT 'centroid_mass', 64 * (SELECT count(*)
+       |    FROM semb JOIN sdocs ON sdocs.doc_id = semb.vec_id)
        |  UNION ALL SELECT 'datasheet_vocab', (SELECT count(DISTINCT w) FROM vw)
        |  UNION ALL SELECT 'ewma_days', (SELECT count(*) FROM
        |    (SELECT DISTINCT user_id, CAST(ts AS DATE) FROM sevents))
@@ -104,7 +107,7 @@ object Forget {
 
   val queries: Seq[Q] = Seq(
     Q("q206_deletion_certificate", q206OracleSql,
-      "The deletion CERTIFICATE — what a compliance review actually files after a right-to-be-forgotten execution: one table, per maintained artifact, of the SURVIVING population, hash-verified against an independent cross-engine recomputation from the raw corpus with the tombstone rule applied (q80's shingle chain, q103's tokenizer, q72's funnel cascade, q185's doubled asset fixture). This is deliberately stronger than 'no tombstoned key remains' — that weaker check would pass a forget that also ate innocent rows; matching the exact survivor counts proves the deletion touched precisely its subjects across all nine artifacts at once — including the packing ledger, whose deletion is the bounded suffix repack (q207), the one non-anti-join mechanic in the family — closing the q199-q207 family with the artifact a regulator reads. Every leg is a bounded aggregate over a forgotten-state dir the family's builders already memoized (states are built + forgotten once per session; the certificate re-reads them), so the read costs nine state scans and the corpus is never rescanned. Hash-domain legs (vocab, datasheet vocab, shingles) count distinct 64-bit keys vs the oracle's distinct strings — the family's documented injectivity convention, policed by this gate; vocab_terms and datasheet_vocab certify the same truth from two independent artifacts in two hash domains, a free cross-artifact consistency check. Scale: at 100 TB the certificate is fifteen index-read aggregates over fixed-width state rows — the audit is as cheap as the deletion, which is the operational requirement for running it after EVERY deletion batch, not just at year-end.") {
+      "The deletion CERTIFICATE — what a compliance review actually files after a right-to-be-forgotten execution: one table, per maintained artifact, of the SURVIVING population, hash-verified against an independent cross-engine recomputation from the raw corpus with the tombstone rule applied (q80's shingle chain, q103's tokenizer, q72's funnel cascade, q185's doubled asset fixture). This is deliberately stronger than 'no tombstoned key remains' — that weaker check would pass a forget that also ate innocent rows; matching the exact survivor counts proves the deletion touched precisely its subjects across all sixteen artifacts at once — including the packing ledger, whose deletion is the bounded suffix repack (q207), the one non-anti-join mechanic in the family — closing the q199-q213 family with the artifact a regulator reads. Every leg is a bounded aggregate over a forgotten-state dir the family's builders already memoized (states are built + forgotten once per session; the certificate re-reads them), so the read costs sixteen state scans and the corpus is never rescanned. Hash-domain legs (vocab, datasheet vocab, shingles) count distinct 64-bit keys vs the oracle's distinct strings — the family's documented injectivity convention, policed by this gate; vocab_terms and datasheet_vocab certify the same truth from two independent artifacts in two hash domains, a free cross-artifact consistency check. Scale: at 100 TB the certificate is sixteen index-read aggregates over fixed-width state rows — the audit is as cheap as the deletion, which is the operational requirement for running it after EVERY deletion batch, not just at year-end.") {
       (s, d) => {
         def leg(name: String, src: DataFrame, n: Column): DataFrame =
           src.agg(n.cast("bigint").as("n_rows"))
@@ -119,6 +122,13 @@ object Forget {
           .unionAll(leg("blacklist_docs", graft.streaming.BoilerplateStateStream
             .docCountFromState(s, Dedup.servedForgottenBpStateDir(s, d)),
             sum(col("n_docs"))))
+          // the drift alarm's substrate: surviving per-(source, dim)
+          // contribution mass — 64·|survivors| iff the forget netted out
+          // exactly the tombstoned vectors' components (exact integers,
+          // so this is an identity, not an epsilon bound)
+          .unionAll(leg("centroid_mass", graft.streaming.CentroidStateStream
+            .centroidSumsState(s, Similarity.servedForgottenCentroidDir(s, d)),
+            sum(col("n"))))
           .unionAll(leg("datasheet_vocab", graft.streaming.DatasheetStateStream
             .vocabularyState(s, Dedup.servedForgottenDatasheetDir(s, d)), rows))
           .unionAll(leg("ewma_days", graft.streaming.ServedEventStreams

@@ -1686,6 +1686,10 @@ object Similarity {
     "\n       |    AND substr(md5(CAST(l.vec_id AS VARCHAR)), 1, 1) <> '" +
       Sampling.TombstoneHex + "'")
 
+  private def q213OracleSql: String = q108OracleSqlFiltered(
+    "\n        |    AND substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 1) <> '" +
+      Sampling.TombstoneHex + "'")
+
   /** DuckDB twin of adcTopKFromState(k=10, nprobe=3) over the state
     * index trained with the portable chains: q49's coarse-quantizer
     * CTEs (dv/lists/c3) merged with the PQ chain under the pq_ prefix,
@@ -2071,11 +2075,13 @@ object Similarity {
     * exactly what the engine's builder executes against the maintained
     * index. Pass 2's child remap base is the engine's rule as a scalar
     * subquery (max of the post-pass-1 configured count and 1 + the max
-    * list cid — collision-free where the configured count alone is
-    * not); a quiet pass 2 degrades to the identity (hot2 empty → both
-    * UNION branches pass everything through), so the SQL is correct
-    * whether or not the corpus's pass 1 leaves an over-threshold
-    * child. */
+    * cid across BOTH the list and centroid tables — the centroid side
+    * covers a dead child whose list emptied but whose cid must stay
+    * collision-free; collision-free where the configured count alone
+    * is not); a quiet pass 2 degrades to the identity (hot2 empty →
+    * both UNION branches pass everything through), so the SQL is
+    * correct whether or not the corpus's pass 1 leaves an
+    * over-threshold child. */
   private def q198OracleSql: String = {
     val nlist = 8
     val maxList = oracleMaxList(nlist)
@@ -2083,7 +2089,8 @@ object Similarity {
        |${splitPassCtes("", "lists", "c3", maxList, nlist.toString, "FALSE")},
        |base2 AS MATERIALIZED (
        |  SELECT greatest(CAST((SELECT count(*) FROM newcent) AS INT),
-       |    (SELECT CAST(max(cid) AS INT) + 1 FROM newlists)) AS b),
+       |    (SELECT CAST(max(cid) AS INT) + 1 FROM newlists),
+       |    (SELECT CAST(max(cid) AS INT) + 1 FROM newcent)) AS b),
        |${splitPassCtes("2", "newlists", "newcent", maxList,
             "(SELECT b FROM base2)", "l.from_split")},
        |${splitHealthTailSql("newlists2", "newcent2")}""".stripMargin
@@ -2190,12 +2197,19 @@ object Similarity {
 
   /** q108's oracle SQL — shared VERBATIM with q184's state-served
     * read. */
-  private val q108OracleSql: String =
-      """WITH qd AS (
+  private val q108OracleSql: String = q108OracleSqlFiltered("")
+
+  /** q108's chain with an optional predicate on the vector relation —
+    * `""` renders the historical q108/q184 SQL byte-equal; q213 passes
+    * the tombstone-survivor conjunct (the q199/q202 md5-bucket rule),
+    * because forgetting vectors removes exactly their mass from every
+    * historical centroid the drift alarm serves. */
+  private def q108OracleSqlFiltered(embAnd: String): String =
+      s"""WITH qd AS (
         |  SELECT d.source,
         |    generate_subscripts(e.embedding, 1) AS dim,
         |    CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
-        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id$embAnd),
         |cent AS (
         |  SELECT source, dim,
         |    CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS c
@@ -2714,6 +2728,13 @@ object Similarity {
           servedForgottenLshDir(s, d), QueryIds, k = 10)
           .orderBy(col("query_id"), col("rn"))
     },
+
+    Q("q213_forgotten_drift_state_served", q213OracleSql,
+      "q184's centroid-drift matrix served AFTER a right-to-be-forgotten pass against the maintained centroid sums — the deletion leg that retires the family's LAST forget-free state: CentroidStateStream was the one maintained layout with no deletion path, yet its (source, dim, sq, n) delta ledger is exactly the runbook's additive row, so CentroidStateStream.forget is the forgetVocab mechanic verbatim — the tombstoned vectors' quantized contributions append as ONE negative ledger-committed batch, the fold nets them, and because the per-component quantization is exact-integer the netted sums are the survivors' sums to the BIT (state == survivors is an integer identity, not an epsilon claim): every historical centroid the drift alarm serves provably loses exactly the forgotten vectors' mass — without it, a GDPR deletion against embeddings would leave the deleted vectors' mass inside every drift number a dashboard quotes. The oracle is q108's SQL with the tombstone-survivor conjunct (the shared md5-bucket rule) on the vector relation, so the hash gate proves the forgotten-state matrix equals a full recompute over exactly the surviving corpus. The builder folds two parity waves + a replayed wave, forgets the tombstoned vectors (plus a replayed forget — ledger no-op), then folds the mixed-sign log before serving, so fold neutrality over NEGATIVE deltas is also re-proven cross-engine every round; a (source, dim) whose every holder died nets n = 0 and exits through the n > 0 cut. Scale: deletion cost is one |forgotten|-row 64-dim aggregate + a bounded append — never a corpus rescan; the read stays |sources| x 64.") {
+      (s, d) =>
+        graft.streaming.CentroidStateStream.driftMatrixFromState(s,
+          servedForgottenCentroidDir(s, d))
+    },
   )
 
   /** Build-once FORGOTTEN LSH index for q202: the servedLshStateDir
@@ -2829,6 +2850,36 @@ object Similarity {
       // serve from FOLDED state (|sources|·64 snapshot rows): the q184
       // hash gate then re-proves fold neutrality cross-engine every
       // round — integer sums, so the matrix is bit-identical
+      graft.streaming.CentroidStateStream.foldDeltas(s, dir)
+      dir
+    }
+
+  /** Build-once FORGOTTEN centroid-sum state for q213: the q184 build
+    * protocol (two doc_id-parity waves + a replayed wave), then
+    * CentroidStateStream.forget of the tombstoned vectors' own rows
+    * (the forgetVocab occurrence contract — the shared md5-bucket
+    * rule), a replayed forget (ledger no-op), and a fold of the
+    * mixed-sign log, so the served sums are per-key snapshots whose
+    * integers are exactly the survivors'. Exposed to `operators` so
+    * q206 can file the forgotten drift state as a certificate leg. */
+  private[operators] def servedForgottenCentroidDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"centforget|$d/embeddings.parquet",
+        protectNew = false) {
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_centforget_state").toString)
+      val vecs = Tables.embeddings(s, d)
+        .join(Tables.documents(s, d)
+          .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("source"))
+      val wave1 = vecs.filter(col("vec_id") % 2 =!= 0)
+      graft.streaming.CentroidStateStream.update(dir)(
+        vecs.filter(col("vec_id") % 2 === 0), 0L)
+      graft.streaming.CentroidStateStream.update(dir)(wave1, 1L)
+      graft.streaming.CentroidStateStream.update(dir)(wave1, 1L) // replay no-op
+      val tomb = vecs.filter(Sampling.tombstoned(col("vec_id")))
+      graft.streaming.CentroidStateStream.forget(dir)(tomb, 2L)
+      graft.streaming.CentroidStateStream.forget(dir)(tomb, 2L) // replay no-op
       graft.streaming.CentroidStateStream.foldDeltas(s, dir)
       dir
     }

@@ -32,6 +32,14 @@ import org.apache.spark.sql.types._
   *     Sources with no history surface with a null cosine (the q138
   *     orphan convention), never silently drop.
   *
+  * Deletion: [[forget]] executes right-to-be-forgotten as one more
+  * ledger-committed delta batch with sign = −1 (the forgetVocab
+  * mechanic — the layout is exactly the runbook's additive-ledger row,
+  * so deletion inherits fold, crash protocol, and replay idempotence),
+  * and the exact-integer design makes the netted sums the survivors'
+  * sums to the BIT; q213 serves the forgotten matrix under the hash
+  * gate and q206 files it as a certificate leg.
+  *
   * Scale: per batch, one |batch|·64 posexplode into a map-side-combined
   * (source, dim)-key aggregate and one append; state size is
   * |sources|·64·|batches| delta rows (compaction folds to |sources|·64);
@@ -58,7 +66,30 @@ object CentroidStateStream {
 
   /** One micro-batch: append this batch's (source, dim) micro-unit sum
     * deltas exactly once (the vocab-ledger protocol). */
-  def update(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
+  def update(stateDir: String)(batch: DataFrame, batchId: Long): Unit =
+    appendCentDeltas(stateDir, batch, batchId, sign = 1L)
+
+  /** Right-to-be-forgotten against the maintained centroid sums — the
+    * NEGATIVE-delta twin of [[update]] (the
+    * [[CorpusStateStream.forgetVocab]] design verbatim: the state is an
+    * additive (source, dim, sq, n) delta ledger, so deletion is one
+    * more ledger-committed batch with a minus sign; fold, crash
+    * protocol, and replay idempotence are all inherited unchanged).
+    * The caller passes the forgotten vectors THEMSELVES (vec_id,
+    * embedding, source — they must be currently folded in), and because
+    * the per-component quantization is exact-integer, the netted sums
+    * are the survivors' sums to the BIT, not within epsilon: every
+    * historical centroid the drift alarm serves loses exactly the
+    * forgotten vectors' mass. A (source, dim) whose every contributor
+    * was forgotten nets n = 0 and leaves the served matrix through
+    * [[centroidSumsState]]'s n > 0 cut (a zero-vector source must not
+    * divide by zero in the mean). Cost: one |forgotten|·64 posexplode
+    * aggregate + a bounded append — the corpus is never rescanned. */
+  def forget(stateDir: String)(vecs: DataFrame, batchId: Long): Unit =
+    appendCentDeltas(stateDir, vecs, batchId, sign = -1L)
+
+  private def appendCentDeltas(stateDir: String, batch: DataFrame,
+      batchId: Long, sign: Long): Unit = {
     require(batchId >= 0, "batchId must be non-negative (negative ids " +
       "are reserved for folded snapshot rows)")
     val spark = batch.sparkSession
@@ -72,7 +103,7 @@ object CentroidStateStream {
         graft.operators.Similarity.centroidSums(
             batch.select(col("source"), col("embedding")))
           .select(lit(batchId).as("batch_id"), col("source"), col("dim"),
-            col("sq"), col("n"))
+            (col("sq") * sign).as("sq"), (col("n") * sign).as("n"))
           .write.mode("append").parquet(s"$stateDir/cent")
       }
       spark.range(1).select(lit(batchId).as("batch_id"))
@@ -80,11 +111,18 @@ object CentroidStateStream {
     }
   }
 
-  /** The aggregated (source, dim, sq, n) view over the delta log. */
+  /** The aggregated (source, dim, sq, n) view over the delta log. The
+    * n > 0 cut is load-bearing only after a [[forget]] pass: a
+    * (source, dim) whose every contributing vector was deleted nets to
+    * a zero row (additive tables keep their key domain), and it must
+    * leave the served sums — a mean over zero vectors would otherwise
+    * divide by zero in [[driftMatrixFromState]]. Under pure
+    * accumulation the filter never fires. */
   def centroidSumsState(spark: SparkSession, stateDir: String): DataFrame =
     stateDf(spark, s"$stateDir/cent", deltaSchema)
       .groupBy(col("source"), col("dim"))
       .agg(sum(col("sq")).as("sq"), sum(col("n")).as("n"))
+      .filter(col("n") > 0)
 
   /** q108's cross-source drift matrix served FROM state — the registered
     * query's centroid/drift stages over the maintained sums. */

@@ -589,6 +589,30 @@ object CorpusStateStream {
     foldDeltaState(spark, stateDir, "shdf", "shdf_ledger", shdfSchema,
       Seq("h"), Seq("delta"))
 
+  /** [[noveltyAgainstState]] against the df-counted table — same probe
+    * plan (one arrival scan, one left join, one aggregate), membership
+    * = net df > 0 (value-identical to the set table under pure
+    * accumulation), so a post-forget read reports novelty against
+    * exactly the SURVIVING corpus: a shingle all of whose holders were
+    * deleted counts as novel again, which is the correct ingest-gate
+    * answer — re-admitting that text re-pays its storage, because the
+    * corpus genuinely no longer contains it. */
+  def noveltyAgainstDfState(stateDir: String, arrivals: DataFrame): DataFrame = {
+    val spark = arrivals.sparkSession
+    val arr = arrivals
+      .select(col("source"),
+        explode(graft.expressions.ShingleHash64(col("text"))).as("h"))
+      .distinct()
+    arr.join(shingleDfState(spark, stateDir).select(col("h"))
+          .withColumn("seen", lit(1)),
+        Seq("h"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("source"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles")).as("novelty_frac"))
+  }
+
   /** [[contaminationAgainstState]] against the df-counted table — same
     * probe plan (one scan, one left join, one aggregate), membership =
     * net df > 0, so a post-forget read answers against exactly the

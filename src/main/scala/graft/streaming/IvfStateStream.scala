@@ -82,11 +82,20 @@ object IvfStateStream {
     StructField("root_parent", IntegerType)))
 
   /** Pending-pass metadata staged by [[rebalance]] before its swaps:
-    * the post-pass configured list count and the threshold the pass ran
-    * at (so crash recovery can decide whether the swaps completed). */
+    * the post-pass configured list count, the threshold the pass ran
+    * at, and the pass's child-remap base. The base is the recovery
+    * WITNESS: every remapped child cid (>= remap_base) is new to the
+    * inverted file, so its presence in `lists/` proves the lists swap
+    * completed — a direct observation where the r15 "is any list still
+    * hot" heuristic misread a completed pass that legitimately left a
+    * still-hot child (the multi-pass case), deleting that generation's
+    * staged lineage. `remap_base` reads as null on a pending dir staged
+    * by the r15 layout; recovery then falls back to the heuristic
+    * (documented same-maintenance-window semantics). */
   private val pendingMetaSchema = StructType(Seq(
     StructField("nlist_after", IntegerType),
-    StructField("max_list", IntegerType)))
+    StructField("max_list", IntegerType),
+    StructField("remap_base", IntegerType)))
 
   /** The persisted coarse quantizer. */
   def centroidState(spark: SparkSession, stateDir: String): DataFrame =
@@ -155,6 +164,7 @@ object IvfStateStream {
     * the restart-recovery contract. */
   def update(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    requireNoPendingRebalance(spark, stateDir, "folding a batch")
     // at-least-once delivery can land a vec_id twice in ONE trigger;
     // the anti-join only protects against rows already in state
     val vecs = batch
@@ -227,6 +237,27 @@ object IvfStateStream {
   private def pendingPath(stateDir: String) =
     new org.apache.hadoop.fs.Path(s"$stateDir/rebal_pending")
 
+  /** Refuse any OTHER index mutation while a crashed rebalance's staged
+    * plan exists — the [[splitHealthFromState]] guard applied to the
+    * write paths. Without it, a forget (or fold) between crash and
+    * recovery can rewrite the very lists the recovery witness reads:
+    * e.g. a forget that empties every staged remapped child list makes
+    * a COMPLETED pass's swap indistinguishable from an unrun one, and
+    * the next rebalance then discards lineage for children that are
+    * already serving (from_split silently false forever) — or, under
+    * the r15 heuristic, a forget shrinking hot lists below threshold
+    * promoted a NEVER-RUN pass's stale plan. Heal first; the mutation
+    * is one `recoverRebalance` call away. */
+  private def requireNoPendingRebalance(spark: SparkSession,
+      stateDir: String, op: String): Unit = {
+    val pend = pendingPath(stateDir)
+    val fs = pend.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(pend),
+      s"$stateDir/rebal_pending exists: a rebalance pass crashed before " +
+      s"promoting its lineage — re-run rebalance with the same maxList " +
+      s"(or call recoverRebalance) to heal before $op")
+  }
+
   /** Promote a staged pending pass: append its lineage rows, swap
     * `meta/` to the post-pass configured count (two-rename protocol —
     * the r14 bare overwrite could leave meta/ empty on a crash
@@ -251,28 +282,56 @@ object IvfStateStream {
   /** Crash recovery for [[rebalance]] — called at the start of every
     * pass (and exposed for operators healing an index without running a
     * new pass). A pending dir witnesses a pass that crashed after
-    * staging its plan:
-    *   - if NO list still exceeds the pending pass's threshold, its
-    *     swaps completed (the pass only staged when hot lists existed)
-    *     and only the promotion was lost → promote it now;
-    *   - otherwise the swaps never finished → discard the plan; the
-    *     next pass recomputes it deterministically from the unchanged
-    *     lists (same seeds, same portable Lloyd rounds).
-    * Run it inside the same maintenance window as the pass it heals —
-    * fold-stream appends between crash and recovery could make a list
-    * hot again and mask a completed pass's pending promotion. */
+    * staging its plan; whether its SWAPS completed is decided by a
+    * direct witness: every remapped child cid the pass staged
+    * (lineage rows with child_cid >= the staged remap base) is NEW to
+    * the inverted file, so
+    *   - if any staged remapped child cid is present in `lists/`, the
+    *     lists swap completed and only the promotion was lost →
+    *     promote now. This holds even when the completed pass
+    *     legitimately left a still-hot child (the multi-pass case the
+    *     r15 still-hot heuristic misread — it deleted that
+    *     generation's staged lineage, and splitHealthFromState then
+    *     silently served from_split = false for its children);
+    *   - otherwise the swaps never ran → discard the plan; the next
+    *     pass recomputes it deterministically from the unchanged lists
+    *     (same seeds, same portable Lloyd rounds).
+    * Degenerate caveat: if EVERY remapped child list came out empty
+    * (all members assigned to child-0 — 2-means collapsing on
+    * near-identical mass), a completed swap is indistinguishable from
+    * an unrun one and the plan is discarded; the re-run re-splits the
+    * same still-hot lists, and [[rebalanceUntilQuiet]]'s bound surfaces
+    * the underlying skew pathology. A pending dir staged by the r15
+    * layout has no remap base; recovery falls back to the r15
+    * still-hot heuristic under its documented same-maintenance-window
+    * semantics. */
   def recoverRebalance(spark: SparkSession, stateDir: String): Unit = {
     val pend = pendingPath(stateDir)
     val fs = pend.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // incomplete staging from a crash mid-write is never promotable
     fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/rebal_pending.tmp"), true)
     if (!fs.exists(pend)) return
-    val pMaxList = spark.read.schema(pendingMetaSchema)
-      .parquet(s"$pend/meta").take(1).head.getInt(1)
-    val stillHot = listState(spark, stateDir)
-      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > pMaxList).limit(1).count() > 0
-    if (stillHot) fs.delete(pend, true) else promotePending(spark, stateDir)
+    val meta = spark.read.schema(pendingMetaSchema)
+      .parquet(s"$pend/meta").take(1).head
+    val swapped =
+      if (meta.isNullAt(2)) {
+        // r15-format pending dir: the still-hot heuristic, valid only
+        // inside the crashed pass's own maintenance window
+        val pMaxList = meta.getInt(1)
+        listState(spark, stateDir)
+          .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > pMaxList).limit(1).count() == 0
+      } else {
+        val remapBase = meta.getInt(2)
+        val staged = spark.read.schema(rebalSchema)
+          .parquet(s"$pend/lineage")
+          .filter(col("child_cid") >= remapBase)
+          .select(col("child_cid").as("cid"))
+        listState(spark, stateDir)
+          .join(broadcast(staged), Seq("cid"), "left_semi")
+          .limit(1).count() > 0
+      }
+    if (swapped) promotePending(spark, stateDir) else fs.delete(pend, true)
   }
 
   /** OFFLINE hot-list rebalance of the maintained index — the state
@@ -281,11 +340,16 @@ object IvfStateStream {
     * every list above `maxList` splits by the keyed deterministic
     * 2-means over its own members, children take cids
     * parent + child·remapBase (remapBase = max(configured count,
-    * 1 + max cid in the inverted file) — equal to the configured nlist
-    * on a fresh index, so generation 1 matches the batch twin exactly,
-    * and collision-free at EVERY later generation, where the configured
-    * count alone is not: after {0..7} splits 3 → {…, 11}, a pass-2
-    * split of list 2 under modulus 9 would collide with list 11).
+    * 1 + max cid across the inverted file AND the promoted lineage
+    * log — the log side closes the dead-child hole: an emptied child,
+    * e.g. one a forget scrubbed, keeps a centroid and a lineage row
+    * but holds no list, and a remap colliding with it would strand two
+    * different centroids under one cid) — equal to the configured
+    * nlist on a fresh index, so generation 1 matches the batch twin
+    * exactly, and collision-free at EVERY later generation, where the
+    * configured count alone is not: after {0..7} splits 3 → {…, 11},
+    * a pass-2 split of list 2 under modulus 9 would collide with
+    * list 11).
     * A quiet pass (no list above `maxList`) mutates nothing. Run it the
     * way [[CorpusStateStream.compactState]] runs — in a maintenance
     * window, no fold stream active; rerun until quiet (a child can
@@ -311,8 +375,10 @@ object IvfStateStream {
     *   2. `lists/` swaps to the split assignment;
     *   3. the pending pass promotes (lineage append → meta swap →
     *      pending clears). A crash anywhere in 3 re-promotes on the
-    *      next run: the lists are quiet at the pass's threshold, which
-    *      is the recovery witness that the swaps completed.
+    *      next run: a staged remapped child cid present in `lists/` is
+    *      the recovery witness that the swaps completed — valid even
+    *      when the completed pass leaves a still-hot child (the
+    *      multi-pass geometry the r15 still-hot heuristic misread).
     *
     * Returns (configured count before, after) — equal iff the pass was
     * quiet. Crash-re-run determinism holds under portableMeans (the
@@ -343,9 +409,24 @@ object IvfStateStream {
       .filter(col("n") > maxList).select(col("cid"))
       .localCheckpoint(true) // tiny: bounded by the configured list count
     if (hot.limit(1).count() == 0) return (nlist, nlist)
-    // bounded one-row metadata probe: the remap base (see scaladoc)
-    val maxCid = lists0.agg(max(col("cid"))).collect()(0).getInt(0)
-    val remapBase = math.max(nlist, maxCid + 1)
+    // bounded one-row metadata probes: the remap base (see scaladoc) is
+    // the max cid over the inverted file AND the promoted lineage log —
+    // a DEAD child (a centroid whose list emptied, e.g. scrubbed by a
+    // forget) can hold the highest cid while appearing in `centroids/`
+    // only, and a later pass's remapped child colliding with it would
+    // leave two different centroids under one cid with dropDuplicates
+    // keeping an arbitrary winner. The LOG is the dead-child witness
+    // rather than the centroid table itself, deliberately: every child
+    // ever PROMOTED is logged, while a crashed pass's swapped-but-
+    // unpromoted centroids are not — so the crash-window-2 re-run
+    // (centroids already swapped, lists not) recomputes the SAME base
+    // as the crashed pass and converges bit-identically instead of
+    // re-remapping its own half-applied children ever upward
+    val maxCidLists = lists0.agg(max(col("cid"))).collect()(0).getInt(0)
+    val logMaxRow = rebalState(spark, stateDir)
+      .agg(max(col("child_cid"))).collect()(0)
+    val maxCidLog = if (logMaxRow.isNullAt(0)) -1 else logMaxRow.getInt(0)
+    val remapBase = math.max(nlist, math.max(maxCidLists, maxCidLog) + 1)
     val (newCents, newLists) = Similarity.splitHotLists(
       lists0, cents0, remapBase, maxList, iters, portableMeans)
     val listsOut = newLists
@@ -387,7 +468,8 @@ object IvfStateStream {
     spark.createDataFrame(
         java.util.Collections.singletonList(
           org.apache.spark.sql.Row(Integer.valueOf(nNew),
-            Integer.valueOf(maxList))), pendingMetaSchema)
+            Integer.valueOf(maxList), Integer.valueOf(remapBase))),
+        pendingMetaSchema)
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
     require(fs.rename(tmp, pend), s"could not stage rebalance pass to $pend")
     crash(1)
@@ -449,9 +531,13 @@ object IvfStateStream {
     * tombstones is a no-op (anti-join of an already-absent key).
     * Scale: two pushdown anti-joins on 8-byte keys against a broadcast
     * tombstone set — cost is the state scan, never the corpus.
-    * Run offline, like [[rebalance]] and compaction. */
+    * Run offline, like [[rebalance]] and compaction; refuses while a
+    * crashed rebalance's staged plan exists (heal it first — see
+    * [[requireNoPendingRebalance]]: a forget here could forge or erase
+    * the recovery witness). */
   def forget(spark: SparkSession, stateDir: String,
       tombstones: DataFrame): Unit = {
+    requireNoPendingRebalance(spark, stateDir, "executing a forget")
     val tomb = tombstones.select(col("vec_id")).distinct()
       .localCheckpoint(true) // read once per artifact, after its source swaps
     val survivors = listState(spark, stateDir)

@@ -407,7 +407,16 @@ class PlanSpec extends SparkSpec {
       "q212 must not rescan the documents table:\n" + dsf.take(800))
     assert(!dsf.contains("md5"),
       "q212 must not re-apply the tombstone rule at read time")
-    // q206: the deletion certificate is fifteen STATE aggregates — the
+    // q213: the forgotten drift matrix aggregates the netted state
+    // sums — no embeddings rescan, no read-time tombstone
+    val cdf = planString("q213_forgotten_drift_state_served")
+    assert(cdf.contains("graft_centforget_state"),
+      "q213 must read the forgotten centroid-sum state")
+    assert(!cdf.contains("embeddings.parquet"),
+      "q213 must not rescan the embeddings table:\n" + cdf.take(800))
+    assert(!cdf.contains("md5"),
+      "q213 must not re-apply the tombstone rule at read time")
+    // q206: the deletion certificate is sixteen STATE aggregates — the
     // corpus tables appear nowhere in the read plan (the claim that
     // makes the audit cheap enough to run per deletion batch)
     val cert = planString("q206_deletion_certificate")
@@ -420,7 +429,7 @@ class PlanSpec extends SparkSpec {
         "graft_vocabforget_state", "graft_packforget_state",
         "graft_dsforget_state", "graft_retentionforgetstages",
         "graft_ewmaforgetstages", "graft_bigramforgetstages",
-        "graft_sessionforgetstages")
+        "graft_sessionforgetstages", "graft_centforget_state")
       .foreach(st => assert(cert.contains(st),
         s"q206 must read every forgotten state dir (missing $st)"))
   }

@@ -103,6 +103,53 @@ class CentroidStreamSpec extends SparkSpec {
       "unseen source must surface with has_history=false and null cosine")
   }
 
+  test("forget nets to the survivors' fresh state; replay no-op; zeroed source exits") {
+    val root = Files.createTempDirectory("graft-centforget").toString
+    val state = s"$root/forgotten"
+    val all = srcVecs(lit(true))
+    CentroidStateStream.update(state)(all.filter(col("vec_id") % 2 === 0), 0L)
+    CentroidStateStream.update(state)(all.filter(col("vec_id") % 2 === 1), 1L)
+    val tomb = all.filter(graft.operators.Sampling.tombstoned(col("vec_id")))
+    assert(tomb.limit(1).count() > 0, "fixture vacuous: no tombstoned vectors")
+    CentroidStateStream.forget(state)(tomb, 2L)
+    // replayed forget: the ledger probe must drop the duplicate batch
+    CentroidStateStream.forget(state)(tomb, 2L)
+    val forgotten = collectMatrix(
+      CentroidStateStream.driftMatrixFromState(spark, state))
+    // ground truth: a FRESH state folded from only the survivors — the
+    // exact-integer design makes this an identity, not an epsilon claim
+    val fresh = s"$root/fresh"
+    CentroidStateStream.update(fresh)(
+      all.filter(!graft.operators.Sampling.tombstoned(col("vec_id"))), 0L)
+    val want = collectMatrix(
+      CentroidStateStream.driftMatrixFromState(spark, fresh))
+    assert(forgotten == want,
+      s"forgotten state diverged from the survivors' fresh state:\n" +
+      s"$forgotten\nvs\n$want")
+    // fold the mixed-sign log: the matrix must be bit-unchanged
+    CentroidStateStream.foldDeltas(spark, state)
+    assert(forgotten == collectMatrix(
+      CentroidStateStream.driftMatrixFromState(spark, state)),
+      "folding the mixed-sign log changed the forgotten matrix")
+    // a source whose EVERY vector is forgotten nets n = 0 per key and
+    // must leave the served sums through the n > 0 cut (its mean would
+    // otherwise divide by zero), while other sources are untouched
+    val lone = s"$root/lone"
+    val firstSrc = all.select(col("source")).orderBy(col("source"))
+      .limit(1).collect().head.getString(0)
+    val victims = all.filter(col("source") === firstSrc)
+    CentroidStateStream.update(lone)(all, 0L)
+    CentroidStateStream.forget(lone)(victims, 1L)
+    val sums = CentroidStateStream.centroidSumsState(spark, lone)
+    assert(sums.filter(col("source") === firstSrc).count() == 0,
+      "a fully-forgotten source must exit the served sums")
+    val others = collectMatrix(
+      CentroidStateStream.driftMatrixFromState(spark, lone))
+    assert(others.nonEmpty && others.forall {
+      case ((s1, s2), _) => s1 != firstSrc && s2 != firstSrc },
+      "the forgotten source leaked into the served matrix")
+  }
+
   test("streamed drain through the file source matches the direct updates") {
     val root = Files.createTempDirectory("graft-centdrain").toString
     val vecsDir = s"$root/vecs"; val state = s"$root/state"

@@ -235,8 +235,11 @@ class IvfStateStreamSpec extends SparkSpec {
     val l1 = l1raw.localCheckpoint(true)
     val l1c = l1.select(col("cid"), col("vec_id"), col("v"))
     val c1c = c1.localCheckpoint(true)
+    // the engine's remap rule: max cid over BOTH tables (a dead child
+    // keeps a centroid but holds no list)
     val base2 = math.max(c1c.count().toInt,
-      l1c.agg(max(col("cid"))).collect()(0).getInt(0) + 1)
+      math.max(l1c.agg(max(col("cid"))).collect()(0).getInt(0),
+        c1c.agg(max(col("cid"))).collect()(0).getInt(0)) + 1)
     val (c2, l2raw) = Similarity.splitHotLists(l1c, c1c, base2, maxList,
       iters = 3, portableMeans = true)
     // a list pass 2 leaves untouched KEEPS its pass-1 flag — the lineage
@@ -347,6 +350,133 @@ class IvfStateStreamSpec extends SparkSpec {
     val (f2, l2, p2) = IvfStateStream.rebalanceUntilQuiet(
       spark, stateDir, maxList, portableMeans = true)
     assert(p2 == 0 && f2 == l2 && f2 == last, "re-run on a quiet index must not mutate")
+  }
+
+  /** The controlled still-hot-child geometry (the two-generation
+    * fixture): one coarse list of 100 whose pass-1 split at threshold
+    * 39 leaves an 80-member child STILL HOT — the multi-pass case
+    * [[IvfStateStream.rebalanceUntilQuiet]] exists for. */
+  private def hotGeometryEmb = {
+    import spark.implicits._
+    def pt(th: Double) = Array(math.cos(th).toFloat, math.sin(th).toFloat)
+    val pts =
+      Seq((0L, pt(0.0)), (1L, pt(2.0)), (2L, pt(4.0)), (3L, pt(0.35))) ++
+      (0 until 78).map(i => (10L + i, pt(0.001 + (i % 16) * 0.01))) ++
+      (0 until 19).map(i => (200L + i, pt(0.36 + (i % 8) * 0.01))) ++
+      (0 until 29).map(i => (300L + i, pt(2.01 + (i % 8) * 0.01))) ++
+      (0 until 9).map(i => (400L + i, pt(4.01 + (i % 4) * 0.01)))
+    pts.map { case (id, v) => (id, v, (id % 3).toInt) }
+      .toDF("vec_id", "embedding", "label")
+  }
+
+  test("crash after the lists swap with a still-hot child: recovery " +
+      "promotes the completed pass (the r15 heuristic's blind spot)") {
+    // a COMPLETED pass can legitimately leave a still-hot child; the
+    // r15 "is any list still hot" recovery heuristic read that as
+    // "swaps never ran" and deleted the staged lineage — after which
+    // splitHealthFromState silently served from_split = false for the
+    // generation's children. The remapped-cid witness observes the
+    // swap directly.
+    val emb = hotGeometryEmb
+    val maxList = 39
+    def build(tag: String): String = {
+      val dir = Files.createTempDirectory(s"graft-rebal-hotcrash-$tag")
+        .toString + "/state"
+      IvfStateStream.train(emb, dir, 3, portableMeans = true)
+      IvfStateStream.update(dir)(emb, 0L)
+      dir
+    }
+    def snapshot(dir: String) = (
+      IvfStateStream.listState(spark, dir).collect().map(_.toString).sorted.toSeq,
+      IvfStateStream.centroidState(spark, dir).collect().map(_.toString).sorted.toSeq,
+      IvfStateStream.storedNlist(spark, dir),
+      IvfStateStream.splitHealthFromState(spark, dir)
+        .collect().map(_.toString).toSeq)
+    // clean reference: the same single pass, uncrashed
+    val ref = build("ref")
+    IvfStateStream.rebalance(spark, ref, maxList, portableMeans = true)
+    val want = snapshot(ref)
+
+    val dir = build("crash")
+    val e = intercept[IllegalStateException] {
+      IvfStateStream.rebalanceImpl(spark, dir, maxList, iters = 3,
+        portableMeans = true, crashAfterStep = 3)
+    }
+    assert(e.getMessage.contains("injected crash"))
+    // the blind-spot geometry is real: the swapped lists still hold a
+    // hot child at the pass's own threshold
+    assert(IvfStateStream.listState(spark, dir)
+      .groupBy(col("cid")).count().filter(col("count") > maxList)
+      .limit(1).count() > 0,
+      "fixture vacuous: no still-hot child after the completed pass")
+    // heal WITHOUT running another pass: the completed pass must
+    // PROMOTE — state converges to the clean single-pass reference,
+    // lineage included (the r15 heuristic discarded it here)
+    IvfStateStream.recoverRebalance(spark, dir)
+    assert(snapshot(dir) == want,
+      "crash-after-lists-swap on a still-hot child did not promote")
+    assert(IvfStateStream.splitHealthFromState(spark, dir)
+      .filter(col("from_split")).count() > 0,
+      "promoted generation's children must serve from_split = true")
+    // and the operational loop finishes the job identically on both
+    IvfStateStream.rebalanceUntilQuiet(spark, dir, maxList,
+      portableMeans = true)
+    IvfStateStream.rebalanceUntilQuiet(spark, ref, maxList,
+      portableMeans = true)
+    assert(snapshot(dir) == snapshot(ref),
+      "post-recovery loop diverged from the clean loop")
+  }
+
+  test("a forget or fold against a staged pending plan is refused; " +
+      "healed forget + rebalance equals the survivors-only rebuild") {
+    val emb = hotGeometryEmb
+    val maxList = 39
+    val dir = Files.createTempDirectory("graft-rebal-forgetguard")
+      .toString + "/state"
+    IvfStateStream.train(emb, dir, 3, portableMeans = true)
+    IvfStateStream.update(dir)(emb, 0L)
+    val e0 = intercept[IllegalStateException] {
+      IvfStateStream.rebalanceImpl(spark, dir, maxList, iters = 3,
+        portableMeans = true, crashAfterStep = 1)
+    }
+    assert(e0.getMessage.contains("injected crash"))
+    // the interleaving window is structurally closed: a forget here
+    // could shrink (r15: promote a never-run plan) or empty (new
+    // witness: discard a completed one) the very lists recovery reads
+    val tomb = emb.select(col("vec_id")).filter(col("vec_id") % 7 === 3)
+    val e1 = intercept[IllegalArgumentException] {
+      IvfStateStream.forget(spark, dir, tomb)
+    }
+    assert(e1.getMessage.contains("rebal_pending"))
+    val e2 = intercept[IllegalArgumentException] {
+      IvfStateStream.update(dir)(emb, 1L)
+    }
+    assert(e2.getMessage.contains("rebal_pending"))
+    // heal: the swaps never ran, so the plan is discarded and the
+    // lists are exactly the pre-crash fold
+    IvfStateStream.recoverRebalance(spark, dir)
+    assert(IvfStateStream.listState(spark, dir).count() == emb.count())
+    // now the maintenance sequence proceeds: forget, then quiet the
+    // index — and the result must equal a clean survivors-only build
+    // (same frozen quantizer, survivors folded, same loop), proving
+    // forget composes with rebalance as if the deleted vectors had
+    // never arrived
+    IvfStateStream.forget(spark, dir, tomb)
+    IvfStateStream.rebalanceUntilQuiet(spark, dir, maxList,
+      portableMeans = true)
+    val twin = Files.createTempDirectory("graft-rebal-survtwin")
+      .toString + "/state"
+    IvfStateStream.train(emb, twin, 3, portableMeans = true)
+    IvfStateStream.update(twin)(
+      emb.filter(col("vec_id") % 7 =!= 3), 0L)
+    IvfStateStream.rebalanceUntilQuiet(spark, twin, maxList,
+      portableMeans = true)
+    def core(d: String) = (
+      IvfStateStream.listState(spark, d).collect().map(_.toString).sorted.toSeq,
+      IvfStateStream.centroidState(spark, d).collect().map(_.toString).sorted.toSeq,
+      IvfStateStream.storedNlist(spark, d))
+    assert(core(dir) == core(twin),
+      "forget-then-rebalance diverged from the survivors-only rebuild")
   }
 
   test("every rebalance crash window heals on the next run") {
