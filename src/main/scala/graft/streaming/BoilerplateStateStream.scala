@@ -59,8 +59,23 @@ object BoilerplateStateStream {
 
   private val ledgerSchema = StructType(Seq(StructField("batch_id", LongType)))
 
+  /** Layout version: v2 = the r14 within-trigger doc_id dedup (v1,
+    * never stamped, counted intra-batch duplicates — see the
+    * state-format compatibility note in [[appendDeltas]]). Stamped at
+    * first write, checked on every write and read, so a pre-r14
+    * checkpoint fails LOUDLY instead of replaying into drift. */
+  private val FormatVersion = 2
+
   private def stateDf(spark: SparkSession, dir: String, s: StructType) =
     CorpusStateStream.stateDf(spark, dir, s)
+
+  private def stampFormat(spark: SparkSession, stateDir: String): Unit =
+    CorpusStateStream.stampFormat(spark, stateDir, "bp", FormatVersion,
+      "bp_ledger")
+
+  private def requireFormat(spark: SparkSession, stateDir: String): Unit =
+    CorpusStateStream.requireFormat(spark, stateDir, "bp", FormatVersion,
+      "bp_ledger")
 
   /** One micro-batch: append this batch's per-phrase df deltas and its
     * doc-count delta exactly once (the vocab-ledger crash protocol).
@@ -95,10 +110,14 @@ object BoilerplateStateStream {
     require(batchId >= 0, "batchId must be non-negative (negative ids " +
       "are reserved for folded snapshot rows)")
     val spark = batch.sparkSession
+    stampFormat(spark, stateDir)
     val ledgerDir = s"$stateDir/bp_ledger"
     val seen = stateDf(spark, ledgerDir, ledgerSchema)
       .filter(col("batch_id") === batchId).limit(1).count() > 0
-    if (!seen) {
+    if (seen) {
+      CorpusStateStream.requireLedgerSign(spark, stateDir, "bp_ledger",
+        batchId, sign)
+    } else {
       // within-trigger dedup on doc_id (the CorpusStateStream sig-path
       // hardening): an at-least-once source delivering a doc twice in
       // ONE trigger must not double its df/n_docs contribution — only a
@@ -133,6 +152,9 @@ object BoilerplateStateStream {
           .select(lit(batchId).as("batch_id"), col("n_docs"))
           .write.mode("append").parquet(s"$stateDir/bp_counters")
       }
+      if (sign < 0)
+        CorpusStateStream.markForgetBatch(spark, stateDir, "bp_ledger",
+          batchId)
       spark.range(1).select(lit(batchId).as("batch_id"))
         .write.mode("append").parquet(ledgerDir)
     }
@@ -145,9 +167,11 @@ object BoilerplateStateStream {
     * cross-engine every round. */
   /** Net corpus size (the df_share denominator) — counts minus any
     * [[forget]] batches; the number q206's certificate audits. */
-  def docCountFromState(spark: SparkSession, stateDir: String): DataFrame =
+  def docCountFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    requireFormat(spark, stateDir)
     stateDf(spark, s"$stateDir/bp_counters", countersSchema)
       .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"))
+  }
 
   def phraseTableFromState(spark: SparkSession, stateDir: String): DataFrame = {
     val nd = docCountFromState(spark, stateDir)

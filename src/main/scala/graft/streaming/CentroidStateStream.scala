@@ -96,7 +96,10 @@ object CentroidStateStream {
     val ledgerDir = s"$stateDir/cent_ledger"
     val seen = stateDf(spark, ledgerDir, ledgerSchema)
       .filter(col("batch_id") === batchId).limit(1).count() > 0
-    if (!seen) {
+    if (seen) {
+      CorpusStateStream.requireLedgerSign(spark, stateDir, "cent_ledger",
+        batchId, sign)
+    } else {
       val inLog = stateDf(spark, s"$stateDir/cent", deltaSchema)
         .filter(col("batch_id") === batchId).limit(1).count() > 0
       if (!inLog) {
@@ -106,6 +109,9 @@ object CentroidStateStream {
             (col("sq") * sign).as("sq"), (col("n") * sign).as("n"))
           .write.mode("append").parquet(s"$stateDir/cent")
       }
+      if (sign < 0)
+        CorpusStateStream.markForgetBatch(spark, stateDir, "cent_ledger",
+          batchId)
       spark.range(1).select(lit(batchId).as("batch_id"))
         .write.mode("append").parquet(ledgerDir)
     }

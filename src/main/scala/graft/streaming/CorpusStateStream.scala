@@ -391,6 +391,114 @@ object CorpusStateStream {
 
   private val ledgerSchema = StructType(Seq(StructField("batch_id", LongType)))
 
+  // ——— forget-marks: the sign-collision guard for additive forgets ———
+  //
+  // An additive family's ledger records THAT a batchId committed, not
+  // with which SIGN. A forget() accidentally reusing an arrival's
+  // batchId would therefore be silently treated as a replay — the
+  // negative deltas skipped entirely — while any keyed side-effects
+  // (the datasheet's sigs swap) still execute, leaving the family's
+  // artifacts inconsistent with no error (advisor catch, r15). Each
+  // family keeps a tiny marks table of its FORGET batchIds next to the
+  // ledger; a committed id whose mark disagrees with the caller's sign
+  // is a hard error demanding a fresh id. Marks append after the
+  // deltas and before the ledger row, so every crash window heals
+  // under the existing protocol. One residual (pre-existing) window is
+  // documented on [[requireLedgerSign]]: deltas committed but ledger
+  // lost, then the id reused with the OPPOSITE sign — the delta-log
+  // probe skips the append and the ledger commits the wrong sign; the
+  // ledger-committed case (the one a caller can actually observe and
+  // reuse) is the one closed here. A forget committed by a pre-marks
+  // build and REPLAYED under this build trips the guard (no mark
+  // exists) — the loud-failure direction, never a silent wrong count.
+
+  private[streaming] def forgetMarksDir(stateDir: String, ledgerTable: String) =
+    s"$stateDir/${ledgerTable}_fmarks"
+
+  /** Called when `batchId` is already ledger-committed: require the
+    * caller's sign to match the recorded one (mark present == the
+    * batch was a forget); matching means a genuine replay — skip. */
+  private[streaming] def requireLedgerSign(spark: SparkSession,
+      stateDir: String, ledgerTable: String, batchId: Long,
+      sign: Long): Unit = {
+    val marked = stateDf(spark, forgetMarksDir(stateDir, ledgerTable),
+        ledgerSchema)
+      .filter(col("batch_id") === batchId).limit(1).count() > 0
+    require(marked == (sign < 0),
+      s"batch $batchId under $stateDir/$ledgerTable was committed by " +
+      s"${if (marked) "a FORGET" else "an ARRIVAL"} batch but is being " +
+      s"re-submitted as ${if (sign < 0) "a forget" else "an arrival"}: " +
+      "additive deltas cannot net two different signs under one ledger " +
+      "id (the deltas would be silently skipped as a replay) — use a " +
+      "fresh batchId for every deletion request")
+  }
+
+  /** Record a forget batchId — append AFTER the negative deltas and
+    * BEFORE the ledger row (the crash-heal ordering). */
+  private[streaming] def markForgetBatch(spark: SparkSession,
+      stateDir: String, ledgerTable: String, batchId: Long): Unit =
+    spark.range(1).select(lit(batchId).as("batch_id"))
+      .write.mode("append").parquet(forgetMarksDir(stateDir, ledgerTable))
+
+  // ——— layout-version markers for EVOLVED state families ———
+  //
+  // The boilerplate stream changed its within-trigger semantics in r14
+  // and the datasheet changed its key tables from sets to df-deltas in
+  // r15 — both were recorded as prose compatibility notes, which means
+  // a deployment restarting an old checkpointed state under new code
+  // failed silently-or-weirdly (the old `langs/` set rows simply read
+  // as zero-delta garbage) rather than loudly. Each evolved family now
+  // stamps a one-row `<family>_format/` marker into the state dir at
+  // its first write and checks it on every write AND read: a populated
+  // dir with a DIFFERENT version — or with NO marker at all (a
+  // pre-versioning vintage, layout unknown) — fails with the rebuild
+  // instruction instead of serving drift. The storedNlist pattern
+  // applied to layout.
+
+  private val formatSchema = StructType(Seq(StructField("version", IntegerType)))
+
+  private def readFormat(spark: SparkSession, markerDir: String): Option[Int] =
+    stateDf(spark, markerDir, formatSchema).take(1).headOption.map(_.getInt(0))
+
+  /** Reader-side check: a populated dir must carry the expected layout
+    * marker. `populatedProbe` is the family's ledger table — present in
+    * every vintage of the layout, so its existence dates the state. */
+  private[streaming] def requireFormat(spark: SparkSession, stateDir: String,
+      family: String, version: Int, populatedProbe: String): Unit = {
+    val markerDir = s"$stateDir/${family}_format"
+    readFormat(spark, markerDir) match {
+      case Some(v) =>
+        require(v == version,
+          s"$stateDir holds $family state in layout v$v but this build " +
+          s"reads/writes v$version — rebuild the state by replaying " +
+          "deliveries (the layouts are value-equivalent under pure " +
+          "accumulation, so the rebuilt state serves identically)")
+      case None =>
+        val probe = new org.apache.hadoop.fs.Path(s"$stateDir/$populatedProbe")
+        require(!probe.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(probe),
+          s"$stateDir holds $family state with NO layout marker — it was " +
+          "written by a build that predates state-format versioning, so " +
+          s"its layout cannot be trusted to be v$version (the boilerplate " +
+          "within-trigger semantics changed in r14, the datasheet key " +
+          "tables in r15). Rebuild by replaying deliveries; for a state " +
+          "positively known to be the current layout, write the one-row " +
+          s"${family}_format/ marker manually")
+    }
+  }
+
+  /** Writer-side stamp: [[requireFormat]], then mark a fresh dir. */
+  private[streaming] def stampFormat(spark: SparkSession, stateDir: String,
+      family: String, version: Int, populatedProbe: String): Unit = {
+    requireFormat(spark, stateDir, family, version, populatedProbe)
+    val markerDir = s"$stateDir/${family}_format"
+    if (readFormat(spark, markerDir).isEmpty)
+      spark.createDataFrame(
+          java.util.Collections.singletonList(
+            org.apache.spark.sql.Row(Integer.valueOf(version))), formatSchema)
+        .coalesce(1).write.mode("overwrite").parquet(markerDir)
+  }
+
   /** The aggregated (w, cnt) reference-vocabulary view over the delta
     * log — term keys are Md5TokenHash64 word hashes (8 bytes/term, the
     * family's hash-domain trade; text never persists in state). */
@@ -441,7 +549,9 @@ object CorpusStateStream {
     val ledgerDir = s"$stateDir/vocab_ledger"
     val seen = stateDf(spark, ledgerDir, ledgerSchema)
       .filter(col("batch_id") === batchId).limit(1).count() > 0
-    if (!seen) {
+    if (seen) {
+      requireLedgerSign(spark, stateDir, "vocab_ledger", batchId, sign)
+    } else {
       val inLog = stateDf(spark, s"$stateDir/vocab", vocabSchema)
         .filter(col("batch_id") === batchId).limit(1).count() > 0
       if (!inLog) {
@@ -454,6 +564,7 @@ object CorpusStateStream {
           .select(lit(batchId).as("batch_id"), col("w"), col("delta"))
           .write.mode("append").parquet(s"$stateDir/vocab")
       }
+      if (sign < 0) markForgetBatch(spark, stateDir, "vocab_ledger", batchId)
       spark.range(1).select(lit(batchId).as("batch_id"))
         .write.mode("append").parquet(ledgerDir)
     }
@@ -566,7 +677,9 @@ object CorpusStateStream {
     val ledgerDir = s"$stateDir/shdf_ledger"
     val seen = stateDf(spark, ledgerDir, ledgerSchema)
       .filter(col("batch_id") === batchId).limit(1).count() > 0
-    if (!seen) {
+    if (seen) {
+      requireLedgerSign(spark, stateDir, "shdf_ledger", batchId, sign)
+    } else {
       val inLog = stateDf(spark, s"$stateDir/shdf", shdfSchema)
         .filter(col("batch_id") === batchId).limit(1).count() > 0
       if (!inLog) {
@@ -579,6 +692,7 @@ object CorpusStateStream {
           .select(lit(batchId).as("batch_id"), col("h"), col("delta"))
           .write.mode("append").parquet(s"$stateDir/shdf")
       }
+      if (sign < 0) markForgetBatch(spark, stateDir, "shdf_ledger", batchId)
       spark.range(1).select(lit(batchId).as("batch_id"))
         .write.mode("append").parquet(ledgerDir)
     }

@@ -48,7 +48,11 @@ import graft.functions.TextFunctions.wsTokens
   * (set-table `langs`/`sources`/`words` with no batch_id/delta columns)
   * is NOT readable by this version — rebuild by replaying deliveries
   * (the layouts are value-equivalent under pure accumulation, so the
-  * rebuilt sheet is identical).
+  * rebuilt sheet is identical). Since r16 this is ENFORCED, not prose:
+  * a one-row `ds_format/` marker (v2) stamps every dir at first write
+  * and both write and read paths refuse a populated dir whose marker
+  * is absent or different — the old checkpoint fails loudly instead of
+  * reading set rows as zero-delta garbage.
   *
   * Identity note: `doc_id` is the state identity key (the family
   * convention) — a re-uploaded doc_id contributes its counters and df
@@ -103,8 +107,23 @@ object DatasheetStateStream {
 
   private val ledgerSchema = StructType(Seq(StructField("batch_id", LongType)))
 
+  /** Layout version of the five delta tables: v2 = the r15 df-counted
+    * langs/sources/words (v1, never stamped, was the set layout this
+    * object's own state-format note describes). Stamped at first write,
+    * checked on every write and read ([[CorpusStateStream.stampFormat]])
+    * so an old checkpoint fails LOUDLY with the rebuild instruction. */
+  private val FormatVersion = 2
+
   private def stateDf(spark: SparkSession, dir: String, s: StructType) =
     CorpusStateStream.stateDf(spark, dir, s)
+
+  private def stampFormat(spark: SparkSession, stateDir: String): Unit =
+    CorpusStateStream.stampFormat(spark, stateDir, "ds", FormatVersion,
+      "ds_ledger")
+
+  private def requireFormat(spark: SparkSession, stateDir: String): Unit =
+    CorpusStateStream.requireFormat(spark, stateDir, "ds", FormatVersion,
+      "ds_ledger")
 
   /** The five delta projections of one batch at a given sign — ONE
     * definition for the arrival fold (+1) and the forget (−1), so the
@@ -117,7 +136,15 @@ object DatasheetStateStream {
     val ledgerDir = s"$stateDir/ds_ledger"
     val seen = stateDf(spark, ledgerDir, ledgerSchema)
       .filter(col("batch_id") === batchId).limit(1).count() > 0
-    if (seen) return
+    if (seen) {
+      // sign-collision guard (advisor catch, r15): a forget reusing an
+      // arrival's batchId would skip its negative deltas here as a
+      // "replay" while the sigs swap below still executed — counters
+      // and key tables inconsistent with the signature table, silently
+      CorpusStateStream.requireLedgerSign(spark, stateDir, "ds_ledger",
+        batchId, sign)
+      return
+    }
     def missing(table: String, schema: StructType): Boolean =
       stateDf(spark, s"$stateDir/$table", schema)
         .filter(col("batch_id") === batchId).limit(1).count() == 0
@@ -157,6 +184,8 @@ object DatasheetStateStream {
       docs.select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("tok"))
         .select(col("doc_id"), xxhash64(col("tok")).as("w")).distinct()
         .select(col("w")))
+    if (sign < 0)
+      CorpusStateStream.markForgetBatch(spark, stateDir, "ds_ledger", batchId)
     spark.range(1).select(lit(batchId).as("batch_id"))
       .write.mode("append").parquet(ledgerDir)
   }
@@ -166,6 +195,7 @@ object DatasheetStateStream {
     * protocol, sigs/shingles by the corpus stream's own anti-joins). */
   def update(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    stampFormat(spark, stateDir)
     val docs = batch
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
       .localCheckpoint()
@@ -192,6 +222,7 @@ object DatasheetStateStream {
     * the identical survivor set). Run offline, stream stopped. */
   def forget(stateDir: String)(docs: DataFrame, batchId: Long): Unit = {
     val spark = docs.sparkSession
+    stampFormat(spark, stateDir)
     val scrubbed = docs
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
       .localCheckpoint()
@@ -209,10 +240,12 @@ object DatasheetStateStream {
     * the sheet's vocab_size metric; exposed so the deletion certificate
     * (q206) can file the datasheet's surviving vocabulary as its own
     * artifact row. */
-  def vocabularyState(spark: SparkSession, stateDir: String): DataFrame =
+  def vocabularyState(spark: SparkSession, stateDir: String): DataFrame = {
+    requireFormat(spark, stateDir)
     stateDf(spark, s"$stateDir/words", keyDeltaSchema(wordField))
       .groupBy(col("w")).agg(sum(col("delta")).as("n"))
       .filter(col("n") > 0)
+  }
 
   /** The q156 datasheet table served FROM state — same metrics, same
     * (metric, value) shape, same ordering; DatasheetStreamSpec pins it
@@ -225,6 +258,7 @@ object DatasheetStateStream {
     * identical signatures. */
   def datasheetFromState(spark: SparkSession, stateDir: String,
       maxBucket: Int = graft.operators.Dedup.DefaultMaxBucket): DataFrame = {
+    requireFormat(spark, stateDir)
     def one(metric: String, v: DataFrame): DataFrame =
       v.select(lit(metric).as("metric"), col(v.columns.head).cast("double")
         .as("value"))

@@ -114,4 +114,35 @@ class BoilerplateStreamSpec extends SparkSpec {
     assert(snap.filter(col("delta") < 0).isEmpty,
       "net df went negative: forget subtracted a doc that was never counted")
   }
+
+  test("pre-versioning blacklist state is refused loudly; a forget " +
+      "reusing an arrival batchId fails fast") {
+    val root = Files.createTempDirectory("graft-bpformat").toString
+    val state = s"$root/state"
+    // simulate a pre-r14 checkpoint: ledger present, no layout marker —
+    // its deltas were counted under the old within-trigger convention,
+    // so replaying into it would drift from BOTH conventions
+    spark.range(1).select(col("id").as("batch_id"))
+      .write.parquet(s"$state/bp_ledger")
+    val docs = docsSlice(col("doc_id") % 7 === 0)
+    val e1 = intercept[IllegalArgumentException] {
+      BoilerplateStateStream.update(state)(docs, 5L)
+    }
+    assert(e1.getMessage.contains("NO layout marker"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      BoilerplateStateStream.phraseTableFromState(spark, state)
+    }
+    assert(e2.getMessage.contains("NO layout marker"))
+    // a fresh dir stamps v2 and round-trips; the sign guard then
+    // refuses a forget under an arrival's committed ledger id
+    val fresh = s"$root/fresh"
+    BoilerplateStateStream.update(fresh)(docs, 0L)
+    assert(spark.read.parquet(s"$fresh/bp_format").collect()
+      .map(_.getInt(0)).toSeq == Seq(2))
+    val e3 = intercept[IllegalArgumentException] {
+      BoilerplateStateStream.forget(fresh)(docs.limit(3), 0L)
+    }
+    assert(e3.getMessage.contains("ARRIVAL") &&
+      e3.getMessage.contains("fresh batchId"), e3.getMessage)
+  }
 }

@@ -279,6 +279,22 @@ class CorpusStateStreamSpec extends SparkSpec {
     val b = CorpusStateStream.lmScoreAgainstState(fresh, docsSlice(!tombPred))
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "netted-vocab LM scores diverged from a fresh retrain over survivors")
+    // sign guard (advisor catch, r15): reusing a committed ARRIVAL id
+    // for a forget — or a committed FORGET id for an arrival — would
+    // silently skip the deltas as a "replay"; both now fail fast
+    val eF = intercept[IllegalArgumentException] {
+      CorpusStateStream.forgetVocab(stateDir)(docsSlice(tombPred), 0L)
+    }
+    assert(eF.getMessage.contains("ARRIVAL") &&
+      eF.getMessage.contains("fresh batchId"), eF.getMessage)
+    val eA = intercept[IllegalArgumentException] {
+      CorpusStateStream.updateVocab(stateDir)(docsSlice(tombPred), 2L)
+    }
+    assert(eA.getMessage.contains("FORGET"), eA.getMessage)
+    // the refused calls left the served vocabulary untouched
+    val st4 = CorpusStateStream.vocabState(spark, stateDir)
+    assert(st4.exceptAll(exp).isEmpty && exp.exceptAll(st4).isEmpty,
+      "a refused sign-collision call mutated state")
   }
 
   test("df-counted shingle state: membership == set state; forget nets; zeroed shingles leave") {

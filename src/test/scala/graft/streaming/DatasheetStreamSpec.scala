@@ -198,4 +198,84 @@ class DatasheetStreamSpec extends SparkSpec {
     assert(collectSheet(DatasheetStateStream.datasheetFromState(spark, state)) == got,
       "fold across a negative batch changed the sheet")
   }
+
+  test("a forget reusing an arrival's batchId fails fast, and vice versa " +
+      "(the sign guard); a fresh-id forget still replays clean") {
+    val root = Files.createTempDirectory("graft-dssign").toString
+    val state = s"$root/state"
+    val arrivals = docsSlice(col("doc_id") % 3 === 0)
+    DatasheetStateStream.update(state)(arrivals, 0L)
+    val tomb = docsSlice(col("doc_id") % 3 === 0)
+      .filter(graft.operators.Sampling.tombstoned(col("doc_id")))
+    assert(tomb.limit(1).count() > 0, "fixture vacuous")
+    val before = collectSheet(
+      DatasheetStateStream.datasheetFromState(spark, state))
+    // forget under the ARRIVAL's ledger id: the r15 code silently
+    // skipped the negative deltas as a "replay" yet still swapped the
+    // sigs — counters inconsistent with the signature table. Now: a
+    // hard error BEFORE any table is touched.
+    val e = intercept[IllegalArgumentException] {
+      DatasheetStateStream.forget(state)(tomb, 0L)
+    }
+    assert(e.getMessage.contains("ARRIVAL") &&
+      e.getMessage.contains("fresh batchId"), e.getMessage)
+    assert(collectSheet(
+        DatasheetStateStream.datasheetFromState(spark, state)) == before,
+      "a refused forget must leave every table untouched")
+    assert(CorpusStateStream.sigState(spark, state).count() ==
+      arrivals.count(), "a refused forget must not swap the sigs")
+    // the reverse direction: an arrival reusing a committed forget's id
+    DatasheetStateStream.forget(state)(tomb, 1L)
+    val afterForget = collectSheet(
+      DatasheetStateStream.datasheetFromState(spark, state))
+    val e2 = intercept[IllegalArgumentException] {
+      DatasheetStateStream.update(state)(arrivals, 1L)
+    }
+    assert(e2.getMessage.contains("FORGET"), e2.getMessage)
+    // a genuine same-id forget replay stays the documented no-op
+    DatasheetStateStream.forget(state)(tomb, 1L)
+    assert(collectSheet(
+        DatasheetStateStream.datasheetFromState(spark, state)) == afterForget,
+      "replayed forget changed the sheet")
+  }
+
+  test("a populated pre-versioning state dir is refused loudly by " +
+      "writes and reads; a wrong-version marker names both versions") {
+    val root = Files.createTempDirectory("graft-dsformat").toString
+    val state = s"$root/state"
+    // simulate an old checkpoint: the ledger exists, no layout marker
+    // (every vintage of the layout wrote the ledger, so it dates the
+    // state; the r14 set-table rows would otherwise read as zero-delta
+    // garbage under the df schema)
+    spark.range(1).select(col("id").as("batch_id"))
+      .write.parquet(s"$state/ds_ledger")
+    val docs = docsSlice(col("doc_id") % 7 === 0)
+    val e1 = intercept[IllegalArgumentException] {
+      DatasheetStateStream.update(state)(docs, 5L)
+    }
+    assert(e1.getMessage.contains("NO layout marker"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      DatasheetStateStream.datasheetFromState(spark, state)
+    }
+    assert(e2.getMessage.contains("NO layout marker"))
+    val e3 = intercept[IllegalArgumentException] {
+      DatasheetStateStream.vocabularyState(spark, state)
+    }
+    assert(e3.getMessage.contains("NO layout marker"))
+    // a marker from a FUTURE (or past) layout names both versions
+    spark.range(1).select(lit(7).as("version"))
+      .write.mode("overwrite").parquet(s"$state/ds_format")
+    val e4 = intercept[IllegalArgumentException] {
+      DatasheetStateStream.update(state)(docs, 5L)
+    }
+    assert(e4.getMessage.contains("layout v7") &&
+      e4.getMessage.contains("v2"), e4.getMessage)
+    // a FRESH dir stamps itself and round-trips
+    val fresh = s"$root/fresh"
+    DatasheetStateStream.update(fresh)(docs, 0L)
+    assert(spark.read.parquet(s"$fresh/ds_format").collect()
+      .map(_.getInt(0)).toSeq == Seq(2))
+    assert(collectSheet(DatasheetStateStream.datasheetFromState(spark, fresh))
+      == collectSheet(Dedup.datasetDatasheet(docs)))
+  }
 }
