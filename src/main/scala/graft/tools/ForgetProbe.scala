@@ -111,6 +111,63 @@ object ForgetProbe {
     }
     println(f"[forget] packing:   suffix repack $tPkForget%.2f s vs retokenize rebuild $tPkRebuild%.2f s (${tPkRebuild / tPkForget}%.1fx)")
 
+    // Packing, the case the mechanic was BUILT for: a recency-skewed
+    // tombstone draw (the GDPR-typical deletion of a recent subject —
+    // tombstones confined to the last ~10 % of arrival order), so the
+    // untouched prefix is ~90 % of the ledger. Then the same draw at a
+    // FIXED absolute tail against 5x and 25x ledgers: repack cost must
+    // track the SUFFIX (flat), not the ledger (25x), while the rebuild
+    // alternative re-tokenizes every survivor and scales with the
+    // corpus. Ledger replicas are id-shifted corpus copies folded as
+    // separate batches (arrival order preserved); ~1/16 of the tail's
+    // docs tombstone under the shared md5 rule.
+    def mkLedger(dir: String, copies: Int): Unit =
+      (0 until copies).foreach { i =>
+        PackingStream.update(dir)(
+          docs.select((col("doc_id") + lit(i * 100000000L)).as("doc_id"),
+            col("text")), i.toLong)
+      }
+    def totalToks(dir: String): Long =
+      PackingStream.ledgerState(spark, dir)
+        .agg(coalesce(max(col("tok_offset") + col("n_tok")), lit(0L)))
+        .collect()(0).getLong(0)
+    def recentTomb(dir: String, tailTokens: Long) =
+      PackingStream.ledgerState(spark, dir)
+        .filter(col("tok_offset") >= totalToks(dir) - tailTokens)
+        .filter(Sampling.tombstoned(col("doc_id")))
+        .select(col("doc_id")).localCheckpoint(true)
+    val pk1 = s"$root/pack_recent"
+    mkLedger(pk1, 1)
+    val tail = totalToks(pk1) / 10 // the fixed absolute tail, 10 % of 1x
+    val (_, tPk1) = timed(PackingStream.forget(spark, pk1, recentTomb(pk1, tail)))
+    val (_, tPk1Rebuild) = timed {
+      PackingStream.update(s"$root/pack_recent_rebuild")(
+        docs.join(recentTomb(pk1, tail), Seq("doc_id"), "left_anti"), 0L)
+    }
+    println(f"[forget] packing/recent: suffix repack $tPk1%.2f s (tail = 10%% of ledger) vs retokenize rebuild $tPk1Rebuild%.2f s (${tPk1Rebuild / tPk1}%.1fx)")
+    Seq(5, 25).foreach { c =>
+      val d = s"$root/pack_recent_$c"
+      mkLedger(d, c)
+      val (_, t) = timed(PackingStream.forget(spark, d, recentTomb(d, tail)))
+      val rb = if (c == 25) {
+        // the crossover comparator: the rebuild re-tokenizes EVERY
+        // survivor copy, so it scales with the ledger where the repack
+        // does not
+        val tombs = recentTomb(d, tail)
+        val (_, t2) = timed {
+          val rbDir = s"$root/pack_recent_rebuild_$c"
+          (0 until c).foreach { i =>
+            PackingStream.update(rbDir)(
+              docs.select((col("doc_id") + lit(i * 100000000L)).as("doc_id"),
+                  col("text"))
+                .join(tombs, Seq("doc_id"), "left_anti"), i.toLong)
+          }
+        }
+        f" vs retokenize rebuild $t2%.2f s (${t2 / t}%.1fx)"
+      } else ""
+      println(f"[forget] packing/recent ${c}x ledger, SAME absolute tail: repack $t%.2f s (vs 1x $tPk1%.2f s -> ${t / tPk1}%.2fx; ledger grew ${c}x)$rb")
+    }
+
     // Datasheet: negative ledger batch + sigs swap vs full refold over
     // survivors (fold amortized, as for the other additive families)
     val dsDocs = graft.Tables.documents(spark, sfDir)
