@@ -479,6 +479,61 @@ class IvfStateStreamSpec extends SparkSpec {
       "forget-then-rebalance diverged from the survivors-only rebuild")
   }
 
+  test("composed lifecycle: fold -> rebalanceUntilQuiet -> forget -> " +
+      "rebalance again keeps every read green (PQ tier present)") {
+    // the full maintenance sequence a deployment actually runs,
+    // interleaved in the documented order — each op individually
+    // crash-safe, here proven to COMPOSE: the health read, the served
+    // page, and the codes tier all stay consistent at every step
+    val emb = embSlice(lit(true))
+    val dir = Files.createTempDirectory("graft-ivf-lifecycle")
+      .toString + "/state"
+    IvfStateStream.train(emb, dir, nlist, portableMeans = true)
+    IvfStateStream.trainPq(emb, dir, m = 4, ksub = 16, portableMeans = true)
+    IvfStateStream.updatePq(dir)(emb.filter(col("vec_id") % 2 === 0), 0L)
+    IvfStateStream.updatePq(dir)(emb.filter(col("vec_id") % 2 =!= 0), 1L)
+    val n = emb.count()
+    val maxList = math.ceil(n.toDouble / (2 * nlist)).toInt // genuinely hot
+    val (_, afterLoop, passes) = IvfStateStream.rebalanceUntilQuiet(
+      spark, dir, maxList, portableMeans = true)
+    assert(passes >= 1, "fixture must actually split")
+    val tombPred = col("vec_id") % 7 === 3
+    val tomb = emb.select(col("vec_id")).filter(tombPred)
+    IvfStateStream.forget(spark, dir, tomb)
+    // a further pass at a tighter threshold — rebalance AFTER forget
+    // (the interleaving the guard makes safe: no pending exists here)
+    val maxList2 = math.max(1, maxList / 2)
+    IvfStateStream.rebalance(spark, dir, maxList2, portableMeans = true)
+    // lists: every surviving vector exactly once, no tombstones
+    val lists = IvfStateStream.listState(spark, dir)
+    assert(lists.filter(tombPred).isEmpty, "tombstones resurfaced")
+    assert(lists.count() == emb.filter(!tombPred).count(),
+      "a surviving vector was lost or duplicated across the sequence")
+    // every list cid resolves to a centroid (no orphaned assignment)
+    assert(lists.select(col("cid")).distinct()
+      .join(IvfStateStream.centroidState(spark, dir), Seq("cid"), "left_anti")
+      .isEmpty, "a list cid lost its centroid")
+    // the codes tier went through the same sequence (forget scrubbed it;
+    // rebalance never touches codes)
+    val codes = IvfStateStream.codeState(spark, dir)
+    assert(codes.filter(tombPred).isEmpty && codes.count() == 4 * lists.count(),
+      "codes tier inconsistent after the composed sequence")
+    // health serves across all generations with exact lineage flags
+    val health = IvfStateStream.splitHealthFromState(spark, dir)
+    assert(health.filter(col("from_split")).count() > 0 &&
+      health.count() == lists.select(col("cid")).distinct().count(),
+      "health read inconsistent after the composed sequence")
+    // both serving paths return full, tombstone-free pages
+    Seq(IvfStateStream.topKFromState(spark, dir, Seq(0L, 100L), k = 5),
+        IvfStateStream.adcTopKFromState(spark, dir, Seq(0L, 100L), k = 5))
+      .foreach { page =>
+        assert(page.filter(tombPred).isEmpty, "tombstone in a served page")
+        assert(page.count() == 10, "short page after the composed sequence")
+      }
+    assert(IvfStateStream.storedNlist(spark, dir) >= afterLoop,
+      "meta regressed across the sequence")
+  }
+
   test("every rebalance crash window heals on the next run") {
     val emb = embSlice(lit(true))
     val maxList = math.ceil(emb.count().toDouble / nlist).toInt
