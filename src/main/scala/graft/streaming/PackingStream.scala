@@ -53,9 +53,22 @@ object PackingStream {
 
   /** The persisted packing ledger — read through CorpusStateStream's
     * guarded state reader (empty before the first batch; a dangling
-    * compaction `.old` fails loudly instead of reading as empty). */
-  def ledgerState(spark: SparkSession, stateDir: String): DataFrame =
+    * compaction `.old` fails loudly instead of reading as empty), plus
+    * the forget-pending guard: a [[forget]] that crashed mid-apply has
+    * dropped some suffix files but not yet promoted their repacked
+    * replacement, so reading through that window would silently serve
+    * a ledger with missing rows — refuse loudly instead ([[
+    * recoverForget]] heals every window; the splitHealthFromState
+    * pattern applied to reads). */
+  def ledgerState(spark: SparkSession, stateDir: String): DataFrame = {
+    val pend = forgetPendingPath(stateDir)
+    require(!pend.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(pend),
+      s"$pend exists: a packing forget crashed between staging and " +
+      "promoting its repacked suffix — run recoverForget (or re-run " +
+      "forget) to heal before reading or folding the ledger")
     CorpusStateStream.stateDf(spark, s"$stateDir/ledger", ledgerSchema)
+  }
 
   /** Window spans derived from the ledger — q145's output shape, via
     * the SAME Sampling.windowSpans projection the batch query uses. */
@@ -107,50 +120,107 @@ object PackingStream {
     fs.delete(stageDir, true)
   }
 
+  private def forgetPendingPath(stateDir: String) =
+    new Path(s"$stateDir/ledger_forget_pending")
+
+  /** The staged-forget manifest: one `dest` row (the promote target's
+    * unique name) and one `drop` row per replaced file. Role-tagged —
+    * row order inside a parquet file is not a contract. */
+  private val manifestSchema = StructType(Seq(
+    StructField("role", StringType), StructField("name", StringType)))
+
   /** Right-to-be-forgotten EXECUTION against the packing ledger — the
     * one maintained mutable family where deletion cannot be a plain
     * anti-join (q153 prices exactly this: offsets are order-dependent,
     * so removing a document invalidates every window from its offset
-    * on). The op is therefore a bounded SUFFIX rebuild:
+    * on). The op is therefore a bounded SUFFIX rebuild, and since r16
+    * the WRITE side is suffix-bounded too, not just the compute:
     *   - the ledger PREFIX (rows strictly before the first tombstoned
-    *     doc's offset) is untouched — at 100 TB with a recent deletion
-    *     subject that is almost the whole ledger;
+    *     doc's offset) is untouched — and the prefix's FILES are now
+    *     physically retained, never rewritten (per-batch files hold
+    *     contiguous offset ranges, so whole-prefix files are identified
+    *     by their max offset; only files containing an offset >= cut
+    *     are replaced). At 100 TB with a recent deletion subject the
+    *     repack touches the tail files and leaves a year of ledger
+    *     history on disk untouched;
     *   - the suffix drops the tombstoned rows and recomputes offsets in
     *     the ledger's own concatenation order (old tok_offset — arrival
     *     order, NEVER a re-sort by doc_id), continuing from the
-    *     prefix's token total, via the same two-level prefix-sum shape
-    *     as [[graft.operators.Sampling.contextPacking]] (per-bucket
+    *     prefix's token total (= `cut`: offsets ARE the running token
+    *     sum; density is asserted on the touched boundary rather than
+    *     recomputed over the prefix, whose non-reading is the point),
+    *     via the same two-level prefix-sum shape as
+    *     [[graft.operators.Sampling.contextPacking]] (per-bucket
     *     subtotals cumulated over the tiny bucket frame, then parallel
     *     within-bucket running sums) — no global window over the
-    *     suffix;
-    *   - the result swaps in under the two-rename protocol; `batch_id`
+    *     suffix; a rewritten straddle file's sub-cut rows ride through
+    *     verbatim;
+    *   - the replacement applies under a staged-pending protocol (the
+    *     rebalance `rebal_pending/` design): the repacked single file
+    *     and a drop manifest (the names of the files it replaces) stage
+    *     under an atomic directory rename, then dropped files delete,
+    *     then the repack file renames in, then the pending dir clears.
+    *     Every window heals ([[recoverForget]] — each step idempotent)
+    *     and [[ledgerState]] refuses to read mid-window, so a crash can
+    *     never serve a ledger with silently missing rows. `batch_id`
     *     provenance rides through unchanged.
     * The repacked ledger equals the fresh pack over the survivors in
     * the original arrival order — the q145-oracle-over-survivors
     * contract q207 checks cross-engine. Re-running with the same
     * tombstones is a no-op (no tombstoned doc remains → early return).
-    * Run offline, stream stopped (the rebalance/compaction contract). */
+    * Cost: one 16-byte-column ledger pass to find the cut and classify
+    * files (the old path already paid this to find the cut), then
+    * reads and WRITES bounded by the suffix files. Run offline, stream
+    * stopped (the rebalance/compaction contract). */
   def forget(spark: SparkSession, stateDir: String,
-      tombstones: DataFrame): Unit = {
+      tombstones: DataFrame): Unit =
+    forgetImpl(spark, stateDir, tombstones, crashAfterStep = Int.MaxValue)
+
+  /** Test seam: throw after step `crashAfterStep` (1 = pending staged,
+    * 2 = dropped files deleted, 3 = repack file promoted) so the spec
+    * can prove every crash window heals. */
+  private[streaming] def forgetImpl(spark: SparkSession, stateDir: String,
+      tombstones: DataFrame, crashAfterStep: Int): Unit = {
+    def crash(step: Int): Unit =
+      if (crashAfterStep == step)
+        throw new IllegalStateException(s"injected crash after step $step")
+    recoverForget(spark, stateDir)
+    val hconf = spark.sparkContext.hadoopConfiguration
     val tomb = tombstones.select(col("doc_id")).distinct()
-      .localCheckpoint(true) // read on both sides of the swap
-    val led = ledgerState(spark, stateDir).localCheckpoint(true)
+      .localCheckpoint(true) // read once per pass below
+    val led = ledgerState(spark, stateDir)
+      .withColumn("f", input_file_name())
+      .localCheckpoint(true)
     // bounded one-row probe: the first affected offset (parquet
     // footer-stats min over the matched rows)
     val cutRow = led.join(broadcast(tomb), Seq("doc_id"))
       .agg(min(col("tok_offset"))).collect()(0)
     if (cutRow.isNullAt(0)) return // nothing to forget — replay no-op
     val cut = cutRow.getLong(0)
-    val prefix = led.filter(col("tok_offset") < cut)
-    // the ledger is dense (offsets are a running token sum), so the
-    // prefix ends exactly at `cut`; recompute it anyway so a sparse
-    // ledger (never produced today) could not silently corrupt offsets
-    val baseRow = prefix
-      .agg(coalesce(max(col("tok_offset") + col("n_tok")), lit(0L)))
-      .collect()(0)
-    val base = baseRow.getLong(0)
-    val suffix = led.filter(col("tok_offset") >= cut)
+    // file classification: a file is replaced iff it holds any row at
+    // or past the cut (per-batch files hold contiguous offset ranges;
+    // max(tok_offset), not max(tok_offset + n_tok) — a zero-token row
+    // sitting exactly at the cut must still flag its file). Bounded
+    // collect: one (path, hi) row per LEDGER FILE — compaction bounds
+    // the file count, and only paths cross the driver
+    val rewriteFiles = led.groupBy(col("f"))
+      .agg(max(col("tok_offset")).as("hi"))
+      .filter(col("hi") >= cut)
+      .select(col("f")).collect().map(_.getString(0)).sorted
+    val touched = led.filter(col("f").isin(rewriteFiles.toSeq: _*))
+    val straddle = touched.filter(col("tok_offset") < cut)
+    val suffix = touched.filter(col("tok_offset") >= cut)
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    // density assertion on the touched boundary: the suffix must start
+    // exactly at the cut (offsets are a running token sum by
+    // construction; reading the whole prefix to recompute its total —
+    // the r15 path — is exactly the I/O this path exists to avoid)
+    val boundaryRow = straddle
+      .agg(coalesce(max(col("tok_offset") + col("n_tok")), lit(-1L)),
+        count(lit(1))).collect()(0)
+    require(boundaryRow.getLong(1) == 0L || boundaryRow.getLong(0) <= cut,
+      s"ledger not dense at the cut: a straddle row ends past $cut")
+    val base = cut
     // two-level prefix sum over the suffix in arrival (old-offset) order
     val bucketTokens = 32768L
     val tok = suffix.withColumn("bkt",
@@ -171,12 +241,93 @@ object PackingStream {
           + col("bkt_off") + lit(base)).cast("bigint"))
       .select(col("doc_id"), col("n_tok"), col("new_off").as("tok_offset"),
         col("batch_id"))
-    val out = prefix.select(col("doc_id"), col("n_tok"), col("tok_offset"),
+    val out = straddle.select(col("doc_id"), col("n_tok"), col("tok_offset"),
         col("batch_id"))
       .unionAll(repacked)
-      .localCheckpoint(true) // materialize before the swap drops the source
-    CorpusStateStream.swapState(spark, s"$stateDir/ledger")(tmp =>
-      out.write.mode("overwrite").parquet(tmp))
+    // 0. stage the replacement: one repack parquet part + the manifest
+    //    (dropped basenames + the promote-destination name, chosen
+    //    UNIQUE against the current dir at stage time — a later pass
+    //    can then never collide with a prior pass's surviving file),
+    //    promoted to pending under an atomic dir rename (a half-written
+    //    pending can never be mistaken for appliable)
+    val pend = forgetPendingPath(stateDir)
+    val fs = pend.getFileSystem(hconf)
+    val ledgerDir = new Path(s"$stateDir/ledger")
+    val tmp = new Path(s"$stateDir/ledger_forget_pending.tmp")
+    fs.delete(tmp, true); fs.delete(pend, true)
+    out.coalesce(1).write.mode("overwrite").parquet(s"$tmp/repack")
+    val part = fs.listStatus(new Path(s"$tmp/repack")).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"staged repack produced no parquet part under $tmp/repack"))
+    require(fs.rename(part, new Path(tmp, "repack.parquet")),
+      s"could not flatten the staged repack part under $tmp")
+    fs.delete(new Path(s"$tmp/repack"), true)
+    val dropBasenames = rewriteFiles
+      .map(f => new Path(new java.net.URI(f)).getName)
+    val taken = fs.listStatus(ledgerDir).map(_.getPath.getName)
+      .filter(_.startsWith("forget-"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("forget-").stripSuffix(".parquet").toLong).toOption)
+    val destName = f"forget-${if (taken.isEmpty) 0L else taken.max + 1}%06d.parquet"
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+        (org.apache.spark.sql.Row("dest", destName) +:
+          dropBasenames.toSeq.map(org.apache.spark.sql.Row("drop", _))).asJava,
+        manifestSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/manifest")
+    require(fs.rename(tmp, pend), s"could not stage the forget to $pend")
+    crash(1)
+    applyPendingForget(spark, stateDir, crashAfterStep)
+  }
+
+  /** Apply a staged pending forget: drop the replaced files, promote
+    * the repacked file under its deterministic name, clear the pending
+    * dir — each step idempotent, so [[recoverForget]] re-runs it from
+    * any crash point. The repack file's name embeds the cut offset:
+    * deterministic (replays collide onto the same name, where the
+    * promote degrades to a cleanup) and unique per pass (a later forget
+    * has a different first tombstoned offset... or replays to a no-op
+    * before ever staging). */
+  private def applyPendingForget(spark: SparkSession, stateDir: String,
+      crashAfterStep: Int): Unit = {
+    def crash(step: Int): Unit =
+      if (crashAfterStep == step)
+        throw new IllegalStateException(s"injected crash after step $step")
+    val pend = forgetPendingPath(stateDir)
+    val fs = pend.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledgerDir = new Path(s"$stateDir/ledger")
+    val manifest = spark.read.schema(manifestSchema)
+      .parquet(s"$pend/manifest").collect()
+    val drops = manifest.filter(_.getString(0) == "drop").map(_.getString(1))
+    val dest = new Path(ledgerDir,
+      manifest.find(_.getString(0) == "dest")
+        .getOrElse(throw new IllegalStateException(
+          s"$pend/manifest holds no dest row"))
+        .getString(1))
+    // 1. dropped files delete (idempotent: absent files no-op)
+    drops.foreach(n => fs.delete(new Path(ledgerDir, n), false))
+    crash(2)
+    // 2. the repack file promotes (idempotent: an existing dest means a
+    //    prior attempt already promoted this very content)
+    val src = new Path(pend, "repack.parquet")
+    if (fs.exists(src) && !fs.exists(dest))
+      require(fs.rename(src, dest), s"could not promote $src to $dest")
+    crash(3)
+    // 3. the pending dir clears
+    fs.delete(pend, true)
+  }
+
+  /** Crash recovery for [[forget]] — a staged pending dir is always
+    * safe to re-apply (every step idempotent); a half-staged `.tmp` is
+    * discarded. Runs at the start of every forget; exposed for
+    * operators healing a ledger without deleting anything new. */
+  def recoverForget(spark: SparkSession, stateDir: String): Unit = {
+    val pend = forgetPendingPath(stateDir)
+    val fs = pend.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$stateDir/ledger_forget_pending.tmp"), true)
+    if (fs.exists(pend))
+      applyPendingForget(spark, stateDir, crashAfterStep = Int.MaxValue)
   }
 
   /** Start the packing stream over a directory of arriving document

@@ -136,6 +136,11 @@ object ForgetProbe {
         .filter(col("tok_offset") >= totalToks(dir) - tailTokens)
         .filter(Sampling.tombstoned(col("doc_id")))
         .select(col("doc_id")).localCheckpoint(true)
+    def ledgerFiles(dir: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/ledger")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).map(_.getPath.getName).toSeq.sorted
+    }
     val pk1 = s"$root/pack_recent"
     mkLedger(pk1, 1)
     val tail = totalToks(pk1) / 10 // the fixed absolute tail, 10 % of 1x
@@ -149,6 +154,7 @@ object ForgetProbe {
       val d = s"$root/pack_recent_$c"
       mkLedger(d, c)
       val (_, t) = timed(PackingStream.forget(spark, d, recentTomb(d, tail)))
+      val kept = ledgerFiles(d).count(_.startsWith("batch-"))
       val rb = if (c == 25) {
         // the crossover comparator: the rebuild re-tokenizes EVERY
         // survivor copy, so it scales with the ledger where the repack
@@ -165,7 +171,7 @@ object ForgetProbe {
         }
         f" vs retokenize rebuild $t2%.2f s (${t2 / t}%.1fx)"
       } else ""
-      println(f"[forget] packing/recent ${c}x ledger, SAME absolute tail: repack $t%.2f s (vs 1x $tPk1%.2f s -> ${t / tPk1}%.2fx; ledger grew ${c}x)$rb")
+      println(f"[forget] packing/recent ${c}x ledger, SAME absolute tail: repack $t%.2f s (vs 1x $tPk1%.2f s -> ${t / tPk1}%.2fx; ledger grew ${c}x; $kept/$c prefix batch files retained on disk untouched)$rb")
     }
 
     // Datasheet: negative ledger batch + sigs swap vs full refold over

@@ -161,6 +161,106 @@ class PackingStreamSpec extends SparkSpec {
     assert(PackingStream.ledgerState(spark, stateDir).count() == before.length.toLong)
   }
 
+  test("forget preserves the untouched prefix FILES; sequential forgets " +
+      "chain; every crash window heals; reads refuse mid-window") {
+    import org.apache.hadoop.fs.Path
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    def build(tag: String): String = {
+      val dir = Files.createTempDirectory(s"graft-packfiles-$tag")
+        .toString + "/state"
+      (0 until 4).foreach(i => PackingStream.update(dir)(
+        docsSlice(col("doc_id") >= i * 125 && col("doc_id") < (i + 1) * 125),
+        i.toLong))
+      dir
+    }
+    def files(dir: String): Map[String, Long] = {
+      val p = new Path(s"$dir/ledger")
+      p.getFileSystem(fsConf).listStatus(p)
+        .map(st => st.getPath.getName -> st.getLen).toMap
+    }
+    def rows(dir: String) = PackingStream.ledgerState(spark, dir)
+      .orderBy(col("tok_offset")).collect().map(_.toString).toSeq
+
+    // tombstones confined to the LAST arrival quarter — the recent-
+    // subject case the write-side bound exists for
+    val tombPred = col("doc_id") >= 375 && col("doc_id") % 9 === 4
+    val tomb = docsSlice(tombPred).select(col("doc_id"))
+    assert(tomb.limit(1).count() > 0, "fixture vacuous")
+
+    val dir = build("main")
+    val before = files(dir)
+    PackingStream.forget(spark, dir, tomb)
+    val after = files(dir)
+    // the three prefix files are PHYSICALLY retained, byte-for-byte
+    (0 until 3).foreach { i =>
+      val n = f"batch-$i%09d.parquet"
+      assert(after.get(n) == before.get(n),
+        s"prefix file $n was rewritten by a suffix-only deletion")
+    }
+    assert(!after.contains("batch-000000003.parquet"),
+      "the replaced suffix file must be dropped")
+    assert(after.contains("forget-000000.parquet"),
+      "the repacked suffix file must be promoted under its staged name")
+    // and the ledger still equals the survivors' fresh pack
+    val want = Sampling.contextPacking(
+      Tables.documents(spark, sf0001).filter(!tombPred),
+      windowTokens = 512, bucketDocs = 64)
+      .select(col("doc_id"), col("n_tok"), col("tok_offset"))
+    val led = PackingStream.ledgerState(spark, dir)
+      .select(col("doc_id"), col("n_tok"), col("tok_offset"))
+    assert(led.exceptAll(want).isEmpty && want.exceptAll(led).isEmpty,
+      "file-preserving repack diverged from the survivors' fresh pack")
+
+    // a SECOND forget (tombstones also in the tail) replaces the first
+    // pass's forget file under the next sequential name — no collision
+    // with the surviving forget-000000
+    val tomb2Pred = col("doc_id") >= 375 && col("doc_id") % 9 === 5
+    PackingStream.forget(spark, dir,
+      docsSlice(tomb2Pred).select(col("doc_id")))
+    val after2 = files(dir)
+    assert(!after2.contains("forget-000000.parquet") &&
+      after2.contains("forget-000001.parquet"),
+      s"sequential forget naming broke: ${after2.keys.toSeq.sorted}")
+    val led2 = PackingStream.ledgerState(spark, dir)
+      .select(col("doc_id"), col("n_tok"), col("tok_offset"))
+    val want2 = Sampling.contextPacking(
+      Tables.documents(spark, sf0001).filter(!tombPred && !tomb2Pred),
+      windowTokens = 512, bucketDocs = 64)
+      .select(col("doc_id"), col("n_tok"), col("tok_offset"))
+    assert(led2.exceptAll(want2).isEmpty && want2.exceptAll(led2).isEmpty,
+      "second sequential forget diverged")
+
+    // crash windows: 1 = staged, 2 = drops done, 3 = repack promoted.
+    // Each leaves the pending dir; reads refuse; recovery (or the next
+    // forget) heals to the uncrashed result with the prefix intact.
+    val ref = build("ref")
+    PackingStream.forget(spark, ref, tomb)
+    val wantRows = rows(ref)
+    Seq(1, 2, 3).foreach { step =>
+      val d = build(s"c$step")
+      val e = intercept[IllegalStateException] {
+        PackingStream.forgetImpl(spark, d, tomb, crashAfterStep = step)
+      }
+      assert(e.getMessage.contains("injected crash"))
+      val r = intercept[IllegalArgumentException] {
+        PackingStream.ledgerState(spark, d)
+      }
+      assert(r.getMessage.contains("ledger_forget_pending"),
+        s"window $step: reads must refuse mid-forget")
+      val w = intercept[IllegalArgumentException] {
+        PackingStream.windows(spark, d)
+      }
+      assert(w.getMessage.contains("ledger_forget_pending"))
+      PackingStream.recoverForget(spark, d)
+      assert(rows(d) == wantRows, s"crash window $step did not heal")
+      (0 until 3).foreach { i =>
+        val n = f"batch-$i%09d.parquet"
+        assert(files(d).get(n) == files(ref).get(n),
+          s"window $step: prefix file $n not retained through recovery")
+      }
+    }
+  }
+
   test("at-least-once within one batch: duplicate doc rows assign once") {
     val root = Files.createTempDirectory("graft-packing3").toString
     val stateDir = s"$root/state"
