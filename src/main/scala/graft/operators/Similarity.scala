@@ -599,6 +599,194 @@ object Similarity {
         col("rrf_score"), col("n_rankers"))
   }
 
+  /** BM25 lexical top-k, query-by-example — the retrieval family's
+    * missing LEXICAL leg (the registry serves dense exact/ANN/IVF/PQ
+    * search and RRF fusion; production hybrid search fuses those with
+    * a keyword ranker, and BM25 is the standard one): for each query
+    * document, every OTHER document scored by Robertson/Spärck-Jones
+    * BM25 over the query's terms (k1 = 1.2, b = 0.75), top-k by score.
+    *
+    * Determinism is the q103 integer-micro-nat playbook extended to
+    * BM25's per-term fraction: tf/df/dl are exact integers, idf
+    * quantizes to integer micro-nats ONCE per term, each per-term
+    * contribution is a fixed-shape IEEE expression rounded at 9 dp
+    * then floor-quantized to integer micro-units (the q146 recipe —
+    * absorbs ulp before the quantize), and the per-(query, doc) score
+    * is an exact INTEGER sum, so ranking (ties to the smaller doc_id)
+    * replays identically cross-engine.
+    *
+    * Scale: one tokenize pass builds the (doc, term, tf) postings; df
+    * and avgdl fold map-side at |vocab| / 1-row keys; the query side is
+    * a bounded term set (|queries| documents) BROADCAST onto the
+    * postings stream, so candidate scoring touches only postings whose
+    * term appears in some query — never the full cross product — and
+    * the top-k window sees |queries| partitions. At 100 TB the postings
+    * and df tables are the maintained inverted index (the q186
+    * serve-from-state pattern); this batch form is the oracle
+    * semantics an incremental index must reproduce. */
+  def bm25TopK(docs: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // the postings frame feeds FOUR consumers (candidates, df, doclen,
+    // query terms) — materialize the tokenize pass ONCE (the q143
+    // one-derivation convention; without this the corpus re-tokenizes
+    // per consumer, 6 scans in the executed plan)
+    val dt = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.wsTokens(lower(col("text"))))
+          .as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val stats = dt.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // N counts ALL documents (a token-less doc affects idf's N but can
+    // never score) — a metadata-only count-star scan
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    val avgRow = stats.agg(
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    // qt and idf both derive from dt — rename their keys so the joins
+    // below are never ambiguous self-joins
+    val idf = dt.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nRow))
+      .select(col("w").as("iw"),
+        floor(log((col("n").cast("double") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)) * lit(1e6))
+          .cast("bigint").as("lnq"))
+    val qt = dt.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("query_id"), col("w").as("qw"))
+    val term = (col("lnq") * lit(1e-6)) *
+      (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = dt.join(broadcast(qt),
+        col("w") === col("qw") && col("doc_id") =!= col("query_id"))
+      .join(stats, "doc_id")
+      .crossJoin(broadcast(avgRow))
+      .join(idf, col("w") === col("iw"))
+      .select(col("query_id"), col("doc_id"),
+        floor(round(term, 9) * lit(1e6)).cast("bigint").as("tm"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tm")).as("s"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"),
+        (col("s") * lit(1e-6)).as("bm25"), col("rn"))
+  }
+
+  /** The BM25 chain as DuckDB CTEs, `prefix`-namespaced — shared by
+    * q215 (standalone page) and q216 (the lexical leg of the hybrid
+    * fusion), so the two oracles can never drift apart. */
+  private def bm25Ctes(k: Int, prefix: String = ""): String = {
+    val p = prefix
+    s"""${p}tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |  FROM documents),
+       |${p}dt AS (
+       |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       |  FROM ${p}tok GROUP BY doc_id, w),
+       |${p}stats AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |  FROM ${p}dt GROUP BY doc_id),
+       |${p}nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |${p}ad AS (
+       |  SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM ${p}stats),
+       |${p}idf AS (
+       |  SELECT w, CAST(floor(ln((CAST(nn.n AS DOUBLE) - df + 0.5)
+       |      / (df + 0.5) + 1) * 1e6) AS BIGINT) AS lnq
+       |  FROM (SELECT w, CAST(count(*) AS BIGINT) AS df
+       |        FROM ${p}dt GROUP BY w), ${p}nn),
+       |${p}qt AS (
+       |  SELECT doc_id AS query_id, w FROM ${p}dt
+       |  WHERE doc_id IN (0, 100, 200)),
+       |${p}sc AS (
+       |  SELECT query_id, doc_id, CAST(sum(tm) AS BIGINT) AS s FROM (
+       |    SELECT q.query_id, d.doc_id,
+       |      CAST(floor(round((i.lnq * 1e-6) * (d.tf * 2.2)
+       |        / (d.tf + 1.2 * (1 - 0.75 + 0.75 * st.dl / ${p}ad.avgdl)),
+       |        9) * 1e6) AS BIGINT) AS tm
+       |    FROM ${p}qt q JOIN ${p}dt d ON d.w = q.w AND d.doc_id <> q.query_id
+       |    JOIN ${p}stats st ON st.doc_id = d.doc_id
+       |    JOIN ${p}idf i ON i.w = q.w, ${p}ad) t
+       |  GROUP BY query_id, doc_id),
+       |${p}page AS (
+       |  SELECT query_id, doc_id, s, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY s DESC, doc_id) AS rn
+       |    FROM ${p}sc) t
+       |  WHERE rn <= $k)""".stripMargin
+  }
+
+  private def q215OracleSql: String =
+    s"""WITH ${bm25Ctes(10)}
+       |SELECT query_id, doc_id, s * 1e-6 AS bm25, CAST(rn AS INT) AS rn
+       |FROM page ORDER BY query_id, rn""".stripMargin
+
+  /** Hybrid search: RRF-fuse the lexical (BM25, [[bm25TopK]]) and dense
+    * (exact cosine, q36's [[bruteForceTopK]]) pages for the same
+    * query-by-example ids — the production hybrid-retrieval shape RRF
+    * exists for (incommensurable scores, ranks fused; the q137 combiner
+    * with the lexical leg it was named after). Candidate sets differ by
+    * design (a lexical hit needs a shared term, a dense hit an
+    * embedding); n_rankers marks docs only one leg surfaced. Scale:
+    * both input pages are bounded (top-N per query); fusion is one
+    * union + one (query, doc) aggregate + one bounded window. */
+  def hybridRrfTopK(docs: DataFrame, embeddings: DataFrame,
+      queryIds: Seq[Long], k: Int = 10, fromN: Int = 10, c: Int = 60,
+      corpusKey: Option[String] = None): DataFrame = {
+    val lex = bm25TopK(docs, queryIds, fromN)
+      .select(col("query_id"), col("doc_id"), col("rn"), lit("lex").as("src"))
+    val den = bruteForceTopK(embeddings, queryIds, fromN,
+        corpusKey = corpusKey)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rn"),
+        lit("den").as("src"))
+    val fused = lex.union(den)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        (coalesce(max(when(col("src") === "lex",
+            lit(1.0d) / (lit(c.toDouble) + col("rn")))), lit(0.0d)) +
+          coalesce(max(when(col("src") === "den",
+            lit(1.0d) / (lit(c.toDouble) + col("rn")))), lit(0.0d)))
+          .as("rrf_score"),
+        count(lit(1)).cast("int").as("n_rankers"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_score"), col("n_rankers"))
+  }
+
+  private def q216OracleSql: String =
+    s"""WITH ${bm25Ctes(10)},
+       |den AS (
+       |  SELECT query_id, vec_id, rn FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosineSql("e.embedding", "q.embedding")} DESC,
+       |          e.vec_id) AS rn
+       |    FROM embeddings e
+       |    JOIN embeddings q ON q.vec_id IN (0, 100, 200)
+       |      AND e.vec_id <> q.vec_id) t
+       |  WHERE rn <= 10),
+       |u AS (
+       |  SELECT query_id, doc_id, rn, 'lex' AS src FROM page
+       |  UNION ALL
+       |  SELECT query_id, vec_id AS doc_id, rn, 'den' AS src FROM den),
+       |f AS (
+       |  SELECT query_id, doc_id,
+       |    coalesce(max(CASE WHEN src = 'lex' THEN 1.0 / (60 + rn) END), 0)
+       |      + coalesce(max(CASE WHEN src = 'den' THEN 1.0 / (60 + rn) END), 0)
+       |      AS rrf_score,
+       |    CAST(count(*) AS INT) AS n_rankers
+       |  FROM u GROUP BY query_id, doc_id)
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_score, n_rankers
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_score DESC, doc_id) AS rank
+       |  FROM f) t
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Int8 quantization: per-vector scale = max|v|/127, q_i = round-half-up
     * of v_i/scale. `out` holds integer-VALUED doubles so dot products stay
     * EXACT (|q_i| <= 127 → |dot| <= 127²·dim « 2^53): the whole quantized
@@ -2734,6 +2922,24 @@ object Similarity {
       (s, d) =>
         graft.streaming.CentroidStateStream.driftMatrixFromState(s,
           servedForgottenCentroidDir(s, d))
+    },
+
+    Q("q215_bm25_keyword_topk", q215OracleSql,
+      "BM25 lexical top-10, query-by-example — the retrieval family's missing LEXICAL leg (the registry serves dense exact/ANN/IVF/PQ search and rank fusion; production hybrid search fuses those with a keyword ranker, and Robertson/Sparck-Jones BM25 with k1=1.2, b=0.75 is the standard one): for each of the three query documents, every other document scored over the query's terms, ranked by score with ties to the smaller doc_id. Determinism is the q103 integer-micro-nat playbook extended to BM25's per-term fraction: tf/df/doclen are exact integers, idf = ln((N-df+0.5)/(df+0.5)+1) quantizes to integer micro-nats once per term, each per-term contribution is a fixed-shape IEEE expression rounded at 9 dp then floor-quantized to micro-units (the q146 ulp-absorption recipe), and the per-(query, doc) score is an exact INTEGER sum — so the page replays bit-identically cross-engine, which the oracle (the same chain in DuckDB) checks every round. Scale: one tokenize pass builds the (doc, term, tf) postings, df/avgdl fold map-side at |vocab|/1-row keys, the bounded query-term set BROADCASTS onto the postings stream (only postings sharing a query term ever score — never a cross product), and the top-k window sees |queries| partitions. At 100 TB the postings/df tables are the maintained inverted index (the q186 serve-from-state pattern); this batch form is the oracle semantics an incremental index must reproduce.") {
+      (s, d) =>
+        bm25TopK(Tables.documents(s, d).select(col("doc_id"), col("text")),
+            QueryIds, k = 10)
+          .orderBy(col("query_id"), col("rn"))
+    },
+
+    Q("q216_hybrid_rrf_search", q216OracleSql,
+      "HYBRID search: the lexical (q215 BM25) and dense (q36 exact-cosine) top-10 pages for the same query-by-example ids fused by reciprocal-rank fusion (Cormack et al. 2009, c=60) — the production hybrid-retrieval shape RRF exists for, now actually exercised with the incommensurable pair it was designed around (a BM25 score and a cosine share no scale; their RANKS fuse cleanly), completing the q137 combiner whose scaladoc names 'BM25 + dense' as the motivating case. Candidate sets differ by design — a lexical hit needs a shared term, a dense hit an embedding — so n_rankers marks documents only one leg surfaced, exactly the disagreement signal a hybrid deployment monitors. Determinism: both legs' ranks are exact ints (q215's integer scores, q36's round-6 cosines with doc_id ties), each fused score sums at most two 1/(60+r) doubles in a FIXED order (lex term then dense term), ties on (score DESC, doc_id). The oracle composes both legs' proven chains with the fusion, so the hash gate re-checks lexical scoring, dense scoring, AND the fusion arithmetic in one artifact. Scale: both input pages are bounded (top-10 per query); the fusion is one union + one (query, doc)-key aggregate + one bounded window — cost is the page, never the corpus.") {
+      (s, d) =>
+        hybridRrfTopK(
+            Tables.documents(s, d).select(col("doc_id"), col("text")),
+            Tables.embeddings(s, d), QueryIds, k = 10, fromN = 10,
+            corpusKey = embKey(d))
+          .orderBy(col("query_id"), col("rank"))
     },
   )
 

@@ -407,6 +407,21 @@ class PlanSpec extends SparkSpec {
       "q212 must not rescan the documents table:\n" + dsf.take(800))
     assert(!dsf.contains("md5"),
       "q212 must not re-apply the tombstone rule at read time")
+    // q215/q216: lexical + hybrid retrieval — the postings tokenize
+    // pass is checkpointed and runs ONCE (without it the corpus
+    // re-tokenizes per consumer: 6 scans), the bounded query-term set
+    // broadcasts, nothing goes cartesian
+    val bm = planString("q215_bm25_keyword_topk")
+    assert(!bm.contains("CartesianProduct"),
+      "q215 must not plan a cartesian product:\n" + bm.take(800))
+    assert(occurrences(bm, "documents.parquet") <= 1,
+      "q215 must tokenize the corpus once (postings checkpointed): " +
+        occurrences(bm, "documents.parquet"))
+    assert(bm.contains("BroadcastExchange"),
+      "q215's query-term set must broadcast onto the postings")
+    val hy = planString("q216_hybrid_rrf_search")
+    assert(!hy.contains("CartesianProduct"),
+      "q216 must not plan a cartesian product:\n" + hy.take(800))
     // q213: the forgotten drift matrix aggregates the netted state
     // sums — no embeddings rescan, no read-time tombstone
     val cdf = planString("q213_forgotten_drift_state_served")

@@ -332,4 +332,71 @@ class SimilaritySpec extends SparkSpec {
     assert(st.map(r => (r.getInt(0), r.getLong(1))).toMap == sd,
       "ivfListStats and semanticDedup disagree on the list partition")
   }
+
+  test("bm25: hand-computed fixture scores; hybrid fusion = checkable sum of both legs") {
+    val spark0 = spark
+    import spark0.implicits._
+    // tiny corpus with a hand-checkable geometry: query doc 0 shares
+    // "apple" with docs 1 and 2 (doc 1 twice -> higher tf) and "pear"
+    // with doc 2; doc 3 shares nothing and must never surface
+    val docs = Seq(
+      (0L, "apple pear"),
+      (1L, "apple apple banana"),
+      (2L, "apple pear plum"),
+      (3L, "cherry cherry cherry")
+    ).toDF("doc_id", "text")
+    val page = Similarity.bm25TopK(docs, Seq(0L), k = 10)
+      .orderBy(col("rn")).collect()
+    assert(page.map(_.getLong(1)).toSeq == Seq(2L, 1L),
+      s"doc 2 (two shared terms incl. rarer pear) must outrank doc 1; " +
+      s"doc 3 (no shared term) must be absent: ${page.mkString(",")}")
+    // hand recompute doc 1's score: N=4, df(apple)=3, dl=3, avgdl=11/4
+    def idfMicros(n: Long, df: Long): Long =
+      math.floor(math.log((n - df + 0.5) / (df + 0.5) + 1) * 1e6).toLong
+    def termMicros(lnq: Long, tf: Long, dl: Long, avgdl: Double): Long = {
+      val t = (lnq * 1e-6) * (tf * 2.2) /
+        (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+      math.floor(BigDecimal(t).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6).toLong
+    }
+    val avgdl = 11.0 / 4.0
+    val wantDoc1 = termMicros(idfMicros(4, 3), 2, 3, avgdl) * 1e-6
+    val gotDoc1 = page.find(_.getLong(1) == 1L).get.getDouble(2)
+    assert(math.abs(gotDoc1 - wantDoc1) < 1e-12,
+      s"doc 1 bm25: got $gotDoc1 want $wantDoc1")
+    val wantDoc2 = (termMicros(idfMicros(4, 3), 1, 3, avgdl)
+      + termMicros(idfMicros(4, 2), 1, 3, avgdl)) * 1e-6
+    val gotDoc2 = page.find(_.getLong(1) == 2L).get.getDouble(2)
+    assert(math.abs(gotDoc2 - wantDoc2) < 1e-12,
+      s"doc 2 bm25: got $gotDoc2 want $wantDoc2")
+
+    // hybrid fusion over the real corpus: every fused score must be the
+    // exact sum of its legs' reciprocal ranks, and a doc surfaced by
+    // both legs must carry n_rankers = 2
+    val corpus = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val ids = Seq(0L, 100L, 200L)
+    val lex = Similarity.bm25TopK(corpus, ids, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val den = Similarity.bruteForceTopK(emb, ids, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val fused = Similarity.hybridRrfTopK(corpus, emb, ids, k = 10,
+      fromN = 10).collect()
+    assert(fused.groupBy(_.getLong(0)).forall(_._2.map(_.getInt(1)).sorted
+      .sameElements(1 to 10)), "each query must carry ranks 1..10")
+    fused.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      val expected =
+        lex.get(key).map(rn => 1.0 / (60.0 + rn)).getOrElse(0.0) +
+        den.get(key).map(rn => 1.0 / (60.0 + rn)).getOrElse(0.0)
+      assert(r.getDouble(3) == expected, s"hybrid score mismatch for $key")
+      val nr = Seq(lex.contains(key), den.contains(key)).count(identity)
+      assert(r.getInt(4) == nr, s"n_rankers mismatch for $key")
+    }
+    // the fixture must exercise genuine hybridity: some doc fused from
+    // both legs somewhere, and some from exactly one
+    val nrs = fused.map(_.getInt(4)).toSet
+    assert(nrs.contains(1), "no single-leg doc — fixture vacuous")
+  }
 }
