@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Q
 
 /** The deletion CERTIFICATE — the compliance artifact the whole
-  * q199–q213 family exists to produce: after right-to-be-forgotten has
+  * q199–q218 family exists to produce: after right-to-be-forgotten has
   * executed against every maintained state layout, one table stating
   * the surviving population of each artifact, verified cross-engine
   * against an INDEPENDENT recomputation from the raw corpus with the
@@ -20,8 +20,8 @@ import graft.Q
   * delete" on faith — it takes evidence that what remains is EXACTLY
   * the survivors, which is a stronger claim than "no tombstoned key
   * remains" (that alone would pass if the forget had also eaten
-  * innocent rows). Every leg reads a forgotten-state dir the q199–q213
-  * builders already memoized, so the certificate costs sixteen bounded
+  * innocent rows). Every leg reads a forgotten-state dir the q199–q218
+  * builders already memoized, so the certificate costs eighteen bounded
   * state aggregates — the corpus is never rescanned at read time.
   *
   * Hash-domain note: the vocabulary, datasheet-vocabulary and shingle
@@ -56,6 +56,11 @@ object Forget {
        |  SELECT unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
        |    for i in range(1, len(w) - 1)])) AS sh
        |  FROM (SELECT string_split_regex(trim(text), '\\s+') AS w FROM strain)),
+       |lw AS (
+       |  SELECT DISTINCT doc_id, w FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |    FROM sdocs) t),
        |vw AS (
        |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
        |  FROM sdocs),
@@ -94,6 +99,8 @@ object Forget {
        |      + (SELECT count(*) FROM fp)
        |  UNION ALL SELECT 'ivf_codes', 4 * (SELECT count(*) FROM semb)
        |  UNION ALL SELECT 'ivf_lists', (SELECT count(*) FROM semb)
+       |  UNION ALL SELECT 'lex_postings', (SELECT count(*) FROM lw)
+       |  UNION ALL SELECT 'lexdocs', (SELECT count(*) FROM sdocs)
        |  UNION ALL SELECT 'lsh_sigs', (SELECT count(*) FROM semb)
        |  UNION ALL SELECT 'packing_ledger_docs', (SELECT count(*) FROM sdocs)
        |  UNION ALL SELECT 'retention_weeks', (SELECT count(*) FROM
@@ -107,7 +114,7 @@ object Forget {
 
   val queries: Seq[Q] = Seq(
     Q("q206_deletion_certificate", q206OracleSql,
-      "The deletion CERTIFICATE — what a compliance review actually files after a right-to-be-forgotten execution: one table, per maintained artifact, of the SURVIVING population, hash-verified against an independent cross-engine recomputation from the raw corpus with the tombstone rule applied (q80's shingle chain, q103's tokenizer, q72's funnel cascade, q185's doubled asset fixture). This is deliberately stronger than 'no tombstoned key remains' — that weaker check would pass a forget that also ate innocent rows; matching the exact survivor counts proves the deletion touched precisely its subjects across all sixteen artifacts at once — including the packing ledger, whose deletion is the bounded suffix repack (q207), the one non-anti-join mechanic in the family — closing the q199-q213 family with the artifact a regulator reads. Every leg is a bounded aggregate over a forgotten-state dir the family's builders already memoized (states are built + forgotten once per session; the certificate re-reads them), so the read costs sixteen state scans and the corpus is never rescanned. Hash-domain legs (vocab, datasheet vocab, shingles) count distinct 64-bit keys vs the oracle's distinct strings — the family's documented injectivity convention, policed by this gate; vocab_terms and datasheet_vocab certify the same truth from two independent artifacts in two hash domains, a free cross-artifact consistency check. Scale: at 100 TB the certificate is sixteen index-read aggregates over fixed-width state rows — the audit is as cheap as the deletion, which is the operational requirement for running it after EVERY deletion batch, not just at year-end.") {
+      "The deletion CERTIFICATE — what a compliance review actually files after a right-to-be-forgotten execution: one table, per maintained artifact, of the SURVIVING population, hash-verified against an independent cross-engine recomputation from the raw corpus with the tombstone rule applied (q80's shingle chain, q103's tokenizer, q72's funnel cascade, q185's doubled asset fixture). This is deliberately stronger than 'no tombstoned key remains' — that weaker check would pass a forget that also ate innocent rows; matching the exact survivor counts proves the deletion touched precisely its subjects across all eighteen artifacts at once — including the packing ledger, whose deletion is the bounded suffix repack (q207), the one non-anti-join mechanic in the family — closing the q199-q218 family with the artifact a regulator reads. Every leg is a bounded aggregate over a forgotten-state dir the family's builders already memoized (states are built + forgotten once per session; the certificate re-reads them), so the read costs eighteen state scans and the corpus is never rescanned. Hash-domain legs (vocab, datasheet vocab, shingles) count distinct 64-bit keys vs the oracle's distinct strings — the family's documented injectivity convention, policed by this gate; vocab_terms and datasheet_vocab certify the same truth from two independent artifacts in two hash domains, a free cross-artifact consistency check. Scale: at 100 TB the certificate is eighteen index-read aggregates over fixed-width state rows — the audit is as cheap as the deletion, which is the operational requirement for running it after EVERY deletion batch, not just at year-end.") {
       (s, d) => {
         def leg(name: String, src: DataFrame, n: Column): DataFrame =
           src.agg(n.cast("bigint").as("n_rows"))
@@ -139,6 +146,13 @@ object Forget {
             .codeState(s, Similarity.servedForgottenIvfDir(s, d)), rows))
           .unionAll(leg("ivf_lists", graft.streaming.IvfStateStream
             .listState(s, Similarity.servedForgottenIvfDir(s, d)), rows))
+          // the inverted index files BOTH its tables: surviving raw-term
+          // postings (exact distinct (doc, term) pairs — no hash domain)
+          // and the registry BM25's N reads from
+          .unionAll(leg("lex_postings", graft.streaming.LexicalStateStream
+            .postingsState(s, Similarity.servedForgottenLexicalDir(s, d)), rows))
+          .unionAll(leg("lexdocs", graft.streaming.LexicalStateStream
+            .lexdocsState(s, Similarity.servedForgottenLexicalDir(s, d)), rows))
           .unionAll(leg("lsh_sigs", graft.streaming.LshStateStream
             .sigState(s, Similarity.servedForgottenLshDir(s, d)), rows))
           .unionAll(leg("packing_ledger_docs", graft.streaming.PackingStream

@@ -630,16 +630,33 @@ object Similarity {
     // query terms) — materialize the tokenize pass ONCE (the q143
     // one-derivation convention; without this the corpus re-tokenizes
     // per consumer, 6 scans in the executed plan)
-    val dt = docs.select(col("doc_id"),
+    val dt = bm25Postings(docs).localCheckpoint()
+    // N counts ALL documents (a token-less doc affects idf's N but can
+    // never score) — a metadata-only count-star scan
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    bm25FromPostings(dt, nRow, queryIds, k, k1, b)
+  }
+
+  /** The (doc_id, w, tf) postings derivation — ONE tokenizer
+    * definition shared by the batch operator and the maintained
+    * inverted index ([[graft.streaming.LexicalStateStream]]), so a
+    * state-served page can never drift from its batch twin. */
+  private[graft] def bm25Postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         explode(graft.functions.TextFunctions.wsTokens(lower(col("text"))))
           .as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+
+  /** BM25 scoring over an ALREADY-DERIVED postings frame — the single
+    * scorer behind [[bm25TopK]] (postings from one tokenize pass) and
+    * the served read (postings from the persisted inverted index).
+    * `nRow` is a 1-row (n) frame counting ALL corpus documents,
+    * token-less ones included (they shift idf's N but never score). */
+  private[graft] def bm25FromPostings(dt: DataFrame, nRow: DataFrame,
+      queryIds: Seq[Long], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val stats = dt.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    // N counts ALL documents (a token-less doc affects idf's N but can
-    // never score) — a metadata-only count-star scan
-    val nRow = docs.agg(count(lit(1)).as("n"))
     val avgRow = stats.agg(
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
         .as("avgdl"))
@@ -676,18 +693,19 @@ object Similarity {
   /** The BM25 chain as DuckDB CTEs, `prefix`-namespaced — shared by
     * q215 (standalone page) and q216 (the lexical leg of the hybrid
     * fusion), so the two oracles can never drift apart. */
-  private def bm25Ctes(k: Int, prefix: String = ""): String = {
+  private def bm25Ctes(k: Int, prefix: String = "",
+      docsRel: String = "documents"): String = {
     val p = prefix
     s"""${p}tok AS (
        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-       |  FROM documents),
+       |  FROM $docsRel),
        |${p}dt AS (
        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
        |  FROM ${p}tok GROUP BY doc_id, w),
        |${p}stats AS (
        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
        |  FROM ${p}dt GROUP BY doc_id),
-       |${p}nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |${p}nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $docsRel),
        |${p}ad AS (
        |  SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
        |  FROM ${p}stats),
@@ -2941,7 +2959,71 @@ object Similarity {
             corpusKey = embKey(d))
           .orderBy(col("query_id"), col("rank"))
     },
+
+    Q("q217_bm25_state_served", q215OracleSql,
+      "q215's BM25 page served FROM the MAINTAINED inverted index — the lexical sibling of the q182/q189 served searches, and the shape that makes keyword search affordable at 100 TB: production tokenizes each document ONCE at ingest (LexicalStateStream.update — per-table anti-join-idempotent appends of raw-term postings and the document registry, exercised here in two parity waves plus a replayed wave so the no-op path runs against real state) and every query reads persisted postings with pushdown; the batch q215 re-tokenizes the corpus per invocation, which is the right shape for one ad-hoc query and exactly the wrong one for a search service. The scorer is Similarity.bm25FromPostings and the ingest tokenizer Similarity.bm25Postings — the batch operator's own stages, so the oracle is q215's SQL VERBATIM and a hash match proves end-to-end that searching the incrementally-built index equals a full-corpus recompute: tokenization, df/N/avgdl, integer micro-nat idf, quantized per-term sums, ranks. N comes from the registry table (token-less documents shift idf but hold no postings — deriving N from postings would drift). Scale: the read touches postings matching the bounded query-term set (pushdown; bucket by term at deployment scale), the |vocab|-key df aggregate, and two 1-row stats — the corpus text is never rescanned.") {
+      (s, d) =>
+        graft.streaming.LexicalStateStream.bm25FromState(s,
+            servedLexicalStateDir(s, d), QueryIds, k = 10)
+          .orderBy(col("query_id"), col("rn"))
+    },
+
+    Q("q218_forgotten_bm25_state_served", q218OracleSql,
+      "q217's served keyword search AFTER a right-to-be-forgotten pass over the inverted index — the deletion leg that makes the retrieval family's GDPR story complete across BOTH modalities (q199/q202 delete from the vector indexes; this deletes from the lexical one), and the layout where erasure is TOTAL with zero netting: postings and registry are keyed 1:1 by doc_id with no trained model attached, so LexicalStateStream.forget is two broadcast anti-joins under the two-rename swap — and because df, N and avgdl are DERIVED from survivors at read time (never materialized), every per-term idf and every score automatically becomes the survivors-only value: a deleted document can neither match a query term nor shift any other document's score, which is a STRONGER erasure than the vector indexes need (a quantizer keeps aggregate influence; an inverted index keeps none). The oracle is q215's chain over the tombstone-survivor document relation (the shared md5-bucket rule, query ids provably surviving), so the hash gate proves the served page equals an independent engine's full recompute over exactly the surviving corpus — df shifts included. A replayed forget re-proves idempotence under the gate. Scale: deletion cost is two pushdown anti-joins over state; the read keeps q217's cost model over a smaller index.") {
+      (s, d) =>
+        graft.streaming.LexicalStateStream.bm25FromState(s,
+            servedForgottenLexicalDir(s, d), QueryIds, k = 10)
+          .orderBy(col("query_id"), col("rn"))
+    },
   )
+
+  private def q218OracleSql: String =
+    s"""WITH ${bm25Ctes(10, docsRel = "(SELECT * FROM documents WHERE " +
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '" +
+        Sampling.TombstoneHex + "')")}
+       |SELECT query_id, doc_id, s * 1e-6 AS bm25, CAST(rn AS INT) AS rn
+       |FROM page ORDER BY query_id, rn""".stripMargin
+
+  /** Build-once on-disk inverted index for q217: two doc_id-parity
+    * waves plus a replayed wave through LexicalStateStream.update (the
+    * servedLshStateDir protocol). Memoized per (session, corpus);
+    * protectNew = false (the q181 contract). */
+  private def servedLexicalStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"lexstate|$d/documents.parquet",
+        protectNew = false) {
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_lex_state").toString)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val wave1 = docs.filter(col("doc_id") % 2 =!= 0)
+      graft.streaming.LexicalStateStream.update(dir)(
+        docs.filter(col("doc_id") % 2 === 0), 0L)
+      graft.streaming.LexicalStateStream.update(dir)(wave1, 1L)
+      graft.streaming.LexicalStateStream.update(dir)(wave1, 1L) // replay no-op
+      dir
+    }
+
+  /** Build-once FORGOTTEN inverted index for q218 (and q206's postings
+    * leg): the q217 build, then LexicalStateStream.forget with the
+    * shared tombstone rule, plus a replayed forget — re-deleting absent
+    * keys must be a state no-op. */
+  private[operators] def servedForgottenLexicalDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"lexforget|$d/documents.parquet",
+        protectNew = false) {
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_lexforget_state").toString)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.streaming.LexicalStateStream.update(dir)(
+        docs.filter(col("doc_id") % 2 === 0), 0L)
+      graft.streaming.LexicalStateStream.update(dir)(
+        docs.filter(col("doc_id") % 2 =!= 0), 1L)
+      val tomb = docs.select(col("doc_id"))
+        .filter(Sampling.tombstoned(col("doc_id")))
+      graft.streaming.LexicalStateStream.forget(s, dir, tomb)
+      graft.streaming.LexicalStateStream.forget(s, dir, tomb) // replay no-op
+      dir
+    }
 
   /** Build-once FORGOTTEN LSH index for q202: the servedLshStateDir
     * protocol (two parity waves + a replayed wave), then

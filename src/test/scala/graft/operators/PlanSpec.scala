@@ -422,6 +422,21 @@ class PlanSpec extends SparkSpec {
     val hy = planString("q216_hybrid_rrf_search")
     assert(!hy.contains("CartesianProduct"),
       "q216 must not plan a cartesian product:\n" + hy.take(800))
+    // q217/q218: the served keyword search reads ONLY the persisted
+    // index (postings + registry) — the corpus text is never
+    // re-tokenized at query time, which is the index's whole point
+    val lexs = planString("q217_bm25_state_served")
+    assert(lexs.contains("graft_lex_state"),
+      "q217 must read the maintained inverted index")
+    assert(!lexs.contains("documents.parquet"),
+      "q217 must not rescan the documents table:\n" + lexs.take(800))
+    val lexf = planString("q218_forgotten_bm25_state_served")
+    assert(lexf.contains("graft_lexforget_state"),
+      "q218 must read the forgotten inverted index")
+    assert(!lexf.contains("documents.parquet"),
+      "q218 must not rescan the documents table:\n" + lexf.take(800))
+    assert(!lexf.contains("md5"),
+      "q218 must not re-apply the tombstone rule at read time")
     // q213: the forgotten drift matrix aggregates the netted state
     // sums — no embeddings rescan, no read-time tombstone
     val cdf = planString("q213_forgotten_drift_state_served")
@@ -431,7 +446,7 @@ class PlanSpec extends SparkSpec {
       "q213 must not rescan the embeddings table:\n" + cdf.take(800))
     assert(!cdf.contains("md5"),
       "q213 must not re-apply the tombstone rule at read time")
-    // q206: the deletion certificate is sixteen STATE aggregates — the
+    // q206: the deletion certificate is eighteen STATE aggregates — the
     // corpus tables appear nowhere in the read plan (the claim that
     // makes the audit cheap enough to run per deletion batch)
     val cert = planString("q206_deletion_certificate")
@@ -444,7 +459,8 @@ class PlanSpec extends SparkSpec {
         "graft_vocabforget_state", "graft_packforget_state",
         "graft_dsforget_state", "graft_retentionforgetstages",
         "graft_ewmaforgetstages", "graft_bigramforgetstages",
-        "graft_sessionforgetstages", "graft_centforget_state")
+        "graft_sessionforgetstages", "graft_centforget_state",
+        "graft_lexforget_state")
       .foreach(st => assert(cert.contains(st),
         s"q206 must read every forgotten state dir (missing $st)"))
   }
