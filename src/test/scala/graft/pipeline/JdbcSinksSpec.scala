@@ -196,42 +196,44 @@ class JdbcSinksSpec extends SparkSpec {
     val duckUrl = s"jdbc:duckdb:$dir/pg_upsert.db"
     val duckCfg = Sinks.JdbcConfig(duckUrl, "app", "app",
       driverClass = "org.duckdb.DuckDBDriver")
-    val c = DriverManager.getConnection(duckUrl, duckCfg.connectionProperties)
-    try c.createStatement().execute(
-      """CREATE TABLE pg_t ("id" BIGINT, "name" VARCHAR, "score" DOUBLE,
-        |  "row_hash" VARCHAR PRIMARY KEY)""".stripMargin)
-    finally c.close()
-    // single partition: DuckDB holds a per-process file lock, so the
-    // executor-side writers must not race separate database instances
-    // one count probe per step: a single end-state assert cannot say
-    // WHICH upsert lost a row (this test failed once under full-suite
-    // load with 3 != 4 and no way to tell the in-batch dedup, the
-    // replay, and the new-key insert apart)
-    def countRows(): Long = {
-      val cc = DriverManager.getConnection(duckUrl, duckCfg.connectionProperties)
-      try {
-        val rs = cc.createStatement().executeQuery("SELECT count(*) FROM pg_t")
-        rs.next(); rs.getLong(1)
-      } finally cc.close()
-    }
-    val df = withHash(sample).coalesce(1)
-    val dup = df.union(df).coalesce(1) // duplicate keys INSIDE one batch
-    Sinks.jdbcUpsert(dup, "pg_t", duckCfg) // production default dialect
-    assert(countRows() == 3, "in-batch dedup: 6 rows with 3 distinct keys")
-    Sinks.jdbcUpsert(df, "pg_t", duckCfg)  // replay: must be a no-op
-    assert(countRows() == 3, "replaying the same batch must add no rows")
-    import spark.implicits._
-    val more = withHash(Seq((4L, "delta", 40.0)).toDF("id", "name", "score"))
-      .coalesce(1)
-    Sinks.jdbcUpsert(more, "pg_t", duckCfg) // new key still lands
-    val c2 = DriverManager.getConnection(duckUrl, duckCfg.connectionProperties)
+    // ONE pinned connection for the test's whole duration: the DuckDB
+    // JDBC driver caches the database instance per path only while some
+    // connection holds it — with per-probe open/close, the instance
+    // unloads between steps and a fresh open can race an executor-side
+    // close mid-checkpoint (this test flaked twice under full-suite
+    // load: once 3 != 4, once a transient 0-row read right after a
+    // committed upsert). The pin keeps every executor connection
+    // attached to the same live instance, which is also how a real
+    // deployment holds a DuckDB sink (one process, one instance).
+    val pin = DriverManager.getConnection(duckUrl, duckCfg.connectionProperties)
     try {
-      val rs = c2.createStatement().executeQuery(
+      pin.createStatement().execute(
+        """CREATE TABLE pg_t ("id" BIGINT, "name" VARCHAR, "score" DOUBLE,
+          |  "row_hash" VARCHAR PRIMARY KEY)""".stripMargin)
+      // single partition: DuckDB holds a per-process file lock, so the
+      // executor-side writers must not race separate database instances
+      // one count probe per step: a single end-state assert cannot say
+      // WHICH upsert lost a row
+      def countRows(): Long = {
+        val rs = pin.createStatement().executeQuery("SELECT count(*) FROM pg_t")
+        rs.next(); rs.getLong(1)
+      }
+      val df = withHash(sample).coalesce(1)
+      val dup = df.union(df).coalesce(1) // duplicate keys INSIDE one batch
+      Sinks.jdbcUpsert(dup, "pg_t", duckCfg) // production default dialect
+      assert(countRows() == 3, "in-batch dedup: 6 rows with 3 distinct keys")
+      Sinks.jdbcUpsert(df, "pg_t", duckCfg)  // replay: must be a no-op
+      assert(countRows() == 3, "replaying the same batch must add no rows")
+      import spark.implicits._
+      val more = withHash(Seq((4L, "delta", 40.0)).toDF("id", "name", "score"))
+        .coalesce(1)
+      Sinks.jdbcUpsert(more, "pg_t", duckCfg) // new key still lands
+      val rs = pin.createStatement().executeQuery(
         """SELECT count(*), count(DISTINCT "row_hash") FROM pg_t""")
       rs.next()
       assert(rs.getLong(1) == 4, "the new key must land after the replays")
       assert(rs.getLong(2) == 4)
-    } finally c2.close()
+    } finally pin.close()
   }
 
   test("Postgres production dialect emits ON CONFLICT DO NOTHING (golden SQL)") {
