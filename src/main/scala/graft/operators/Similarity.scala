@@ -634,7 +634,15 @@ object Similarity {
     // N counts ALL documents (a token-less doc affects idf's N but can
     // never score) — a metadata-only count-star scan
     val nRow = docs.agg(count(lit(1)).as("n"))
-    bm25FromPostings(dt, nRow, queryIds, k, k1, b)
+    // the batch path's ONE corpus-proportional fold: per-doc lengths,
+    // feeding avgdl and the candidates' dl lookups — inherent to an
+    // ad-hoc BM25 (avgdl IS a corpus statistic); the served read swaps
+    // both for maintained state (doclens/ + the lexstats counter)
+    val doclens = dt.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val avgdlRow = doclens.agg(
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    bm25FromPostings(dt, doclens, nRow, avgdlRow, queryIds, k, k1, b)
   }
 
   /** The (doc_id, w, tf) postings derivation — ONE tokenizer
@@ -650,34 +658,55 @@ object Similarity {
 
   /** BM25 scoring over an ALREADY-DERIVED postings frame — the single
     * scorer behind [[bm25TopK]] (postings from one tokenize pass) and
-    * the served read (postings from the persisted inverted index).
-    * `nRow` is a 1-row (n) frame counting ALL corpus documents,
-    * token-less ones included (they shift idf's N but never score). */
-  private[graft] def bm25FromPostings(dt: DataFrame, nRow: DataFrame,
+    * the served read (postings from the persisted inverted index) —
+    * QUERY-bounded by construction (the r16 verdict's `weak`): the
+    * query's term set is bounded by the query documents themselves, so
+    * it COLLECTS (a corpus-independent driver probe, the bounded-collect
+    * class) and restricts every postings consumer by `isin` PUSHDOWN —
+    * df aggregates over query-term postings only (the scored join at
+    * the bottom consumes no other term's idf), candidates are those
+    * postings' documents, and their lengths PROBE the `doclens` frame
+    * instead of re-aggregating the corpus. No stage below touches a
+    * posting outside the query's terms or a length outside the
+    * candidate set.
+    *
+    * `doclens` is a (doc_id, dl) frame — the batch's own per-doc fold
+    * or the index's persisted table; `nRow` a 1-row (n) frame counting
+    * ALL corpus documents, token-less included (they shift idf's N but
+    * never score); `avgdlRow` a 1-row (avgdl) frame — the batch's fold
+    * or the maintained counter's quotient, the same IEEE division
+    * either way. */
+  private[graft] def bm25FromPostings(dt: DataFrame, doclens: DataFrame,
+      nRow: DataFrame, avgdlRow: DataFrame,
       queryIds: Seq[Long], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val stats = dt.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val avgRow = stats.agg(
-      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
-        .as("avgdl"))
     // qt and idf both derive from dt — rename their keys so the joins
     // below are never ambiguous self-joins
-    val idf = dt.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val qt = dt.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("query_id"), col("w").as("qw"))
+    // bounded driver probe: |terms of k query docs|, corpus-independent
+    val terms = qt.select(col("qw")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    // one materialization of the query-term postings (pushdown scan) —
+    // df, the candidate set, and the scored join all read it
+    val dtq = dt.filter(col("w").isin(terms: _*)).localCheckpoint()
+    val idf = dtq.groupBy(col("w")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nRow))
       .select(col("w").as("iw"),
         floor(log((col("n").cast("double") - col("df") + lit(0.5)) /
             (col("df") + lit(0.5)) + lit(1.0)) * lit(1e6))
           .cast("bigint").as("lnq"))
-    val qt = dt.filter(col("doc_id").isin(queryIds: _*))
-      .select(col("doc_id").as("query_id"), col("w").as("qw"))
+    val cand = dtq.select(col("doc_id").as("cand_id")).distinct()
+    val dls = doclens
+      .join(cand, col("doc_id") === col("cand_id"), "left_semi")
     val term = (col("lnq") * lit(1e-6)) *
       (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) *
         (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
-    val scored = dt.join(broadcast(qt),
+    val scored = dtq.join(broadcast(qt),
         col("w") === col("qw") && col("doc_id") =!= col("query_id"))
-      .join(stats, "doc_id")
-      .crossJoin(broadcast(avgRow))
+      .join(dls, "doc_id")
+      .crossJoin(broadcast(avgdlRow))
       .join(idf, col("w") === col("iw"))
       .select(col("query_id"), col("doc_id"),
         floor(round(term, 9) * lit(1e6)).cast("bigint").as("tm"))

@@ -218,8 +218,14 @@ object PackingStream {
     val boundaryRow = straddle
       .agg(coalesce(max(col("tok_offset") + col("n_tok")), lit(-1L)),
         count(lit(1))).collect()(0)
-    require(boundaryRow.getLong(1) == 0L || boundaryRow.getLong(0) <= cut,
-      s"ledger not dense at the cut: a straddle row ends past $cut")
+    // a non-empty straddle must end EXACTLY at the cut: ending past it
+    // would overlap the first tombstoned row, ending before it is a GAP
+    // (base = cut would then silently preserve a non-dense ledger that
+    // diverges from the fresh-pack-over-survivors oracle); only the
+    // zero-straddle case (batch boundary == cut) asserts nothing
+    require(boundaryRow.getLong(1) == 0L || boundaryRow.getLong(0) == cut,
+      s"ledger not dense at the cut: the straddle ends at " +
+        s"${boundaryRow.getLong(0)}, not $cut")
     val base = cut
     // two-level prefix sum over the suffix in arrival (old-offset) order
     val bucketTokens = 32768L
@@ -282,13 +288,15 @@ object PackingStream {
   }
 
   /** Apply a staged pending forget: drop the replaced files, promote
-    * the repacked file under its deterministic name, clear the pending
-    * dir — each step idempotent, so [[recoverForget]] re-runs it from
-    * any crash point. The repack file's name embeds the cut offset:
-    * deterministic (replays collide onto the same name, where the
-    * promote degrades to a cleanup) and unique per pass (a later forget
-    * has a different first tombstoned offset... or replays to a no-op
-    * before ever staging). */
+    * the repacked file under the MANIFEST's pinned dest name, clear the
+    * pending dir — each step idempotent, so [[recoverForget]] re-runs
+    * it from any crash point. The dest name is a monotonic counter over
+    * the dir's existing forget-* files, chosen once at STAGE time and
+    * pinned in the manifest: step-2 idempotence comes from that pinned
+    * name (a re-applied pending promotes to the same dest, where an
+    * existing dest means a prior attempt already promoted this very
+    * content), and cross-pass uniqueness from the counter advancing
+    * past every surviving forget file. */
   private def applyPendingForget(spark: SparkSession, stateDir: String,
       crashAfterStep: Int): Unit = {
     def crash(step: Int): Unit =

@@ -144,22 +144,29 @@ object ForgetProbe {
     val pk1 = s"$root/pack_recent"
     mkLedger(pk1, 1)
     val tail = totalToks(pk1) / 10 // the fixed absolute tail, 10 % of 1x
-    val (_, tPk1) = timed(PackingStream.forget(spark, pk1, recentTomb(pk1, tail)))
+    // capture the tombstone set ONCE (localCheckpoint), BEFORE the timed
+    // forget: recentTomb re-reads the ledger, so deriving it after the
+    // forget has run returns an EMPTY set (the tombstoned rows are gone)
+    // and the rebuild comparator would re-tokenize every document
+    // instead of the survivors; deriving it inside the timed block
+    // would bill the derivation to the forget (advisor catch, r16)
+    val tombs1 = recentTomb(pk1, tail)
+    val (_, tPk1) = timed(PackingStream.forget(spark, pk1, tombs1))
     val (_, tPk1Rebuild) = timed {
       PackingStream.update(s"$root/pack_recent_rebuild")(
-        docs.join(recentTomb(pk1, tail), Seq("doc_id"), "left_anti"), 0L)
+        docs.join(tombs1, Seq("doc_id"), "left_anti"), 0L)
     }
     println(f"[forget] packing/recent: suffix repack $tPk1%.2f s (tail = 10%% of ledger) vs retokenize rebuild $tPk1Rebuild%.2f s (${tPk1Rebuild / tPk1}%.1fx)")
     Seq(5, 25).foreach { c =>
       val d = s"$root/pack_recent_$c"
       mkLedger(d, c)
-      val (_, t) = timed(PackingStream.forget(spark, d, recentTomb(d, tail)))
+      val tombs = recentTomb(d, tail) // captured pre-forget (see tombs1)
+      val (_, t) = timed(PackingStream.forget(spark, d, tombs))
       val kept = ledgerFiles(d).count(_.startsWith("batch-"))
       val rb = if (c == 25) {
         // the crossover comparator: the rebuild re-tokenizes EVERY
         // survivor copy, so it scales with the ledger where the repack
         // does not
-        val tombs = recentTomb(d, tail)
         val (_, t2) = timed {
           val rbDir = s"$root/pack_recent_rebuild_$c"
           (0 until c).foreach { i =>

@@ -58,10 +58,27 @@ class LexicalStateStreamSpec extends SparkSpec {
     LexicalStateStream.update(state)(docs, 0L) // replay
     assert(LexicalStateStream.lexdocsState(spark, state).count() == 4,
       "registry must hold every doc exactly once (token-less included)")
+    // the length table and the counter both see each doc exactly once:
+    // 2 + 3 + 3 tokens plus the whitespace doc's single empty-string
+    // token (trim-then-split yields [''] on both engines — the parity
+    // contract, and why N == |doclens| under THIS tokenizer), and the
+    // folded counter must agree with them to the integer
+    val dls = LexicalStateStream.doclensState(spark, state)
+      .orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dls.toSeq == Seq((0L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)),
+      s"doclens diverged: ${dls.toSeq}")
+    val st = LexicalStateStream.lexstatsState(spark, state).collect()(0)
+    assert(st.getLong(0) == 4L && st.getLong(1) == 9L,
+      s"lexstats counter diverged: $st")
     val p1 = LexicalStateStream.postingsState(spark, state).count()
     LexicalStateStream.update(state)(docs, 1L) // same docs, later batch
     assert(LexicalStateStream.postingsState(spark, state).count() == p1,
       "re-delivered docs must not duplicate postings")
+    assert(LexicalStateStream.doclensState(spark, state).count() == 4,
+      "re-delivered docs must not duplicate lengths")
+    val st2 = LexicalStateStream.lexstatsState(spark, state).collect()(0)
+    assert(st2.getLong(0) == 4L && st2.getLong(1) == 9L,
+      s"re-delivery shifted the counter: $st2")
     // the served page equals the batch operator — including doc 3's
     // contribution to N (it shifts idf but never scores)
     val got = pageOf(LexicalStateStream.bm25FromState(spark, state,
@@ -100,5 +117,74 @@ class LexicalStateStreamSpec extends SparkSpec {
     LexicalStateStream.forget(spark, state, tomb)
     assert(pageOf(LexicalStateStream.bm25FromState(spark, state, ids)) == got,
       "replayed forget changed the index")
+    // the counter snapshot is the survivors' exact totals
+    val want2 = LexicalStateStream.lexstatsState(spark, fresh).collect()(0)
+    val got2 = LexicalStateStream.lexstatsState(spark, state).collect()(0)
+    assert(got2.getLong(0) == want2.getLong(0) &&
+      got2.getLong(1) == want2.getLong(1),
+      s"post-forget counter diverged: $got2 vs $want2")
+  }
+
+  test("every forget crash window refuses reads, then heals — page == " +
+      "survivors' index at each injection point") {
+    val docs = docsSlice(lit(true)).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 120)
+    val tombPred = graft.operators.Sampling.tombstoned(col("doc_id"))
+    val tomb = docs.select(col("doc_id")).filter(tombPred)
+    assert(tomb.limit(1).count() > 0, "fixture vacuous")
+    val fresh = Files.createTempDirectory("graft-lexcrash-want").toString
+    LexicalStateStream.update(s"$fresh/state")(docs.filter(!tombPred), 0L)
+    val want = pageOf(LexicalStateStream.bm25FromState(spark,
+      s"$fresh/state", Seq(0L, 100L)))
+    // 0 = staged only; 1..4 = crash after each table swap
+    (0 to 4).foreach { step =>
+      val root = Files.createTempDirectory(s"graft-lexcrash$step").toString
+      val state = s"$root/state"
+      LexicalStateStream.update(state)(docs, 0L)
+      intercept[IllegalStateException] {
+        LexicalStateStream.forgetImpl(spark, state, tomb,
+          crashAfterSwap = step)
+      }
+      // mid-window: every public read refuses loudly — a silent read
+      // here would serve df/N/avgdl from inconsistent tables
+      val e = intercept[IllegalArgumentException] {
+        LexicalStateStream.bm25FromState(spark, state, Seq(0L, 100L))
+      }
+      assert(e.getMessage.contains("forget_pending"),
+        s"step $step refusal names the marker: ${e.getMessage}")
+      intercept[IllegalArgumentException] {
+        LexicalStateStream.postingsState(spark, state)
+      }
+      // a mid-window APPEND must refuse too
+      intercept[IllegalArgumentException] {
+        LexicalStateStream.update(state)(docs.limit(1), 9L)
+      }
+      LexicalStateStream.recoverForget(spark, state)
+      assert(pageOf(LexicalStateStream.bm25FromState(spark, state,
+        Seq(0L, 100L))) == want,
+        s"step $step healed index diverged from the survivors' fresh index")
+    }
+  }
+
+  test("a populated pre-versioning (v1) dir refuses loudly with the " +
+      "rebuild instruction; an evolved-version marker refuses too") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft-lexvintage").toString
+    val state = s"$root/state"
+    // simulate an r16-vintage dir: postings + lexdocs, NO marker and no
+    // doclens/lexstats — the r17 read would serve a null avgdl from it
+    Seq((0L, "apple pear", "s")).toDF("doc_id", "text", "source")
+      .select(col("doc_id")).write.parquet(s"$state/lexdocs")
+    val e = intercept[IllegalArgumentException] {
+      LexicalStateStream.bm25FromState(spark, state, Seq(0L))
+    }
+    assert(e.getMessage.contains("NO layout marker") &&
+      e.getMessage.toLowerCase.contains("rebuild"),
+      s"vintage refusal must carry the rebuild instruction: ${e.getMessage}")
+    intercept[IllegalArgumentException] {
+      LexicalStateStream.update(state)(
+        Seq((1L, "plum")).toDF("doc_id", "text"), 0L)
+    }
   }
 }
