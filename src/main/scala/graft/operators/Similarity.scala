@@ -787,6 +787,18 @@ object Similarity {
         corpusKey = corpusKey)
       .select(col("query_id"), col("vec_id").as("doc_id"), col("rn"),
         lit("den").as("src"))
+    rrfFusePages(lex, den, k, c)
+  }
+
+  /** The ONE hybrid-fusion definition [[hybridRrfTopK]] (batch legs)
+    * and [[hybridRrfFromState]] (maintained-index legs) share — the
+    * q216/q219 pair's state==batch discipline applied to the combiner
+    * itself. Inputs are pre-tagged (query_id, doc_id, rn, src) pages
+    * with src ∈ {lex, den}; each fused score adds at most two
+    * 1/(c+rank) doubles in a FIXED order (lex term first), ties on
+    * (score DESC, doc_id). */
+  private def rrfFusePages(lex: DataFrame, den: DataFrame,
+      k: Int, c: Int): DataFrame = {
     val fused = lex.union(den)
       .groupBy(col("query_id"), col("doc_id"))
       .agg(
@@ -803,6 +815,31 @@ object Similarity {
         col("rrf_score"), col("n_rankers"))
   }
 
+  /** Hybrid search SERVED from the two MAINTAINED indexes — the
+    * production hybrid read (q219/q220): the lexical page from the
+    * incrementally-built inverted index
+    * ([[graft.streaming.LexicalStateStream.bm25FromState]], the q217
+    * query-bounded read) and the dense page from the maintained IVF
+    * index ([[graft.streaming.IvfStateStream.topKFromState]], the q182
+    * read), fused by the SAME [[rrfFusePages]] the batch q216 uses.
+    * Neither corpus table is touched: both legs are index reads, so the
+    * whole hybrid costs two bounded serving probes plus a page-sized
+    * fusion — the query-time cost model a deployed retrieval stack
+    * actually runs. Ranks are exact ints on both legs, so the fusion
+    * replays bit-identically against the batch oracle composition. */
+  def hybridRrfFromState(spark: SparkSession, lexDir: String,
+      ivfDir: String, queryIds: Seq[Long], k: Int = 10, fromN: Int = 10,
+      c: Int = 60): DataFrame = {
+    val lex = graft.streaming.LexicalStateStream
+      .bm25FromState(spark, lexDir, queryIds, fromN)
+      .select(col("query_id"), col("doc_id"), col("rn"), lit("lex").as("src"))
+    val den = graft.streaming.IvfStateStream
+      .topKFromState(spark, ivfDir, queryIds, fromN)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rn"),
+        lit("den").as("src"))
+    rrfFusePages(lex, den, k, c)
+  }
+
   private def q216OracleSql: String =
     s"""WITH ${bm25Ctes(10)},
        |den AS (
@@ -815,24 +852,62 @@ object Similarity {
        |    JOIN embeddings q ON q.vec_id IN (0, 100, 200)
        |      AND e.vec_id <> q.vec_id) t
        |  WHERE rn <= 10),
-       |u AS (
-       |  SELECT query_id, doc_id, rn, 'lex' AS src FROM page
-       |  UNION ALL
-       |  SELECT query_id, vec_id AS doc_id, rn, 'den' AS src FROM den),
-       |f AS (
-       |  SELECT query_id, doc_id,
-       |    coalesce(max(CASE WHEN src = 'lex' THEN 1.0 / (60 + rn) END), 0)
-       |      + coalesce(max(CASE WHEN src = 'den' THEN 1.0 / (60 + rn) END), 0)
-       |      AS rrf_score,
-       |    CAST(count(*) AS INT) AS n_rankers
-       |  FROM u GROUP BY query_id, doc_id)
-       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_score, n_rankers
-       |FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id
-       |    ORDER BY rrf_score DESC, doc_id) AS rank
-       |  FROM f) t
-       |WHERE rank <= 10
-       |ORDER BY query_id, rank""".stripMargin
+       |$rrfFusionTailSql""".stripMargin
+
+  /** The RRF fusion as SQL — the [[rrfFusePages]] twin, shared by the
+    * batch (q216) and served (q219/q220) hybrid oracles: expects `page`
+    * (lexical, from [[bm25Ctes]]) and `den` (dense, (query_id, vec_id,
+    * rn)) in scope. One definition, so the three hybrids' fusion
+    * arithmetic can never drift apart. */
+  private def rrfFusionTailSql: String =
+    """u AS (
+      |  SELECT query_id, doc_id, rn, 'lex' AS src FROM page
+      |  UNION ALL
+      |  SELECT query_id, vec_id AS doc_id, rn, 'den' AS src FROM den),
+      |f AS (
+      |  SELECT query_id, doc_id,
+      |    coalesce(max(CASE WHEN src = 'lex' THEN 1.0 / (60 + rn) END), 0)
+      |      + coalesce(max(CASE WHEN src = 'den' THEN 1.0 / (60 + rn) END), 0)
+      |      AS rrf_score,
+      |    CAST(count(*) AS INT) AS n_rankers
+      |  FROM u GROUP BY query_id, doc_id)
+      |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_score, n_rankers
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY rrf_score DESC, doc_id) AS rank
+      |  FROM f) t
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** q219's oracle: the bm25 chain (lexical page), the q49 portable
+    * IVF chain ranked to its page (dense leg — the q182 search's own
+    * CTEs via [[ivfScoredCtes]]), and the shared fusion tail. A hash
+    * match proves lexical scoring, IVF probe/scoring, AND the fusion
+    * replay in one artifact — over both maintained indexes. */
+  private def servedHybridOracleSql(docsRel: String,
+      candFilter: String): String = {
+    val lexCtes =
+      if (docsRel.isEmpty) bm25Ctes(10) else bm25Ctes(10, docsRel = docsRel)
+    s"""WITH $lexCtes,
+       |${kmeansListsCtes()},
+       |${ivfScoredCtes(candFilter)},
+       |den AS (
+       |  SELECT query_id, vec_id, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS rn
+       |    FROM scored) t
+       |  WHERE rn <= 10),
+       |$rrfFusionTailSql""".stripMargin
+  }
+
+  private def q219OracleSql: String = servedHybridOracleSql("", "")
+
+  private def q220OracleSql: String = servedHybridOracleSql(
+    "(SELECT * FROM documents WHERE " +
+      "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '" +
+      Sampling.TombstoneHex + "')",
+    "\n       |    AND substr(md5(CAST(l.vec_id AS VARCHAR)), 1, 1) <> '" +
+      Sampling.TombstoneHex + "'")
 
   /** Int8 quantization: per-vector scale = max|v|/127, q_i = round-half-up
     * of v_i/scale. `out` holds integer-VALUED doubles so dot products stay
@@ -1892,10 +1967,24 @@ object Similarity {
     * still probes the FULL-corpus-trained quantizer, but only surviving
     * members can score — exactly what [[graft.streaming.IvfStateStream
     * .forget]] leaves on disk). */
-  private def q49OracleSqlFiltered(candFilter: String): String = {
-    def dot(a: String, b: String) = dotSql(a, b)
+  private def q49OracleSqlFiltered(candFilter: String): String =
     s"""WITH ${kmeansListsCtes()},
-       |queries AS (
+       |${ivfScoredCtes(candFilter)}
+       |SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= 10
+       |ORDER BY query_id, rn""".stripMargin
+
+  /** The probe/score stages of q49's chain (queries → probes →
+    * `scored`), shared by the standalone searches (q49/q182/q199) and
+    * the served-hybrid dense legs (q219/q220) — one definition, so the
+    * fused oracle can never drift from the search it composes. Expects
+    * `lists`/`c3` in scope (prepend [[kmeansListsCtes]]). */
+  private def ivfScoredCtes(candFilter: String): String = {
+    def dot(a: String, b: String) = dotSql(a, b)
+    s"""queries AS (
        |  SELECT vec_id AS query_id, v AS qv FROM lists WHERE vec_id IN (0, 100, 200)),
        |probes AS (
        |  SELECT query_id, qv, cid FROM (
@@ -1908,13 +1997,7 @@ object Similarity {
        |  SELECT p.query_id, l.vec_id,
        |    round(${dot("l.v", "p.qv")} /
        |      (sqrt(${dot("l.v", "l.v")}) * sqrt(${dot("p.qv", "p.qv")})), 6) AS cosine
-       |  FROM lists l JOIN probes p ON l.cid = p.cid AND l.vec_id <> p.query_id$candFilter)
-       |SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rn FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id
-       |    ORDER BY cosine DESC, vec_id) AS rn
-       |  FROM scored) t
-       |WHERE rn <= 10
-       |ORDER BY query_id, rn""".stripMargin
+       |  FROM lists l JOIN probes p ON l.cid = p.cid AND l.vec_id <> p.query_id$candFilter)""".stripMargin
   }
 
   private def q199OracleSql: String = q49OracleSqlFiltered(
@@ -3003,6 +3086,22 @@ object Similarity {
         graft.streaming.LexicalStateStream.bm25FromState(s,
             servedForgottenLexicalDir(s, d), QueryIds, k = 10)
           .orderBy(col("query_id"), col("rn"))
+    },
+
+    Q("q219_hybrid_state_served", q219OracleSql,
+      "HYBRID search SERVED from the two MAINTAINED indexes — the retrieval family's capstone serving read, and the composition the r16 batch hybrid (q216) existed to oracle: the lexical page from the incrementally-built inverted index (q217's query-bounded LexicalStateStream read — postings under doc_id/term pushdown, doclens probe, one-row counter avgdl) and the dense page from the maintained IVF index (q182's IvfStateStream.topKFromState — probe 3 of 8 persisted lists, no Lloyd work), fused by reciprocal-rank fusion (Cormack et al. 2009, c=60) through the ONE rrfFusePages definition the batch operator also uses, so the served and batch hybrids cannot drift. This is the query a production retrieval stack actually answers: NEITHER corpus table is touched at query time — two bounded index probes plus a page-sized fusion, with n_rankers marking single-leg hits (the deployment's disagreement signal). Determinism: both legs' ranks are exact ints (q217's integer BM25 scores, q182's round-6 cosines), each fused score sums at most two 1/(60+r) doubles in a FIXED order (lex then den), ties on (score DESC, doc_id). The oracle composes the bm25 chain, the q49 portable IVF chain, and the shared fusion tail, so one hash match re-proves lexical scoring, coarse-quantizer probing, dense scoring, AND the fusion arithmetic over both maintained indexes. Scale: the hybrid's cost is its two serving reads — each corpus-independent — plus a union + one (query, doc) aggregate + one bounded window over two top-10 pages.") {
+      (s, d) =>
+        hybridRrfFromState(s, servedLexicalStateDir(s, d),
+            servedIvfStateDir(s, d), QueryIds, k = 10, fromN = 10)
+          .orderBy(col("query_id"), col("rank"))
+    },
+
+    Q("q220_forgotten_hybrid_state_served", q220OracleSql,
+      "q219's served hybrid AFTER right-to-be-forgotten has executed against BOTH maintained indexes — the deletion story told at the composition level: the lexical leg reads the forgotten inverted index (q218's state — postings/lengths/counter all survivors-only, so BM25's df/N/avgdl shift exactly as a fresh survivor index would) and the dense leg reads the forgotten IVF index (q199's state — tombstoned vectors scrubbed from lists and codes; the full-corpus-trained quantizer still routes probes, the documented model-vs-members deletion boundary), and the fusion is the same rrfFusePages. A document deleted from both indexes can surface on neither leg and can shift no other document's rank on either — which the oracle proves end-to-end: the bm25 chain over tombstone survivors composed with the q49 chain under the survivor candidate filter and the shared fusion tail, hash-matched cross-engine. No new deletion machinery — both forgets were independently proven (q218, q199); this gate proves they COMPOSE, which is what a GDPR review of a hybrid retrieval deployment actually asks. Scale: deletion already paid its bounded index-op costs; the forgotten hybrid read keeps q219's two-probe cost model over smaller indexes.") {
+      (s, d) =>
+        hybridRrfFromState(s, servedForgottenLexicalDir(s, d),
+            servedForgottenIvfDir(s, d), QueryIds, k = 10, fromN = 10)
+          .orderBy(col("query_id"), col("rank"))
     },
   )
 

@@ -456,6 +456,27 @@ class PlanSpec extends SparkSpec {
     lexPins("q218_forgotten_bm25_state_served", "graft_lexforget_state")
     assert(!planString("q218_forgotten_bm25_state_served").contains("md5"),
       "q218 must not re-apply the tombstone rule at read time")
+    // q219/q220: the served hybrid fuses TWO maintained indexes — both
+    // state dirs in the plan, NEITHER corpus table (the whole point:
+    // query-time cost is two index probes + a page fusion), and the
+    // forgotten form re-applies no tombstone rule at read time
+    def hybridPins(name: String, lexTag: String, ivfTag: String): Unit = {
+      val s = planString(name)
+      assert(s.contains(lexTag) && s.contains(ivfTag),
+        s"$name must read both maintained indexes ($lexTag + $ivfTag):\n" +
+          s.take(800))
+      assert(!s.contains("documents.parquet") &&
+        !s.contains("embeddings.parquet"),
+        s"$name must touch neither corpus table:\n" + s.take(800))
+      assert(!s.contains("CartesianProduct"),
+        s"$name must not plan a cartesian product:\n" + s.take(800))
+    }
+    hybridPins("q219_hybrid_state_served", "graft_lex_state",
+      "graft_ivf_state")
+    hybridPins("q220_forgotten_hybrid_state_served",
+      "graft_lexforget_state", "graft_ivfforget_state")
+    assert(!planString("q220_forgotten_hybrid_state_served").contains("md5"),
+      "q220 must not re-apply the tombstone rule at read time")
     // q213: the forgotten drift matrix aggregates the netted state
     // sums — no embeddings rescan, no read-time tombstone
     val cdf = planString("q213_forgotten_drift_state_served")
