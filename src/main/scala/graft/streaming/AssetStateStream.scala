@@ -46,13 +46,22 @@ object AssetStateStream {
     StructField("doc_id", LongType),
     StructField("sig", LongType)))
 
+  /** Layout version — v1 birth marker (the r17 every-family stamp). */
+  private val FormatVersion = 1
+
   /** The persisted (doc_id, mime, fp, n_bytes) digest table. */
-  def digestState(spark: SparkSession, stateDir: String): DataFrame =
+  def digestState(spark: SparkSession, stateDir: String): DataFrame = {
+    CorpusStateStream.requireFormat(spark, stateDir, "asset",
+      FormatVersion, "digests")
     CorpusStateStream.stateDf(spark, s"$stateDir/digests", digestSchema)
+  }
 
   /** The persisted (doc_id, sig) payload-simhash table. */
-  def sigState(spark: SparkSession, stateDir: String): DataFrame =
+  def sigState(spark: SparkSession, stateDir: String): DataFrame = {
+    CorpusStateStream.requireFormat(spark, stateDir, "asset",
+      FormatVersion, "digests")
     CorpusStateStream.stateDf(spark, s"$stateDir/paysigs", sigSchema)
+  }
 
   /** The arriving documents' asset view — ONE definition shared by the
     * fold and both probes (q133's mime derivation, utf-8 blob). */
@@ -76,6 +85,8 @@ object AssetStateStream {
     * doc_ids collapse before the join. */
   def update(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    CorpusStateStream.stampFormat(spark, stateDir, "asset",
+      FormatVersion, "digests")
     val a = assetView(batch).dropDuplicates("doc_id").localCheckpoint()
     digestsOf(a)
       .join(digestState(spark, stateDir).select(col("doc_id")),

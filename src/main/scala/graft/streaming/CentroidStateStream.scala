@@ -93,6 +93,7 @@ object CentroidStateStream {
     require(batchId >= 0, "batchId must be non-negative (negative ids " +
       "are reserved for folded snapshot rows)")
     val spark = batch.sparkSession
+    CorpusStateStream.stampFormat(spark, stateDir, "centroid", 1, "cent")
     val ledgerDir = s"$stateDir/cent_ledger"
     val seen = stateDf(spark, ledgerDir, ledgerSchema)
       .filter(col("batch_id") === batchId).limit(1).count() > 0
@@ -124,11 +125,13 @@ object CentroidStateStream {
     * leave the served sums — a mean over zero vectors would otherwise
     * divide by zero in [[driftMatrixFromState]]. Under pure
     * accumulation the filter never fires. */
-  def centroidSumsState(spark: SparkSession, stateDir: String): DataFrame =
+  def centroidSumsState(spark: SparkSession, stateDir: String): DataFrame = {
+    CorpusStateStream.requireFormat(spark, stateDir, "centroid", 1, "cent")
     stateDf(spark, s"$stateDir/cent", deltaSchema)
       .groupBy(col("source"), col("dim"))
       .agg(sum(col("sq")).as("sq"), sum(col("n")).as("n"))
       .filter(col("n") > 0)
+  }
 
   /** q108's cross-source drift matrix served FROM state — the registered
     * query's centroid/drift stages over the maintained sums. */

@@ -62,14 +62,18 @@ object CorpusStateStream {
   }
 
   /** The persisted distinct-shingle set (q118's `existing`). */
-  def shingleState(spark: SparkSession, stateDir: String): DataFrame =
+  def shingleState(spark: SparkSession, stateDir: String): DataFrame = {
+    requireFormat(spark, stateDir, "corpus", 1, "shingles")
     stateDf(spark, s"$stateDir/shingles",
       StructType(Seq(StructField("h", LongType))))
+  }
 
   /** The persisted (doc_id, sig) signature table (q97's corpus side). */
-  def sigState(spark: SparkSession, stateDir: String): DataFrame =
+  def sigState(spark: SparkSession, stateDir: String): DataFrame = {
+    requireFormat(spark, stateDir, "corpus", 1, "shingles")
     stateDf(spark, s"$stateDir/sigs", StructType(Seq(
       StructField("doc_id", LongType), StructField("sig", LongType))))
+  }
 
   /** One micro-batch: append exactly the state rows this batch adds.
     * Public so tests (and catch-up backfills) can drive it directly —
@@ -77,6 +81,7 @@ object CorpusStateStream {
     * which IS the restart-recovery contract. */
   def update(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    stampFormat(spark, stateDir, "corpus", 1, "shingles")
     // one materialization of the (small) batch — both derivations and
     // both anti-joins read it; without this the file source re-reads
     // the batch's files once per consumer
@@ -440,31 +445,48 @@ object CorpusStateStream {
     spark.range(1).select(lit(batchId).as("batch_id"))
       .write.mode("append").parquet(forgetMarksDir(stateDir, ledgerTable))
 
-  // ——— layout-version markers for EVOLVED state families ———
+  // ——— layout-version markers for EVERY state family ———
   //
   // The boilerplate stream changed its within-trigger semantics in r14
   // and the datasheet changed its key tables from sets to df-deltas in
   // r15 — both were recorded as prose compatibility notes, which means
   // a deployment restarting an old checkpointed state under new code
   // failed silently-or-weirdly (the old `langs/` set rows simply read
-  // as zero-delta garbage) rather than loudly. Each evolved family now
-  // stamps a one-row `<family>_format/` marker into the state dir at
-  // its first write and checks it on every write AND read: a populated
-  // dir with a DIFFERENT version — or with NO marker at all (a
-  // pre-versioning vintage, layout unknown) — fails with the rebuild
-  // instruction instead of serving drift. The storedNlist pattern
-  // applied to layout.
+  // as zero-delta garbage) rather than loudly. Each family stamps a
+  // one-row `<family>_format/` marker into the state dir at its first
+  // write and checks it on every write AND read: a populated dir with
+  // a DIFFERENT version — or with NO marker at all (a pre-versioning
+  // vintage, layout unknown) — fails with the rebuild instruction
+  // instead of serving drift. The storedNlist pattern applied to
+  // layout. Since r17 the UN-evolved families stamp a v1 birth marker
+  // too (corpus/vocab/shdf here; lsh/ivf/asset/centroid/packing in
+  // their objects; lexical evolved to v2 the same round), so the NEXT
+  // layout evolution anywhere diffs a version instead of re-opening
+  // the vintage-unknown hole this mechanic was built to close.
 
   private val formatSchema = StructType(Seq(StructField("version", IntegerType)))
 
   private def readFormat(spark: SparkSession, markerDir: String): Option[Int] =
     stateDf(spark, markerDir, formatSchema).take(1).headOption.map(_.getInt(0))
 
+  // a marker, once verified present-and-matching, cannot change for the
+  // life of the process (every writer stamps the same version) — memoize
+  // successes so per-batch stamps and per-read checks cost one tiny FS
+  // probe per (dir, family) per session, not one Spark job per call.
+  // Failures and the fresh-dir pass are deliberately NOT cached: the
+  // fresh dir is about to be stamped, and a failure must stay loud.
+  private val formatChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def formatKey(stateDir: String, family: String, version: Int) =
+    s"$stateDir|$family|$version"
+
   /** Reader-side check: a populated dir must carry the expected layout
     * marker. `populatedProbe` is the family's ledger table — present in
     * every vintage of the layout, so its existence dates the state. */
   private[streaming] def requireFormat(spark: SparkSession, stateDir: String,
       family: String, version: Int, populatedProbe: String): Unit = {
+    if (formatChecked.contains(formatKey(stateDir, family, version))) return
     val markerDir = s"$stateDir/${family}_format"
     readFormat(spark, markerDir) match {
       case Some(v) =>
@@ -473,6 +495,7 @@ object CorpusStateStream {
           s"reads/writes v$version — rebuild the state by replaying " +
           "deliveries (the layouts are value-equivalent under pure " +
           "accumulation, so the rebuilt state serves identically)")
+        formatChecked.add(formatKey(stateDir, family, version))
       case None =>
         val probe = new org.apache.hadoop.fs.Path(s"$stateDir/$populatedProbe")
         require(!probe.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -490,6 +513,7 @@ object CorpusStateStream {
   /** Writer-side stamp: [[requireFormat]], then mark a fresh dir. */
   private[streaming] def stampFormat(spark: SparkSession, stateDir: String,
       family: String, version: Int, populatedProbe: String): Unit = {
+    if (formatChecked.contains(formatKey(stateDir, family, version))) return
     requireFormat(spark, stateDir, family, version, populatedProbe)
     val markerDir = s"$stateDir/${family}_format"
     if (readFormat(spark, markerDir).isEmpty)
@@ -497,6 +521,7 @@ object CorpusStateStream {
           java.util.Collections.singletonList(
             org.apache.spark.sql.Row(Integer.valueOf(version))), formatSchema)
         .coalesce(1).write.mode("overwrite").parquet(markerDir)
+    formatChecked.add(formatKey(stateDir, family, version))
   }
 
   /** The aggregated (w, cnt) reference-vocabulary view over the delta
@@ -507,10 +532,12 @@ object CorpusStateStream {
     * nets to a zero row (additive tables keep their key domain), and it
     * must leave the vocabulary — ln(0) in the LM table would poison
     * every consumer. Under pure accumulation the filter never fires. */
-  def vocabState(spark: SparkSession, stateDir: String): DataFrame =
+  def vocabState(spark: SparkSession, stateDir: String): DataFrame = {
+    requireFormat(spark, stateDir, "vocab", 1, "vocab")
     stateDf(spark, s"$stateDir/vocab", vocabSchema)
       .groupBy(col("w")).agg(sum(col("delta")).as("cnt"))
       .filter(col("cnt") > 0)
+  }
 
   /** One vocab micro-batch: append this batch's term-count deltas
     * exactly once. The DELTA LOG is the idempotence record (rows carry
@@ -546,6 +573,7 @@ object CorpusStateStream {
     require(batchId >= 0, s"batchId $batchId: negative ids are reserved " +
       s"for folded snapshot rows (SnapshotBatchId = $SnapshotBatchId)")
     val spark = batch.sparkSession
+    stampFormat(spark, stateDir, "vocab", 1, "vocab")
     val ledgerDir = s"$stateDir/vocab_ledger"
     val seen = stateDf(spark, ledgerDir, ledgerSchema)
       .filter(col("batch_id") === batchId).limit(1).count() > 0
@@ -652,10 +680,12 @@ object CorpusStateStream {
 
   /** Net per-shingle document frequency; df > 0 IS the membership set
     * (a shingle all of whose holders were forgotten has left it). */
-  def shingleDfState(spark: SparkSession, stateDir: String): DataFrame =
+  def shingleDfState(spark: SparkSession, stateDir: String): DataFrame = {
+    requireFormat(spark, stateDir, "shdf", 1, "shdf")
     stateDf(spark, s"$stateDir/shdf", shdfSchema)
       .groupBy(col("h")).agg(sum(col("delta")).as("df"))
       .filter(col("df") > 0)
+  }
 
   /** One micro-batch of df deltas (ledger-committed, replay-safe). */
   def updateShingleDf(stateDir: String)(batch: DataFrame, batchId: Long): Unit =
@@ -674,6 +704,7 @@ object CorpusStateStream {
     require(batchId >= 0, s"batchId $batchId: negative ids are reserved " +
       s"for folded snapshot rows (SnapshotBatchId = $SnapshotBatchId)")
     val spark = batch.sparkSession
+    stampFormat(spark, stateDir, "shdf", 1, "shdf")
     val ledgerDir = s"$stateDir/shdf_ledger"
     val seen = stateDf(spark, ledgerDir, ledgerSchema)
       .filter(col("batch_id") === batchId).limit(1).count() > 0

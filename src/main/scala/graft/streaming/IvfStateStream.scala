@@ -97,13 +97,26 @@ object IvfStateStream {
     StructField("max_list", IntegerType),
     StructField("remap_base", IntegerType)))
 
+  /** Layout version — v1 birth marker (the r17 every-family stamp);
+    * the probe table is `centroids` ([[train]] always writes it first,
+    * so it dates every vintage and every lifecycle stage). */
+  private val FormatVersion = 1
+
+  private def requireFmt(spark: SparkSession, stateDir: String): Unit =
+    CorpusStateStream.requireFormat(spark, stateDir, "ivf",
+      FormatVersion, "centroids")
+
   /** The persisted coarse quantizer. */
-  def centroidState(spark: SparkSession, stateDir: String): DataFrame =
+  def centroidState(spark: SparkSession, stateDir: String): DataFrame = {
+    requireFmt(spark, stateDir)
     CorpusStateStream.stateDf(spark, s"$stateDir/centroids", centroidSchema)
+  }
 
   /** The persisted inverted file (vec_id, cid, v). */
-  def listState(spark: SparkSession, stateDir: String): DataFrame =
+  def listState(spark: SparkSession, stateDir: String): DataFrame = {
+    requireFmt(spark, stateDir)
     CorpusStateStream.stateDf(spark, s"$stateDir/lists", listSchema)
+  }
 
   /** Train the coarse quantizer from a seed corpus and persist it —
     * the one-time (per index generation) build step. Refuses to
@@ -119,6 +132,8 @@ object IvfStateStream {
   def train(seed: DataFrame, stateDir: String, nlist: Int, iters: Int = 3,
       portableMeans: Boolean = false): Int = {
     val spark = seed.sparkSession
+    CorpusStateStream.stampFormat(spark, stateDir, "ivf",
+      FormatVersion, "centroids")
     val dir = s"$stateDir/centroids"
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -633,12 +648,16 @@ object IvfStateStream {
     StructField("ksub", IntegerType)))
 
   /** The persisted per-subspace codebooks (sub, cid, cvec). */
-  def codebookState(spark: SparkSession, stateDir: String): DataFrame =
+  def codebookState(spark: SparkSession, stateDir: String): DataFrame = {
+    requireFmt(spark, stateDir)
     CorpusStateStream.stateDf(spark, s"$stateDir/codebooks", codebookSchema)
+  }
 
   /** The persisted PQ codes (vec_id, sub, cid). */
-  def codeState(spark: SparkSession, stateDir: String): DataFrame =
+  def codeState(spark: SparkSession, stateDir: String): DataFrame = {
+    requireFmt(spark, stateDir)
     CorpusStateStream.stateDf(spark, s"$stateDir/codes", codeSchema)
+  }
 
   /** The CONFIGURED (m, ksub) of the stored codebooks — the
     * [[storedNlist]] rationale applied to the PQ tier (a dead codeword
@@ -663,6 +682,8 @@ object IvfStateStream {
       iters: Int = 3, portableMeans: Boolean = false,
       corpusKey: Option[String] = None): Unit = {
     val spark = seed.sparkSession
+    CorpusStateStream.stampFormat(spark, stateDir, "ivf",
+      FormatVersion, "centroids")
     val dir = s"$stateDir/codebooks"
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

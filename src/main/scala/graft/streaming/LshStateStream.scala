@@ -50,9 +50,16 @@ object LshStateStream {
     StructField("sig", LongType),
     StructField("embedding", ArrayType(FloatType))))
 
+  /** Layout version — v1 birth marker (r17: every family stamps at
+    * first write so the next evolution diffs a version, never prose). */
+  private val FormatVersion = 1
+
   /** The persisted signed corpus (vec_id, sig, embedding). */
-  def sigState(spark: SparkSession, stateDir: String): DataFrame =
+  def sigState(spark: SparkSession, stateDir: String): DataFrame = {
+    CorpusStateStream.requireFormat(spark, stateDir, "lsh",
+      FormatVersion, "sigs")
     CorpusStateStream.stateDf(spark, s"$stateDir/sigs", sigSchema)
+  }
 
   /** One micro-batch: sign arriving vectors and append exactly the new
     * (vec_id, sig, embedding) rows. Calling it twice with the same
@@ -64,6 +71,8 @@ object LshStateStream {
       portablePlanes: Boolean = true)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    CorpusStateStream.stampFormat(spark, stateDir, "lsh",
+      FormatVersion, "sigs")
     val sigFn =
       if (portablePlanes) graft.functions.VectorOps.hyperplaneSignatureMd5 _
       else graft.functions.VectorOps.hyperplaneSignature _

@@ -67,6 +67,7 @@ object PackingStream {
       s"$pend exists: a packing forget crashed between staging and " +
       "promoting its repacked suffix — run recoverForget (or re-run " +
       "forget) to heal before reading or folding the ledger")
+    CorpusStateStream.requireFormat(spark, stateDir, "packing", 1, "ledger")
     CorpusStateStream.stateDf(spark, s"$stateDir/ledger", ledgerSchema)
   }
 
@@ -85,6 +86,7 @@ object PackingStream {
     * the restart-recovery contract. */
   def update(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    CorpusStateStream.stampFormat(spark, stateDir, "packing", 1, "ledger")
     val hconf = spark.sparkContext.hadoopConfiguration
     val ledgerDir = new Path(s"$stateDir/ledger")
     val fs = ledgerDir.getFileSystem(hconf)
