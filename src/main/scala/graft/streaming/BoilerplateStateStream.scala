@@ -134,8 +134,12 @@ object BoilerplateStateStream {
       // replay (the layouts are otherwise unchanged).
       val docs = batch.dropDuplicates("doc_id").select(col("text"))
         .localCheckpoint()
+      // phrases append FIRST, so their probe answers "any deltas
+      // committed" for the intent guard (a crash leaves a prefix)
       val inPhrases = stateDf(spark, s"$stateDir/bp_phrases", phraseSchema)
         .filter(col("batch_id") === batchId).limit(1).count() > 0
+      CorpusStateStream.intentSignGuard(spark, stateDir, "bp_ledger",
+        batchId, sign, inPhrases)
       if (!inPhrases) {
         // ShingleText dedupes per doc (the ShingleHash64 convention), so
         // the count IS a document frequency within the batch
@@ -152,9 +156,6 @@ object BoilerplateStateStream {
           .select(lit(batchId).as("batch_id"), col("n_docs"))
           .write.mode("append").parquet(s"$stateDir/bp_counters")
       }
-      if (sign < 0)
-        CorpusStateStream.markForgetBatch(spark, stateDir, "bp_ledger",
-          batchId)
       spark.range(1).select(lit(batchId).as("batch_id"))
         .write.mode("append").parquet(ledgerDir)
     }

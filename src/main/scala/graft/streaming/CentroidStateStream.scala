@@ -103,6 +103,8 @@ object CentroidStateStream {
     } else {
       val inLog = stateDf(spark, s"$stateDir/cent", deltaSchema)
         .filter(col("batch_id") === batchId).limit(1).count() > 0
+      CorpusStateStream.intentSignGuard(spark, stateDir, "cent_ledger",
+        batchId, sign, inLog)
       if (!inLog) {
         graft.operators.Similarity.centroidSums(
             batch.select(col("source"), col("embedding")))
@@ -110,9 +112,6 @@ object CentroidStateStream {
             (col("sq") * sign).as("sq"), (col("n") * sign).as("n"))
           .write.mode("append").parquet(s"$stateDir/cent")
       }
-      if (sign < 0)
-        CorpusStateStream.markForgetBatch(spark, stateDir, "cent_ledger",
-          batchId)
       spark.range(1).select(lit(batchId).as("batch_id"))
         .write.mode("append").parquet(ledgerDir)
     }

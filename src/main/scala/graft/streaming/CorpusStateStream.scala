@@ -406,16 +406,19 @@ object CorpusStateStream {
   // artifacts inconsistent with no error (advisor catch, r15). Each
   // family keeps a tiny marks table of its FORGET batchIds next to the
   // ledger; a committed id whose mark disagrees with the caller's sign
-  // is a hard error demanding a fresh id. Marks append after the
-  // deltas and before the ledger row, so every crash window heals
-  // under the existing protocol. One residual (pre-existing) window is
-  // documented on [[requireLedgerSign]]: deltas committed but ledger
-  // lost, then the id reused with the OPPOSITE sign — the delta-log
-  // probe skips the append and the ledger commits the wrong sign; the
-  // ledger-committed case (the one a caller can actually observe and
-  // reuse) is the one closed here. A forget committed by a pre-marks
-  // build and REPLAYED under this build trips the guard (no mark
-  // exists) — the loud-failure direction, never a silent wrong count.
+  // is a hard error demanding a fresh id. Since r17 the mark is a
+  // WRITE-INTENT record — a forget appends it BEFORE its deltas
+  // ([[intentSignGuard]]) — which closes the r16 residual window
+  // (deltas committed, ledger row lost, the id resubmitted with the
+  // OPPOSITE sign: the log probe skipped the append and the ledger
+  // committed the wrong sign, silently). Now every crash point leaves
+  // enough evidence to classify the id's sign: deltas-with-mark = a
+  // forget's, deltas-without-mark = an arrival's, mark-without-deltas
+  // = a forget that crashed pre-append (an arrival reusing that id
+  // fails fast). A forget committed by a pre-marks build and REPLAYED
+  // under this build trips the guard (no mark exists) — the
+  // loud-failure direction, never a silent wrong count; the error
+  // names the manual heal.
 
   private[streaming] def forgetMarksDir(stateDir: String, ledgerTable: String) =
     s"$stateDir/${ledgerTable}_fmarks"
@@ -438,12 +441,50 @@ object CorpusStateStream {
       "fresh batchId for every deletion request")
   }
 
-  /** Record a forget batchId — append AFTER the negative deltas and
-    * BEFORE the ledger row (the crash-heal ordering). */
+  /** Record a forget batchId — appended as a WRITE-INTENT mark, BEFORE
+    * the negative deltas (via [[intentSignGuard]]). */
   private[streaming] def markForgetBatch(spark: SparkSession,
       stateDir: String, ledgerTable: String, batchId: Long): Unit =
     spark.range(1).select(lit(batchId).as("batch_id"))
       .write.mode("append").parquet(forgetMarksDir(stateDir, ledgerTable))
+
+  /** The NOT-ledger-committed half of the sign guard, run BEFORE any
+    * delta append: verifies the intent-marks state agrees with the
+    * caller's sign even when a prior attempt crashed mid-protocol, and
+    * writes the intent mark for a fresh forget ahead of its deltas.
+    * `deltasInLog` = some delta table already holds the id (for
+    * multi-table families, probe the FIRST-written table — a crash can
+    * only leave a prefix of the append sequence). Crash matrix:
+    * mark-only + forget replay → heals (appends deltas); mark-only +
+    * ARRIVAL under that id → fails fast (the id is claimed);
+    * arrival-deltas + forget under that id → fails fast (no mark = the
+    * deltas are an arrival's; the r16 code silently skipped the
+    * negative append and committed a forget ledger row over positive
+    * deltas); deltas-with-mark + forget replay → heals (skips the
+    * append, commits the ledger). */
+  private[streaming] def intentSignGuard(spark: SparkSession,
+      stateDir: String, ledgerTable: String, batchId: Long, sign: Long,
+      deltasInLog: Boolean): Unit = {
+    val marked = stateDf(spark, forgetMarksDir(stateDir, ledgerTable),
+        ledgerSchema)
+      .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (sign > 0) {
+      require(!marked,
+        s"batch $batchId under $stateDir/$ledgerTable was claimed by a " +
+        "FORGET attempt (intent mark present) but is being submitted as " +
+        "an arrival — use a fresh id for the arrival, or replay the " +
+        "forget to heal its crashed window first")
+    } else {
+      require(!deltasInLog || marked,
+        s"batch $batchId's deltas under $stateDir/$ledgerTable carry no " +
+        "forget-intent mark: they were committed by an ARRIVAL attempt " +
+        "whose ledger row was lost (resubmit the arrival under this id " +
+        "and use a FRESH id for the forget) — or by a forget from a " +
+        s"pre-intent-mark build, in which case append the batch_id row " +
+        s"to ${forgetMarksDir(stateDir, ledgerTable)} manually and replay")
+      if (!marked) markForgetBatch(spark, stateDir, ledgerTable, batchId)
+    }
+  }
 
   // ——— layout-version markers for EVERY state family ———
   //
@@ -582,6 +623,7 @@ object CorpusStateStream {
     } else {
       val inLog = stateDf(spark, s"$stateDir/vocab", vocabSchema)
         .filter(col("batch_id") === batchId).limit(1).count() > 0
+      intentSignGuard(spark, stateDir, "vocab_ledger", batchId, sign, inLog)
       if (!inLog) {
         batch
           .select(explode(
@@ -592,7 +634,6 @@ object CorpusStateStream {
           .select(lit(batchId).as("batch_id"), col("w"), col("delta"))
           .write.mode("append").parquet(s"$stateDir/vocab")
       }
-      if (sign < 0) markForgetBatch(spark, stateDir, "vocab_ledger", batchId)
       spark.range(1).select(lit(batchId).as("batch_id"))
         .write.mode("append").parquet(ledgerDir)
     }
@@ -713,6 +754,7 @@ object CorpusStateStream {
     } else {
       val inLog = stateDf(spark, s"$stateDir/shdf", shdfSchema)
         .filter(col("batch_id") === batchId).limit(1).count() > 0
+      intentSignGuard(spark, stateDir, "shdf_ledger", batchId, sign, inLog)
       if (!inLog) {
         // within-trigger dedup on doc_id, then the per-doc-DISTINCT
         // compiled shingle stream (ShingleHash64 dedupes per doc), so
@@ -723,7 +765,6 @@ object CorpusStateStream {
           .select(lit(batchId).as("batch_id"), col("h"), col("delta"))
           .write.mode("append").parquet(s"$stateDir/shdf")
       }
-      if (sign < 0) markForgetBatch(spark, stateDir, "shdf_ledger", batchId)
       spark.range(1).select(lit(batchId).as("batch_id"))
         .write.mode("append").parquet(ledgerDir)
     }

@@ -148,7 +148,12 @@ object DatasheetStateStream {
     def missing(table: String, schema: StructType): Boolean =
       stateDf(spark, s"$stateDir/$table", schema)
         .filter(col("batch_id") === batchId).limit(1).count() == 0
-    if (missing("ds_counters", countersSchema)) {
+    // counters append FIRST, so their probe answers "any deltas
+    // committed" for the intent guard (a crash leaves a prefix)
+    val countersMissing = missing("ds_counters", countersSchema)
+    CorpusStateStream.intentSignGuard(spark, stateDir, "ds_ledger",
+      batchId, sign, deltasInLog = !countersMissing)
+    if (countersMissing) {
       graft.operators.TextAnalysis.gateFlags(docs)
         .select(col("nt"),
           (col("f_short") || col("f_low_ttr") || col("f_bad_len") ||
@@ -184,8 +189,6 @@ object DatasheetStateStream {
       docs.select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("tok"))
         .select(col("doc_id"), xxhash64(col("tok")).as("w")).distinct()
         .select(col("w")))
-    if (sign < 0)
-      CorpusStateStream.markForgetBatch(spark, stateDir, "ds_ledger", batchId)
     spark.range(1).select(lit(batchId).as("batch_id"))
       .write.mode("append").parquet(ledgerDir)
   }

@@ -297,6 +297,72 @@ class CorpusStateStreamSpec extends SparkSpec {
       "a refused sign-collision call mutated state")
   }
 
+  test("write-intent marks close the crash-window sign ambiguity: " +
+      "deltas-without-ledger can never commit under the opposite sign") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft-intentmark").toString
+    val docs = docsSlice(col("doc_id") < 100).localCheckpoint()
+    val tombPred = graft.operators.Sampling.tombstoned(col("doc_id"))
+    val tomb = docs.filter(tombPred).localCheckpoint()
+    def dropLedger(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/vocab_ledger")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    // (a) ARRIVAL deltas committed, ledger row lost, id resubmitted as
+    // a FORGET — the r16 code silently skipped the negative append and
+    // committed a forget-signed ledger row over positive deltas
+    val s1 = s"$root/s1"
+    CorpusStateStream.updateVocab(s1)(docs, 0L)
+    dropLedger(s1)
+    val e1 = intercept[IllegalArgumentException] {
+      CorpusStateStream.forgetVocab(s1)(tomb, 0L)
+    }
+    assert(e1.getMessage.contains("no forget-intent mark"), e1.getMessage)
+    // the arrival's own replay still heals the window
+    CorpusStateStream.updateVocab(s1)(docs, 0L)
+    val fresh1 = s"$root/fresh1"
+    CorpusStateStream.updateVocab(fresh1)(docs, 0L)
+    val want1 = CorpusStateStream.vocabState(spark, fresh1)
+    val got1 = CorpusStateStream.vocabState(spark, s1)
+    assert(got1.exceptAll(want1).isEmpty && want1.exceptAll(got1).isEmpty,
+      "healed arrival diverged")
+    // (b) FORGET deltas committed, ledger lost, id resubmitted as an
+    // ARRIVAL — refused (the intent mark claims the id); the forget's
+    // replay heals, and the net state equals the survivors' vocabulary
+    val s2 = s"$root/s2"
+    CorpusStateStream.updateVocab(s2)(docs, 0L)
+    CorpusStateStream.forgetVocab(s2)(tomb, 1L)
+    dropLedger(s2)
+    CorpusStateStream.updateVocab(s2)(docs, 0L) // batch 0 heals (unmarked)
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusStateStream.updateVocab(s2)(docs, 1L)
+    }
+    assert(e2.getMessage.contains("claimed by a"), e2.getMessage)
+    CorpusStateStream.forgetVocab(s2)(tomb, 1L) // the true owner heals
+    val fresh2 = s"$root/fresh2"
+    CorpusStateStream.updateVocab(fresh2)(docs.filter(!tombPred), 0L)
+    val want2 = CorpusStateStream.vocabState(spark, fresh2)
+    val got2 = CorpusStateStream.vocabState(spark, s2)
+    assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty,
+      "healed forget diverged from the survivors' vocabulary")
+    // (c) intent mark only (forget crashed BEFORE its deltas): an
+    // arrival under that id is refused; the forget's replay appends
+    // its deltas and completes
+    val s3 = s"$root/s3"
+    CorpusStateStream.updateVocab(s3)(docs, 0L)
+    Seq(5L).toDF("batch_id").write.mode("append")
+      .parquet(s"$s3/vocab_ledger_fmarks")
+    val e3 = intercept[IllegalArgumentException] {
+      CorpusStateStream.updateVocab(s3)(docs, 5L)
+    }
+    assert(e3.getMessage.contains("claimed by a FORGET"), e3.getMessage)
+    CorpusStateStream.forgetVocab(s3)(tomb, 5L)
+    val got3 = CorpusStateStream.vocabState(spark, s3)
+    assert(got3.exceptAll(want2).isEmpty && want2.exceptAll(got3).isEmpty,
+      "mark-first forget replay diverged from the survivors' vocabulary")
+  }
+
   test("df-counted shingle state: membership == set state; forget nets; zeroed shingles leave") {
     val root = Files.createTempDirectory("graft-corpstate-shdf").toString
     val dfDir = s"$root/dfstate"; val setDir = s"$root/setstate"
