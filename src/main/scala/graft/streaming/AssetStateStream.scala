@@ -49,17 +49,21 @@ object AssetStateStream {
   /** Layout version — v1 birth marker (the r17 every-family stamp). */
   private val FormatVersion = 1
 
-  /** The persisted (doc_id, mime, fp, n_bytes) digest table. */
-  def digestState(spark: SparkSession, stateDir: String): DataFrame = {
+  private def requireReadable(spark: SparkSession, stateDir: String): Unit = {
+    CorpusStateStream.requireNoPendingForget(spark, stateDir, "asset")
     CorpusStateStream.requireFormat(spark, stateDir, "asset",
       FormatVersion, "digests")
+  }
+
+  /** The persisted (doc_id, mime, fp, n_bytes) digest table. */
+  def digestState(spark: SparkSession, stateDir: String): DataFrame = {
+    requireReadable(spark, stateDir)
     CorpusStateStream.stateDf(spark, s"$stateDir/digests", digestSchema)
   }
 
   /** The persisted (doc_id, sig) payload-simhash table. */
   def sigState(spark: SparkSession, stateDir: String): DataFrame = {
-    CorpusStateStream.requireFormat(spark, stateDir, "asset",
-      FormatVersion, "digests")
+    requireReadable(spark, stateDir)
     CorpusStateStream.stateDf(spark, s"$stateDir/paysigs", sigSchema)
   }
 
@@ -99,30 +103,38 @@ object AssetStateStream {
   }
 
   /** Right-to-be-forgotten against the maintained asset state — the
-    * [[IvfStateStream.forget]] contract on the two keyed-1:1 tables:
-    * tombstoned doc_ids anti-join out of `digests/` and `paysigs/`
-    * under the two-rename swap, so a deleted asset can neither count in
-    * a reclamation group nor band in a near-dup probe. For a MEDIA
-    * corpus this is the half of a deletion the index owns — the blobs
+    * keyed complete-erasure contract on the two 1:1 tables: tombstoned
+    * doc_ids anti-join out of `digests/` and `paysigs/` under the
+    * two-rename swap, so a deleted asset can neither count in a
+    * reclamation group nor band in a near-dup probe. For a MEDIA corpus
+    * this is the half of a deletion the index owns — the blobs
     * themselves live in the object store (state never persisted them,
     * the "never stored twice" contract above) and are deleted there;
-    * this removes every fingerprint that could re-identify them.
-    * Re-running with the same tombstones is a no-op. */
+    * this removes every fingerprint that could re-identify them. Since
+    * r17 the two-table rewrite runs under the staged `forget_pending/`
+    * protocol ([[CorpusStateStream.stagedKeyedForget]]): reads and
+    * appends refuse mid-window (a crash between the swaps would
+    * otherwise serve forgotten digests next to unforgotten signatures)
+    * and [[recoverForget]] replays the idempotent body from the stored
+    * tombstones. Re-running with the same tombstones is a no-op. Run
+    * offline. */
   def forget(spark: SparkSession, stateDir: String,
-      tombstones: DataFrame): Unit = {
-    val tomb = tombstones.select(col("doc_id")).distinct()
-      .localCheckpoint(true) // read once per artifact, after its source swaps
-    val digSurvivors = digestState(spark, stateDir)
-      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
-    CorpusStateStream.swapState(spark, s"$stateDir/digests")(tmp =>
-      digSurvivors.write.mode("overwrite").parquet(tmp))
-    val sigSurvivors = sigState(spark, stateDir)
-      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
-    CorpusStateStream.swapState(spark, s"$stateDir/paysigs")(tmp =>
-      sigSurvivors.write.mode("overwrite").parquet(tmp))
-  }
+      tombstones: DataFrame): Unit =
+    forgetImpl(spark, stateDir, tombstones, crashAfterSwap = Int.MaxValue)
+
+  /** Test seam: throw after the n-th swap (1 = digests, 2 = paysigs;
+    * 0 = staged only). */
+  private[streaming] def forgetImpl(spark: SparkSession, stateDir: String,
+      tombstones: DataFrame, crashAfterSwap: Int): Unit =
+    CorpusStateStream.stagedKeyedForget(spark, stateDir, "doc_id",
+      Seq("digests", "paysigs"), Seq(),
+      tombstones.select(col("doc_id")), crashAfterSwap)
+
+  /** Crash recovery for [[forget]] — heal dangling swaps and re-apply a
+    * staged pending forget from its stored tombstones. */
+  def recoverForget(spark: SparkSession, stateDir: String): Unit =
+    CorpusStateStream.recoverKeyedForget(spark, stateDir, "doc_id",
+      Seq("digests", "paysigs"), Seq())
 
   /** Start the maintenance stream over arriving document parquet files
     * (same source shape as [[CorpusStateStream.start]] — one landing

@@ -264,6 +264,103 @@ object CorpusStateStream {
     fs.delete(old, true)
   }
 
+  // ——— staged multi-table keyed forgets (the r17 lexical protocol,
+  // shared) ———
+  //
+  // A keyed family whose forget swaps MORE THAN ONE table has a crash
+  // window between the swaps: each table is individually consistent,
+  // but the PAIR is not (forgotten digests next to unforgotten
+  // signatures; survivor lists next to a still-tombstoned codes tier a
+  // certificate would over-count). The lexical index closed this in
+  // r17 (advisor catch) by staging its tombstones under a
+  // `forget_pending/` marker before the first swap and clearing it
+  // after the last — reads refuse mid-window and recovery replays the
+  // idempotent anti-join body from the stored set. These helpers are
+  // that protocol for the PLAIN keyed families (asset, IVF), whose
+  // replacement tables are pure anti-joins of the stored tombstones.
+
+  private[streaming] def keyedForgetPendingPath(stateDir: String) =
+    new org.apache.hadoop.fs.Path(s"$stateDir/forget_pending")
+
+  /** Read/write-path guard: refuse while a staged forget is mid-window. */
+  private[streaming] def requireNoPendingForget(spark: SparkSession,
+      stateDir: String, family: String): Unit = {
+    val pend = keyedForgetPendingPath(stateDir)
+    require(!pend.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(pend),
+      s"$pend exists: a $family forget crashed between its table swaps — " +
+      "run recoverForget (or re-run forget) to heal before reading or " +
+      "writing; a mid-window read would see the tables disagree on which " +
+      "keys survive")
+  }
+
+  /** Stage the tombstone set atomically, then run the idempotent
+    * multi-swap body. `keyedTables` must exist; `optionalTables` swap
+    * only if present (the IVF codes tier). Safe from any crash point —
+    * an already-swapped table anti-joins to itself on recovery.
+    * `crashAfterSwap` is the spec seam (0 = staged only). */
+  private[streaming] def stagedKeyedForget(spark: SparkSession,
+      stateDir: String, keyName: String, keyedTables: Seq[String],
+      optionalTables: Seq[String], tombstones: DataFrame,
+      crashAfterSwap: Int = Int.MaxValue): Unit = {
+    recoverKeyedForget(spark, stateDir, keyName, keyedTables, optionalTables)
+    val pend = keyedForgetPendingPath(stateDir)
+    val fs = pend.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/forget_pending.tmp")
+    fs.delete(tmp, true)
+    tombstones.select(col(keyName)).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/tombs")
+    require(fs.rename(tmp, pend), s"could not stage the forget to $pend")
+    if (crashAfterSwap == 0)
+      throw new IllegalStateException("injected crash after staging")
+    applyKeyedForget(spark, stateDir, keyName, keyedTables, optionalTables,
+      crashAfterSwap)
+  }
+
+  private def applyKeyedForget(spark: SparkSession, stateDir: String,
+      keyName: String, keyedTables: Seq[String], optionalTables: Seq[String],
+      crashAfterSwap: Int): Unit = {
+    val pend = keyedForgetPendingPath(stateDir)
+    val fs = pend.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tomb = spark.read.parquet(s"$pend/tombs").localCheckpoint(true)
+    val present = keyedTables ++ optionalTables.filter(t =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/$t")))
+    present.zipWithIndex.foreach { case (t, i) =>
+      // raw parquet read (the public readers refuse mid-window); the
+      // replacement materializes BEFORE its swap
+      val surv = spark.read.parquet(s"$stateDir/$t")
+        .join(broadcast(tomb), Seq(keyName), "left_anti")
+        .localCheckpoint(true)
+      swapState(spark, s"$stateDir/$t")(tmp =>
+        surv.write.mode("overwrite").parquet(tmp))
+      if (crashAfterSwap == i + 1)
+        throw new IllegalStateException(s"injected crash after swap ${i + 1}")
+    }
+    fs.delete(pend, true)
+  }
+
+  /** Crash recovery for [[stagedKeyedForget]]: promote any dangling
+    * `.old` (a swap that died between its two renames), discard a
+    * half-staged `.tmp`, and re-apply a staged pending forget from its
+    * stored tombstones. */
+  private[streaming] def recoverKeyedForget(spark: SparkSession,
+      stateDir: String, keyName: String, keyedTables: Seq[String],
+      optionalTables: Seq[String]): Unit = {
+    val pend = keyedForgetPendingPath(stateDir)
+    val fs = pend.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/forget_pending.tmp"),
+      true)
+    (keyedTables ++ optionalTables).foreach { t =>
+      val dir = new org.apache.hadoop.fs.Path(s"$stateDir/$t")
+      val old = new org.apache.hadoop.fs.Path(s"$stateDir/$t.old")
+      if (!fs.exists(dir) && fs.exists(old))
+        require(fs.rename(old, dir), s"could not recover $old to $dir")
+    }
+    if (fs.exists(pend))
+      applyKeyedForget(spark, stateDir, keyName, keyedTables, optionalTables,
+        Int.MaxValue)
+  }
+
   /** The reserved batch_id of folded snapshot rows in an additive
     * delta-log table. Real batch ids are non-negative (the streaming
     * engine's epoch counter; the delta writers require it), so a

@@ -121,9 +121,13 @@ object DatasheetStateStream {
     CorpusStateStream.stampFormat(spark, stateDir, "ds", FormatVersion,
       "ds_ledger")
 
-  private def requireFormat(spark: SparkSession, stateDir: String): Unit =
+  private def requireFormat(spark: SparkSession, stateDir: String): Unit = {
+    // a forget crashed between its ledger commit and the sigs swap
+    // would otherwise serve a silently inconsistent sheet (r17 guard)
+    CorpusStateStream.requireNoPendingForget(spark, stateDir, "datasheet")
     CorpusStateStream.requireFormat(spark, stateDir, "ds", FormatVersion,
       "ds_ledger")
+  }
 
   /** The five delta projections of one batch at a given sign — ONE
     * definition for the arrival fold (+1) and the forget (−1), so the
@@ -198,6 +202,10 @@ object DatasheetStateStream {
     * protocol, sigs/shingles by the corpus stream's own anti-joins). */
   def update(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // a mid-window append could land in the sigs table an unfinished
+    // forget is about to swap from a pre-append read — refuse until
+    // the window heals (forget itself is exempt: it IS the healer)
+    CorpusStateStream.requireNoPendingForget(spark, stateDir, "datasheet")
     stampFormat(spark, stateDir)
     val docs = batch
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
@@ -220,23 +228,121 @@ object DatasheetStateStream {
     * leaves the served sheet through the > 0 cut), and the signature
     * table swaps to the doc_id survivors under the two-rename protocol
     * (keyed 1:1 — the q199/q202 mechanic), so the near-dup metric
-    * re-serves over exactly the surviving corpus. Re-running with the
-    * same batchId is a no-op (ledger probe; the sigs re-swap rewrites
-    * the identical survivor set). Run offline, stream stopped. */
-  def forget(stateDir: String)(docs: DataFrame, batchId: Long): Unit = {
+    * re-serves over exactly the surviving corpus. Since r17 the two
+    * halves run under a staged `forget_pending/` marker (tombstone ids
+    * + the batch id, staged BEFORE the deltas): a crash between the
+    * ledger commit and the sigs swap previously served a silently
+    * inconsistent sheet (counters without the deleted docs, near-dup
+    * pairs still counting them) until an operator happened to replay —
+    * reads now refuse mid-window, and [[recoverForget]] completes the
+    * swap from the stored tombstones once the deltas are
+    * ledger-committed (a pre-delta crash needs the original docs, so
+    * recovery names the id and instructs re-running forget).
+    * Re-running with the same batchId is a no-op (ledger probe; the
+    * sigs re-swap rewrites the identical survivor set). Run offline,
+    * stream stopped. */
+  def forget(stateDir: String)(docs: DataFrame, batchId: Long): Unit =
+    forgetImpl(stateDir, docs, batchId, crashAfterStep = Int.MaxValue)
+
+  /** Test seam: throw after step n (0 = staged only — deltas not yet
+    * appended; 1 = deltas + ledger committed, sigs swap not run). */
+  private[streaming] def forgetImpl(stateDir: String, docs: DataFrame,
+      batchId: Long, crashAfterStep: Int): Unit = {
     val spark = docs.sparkSession
     stampFormat(spark, stateDir)
+    val pend = CorpusStateStream.keyedForgetPendingPath(stateDir)
+    val fs = pend.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal or adopt a prior crashed window: ledger-committed completes
+    // here; a pre-delta crash of THIS id is adopted (this run redoes
+    // everything from the start); a pre-delta crash of ANOTHER id needs
+    // its own docs — refuse with the instruction
+    if (fs.exists(pend)) {
+      val prior = spark.read.parquet(s"$pend/meta").collect()(0).getLong(0)
+      if (ledgerCommitted(spark, stateDir, prior))
+        completePendingForget(spark, stateDir)
+      else if (prior == batchId) fs.delete(pend, true)
+      else throw new IllegalStateException(
+        s"$pend holds a forget (batch $prior) that crashed BEFORE its " +
+        s"deltas committed — re-run forget with batch $prior's original " +
+        "documents to heal before submitting a different deletion")
+    }
     val scrubbed = docs
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
       .localCheckpoint()
+    // run the sign guards BEFORE staging: a refused call (an arrival's
+    // id resubmitted as a forget, or a crashed arrival's deltas under
+    // this id) must not leave a dangling pending marker behind — the
+    // marker blocks every read until healed, and a sign-refused forget
+    // can never heal it. For a legitimate forget this also writes the
+    // write-intent mark (mark-first is the protocol); appendDeltaTables
+    // re-checks idempotently below.
+    if (ledgerCommitted(spark, stateDir, batchId))
+      CorpusStateStream.requireLedgerSign(spark, stateDir, "ds_ledger",
+        batchId, sign = -1L)
+    else
+      CorpusStateStream.intentSignGuard(spark, stateDir, "ds_ledger",
+        batchId, sign = -1L,
+        deltasInLog = stateDf(spark, s"$stateDir/ds_counters", countersSchema)
+          .filter(col("batch_id") === batchId).limit(1).count() > 0)
+    // stage the marker BEFORE the deltas: tombstone ids + the batch id,
+    // promoted under one atomic rename
+    val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/forget_pending.tmp")
+    fs.delete(tmp, true)
+    scrubbed.select(col("doc_id")).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/tombs")
+    spark.range(1).select(lit(batchId).as("batch_id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    require(fs.rename(tmp, pend), s"could not stage the forget to $pend")
+    if (crashAfterStep == 0)
+      throw new IllegalStateException("injected crash after staging")
     appendDeltaTables(stateDir, scrubbed, batchId, sign = -1L)
-    val tomb = scrubbed.select(col("doc_id")).distinct()
-      .localCheckpoint(true)
-    val survivors = CorpusStateStream.sigState(spark, stateDir)
+    if (crashAfterStep == 1)
+      throw new IllegalStateException("injected crash after deltas")
+    completePendingForget(spark, stateDir)
+  }
+
+  private def ledgerCommitted(spark: SparkSession, stateDir: String,
+      batchId: Long): Boolean =
+    stateDf(spark, s"$stateDir/ds_ledger", ledgerSchema)
+      .filter(col("batch_id") === batchId).limit(1).count() > 0
+
+  /** The sigs-swap half, replayed from the PENDING dir's stored
+    * tombstones (anti-join — idempotent), then the marker clears. */
+  private def completePendingForget(spark: SparkSession,
+      stateDir: String): Unit = {
+    val pend = CorpusStateStream.keyedForgetPendingPath(stateDir)
+    val fs = pend.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal a sigs swap that died between its two renames
+    val dir = new org.apache.hadoop.fs.Path(s"$stateDir/sigs")
+    val old = new org.apache.hadoop.fs.Path(s"$stateDir/sigs.old")
+    if (!fs.exists(dir) && fs.exists(old))
+      require(fs.rename(old, dir), s"could not recover $old to $dir")
+    val tomb = spark.read.parquet(s"$pend/tombs").localCheckpoint(true)
+    val survivors = spark.read.parquet(s"$stateDir/sigs")
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     CorpusStateStream.swapState(spark, s"$stateDir/sigs")(tmp =>
       survivors.write.mode("overwrite").parquet(tmp))
+    fs.delete(pend, true)
+  }
+
+  /** Crash recovery for [[forget]]: a staged window whose deltas are
+    * ledger-committed completes (the sigs swap from stored tombstones);
+    * a pre-delta window cannot rebuild its deltas from ids alone and
+    * refuses, naming the batch to re-run. */
+  def recoverForget(spark: SparkSession, stateDir: String): Unit = {
+    val pend = CorpusStateStream.keyedForgetPendingPath(stateDir)
+    val fs = pend.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/forget_pending.tmp"),
+      true)
+    if (!fs.exists(pend)) return
+    val prior = spark.read.parquet(s"$pend/meta").collect()(0).getLong(0)
+    if (ledgerCommitted(spark, stateDir, prior))
+      completePendingForget(spark, stateDir)
+    else throw new IllegalStateException(
+      s"$pend holds a forget (batch $prior) that crashed BEFORE its " +
+      s"deltas committed — re-run forget with batch $prior's original " +
+      "documents (the staged ids alone cannot rebuild the deltas)")
   }
 
   /** Net > 0 word keys — the vocabulary membership set whose count is

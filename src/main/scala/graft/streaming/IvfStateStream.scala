@@ -102,9 +102,14 @@ object IvfStateStream {
     * so it dates every vintage and every lifecycle stage). */
   private val FormatVersion = 1
 
-  private def requireFmt(spark: SparkSession, stateDir: String): Unit =
+  private def requireFmt(spark: SparkSession, stateDir: String): Unit = {
+    // a forget crashed between the lists and codes swaps leaves the
+    // pair inconsistent (the certificate would over-count codes) —
+    // refuse every read mid-window, like the rebalance pending guard
+    CorpusStateStream.requireNoPendingForget(spark, stateDir, "ivf")
     CorpusStateStream.requireFormat(spark, stateDir, "ivf",
       FormatVersion, "centroids")
+  }
 
   /** The persisted coarse quantizer. */
   def centroidState(spark: SparkSession, stateDir: String): DataFrame = {
@@ -551,25 +556,31 @@ object IvfStateStream {
     * [[requireNoPendingRebalance]]: a forget here could forge or erase
     * the recovery witness). */
   def forget(spark: SparkSession, stateDir: String,
-      tombstones: DataFrame): Unit = {
+      tombstones: DataFrame): Unit =
+    forgetImpl(spark, stateDir, tombstones, crashAfterSwap = Int.MaxValue)
+
+  /** Test seam: throw after the n-th swap (1 = lists, 2 = codes;
+    * 0 = staged only). */
+  private[streaming] def forgetImpl(spark: SparkSession, stateDir: String,
+      tombstones: DataFrame, crashAfterSwap: Int): Unit = {
     requireNoPendingRebalance(spark, stateDir, "executing a forget")
-    val tomb = tombstones.select(col("vec_id")).distinct()
-      .localCheckpoint(true) // read once per artifact, after its source swaps
-    val survivors = listState(spark, stateDir)
-      .join(broadcast(tomb), Seq("vec_id"), "left_anti")
-      .localCheckpoint(true) // materialize before the swap deletes the source
-    CorpusStateStream.swapState(spark, s"$stateDir/lists")(tmp =>
-      survivors.write.mode("overwrite").parquet(tmp))
-    val codesDir = new org.apache.hadoop.fs.Path(s"$stateDir/codes")
-    val fs = codesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(codesDir)) {
-      val codeSurvivors = codeState(spark, stateDir)
-        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
-        .localCheckpoint(true)
-      CorpusStateStream.swapState(spark, s"$stateDir/codes")(tmp =>
-        codeSurvivors.write.mode("overwrite").parquet(tmp))
-    }
+    // staged-pending protocol (r17): a crash between the lists and
+    // codes swaps previously left a still-tombstoned codes tier next to
+    // survivor lists — no serving read could resurrect a deleted vector
+    // (candidates come from lists), but the certificate's codes leg
+    // over-counted until an operator happened to re-run the forget;
+    // reads now refuse mid-window and recoverForget heals from the
+    // stored tombstones
+    CorpusStateStream.stagedKeyedForget(spark, stateDir, "vec_id",
+      Seq("lists"), Seq("codes"), tombstones.select(col("vec_id")),
+      crashAfterSwap)
   }
+
+  /** Crash recovery for [[forget]] — heal dangling swaps and re-apply a
+    * staged pending forget from its stored tombstones. */
+  def recoverForget(spark: SparkSession, stateDir: String): Unit =
+    CorpusStateStream.recoverKeyedForget(spark, stateDir, "vec_id",
+      Seq("lists"), Seq("codes"))
 
   /** The post-split health table served FROM the REBALANCED state — the
     * q182/q139 serving pattern applied to the maintenance op itself:

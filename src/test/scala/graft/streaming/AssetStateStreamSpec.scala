@@ -186,4 +186,42 @@ class AssetStateStreamSpec extends SparkSpec {
       !col("d2").isin(arrIds.toSeq: _*))
     assert(oldOld.isEmpty, "probe recomputed the old×old quadrant")
   }
+
+  test("every forget crash window refuses reads, then heals (staged " +
+      "pending): no window can serve forgotten digests next to " +
+      "unforgotten signatures") {
+    val docs = docsSlice(col("doc_id") < 120)
+    val tombPred = graft.operators.Sampling.tombstoned(col("doc_id"))
+    val tomb = docs.select(col("doc_id")).filter(tombPred)
+    assert(tomb.limit(1).count() > 0, "fixture vacuous")
+    val fresh = Files.createTempDirectory("graft-assetcrash-want").toString
+    AssetStateStream.update(s"$fresh/state")(docs.filter(!tombPred), 0L)
+    val wantDig = AssetStateStream.digestState(spark, s"$fresh/state")
+    val wantSig = AssetStateStream.sigState(spark, s"$fresh/state")
+    (0 to 2).foreach { step =>
+      val root = Files.createTempDirectory(s"graft-assetcrash$step").toString
+      val state = s"$root/state"
+      AssetStateStream.update(state)(docs, 0L)
+      intercept[IllegalStateException] {
+        AssetStateStream.forgetImpl(spark, state, tomb, crashAfterSwap = step)
+      }
+      val e = intercept[IllegalArgumentException] {
+        AssetStateStream.digestState(spark, state)
+      }
+      assert(e.getMessage.contains("forget_pending"), e.getMessage)
+      intercept[IllegalArgumentException] {
+        AssetStateStream.sigState(spark, state)
+      }
+      intercept[IllegalArgumentException] { // mid-window append refuses too
+        AssetStateStream.update(state)(docs.limit(1), 9L)
+      }
+      AssetStateStream.recoverForget(spark, state)
+      val dig = AssetStateStream.digestState(spark, state)
+      val sig = AssetStateStream.sigState(spark, state)
+      assert(dig.exceptAll(wantDig).isEmpty && wantDig.exceptAll(dig).isEmpty,
+        s"step $step healed digests diverged from the survivors'")
+      assert(sig.exceptAll(wantSig).isEmpty && wantSig.exceptAll(sig).isEmpty,
+        s"step $step healed signatures diverged from the survivors'")
+    }
+  }
 }

@@ -239,6 +239,60 @@ class DatasheetStreamSpec extends SparkSpec {
       "replayed forget changed the sheet")
   }
 
+  test("forget crash windows: reads refuse mid-window; a committed-" +
+      "delta window completes from stored tombstones; a pre-delta " +
+      "window names its batch and only its owner heals it") {
+    val all = docsSlice(col("doc_id") < 150)
+    val tombPred = graft.operators.Sampling.tombstoned(col("doc_id"))
+    val tombDocs = all.filter(tombPred).localCheckpoint()
+    assert(tombDocs.limit(1).count() > 0, "fixture vacuous")
+    val wantSheet = collectSheet(
+      graft.operators.Dedup.datasetDatasheet(all.filter(!tombPred)))
+    // step 1: deltas + ledger committed, the sigs swap lost — the
+    // window that previously served counters without the deleted docs
+    // next to near-dup pairs still counting them
+    val s1 = Files.createTempDirectory("graft-dscrash1").toString + "/state"
+    DatasheetStateStream.update(s1)(all, 0L)
+    intercept[IllegalStateException] {
+      DatasheetStateStream.forgetImpl(s1, tombDocs, 1L, crashAfterStep = 1)
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      DatasheetStateStream.datasheetFromState(spark, s1)
+    }
+    assert(e1.getMessage.contains("forget_pending"), e1.getMessage)
+    intercept[IllegalArgumentException] {
+      DatasheetStateStream.vocabularyState(spark, s1)
+    }
+    intercept[IllegalArgumentException] { // mid-window append refuses
+      DatasheetStateStream.update(s1)(all.limit(1), 9L)
+    }
+    DatasheetStateStream.recoverForget(spark, s1) // completes the swap
+    assert(collectSheet(DatasheetStateStream.datasheetFromState(spark, s1))
+      == wantSheet, "healed sheet diverged from the survivors' batch")
+    // step 0: staged only (crash BEFORE the deltas) — recovery cannot
+    // rebuild deltas from ids alone: it refuses naming the batch, a
+    // DIFFERENT deletion refuses too, and the owner's replay heals
+    val s0 = Files.createTempDirectory("graft-dscrash0").toString + "/state"
+    DatasheetStateStream.update(s0)(all, 0L)
+    intercept[IllegalStateException] {
+      DatasheetStateStream.forgetImpl(s0, tombDocs, 1L, crashAfterStep = 0)
+    }
+    intercept[IllegalArgumentException] {
+      DatasheetStateStream.datasheetFromState(spark, s0)
+    }
+    val e0 = intercept[IllegalStateException] {
+      DatasheetStateStream.recoverForget(spark, s0)
+    }
+    assert(e0.getMessage.contains("batch 1"), e0.getMessage)
+    val eOther = intercept[IllegalStateException] {
+      DatasheetStateStream.forget(s0)(all.filter(col("doc_id") === 2L), 5L)
+    }
+    assert(eOther.getMessage.contains("batch 1"), eOther.getMessage)
+    DatasheetStateStream.forget(s0)(tombDocs, 1L) // the owner heals
+    assert(collectSheet(DatasheetStateStream.datasheetFromState(spark, s0))
+      == wantSheet, "owner-healed sheet diverged from the survivors' batch")
+  }
+
   test("a populated pre-versioning state dir is refused loudly by " +
       "writes and reads; a wrong-version marker names both versions") {
     val root = Files.createTempDirectory("graft-dsformat").toString

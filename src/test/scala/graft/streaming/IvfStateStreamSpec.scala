@@ -646,6 +646,45 @@ class IvfStateStreamSpec extends SparkSpec {
       (nAll - nTomb) * 4, "replayed forget changed the codes")
   }
 
+  test("every forget crash window refuses reads, then heals (staged " +
+      "pending): the codes tier can never over-count mid-window") {
+    val emb = embSlice(lit(true))
+    val tombPred = col("vec_id") % 7 === 3
+    val tomb = emb.select(col("vec_id")).filter(tombPred)
+    val nSurv = emb.count() - tomb.count()
+    // 0 = staged only; 1 = lists swapped, codes not; 2 = both swapped
+    (0 to 2).foreach { step =>
+      val root = Files.createTempDirectory(s"graft-ivfcrash$step").toString
+      val state = s"$root/state"
+      IvfStateStream.train(emb, state, nlist, portableMeans = true)
+      IvfStateStream.trainPq(emb, state, m = 4, ksub = 16,
+        portableMeans = true)
+      IvfStateStream.update(state)(emb, 0L)
+      IvfStateStream.updatePq(state)(emb, 0L)
+      intercept[IllegalStateException] {
+        IvfStateStream.forgetImpl(spark, state, tomb, crashAfterSwap = step)
+      }
+      val e = intercept[IllegalArgumentException] {
+        IvfStateStream.listState(spark, state)
+      }
+      assert(e.getMessage.contains("forget_pending"), e.getMessage)
+      intercept[IllegalArgumentException] {
+        IvfStateStream.codeState(spark, state)
+      }
+      intercept[IllegalArgumentException] { // mid-window fold refuses too
+        IvfStateStream.update(state)(emb.limit(1), 9L)
+      }
+      IvfStateStream.recoverForget(spark, state)
+      val lists = IvfStateStream.listState(spark, state)
+      val codes = IvfStateStream.codeState(spark, state)
+      assert(lists.filter(tombPred).isEmpty && codes.filter(tombPred).isEmpty,
+        s"step $step: tombstoned rows survived the healed forget")
+      assert(lists.count() == nSurv && codes.count() == nSurv * 4,
+        s"step $step: healed counts diverged (lists ${lists.count()}, " +
+          s"codes ${codes.count()})")
+    }
+  }
+
   test("pq fold: codes state equals the batch encoding; replay is a no-op") {
     val root = Files.createTempDirectory("graft-ivfpq-fold").toString
     val stateDir = s"$root/state"
