@@ -854,12 +854,13 @@ object Similarity {
        |  WHERE rn <= 10),
        |$rrfFusionTailSql""".stripMargin
 
-  /** The RRF fusion as SQL — the [[rrfFusePages]] twin, shared by the
-    * batch (q216) and served (q219/q220) hybrid oracles: expects `page`
-    * (lexical, from [[bm25Ctes]]) and `den` (dense, (query_id, vec_id,
-    * rn)) in scope. One definition, so the three hybrids' fusion
-    * arithmetic can never drift apart. */
-  private def rrfFusionTailSql: String =
+  /** The RRF fusion as CTEs ending in the fused page `hpage` — the
+    * [[rrfFusePages]] twin, shared by the batch (q216) and served
+    * (q219/q220) hybrid oracles and composed over by the recall eval
+    * (q221): expects `page` (lexical, from [[bm25Ctes]]) and `den`
+    * (dense, (query_id, vec_id, rn)) in scope. One definition, so the
+    * hybrids' fusion arithmetic can never drift apart. */
+  private def rrfFusionCtes: String =
     """u AS (
       |  SELECT query_id, doc_id, rn, 'lex' AS src FROM page
       |  UNION ALL
@@ -870,14 +871,19 @@ object Similarity {
       |      + coalesce(max(CASE WHEN src = 'den' THEN 1.0 / (60 + rn) END), 0)
       |      AS rrf_score,
       |    CAST(count(*) AS INT) AS n_rankers
-      |  FROM u GROUP BY query_id, doc_id)
-      |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_score, n_rankers
-      |FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY query_id
-      |    ORDER BY rrf_score DESC, doc_id) AS rank
-      |  FROM f) t
-      |WHERE rank <= 10
-      |ORDER BY query_id, rank""".stripMargin
+      |  FROM u GROUP BY query_id, doc_id),
+      |hpage AS (
+      |  SELECT query_id, doc_id, rrf_score, n_rankers, rank FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf_score DESC, doc_id) AS rank
+      |    FROM f) t
+      |  WHERE rank <= 10)""".stripMargin
+
+  private def rrfFusionTailSql: String =
+    s"""$rrfFusionCtes
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_score, n_rankers
+       |FROM hpage
+       |ORDER BY query_id, rank""".stripMargin
 
   /** q219's oracle: the bm25 chain (lexical page), the q49 portable
     * IVF chain ranked to its page (dense leg — the q182 search's own
@@ -901,6 +907,73 @@ object Similarity {
   }
 
   private def q219OracleSql: String = servedHybridOracleSql("", "")
+
+  /** Recall@k of the SERVED hybrid page against the exact dense top-k
+    * — the q128 index-quality eval applied to the production hybrid
+    * read: per query, the fraction of the brute-force cosine top-k the
+    * fused (lexical + IVF) page retrieves. The number a deployment
+    * watches when tuning the fusion: it quantifies how far the lexical
+    * leg and the IVF approximation pull the served page off the exact
+    * dense ranking (a lexical hit that displaces a dense neighbor is
+    * the FEATURE being measured, not an error — which is why this is
+    * an eval, not a correctness gate). Scale: the hybrid page costs
+    * its two index probes; the exact leg is the eval's honest
+    * corpus-scan term (evals run offline — the q128/q38 convention). */
+  def hybridRecallFromState(spark: SparkSession, lexDir: String,
+      ivfDir: String, embeddings: DataFrame, queryIds: Seq[Long],
+      k: Int = 10, corpusKey: Option[String] = None): DataFrame = {
+    val hybrid = hybridRrfFromState(spark, lexDir, ivfDir, queryIds,
+        k = k, fromN = k)
+      .select(col("query_id"), col("doc_id"))
+    val exact = bruteForceTopK(embeddings, queryIds, k,
+        corpusKey = corpusKey)
+      .select(col("query_id"), col("vec_id").as("doc_id"))
+      .localCheckpoint()
+    val hits = hybrid
+      .join(exact.select(col("query_id").as("xq"), col("doc_id").as("xd")),
+        col("query_id") === col("xq") && col("doc_id") === col("xd"),
+        "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), lit(k.toLong).as("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          lit(k.toDouble)).as("recall"))
+  }
+
+  private def q221OracleSql: String =
+    s"""WITH ${bm25Ctes(10)},
+       |${kmeansListsCtes()},
+       |${ivfScoredCtes("")},
+       |den AS (
+       |  SELECT query_id, vec_id, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS rn
+       |    FROM scored) t
+       |  WHERE rn <= 10),
+       |$rrfFusionCtes,
+       |hx AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosineSql("e.embedding", "q.embedding")} DESC,
+       |          e.vec_id) AS rn
+       |    FROM embeddings e
+       |    JOIN embeddings q ON q.vec_id IN (0, 100, 200)
+       |      AND e.vec_id <> q.vec_id) t
+       |  WHERE rn <= 10),
+       |hits AS (
+       |  SELECT h.query_id, count(*) AS n_hits
+       |  FROM hpage h JOIN hx x
+       |    ON x.query_id = h.query_id AND x.vec_id = h.doc_id
+       |  GROUP BY h.query_id)
+       |SELECT q.query_id, CAST(10 AS BIGINT) AS k,
+       |  CAST(COALESCE(t.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(t.n_hits, 0) AS DOUBLE) / 10 AS recall
+       |FROM (SELECT DISTINCT query_id FROM hx) q
+       |LEFT JOIN hits t ON t.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
 
   private def q220OracleSql: String = servedHybridOracleSql(
     "(SELECT * FROM documents WHERE " +
@@ -3102,6 +3175,15 @@ object Similarity {
         hybridRrfFromState(s, servedForgottenLexicalDir(s, d),
             servedForgottenIvfDir(s, d), QueryIds, k = 10, fromN = 10)
           .orderBy(col("query_id"), col("rank"))
+    },
+
+    Q("q221_hybrid_recall", q221OracleSql,
+      "Recall@10 of the SERVED hybrid page against the exact dense top-10 — the q128 index-quality eval applied to the production read: per query, the fraction of the brute-force cosine neighbors the fused (maintained-lexical + maintained-IVF) page retrieves, the number a deployment watches when tuning the fusion. A lexical hit that displaces a dense neighbor is the FEATURE being measured (hybrid search exists to surface keyword-relevant documents dense similarity misses), so this registers the measurement itself as an oracle-checked query rather than asserting a floor — the same design as q128/q142's recall/probe curves, now covering the composed hybrid. Determinism: the hybrid page is q219's exact-integer chain, the exact leg q36's round-6 cosines with doc_id ties, and the recall arithmetic is an integer count over a 10-row page — the oracle composes q219's full CTE chain (bm25 + IVF + fusion, via the shared hpage CTEs) with the exact leg and replays all of it cross-engine in one hash. Scale: the hybrid costs its two corpus-independent index probes; the exact leg is the eval's honest corpus-scan term (evals run offline against a sampled query set — the q128/q38 convention).") {
+      (s, d) =>
+        hybridRecallFromState(s, servedLexicalStateDir(s, d),
+            servedIvfStateDir(s, d), Tables.embeddings(s, d), QueryIds,
+            k = 10, corpusKey = embKey(d))
+          .orderBy(col("query_id"))
     },
   )
 

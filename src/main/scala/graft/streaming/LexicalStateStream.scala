@@ -208,6 +208,30 @@ object LexicalStateStream {
     newDocs.write.mode("append").parquet(s"$stateDir/lexdocs")
   }
 
+  /** Fold the per-batch counter rows to ONE snapshot row — the LSM
+    * merge bounding `lexstats/` to a single row however many batches
+    * arrive (without it the table grows one 24-byte row per batch and
+    * the avgdl fold pays |batches|). Safe against replays WITHOUT the
+    * per-batch rows: a completed batch's replay derives its delta from
+    * the docs new to the REGISTRY — empty once lexdocs holds them — so
+    * the batch_id probe is only a fast path, never the idempotence
+    * record (the [[forget]] snapshot relies on the same property).
+    * Run offline, stream stopped (the compaction contract). Returns
+    * (rows before, rows after). */
+  def foldLexstats(spark: SparkSession, stateDir: String): (Long, Long) = {
+    requireReadable(spark, stateDir)
+    val before = rawLexstats(spark, stateDir).count()
+    val snap = rawLexstats(spark, stateDir)
+      .agg(coalesce(sum(col("n_dl_docs")), lit(0L)).as("n_dl_docs"),
+        coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"))
+      .select(lit(CorpusStateStream.SnapshotBatchId).as("batch_id"),
+        col("n_dl_docs"), col("sum_dl"))
+      .localCheckpoint(true)
+    CorpusStateStream.swapState(spark, s"$stateDir/lexstats")(t =>
+      snap.write.mode("overwrite").parquet(t))
+    (before, 1L)
+  }
+
   /** q215's BM25 page served FROM the maintained index, query-bounded:
     * no tokenize pass, no corpus-proportional aggregate — postings read
     * with doc_id/term pushdown, candidate lengths probed from

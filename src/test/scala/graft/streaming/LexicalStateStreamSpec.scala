@@ -74,6 +74,17 @@ class LexicalStateStreamSpec extends SparkSpec {
     LexicalStateStream.update(state)(docs, 1L) // same docs, later batch
     assert(LexicalStateStream.postingsState(spark, state).count() == p1,
       "re-delivered docs must not duplicate postings")
+    // fold the counter to one snapshot row: the read is unchanged, a
+    // REPLAY of a folded batch is still a no-op (its delta derives from
+    // registry-new docs, empty for a completed batch), and re-folding
+    // is a row no-op
+    val (fb, fa) = LexicalStateStream.foldLexstats(spark, state)
+    assert(fb >= 1 && fa == 1L, s"fold rows $fb -> $fa")
+    LexicalStateStream.update(state)(docs, 0L) // replay of a folded batch
+    val stF = LexicalStateStream.lexstatsState(spark, state).collect()(0)
+    assert(stF.getLong(0) == 4L && stF.getLong(1) == 9L,
+      s"replay after fold shifted the counter: $stF")
+    LexicalStateStream.foldLexstats(spark, state) // re-fold no-op
     assert(LexicalStateStream.doclensState(spark, state).count() == 4,
       "re-delivered docs must not duplicate lengths")
     val st2 = LexicalStateStream.lexstatsState(spark, state).collect()(0)
