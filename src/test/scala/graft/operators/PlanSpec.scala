@@ -477,6 +477,16 @@ class PlanSpec extends SparkSpec {
       "graft_lexforget_state", "graft_ivfforget_state")
     assert(!planString("q220_forgotten_hybrid_state_served").contains("md5"),
       "q220 must not re-apply the tombstone rule at read time")
+    // q221: the recall eval reads both maintained indexes plus the
+    // embeddings table (the exact leg's honest, documented scan) — but
+    // never the documents table (no re-tokenize) and never a cartesian
+    val hr = planString("q221_hybrid_recall")
+    assert(hr.contains("graft_lex_state") && hr.contains("graft_ivf_state"),
+      "q221's hybrid leg must read both maintained indexes:\n" + hr.take(800))
+    assert(!hr.contains("documents.parquet"),
+      "q221 must not rescan the documents table:\n" + hr.take(800))
+    assert(!hr.contains("CartesianProduct"),
+      "q221 must not plan a cartesian product:\n" + hr.take(800))
     // q213: the forgotten drift matrix aggregates the netted state
     // sums — no embeddings rescan, no read-time tombstone
     val cdf = planString("q213_forgotten_drift_state_served")
