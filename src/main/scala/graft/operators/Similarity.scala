@@ -719,6 +719,89 @@ object Similarity {
         (col("s") * lit(1e-6)).as("bm25"), col("rn"))
   }
 
+  /** PHRASE match top-k, query-by-example — the lexical capability
+    * BM25's bag-of-words deliberately cannot express (the q215 scorer
+    * treats "new york" and "york new" identically; phrase semantics
+    * need token POSITIONS): for each query document, its leading
+    * 3-token phrase (lowered, whitespace tokens — the family's one
+    * tokenizer) searched as a CONTIGUOUS sequence across every other
+    * document, ranked by occurrence count with ties to the smaller
+    * doc_id.
+    *
+    * The positional-intersection trick makes this a bounded equi-join,
+    * never a scan-per-candidate string search: tokens explode WITH
+    * positions once, the ≤3-row-per-query phrase table broadcasts onto
+    * the stream restricted to the phrase's own terms (a bounded
+    * driver-collected set — isin pushdown, the q217 recipe), each hit
+    * votes for the start position `pos − qpos` it would anchor, and a
+    * start with exactly 3 distinct-offset votes IS a phrase occurrence
+    * (correct under repeated tokens in the phrase: each (start, qpos)
+    * pair can arise from at most one document position).
+    *
+    * Determinism: occurrence counts are exact integers; ranking ties
+    * to the smaller doc_id. A query shorter than 3 tokens matches
+    * nothing on either engine (the count can never reach 3; the
+    * oracle's out-of-range subscripts null out).
+    *
+    * Scale: one tokenize pass (∝ corpus tokens — the honest batch
+    * linear term, like q215's), then only tokens MATCHING a phrase
+    * term survive into the (query, doc, start) aggregate — never a
+    * cross product, never a per-candidate re-scan; the top-k window
+    * sees |queries| partitions. The serving path would persist
+    * POSITIONAL postings (doc_id, w, pos) next to the inverted index
+    * and probe them with the same pushdown — the q217 pattern one
+    * column wider. */
+  def phraseMatchTopK(docs: DataFrame, queryIds: Seq[Long],
+      k: Int = 10): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.wsTokens(lower(col("text"))))
+          .as(Seq("pos", "w")))
+      .localCheckpoint()
+    val ph = tok.filter(col("doc_id").isin(queryIds: _*) && col("pos") <= 2)
+      .select(col("doc_id").as("query_id"), col("pos").as("qpos"),
+        col("w").as("pw"))
+    // bounded driver probe: at most 3 tokens per query document
+    val terms = ph.select(col("pw")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val votes = tok.filter(col("w").isin(terms: _*))
+      .join(broadcast(ph),
+        col("w") === col("pw") && col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("qpos")).as("start"))
+    val occ = votes
+      .groupBy(col("query_id"), col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") === 3 && col("start") >= 0)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_occ").desc, col("doc_id"))
+    occ.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_occ"), col("rn"))
+  }
+
+  private def q222OracleSql: String =
+    s"""WITH ptok AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+       |  FROM documents),
+       |pph AS (
+       |  SELECT doc_id AS query_id, w[1] AS p1, w[2] AS p2, w[3] AS p3
+       |  FROM ptok WHERE doc_id IN (0, 100, 200)),
+       |pm AS (
+       |  SELECT p.query_id, t.doc_id,
+       |    len([i FOR i IN range(1, len(t.w) - 1)
+       |      IF t.w[i] = p.p1 AND t.w[i+1] = p.p2 AND t.w[i+2] = p.p3])
+       |      AS n_occ
+       |  FROM ptok t CROSS JOIN pph p WHERE t.doc_id <> p.query_id)
+       |SELECT query_id, doc_id, CAST(n_occ AS BIGINT) AS n_occ,
+       |  CAST(rn AS INT) AS rn
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY n_occ DESC, doc_id) AS rn
+       |  FROM pm WHERE n_occ > 0) t
+       |WHERE rn <= 10
+       |ORDER BY query_id, rn""".stripMargin
+
   /** The BM25 chain as DuckDB CTEs, `prefix`-namespaced — shared by
     * q215 (standalone page) and q216 (the lexical leg of the hybrid
     * fusion), so the two oracles can never drift apart. */
@@ -3184,6 +3267,15 @@ object Similarity {
             servedIvfStateDir(s, d), Tables.embeddings(s, d), QueryIds,
             k = 10, corpusKey = embKey(d))
           .orderBy(col("query_id"))
+    },
+
+    Q("q222_phrase_match_topk", q222OracleSql,
+      "PHRASE match top-10, query-by-example — the lexical capability BM25's bag-of-words deliberately cannot express (q215 scores 'new york' and 'york new' identically; phrase semantics need token POSITIONS): each query document's leading 3-token phrase searched as a CONTIGUOUS sequence across every other document, ranked by exact occurrence count with ties to the smaller doc_id. The positional-intersection trick keeps it an equi-join, never a per-candidate string search: tokens explode WITH positions once, the <=3-row-per-query phrase table broadcasts onto the stream restricted to the phrase's own terms (bounded driver-collected set, isin pushdown — the q217 recipe), each hit votes for the start position pos - qpos it would anchor, and a start with exactly three distinct-offset votes IS an occurrence — correct under repeated phrase tokens, since each (start, qpos) pair can arise from at most one document position. Determinism: integer counts, doc_id ties; a sub-3-token query matches nothing on either engine (the vote count cannot reach three; the oracle's out-of-range subscripts null out). The oracle recomputes occurrences per document by DuckDB list comprehension over the same token array, so the hash gate proves tokenization, positions, contiguity and counts end-to-end. Scale: one tokenize pass (the honest batch linear term), then only phrase-term tokens survive into the (query, doc, start) aggregate; at deployment scale the serving path persists POSITIONAL postings (doc_id, w, pos) next to the inverted index and probes them with the same pushdown — the q217 pattern one column wider.") {
+      (s, d) =>
+        phraseMatchTopK(
+            Tables.documents(s, d).select(col("doc_id"), col("text")),
+            QueryIds, k = 10)
+          .orderBy(col("query_id"), col("rn"))
     },
   )
 

@@ -487,6 +487,18 @@ class PlanSpec extends SparkSpec {
       "q221 must not rescan the documents table:\n" + hr.take(800))
     assert(!hr.contains("CartesianProduct"),
       "q221 must not plan a cartesian product:\n" + hr.take(800))
+    // q222: phrase match is a broadcast equi-join over the positional
+    // tokens (checkpointed once) — never a cartesian, never a second
+    // corpus tokenize
+    val pm = planString("q222_phrase_match_topk")
+    assert(!pm.contains("CartesianProduct") &&
+      !pm.contains("BroadcastNestedLoopJoin"),
+      "q222 must stay an equi-join on the phrase terms:\n" + pm.take(800))
+    assert(occurrences(pm, "documents.parquet") == 0,
+      "q222 tokenizes once (positional tokens checkpointed): " +
+        occurrences(pm, "documents.parquet"))
+    assert(pm.contains("BroadcastExchange"),
+      "q222's phrase table must broadcast onto the token stream")
     // q213: the forgotten drift matrix aggregates the netted state
     // sums — no embeddings rescan, no read-time tombstone
     val cdf = planString("q213_forgotten_drift_state_served")

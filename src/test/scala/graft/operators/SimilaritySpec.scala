@@ -399,4 +399,25 @@ class SimilaritySpec extends SparkSpec {
     val nrs = fused.map(_.getInt(4)).toSet
     assert(nrs.contains(1), "no single-leg doc — fixture vacuous")
   }
+
+  test("phrase match: hand-computed fixture — contiguity, repeated-token " +
+      "phrase, occurrence counts, tie order") {
+    val spark0 = spark
+    import spark0.implicits._
+    // query 0's phrase = its first three tokens "a b a" — the repeated
+    // token is the trap the (start, qpos) vote trick must survive
+    val docs = Seq(
+      (0L, "a b a b a"),      // the query
+      (1L, "x a b a b a y"),  // two overlapping occurrences (starts 1, 3)
+      (2L, "a b a"),          // one occurrence
+      (3L, "b a b a"),        // one (start 1)
+      (4L, "a a b"),          // bag matches, phrase does NOT
+      (5L, "b a x b a")       // pieces, never contiguous
+    ).toDF("doc_id", "text")
+    val got = Similarity.phraseMatchTopK(docs, Seq(0L), k = 10)
+      .orderBy(col("rn"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == Seq((1L, 2L, 1), (2L, 1L, 2), (3L, 1L, 3)),
+      s"phrase page diverged: $got")
+  }
 }
