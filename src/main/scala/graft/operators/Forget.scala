@@ -21,7 +21,7 @@ import graft.Q
   * the survivors, which is a stronger claim than "no tombstoned key
   * remains" (that alone would pass if the forget had also eaten
   * innocent rows). Every leg reads a forgotten-state dir the q199–q218
-  * builders already memoized, so the certificate costs twenty bounded
+  * builders already memoized, so the certificate costs twenty-one bounded
   * state aggregates — the corpus is never rescanned at read time.
   *
   * Hash-domain note: the vocabulary, datasheet-vocabulary and shingle
@@ -100,6 +100,7 @@ object Forget {
        |  UNION ALL SELECT 'ivf_codes', 4 * (SELECT count(*) FROM semb)
        |  UNION ALL SELECT 'ivf_lists', (SELECT count(*) FROM semb)
        |  UNION ALL SELECT 'lex_doclens', (SELECT count(DISTINCT doc_id) FROM lw)
+       |  UNION ALL SELECT 'lex_pos_postings', (SELECT count(*) FROM vw)
        |  UNION ALL SELECT 'lex_postings', (SELECT count(*) FROM lw)
        |  UNION ALL SELECT 'lex_token_mass', (SELECT count(*) FROM vw)
        |  UNION ALL SELECT 'lexdocs', (SELECT count(*) FROM sdocs)
@@ -116,7 +117,7 @@ object Forget {
 
   val queries: Seq[Q] = Seq(
     Q("q206_deletion_certificate", q206OracleSql,
-      "The deletion CERTIFICATE — what a compliance review actually files after a right-to-be-forgotten execution: one table, per maintained artifact, of the SURVIVING population, hash-verified against an independent cross-engine recomputation from the raw corpus with the tombstone rule applied (q80's shingle chain, q103's tokenizer, q72's funnel cascade, q185's doubled asset fixture). This is deliberately stronger than 'no tombstoned key remains' — that weaker check would pass a forget that also ate innocent rows; matching the exact survivor counts proves the deletion touched precisely its subjects across all twenty artifacts at once — including the packing ledger, whose deletion is the bounded suffix repack (q207), the one non-anti-join mechanic in the family — closing the q199-q218 family with the artifact a regulator reads. Every leg is a bounded aggregate over a forgotten-state dir the family's builders already memoized (states are built + forgotten once per session; the certificate re-reads them), so the read costs twenty state scans and the corpus is never rescanned. Hash-domain legs (vocab, datasheet vocab, shingles) count distinct 64-bit keys vs the oracle's distinct strings — the family's documented injectivity convention, policed by this gate; vocab_terms and datasheet_vocab certify the same truth from two independent artifacts in two hash domains, a free cross-artifact consistency check. Scale: at 100 TB the certificate is twenty index-read aggregates over fixed-width state rows — the audit is as cheap as the deletion, which is the operational requirement for running it after EVERY deletion batch, not just at year-end.") {
+      "The deletion CERTIFICATE — what a compliance review actually files after a right-to-be-forgotten execution: one table, per maintained artifact, of the SURVIVING population, hash-verified against an independent cross-engine recomputation from the raw corpus with the tombstone rule applied (q80's shingle chain, q103's tokenizer, q72's funnel cascade, q185's doubled asset fixture). This is deliberately stronger than 'no tombstoned key remains' — that weaker check would pass a forget that also ate innocent rows; matching the exact survivor counts proves the deletion touched precisely its subjects across all twenty-one artifacts at once — including the packing ledger, whose deletion is the bounded suffix repack (q207), the one non-anti-join mechanic in the family — closing the q199-q218 family with the artifact a regulator reads. Every leg is a bounded aggregate over a forgotten-state dir the family's builders already memoized (states are built + forgotten once per session; the certificate re-reads them), so the read costs twenty-one state scans and the corpus is never rescanned. Hash-domain legs (vocab, datasheet vocab, shingles) count distinct 64-bit keys vs the oracle's distinct strings — the family's documented injectivity convention, policed by this gate; vocab_terms and datasheet_vocab certify the same truth from two independent artifacts in two hash domains, a free cross-artifact consistency check. Scale: at 100 TB the certificate is twenty-one index-read aggregates over fixed-width state rows — the audit is as cheap as the deletion, which is the operational requirement for running it after EVERY deletion batch, not just at year-end.") {
       (s, d) => {
         def leg(name: String, src: DataFrame, n: Column): DataFrame =
           src.agg(n.cast("bigint").as("n_rows"))
@@ -148,14 +149,22 @@ object Forget {
             .codeState(s, Similarity.servedForgottenIvfDir(s, d)), rows))
           .unionAll(leg("ivf_lists", graft.streaming.IvfStateStream
             .listState(s, Similarity.servedForgottenIvfDir(s, d)), rows))
-          // the inverted index files ALL FOUR of its tables: surviving
-          // per-doc lengths, raw-term postings (exact distinct
+          // the inverted index files ALL FIVE of its tables: surviving
+          // per-doc lengths, positional postings (surviving token occurrences —
+          // the phrase tier q224 serves), raw-term postings (exact distinct
           // (doc, term) pairs — no hash domain), the netted counter's
           // token mass (the r17 snapshot must equal the survivors'
           // total to the integer — the avgdl the index serves hangs off
           // it), and the registry BM25's N reads from
           .unionAll(leg("lex_doclens", graft.streaming.LexicalStateStream
             .doclensState(s, Similarity.servedForgottenLexicalDir(s, d)), rows))
+          // the positional tier's surviving rows = the survivors' total
+          // token count — the SAME truth lex_token_mass certifies from
+          // the netted counter, here from the independent poslists
+          // artifact (the vocab_terms/datasheet_vocab convention): the
+          // two must agree or one tier's forget missed rows
+          .unionAll(leg("lex_pos_postings", graft.streaming.LexicalStateStream
+            .poslistsState(s, Similarity.servedForgottenLexicalDir(s, d)), rows))
           .unionAll(leg("lex_postings", graft.streaming.LexicalStateStream
             .postingsState(s, Similarity.servedForgottenLexicalDir(s, d)), rows))
           .unionAll(leg("lex_token_mass", graft.streaming.LexicalStateStream

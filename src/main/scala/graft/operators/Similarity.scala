@@ -648,12 +648,31 @@ object Similarity {
   /** The (doc_id, w, tf) postings derivation — ONE tokenizer
     * definition shared by the batch operator and the maintained
     * inverted index ([[graft.streaming.LexicalStateStream]]), so a
-    * state-served page can never drift from its batch twin. */
+    * state-served page can never drift from its batch twin. Since the
+    * positional tier landed this is the aggregation of [[posTokens]] —
+    * the SAME pass that feeds the positional postings, so the tf tier
+    * and the position tier cannot disagree either. */
   private[graft] def bm25Postings(docs: DataFrame): DataFrame =
+    postingsFromPosTokens(posTokens(docs))
+
+  /** The positional tokens (doc_id, pos, w) — the family's one
+    * tokenizer ([[graft.functions.TextFunctions.wsTokens]] over lowered
+    * text) exploded WITH 0-based positions: the batch phrase operator
+    * ([[phraseMatchTopK]]), the maintained index's positional postings
+    * ([[graft.streaming.LexicalStateStream.update]]) and, via
+    * [[postingsFromPosTokens]], the tf postings all derive from this
+    * single definition. */
+  private[graft] def posTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        explode(graft.functions.TextFunctions.wsTokens(lower(col("text"))))
-          .as("w"))
-      .groupBy(col("doc_id"), col("w"))
+      posexplode(graft.functions.TextFunctions.wsTokens(lower(col("text"))))
+        .as(Seq("pos", "w")))
+
+  /** (doc_id, w, tf) folded from a positional-token frame — the
+    * aggregation half of [[bm25Postings]], exposed so the maintained
+    * index's ingest can run ONE tokenize pass and derive both its tf
+    * and positional tiers from it. */
+  private[graft] def postingsFromPosTokens(tok: DataFrame): DataFrame =
+    tok.groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
 
   /** BM25 scoring over an ALREADY-DERIVED postings frame — the single
@@ -747,16 +766,31 @@ object Similarity {
     * linear term, like q215's), then only tokens MATCHING a phrase
     * term survive into the (query, doc, start) aggregate — never a
     * cross product, never a per-candidate re-scan; the top-k window
-    * sees |queries| partitions. The serving path would persist
-    * POSITIONAL postings (doc_id, w, pos) next to the inverted index
-    * and probe them with the same pushdown — the q217 pattern one
-    * column wider. */
+    * sees |queries| partitions. The serving path persists POSITIONAL
+    * postings (doc_id, pos, w) next to the inverted index and probes
+    * them with the same pushdown — the q217 pattern one column wider
+    * ([[graft.streaming.LexicalStateStream.phraseFromState]], q223),
+    * routed through the SAME [[phraseFromPositions]] engine so the two
+    * forms cannot drift. */
   def phraseMatchTopK(docs: DataFrame, queryIds: Seq[Long],
       k: Int = 10): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-        posexplode(graft.functions.TextFunctions.wsTokens(lower(col("text"))))
-          .as(Seq("pos", "w")))
-      .localCheckpoint()
+    // ONE positional tokenize pass feeds both consumers below (the
+    // phrase table and the vote stream) — checkpointed, the q143
+    // one-derivation convention
+    val tok = posTokens(docs).localCheckpoint()
+    phraseFromPositions(tok, queryIds, k)
+  }
+
+  /** Phrase scoring over an ALREADY-DERIVED positional-token frame —
+    * the single engine behind [[phraseMatchTopK]] (tokens from one
+    * batch tokenize) and the served read (tokens from the persisted
+    * positional postings), QUERY-bounded by construction: the phrase
+    * table is the query ids' leading positions (doc_id + pos pushdown
+    * on a state read), its ≤3-term set COLLECTS (the bounded-collect
+    * class) and restricts the vote stream by `isin` PUSHDOWN, so no
+    * stage touches a token outside the phrases' terms. */
+  private[graft] def phraseFromPositions(tok: DataFrame, queryIds: Seq[Long],
+      k: Int): DataFrame = {
     val ph = tok.filter(col("doc_id").isin(queryIds: _*) && col("pos") <= 2)
       .select(col("doc_id").as("query_id"), col("pos").as("qpos"),
         col("w").as("pw"))
@@ -780,10 +814,17 @@ object Similarity {
       .select(col("query_id"), col("doc_id"), col("n_occ"), col("rn"))
   }
 
-  private def q222OracleSql: String =
+  private def q222OracleSql: String = phraseOracleSql("documents")
+
+  /** The phrase-match chain as DuckDB SQL over `docsRel` — shared by
+    * the batch q222, the state-served q223 (verbatim, the q217
+    * pattern) and the forgotten q224 (over the tombstone-survivor
+    * relation, the q218 pattern), so the three oracles can never
+    * drift apart. */
+  private def phraseOracleSql(docsRel: String): String =
     s"""WITH ptok AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
-       |  FROM documents),
+       |  FROM $docsRel),
        |pph AS (
        |  SELECT doc_id AS query_id, w[1] AS p1, w[2] AS p2, w[3] AS p3
        |  FROM ptok WHERE doc_id IN (0, 100, 200)),
@@ -3277,7 +3318,28 @@ object Similarity {
             QueryIds, k = 10)
           .orderBy(col("query_id"), col("rn"))
     },
+
+    Q("q223_phrase_state_served", q222OracleSql,
+      "q222's phrase page served FROM the maintained index's POSITIONAL postings — the serving path q222's own scaladoc names (the q217 pattern one column wider), and the shape that makes phrase search affordable at 100 TB: the batch operator re-tokenizes the corpus per invocation (the honest ad-hoc shape), while production persists (doc_id, pos, w) positional postings at ingest — LexicalStateStream v3 derives them from the SAME tokenize pass as the tf postings, so the two tiers cannot disagree — and answers every phrase query from state: the query's leading positions read under doc_id + pos PUSHDOWN (the phrase table is ≤3 rows per query), its bounded term set collects and restricts the vote stream by term-isin pushdown, and the start-position intersection runs over only phrase-term postings. The engine is Similarity.phraseFromPositions — the batch operator's own scoring stage — so the oracle is q222's SQL VERBATIM and a hash match proves end-to-end that phrase search over the incrementally-built positional index equals a full-corpus recompute: tokenization, positions, contiguity votes, occurrence counts, ranks. Scale: the read touches positional postings matching the phrases' terms (pushdown; bucket by w at deployment scale) — the corpus text is never rescanned, and the aggregate sees only phrase-term hits, never a full-postings fold (the q217 query-boundedness argument applied to positions).") {
+      (s, d) =>
+        graft.streaming.LexicalStateStream.phraseFromState(s,
+            servedLexicalStateDir(s, d), QueryIds, k = 10)
+          .orderBy(col("query_id"), col("rn"))
+    },
+
+    Q("q224_forgotten_phrase_state_served", q224OracleSql,
+      "q223's served phrase search AFTER a right-to-be-forgotten pass over the positional index — the deletion leg that keeps the lexical family's GDPR story complete as it grows tiers: q218 proved erasure for the tf postings; the positional tier is one more keyed-1:1 table in LexicalStateStream.forget's staged protocol (anti-joined under the same forget_pending window, so a crash can never leave phrases findable for a document whose BM25 postings are gone), and because phrase occurrences are derived per candidate at read time, a deleted document can neither match a phrase nor shift any other document's occurrence count — positional erasure is as total as the tf tier's. The oracle is q222's chain over the tombstone-survivor relation (the shared md5-bucket rule, query ids provably surviving), so the hash gate proves the served page equals an independent engine's full recompute over exactly the surviving corpus. The builder's replayed forget re-proves idempotence against the positional tier under the same gate. Scale: deletion cost adds one pushdown anti-join over the positional state; the read keeps q223's cost model over a smaller index.") {
+      (s, d) =>
+        graft.streaming.LexicalStateStream.phraseFromState(s,
+            servedForgottenLexicalDir(s, d), QueryIds, k = 10)
+          .orderBy(col("query_id"), col("rn"))
+    },
   )
+
+  private def q224OracleSql: String =
+    phraseOracleSql("(SELECT * FROM documents WHERE " +
+      "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '" +
+      Sampling.TombstoneHex + "')")
 
   private def q218OracleSql: String =
     s"""WITH ${bm25Ctes(10, docsRel = "(SELECT * FROM documents WHERE " +

@@ -598,7 +598,7 @@ object CorpusStateStream {
   // instead of serving drift. The storedNlist pattern applied to
   // layout. Since r17 the UN-evolved families stamp a v1 birth marker
   // too (corpus/vocab/shdf here; lsh/ivf/asset/centroid/packing in
-  // their objects; lexical evolved to v2 the same round), so the NEXT
+  // their objects; lexical evolved to v2 then v3 the same round), so the NEXT
   // layout evolution anywhere diffs a version instead of re-opening
   // the vintage-unknown hole this mechanic was built to close.
 

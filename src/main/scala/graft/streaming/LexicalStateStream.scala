@@ -17,15 +17,22 @@ import org.apache.spark.sql.types._
   * the SAME `Similarity.bm25Postings` tokenizer) the batch operator
   * uses, so a state-served page can never drift from its batch twin.
   *
-  * State layout under `stateDir` (v2 — r17 added `doclens/` and
-  * `lexstats/` so the serving read is QUERY-bounded; a v1 dir has no
-  * marker and fails loudly with the rebuild instruction):
+  * State layout under `stateDir` (v3 — r17 added `doclens/` and
+  * `lexstats/` so the serving read is QUERY-bounded, then `poslists/`
+  * so PHRASE queries serve from state too; a v1/v2 dir has no marker /
+  * the wrong one and fails loudly with the rebuild instruction):
   *   - `postings/` — (doc_id, w, tf), keyed by the RAW lowercased
   *     token deliberately (not the family's usual 64-bit hash): a
   *     keyword index's terms ARE the searchable surface, not sensitive
   *     derived state, and the raw key keeps the served page
   *     bit-comparable cross-engine with no hash-domain caveat (the
   *     boilerplate blacklist's reviewability rationale);
+  *   - `poslists/` — (doc_id, pos, w): POSITIONAL postings, the q222
+  *     phrase operator's serving tier (bag-of-words BM25 cannot see
+  *     adjacency; phrase/proximity queries need token positions).
+  *     Derived from the SAME tokenize pass as `postings/` in [[update]]
+  *     — the tf tier is exactly the positional tier's (doc, w) counts,
+  *     so the two can never disagree;
   *   - `lexdocs/` — (doc_id): every delivered document, token-less
   *     ones included. BM25's N counts ALL documents (a token-less doc
   *     shifts idf but never scores), so N cannot derive from postings;
@@ -42,7 +49,7 @@ import org.apache.spark.sql.types._
   * The key tables are keyed 1:1 by doc_id with no trained model
   * attached — the [[LshStateStream]] deletion class: [[forget]] is
   * COMPLETE erasure by broadcast anti-join + two-rename swap on
-  * postings/lexdocs/doclens, and the lexstats counter is rewritten to
+  * postings/poslists/lexdocs/doclens, and the lexstats counter is rewritten to
   * ONE snapshot row recomputed from the surgically surviving postings
   * (exact, so the served avgdl is automatically the survivors-only
   * value). Since r17 the multi-table rewrite runs under a staged
@@ -55,13 +62,14 @@ import org.apache.spark.sql.types._
   * (no df/N/avgdl contribution) — the property q218 proves under the
   * hash gate against a full survivor recompute.
   *
-  * Exactly-once: the corpus stream's contract. postings and lexdocs
-  * append only rows their OWN anti-join hasn't seen; the lexstats row
-  * appends under a batch_id probe, computed from the docs new to the
-  * REGISTRY and ordered postings → lexstats → lexdocs so every crash
-  * window heals on replay (postings-only crash: the registry still
-  * misses the docs, so the delta recomputes correctly; stats-written
-  * crash: the probe skips it; full replay: all three skip).
+  * Exactly-once: the corpus stream's contract. poslists, postings and
+  * lexdocs append only rows their OWN anti-join hasn't seen; the
+  * lexstats row appends under a batch_id probe, computed from the docs
+  * new to the REGISTRY and ordered poslists → postings → lexstats →
+  * lexdocs so every crash window heals on replay (postings-only crash:
+  * the registry still misses the docs, so the delta recomputes
+  * correctly; stats-written crash: the probe skips it; full replay:
+  * every table skips).
   *
   * Scale: per batch, one |batch| tokenize into a map-side-combined
   * (doc, term) aggregate + pushdown anti-joins on the 8-byte key. A
@@ -76,13 +84,20 @@ object LexicalStateStream {
   val docSchema: StructType = CorpusStateStream.docSchema
 
   /** Layout version: v1 (r16, unmarked) had no doclens/lexstats and the
-    * read re-aggregated df/dl from the full postings per query. */
-  private val FormatVersion = 2
+    * read re-aggregated df/dl from the full postings per query; v2
+    * (early r17) lacked the positional tier, so a v2 dir would serve
+    * phrase queries an empty index — hence the loud version bump. */
+  private val FormatVersion = 3
 
   private val postingsSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("w", StringType),
     StructField("tf", LongType)))
+
+  private val poslistsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("pos", IntegerType),
+    StructField("w", StringType)))
 
   private val lexdocsSchema = StructType(Seq(StructField("doc_id", LongType)))
 
@@ -120,6 +135,16 @@ object LexicalStateStream {
 
   private def rawPostings(spark: SparkSession, stateDir: String): DataFrame =
     CorpusStateStream.stateDf(spark, s"$stateDir/postings", postingsSchema)
+
+  /** The persisted POSITIONAL postings (doc_id, pos, term) — the phrase
+    * tier ([[phraseFromState]]). */
+  def poslistsState(spark: SparkSession, stateDir: String): DataFrame = {
+    requireReadable(spark, stateDir)
+    rawPoslists(spark, stateDir)
+  }
+
+  private def rawPoslists(spark: SparkSession, stateDir: String): DataFrame =
+    CorpusStateStream.stateDf(spark, s"$stateDir/poslists", poslistsSchema)
 
   /** The persisted document registry (every delivered doc_id — BM25's
     * N, token-less documents included). */
@@ -171,9 +196,17 @@ object LexicalStateStream {
       "appending — a mid-window append could land in a table about to swap")
     val docs = batch.select(col("doc_id"), col("text"))
       .dropDuplicates("doc_id").localCheckpoint()
-    // ONE tokenize pass feeds the postings append AND the new docs'
-    // length/counter derivations
-    val posts = graft.operators.Similarity.bm25Postings(docs).localCheckpoint()
+    // ONE positional tokenize pass feeds the positional-tier append,
+    // the tf-postings append AND the new docs' length/counter
+    // derivations — the two index tiers derive from the same tokens by
+    // construction
+    val ptok = graft.operators.Similarity.posTokens(docs).localCheckpoint()
+    val posts = graft.operators.Similarity.postingsFromPosTokens(ptok)
+      .localCheckpoint()
+    ptok.select(col("doc_id"), col("pos"), col("w"))
+      .join(rawPoslists(spark, stateDir).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(s"$stateDir/poslists")
     posts
       .join(rawPostings(spark, stateDir).select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
@@ -251,13 +284,28 @@ object LexicalStateStream {
       avgdlRow, queryIds, k)
   }
 
+  /** q222's phrase page served FROM the maintained POSITIONAL postings,
+    * query-bounded: no tokenize pass — the query phrases read under
+    * doc_id + pos pushdown (≤3 rows per query), their bounded term set
+    * restricts the vote stream by isin pushdown, and the start-position
+    * intersection aggregates only phrase-term hits. The engine is the
+    * batch operator's own
+    * [[graft.operators.Similarity.phraseFromPositions]]. */
+  def phraseFromState(spark: SparkSession, stateDir: String,
+      queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    requireReadable(spark, stateDir)
+    graft.operators.Similarity.phraseFromPositions(
+      rawPoslists(spark, stateDir).select(col("doc_id"), col("pos"), col("w")),
+      queryIds, k)
+  }
+
   /** Right-to-be-forgotten — the keyed-1:1 complete-erasure class
     * ([[LshStateStream.forget]]'s contract) under a staged pending
     * marker: the tombstone set persists to `forget_pending/` BEFORE the
     * first swap and clears after the last, reads refuse mid-window, and
     * [[recoverForget]] replays the idempotent body from the stored set
-    * after any crash. postings/lexdocs/doclens anti-join the tombstones
-    * out under the two-rename swap; lexstats rewrites to one snapshot
+    * after any crash. postings/poslists/lexdocs/doclens anti-join the
+    * tombstones out under the two-rename swap; lexstats rewrites to one snapshot
     * row recomputed from the surviving postings (exact integers), so
     * df, N and avgdl all serve the survivors-only values (q218's gate).
     * Re-running with the same tombstones is a no-op. Run offline. */
@@ -266,9 +314,9 @@ object LexicalStateStream {
     forgetImpl(spark, stateDir, tombstones, crashAfterSwap = Int.MaxValue)
 
   /** Test seam: throw after the n-th table swap (1 = postings, 2 =
-    * doclens, 3 = lexstats, 4 = lexdocs; 0 = pending staged, nothing
-    * swapped) so the spec can prove every crash window refuses reads
-    * and heals under [[recoverForget]]. */
+    * poslists, 3 = doclens, 4 = lexstats, 5 = lexdocs; 0 = pending
+    * staged, nothing swapped) so the spec can prove every crash window
+    * refuses reads and heals under [[recoverForget]]. */
   private[streaming] def forgetImpl(spark: SparkSession, stateDir: String,
       tombstones: DataFrame, crashAfterSwap: Int): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -294,7 +342,7 @@ object LexicalStateStream {
 
   /** The idempotent forget body: anti-join every keyed table against
     * the PENDING dir's tombstones, snapshot the counter from the
-    * surviving lengths, swap all four, clear the marker. Safe from any
+    * surviving lengths, swap all five, clear the marker. Safe from any
     * crash point — an already-swapped table anti-joins to itself. */
   private def applyPendingForget(spark: SparkSession, stateDir: String,
       crashAfterSwap: Int = Int.MaxValue): Unit = {
@@ -313,12 +361,18 @@ object LexicalStateStream {
     CorpusStateStream.swapState(spark, s"$stateDir/postings")(t =>
       p.write.mode("overwrite").parquet(t))
     crash(1)
+    val pl = rawPoslists(spark, stateDir)
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    CorpusStateStream.swapState(spark, s"$stateDir/poslists")(t =>
+      pl.write.mode("overwrite").parquet(t))
+    crash(2)
     val dl = rawDoclens(spark, stateDir)
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     CorpusStateStream.swapState(spark, s"$stateDir/doclens")(t =>
       dl.write.mode("overwrite").parquet(t))
-    crash(2)
+    crash(3)
     // the counter snapshot derives from the SURVIVING doclens — exact
     // integers, so post-forget avgdl is the survivors' value to the bit
     val statsSnap = dl
@@ -329,13 +383,13 @@ object LexicalStateStream {
       .localCheckpoint(true)
     CorpusStateStream.swapState(spark, s"$stateDir/lexstats")(t =>
       statsSnap.write.mode("overwrite").parquet(t))
-    crash(3)
+    crash(4)
     val d = rawLexdocs(spark, stateDir)
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     CorpusStateStream.swapState(spark, s"$stateDir/lexdocs")(t =>
       d.write.mode("overwrite").parquet(t))
-    crash(4)
+    crash(5)
     fs.delete(pend, true)
   }
 
@@ -351,7 +405,7 @@ object LexicalStateStream {
     fs.delete(new Path(s"$stateDir/forget_pending.tmp"), true)
     // promote any dangling .old left by a swap that died between its
     // two renames — the body's raw reads would otherwise refuse
-    Seq("postings", "doclens", "lexstats", "lexdocs").foreach { t =>
+    Seq("postings", "poslists", "doclens", "lexstats", "lexdocs").foreach { t =>
       val dir = new Path(s"$stateDir/$t")
       val old = new Path(s"$stateDir/$t.old")
       if (!fs.exists(dir) && fs.exists(old))

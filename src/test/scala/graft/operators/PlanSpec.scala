@@ -499,6 +499,34 @@ class PlanSpec extends SparkSpec {
         occurrences(pm, "documents.parquet"))
     assert(pm.contains("BroadcastExchange"),
       "q222's phrase table must broadcast onto the token stream")
+    // q223/q224: the served phrase match reads ONLY the persisted
+    // POSITIONAL postings — the corpus text is never re-tokenized at
+    // query time — and is query-bounded: the phrase probe carries the
+    // query-id pushdown, the vote stream the phrase-term pushdown, and
+    // the ≤3-row-per-query phrase table broadcasts (never a cartesian)
+    def phrasePins(name: String, stateTag: String): Unit = {
+      val s = planString(name)
+      assert(s.contains(stateTag), s"$name must read the $stateTag index")
+      assert(!s.contains("documents.parquet"),
+        s"$name must not rescan the documents table:\n" + s.take(800))
+      assert(s.contains("/poslists"),
+        s"$name must read the positional postings tier")
+      assert(s.contains("In(doc_id"),
+        s"$name's phrase probe must carry the query-id pushdown:\n" +
+          s.take(800))
+      assert(s.contains("In(w"),
+        s"$name's vote stream must carry the phrase-term pushdown:\n" +
+          s.take(800))
+      assert(!s.contains("CartesianProduct") &&
+        !s.contains("BroadcastNestedLoopJoin"),
+        s"$name must stay an equi-join on the phrase terms:\n" + s.take(800))
+      assert(s.contains("BroadcastExchange"),
+        s"$name's phrase table must broadcast onto the vote stream")
+    }
+    phrasePins("q223_phrase_state_served", "graft_lex_state")
+    phrasePins("q224_forgotten_phrase_state_served", "graft_lexforget_state")
+    assert(!planString("q224_forgotten_phrase_state_served").contains("md5"),
+      "q224 must not re-apply the tombstone rule at read time")
     // q213: the forgotten drift matrix aggregates the netted state
     // sums — no embeddings rescan, no read-time tombstone
     val cdf = planString("q213_forgotten_drift_state_served")
@@ -508,7 +536,7 @@ class PlanSpec extends SparkSpec {
       "q213 must not rescan the embeddings table:\n" + cdf.take(800))
     assert(!cdf.contains("md5"),
       "q213 must not re-apply the tombstone rule at read time")
-    // q206: the deletion certificate is twenty STATE aggregates — the
+    // q206: the deletion certificate is twenty-one STATE aggregates — the
     // corpus tables appear nowhere in the read plan (the claim that
     // makes the audit cheap enough to run per deletion batch)
     val cert = planString("q206_deletion_certificate")

@@ -13,7 +13,7 @@ import graft.SparkSpec
   * family: an unmarked populated dir (a pre-r17 vintage) is refused
   * loudly with the rebuild instruction on BOTH the read and the write
   * path, and a fresh dir stamps v1 and round-trips. (The lexical
-  * family's v2 marker has its own case in LexicalStateStreamSpec; the
+  * family's v3 marker has its own cases in LexicalStateStreamSpec; the
   * bp/ds v2 markers in their suites.) */
 class FormatMarkersSpec extends SparkSpec {
 

@@ -44,6 +44,12 @@ class LexicalStateStreamSpec extends SparkSpec {
     val finBatch = pageOf(Similarity.bm25TopK(
       docsSlice(lit(true)).select(col("doc_id"), col("text")), ids, k = 10))
     assert(fin == finBatch, "post-restart page diverged from batch")
+    // the positional tier serves the SAME phrase page as the batch
+    // operator over all delivered documents (the q223 gate's substance)
+    val phr = pageOf(LexicalStateStream.phraseFromState(spark, stateDir, ids))
+    val phrBatch = pageOf(Similarity.phraseMatchTopK(
+      docsSlice(lit(true)).select(col("doc_id"), col("text")), ids, k = 10))
+    assert(phr == phrBatch, "served phrase page diverged from batch")
   }
 
   test("replayed batch is a no-op; a token-less doc still counts in N") {
@@ -109,9 +115,11 @@ class LexicalStateStreamSpec extends SparkSpec {
     val tomb = docs.select(col("doc_id")).filter(tombPred)
     assert(tomb.limit(1).count() > 0, "fixture vacuous")
     LexicalStateStream.forget(spark, state, tomb)
-    // no tombstoned residue in either table
+    // no tombstoned residue in any keyed table
     assert(LexicalStateStream.postingsState(spark, state)
       .filter(tombPred).isEmpty, "tombstoned postings survived")
+    assert(LexicalStateStream.poslistsState(spark, state)
+      .filter(tombPred).isEmpty, "tombstoned positional postings survived")
     assert(LexicalStateStream.lexdocsState(spark, state)
       .filter(tombPred).isEmpty, "tombstoned registry rows survived")
     // the served page equals a FRESH index over only the survivors —
@@ -124,6 +132,13 @@ class LexicalStateStreamSpec extends SparkSpec {
     // and equals the batch operator over the survivors (the q218 gate)
     val batch = pageOf(Similarity.bm25TopK(docs.filter(!tombPred), ids, 10))
     assert(got == batch, "forgotten index diverged from the survivors' batch")
+    // the positional tier too: forgotten phrase page == survivors'
+    // batch phrase page (the q224 gate's substance)
+    val phrGot = pageOf(LexicalStateStream.phraseFromState(spark, state, ids))
+    val phrWant = pageOf(Similarity.phraseMatchTopK(
+      docs.filter(!tombPred), ids, 10))
+    assert(phrGot == phrWant,
+      "forgotten positional tier diverged from the survivors' batch")
     // replayed forget: already-absent keys are a state no-op
     LexicalStateStream.forget(spark, state, tomb)
     assert(pageOf(LexicalStateStream.bm25FromState(spark, state, ids)) == got,
@@ -147,8 +162,10 @@ class LexicalStateStreamSpec extends SparkSpec {
     LexicalStateStream.update(s"$fresh/state")(docs.filter(!tombPred), 0L)
     val want = pageOf(LexicalStateStream.bm25FromState(spark,
       s"$fresh/state", Seq(0L, 100L)))
-    // 0 = staged only; 1..4 = crash after each table swap
-    (0 to 4).foreach { step =>
+    val wantPhr = pageOf(LexicalStateStream.phraseFromState(spark,
+      s"$fresh/state", Seq(0L, 100L)))
+    // 0 = staged only; 1..5 = crash after each table swap
+    (0 to 5).foreach { step =>
       val root = Files.createTempDirectory(s"graft-lexcrash$step").toString
       val state = s"$root/state"
       LexicalStateStream.update(state)(docs, 0L)
@@ -174,6 +191,9 @@ class LexicalStateStreamSpec extends SparkSpec {
       assert(pageOf(LexicalStateStream.bm25FromState(spark, state,
         Seq(0L, 100L))) == want,
         s"step $step healed index diverged from the survivors' fresh index")
+      assert(pageOf(LexicalStateStream.phraseFromState(spark, state,
+        Seq(0L, 100L))) == wantPhr,
+        s"step $step healed positional tier diverged from the survivors'")
     }
   }
 
@@ -197,5 +217,17 @@ class LexicalStateStreamSpec extends SparkSpec {
       LexicalStateStream.update(state)(
         Seq((1L, "plum")).toDF("doc_id", "text"), 0L)
     }
+    // an early-r17 v2-marked dir must refuse under the v3 build too —
+    // its positional tier is silently EMPTY, not absent, so a silent
+    // read would serve every phrase query zero matches
+    val root2 = Files.createTempDirectory("graft-lexv2").toString
+    val state2 = s"$root2/state"
+    Seq(0L).toDF("doc_id").write.parquet(s"$state2/lexdocs")
+    Seq(2).toDF("version").write.parquet(s"$state2/lexical_format")
+    val e2 = intercept[IllegalArgumentException] {
+      LexicalStateStream.phraseFromState(spark, state2, Seq(0L))
+    }
+    assert(e2.getMessage.contains("v2") && e2.getMessage.contains("v3"),
+      s"stale-version refusal must name both versions: ${e2.getMessage}")
   }
 }
