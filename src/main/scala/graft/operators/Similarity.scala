@@ -814,6 +814,85 @@ object Similarity {
       .select(col("query_id"), col("doc_id"), col("n_occ"), col("rn"))
   }
 
+  /** PROXIMITY (NEAR) match top-k, query-by-example — the positional
+    * index's OTHER classic capability (phrase = exact adjacency; NEAR =
+    * windowed co-occurrence, the `t1 NEAR/w t2` operator classical IR
+    * systems expose): each query document contributes an anchor pair —
+    * t1 = its leading token, t2 = the first token that differs from it
+    * — and every other document is ranked by how many of its t1
+    * positions have a t2 within `window` tokens (ties to the smaller
+    * doc_id). BM25 sees neither adjacency nor distance; phrase demands
+    * exact contiguity; NEAR is the middle ground a production keyword
+    * stack serves ("terms near each other score higher").
+    *
+    * The bounded-expansion trick keeps it an equi-join, never a range
+    * join or a per-candidate scan: each t2 position votes for the 2w+1
+    * anchor positions it would satisfy (an explode over a FIXED
+    * ±window delta array), and a t1 anchor with ≥1 vote — one
+    * left-semi equi-join on (query, doc, position) — is a hit, counted
+    * exactly once however many t2 neighbors it has.
+    *
+    * Determinism: hit counts are exact integers; ranking ties to the
+    * smaller doc_id. A query document with no second distinct token
+    * (single-token, all-same, or whitespace-only text) has no anchor
+    * pair and matches nothing on either engine. */
+  def proximityTopK(docs: DataFrame, queryIds: Seq[Long],
+      window: Int = 3, k: Int = 10): DataFrame = {
+    // ONE positional tokenize pass feeds the anchor-pair derivation
+    // and both position streams (the q143 one-derivation convention)
+    val tok = posTokens(docs).localCheckpoint()
+    proximityFromPositions(tok, queryIds, window, k)
+  }
+
+  /** NEAR scoring over an ALREADY-DERIVED positional-token frame — the
+    * single engine behind [[proximityTopK]] (tokens from one batch
+    * tokenize) and the served read (tokens from the persisted
+    * positional postings), QUERY-bounded by construction: the anchor
+    * pairs derive from the query ids' positions (doc_id pushdown on a
+    * state read), their ≤2-term-per-query set COLLECTS (the
+    * bounded-collect class) and restricts both position streams by
+    * `isin` PUSHDOWN, and the vote expansion is the FIXED 2·window+1
+    * factor — no stage touches a token outside the anchor terms. */
+  private[graft] def proximityFromPositions(tok: DataFrame,
+      queryIds: Seq[Long], window: Int, k: Int): DataFrame = {
+    val qtok = tok.filter(col("doc_id").isin(queryIds: _*))
+    val t1 = qtok.filter(col("pos") === 0)
+      .select(col("doc_id").as("query_id"), col("w").as("t1"))
+    // the anchor pair: t2 = the first token differing from t1, by
+    // position (min over a (pos, w) struct — lexicographic, so the
+    // smallest position wins and its token rides along)
+    val pairs = qtok
+      .join(t1, col("doc_id") === col("query_id"))
+      .filter(col("w") =!= col("t1"))
+      .groupBy(col("query_id"), col("t1"))
+      .agg(min(struct(col("pos"), col("w"))).as("m"))
+      .select(col("query_id"), col("t1"), col("m").getField("w").as("t2"))
+      .localCheckpoint()
+    // bounded driver probe: two terms per query document
+    val terms = pairs.collect()
+      .flatMap(r => Seq(r.getString(1), r.getString(2))).distinct.toSeq
+    val hits = tok.filter(col("w").isin(terms: _*))
+    val p1 = hits.join(broadcast(pairs),
+        col("w") === col("t1") && col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("pos").as("i"))
+    val p2e = hits.join(
+        broadcast(pairs.select(col("query_id").as("q2"), col("t2"))),
+        col("w") === col("t2") && col("doc_id") =!= col("q2"))
+      .select(col("q2"), col("doc_id").as("d2"), col("pos").as("j"))
+      .withColumn("delta", explode(typedLit((-window to window).toArray)))
+      .select(col("q2"), col("d2"), (col("j") + col("delta")).as("i2"))
+    val near = p1.join(p2e,
+        col("query_id") === col("q2") && col("doc_id") === col("d2") &&
+          col("i") === col("i2"),
+        "left_semi")
+    val occ = near.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_near"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_near").desc, col("doc_id"))
+    occ.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_near"), col("rn"))
+  }
+
   private def q222OracleSql: String = phraseOracleSql("documents")
 
   /** The phrase-match chain as DuckDB SQL over `docsRel` — shared by
@@ -3334,12 +3413,75 @@ object Similarity {
             servedForgottenLexicalDir(s, d), QueryIds, k = 10)
           .orderBy(col("query_id"), col("rn"))
     },
+
+    Q("q225_proximity_topk", q225OracleSql,
+      "PROXIMITY (NEAR) match top-10, query-by-example — the positional index's other classic capability and the middle ground between BM25 and phrase: bag-of-words sees no distance, phrase demands exact contiguity, NEAR ranks by windowed co-occurrence (the `t1 NEAR/w t2` operator classical IR systems expose, w=3 here). Each query document contributes an anchor pair — t1 = its leading token, t2 = the first token differing from it — and every other document is ranked by how many of its t1 positions have a t2 within 3 tokens, ties to the smaller doc_id. The bounded-expansion trick keeps it an equi-join, never a range join or a per-candidate scan: each t2 position votes for the FIXED 2w+1 anchor positions it would satisfy (an explode over a ±3 delta literal), and an anchor with ≥1 vote is a hit counted exactly once (one left-semi equi-join on (query, doc, position) — however many t2 neighbors crowd the window, semi-join semantics dedup them). Determinism: exact integer counts, doc_id ties; a query with no second distinct token matches nothing on either engine (the oracle's t2 IS NULL cut). The oracle recomputes hits per document by DuckDB list slicing over the same token arrays (each t1 position checks the ±3 slice for t2), so the hash gate proves tokenization, positions, window arithmetic and counts end-to-end. Scale: one tokenize pass (the honest batch linear term), then only anchor-term tokens survive into the vote join — the expansion factor is the constant 2w+1, never a corpus term; the top-k window sees |queries| partitions.") {
+      (s, d) =>
+        proximityTopK(
+            Tables.documents(s, d).select(col("doc_id"), col("text")),
+            QueryIds, window = 3, k = 10)
+          .orderBy(col("query_id"), col("rn"))
+    },
+
+    Q("q226_proximity_state_served", q225OracleSql,
+      "q225's NEAR page served FROM the maintained index's positional postings — the second serving read the poslists tier pays for (q223 serves phrase; this serves windowed co-occurrence), completing the positional family's batch/served symmetry: the anchor pairs derive from the query ids' persisted positions (doc_id + pos pushdown — the leading token and first-differing token read from state, never from corpus text), the bounded ≤2-term-per-query set restricts both position streams by term-isin pushdown, and the vote expansion/semi-join run over only anchor-term postings. The engine is Similarity.proximityFromPositions — the batch operator's own scoring stage — so the oracle is q225's SQL VERBATIM and a hash match proves NEAR search over the incrementally-built positional index equals a full-corpus recompute: tokenization, positions, anchor-pair derivation, window arithmetic, counts, ranks. Scale: the read touches positional postings matching the anchor terms (pushdown; bucket by w at deployment scale) — the corpus text is never rescanned, and the constant 2w+1 expansion keeps the vote join proportional to anchor-term postings, never the corpus.") {
+      (s, d) =>
+        graft.streaming.LexicalStateStream.proximityFromState(s,
+            servedLexicalStateDir(s, d), QueryIds, window = 3, k = 10)
+          .orderBy(col("query_id"), col("rn"))
+    },
+
+    Q("q227_forgotten_proximity_state_served", q227OracleSql,
+      "q226's served NEAR search AFTER a right-to-be-forgotten pass over the positional index — the deletion leg that keeps every positional serving read under the erasure gate (q224 proved the phrase read; this proves the proximity read against the SAME forgotten state, so the tier's one staged anti-join provably serves both capabilities survivors-only): a deleted document can neither anchor a NEAR hit nor vote into any other document's window, and because anchor pairs derive from persisted positions, a deleted QUERY document would lose its pair too — erasure reaches the query side, not just the candidates. The oracle is q225's chain over the tombstone-survivor relation (the shared md5-bucket rule, query ids provably surviving), so the hash gate proves the served page equals an independent engine's full recompute over exactly the surviving corpus. No new deletion machinery — this gate proves the EXISTING positional forget serves a second read shape correctly, the composition question a deployment actually asks when it adds a query operator to a live index. Scale: q226's cost model over a smaller index.") {
+      (s, d) =>
+        graft.streaming.LexicalStateStream.proximityFromState(s,
+            servedForgottenLexicalDir(s, d), QueryIds, window = 3, k = 10)
+          .orderBy(col("query_id"), col("rn"))
+    },
   )
 
   private def q224OracleSql: String =
     phraseOracleSql("(SELECT * FROM documents WHERE " +
       "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '" +
       Sampling.TombstoneHex + "')")
+
+  private def q225OracleSql: String = proximityOracleSql("documents")
+
+  private def q227OracleSql: String =
+    proximityOracleSql("(SELECT * FROM documents WHERE " +
+      "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '" +
+      Sampling.TombstoneHex + "')")
+
+  /** The NEAR chain as DuckDB SQL over `docsRel` — shared by the batch
+    * q225, the state-served q226 (verbatim) and the forgotten q227
+    * (over the tombstone-survivor relation): the anchor pair derives
+    * from the same token array (t1 = w[1]; t2 = the first differing
+    * element), and each t1 position checks the ±3 slice for t2. */
+  private def proximityOracleSql(docsRel: String): String =
+    s"""WITH xtok AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+       |  FROM $docsRel),
+       |xqp AS (
+       |  SELECT doc_id AS query_id, w[1] AS t1,
+       |    [x FOR x IN w IF x <> w[1]][1] AS t2
+       |  FROM xtok WHERE doc_id IN (0, 100, 200)),
+       |xpm AS (
+       |  SELECT q.query_id, t.doc_id,
+       |    len([i FOR i IN range(1, len(t.w) + 1)
+       |      IF t.w[i] = q.t1
+       |      AND list_contains(
+       |        t.w[greatest(1, i - 3):least(len(t.w), i + 3)], q.t2)])
+       |      AS n_near
+       |  FROM xtok t CROSS JOIN xqp q
+       |  WHERE t.doc_id <> q.query_id AND q.t2 IS NOT NULL)
+       |SELECT query_id, doc_id, CAST(n_near AS BIGINT) AS n_near,
+       |  CAST(rn AS INT) AS rn
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY n_near DESC, doc_id) AS rn
+       |  FROM xpm WHERE n_near > 0) t
+       |WHERE rn <= 10
+       |ORDER BY query_id, rn""".stripMargin
 
   private def q218OracleSql: String =
     s"""WITH ${bm25Ctes(10, docsRel = "(SELECT * FROM documents WHERE " +

@@ -299,6 +299,21 @@ object LexicalStateStream {
       queryIds, k)
   }
 
+  /** q225's NEAR page served FROM the maintained positional postings,
+    * query-bounded: the anchor pairs derive from the query ids'
+    * persisted positions (doc_id pushdown), their ≤2-term-per-query
+    * set restricts both position streams by term-isin pushdown, and
+    * the ±window vote expansion is a fixed constant factor. The engine
+    * is the batch operator's own
+    * [[graft.operators.Similarity.proximityFromPositions]]. */
+  def proximityFromState(spark: SparkSession, stateDir: String,
+      queryIds: Seq[Long], window: Int = 3, k: Int = 10): DataFrame = {
+    requireReadable(spark, stateDir)
+    graft.operators.Similarity.proximityFromPositions(
+      rawPoslists(spark, stateDir).select(col("doc_id"), col("pos"), col("w")),
+      queryIds, window, k)
+  }
+
   /** Right-to-be-forgotten — the keyed-1:1 complete-erasure class
     * ([[LshStateStream.forget]]'s contract) under a staged pending
     * marker: the tombstone set persists to `forget_pending/` BEFORE the

@@ -527,6 +527,45 @@ class PlanSpec extends SparkSpec {
     phrasePins("q224_forgotten_phrase_state_served", "graft_lexforget_state")
     assert(!planString("q224_forgotten_phrase_state_served").contains("md5"),
       "q224 must not re-apply the tombstone rule at read time")
+    // q225: batch NEAR — the positional tokens checkpoint once, the
+    // anchor pairs broadcast, the ±window expansion is a literal
+    // explode (never a range join / nested loop)
+    val nx = planString("q225_proximity_topk")
+    assert(!nx.contains("CartesianProduct") &&
+      !nx.contains("BroadcastNestedLoopJoin"),
+      "q225 must stay an equi-join on the anchor terms:\n" + nx.take(800))
+    assert(occurrences(nx, "documents.parquet") == 0,
+      "q225 tokenizes once (positional tokens checkpointed): " +
+        occurrences(nx, "documents.parquet"))
+    assert(nx.contains("BroadcastExchange"),
+      "q225's anchor pairs must broadcast onto the position streams")
+    // q226/q227: the served NEAR reads pin like the phrase reads EXCEPT
+    // the query-id pushdown — the anchor pairs localCheckpoint at
+    // construction (the bounded term collect forces them), so the
+    // doc_id-pushed scan runs in the construction probe and the SERVING
+    // plan's poslists scans are the two term-pushed position streams
+    def nearPins(name: String, stateTag: String): Unit = {
+      val s = planString(name)
+      assert(s.contains(stateTag), s"$name must read the $stateTag index")
+      assert(!s.contains("documents.parquet"),
+        s"$name must not rescan the documents table:\n" + s.take(800))
+      assert(s.contains("/poslists"),
+        s"$name must read the positional postings tier")
+      assert(s.contains("In(w"),
+        s"$name's position streams must carry the anchor-term pushdown:\n" +
+          s.take(800))
+      assert(!s.contains("CartesianProduct") &&
+        !s.contains("BroadcastNestedLoopJoin"),
+        s"$name must stay an equi-join on the anchor terms:\n" + s.take(800))
+      assert(s.contains("BroadcastExchange"),
+        s"$name's anchor pairs must broadcast onto the position streams")
+    }
+    nearPins("q226_proximity_state_served", "graft_lex_state")
+    nearPins("q227_forgotten_proximity_state_served",
+      "graft_lexforget_state")
+    assert(!planString("q227_forgotten_proximity_state_served")
+        .contains("md5"),
+      "q227 must not re-apply the tombstone rule at read time")
     // q213: the forgotten drift matrix aggregates the netted state
     // sums — no embeddings rescan, no read-time tombstone
     val cdf = planString("q213_forgotten_drift_state_served")

@@ -420,4 +420,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1), (2L, 1L, 2), (3L, 1L, 3)),
       s"phrase page diverged: $got")
   }
+
+  test("proximity match: hand-computed fixture — anchor-pair derivation, " +
+      "window bound, per-anchor dedup, counts, tie order") {
+    val spark0 = spark
+    import spark0.implicits._
+    // query 0's anchor pair: t1 = its leading token "a", t2 = the
+    // first DIFFERING token "b" (the repeated leading "a" must be
+    // skipped, not taken as t2)
+    val docs = Seq(
+      (0L, "a a b"),     // the query
+      (1L, "a x x x b"), // distance 4 > window 3 — no hit
+      (2L, "a x x b"),   // distance exactly 3 — one hit
+      (3L, "b a"),       // t2 BEFORE t1, distance 1 — one hit
+      (4L, "a a b"),     // anchors at 0 (d=2) and 1 (d=1) — two hits
+      (5L, "a b b b a"), // two anchors, each with b's crowding the
+                         // window — semi-join dedup must count TWO, not
+                         // one per (anchor, neighbor) pair
+      (6L, "a a a"),     // t1 only, no t2 — no hit
+      (7L, "b b b")      // t2 only, no anchor — no hit
+    ).toDF("doc_id", "text")
+    val got = Similarity.proximityTopK(docs, Seq(0L), window = 3, k = 10)
+      .orderBy(col("rn"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == Seq((4L, 2L, 1), (5L, 2L, 2), (2L, 1L, 3), (3L, 1L, 4)),
+      s"proximity page diverged: $got")
+  }
 }

@@ -50,6 +50,11 @@ class LexicalStateStreamSpec extends SparkSpec {
     val phrBatch = pageOf(Similarity.phraseMatchTopK(
       docsSlice(lit(true)).select(col("doc_id"), col("text")), ids, k = 10))
     assert(phr == phrBatch, "served phrase page diverged from batch")
+    val prox = pageOf(
+      LexicalStateStream.proximityFromState(spark, stateDir, ids))
+    val proxBatch = pageOf(Similarity.proximityTopK(
+      docsSlice(lit(true)).select(col("doc_id"), col("text")), ids, k = 10))
+    assert(prox == proxBatch, "served proximity page diverged from batch")
   }
 
   test("replayed batch is a no-op; a token-less doc still counts in N") {
@@ -139,6 +144,13 @@ class LexicalStateStreamSpec extends SparkSpec {
       docs.filter(!tombPred), ids, 10))
     assert(phrGot == phrWant,
       "forgotten positional tier diverged from the survivors' batch")
+    // and the SAME forgotten tier serves the proximity read too (q227)
+    val proxGot = pageOf(
+      LexicalStateStream.proximityFromState(spark, state, ids))
+    val proxWant = pageOf(Similarity.proximityTopK(
+      docs.filter(!tombPred), ids))
+    assert(proxGot == proxWant,
+      "forgotten proximity read diverged from the survivors' batch")
     // replayed forget: already-absent keys are a state no-op
     LexicalStateStream.forget(spark, state, tomb)
     assert(pageOf(LexicalStateStream.bm25FromState(spark, state, ids)) == got,
