@@ -1612,7 +1612,84 @@ object TextAnalysis {
           .select(col("doc_id"), col("n_tokens"), col("avg_nll"))
           .orderBy(col("doc_id"))
     },
+
+    Q("q228_pmi_collocations", q228OracleSql,
+      "COLLOCATION extraction: the corpus's top-20 adjacent-token bigrams by pointwise mutual information (PMI, Church & Hanks 1990) with a min-count cut — the lexical-statistics read a training-data curation stack runs to surface multi-word units ('new york', 'machine learning') for tokenizer audits, boilerplate review, and n-gram blocklist seeding; raw bigram frequency would just return stopword pairs, and PMI = ln(N·c(w1,w2) / (c1(w1)·c2(w2))) is the standard association correction (c1/c2 = the word's count in the left/right bigram slot, N = total bigrams). Determinism is the q103 micro-nat playbook on PMI's fraction: all four inputs are exact integers, the quotient is one fixed-shape IEEE expression quantized to integer micro-nats (floor after 1e6 — the q215 idf recipe), ties break on (w1, w2); the min-count cut (>= 4) keeps the hapax pairs whose PMI is maximal-but-meaningless out, which is also what makes the statistic useful. The oracle recomputes the whole chain from the same token arrays by DuckDB struct-list comprehension, so the hash gate proves bigram extraction, slot counts, the PMI arithmetic and ranking end-to-end. Scale: bigram extraction is IN-ROW (zip_with over the token array against its own tail — no join, no shuffle, no positions table needed), counts fold map-side at |bigram-vocab| / |vocab| keys, N broadcasts as one row, and the global top-20 is TakeOrdered over the cut survivors with the rank window on 20 rows (the q83 bounded-window convention).") {
+      (s, d) =>
+        pmiCollocations(
+            Tables.documents(s, d).select(col("doc_id"), col("text")),
+            minCount = 4, k = 20)
+          .orderBy(col("rn"))
+    },
   )
+
+  /** Top-k adjacent-bigram collocations by micro-nat-quantized PMI with
+    * a minimum pair count. In-row bigram derivation (the token array
+    * zipped against its own tail), map-side-combined counts, one
+    * broadcast total, TakeOrdered top-k. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 4,
+      k: Int = 20): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    val n1 = greatest(size(toks) - lit(1), lit(0))
+    // the bigram stream feeds FOUR consumers (pair counts, both slot
+    // counts, the total) — materialize the extraction once (the q143
+    // one-derivation convention)
+    val bg = docs.select(explode(
+        zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint()
+    val c12 = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c2 = bg.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val nRow = bg.agg(count(lit(1)).as("n"))
+    val sc = c12.join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(nRow))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        floor(log((col("n_pair").cast("double") * col("n")) /
+            (col("c1").cast("double") * col("c2"))) * lit(1e6))
+          .cast("bigint").as("pmi_mnat"))
+    // global top-k: TakeOrdered on the cut survivors, then the rank
+    // window sees only k rows
+    val top = sc
+      .orderBy(col("pmi_mnat").desc, col("w1"), col("w2")).limit(k)
+    val w = Window.orderBy(col("pmi_mnat").desc, col("w1"), col("w2"))
+    top.withColumn("rn", row_number().over(w))
+      .select(col("w1"), col("w2"), col("n_pair"), col("pmi_mnat"),
+        col("rn"))
+  }
+
+  private def q228OracleSql: String =
+    s"""WITH gtok AS (
+       |  SELECT string_split_regex(trim(lower(text)), '\\s+') AS w
+       |  FROM documents),
+       |gbg AS (
+       |  SELECT struct_extract(p, 'w1') AS w1, struct_extract(p, 'w2') AS w2
+       |  FROM (SELECT unnest([{'w1': w[i], 'w2': w[i+1]}
+       |                       FOR i IN range(1, len(w))]) AS p
+       |        FROM gtok)),
+       |gc12 AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+       |  FROM gbg GROUP BY w1, w2 HAVING count(*) >= 4),
+       |gc1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM gbg GROUP BY w1),
+       |gc2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM gbg GROUP BY w2),
+       |gn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM gbg),
+       |gsc AS (
+       |  SELECT g.w1, g.w2, g.n_pair,
+       |    CAST(floor(ln((CAST(g.n_pair AS DOUBLE) * gn.n)
+       |      / (CAST(gc1.c1 AS DOUBLE) * gc2.c2)) * 1e6) AS BIGINT)
+       |      AS pmi_mnat
+       |  FROM gc12 g
+       |  JOIN gc1 ON gc1.w1 = g.w1
+       |  JOIN gc2 ON gc2.w2 = g.w2, gn)
+       |SELECT w1, w2, n_pair, pmi_mnat, CAST(rn AS INT) AS rn
+       |FROM (
+       |  SELECT *, row_number() OVER (ORDER BY pmi_mnat DESC, w1, w2) AS rn
+       |  FROM gsc) t
+       |WHERE rn <= 20
+       |ORDER BY rn""".stripMargin
 
   /** Build-once on-disk reference-vocabulary state for the state-served
     * LM score (q186): fold the corpus through updateVocab in two

@@ -566,6 +566,21 @@ class PlanSpec extends SparkSpec {
     assert(!planString("q227_forgotten_proximity_state_served")
         .contains("md5"),
       "q227 must not re-apply the tombstone rule at read time")
+    // q228: collocations — bigram extraction is IN-ROW and checkpointed
+    // once (no positions table, no self-join, no second corpus scan),
+    // counts aggregate map-side, the 1-row total broadcasts
+    val co = planString("q228_pmi_collocations")
+    // (the 1-row total rides a broadcast nested loop by design — the
+    // bm25 avgdl-row shape; only a true cartesian is forbidden)
+    assert(!co.contains("CartesianProduct"),
+      "q228 must not plan a cartesian product:\n" + co.take(800))
+    assert(occurrences(co, "documents.parquet") == 0,
+      "q228 extracts bigrams once (checkpointed): " +
+        occurrences(co, "documents.parquet"))
+    assert(co.contains("partial_"),
+      "q228's bigram counts must aggregate map-side")
+    assert(co.contains("BroadcastExchange"),
+      "q228's 1-row total must broadcast")
     // q213: the forgotten drift matrix aggregates the netted state
     // sums — no embeddings rescan, no read-time tombstone
     val cdf = planString("q213_forgotten_drift_state_served")
