@@ -893,6 +893,77 @@ object Similarity {
       .select(col("query_id"), col("doc_id"), col("n_near"), col("rn"))
   }
 
+  /** DENSEST-PASSAGE top-k, query-by-example — rank documents by their
+    * best WINDOW, not their whole-document score: for each query
+    * document's term set (the distinct tokens among its first three
+    * positions), every other document scores as the maximum number of
+    * query-term occurrences inside any `width`-token window, with the
+    * window's start position returned — the passage-retrieval /
+    * snippet-selection read (a long document with one dense relevant
+    * passage should outrank a document with the same terms scattered,
+    * and the UI needs to know WHERE the passage is).
+    *
+    * The vote trick generalizes [[proximityTopK]]'s: each query-term
+    * occurrence at position i votes for the `width` window starts that
+    * would cover it (a fixed-size explode — never a per-window rescan),
+    * the per-(query, doc, start) vote count IS that window's term
+    * count, and a lexicographic max over (count, −start) structs picks
+    * the best window with the SMALLEST start on ties. Starts clamp at
+    * 0: a window hanging off the document's front is dominated by the
+    * start-0 window (a superset of its valid positions), so clamping
+    * never loses the max — and keeps both engines on the same start
+    * domain.
+    *
+    * Determinism: exact integer counts; window ties to the smaller
+    * start, document ties to the smaller doc_id. */
+  def passageTopK(docs: DataFrame, queryIds: Seq[Long],
+      width: Int = 8, k: Int = 10): DataFrame = {
+    // ONE positional tokenize pass feeds the query-term table and the
+    // hit stream (the q143 one-derivation convention)
+    val tok = posTokens(docs).localCheckpoint()
+    passageFromPositions(tok, queryIds, width, k)
+  }
+
+  /** Densest-window scoring over an ALREADY-DERIVED positional-token
+    * frame — the single engine behind [[passageTopK]] and the served
+    * read, QUERY-bounded by construction: the query-term table is the
+    * query ids' leading positions (doc_id + pos pushdown on a state
+    * read), its bounded distinct-term set COLLECTS and restricts the
+    * hit stream by `isin` PUSHDOWN, and the vote expansion is the
+    * FIXED `width` factor — no stage touches a token outside the
+    * query's terms. */
+  private[graft] def passageFromPositions(tok: DataFrame,
+      queryIds: Seq[Long], width: Int, k: Int): DataFrame = {
+    val qt = tok.filter(col("doc_id").isin(queryIds: _*) && col("pos") <= 2)
+      .select(col("doc_id").as("query_id"), col("w").as("qw"))
+      .distinct()
+    // bounded driver probe: ≤3 distinct terms per query document
+    val terms = qt.select(col("qw")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val hits = tok.filter(col("w").isin(terms: _*))
+      .join(broadcast(qt),
+        col("w") === col("qw") && col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("pos").as("i"))
+    val votes = hits
+      .withColumn("delta", explode(typedLit((0 until width).toArray)))
+      .select(col("query_id"), col("doc_id"),
+        (col("i") - col("delta")).as("start"))
+      .filter(col("start") >= 0)
+    val best = votes
+      .groupBy(col("query_id"), col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(struct(col("c"), (-col("start")).as("ns"))).as("m"))
+      .select(col("query_id"), col("doc_id"),
+        col("m.c").as("n_best"),
+        (-col("m.ns")).cast("int").as("best_start"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_best").desc, col("doc_id"))
+    best.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_best"),
+        col("best_start"), col("rn"))
+  }
+
   private def q222OracleSql: String = phraseOracleSql("documents")
 
   /** The phrase-match chain as DuckDB SQL over `docsRel` — shared by
@@ -3438,6 +3509,23 @@ object Similarity {
             servedForgottenLexicalDir(s, d), QueryIds, window = 3, k = 10)
           .orderBy(col("query_id"), col("rn"))
     },
+
+    Q("q229_passage_topk", q229OracleSql,
+      "DENSEST-PASSAGE top-10, query-by-example — rank documents by their best WINDOW, not their whole-document score: for each query document's term set (the distinct tokens among its first three positions), every other document scores as the max number of query-term occurrences inside any 8-token window, with the winning window's start returned. This is the passage-retrieval / snippet-selection read a search stack runs on top of document ranking (a long document with one dense relevant passage outranks the same terms scattered, and the UI needs to know WHERE the passage is); BM25 (whole-doc), phrase (exact contiguity) and NEAR (pairwise window) cannot express it. The vote trick generalizes q225's bounded expansion: each query-term occurrence votes for the fixed `width` starts that would cover it (never a per-window rescan), the per-(query, doc, start) vote count IS that window's term count, and a lexicographic (count, -start) struct max picks the best window with the smallest start on ties — starts clamp at 0, where the hanging window is dominated by the start-0 superset, so clamping never loses the max and keeps both engines on one start domain. Determinism: exact integer counts; start ties to the smaller start, document ties to the smaller doc_id. The oracle hoists each candidate's query-term positions once, counts every window by list_transform + list_filter, and takes the FIRST max by list_position, so the hash gate proves tokenization, positions, window arithmetic, argmax ties and ranks end-to-end. Scale: one tokenize pass (the honest batch linear term), then only query-term tokens enter the vote aggregate with the constant width expansion; the top-k window sees |queries| partitions.") {
+      (s, d) =>
+        passageTopK(
+            Tables.documents(s, d).select(col("doc_id"), col("text")),
+            QueryIds, width = 8, k = 10)
+          .orderBy(col("query_id"), col("rn"))
+    },
+
+    Q("q230_passage_state_served", q229OracleSql,
+      "q229's densest-passage page served FROM the maintained positional postings — the THIRD serving read the poslists tier pays for (phrase q223, NEAR q226, passages here), and the one that completes the positional family's claim: one persisted (doc_id, pos, w) layout serves every position-dependent query shape a keyword stack offers, each through its batch operator's own engine (passageFromPositions here), so none can drift from its oracle-checked twin. The read is query-bounded: the query-term table derives from the query ids' persisted leading positions (doc_id + pos pushdown), its ≤3-distinct-term set collects and restricts the hit stream by term-isin pushdown, and the vote expansion is the fixed width factor — no tokenize pass, no corpus scan, no corpus-proportional aggregate. The oracle is q229's SQL VERBATIM, so the hash gate proves passage search over the incrementally-built index equals a full-corpus recompute: tokenization, positions, window votes, argmax ties, ranks. Scale: the read touches positional postings matching the query's terms (pushdown; bucket by w at deployment scale) — q223's cost model with the width-factor expansion.") {
+      (s, d) =>
+        graft.streaming.LexicalStateStream.passageFromState(s,
+            servedLexicalStateDir(s, d), QueryIds, width = 8, k = 10)
+          .orderBy(col("query_id"), col("rn"))
+    },
   )
 
   private def q224OracleSql: String =
@@ -3446,6 +3534,42 @@ object Similarity {
       Sampling.TombstoneHex + "')")
 
   private def q225OracleSql: String = proximityOracleSql("documents")
+
+  /** The densest-passage chain as DuckDB SQL — the query-term positions
+    * hoist once per (query, candidate) pair, then a per-start
+    * list_transform counts the window occupancy and list_position picks
+    * the FIRST (smallest) start achieving the max, mirroring the Spark
+    * side's (count, −start) struct max. */
+  private def q229OracleSql: String =
+    s"""WITH stok AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+       |  FROM documents),
+       |sqt AS (
+       |  SELECT doc_id AS query_id,
+       |    list_distinct(w[1:least(3, len(w))]) AS qts
+       |  FROM stok WHERE doc_id IN (0, 100, 200)),
+       |scand AS (
+       |  SELECT q.query_id, t.doc_id, len(t.w) AS len_w,
+       |    [i FOR i IN range(1, len(t.w) + 1)
+       |      IF list_contains(q.qts, t.w[i])] AS hp
+       |  FROM stok t CROSS JOIN sqt q WHERE t.doc_id <> q.query_id),
+       |scnt AS (
+       |  SELECT query_id, doc_id,
+       |    list_transform(range(1, len_w + 1),
+       |      s -> len(list_filter(hp, p -> p >= s AND p <= s + 7))) AS cnts
+       |  FROM scand),
+       |sbest AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(list_max(cnts) AS BIGINT) AS n_best,
+       |    CAST(list_position(cnts, list_max(cnts)) - 1 AS INT) AS best_start
+       |  FROM scnt)
+       |SELECT query_id, doc_id, n_best, best_start, CAST(rn AS INT) AS rn
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY n_best DESC, doc_id) AS rn
+       |  FROM sbest WHERE n_best > 0) t
+       |WHERE rn <= 10
+       |ORDER BY query_id, rn""".stripMargin
 
   private def q227OracleSql: String =
     proximityOracleSql("(SELECT * FROM documents WHERE " +

@@ -314,6 +314,21 @@ object LexicalStateStream {
       queryIds, window, k)
   }
 
+  /** q229's densest-passage page served FROM the maintained positional
+    * postings, query-bounded: the query-term table reads the query ids'
+    * leading positions under doc_id + pos pushdown, its bounded
+    * distinct-term set restricts the hit stream by term-isin pushdown,
+    * and the vote expansion is the fixed width factor. The engine is
+    * the batch operator's own
+    * [[graft.operators.Similarity.passageFromPositions]]. */
+  def passageFromState(spark: SparkSession, stateDir: String,
+      queryIds: Seq[Long], width: Int = 8, k: Int = 10): DataFrame = {
+    requireReadable(spark, stateDir)
+    graft.operators.Similarity.passageFromPositions(
+      rawPoslists(spark, stateDir).select(col("doc_id"), col("pos"), col("w")),
+      queryIds, width, k)
+  }
+
   /** Right-to-be-forgotten — the keyed-1:1 complete-erasure class
     * ([[LshStateStream.forget]]'s contract) under a staged pending
     * marker: the tombstone set persists to `forget_pending/` BEFORE the

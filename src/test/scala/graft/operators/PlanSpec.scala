@@ -566,6 +566,21 @@ class PlanSpec extends SparkSpec {
     assert(!planString("q227_forgotten_proximity_state_served")
         .contains("md5"),
       "q227 must not re-apply the tombstone rule at read time")
+    // q229: batch densest-passage — positional tokens checkpoint once,
+    // the query-term table broadcasts, the width expansion is a literal
+    // explode (never a per-window rescan / nested loop)
+    val pg = planString("q229_passage_topk")
+    assert(!pg.contains("CartesianProduct") &&
+      !pg.contains("BroadcastNestedLoopJoin"),
+      "q229 must stay an equi-join on the query terms:\n" + pg.take(800))
+    assert(occurrences(pg, "documents.parquet") == 0,
+      "q229 tokenizes once (positional tokens checkpointed): " +
+        occurrences(pg, "documents.parquet"))
+    assert(pg.contains("BroadcastExchange"),
+      "q229's query-term table must broadcast onto the hit stream")
+    // q230: the served passage read shares the phrase reads' pin set —
+    // poslists only, doc-id + term pushdown, no corpus rescan
+    phrasePins("q230_passage_state_served", "graft_lex_state")
     // q228: collocations — bigram extraction is IN-ROW and checkpointed
     // once (no positions table, no self-join, no second corpus scan),
     // counts aggregate map-side, the 1-row total broadcasts

@@ -446,4 +446,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((4L, 2L, 1), (5L, 2L, 2), (2L, 1L, 3), (3L, 1L, 4)),
       s"proximity page diverged: $got")
   }
+
+  test("densest passage: hand-computed fixture — window votes, argmax " +
+      "start tie to the smallest, clamp at zero, rank order") {
+    val spark0 = spark
+    import spark0.implicits._
+    // query 0's term set: distinct tokens of its first three positions
+    // "a b a" -> {a, b}
+    val docs = Seq(
+      (0L, "a b a c"),         // the query
+      (1L, "a x x x b"),       // no width-4 window holds both: best 1,
+                               // start ties to 0 (a@0's window)
+      (2L, "x a b x"),         // both terms in the start-0 window: 2
+      (3L, "a a b b"),         // all four positions hit: 4
+      (4L, "c c c"),           // no query term — absent
+      (5L, "b x x a x b"),     // 2 in window at starts 0, 2, 3 — the
+                               // smallest start must win
+      (6L, "x x x x a b a")    // dense passage mid-document: 3 from
+                               // start 3 (start 4 ties, 3 is smaller)
+    ).toDF("doc_id", "text")
+    val got = Similarity.passageTopK(docs, Seq(0L), width = 4, k = 10)
+      .orderBy(col("rn")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))).toSeq
+    assert(got == Seq((3L, 4L, 0, 1), (6L, 3L, 3, 2), (2L, 2L, 0, 3),
+      (5L, 2L, 0, 4), (1L, 1L, 0, 5)),
+      s"passage page diverged: $got")
+  }
 }

@@ -55,6 +55,11 @@ class LexicalStateStreamSpec extends SparkSpec {
     val proxBatch = pageOf(Similarity.proximityTopK(
       docsSlice(lit(true)).select(col("doc_id"), col("text")), ids, k = 10))
     assert(prox == proxBatch, "served proximity page diverged from batch")
+    val pas = pageOf(
+      LexicalStateStream.passageFromState(spark, stateDir, ids))
+    val pasBatch = pageOf(Similarity.passageTopK(
+      docsSlice(lit(true)).select(col("doc_id"), col("text")), ids, k = 10))
+    assert(pas == pasBatch, "served passage page diverged from batch")
   }
 
   test("replayed batch is a no-op; a token-less doc still counts in N") {
