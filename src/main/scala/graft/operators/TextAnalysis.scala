@@ -1621,7 +1621,97 @@ object TextAnalysis {
             minCount = 4, k = 20)
           .orderBy(col("rn"))
     },
+
+    Q("q231_bigram_lm_nll", q231OracleSql,
+      "Per-document BIGRAM-LM quality score — q103's CCNet unigram NLL upgraded one Markov order: each document's average negative log-likelihood under an add-one-smoothed corpus bigram model, avg_nll = -(1/n_pairs) sum ln((c12+1)/(c1+V)), the score that separates fluent text from word-salad a unigram model cannot see (a document of real words in scrambled order scores IDENTICALLY to fluent prose under q103; the bigram model prices every transition). Determinism is the q103 decomposition applied per term: ln((c12+1)/(c1+V)) = ln(c12+1) - ln(c1+V), each quantized to integer micro-nats over exact integer counts (c12/c1 = corpus bigram/left-slot counts, V = corpus vocabulary size), per-doc sums exact integers, ONE final division as the only float op — replays bit-identically cross-engine, which the oracle (the same chain in DuckDB) checks every round. Documents with <2 tokens drop out: a bigram LM genuinely has nothing to say about them (deliberate contrast with q103's every-doc coverage, stated rather than papered over). Scale: ONE corpus scan (the token arrays checkpoint once, feeding the in-row bigram stream and the vocabulary count), map-side-combined aggregates at |bigram-vocab|/|vocab| keys, the 1-row V broadcasts, and the per-doc fold is a doc-key aggregate — the q103 cost family with a wider key. At 100 TB the c12/c1 tables are the maintainable artifact (the q186 vocab-state pattern one order up — a named future composition, not a gap: the delta-ledger mechanics transfer verbatim).") {
+      (s, d) =>
+        bigramNll(Tables.documents(s, d).select(col("doc_id"), col("text")))
+          .orderBy(col("doc_id"))
+    },
   )
+
+  /** Per-document BIGRAM-LM negative log-likelihood with add-one
+    * smoothing — q103's CCNet unigram score upgraded one Markov order:
+    * avg_nll = −(1/n_pairs) Σ ln((c12+1)/(c1+V)) over the document's
+    * adjacent pairs, where c12/c1 are corpus bigram/left-slot counts
+    * and V the corpus vocabulary size. The decomposition
+    * ln((c12+1)/(c1+V)) = ln(c12+1) − ln(c1+V) quantizes each term to
+    * integer micro-nats independently (the q103 recipe), so per-doc
+    * sums are exact integers and the one final division is the only
+    * float op. Documents with <2 tokens have no pairs and drop out —
+    * a bigram LM genuinely has nothing to say about them. */
+  def bigramNll(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    // ONE corpus scan: the token array persists once and feeds the
+    // bigram stream AND the vocabulary count
+    val arr = docs.select(col("doc_id"), toks.as("ws")).localCheckpoint()
+    val n1 = greatest(size(col("ws")) - lit(1), lit(0))
+    val bg = arr.select(col("doc_id"), explode(
+        zip_with(slice(col("ws"), lit(1), n1), slice(col("ws"), lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint()
+    val vRow = arr.select(explode(col("ws")).as("u"))
+      .agg(countDistinct(col("u")).as("v"))
+    val dbg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val l12 = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .select(col("w1").as("a1"), col("w2").as("a2"),
+        floor(log((col("c12") + lit(1L)).cast("double")) * lit(1e6))
+          .cast("bigint").as("lnq12"))
+    val l1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .crossJoin(broadcast(vRow))
+      .select(col("w1").as("b1"),
+        floor(log((col("c1") + col("v")).cast("double")) * lit(1e6))
+          .cast("bigint").as("lnq1"))
+    dbg
+      .join(l12, col("w1") === col("a1") && col("w2") === col("a2"))
+      .join(l1, col("w1") === col("b1"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_pairs"),
+        sum(col("c") * col("lnq12")).as("s12"),
+        sum(col("c") * col("lnq1")).as("s1"))
+      .select(col("doc_id"), col("n_pairs"),
+        (((col("s1") - col("s12")) * lit(1e-6)) / col("n_pairs"))
+          .as("avg_nll"))
+  }
+
+  private def q231OracleSql: String =
+    s"""WITH htok AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+       |  FROM documents),
+       |hbg AS (
+       |  SELECT doc_id, struct_extract(p, 'w1') AS w1,
+       |    struct_extract(p, 'w2') AS w2
+       |  FROM (SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]}
+       |                               FOR i IN range(1, len(w))]) AS p
+       |        FROM htok)),
+       |hdbg AS (
+       |  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c
+       |  FROM hbg GROUP BY doc_id, w1, w2),
+       |hc12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |         FROM hbg GROUP BY w1, w2),
+       |hc1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+       |        FROM hbg GROUP BY w1),
+       |hv AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS v
+       |       FROM (SELECT unnest(w) AS u FROM htok)),
+       |hl12 AS (SELECT w1, w2,
+       |    CAST(floor(ln(CAST(c12 + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+       |      AS lnq12 FROM hc12),
+       |hl1 AS (SELECT w1,
+       |    CAST(floor(ln(CAST(c1 + hv.v AS DOUBLE)) * 1e6) AS BIGINT)
+       |      AS lnq1 FROM hc1, hv),
+       |hs AS (
+       |  SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_pairs,
+       |    CAST(sum(d.c * l2.lnq12) AS BIGINT) AS s12,
+       |    CAST(sum(d.c * l1.lnq1) AS BIGINT) AS s1
+       |  FROM hdbg d
+       |  JOIN hl12 l2 ON l2.w1 = d.w1 AND l2.w2 = d.w2
+       |  JOIN hl1 l1 ON l1.w1 = d.w1
+       |  GROUP BY d.doc_id)
+       |SELECT doc_id, n_pairs, ((s1 - s12) * 1e-6) / n_pairs AS avg_nll
+       |FROM hs ORDER BY doc_id""".stripMargin
 
   /** Top-k adjacent-bigram collocations by micro-nat-quantized PMI with
     * a minimum pair count. In-row bigram derivation (the token array

@@ -596,6 +596,19 @@ class PlanSpec extends SparkSpec {
       "q228's bigram counts must aggregate map-side")
     assert(co.contains("BroadcastExchange"),
       "q228's 1-row total must broadcast")
+    // q231: bigram LM — ONE corpus scan (token arrays checkpointed,
+    // feeding bigrams AND the vocab count), map-side partials, the
+    // 1-row V broadcast; only the 1-row cross rides a nested loop
+    val blm = planString("q231_bigram_lm_nll")
+    assert(!blm.contains("CartesianProduct"),
+      "q231 must not plan a cartesian product:\n" + blm.take(800))
+    assert(occurrences(blm, "documents.parquet") == 0,
+      "q231 scans the corpus once (token arrays checkpointed): " +
+        occurrences(blm, "documents.parquet"))
+    assert(blm.contains("partial_"),
+      "q231's counts must aggregate map-side")
+    assert(blm.contains("BroadcastExchange"),
+      "q231's 1-row vocabulary count must broadcast")
     // q213: the forgotten drift matrix aggregates the netted state
     // sums — no embeddings rescan, no read-time tombstone
     val cdf = planString("q213_forgotten_drift_state_served")
