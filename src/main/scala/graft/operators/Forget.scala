@@ -21,7 +21,7 @@ import graft.Q
   * the survivors, which is a stronger claim than "no tombstoned key
   * remains" (that alone would pass if the forget had also eaten
   * innocent rows). Every leg reads a forgotten-state dir the q199–q218
-  * builders already memoized, so the certificate costs twenty-one bounded
+  * builders already memoized, so the certificate costs twenty-two bounded
   * state aggregates — the corpus is never rescanned at read time.
   *
   * Hash-domain note: the vocabulary, datasheet-vocabulary and shingle
@@ -64,6 +64,14 @@ object Forget {
        |vw AS (
        |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
        |  FROM sdocs),
+       |bgp AS (
+       |  SELECT DISTINCT struct_extract(p, 'w1') AS w1,
+       |    struct_extract(p, 'w2') AS w2
+       |  FROM (
+       |    SELECT unnest([{'w1': w[i], 'w2': w[i+1]}
+       |                   FOR i IN range(1, len(w))]) AS p
+       |    FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS w
+       |          FROM sdocs))),
        |fv AS (
        |  SELECT user_id, min(ts) AS t1 FROM sevents
        |  WHERE event_type = 'view' GROUP BY user_id),
@@ -104,6 +112,7 @@ object Forget {
        |  UNION ALL SELECT 'lex_postings', (SELECT count(*) FROM lw)
        |  UNION ALL SELECT 'lex_token_mass', (SELECT count(*) FROM vw)
        |  UNION ALL SELECT 'lexdocs', (SELECT count(*) FROM sdocs)
+       |  UNION ALL SELECT 'lm_bigrams', (SELECT count(*) FROM bgp)
        |  UNION ALL SELECT 'lsh_sigs', (SELECT count(*) FROM semb)
        |  UNION ALL SELECT 'packing_ledger_docs', (SELECT count(*) FROM sdocs)
        |  UNION ALL SELECT 'retention_weeks', (SELECT count(*) FROM
@@ -117,7 +126,7 @@ object Forget {
 
   val queries: Seq[Q] = Seq(
     Q("q206_deletion_certificate", q206OracleSql,
-      "The deletion CERTIFICATE — what a compliance review actually files after a right-to-be-forgotten execution: one table, per maintained artifact, of the SURVIVING population, hash-verified against an independent cross-engine recomputation from the raw corpus with the tombstone rule applied (q80's shingle chain, q103's tokenizer, q72's funnel cascade, q185's doubled asset fixture). This is deliberately stronger than 'no tombstoned key remains' — that weaker check would pass a forget that also ate innocent rows; matching the exact survivor counts proves the deletion touched precisely its subjects across all twenty-one artifacts at once — including the packing ledger, whose deletion is the bounded suffix repack (q207), the one non-anti-join mechanic in the family — closing the q199-q218 family with the artifact a regulator reads. Every leg is a bounded aggregate over a forgotten-state dir the family's builders already memoized (states are built + forgotten once per session; the certificate re-reads them), so the read costs twenty-one state scans and the corpus is never rescanned. Hash-domain legs (vocab, datasheet vocab, shingles) count distinct 64-bit keys vs the oracle's distinct strings — the family's documented injectivity convention, policed by this gate; vocab_terms and datasheet_vocab certify the same truth from two independent artifacts in two hash domains, a free cross-artifact consistency check. Scale: at 100 TB the certificate is twenty-one index-read aggregates over fixed-width state rows — the audit is as cheap as the deletion, which is the operational requirement for running it after EVERY deletion batch, not just at year-end.") {
+      "The deletion CERTIFICATE — what a compliance review actually files after a right-to-be-forgotten execution: one table, per maintained artifact, of the SURVIVING population, hash-verified against an independent cross-engine recomputation from the raw corpus with the tombstone rule applied (q80's shingle chain, q103's tokenizer, q72's funnel cascade, q185's doubled asset fixture). This is deliberately stronger than 'no tombstoned key remains' — that weaker check would pass a forget that also ate innocent rows; matching the exact survivor counts proves the deletion touched precisely its subjects across all twenty-two artifacts at once — including the packing ledger, whose deletion is the bounded suffix repack (q207), the one non-anti-join mechanic in the family — closing the q199-q218 family with the artifact a regulator reads. Every leg is a bounded aggregate over a forgotten-state dir the family's builders already memoized (states are built + forgotten once per session; the certificate re-reads them), so the read costs twenty-two state scans and the corpus is never rescanned. Hash-domain legs (vocab, datasheet vocab, shingles) count distinct 64-bit keys vs the oracle's distinct strings — the family's documented injectivity convention, policed by this gate; vocab_terms and datasheet_vocab certify the same truth from two independent artifacts in two hash domains, a free cross-artifact consistency check. Scale: at 100 TB the certificate is twenty-two index-read aggregates over fixed-width state rows — the audit is as cheap as the deletion, which is the operational requirement for running it after EVERY deletion batch, not just at year-end.") {
       (s, d) => {
         def leg(name: String, src: DataFrame, n: Column): DataFrame =
           src.agg(n.cast("bigint").as("n_rows"))
@@ -172,6 +181,12 @@ object Forget {
             sum(col("sum_dl"))))
           .unionAll(leg("lexdocs", graft.streaming.LexicalStateStream
             .lexdocsState(s, Similarity.servedForgottenLexicalDir(s, d)), rows))
+          // the netted 2-D LM: distinct surviving net>0 pairs must
+          // equal the survivors' distinct adjacent bigrams (hash domain
+          // vs strings — the documented injectivity convention)
+          .unionAll(leg("lm_bigrams", graft.streaming.CorpusStateStream
+            .bigramLmState(s, TextAnalysis.servedForgottenBigramLmDir(s, d)),
+            rows))
           .unionAll(leg("lsh_sigs", graft.streaming.LshStateStream
             .sigState(s, Similarity.servedForgottenLshDir(s, d)), rows))
           .unionAll(leg("packing_ledger_docs", graft.streaming.PackingStream

@@ -1628,6 +1628,25 @@ object TextAnalysis {
         bigramNll(Tables.documents(s, d).select(col("doc_id"), col("text")))
           .orderBy(col("doc_id"))
     },
+
+    Q("q232_bigram_lm_state_served", q231OracleSql,
+      "q231's bigram-LM score served FROM MAINTAINED state — the composition q231's own scaladoc names (the q186 vocab-state pattern one Markov order up, delivered): production scores arriving crawls against a REFERENCE bigram model, so the pair counts live as (batch_id, w1, w2, delta) ledger-protocol deltas (CorpusStateStream.updateBigrams — the vocab layout with a two-hash key; crash protocol, intent-mark sign guard, LSM fold all inherited verbatim), the left-slot counts DERIVE from the same table (sum over w2 — no second ledger to drift), and the smoothing denominator's V is the co-maintained vocabulary's size. The builder folds two parity waves plus a replayed wave (ledger no-op against real state) and serves AFTER foldBigrams + foldVocab, so fold neutrality is re-proven cross-engine every round. Pairs absent from the reference score the add-one unseen value (ln(1) = 0 micro-nats EXACTLY — quantization makes the fallback exact, not approximate) and unseen left words ln(V), so the read is correct for true arrivals; with reference == corpus no fallback fires and the oracle is q231's SQL VERBATIM (hash-keyed aggregation isomorphic to string-keyed under the family's injectivity convention, the q186 argument). Scale: arrivals derive hashed pairs once and join |bigram-vocab| persisted 16-byte keys + one broadcast V — the reference corpus is never rescanned at scoring time.") {
+      (s, d) =>
+        graft.streaming.CorpusStateStream.bigramNllAgainstState(
+            servedBigramLmDir(s, d),
+            Tables.documents(s, d).select(col("doc_id"), col("text")))
+          .orderBy(col("doc_id"))
+    },
+
+    Q("q233_forgotten_bigram_lm_state_served", q233OracleSql,
+      "q232's served bigram-LM scoring AFTER a right-to-be-forgotten pass over BOTH maintained tables — the deletion leg where erasure must shift every probability in a 2-D model: forgetBigrams appends the tombstoned documents' pair counts negated (one more ledger-committed batch, the forgetVocab mechanic on the two-hash key), forgetVocab shrinks V, pairs whose every occurrence was deleted leave through the cnt > 0 cut (their smoothed probability falls back to the unseen value exactly as a retrain's would), left-slot counts shrink because they derive from the netted pair table, and every survivor's score shifts through c12, c1 AND V at once — so the hash gate proves the netted 2-D model equals a batch retrain over exactly the surviving corpus (oracle: q231's chain over tombstone survivors, model and scored set both). Replayed forgets on both ledgers re-prove deletion idempotence under the gate, and the mixed-sign fold before serving re-proves fold neutrality over negative deltas. Scale: deletion cost is one hashed-pair derivation over the FORGOTTEN docs appended as deltas — the reference corpus is never rescanned, the retrain-vs-net-out difference q201 priced, now at the bigram tier.") {
+      (s, d) =>
+        graft.streaming.CorpusStateStream.bigramNllAgainstState(
+            servedForgottenBigramLmDir(s, d),
+            Tables.documents(s, d).select(col("doc_id"), col("text"))
+              .filter(!Sampling.tombstoned(col("doc_id"))))
+          .orderBy(col("doc_id"))
+    },
   )
 
   /** Per-document BIGRAM-LM negative log-likelihood with add-one
@@ -1640,15 +1659,25 @@ object TextAnalysis {
     * sums are exact integers and the one final division is the only
     * float op. Documents with <2 tokens have no pairs and drop out —
     * a bigram LM genuinely has nothing to say about them. */
+  /** Adjacent-pair derivation over a token (or token-hash) array — the
+    * ONE in-row bigram definition shared by [[pmiCollocations]],
+    * [[bigramNll]] and the maintained bigram-LM state
+    * ([[graft.streaming.CorpusStateStream.updateBigrams]]), so the
+    * batch scores and the state-served ones cannot drift: the array
+    * zipped against its own tail, each element a (w1, w2) struct. */
+  private[graft] def adjacentPairs(arr: Column): Column = {
+    val n1 = greatest(size(arr) - lit(1), lit(0))
+    zip_with(slice(arr, lit(1), n1), slice(arr, lit(2), n1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+  }
+
   def bigramNll(docs: DataFrame): DataFrame = {
     val toks = wsTokens(lower(col("text")))
     // ONE corpus scan: the token array persists once and feeds the
     // bigram stream AND the vocabulary count
     val arr = docs.select(col("doc_id"), toks.as("ws")).localCheckpoint()
-    val n1 = greatest(size(col("ws")) - lit(1), lit(0))
-    val bg = arr.select(col("doc_id"), explode(
-        zip_with(slice(col("ws"), lit(1), n1), slice(col("ws"), lit(2), n1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+    val bg = arr.select(col("doc_id"),
+        explode(adjacentPairs(col("ws"))).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .localCheckpoint()
     val vRow = arr.select(explode(col("ws")).as("u"))
@@ -1677,10 +1706,19 @@ object TextAnalysis {
           .as("avg_nll"))
   }
 
-  private def q231OracleSql: String =
+  private def q231OracleSql: String = bigramNllOracleSqlOver("documents")
+
+  private def q233OracleSql: String = bigramNllOracleSqlOver(
+    "(SELECT * FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '" +
+      Sampling.TombstoneHex + "')")
+
+  /** The bigram-NLL chain over `docsRel` — shared by the batch q231,
+    * the state-served q232 (verbatim) and the forgotten q233 (model
+    * AND scored set both the tombstone survivors, q201's shape). */
+  private def bigramNllOracleSqlOver(docsRel: String): String =
     s"""WITH htok AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
-       |  FROM documents),
+       |  FROM $docsRel),
        |hbg AS (
        |  SELECT doc_id, struct_extract(p, 'w1') AS w1,
        |    struct_extract(p, 'w2') AS w2
@@ -1720,13 +1758,10 @@ object TextAnalysis {
   def pmiCollocations(docs: DataFrame, minCount: Long = 4,
       k: Int = 20): DataFrame = {
     val toks = wsTokens(lower(col("text")))
-    val n1 = greatest(size(toks) - lit(1), lit(0))
     // the bigram stream feeds FOUR consumers (pair counts, both slot
     // counts, the total) — materialize the extraction once (the q143
     // one-derivation convention)
-    val bg = docs.select(explode(
-        zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+    val bg = docs.select(explode(adjacentPairs(toks)).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .localCheckpoint()
     val c12 = bg.groupBy(col("w1"), col("w2"))
@@ -1823,6 +1858,65 @@ object TextAnalysis {
       val tomb = docs.filter(Sampling.tombstoned(col("doc_id")))
       graft.streaming.CorpusStateStream.forgetVocab(dir)(tomb, 2L)
       graft.streaming.CorpusStateStream.forgetVocab(dir)(tomb, 2L) // replay
+      graft.streaming.CorpusStateStream.foldVocab(s, dir)
+      dir
+    }
+
+  /** Build-once maintained BIGRAM-LM state for q232: two doc_id-parity
+    * waves through updateBigrams (plus a replayed wave — the ledger
+    * no-op path against real state) AND updateVocab into the same dir
+    * (the smoothing denominator's V reads the co-maintained
+    * vocabulary), both folded before serving. Memoized per
+    * (session, corpus); protectNew = false. */
+  private def servedBigramLmDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"bigramlm|$d/documents.parquet",
+        protectNew = false) {
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_bigramlm_state").toString)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      val wave1 = docs.filter(col("doc_id") % 2 =!= 0)
+      graft.streaming.CorpusStateStream.updateBigrams(dir)(
+        docs.filter(col("doc_id") % 2 === 0), 0L)
+      graft.streaming.CorpusStateStream.updateBigrams(dir)(wave1, 1L)
+      graft.streaming.CorpusStateStream.updateBigrams(dir)(wave1, 1L) // replay
+      graft.streaming.CorpusStateStream.updateVocab(dir)(
+        docs.filter(col("doc_id") % 2 === 0), 0L)
+      graft.streaming.CorpusStateStream.updateVocab(dir)(wave1, 1L)
+      graft.streaming.CorpusStateStream.foldBigrams(s, dir)
+      graft.streaming.CorpusStateStream.foldVocab(s, dir)
+      dir
+    }
+
+  /** Build-once FORGOTTEN bigram-LM state for q233 (and q206's
+    * lm_bigrams leg): the servedBigramLmDir build, then
+    * forgetBigrams + forgetVocab append the tombstoned documents'
+    * contributions negated (each with a replayed forget — ledger
+    * no-ops re-proving deletion idempotence under the gate), and a
+    * final fold nets the mixed-sign logs before serving. */
+  private[operators] def servedForgottenBigramLmDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.AnnSubstrate.getOrBuild(s, s"bigramlmforget|$d/documents.parquet",
+        protectNew = false) {
+      val dir = graft.AnnSubstrate.deleteOnExit(java.nio.file.Files
+        .createTempDirectory("graft_bigramlmforget_state").toString)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      graft.streaming.CorpusStateStream.updateBigrams(dir)(
+        docs.filter(col("doc_id") % 2 === 0), 0L)
+      graft.streaming.CorpusStateStream.updateBigrams(dir)(
+        docs.filter(col("doc_id") % 2 =!= 0), 1L)
+      graft.streaming.CorpusStateStream.updateVocab(dir)(
+        docs.filter(col("doc_id") % 2 === 0), 0L)
+      graft.streaming.CorpusStateStream.updateVocab(dir)(
+        docs.filter(col("doc_id") % 2 =!= 0), 1L)
+      val tomb = docs.filter(Sampling.tombstoned(col("doc_id")))
+      graft.streaming.CorpusStateStream.forgetBigrams(dir)(tomb, 2L)
+      graft.streaming.CorpusStateStream.forgetBigrams(dir)(tomb, 2L) // replay
+      graft.streaming.CorpusStateStream.forgetVocab(dir)(tomb, 2L)
+      graft.streaming.CorpusStateStream.forgetVocab(dir)(tomb, 2L) // replay
+      graft.streaming.CorpusStateStream.foldBigrams(s, dir)
       graft.streaming.CorpusStateStream.foldVocab(s, dir)
       dir
     }

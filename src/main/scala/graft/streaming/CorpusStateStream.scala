@@ -449,6 +449,139 @@ object CorpusStateStream {
     foldDeltaState(spark, stateDir, "vocab", "vocab_ledger", vocabSchema,
       Seq("w"), Seq("delta"))
 
+  // ——— maintained BIGRAM-LM state (q231 one Markov order up) ———
+  //
+  // The vocab delta layout with a two-hash key: (batch_id, w1, w2,
+  // delta) adjacent-pair occurrence deltas under the same ledger +
+  // intent-mark + fold protocol (appendVocabDeltas' crash argument
+  // transfers verbatim). The left-slot counts c1 DERIVE from the
+  // bigram table (sum over w2), and the smoothing denominator's V is
+  // the co-maintained vocabulary's size — so a served bigram score
+  // needs exactly two maintained tables and no corpus rescan, and a
+  // forget nets both like a retrain (q233's gate).
+
+  private val bigramsSchema = StructType(Seq(
+    StructField("batch_id", LongType),
+    StructField("w1", LongType),
+    StructField("w2", LongType),
+    StructField("delta", LongType)))
+
+  /** Net adjacent-pair counts. The cnt > 0 cut is [[vocabState]]'s:
+    * load-bearing only after [[forgetBigrams]] — a pair whose every
+    * occurrence was deleted must leave the model (its add-one-smoothed
+    * probability falls back to the unseen-pair value, exactly as a
+    * retrain's would). */
+  def bigramLmState(spark: SparkSession, stateDir: String): DataFrame = {
+    requireFormat(spark, stateDir, "bigrams", 1, "bigrams")
+    stateDf(spark, s"$stateDir/bigrams", bigramsSchema)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("delta")).as("cnt"))
+      .filter(col("cnt") > 0)
+  }
+
+  /** One bigram micro-batch: append this batch's adjacent-pair count
+    * deltas exactly once ([[updateVocab]]'s ledger protocol). */
+  def updateBigrams(stateDir: String)(batch: DataFrame, batchId: Long): Unit =
+    appendBigramDeltas(stateDir, batch, batchId, sign = 1L)
+
+  /** Right-to-be-forgotten against the maintained bigram LM — the
+    * NEGATIVE-delta twin of [[updateBigrams]] ([[forgetVocab]]'s
+    * contract verbatim, occurrence-count semantics included: pass each
+    * forgotten document exactly as often as it was counted). */
+  def forgetBigrams(stateDir: String)(docs: DataFrame, batchId: Long): Unit =
+    appendBigramDeltas(stateDir, docs, batchId, sign = -1L)
+
+  private def appendBigramDeltas(stateDir: String, batch: DataFrame,
+      batchId: Long, sign: Long): Unit = {
+    require(batchId >= 0, s"batchId $batchId: negative ids are reserved " +
+      s"for folded snapshot rows (SnapshotBatchId = $SnapshotBatchId)")
+    val spark = batch.sparkSession
+    stampFormat(spark, stateDir, "bigrams", 1, "bigrams")
+    val ledgerDir = s"$stateDir/bigrams_ledger"
+    val seen = stateDf(spark, ledgerDir, ledgerSchema)
+      .filter(col("batch_id") === batchId).limit(1).count() > 0
+    if (seen) {
+      requireLedgerSign(spark, stateDir, "bigrams_ledger", batchId, sign)
+    } else {
+      val inLog = stateDf(spark, s"$stateDir/bigrams", bigramsSchema)
+        .filter(col("batch_id") === batchId).limit(1).count() > 0
+      intentSignGuard(spark, stateDir, "bigrams_ledger", batchId, sign, inLog)
+      if (!inLog) {
+        batch
+          .select(graft.expressions.Md5TokenHash64.words(lower(col("text")))
+            .as("hs"))
+          .select(explode(
+              graft.operators.TextAnalysis.adjacentPairs(col("hs"))).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .groupBy(col("w1"), col("w2"))
+          .agg((count(lit(1)) * sign).as("delta"))
+          .select(lit(batchId).as("batch_id"), col("w1"), col("w2"),
+            col("delta"))
+          .write.mode("append").parquet(s"$stateDir/bigrams")
+      }
+      spark.range(1).select(lit(batchId).as("batch_id"))
+        .write.mode("append").parquet(ledgerDir)
+    }
+  }
+
+  /** LSM fold for the bigram delta log ([[foldVocab]]'s contract). */
+  def foldBigrams(spark: SparkSession, stateDir: String): (Long, Long) =
+    foldDeltaState(spark, stateDir, "bigrams", "bigrams_ledger",
+      bigramsSchema, Seq("w1", "w2"), Seq("delta"))
+
+  /** q231's bigram-LM NLL served FROM the maintained state — the
+    * production scoring shape ([[lmScoreAgainstState]] one Markov order
+    * up): arrivals derive hashed adjacent pairs once and join the
+    * persisted net pair counts; the left-slot counts fold from the SAME
+    * table (sum over w2 — no second ledger), and the smoothing
+    * denominator's V is the co-maintained vocabulary's size. Pairs
+    * absent from the reference score the add-one unseen value
+    * (ln(0+1) = 0 micro-nats exactly) and unseen left words the ln(V)
+    * fallback — so the read is correct for true arrivals, and when the
+    * reference IS the corpus (the parity gate) no fallback fires and
+    * the output equals [[graft.operators.TextAnalysis.bigramNll]] to
+    * the bit (hash-keyed aggregation isomorphic to the string-keyed
+    * one under the family's injectivity convention). */
+  def bigramNllAgainstState(stateDir: String,
+      arrivals: DataFrame): DataFrame = {
+    val spark = arrivals.sparkSession
+    val bg = bigramLmState(spark, stateDir)
+    val vRow = vocabState(spark, stateDir).agg(count(lit(1)).as("v"))
+      .localCheckpoint()
+    val l12 = bg.select(col("w1").as("a1"), col("w2").as("a2"),
+      floor(log((col("cnt") + lit(1L)).cast("double")) * lit(1e6d))
+        .cast("bigint").as("lnq12"))
+    val l1 = bg.groupBy(col("w1")).agg(sum(col("cnt")).as("c1"))
+      .crossJoin(broadcast(vRow))
+      .select(col("w1").as("b1"),
+        floor(log((col("c1") + col("v")).cast("double")) * lit(1e6d))
+          .cast("bigint").as("lnq1"))
+    val dbg = arrivals
+      .select(col("doc_id"),
+        graft.expressions.Md5TokenHash64.words(lower(col("text"))).as("hs"))
+      .select(col("doc_id"),
+        explode(graft.operators.TextAnalysis.adjacentPairs(col("hs")))
+          .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    dbg
+      .join(l12, col("w1") === col("a1") && col("w2") === col("a2"), "left")
+      .join(l1, col("w1") === col("b1"), "left")
+      .crossJoin(broadcast(vRow))
+      .select(col("doc_id"), col("c"),
+        coalesce(col("lnq12"), lit(0L)).as("q12"),
+        coalesce(col("lnq1"),
+          floor(log(col("v").cast("double")) * lit(1e6d)).cast("bigint"))
+          .as("q1"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_pairs"),
+        sum(col("c") * col("q12")).as("s12"),
+        sum(col("c") * col("q1")).as("s1"))
+      .select(col("doc_id"), col("n_pairs"),
+        (((col("s1") - col("s12")) * lit(1e-6d)) / col("n_pairs"))
+          .as("avg_nll"))
+  }
+
   /** q97's delta near-dup served FROM the maintained signature table:
     * arriving documents derive signatures once, the persisted corpus
     * signatures join in as the band-table side, and the probe/hamming

@@ -609,6 +609,22 @@ class PlanSpec extends SparkSpec {
       "q231's counts must aggregate map-side")
     assert(blm.contains("BroadcastExchange"),
       "q231's 1-row vocabulary count must broadcast")
+    // q232/q233: the state-served bigram LM scans documents exactly
+    // once (the scored arrival side — q233's survivor filter there is
+    // the read's own predicate, the q201 convention) and the persisted
+    // bigram + vocab state; the reference corpus is never re-derived
+    val bls = planString("q232_bigram_lm_state_served")
+    assert(bls.contains("graft_bigramlm_state"),
+      "q232 must read the maintained bigram-LM state")
+    assert(occurrences(bls, "documents.parquet") == 1,
+      "q232 reads documents exactly once (the scored side): " +
+        occurrences(bls, "documents.parquet"))
+    val blf = planString("q233_forgotten_bigram_lm_state_served")
+    assert(blf.contains("graft_bigramlmforget_state"),
+      "q233 must read the forgotten bigram-LM state")
+    assert(occurrences(blf, "documents.parquet") == 1,
+      "q233 reads documents exactly once (the surviving scored side): " +
+        occurrences(blf, "documents.parquet"))
     // q213: the forgotten drift matrix aggregates the netted state
     // sums — no embeddings rescan, no read-time tombstone
     val cdf = planString("q213_forgotten_drift_state_served")
@@ -618,7 +634,7 @@ class PlanSpec extends SparkSpec {
       "q213 must not rescan the embeddings table:\n" + cdf.take(800))
     assert(!cdf.contains("md5"),
       "q213 must not re-apply the tombstone rule at read time")
-    // q206: the deletion certificate is twenty-one STATE aggregates — the
+    // q206: the deletion certificate is twenty-two STATE aggregates — the
     // corpus tables appear nowhere in the read plan (the claim that
     // makes the audit cheap enough to run per deletion batch)
     val cert = planString("q206_deletion_certificate")
@@ -632,7 +648,7 @@ class PlanSpec extends SparkSpec {
         "graft_dsforget_state", "graft_retentionforgetstages",
         "graft_ewmaforgetstages", "graft_bigramforgetstages",
         "graft_sessionforgetstages", "graft_centforget_state",
-        "graft_lexforget_state")
+        "graft_lexforget_state", "graft_bigramlmforget_state")
       .foreach(st => assert(cert.contains(st),
         s"q206 must read every forgotten state dir (missing $st)"))
   }

@@ -297,6 +297,57 @@ class CorpusStateStreamSpec extends SparkSpec {
       "a refused sign-collision call mutated state")
   }
 
+  test("bigram-LM state: served score == batch bigramNll; forget == " +
+      "survivors' retrain; replay/fold no-ops; sign guard wired") {
+    val root = Files.createTempDirectory("graft-bigramstate").toString
+    val stateDir = s"$root/state"
+    val docs = docsSlice(col("doc_id") < 150).localCheckpoint()
+    // two waves + a replayed wave; vocab co-maintained for V
+    CorpusStateStream.updateBigrams(stateDir)(
+      docs.filter(col("doc_id") % 2 === 0), 0L)
+    CorpusStateStream.updateBigrams(stateDir)(
+      docs.filter(col("doc_id") % 2 =!= 0), 1L)
+    CorpusStateStream.updateBigrams(stateDir)(
+      docs.filter(col("doc_id") % 2 =!= 0), 1L) // replay no-op
+    CorpusStateStream.updateVocab(stateDir)(
+      docs.filter(col("doc_id") % 2 === 0), 0L)
+    CorpusStateStream.updateVocab(stateDir)(
+      docs.filter(col("doc_id") % 2 =!= 0), 1L)
+    val scored = docs.select(col("doc_id"), col("text"))
+    def pages(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id")).collect().map(_.toString).toSeq
+    val got = pages(CorpusStateStream.bigramNllAgainstState(stateDir, scored))
+    val want = pages(graft.operators.TextAnalysis.bigramNll(scored))
+    assert(got == want, "state-served bigram NLL diverged from batch")
+    // fold both logs: reads unchanged
+    CorpusStateStream.foldBigrams(spark, stateDir)
+    CorpusStateStream.foldVocab(spark, stateDir)
+    assert(pages(CorpusStateStream.bigramNllAgainstState(stateDir,
+      scored)) == got, "fold changed the served score")
+    // forget == a retrain over the survivors (both tables net)
+    val tombPred = graft.operators.Sampling.tombstoned(col("doc_id"))
+    val tomb = docs.filter(tombPred)
+    assert(tomb.limit(1).count() > 0, "fixture vacuous")
+    CorpusStateStream.forgetBigrams(stateDir)(tomb, 2L)
+    CorpusStateStream.forgetBigrams(stateDir)(tomb, 2L) // replay no-op
+    CorpusStateStream.forgetVocab(stateDir)(tomb, 3L)
+    val survivors = scored.filter(!tombPred)
+    val gotF = pages(
+      CorpusStateStream.bigramNllAgainstState(stateDir, survivors))
+    val wantF = pages(graft.operators.TextAnalysis.bigramNll(survivors))
+    assert(gotF == wantF,
+      "netted bigram LM diverged from a fresh retrain over survivors")
+    // the sign guard covers the bigram ledger too
+    val eF = intercept[IllegalArgumentException] {
+      CorpusStateStream.forgetBigrams(stateDir)(tomb, 0L)
+    }
+    assert(eF.getMessage.contains("ARRIVAL"), eF.getMessage)
+    val eA = intercept[IllegalArgumentException] {
+      CorpusStateStream.updateBigrams(stateDir)(tomb, 2L)
+    }
+    assert(eA.getMessage.contains("FORGET"), eA.getMessage)
+  }
+
   test("write-intent marks close the crash-window sign ambiguity: " +
       "deltas-without-ledger can never commit under the opposite sign") {
     val spark0 = spark
