@@ -645,6 +645,99 @@ object Similarity {
     bm25FromPostings(dt, doclens, nRow, avgdlRow, queryIds, k, k1, b)
   }
 
+  /** PSEUDO-RELEVANCE-FEEDBACK (RM3-style) expanded BM25 top-k — the
+    * retrieval feedback loop production keyword search runs when recall
+    * matters: score the query (stage 1, a k=3 BM25 page), harvest the
+    * feedback documents' heaviest terms (stage 2 — per query, the top
+    * `expM` terms by summed tf × integer micro-nat idf across the
+    * feedback page — the corpus-frequency discount real relevance
+    * models apply, so stopwords cannot dominate the expansion — the
+    * query's own terms excluded, ties to the lexicographically
+    * smaller term),
+    * and re-score with the AUGMENTED term bag (stage 3 — the identical
+    * BM25 chain over qt ∪ expansion, [[bm25FromTermTable]]). A document
+    * sharing no literal term with the query but sharing vocabulary with
+    * its best matches becomes findable — the vocabulary-mismatch fix
+    * BM25 alone cannot express.
+    *
+    * Determinism: stage 1's page is the exact-integer q215 chain;
+    * expansion weights are exact tf-sum × micro-nat-idf integer products with term-order ties; stage 3
+    * re-runs the same quantized scorer, so the final page replays
+    * bit-identically cross-engine. The feedback pairs are a bounded
+    * driver probe (fbK rows per query — the bounded-collect class), so
+    * stage 2's postings read carries doc_id pushdown.
+    *
+    * Scale: stage 1 is q215's cost; stage 2 touches the feedback docs'
+    * postings only (pushdown); stage 3 is q215's cost over ≤ |query
+    * terms| + expM terms. Nothing new is corpus-proportional beyond the
+    * one postings derivation all stages share. */
+  def rm3TopK(docs: DataFrame, queryIds: Seq[Long], fbK: Int = 3,
+      expM: Int = 5, k: Int = 10): DataFrame = {
+    val dt = bm25Postings(docs).localCheckpoint()
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    val doclens = dt.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val avgdlRow = doclens.agg(
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    rm3FromFrames(dt, doclens, nRow, avgdlRow, queryIds, fbK, expM, k)
+  }
+
+  /** The RM3 pipeline over already-derived postings frames — shared by
+    * the batch operator and the served read (state frames), so the two
+    * cannot drift. */
+  private[graft] def rm3FromFrames(dt: DataFrame, doclens: DataFrame,
+      nRow: DataFrame, avgdlRow: DataFrame, queryIds: Seq[Long],
+      fbK: Int, expM: Int, k: Int): DataFrame = {
+    val spark = dt.sparkSession
+    val qt = dt.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("query_id"), col("w").as("qw"))
+    // stage 1: the feedback page — bounded driver probe (fbK per query)
+    val fbPairs = bm25FromTermTable(dt, doclens, nRow, avgdlRow, qt, fbK)
+      .select(col("query_id"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val fbIds = fbPairs.map(_._2).distinct.toSeq
+    import spark.implicits._
+    val fbDf = fbPairs.toSeq.toDF("fq", "fd")
+    // stage 2: expansion terms — feedback docs' postings (pushdown),
+    // weighted by summed tf × integer micro-nat idf (the
+    // corpus-frequency discount real relevance models apply — raw tf
+    // would elect stopwords, which both degrades the expansion and
+    // explodes stage 3's postings slices), the query's own terms
+    // excluded. The candidate-term probe is bounded by the FEEDBACK
+    // DOCS' vocabulary (corpus-independent — the bounded-collect
+    // class), so the df aggregate runs under term-isin pushdown.
+    val fbT = dt.filter(col("doc_id").isin(fbIds: _*)).localCheckpoint()
+    val candTerms = fbT.select(col("w")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val dfq = dt.filter(col("w").isin(candTerms: _*))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nRow))
+      .select(col("w").as("iw"),
+        floor(log((col("n").cast("double") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)) * lit(1e6))
+          .cast("bigint").as("xlnq"))
+    val expw = fbT
+      .join(broadcast(fbDf), col("doc_id") === col("fd"))
+      .join(qt, col("fq") === col("query_id") && col("w") === col("qw"),
+        "left_anti")
+      .groupBy(col("fq"), col("w")).agg(sum(col("tf")).as("tfw"))
+      .join(dfq, col("w") === col("iw"))
+      .select(col("fq"), col("w"), (col("tfw") * col("xlnq")).as("wt"))
+    val expWin = Window.partitionBy(col("fq"))
+      .orderBy(col("wt").desc, col("w"))
+    // the expansion table is a BOUNDED construction-time artifact
+    // (≤ expM terms per query, like the scorer's term collect) —
+    // checkpoint it so stage 3's serving plan keeps exactly the q217
+    // shape: one postings scan, the pushed query probe (PlanSpec pin)
+    val exp = expw.withColumn("xrn", row_number().over(expWin))
+      .filter(col("xrn") <= expM)
+      .select(col("fq").as("query_id"), col("w").as("qw"))
+      .localCheckpoint()
+    // stage 3: the identical scorer over the augmented bag
+    bm25FromTermTable(dt, doclens, nRow, avgdlRow,
+      qt.union(exp).distinct(), k)
+  }
+
   /** The (doc_id, w, tf) postings derivation — ONE tokenizer
     * definition shared by the batch operator and the maintained
     * inverted index ([[graft.streaming.LexicalStateStream]]), so a
@@ -703,6 +796,18 @@ object Similarity {
     // below are never ambiguous self-joins
     val qt = dt.filter(col("doc_id").isin(queryIds: _*))
       .select(col("doc_id").as("query_id"), col("w").as("qw"))
+    bm25FromTermTable(dt, doclens, nRow, avgdlRow, qt, k, k1, b)
+  }
+
+  /** The BM25 scoring tail over an EXPLICIT (query_id, qw) term table —
+    * split out of [[bm25FromPostings]] so query-EXPANSION reads
+    * ([[rm3TopK]]) can score an augmented term bag through the
+    * identical chain: pushdown slice, df over query-term postings only,
+    * doclens probe, quantized per-term sums, ranks. */
+  private[graft] def bm25FromTermTable(dt: DataFrame, doclens: DataFrame,
+      nRow: DataFrame, avgdlRow: DataFrame,
+      qt: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // bounded driver probe: |terms of k query docs|, corpus-independent
     val terms = qt.select(col("qw")).distinct()
       .collect().map(_.getString(0)).toSeq
@@ -1042,6 +1147,48 @@ object Similarity {
     s"""WITH ${bm25Ctes(10)}
        |SELECT query_id, doc_id, s * 1e-6 AS bm25, CAST(rn AS INT) AS rn
        |FROM page ORDER BY query_id, rn""".stripMargin
+
+  /** The RM3 chain: the bm25 CTEs with k=3 give the feedback page;
+    * expansion = top-5 feedback terms by summed tf (query terms
+    * excluded, term-order ties); the re-score repeats the sc/page tail
+    * verbatim over qt ∪ expansion (idf already covers every corpus
+    * term). Shared by q234 (batch) and q235 (served — verbatim, the
+    * q217 pattern). */
+  private def q234OracleSql: String =
+    s"""WITH ${bm25Ctes(3)},
+       |expw AS (
+       |  SELECT t.query_id, t.w, t.tfw * i.lnq AS wt FROM (
+       |    SELECT p.query_id, d.w, CAST(sum(d.tf) AS BIGINT) AS tfw
+       |    FROM page p JOIN dt d ON d.doc_id = p.doc_id
+       |    WHERE NOT EXISTS (SELECT 1 FROM qt q
+       |      WHERE q.query_id = p.query_id AND q.w = d.w)
+       |    GROUP BY p.query_id, d.w) t
+       |  JOIN idf i ON i.w = t.w),
+       |exp AS (
+       |  SELECT query_id, w FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY wt DESC, w) AS xrn FROM expw) t
+       |  WHERE xrn <= 5),
+       |qt2 AS (SELECT query_id, w FROM qt
+       |        UNION SELECT query_id, w FROM exp),
+       |sc2 AS (
+       |  SELECT query_id, doc_id, CAST(sum(tm) AS BIGINT) AS s FROM (
+       |    SELECT q.query_id, d.doc_id,
+       |      CAST(floor(round((i.lnq * 1e-6) * (d.tf * 2.2)
+       |        / (d.tf + 1.2 * (1 - 0.75 + 0.75 * st.dl / ad.avgdl)),
+       |        9) * 1e6) AS BIGINT) AS tm
+       |    FROM qt2 q JOIN dt d ON d.w = q.w AND d.doc_id <> q.query_id
+       |    JOIN stats st ON st.doc_id = d.doc_id
+       |    JOIN idf i ON i.w = q.w, ad) t
+       |  GROUP BY query_id, doc_id),
+       |page2 AS (
+       |  SELECT query_id, doc_id, s, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY s DESC, doc_id) AS rn
+       |    FROM sc2) t
+       |  WHERE rn <= 10)
+       |SELECT query_id, doc_id, s * 1e-6 AS bm25, CAST(rn AS INT) AS rn
+       |FROM page2 ORDER BY query_id, rn""".stripMargin
 
   /** Hybrid search: RRF-fuse the lexical (BM25, [[bm25TopK]]) and dense
     * (exact cosine, q36's [[bruteForceTopK]]) pages for the same
@@ -3524,6 +3671,22 @@ object Similarity {
       (s, d) =>
         graft.streaming.LexicalStateStream.passageFromState(s,
             servedLexicalStateDir(s, d), QueryIds, width = 8, k = 10)
+          .orderBy(col("query_id"), col("rn"))
+    },
+
+    Q("q234_rm3_expansion_topk", q234OracleSql,
+      "PSEUDO-RELEVANCE-FEEDBACK expanded BM25 top-10 (RM3-style, Lavrenko & Croft 2001 / Abdul-Jaleel et al. 2004 simplified to its deterministic core) — the retrieval feedback loop production keyword search runs when recall matters, and the vocabulary-mismatch fix plain BM25 cannot express: stage 1 scores the query (a k=3 BM25 page, q215's exact chain), stage 2 harvests each query's expansion terms (top-5 by summed tf across its feedback documents, the query's own terms excluded, ties to the lexicographically smaller term — exact integers end to end), stage 3 re-scores with the AUGMENTED term bag through the IDENTICAL quantized scorer (bm25FromTermTable — the q215 chain over an explicit term table), so a document sharing no literal term with the query surfaces through the vocabulary of its best matches. Determinism: every stage is exact-integer (stage 1's page, the tf-sum weights, stage 3's micro-nat sums), so the three-stage composition replays bit-identically cross-engine — the oracle runs the full chain (feedback page CTEs, expansion window, the sc tail verbatim over qt UNION exp) in one hash. The feedback pairs are a bounded driver probe (3 per query), so stage 2's postings read carries doc_id pushdown. Scale: stage 1 = q215's cost; stage 2 touches only the feedback docs' postings; stage 3 = q215's cost over ≤ |query terms| + 5 terms; all three share ONE postings derivation.") {
+      (s, d) =>
+        rm3TopK(Tables.documents(s, d).select(col("doc_id"), col("text")),
+            QueryIds, fbK = 3, expM = 5, k = 10)
+          .orderBy(col("query_id"), col("rn"))
+    },
+
+    Q("q235_rm3_state_served", q234OracleSql,
+      "q234's expanded retrieval served FROM the maintained inverted index — the feedback loop at its production shape: all three RM3 stages read the PERSISTED postings (stage 1 the q217 query-bounded page, stage 2 the feedback docs' postings under doc_id pushdown, stage 3 the augmented bag through the same query-bounded scorer), the corpus text never touched, through the ONE rm3FromFrames pipeline the batch operator uses — so the served feedback loop cannot drift from its oracle-checked twin, and the oracle is q234's SQL VERBATIM (the q217 pattern, now covering a three-stage composition in one hash: feedback scoring, term harvesting, expanded re-scoring). This is the read that makes expansion affordable at 100 TB: the batch form re-tokenizes the corpus per invocation, while the served form's total cost is two query-bounded BM25 probes plus one feedback-doc postings probe — every scan pushdown-restricted, no corpus-proportional aggregate anywhere (the doclens/lexstats machinery serves all three stages). Scale: q217's cost model three times over bounded term/doc sets.") {
+      (s, d) =>
+        graft.streaming.LexicalStateStream.rm3FromState(s,
+            servedLexicalStateDir(s, d), QueryIds, fbK = 3, expM = 5, k = 10)
           .orderBy(col("query_id"), col("rn"))
     },
   )

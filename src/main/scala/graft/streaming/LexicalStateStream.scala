@@ -314,6 +314,26 @@ object LexicalStateStream {
       queryIds, window, k)
   }
 
+  /** q234's RM3 expanded retrieval served FROM the maintained index:
+    * all three stages (feedback page, term harvest, expanded re-score)
+    * read the persisted postings through the batch operator's own
+    * [[graft.operators.Similarity.rm3FromFrames]] pipeline — each scan
+    * pushdown-restricted, avgdl from the counter, N from the registry:
+    * the feedback loop with no corpus-proportional work anywhere. */
+  def rm3FromState(spark: SparkSession, stateDir: String,
+      queryIds: Seq[Long], fbK: Int = 3, expM: Int = 5,
+      k: Int = 10): DataFrame = {
+    requireReadable(spark, stateDir)
+    val avgdlRow = rawLexstats(spark, stateDir)
+      .agg((sum(col("sum_dl")).cast("double") /
+        sum(col("n_dl_docs")).cast("double")).as("avgdl"))
+    graft.operators.Similarity.rm3FromFrames(
+      rawPostings(spark, stateDir),
+      rawDoclens(spark, stateDir),
+      rawLexdocs(spark, stateDir).agg(count(lit(1)).as("n")),
+      avgdlRow, queryIds, fbK, expM, k)
+  }
+
   /** q229's densest-passage page served FROM the maintained positional
     * postings, query-bounded: the query-term table reads the query ids'
     * leading positions under doc_id + pos pushdown, its bounded

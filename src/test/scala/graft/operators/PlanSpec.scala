@@ -454,6 +454,20 @@ class PlanSpec extends SparkSpec {
     }
     lexPins("q217_bm25_state_served", "graft_lex_state")
     lexPins("q218_forgotten_bm25_state_served", "graft_lexforget_state")
+    // q235: the served RM3 loop's FINAL plan is stage 3 — the same
+    // query-bounded serving shape as q217 (stages 1-2 run at
+    // construction as bounded probes), so the q217 pin set applies
+    // verbatim: one pushed postings scan, doclens probed, counter
+    // folded, no corpus rescan
+    lexPins("q235_rm3_state_served", "graft_lex_state")
+    // q234: the batch RM3 — one corpus scan (postings checkpointed;
+    // the N count-star is metadata-only), no cartesian
+    val rm = planString("q234_rm3_expansion_topk")
+    assert(!rm.contains("CartesianProduct"),
+      "q234 must not plan a cartesian product:\n" + rm.take(800))
+    assert(occurrences(rm, "documents.parquet") <= 1,
+      "q234 must tokenize the corpus once (postings checkpointed): " +
+        occurrences(rm, "documents.parquet"))
     assert(!planString("q218_forgotten_bm25_state_served").contains("md5"),
       "q218 must not re-apply the tombstone rule at read time")
     // q219/q220: the served hybrid fuses TWO maintained indexes — both

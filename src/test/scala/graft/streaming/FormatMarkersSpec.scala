@@ -63,7 +63,10 @@ class FormatMarkersSpec extends SparkSpec {
       d => PackingStream.update(d)(docsDf, 0L)),
     Fam("ivf", "centroids",
       d => IvfStateStream.listState(spark, d),
-      d => IvfStateStream.train(embDf, d, nlist = 8)))
+      d => IvfStateStream.train(embDf, d, nlist = 8)),
+    Fam("bigrams", "bigrams",
+      d => CorpusStateStream.bigramLmState(spark, d),
+      d => CorpusStateStream.updateBigrams(d)(docsDf, 0L)))
 
   test("an unmarked populated dir (pre-versioning vintage) is refused " +
       "loudly by reads AND writes, per family") {
