@@ -3689,7 +3689,28 @@ object Similarity {
             servedLexicalStateDir(s, d), QueryIds, fbK = 3, expM = 5, k = 10)
           .orderBy(col("query_id"), col("rn"))
     },
+
+    Q("q236_lexical_index_stats", q236OracleSql,
+      "Lexical-index HEALTH stats — the observability read an operator checks before and after every maintenance op (fold, forget, layout evolution), the q139 IVF-list-stats pattern applied to the inverted index: registry size (BM25's N), distinct terms, tf-postings rows, positional rows, the netted token-mass counter and the served avgdl, all in one row of STATE aggregates — the corpus is never rescanned, so the health check costs what the serving reads it guards cost. The oracle recomputes every figure independently from the raw corpus (count, distinct tokens, distinct (doc, token) pairs, total tokens — under this tokenizer every document has ≥1 token, so the avgdl denominator is N itself), which makes this more than observability: a hash match IS a five-way state-integrity audit (registry == corpus cardinality, postings == the corpus's distinct pair set, positional rows == total tokens — the lex_pos_postings/lex_token_mass certificate identity served as a live query — and the counter's quotient == the true mean), re-proven at every SF every round. Scale: five state aggregates over fixed-width rows; at 100 TB this is the dashboard number, not a job.") {
+      (s, d) =>
+        graft.streaming.LexicalStateStream.indexStats(s,
+            servedLexicalStateDir(s, d))
+    },
   )
+
+  private def q236OracleSql: String =
+    s"""WITH ztok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |  FROM documents)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       |  (SELECT CAST(count(DISTINCT w) AS BIGINT) FROM ztok) AS n_terms,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM
+       |    (SELECT DISTINCT doc_id, w FROM ztok)) AS n_postings,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM ztok) AS n_positions,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM ztok) AS sum_dl,
+       |  (SELECT CAST(count(*) AS DOUBLE) FROM ztok)
+       |    / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl""".stripMargin
 
   private def q224OracleSql: String =
     phraseOracleSql("(SELECT * FROM documents WHERE " +

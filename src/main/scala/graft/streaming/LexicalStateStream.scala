@@ -314,6 +314,29 @@ object LexicalStateStream {
       queryIds, window, k)
   }
 
+  /** Index HEALTH stats — the observability read an operator checks
+    * before and after maintenance (the q139 IVF-list-stats pattern for
+    * the lexical family): registry size, distinct terms, postings
+    * rows, positional rows, netted token mass and the served avgdl,
+    * all from state aggregates — the corpus is never rescanned, so the
+    * health check is as cheap as the reads it guards. */
+  def indexStats(spark: SparkSession, stateDir: String): DataFrame = {
+    requireReadable(spark, stateDir)
+    val nDocs = rawLexdocs(spark, stateDir).agg(count(lit(1)).as("n_docs"))
+    val p = rawPostings(spark, stateDir)
+      .agg(count(lit(1)).as("n_postings"),
+        countDistinct(col("w")).as("n_terms"))
+    val pl = rawPoslists(spark, stateDir)
+      .agg(count(lit(1)).as("n_positions"))
+    val st = rawLexstats(spark, stateDir)
+      .agg(sum(col("sum_dl")).as("sum_dl"),
+        (sum(col("sum_dl")).cast("double") /
+          sum(col("n_dl_docs")).cast("double")).as("avgdl"))
+    nDocs.crossJoin(p).crossJoin(pl).crossJoin(st)
+      .select(col("n_docs"), col("n_terms"), col("n_postings"),
+        col("n_positions"), col("sum_dl"), col("avgdl"))
+  }
+
   /** q234's RM3 expanded retrieval served FROM the maintained index:
     * all three stages (feedback page, term harvest, expanded re-score)
     * read the persisted postings through the batch operator's own

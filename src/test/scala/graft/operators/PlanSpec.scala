@@ -460,6 +460,13 @@ class PlanSpec extends SparkSpec {
     // verbatim: one pushed postings scan, doclens probed, counter
     // folded, no corpus rescan
     lexPins("q235_rm3_state_served", "graft_lex_state")
+    // q236: the index health read is five STATE aggregates — the
+    // corpus appears nowhere (the q206 claim as a live dashboard row)
+    val lst = planString("q236_lexical_index_stats")
+    assert(lst.contains("graft_lex_state"),
+      "q236 must read the maintained index")
+    assert(!lst.contains("documents.parquet"),
+      "q236 must not rescan the documents table:\n" + lst.take(800))
     // q234: the batch RM3 — one corpus scan (postings checkpointed;
     // the N count-star is metadata-only), no cartesian
     val rm = planString("q234_rm3_expansion_topk")
