@@ -445,7 +445,11 @@ object EventWindows {
           floor(col("value") * lit(1e6d)).as("v"))
         val st = pts.groupBy(col("event_type")).agg(count(lit(1)).as("n"),
           dsumD(col("m")).as("sm"), dsumD(col("v")).as("sv"),
-          dsumD(col("m") * col("v")).as("smv"), dsumD(col("m") * col("m")).as("smm"))
+          // m·v and m² exceed the fast dsum's per-element unscaled-long
+          // range (their own doc bounds them ≤ 2.4e13 > 9.2e12) — the
+          // wide decimal path keeps them exact
+          dsumWideD(col("m") * col("v")).as("smv"),
+          dsumWideD(col("m") * col("m")).as("smm"))
         val cv = st.select(col("event_type"), col("n"),
           (col("sm") / lit(1440.0d)).as("sx"),
           (col("sv") * lit(1e-6d)).as("sy"),
