@@ -67,5 +67,27 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame =
     normalizeTs(readWithNanosAsLong(s, s"$d/events.parquet"), "ts")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+
+  /** Input-skew guard (optimization guide §2.5, "one huge unsplittable
+    * file → repartition immediately after the read"): the testdata
+    * ships ONE parquet row group per table, so a scan plans one
+    * non-empty split and every per-row computation fused into it (md5
+    * sketch derivations, hash splits) runs on a single core while the
+    * rest idle. When the scan planned fewer partitions than the session
+    * has cores, redistribute the (already projected, NARROW) rows; at
+    * production scale splits ≥ cores and this is a NO-OP — the
+    * condition, not a constant, is the contract. Call sites are chosen
+    * by same-session A/B, never blanket: measured ~25 % win on q82's
+    * 4×md5 sketch over two narrow columns, and a 32 % LOSS when blanket
+    * -applied to the text family's full-text rows (the repartition then
+    * shuffles the heavy payload the downstream explode would have kept
+    * in place — OPTIMIZATION_r17.md §3). Results are partitioning-
+    * independent at every call site (keyed aggregates over exact
+    * integers). */
+  def fanNarrow(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (df.rdd.getNumPartitions >= sc.defaultParallelism) df
+    else df.repartition(sc.defaultParallelism)
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

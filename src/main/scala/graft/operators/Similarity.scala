@@ -642,7 +642,28 @@ object Similarity {
     val avgdlRow = doclens.agg(
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
         .as("avgdl"))
-    bm25FromPostings(dt, doclens, nRow, avgdlRow, queryIds, k, k1, b)
+    // r17: the batch form probes terms + N + avgdl in ONE bounded
+    // collect and scores with literal stats — two fewer broadcast
+    // materializations per invocation, IEEE-identical arithmetic. The
+    // SERVED reads (q217/q218/q235) keep the frame form: their plans
+    // must show the lexstats/lexdocs folds (the PlanSpec serving pins).
+    val qt = dt.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("query_id"), col("w").as("qw"))
+    val probe = qt.select(col("qw")).distinct()
+      .crossJoin(nRow).crossJoin(avgdlRow).collect()
+    val statsLit =
+      if (probe.nonEmpty)
+        (probe.head.getLong(1),
+          if (probe.head.isNullAt(2)) 0.0d else probe.head.getDouble(2))
+      else {
+        // token-less query docs (or an empty corpus): no terms, so
+        // nothing can score — the stats only need to be non-null
+        val r = nRow.crossJoin(avgdlRow).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0.0d else r.getDouble(1))
+      }
+    bm25FromTermTable(dt, doclens, nRow, avgdlRow, qt, k, k1, b,
+      termsHint = Some(probe.map(_.getString(0)).toSeq),
+      statsLit = Some(statsLit))
   }
 
   /** PSEUDO-RELEVANCE-FEEDBACK (RM3-style) expanded BM25 top-k — the
@@ -720,10 +741,12 @@ object Similarity {
       .crossJoin(nRow).crossJoin(avgdlRow).collect()
     val qtTerms = probe.map(_.getString(0)).toSeq
     val statsLit =
-      if (probe.nonEmpty) (probe.head.getLong(1), probe.head.getDouble(2))
+      if (probe.nonEmpty)
+        (probe.head.getLong(1),
+          if (probe.head.isNullAt(2)) 0.0d else probe.head.getDouble(2))
       else { // token-less query docs: no terms, stats still needed
         val r = nRow.crossJoin(avgdlRow).head()
-        (r.getLong(0), r.getDouble(1))
+        (r.getLong(0), if (r.isNullAt(1)) 0.0d else r.getDouble(1))
       }
     // stage 1: the feedback page — bounded driver probe (fbK per query)
     val fbPairs = bm25FromTermTable(dt, doclens, nRow, avgdlRow, qt, fbK,

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -101,6 +101,35 @@ object ScratchProbe {
         graft.operators.TextAnalysis.bigramLmScore(
           Tables.documents(spark, sfDir).select(col("doc_id"), col("source"), col("text"))
             .repartition(n))
+      case "q82_asis" | "q82_fan" =>
+        import spark.implicits._
+        val W = 1024
+        def bucket(j: Column, k: Column): Column =
+          pmod(conv(substring(md5(concat(j.cast("string"), lit("|"), k.cast("string"))),
+            1, 8), 16, 10).cast("long"), lit(W.toLong))
+        def jBuckets(k: Column): Column =
+          explode(array((0 until 4).map(j =>
+            struct(lit(j).as("j"), bucket(lit(j), k).as("b"))): _*))
+        val src0 = Tables.orders(spark, sfDir)
+          .select(col("o_orderpriority").as("g"), col("o_custkey").as("k"))
+        val src = if (variant == "q82_fan") src0.repartition(n) else src0
+        val cms = src.select(col("g"), jBuckets(col("k")).as("jb"))
+          .groupBy(col("g"), col("jb.j").as("j"), col("jb.b").as("b"))
+          .agg(count(lit(1)).as("c"))
+        val probes = Seq(1L, 7L, 42L).toDF("probe")
+        val grid = src.select(col("g")).distinct().crossJoin(broadcast(probes))
+        val pb = grid.select(col("g"), col("probe"), jBuckets(col("probe")).as("jb"))
+          .select(col("g"), col("probe"), col("jb.j").as("j"), col("jb.b").as("b"))
+        val est = pb.join(cms, Seq("g", "j", "b"), "left")
+          .groupBy(col("g"), col("probe"))
+          .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+        val exact = src.filter(col("k").isin(1L, 7L, 42L))
+          .groupBy(col("g"), col("k").as("probe"))
+          .agg(count(lit(1)).as("exact_count"))
+        est.join(exact, Seq("g", "probe"), "left")
+          .select(col("g").as("o_orderpriority"), col("probe").as("probe_custkey"),
+            col("est_count"), coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+          .orderBy(col("o_orderpriority"), col("probe_custkey"))
       case other => throw new IllegalArgumentException(other)
     }
 
