@@ -1,16 +1,29 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
 
 /** One registered engine operation: a Spark implementation plus (when the
   * semantics are ANSI-SQL-expressible) an exact DuckDB oracle twin.
   *
   * Conventions that make the oracle compare deterministic:
   *  - every output column is explicitly aliased, identically in both sides;
-  *  - every query ends in a total deterministic ORDER BY (cheap at verify
-  *    scale, and harmless at bench scale relative to the work above it);
-  *  - floating-point aggregates go through [[graft.functions.DetAgg]] so
-  *    results are independent of partitioning / combine order.
+  *  - every query's RESULT SET is a deterministic function of the input —
+  *    floating-point aggregates go through [[graft.functions.DetAgg]] so
+  *    values are independent of partitioning / combine order;
+  *  - row ORDER is presentation only: the round driver canonicalizes both
+  *    compare sides by sorting rows by ALL columns before hashing
+  *    (tools/check.py mirrors it — and the Spark side reaches the compare
+  *    as a multi-file parquet directory whose glob enumeration order is
+  *    filesystem-dependent, so an order-sensitive compare could never
+  *    have been green). The operator functions still end in a total
+  *    ORDER BY for direct library use, but the registry strips that root
+  *    presentation sort ([[Q.stripPresentationSort]]) — guide §2.4's
+  *    "orderBy used only to make output deterministic" class. At bench
+  *    scale the sort's range exchange + sampling pass was measured at
+  *    ~19 % of suite time (SortTaxProbe, r17); at 100 TB it is a full
+  *    range shuffle of every corpus-sized result, bought for nothing the
+  *    compare can observe.
   */
 final case class Q(
     name: String,
@@ -21,11 +34,38 @@ final case class Q(
 object Q {
   def apply(name: String, oracle: String, doc: String)(
       run: (SparkSession, String) => DataFrame): Q =
-    Q(name, run, Some(oracle), doc)
+    Q(name, stripPresentationSort(run), Some(oracle), doc)
 
   // Q.noOracle was removed in round 7 with the q19/q52 fold: every
   // registered query now carries an exact oracle, and keeping the
   // rows-only constructor around would let a future registration
   // silently regress that invariant. Genuinely un-oracle-able semantics
   // belong in-query as a bound check (the q19/q52 pattern) instead.
+
+  /** Strip a ROOT-level global [[Sort]] from the query's logical plan —
+    * and only that: a Sort under a Limit is top-k semantics and is never
+    * the root; window/partition orderings are Window nodes, not Sort.
+    * Root-only and structural, so it provably removes nothing but the
+    * final presentation order of the emitted row set. The row MULTISET —
+    * what the driver hashes after its sorted-rows canonicalization — is
+    * untouched by construction (a Sort node neither adds, drops, nor
+    * rewrites rows). One site instead of ~226 call-site edits keeps the
+    * operator functions' documented presentation ORDER BY for direct
+    * library consumers. */
+  private def stripPresentationSort(
+      run: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, d) => {
+      val df = run(s, d)
+      df.queryExecution.logical match {
+        case Sort(_, true, child, _) =>
+          org.apache.spark.sql.graft.ColumnBridge.ofRows(s, child)
+        // a final .select over the presentation sort (root Project —
+        // row-wise, so dropping the Sort below it still changes only
+        // row order, never the multiset)
+        case p @ Project(_, Sort(_, true, child, _)) =>
+          org.apache.spark.sql.graft.ColumnBridge.ofRows(s,
+            p.copy(child = child))
+        case _ => df
+      }
+    }
 }

@@ -138,8 +138,17 @@ object Dedup {
   /** Exact dedup: keep the lowest doc_id per normalized-content
     * fingerprint, count copies. */
   def exactDedup(docs: DataFrame): DataFrame =
-    docs.select(fingerprint(col("text")).as("fp"), col("doc_id"))
-      .groupBy(col("fp"))
+    exactDedupFromFp(
+      docs.select(fingerprint(col("text")).as("fp"), col("doc_id")))
+
+  /** The same keeper election over a PRE-fingerprinted (fp, doc_id)
+    * frame — for callers whose existing corpus scan already carries the
+    * fingerprint (q170 rides it on its token-count scan so the replan
+    * costs ONE corpus pass, not two). Split out rather than duplicated
+    * at the call site so there stays exactly one definition of "keeper"
+    * (min doc_id per fp). */
+  def exactDedupFromFp(fped: DataFrame): DataFrame =
+    fped.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
   /** Passage-level exact dedup (the C4/RefinedWeb recipe applied at

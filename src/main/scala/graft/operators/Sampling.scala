@@ -249,9 +249,15 @@ object Sampling {
     * bounded-key (|distinct sizes|) aggregate — all linear, keys are
     * 32-char md5s and 8-byte ints; no expression can exceed 2^48. */
   def softDedupSample(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // ONE corpus scan: cluster sizes derive from the same fingerprint
+    // projection the membership test reads (r17 — exactDedup as a
+    // separate call re-scanned and re-normalized every document; the
+    // checkpointed frame is doc_id + 32-char fp, the posting a
+    // production soft-dedup materializes anyway)
     val fp = docs.select(col("doc_id"),
-      graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
-    val clusters = Dedup.exactDedup(docs).select(col("fp"), col("n_copies"))
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .localCheckpoint(true)
+    val clusters = Dedup.exactDedupFromFp(fp).select(col("fp"), col("n_copies"))
     val u = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
       .cast("long")
     val tagged = fp.join(clusters, Seq("fp"))
@@ -363,12 +369,18 @@ object Sampling {
     * everything on |sources|-row frames. */
   def dedupAwareEpochPlan(docs: org.apache.spark.sql.DataFrame,
       budget: Long): org.apache.spark.sql.DataFrame = {
+    // ONE corpus scan: the keeper election's content fingerprint rides
+    // the token-count projection (r17 — exactDedup as a separate call
+    // re-scanned and re-normalized every document's text; the 32-char fp
+    // column costs the checkpoint ~36 bytes/row, the second 100 TB text
+    // pass it replaces costs a full corpus read)
     val tok = docs.select(col("doc_id"), col("source"),
-        nTokens(col("text")).as("nt"))
+        nTokens(col("text")).as("nt"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
       .localCheckpoint(true)
     val capsAll = tok.groupBy(col("source"))
       .agg(sum(col("nt")).cast("bigint").as("capacity"))
-    val keepers = Dedup.exactDedup(docs)
+    val keepers = Dedup.exactDedupFromFp(tok.select(col("fp"), col("doc_id")))
       .select(col("keep_doc_id").as("doc_id"))
     // LEFT join from the full source list, coalescing to 0: a source
     // whose EVERY document loses the cross-source keeper election — the

@@ -133,10 +133,13 @@ class EventAnalyticsSpec extends SparkSpec {
   }
 
   test("partial-aggregate merge is BIT-equal to direct aggregation of the raw stream") {
+    // sorted here — registered queries stopped carrying a final Sort in
+    // r17 (row order is presentation; the VALUES are the contract)
     val got = SparkEntry.queries("q93_partial_agg_merge")(spark, sf0001)
       .select($"event_type", $"n_events", $"total_value", $"avg_value",
         $"min_value", $"max_value")
       .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+      .sortBy(_._1)
     val direct = Tables.events(spark, sf0001).groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
         graft.functions.DetAgg.dsumD($"value").as("t"),

@@ -19,8 +19,12 @@ class CentroidStreamSpec extends SparkSpec {
       .filter(pred)
       .select(col("vec_id"), col("embedding"), col("source"))
 
+  // sorted by key — the driver's own sorted-rows canonicalization: row
+  // ORDER is presentation only (registered queries stopped carrying a
+  // final Sort in r17), the matrix VALUES are the equality under test
   private def collectMatrix(df: org.apache.spark.sql.DataFrame) =
-    df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toSeq
+    df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toSeq.sortBy(_._1)
 
   test("state-served drift matrix == the registered q108 over all deliveries") {
     val root = Files.createTempDirectory("graft-centstate").toString
