@@ -61,8 +61,13 @@ object Q {
           org.apache.spark.sql.graft.ColumnBridge.ofRows(s, child)
         // a final .select over the presentation sort (root Project —
         // row-wise, so dropping the Sort below it still changes only
-        // row order, never the multiset)
-        case p @ Project(_, Sort(_, true, child, _)) =>
+        // row order, never the multiset) — GUARDED: the claim holds
+        // only when every projected expression is deterministic (an
+        // order-sensitive root select, e.g. monotonically_increasing_id,
+        // would change row VALUES when its input order changes). A
+        // nondeterministic root Project keeps its Sort.
+        case p @ Project(_, Sort(_, true, child, _))
+            if p.projectList.forall(_.deterministic) =>
           org.apache.spark.sql.graft.ColumnBridge.ofRows(s,
             p.copy(child = child))
         case _ => df

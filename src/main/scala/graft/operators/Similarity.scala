@@ -730,31 +730,36 @@ object Similarity {
     // (the q217 PlanSpec pin set applies to q235 verbatim). r17: the
     // RM3 pair measured choreography-bound — 54 jobs of ~30-100 ms,
     // 2.15 s executor-CPU against 3.3 s wall — so the round's cuts all
-    // target scheduling rounds, not the plan shape.
+    // target scheduling rounds, not the plan shape. r18 continues the
+    // same cut: the probe now collects the (query_id, term) PAIRS (the
+    // same bounded rows r17 collected distinct terms from), so stages
+    // 1-2 take the query-term table as a LOCAL relation — one postings
+    // probe fewer in each of their plans.
     val qt = dt.filter(col("doc_id").isin(queryIds: _*))
       .select(col("doc_id").as("query_id"), col("w").as("qw"))
-    // ... and the query docs' term set rides the SAME probe (crossJoin
-    // against the 1-row stats — one scheduling round for both bounded
-    // sets), shared by stage 1 and (unioned with the expansion terms)
-    // stage 3
-    val probe = qt.select(col("qw")).distinct()
-      .crossJoin(nRow).crossJoin(avgdlRow).collect()
-    val qtTerms = probe.map(_.getString(0)).toSeq
+    val probe = qt.crossJoin(nRow).crossJoin(avgdlRow).collect()
+    val qtPairs = probe.map(r => (r.getLong(0), r.getString(1))).toSeq
+    val qtTerms = qtPairs.map(_._2).distinct
     val statsLit =
       if (probe.nonEmpty)
-        (probe.head.getLong(1),
-          if (probe.head.isNullAt(2)) 0.0d else probe.head.getDouble(2))
+        (probe.head.getLong(2),
+          if (probe.head.isNullAt(3)) 0.0d else probe.head.getDouble(3))
       else { // token-less query docs: no terms, stats still needed
         val r = nRow.crossJoin(avgdlRow).head()
         (r.getLong(0), if (r.isNullAt(1)) 0.0d else r.getDouble(1))
       }
+    val qtLocal = qtPairs.toDF("query_id", "qw")
+    // ONE query-term postings materialization (term-isin pushdown when
+    // dt is the persisted index), shared by stage 1 AND stage 3 — r17
+    // let each bm25FromTermTable call re-filter + re-checkpoint it
+    val dtq1 = dt.filter(col("w").isin(qtTerms: _*)).localCheckpoint()
     // stage 1: the feedback page — bounded driver probe (fbK per query)
-    val fbPairs = bm25FromTermTable(dt, doclens, nRow, avgdlRow, qt, fbK,
-        termsHint = Some(qtTerms), statsLit = Some(statsLit))
+    val fbPairs = bm25FromTermTable(dt, doclens, nRow, avgdlRow, qtLocal,
+        fbK, termsHint = Some(qtTerms), statsLit = Some(statsLit),
+        dtqPre = Some(dtq1))
       .select(col("query_id"), col("doc_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val fbIds = fbPairs.map(_._2).distinct.toSeq
-    val fbDf = fbPairs.toSeq.toDF("fq", "fd")
     // stage 2: expansion terms — feedback docs' postings (pushdown),
     // weighted by summed tf × integer micro-nat idf (the
     // corpus-frequency discount real relevance models apply — raw tf
@@ -768,43 +773,74 @@ object Similarity {
     val fbRows = dt.filter(col("doc_id").isin(fbIds: _*))
       .select(col("doc_id"), col("w"), col("tf")).collect()
     val candTerms = fbRows.map(_.getString(1)).distinct.toSeq
-    val fbT = fbRows.toSeq.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-      .toDF("doc_id", "w", "tf")
-    val dfq = dt.filter(col("w").isin(candTerms: _*))
+    // the ONE remaining postings read below stage 1 (r18): only the
+    // candidate terms dtq1 does NOT already hold — its union with dtq1
+    // covers qtTerms ∪ candTerms exactly (the two isin sets are
+    // disjoint), serving BOTH stage 2's df counts and stage 3's scoring
+    // slice from local checkpoint blocks. r17 ran a separate corpus/
+    // index scan for each (the dfq scan + stage 3's own
+    // filter+checkpoint).
+    val extraTerms = candTerms.filterNot(qtTerms.toSet)
+    val dtSup =
+      if (extraTerms.isEmpty) dtq1
+      else dtq1.union(
+        dt.filter(col("w").isin(extraTerms: _*)).localCheckpoint())
+    // the candidate terms' df counts are the ONLY corpus-proportional
+    // input stage 2 needs (a term's postings list is corpus-sized; its
+    // df is one long) — aggregate them distributed off the materialized
+    // slice and collect the ≤|candTerms| rows. Everything else in the
+    // expansion election (tf sums over the ALREADY-collected feedback
+    // postings, the per-query term exclusion, the top-expM ranking) is
+    // bounded local data, so it runs as plain Scala — r18: the r17 form
+    // spent a broadcast + anti-join + groupBy + window plan (3 more
+    // scheduling rounds) re-deriving what the driver already held.
+    val dfCand = dtSup.filter(col("w").isin(candTerms: _*))
       .groupBy(col("w")).agg(count(lit(1)).as("df"))
-      .select(col("w").as("iw"),
-        floor(log((lit(statsLit._1).cast("double") - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5)) + lit(1.0)) * lit(1e6))
-          .cast("bigint").as("xlnq"))
-    val expw = fbT
-      .join(broadcast(fbDf), col("doc_id") === col("fd"))
-      .join(qt, col("fq") === col("query_id") && col("w") === col("qw"),
-        "left_anti")
-      .groupBy(col("fq"), col("w")).agg(sum(col("tf")).as("tfw"))
-      .join(dfq, col("w") === col("iw"))
-      .select(col("fq"), col("w"), (col("tfw") * col("xlnq")).as("wt"))
-    val expWin = Window.partitionBy(col("fq"))
-      .orderBy(col("wt").desc, col("w"))
-    // the expansion table is a BOUNDED construction-time artifact
-    // (≤ expM terms per query, like the scorer's term collect) —
-    // collected to a local relation so stage 3's serving plan keeps
-    // exactly the q217 shape: one postings scan, the pushed query
-    // probe (PlanSpec pin)
-    val expRows = expw.withColumn("xrn", row_number().over(expWin))
-      .filter(col("xrn") <= expM)
-      .select(col("fq").as("query_id"), col("w").as("qw"))
-      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // integer micro-nat idf, bit-identical to the column form the r17
+    // plan computed: same double promotion order, same java.lang.Math
+    // log, same floor-quantize
+    def xlnq(df: Long): Long =
+      math.floor(math.log((statsLit._1.toDouble - df + 0.5d) /
+        (df + 0.5d) + 1.0d) * 1e6).toLong
+    val qtPairSet = qtPairs.toSet
+    val fbByDoc = fbRows.toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    // per (query, term): summed tf across the query's feedback docs
+    // (a doc feeding several queries contributes to each — the fbPairs
+    // mapping, exactly the broadcast-join the r17 plan ran), the
+    // query's own terms excluded, weight = tfw × xlnq (exact integers),
+    // ties (wt DESC, w ASC) — the expWin ordering verbatim
+    val expRows: Array[(Long, String)] = fbPairs
+      .flatMap { case (fq, fd) =>
+        fbByDoc.getOrElse(fd, Seq.empty).map { case (_, w, tf) => ((fq, w), tf) }
+      }
+      .filterNot { case ((fq, w), _) => qtPairSet.contains((fq, w)) }
+      .groupBy(_._1).toSeq
+      .map { case ((fq, w), tfs) => (fq, w, tfs.map(_._2).sum * xlnq(dfCand(w))) }
+      .groupBy(_._1).toSeq.flatMap { case (fq, rows) =>
+        rows.sortBy { case (_, w, wt) => (-wt, w) }.take(expM)
+          .map { case (_, w, _) => (fq, w) }
+      }.toArray
     val exp = expRows.toSeq.toDF("query_id", "qw")
     // stage 3: the identical scorer over the augmented bag; its term
-    // set is the union of the two already-collected sets, so no third
-    // probe runs. The batch caller (q234 — no serving-plan pin) takes
-    // the literal stats here too, dropping the N/avgdl subtrees from
+    // set is the union of the two already-collected sets and its
+    // postings slice filters the ALREADY-materialized dtq1 ∪ extra
+    // union (expTerms ⊆ candTerms, so the slice is exact) — no third
+    // probe, no third materialization. The batch caller (q234 — no
+    // serving-plan pin) takes the literal stats and the LOCAL qt here
+    // too, dropping the N/avgdl subtrees and the qt postings probe from
     // the timed final plan; the served caller keeps the frames so the
-    // q235 plan retains its lexstats/lexdocs folds.
+    // q235 plan retains its lexstats/lexdocs folds and its one pushed
+    // /postings scan (the q217 pin set).
     val allTerms = (qtTerms ++ expRows.map(_._2)).distinct.toSeq
+    val dtq3 = dtSup.filter(col("w").isin(allTerms: _*))
+    val finalQt = if (litFinalStats) qtLocal else qt
     bm25FromTermTable(dt, doclens, nRow, avgdlRow,
-      qt.union(exp).distinct(), k, termsHint = Some(allTerms),
-      statsLit = if (litFinalStats) Some(statsLit) else None)
+      finalQt.union(exp).distinct(), k, termsHint = Some(allTerms),
+      statsLit = if (litFinalStats) Some(statsLit) else None,
+      dtqPre = Some(dtq3))
   }
 
   /** The (doc_id, w, tf) postings derivation — ONE tokenizer
@@ -879,7 +915,8 @@ object Similarity {
       qt: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       termsHint: Option[Seq[String]] = None,
-      statsLit: Option[(Long, Double)] = None): DataFrame = {
+      statsLit: Option[(Long, Double)] = None,
+      dtqPre: Option[DataFrame] = None): DataFrame = {
     // bounded driver probe: |terms of k query docs|, corpus-independent.
     // A caller that already HOLDS the term set (RM3's stage 3 unions the
     // stage-1 terms it collected with the expansion terms it collected)
@@ -889,8 +926,13 @@ object Similarity {
     val terms = termsHint.getOrElse(qt.select(col("qw")).distinct()
       .collect().map(_.getString(0)).toSeq)
     // one materialization of the query-term postings (pushdown scan) —
-    // df, the candidate set, and the scored join all read it
-    val dtq = dt.filter(col("w").isin(terms: _*)).localCheckpoint()
+    // df, the candidate set, and the scored join all read it. A caller
+    // that already HOLDS that slice materialized (RM3 shares ONE slice
+    // across its stages — r18) passes it via dtqPre: by construction it
+    // must equal dt.filter(w ∈ terms) row-for-row, so df/candidates/
+    // scoring (and every result) are unchanged.
+    val dtq = dtqPre.getOrElse(
+      dt.filter(col("w").isin(terms: _*)).localCheckpoint())
     // corpus stats enter as 1-row frames (the serving plan's
     // lexstats/lexdocs folds — the PlanSpec pin) or, when the caller
     // already collected them (RM3 runs three stages off ONE probe), as

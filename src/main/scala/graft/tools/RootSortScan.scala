@@ -15,11 +15,18 @@ object RootSortScan {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.GraftExtensions.register(spark)
-    var withSort, without = 0
+    var withSort, withLocalSort, without = 0
     graft.SparkEntry.all.foreach { q =>
       try {
         q.run(spark, sfDir).queryExecution.logical match {
-          case _: Sort => withSort += 1
+          // only a GLOBAL root Sort is the presentation sort the strip
+          // targets; a root sortWithinPartitions (global=false) is a
+          // layout choice, counted separately
+          case Sort(_, true, _, _) => withSort += 1
+          case s: Sort =>
+            withLocalSort += 1
+            println(s"[rootsort] ${q.name}: root=LOCAL Sort (global=false, " +
+              s"not a presentation sort) ${s.order.mkString(",").take(60)}")
           case other =>
             without += 1
             println(s"[rootsort] ${q.name}: root=${other.getClass.getSimpleName}")
@@ -28,7 +35,8 @@ object RootSortScan {
         println(s"[rootsort] ${q.name}: ERR ${e.getMessage.take(80)}")
       }
     }
-    println(s"[rootsort] with=$withSort without=$without")
+    println(s"[rootsort] with=$withSort withinPartitions=$withLocalSort " +
+      s"without=$without")
     spark.stop()
   }
 }

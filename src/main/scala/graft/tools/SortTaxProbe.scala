@@ -1,3 +1,11 @@
+// HISTORICAL PROBE (r17): this survey produced the ~19 % sort-tax
+// measurement cited in Q.scala — run against the PRE-strip registry.
+// Since Q.stripPresentationSort landed, registered queries carry no
+// root Sort, so every query now reports "no root sort" by design; the
+// probe is kept as the record of how the number was measured, not as a
+// live tool (it also only matches bare Sort roots, not the
+// Project-over-Sort shape the registry strip handles).
+//
 // Sort-tax survey: how much of each query's bench time is the FINAL
 // presentation sort (a root-level global Sort whose only purpose is
 // deterministic display order)?

@@ -1085,4 +1085,33 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"), "q146 grew a sort-merge join")
     assert(s.contains("array_min"), "q146's in-row argmin disappeared from the plan")
   }
+
+  test("no registered query ends in a presentation sort (the r17 strip invariant)") {
+    // Q.stripPresentationSort removes the root global Sort (and the
+    // Sort under a deterministic root Project) from every registered
+    // query at construction — the driver's compare canonicalizes by
+    // sorting rows, so that Sort bought only display order at the price
+    // of a full range exchange of the result. This sweep pins the
+    // invariant structurally over EVERY registered query: a future
+    // registration whose logical root is still a global Sort (or a
+    // deterministic Project over one) would re-grow the trailing
+    // `Exchange rangepartitioning + Sort` the strip removed. A
+    // sortWithinPartitions root (global=false) and a Sort under a Limit
+    // (top-k semantics) are deliberately NOT flagged.
+    import org.apache.spark.sql.catalyst.plans.logical.{Project => LProject, Sort => LSort}
+    val offenders = SparkEntry.all.flatMap { q =>
+      val root = q.run(spark, sf001).queryExecution.logical
+      root match {
+        case LSort(_, true, _, _) => Some(q.name -> "root global Sort")
+        case p @ LProject(_, LSort(_, true, _, _))
+            if p.projectList.forall(_.deterministic) =>
+          Some(q.name -> "deterministic Project over global Sort")
+        case _ => None
+      }
+    }
+    assert(offenders.isEmpty,
+      "queries still carrying a presentation sort at the registry " +
+        "boundary: " + offenders.map { case (n, w) => s"$n ($w)" }
+          .mkString(", "))
+  }
 }
