@@ -124,11 +124,44 @@ object Scale {
     }
   }
 
+  /** Probe-side size gate for the bloom prune (guide §3.2, r18 — the
+    * fanNarrow pattern: the CONDITION is the scale parameter, never a
+    * constant tuned to the bench). The prune exists to cut probe-side
+    * SHUFFLE bytes, so it pays only when the probe side is big enough
+    * that its exchange crosses network/disk. Below the threshold the
+    * build's two extra jobs plus the bit-array literal's Catalyst cost
+    * (4 element_at probes over an m/64-long array literal — measured
+    * ~0.9 s of driver-only planning gap per rep at sf0.1, over half of
+    * q84's wall) buy back nothing: a local-mode exchange is a memory
+    * copy (the r12 A/B: plain ~0.8 s vs bloom ~1.0 s before the sized
+    * build grew the literal). Threshold = `spark.graft.bloom.minProbeBytes`
+    * (default 1 GiB): at that scan size the probe side's shuffle is
+    * ~100+ network-crossing blocks and the orders-of-magnitude row cut
+    * dominates the fixed build cost; at 100 TB the probe side exceeds
+    * any sane setting and the prune is ALWAYS on. A probe side that is
+    * not a pure file scan is assumed big (keep the prune). */
+  def bloomPrunePays(probe: DataFrame): Boolean = {
+    val minBytes = probe.sparkSession.conf
+      .get("spark.graft.bloom.minProbeBytes", (1L << 30).toString).toLong
+    if (minBytes <= 0L) true
+    else {
+      val leaves = probe.queryExecution.sparkPlan.collectLeaves()
+      val known = leaves.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.sizeInBytes
+      }
+      known.size < leaves.size || known.sum >= minBytes
+    }
+  }
+
   /** q84's join/aggregate body, with the bloom prune toggleable: monthly
     * revenue of lineitems belonging to URGENT orders. The registered
     * query runs `prune = true`; TimeQ's `q84_plain` A/B baseline runs
     * `prune = false` THROUGH THIS SAME METHOD, so the benchmark baseline
-    * cannot drift from the query it claims to compare against. */
+    * cannot drift from the query it claims to compare against.
+    * `prune = true` consults [[bloomPrunePays]] — the exact join makes
+    * the result identical with or without the prune (the oracle is the
+    * plain join), so the guard changes cost only, never rows. */
   def urgentMonthlyRevenue(s: SparkSession, d: String, prune: Boolean): DataFrame = {
     val urgent = Tables.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
@@ -136,7 +169,7 @@ object Scale {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     val probe =
-      if (prune) {
+      if (prune && bloomPrunePays(li)) {
         val bits = Bloom.build(urgent.select(col("o_orderkey")), "o_orderkey")
         li.filter(Bloom.mightContain(bits, col("l_orderkey")))
       } else li
@@ -214,7 +247,7 @@ object Scale {
          |WHERE o_orderpriority = '1-URGENT'
          |GROUP BY order_month
          |ORDER BY order_month""".stripMargin,
-      "Bloom-pruned join: urgent orders' keys build a bloom SIZED FROM THE BUILD SIDE (approx_count_distinct pre-pass, 16 bits/key next-pow-2, 8 KB-4 MB clamp; driver collect bounded by m/64 words via map-side bit_or); the lineitem side is pre-filtered by 4 codegen'd double-hash probes BEFORE its shuffle, so ~4/5 of fact rows never enter the exchange; the exact join then removes the bloom's false positives. The oracle is the PLAIN join — proving the prune is semantics-free. The 100 TB case this exists for: build side too big to broadcast as a hash relation, but its key bitset still fits every executor. Measured honestly at bench scale (TimeQ A/B, sf0.1 local[32], broadcast disabled to force the SMJ regime): plain ~0.8 s vs bloom ~1.0 s — in LOCAL mode an exchange is a memory copy, so the eliminated rows cannot buy back the bloom-build job + per-row probes; the technique pays where a probe-side exchange means network + disk serialization across executors, which local mode structurally cannot exhibit. The plan assertion (probe below every exchange) is the property that transfers.") {
+      "Bloom-pruned join: urgent orders' keys build a bloom SIZED FROM THE BUILD SIDE (approx_count_distinct pre-pass, 16 bits/key next-pow-2, 8 KB-4 MB clamp; driver collect bounded by m/64 words via map-side bit_or); the lineitem side is pre-filtered by 4 codegen'd double-hash probes BEFORE its shuffle, so ~4/5 of fact rows never enter the exchange; the exact join then removes the bloom's false positives. The oracle is the PLAIN join — proving the prune is semantics-free. The 100 TB case this exists for: build side too big to broadcast as a hash relation, but its key bitset still fits every executor. Measured honestly at bench scale (TimeQ A/B, sf0.1 local[32], broadcast disabled to force the SMJ regime): plain ~0.8 s vs bloom ~1.0 s — in LOCAL mode an exchange is a memory copy, so the eliminated rows cannot buy back the bloom-build job + per-row probes; the technique pays where a probe-side exchange means network + disk serialization across executors, which local mode structurally cannot exhibit. Since r18 the prune is gated on the probe side's scan size (bloomPrunePays, spark.graft.bloom.minProbeBytes, default 1 GiB — the fanNarrow condition-not-constant pattern): below the gate the build jobs + the bit-array literal's planning cost are pure local-mode dead weight (the measured ~0.9 s driver gap); at production scale the gate always passes. The exact join makes the result identical either way. The plan assertion (probe below every exchange, forced via the conf) is the property that transfers.") {
       (s, d) => urgentMonthlyRevenue(s, d, prune = true)
     },
 

@@ -163,17 +163,43 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q84 bloom probe filters the fact below every exchange") {
-    val p = planOf("q84_bloom_pruned_join")
-    val bloomFilters = p.collect {
+    // the prune is gated on probe-side scan size since r18
+    // (Scale.bloomPrunePays) — force it on to pin the pruned SHAPE,
+    // which is what ships at production scale
+    spark.conf.set("spark.graft.bloom.minProbeBytes", "0")
+    try {
+      val p = planOf("q84_bloom_pruned_join")
+      val bloomFilters = p.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("xxhash64") => f
+      }
+      assert(bloomFilters.nonEmpty, "bloom probe filter missing from the plan")
+      // the probe must prune scan-side — a bloom above the exchange would
+      // shuffle the rows it exists to eliminate
+      assert(bloomFilters.exists(f =>
+        f.collect { case s: ShuffleExchangeLike => s }.isEmpty),
+        "bloom probe sits above an exchange")
+    } finally spark.conf.unset("spark.graft.bloom.minProbeBytes")
+  }
+
+  test("q84 prune gate: off below the size threshold, identical rows either way") {
+    // default gate (1 GiB) — the sf0.01 lineitem scan is KBs, so the
+    // registered query plans the PLAIN join: no bloom filter, no build
+    val plain = planOf("q84_bloom_pruned_join")
+    assert(plain.collect {
       case f: org.apache.spark.sql.execution.FilterExec
         if f.condition.toString.contains("xxhash64") => f
-    }
-    assert(bloomFilters.nonEmpty, "bloom probe filter missing from the plan")
-    // the probe must prune scan-side — a bloom above the exchange would
-    // shuffle the rows it exists to eliminate
-    assert(bloomFilters.exists(f =>
-      f.collect { case s: ShuffleExchangeLike => s }.isEmpty),
-      "bloom probe sits above an exchange")
+    }.isEmpty, "prune gate failed to skip the bloom at test scale")
+    // and the gate changes cost only, never rows (the exact join
+    // removes false positives; the oracle is the plain join)
+    val ungated = SparkEntry.queries("q84_bloom_pruned_join")(spark, sf001)
+      .collect().toSeq.sortBy(_.toString)
+    spark.conf.set("spark.graft.bloom.minProbeBytes", "0")
+    try {
+      val gated = SparkEntry.queries("q84_bloom_pruned_join")(spark, sf001)
+        .collect().toSeq.sortBy(_.toString)
+      assert(gated == ungated, "prune gate changed the result rows")
+    } finally spark.conf.unset("spark.graft.bloom.minProbeBytes")
   }
 
   test("q85 claim shuffle moves chunk hashes, never document text") {
