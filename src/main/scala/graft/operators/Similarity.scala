@@ -647,22 +647,29 @@ object Similarity {
     // materializations per invocation, IEEE-identical arithmetic. The
     // SERVED reads (q217/q218/q235) keep the frame form: their plans
     // must show the lexstats/lexdocs folds (the PlanSpec serving pins).
+    // r18: the probe collects the (query_id, term) PAIRS (the same
+    // bounded rows), so the timed plan takes the query-term table as a
+    // LOCAL relation — its postings-probe subtree and the distinct
+    // exchange both drop out of every rep.
+    val spark = docs.sparkSession
+    import spark.implicits._
     val qt = dt.filter(col("doc_id").isin(queryIds: _*))
       .select(col("doc_id").as("query_id"), col("w").as("qw"))
-    val probe = qt.select(col("qw")).distinct()
-      .crossJoin(nRow).crossJoin(avgdlRow).collect()
+    val probe = qt.crossJoin(nRow).crossJoin(avgdlRow).collect()
+    val qtPairs = probe.map(r => (r.getLong(0), r.getString(1))).toSeq
     val statsLit =
       if (probe.nonEmpty)
-        (probe.head.getLong(1),
-          if (probe.head.isNullAt(2)) 0.0d else probe.head.getDouble(2))
+        (probe.head.getLong(2),
+          if (probe.head.isNullAt(3)) 0.0d else probe.head.getDouble(3))
       else {
         // token-less query docs (or an empty corpus): no terms, so
         // nothing can score — the stats only need to be non-null
         val r = nRow.crossJoin(avgdlRow).head()
         (r.getLong(0), if (r.isNullAt(1)) 0.0d else r.getDouble(1))
       }
-    bm25FromTermTable(dt, doclens, nRow, avgdlRow, qt, k, k1, b,
-      termsHint = Some(probe.map(_.getString(0)).toSeq),
+    bm25FromTermTable(dt, doclens, nRow, avgdlRow,
+      qtPairs.toDF("query_id", "qw"), k, k1, b,
+      termsHint = Some(qtPairs.map(_._2).distinct),
       statsLit = Some(statsLit))
   }
 
@@ -922,9 +929,12 @@ object Similarity {
     // stage-1 terms it collected with the expansion terms it collected)
     // passes it via termsHint, saving one scheduling round — the r17
     // choreography cut; the set is identical by construction, so the
-    // isin pushdown (and every result) is unchanged.
-    val terms = termsHint.getOrElse(qt.select(col("qw")).distinct()
-      .collect().map(_.getString(0)).toSeq)
+    // isin pushdown (and every result) is unchanged. r18: the dedup of
+    // the collected rows moved to the driver — a distinct() here bought
+    // an exchange + an extra AQE scheduling round to dedupe a
+    // query-bounded row set.
+    val terms = termsHint.getOrElse(qt.select(col("qw"))
+      .collect().map(_.getString(0)).distinct.toSeq)
     // one materialization of the query-term postings (pushdown scan) —
     // df, the candidate set, and the scored join all read it. A caller
     // that already HOLDS that slice materialized (RM3 shares ONE slice
@@ -1031,9 +1041,11 @@ object Similarity {
     val ph = tok.filter(col("doc_id").isin(queryIds: _*) && col("pos") <= 2)
       .select(col("doc_id").as("query_id"), col("pos").as("qpos"),
         col("w").as("pw"))
-    // bounded driver probe: at most 3 tokens per query document
-    val terms = ph.select(col("pw")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    // bounded driver probe: at most 3 tokens per query document —
+    // deduped on the driver (a distinct() here bought an exchange + an
+    // AQE round to dedupe ≤3 rows per query; r18)
+    val terms = ph.select(col("pw"))
+      .collect().map(_.getString(0)).distinct.toSeq
     val votes = tok.filter(col("w").isin(terms: _*))
       .join(broadcast(ph),
         col("w") === col("pw") && col("doc_id") =!= col("query_id"))
@@ -1171,12 +1183,16 @@ object Similarity {
     * query's terms. */
   private[graft] def passageFromPositions(tok: DataFrame,
       queryIds: Seq[Long], width: Int, k: Int): DataFrame = {
-    val qt = tok.filter(col("doc_id").isin(queryIds: _*) && col("pos") <= 2)
+    val qtBase = tok.filter(col("doc_id").isin(queryIds: _*) && col("pos") <= 2)
       .select(col("doc_id").as("query_id"), col("w").as("qw"))
-      .distinct()
-    // bounded driver probe: ≤3 distinct terms per query document
-    val terms = qt.select(col("qw")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    val qt = qtBase.distinct()
+    // bounded driver probe: ≤3 distinct terms per query document —
+    // collected from the PRE-distinct pushdown slice (≤3 rows per
+    // query) and deduped on the driver, so the probe plan is the bare
+    // scan: the r17 form paid two distinct exchanges (qt's own plus the
+    // probe's) before this bounded collect (r18)
+    val terms = qtBase.select(col("qw"))
+      .collect().map(_.getString(0)).distinct.toSeq
     val hits = tok.filter(col("w").isin(terms: _*))
       .join(broadcast(qt),
         col("w") === col("qw") && col("doc_id") =!= col("query_id"))
