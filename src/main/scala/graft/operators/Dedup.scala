@@ -2616,18 +2616,26 @@ object Dedup {
     val base = docs.select(col("doc_id"), col("text"))
     val doubled = base.union(
       base.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
-    val t = doubled.withColumn("tomb",
-      substring(md5(col("doc_id").cast("string")), 1, 1) < "2")
-      .localCheckpoint(true) // read by four legs
+    // the tombstone flag is a pure function of doc_id, so each leg
+    // derives it over its own COLUMN-PRUNED scan instead of reading a
+    // shared checkpoint (r18 — the r17 form eagerly materialized the
+    // doubled corpus WITH TEXT for four legs of which only the
+    // fingerprint leg reads text: at 100 TB that checkpoint is a full
+    // corpus-text copy bought to save three doc_id-only scans, and at
+    // bench scale it was one more construction action)
+    val tomb = substring(md5(col("doc_id").cast("string")), 1, 1) < "2"
+    val tIds = doubled.select(col("doc_id")).withColumn("tomb", tomb)
+    val tombIds = tIds.filter(col("tomb")).select(col("doc_id"))
     def row(label: String, affected: Column, total: Column)(src: DataFrame) =
       src.select(lit(label).as("artifact"), affected.cast("bigint").as("affected"),
         total.cast("bigint").as("total"))
     // documents
     val dd = row("documents", col("a"), col("n"))(
-      t.agg(sum(when(col("tomb"), 1L).otherwise(0L)).as("a"),
+      tIds.agg(sum(when(col("tomb"), 1L).otherwise(0L)).as("a"),
         count(lit(1)).as("n")))
     // exact-dup groups (q32's fingerprint)
-    val g = t.select(col("doc_id"), col("tomb"),
+    val g = doubled.withColumn("tomb", tomb)
+      .select(col("doc_id"), col("tomb"),
         md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
           .as("fp"))
       .groupBy(col("fp"))
@@ -2650,8 +2658,7 @@ object Dedup {
       .localCheckpoint(true)
     val tw = packed.agg((max(col("end_window")) + 1).as("tot"))
     val aw = packed
-      .join(t.filter(col("tomb")).select(col("doc_id")), Seq("doc_id"),
-        "left_semi")
+      .join(tombIds, Seq("doc_id"), "left_semi")
       .select(explode(sequence(col("start_window"), col("end_window")))
         .as("w"))
       .agg(countDistinct(col("w")).as("aff"))
@@ -2659,8 +2666,7 @@ object Dedup {
       aw.crossJoin(broadcast(tw)))
     // embeddings (1:1 on vec_id)
     val ea = embs.select(col("vec_id"))
-      .join(t.filter(col("tomb")).select(col("doc_id")),
-        col("vec_id") === col("doc_id"), "left_semi")
+      .join(tombIds, col("vec_id") === col("doc_id"), "left_semi")
       .agg(count(lit(1)).as("aff"))
     val et = embs.agg(count(lit(1)).as("tot"))
     val eRow = row("embeddings", col("aff"), col("tot"))(

@@ -1104,22 +1104,35 @@ object Similarity {
     * factor — no stage touches a token outside the anchor terms. */
   private[graft] def proximityFromPositions(tok: DataFrame,
       queryIds: Seq[Long], window: Int, k: Int): DataFrame = {
-    val qtok = tok.filter(col("doc_id").isin(queryIds: _*))
-    val t1 = qtok.filter(col("pos") === 0)
-      .select(col("doc_id").as("query_id"), col("w").as("t1"))
-    // the anchor pair: t2 = the first token differing from t1, by
-    // position (min over a (pos, w) struct — lexicographic, so the
-    // smallest position wins and its token rides along)
-    val pairs = qtok
-      .join(t1, col("doc_id") === col("query_id"))
-      .filter(col("w") =!= col("t1"))
-      .groupBy(col("query_id"), col("t1"))
-      .agg(min(struct(col("pos"), col("w"))).as("m"))
-      .select(col("query_id"), col("t1"), col("m").getField("w").as("t2"))
-      .localCheckpoint()
-    // bounded driver probe: two terms per query document
-    val terms = pairs.collect()
-      .flatMap(r => Seq(r.getString(1), r.getString(2))).distinct.toSeq
+    val spark = tok.sparkSession
+    import spark.implicits._
+    // the anchor-pair election is a pure function of the QUERY DOCS'
+    // OWN tokens — a bounded, doc_id-pushed slice — so it rides ONE
+    // collect and runs locally (r18): t1 = the pos-0 token, t2 = the
+    // token of the lexicographically smallest (pos, w) among tokens
+    // differing from t1 — the min(struct(pos, w)) election verbatim.
+    // The r17 form derived the same ≤1-row-per-query table through a
+    // join + groupBy + eager checkpoint + a second collect (the terms
+    // probe). The served nearPins are unchanged: the FINAL plan's
+    // poslists scans are still the two term-pushed position streams,
+    // with the pair table broadcast from a local relation.
+    val qtokRows = tok.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").cast("long"), col("pos").cast("long"), col("w"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val pairRows: Seq[(Long, String, String)] = qtokRows
+      .groupBy(_._1).toSeq.flatMap { case (qid, rs) =>
+        rs.find(_._2 == 0L).map(_._3).flatMap { t1w =>
+          val cand = rs.filter(_._3 != t1w)
+          if (cand.isEmpty) None
+          else {
+            val m = cand.minBy(r => (r._2, r._3))
+            Some((qid, t1w, m._3))
+          }
+        }
+      }
+    val pairs = pairRows.toDF("query_id", "t1", "t2")
+    val terms = pairRows.flatMap(p => Seq(p._2, p._3)).distinct.toSeq
     val hits = tok.filter(col("w").isin(terms: _*))
     val p1 = hits.join(broadcast(pairs),
         col("w") === col("t1") && col("doc_id") =!= col("query_id"))
