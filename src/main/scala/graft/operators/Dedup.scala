@@ -970,10 +970,18 @@ object Dedup {
     * coefficient shared/min(|A|,|B|). Inverted-index join on 8-byte
     * shingle hashes — fan-out per shingle bounded by |sources|². */
   def sourceOverlap(docs: DataFrame): DataFrame = {
+    // ONE shingle pass (r18 — the q143 one-derivation convention): this
+    // frame feeds THREE consumers (both self-join sides + the sizes
+    // fold), and exchange reuse does not fire across their differently-
+    // aliased subtrees — unmaterialized, the plan ran FOUR full corpus
+    // text scans + shingle explodes (verified in the formatted plan).
+    // The materialized rows are distinct (source, 8-byte hash) pairs —
+    // far smaller than the text they replace.
     val sh = docs
       .select(col("source"),
         explode(graft.expressions.ShingleHash64(col("text"))).as("h"))
       .distinct()
+      .localCheckpoint()
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.h") === col("b.h") && col("a.source") < col("b.source"))

@@ -89,11 +89,18 @@ object TextAnalysis {
     * one IEEE expression per row. Returns (doc_id, source, n_tokens,
     * avg_nll). */
   private def unigramNll(docs: DataFrame): DataFrame = {
+    // ONE tokenize pass (r18 — the q143/q215 one-derivation
+    // convention): dt feeds the vocab chain (cnt + total legs) AND the
+    // per-doc score join; unmaterialized, the plan ran THREE full
+    // corpus tokenize scans (verified in the formatted plan). The
+    // materialized rows are (doc, source, term, count) — the postings
+    // class, far smaller than the text they replace.
     val dt = docs
       .select(col("doc_id"), col("source"),
         explode(wsTokens(lower(col("text")))).as("w"))
       .groupBy(col("doc_id"), col("source"), col("w"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val vocab = dt.groupBy(col("w")).agg(sum(col("c")).as("cnt"))
     val tot = vocab.agg(sum(col("cnt")).as("t"))
     val v2 = vocab.select(col("w"),
