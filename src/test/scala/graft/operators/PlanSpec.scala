@@ -839,6 +839,34 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("q96 derives the shingle set ONCE: no scan or explode below the joins") {
+    // r18 single-pass rail (the q143 convention): the distinct
+    // (source, shingle-hash) frame feeds both self-join sides plus the
+    // sizes fold, and exchange reuse does NOT fire across the
+    // differently-aliased subtrees — unmaterialized, the executed plan
+    // ran FOUR corpus text scans + shingle explodes. If the checkpoint
+    // is lost they all come back, and this pins their absence.
+    val s = planString("q96_source_overlap")
+    assert(!s.contains("Scan parquet"),
+      "corpus scan in the final plan — the shingle checkpoint was lost")
+    assert(!s.contains("Generate"),
+      "shingle explode in the final plan — the shingle checkpoint was lost")
+  }
+
+  test("unigram LM (q103/q109/q140) tokenizes ONCE: consumers read the checkpoint") {
+    // r18 single-pass rail: the (doc, source, term, count) table feeds
+    // the vocab chain and the per-doc score join — unmaterialized, the
+    // corpus tokenize-explode ran 3x per query.
+    Seq("q103_unigram_lm_score", "q109_lm_score_calibration",
+        "q140_adaptive_quality_gate").foreach { name =>
+      val s = planString(name)
+      assert(!s.contains("Scan parquet"),
+        s"$name: corpus scan in the final plan — the term-count checkpoint was lost")
+      assert(!s.contains("Generate"),
+        s"$name: tokenize explode in the final plan — the term-count checkpoint was lost")
+    }
+  }
+
   test("new ANN/curation queries: no cartesian products; shuffle budgets hold") {
     val bounds = Map(
       // observed 5: within-list self-join, top-k window, in-degree +
